@@ -1,13 +1,95 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sampling.StratifiedSampler
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  private[graft] def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_weighted_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- §2.2 sampling + §2.3 weighted (bypass) aggregates --------------------
+    // Full-fraction stratified sample keeps every row with weight 1, so the
+    // Horvitz–Thompson estimators must reproduce the exact answers: this
+    // verifies sampler plumbing + weight decode + weighted aggregation
+    // end-to-end against the DuckDB oracle.
+    "q01_weighted_agg" -> ((s, dir) => {
+      val li = StratifiedSampler.sample(tbl(s, dir, "lineitem"),
+        qcs = Seq("l_returnflag"), fraction = 1.0)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(weighted_sum(col("l_quantity")), 4).as("sum_qty"),
+          round(weighted_avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(weighted_count(col("l_quantity")), 4).as("cnt_est"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Per-stratum sampled-row counts are exact by construction
+    // (reference demands |kept − fraction·N| ≤ 2, SamplingAccuracySuite):
+    // kept = max(reservoir, ceil(fraction·stratumTotal)).
+    "q02_sample_counts" -> ((s, dir) => {
+      val sampled = StratifiedSampler.sample(tbl(s, dir, "lineitem"),
+        qcs = Seq("l_returnflag"), fraction = 0.1, reservoirSize = 10)
+      sampled.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("sampled_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- §2.3 closed-form error aggregate ------------------------------------
+    // With a full-fraction sample the finite-population correction zeroes the
+    // variance: estimates must be exact and all error bounds exactly 0 —
+    // verifying the whole closed-form path deterministically.
+    "q03_closed_form_full" -> ((s, dir) => {
+      val li = StratifiedSampler.sample(tbl(s, dir, "lineitem"),
+        qcs = Seq("l_returnflag"), fraction = 1.0)
+      val sumAgg = approx_sum(col("l_quantity"), col(weightColumn))
+      val avgAgg = approx_avg(col("l_extendedprice"), col(weightColumn))
+      val cntAgg = approx_count(col("l_quantity"), col(weightColumn))
+      li.groupBy(col("l_returnflag"))
+        .agg(sumAgg.as("s"), avgAgg.as("a"), cntAgg.as("c"))
+        .select(
+          col("l_returnflag"),
+          round(estimate(col("s")), 4).as("sum_est"),
+          round(absolute_error(col("s")), 6).as("sum_abs_err"),
+          round(relative_error(col("s")), 6).as("sum_rel_err"),
+          round(estimate(col("a")), 6).as("avg_est"),
+          round(estimate(col("c")), 4).as("cnt_est"),
+          col("s").getField("sample_count").as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_weighted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+        |       ROUND(CAST(COUNT(l_quantity) AS DOUBLE), 4) AS cnt_est
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_sample_counts" ->
+      """SELECT l_returnflag,
+        |       CAST(GREATEST(10, CEIL(COUNT(*) * 0.1)) AS BIGINT) AS sampled_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q03_closed_form_full" ->
+      """SELECT l_returnflag,
+        |       ROUND(SUM(l_quantity), 4) AS sum_est,
+        |       ROUND(0.0, 6) AS sum_abs_err,
+        |       ROUND(0.0, 6) AS sum_rel_err,
+        |       ROUND(AVG(l_extendedprice), 6) AS avg_est,
+        |       ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS cnt_est,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 }

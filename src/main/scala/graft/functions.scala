@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{AqpAggType, ClosedFormAggregate, HacBehavior, Weightage}
+
+/**
+ * Public column-function surface of the engine (DataFrame API counterpart of
+ * reference `org.apache.spark.sql.aqp.functions` — `sql/aqp/functions.scala`).
+ */
+object functions {
+
+  /** Name of the hidden packed-weight column carried by stratified samples. */
+  val weightColumn: String = Weightage.WeightColumn
+
+  /** Decoded Horvitz–Thompson weight (stratumTotal / keptRows) of a sample row. */
+  def sample_weight(raw: Column): Column = Weightage.mapColumnToWeight(raw)
+  def sample_weight: Column = sample_weight(col(weightColumn))
+
+  // ---------------------------------------------------------------------------
+  // Cheap weighted estimators without error tracking — semantics of the
+  // reference's AQPSum / AQPAverage / AQPCount
+  // (`execution/common/bypassErrorCalculations.scala:28-180`): plain
+  // Horvitz–Thompson column algebra, fully codegen'd by Catalyst.
+  // ---------------------------------------------------------------------------
+
+  /** `sum(w·x)` over non-null x. */
+  def weighted_sum(c: Column, w: Column): Column =
+    sum(c * w)
+  def weighted_sum(c: Column): Column = weighted_sum(c, sample_weight)
+
+  /** `sum(w·x)/sum(w)` over non-null x. */
+  def weighted_avg(c: Column, w: Column): Column =
+    sum(c * w) / sum(when(c.isNotNull, w))
+  def weighted_avg(c: Column): Column = weighted_avg(c, sample_weight)
+
+  /** `sum(w)` over non-null x — estimated count of base-table rows. */
+  def weighted_count(c: Column, w: Column): Column =
+    coalesce(sum(when(c.isNotNull, w)), lit(0.0))
+  def weighted_count(c: Column): Column = weighted_count(c, sample_weight)
+
+  // ---------------------------------------------------------------------------
+  // Closed-form (CLT) error-tracked estimators. Each returns
+  // struct(estimate, lower_bound, upper_bound, absolute_error,
+  //        relative_error, sample_count);
+  // the introspection functions below are plain field extractions.
+  // ---------------------------------------------------------------------------
+
+  def approx_sum(c: Column, w: Column, confidence: Double = 0.95,
+      error: Double = 1.0, behavior: String = "do_nothing"): Column =
+    ClosedFormAggregate(c, w, AqpAggType.Sum, confidence, error,
+      HacBehavior.parse(behavior))
+
+  def approx_avg(c: Column, w: Column, confidence: Double = 0.95,
+      error: Double = 1.0, behavior: String = "do_nothing"): Column =
+    ClosedFormAggregate(c, w, AqpAggType.Avg, confidence, error,
+      HacBehavior.parse(behavior))
+
+  def approx_count(c: Column, w: Column, confidence: Double = 0.95,
+      error: Double = 1.0, behavior: String = "do_nothing"): Column =
+    ClosedFormAggregate(c, w, AqpAggType.Count, confidence, error,
+      HacBehavior.parse(behavior))
+
+  /** Point estimate of an error-tracked aggregate. */
+  def estimate(c: Column): Column = c.getField("estimate")
+
+  /** Half-width of the confidence interval
+   * (reference `execution/common/errorEstimateFunctions.scala:48-84`). */
+  def absolute_error(c: Column): Column = c.getField("absolute_error")
+
+  /** absErr / estimate, clamped for |estimate| ≤ 1
+   * (reference `errorEstimateFunctions.scala:85-121`). */
+  def relative_error(c: Column): Column = c.getField("relative_error")
+
+  def lower_bound(c: Column): Column = c.getField("lower_bound")
+  def upper_bound(c: Column): Column = c.getField("upper_bound")
+}

@@ -1,0 +1,144 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{PackWeightage, Weightage}
+
+/**
+ * Batch stratified sampling as a declarative Dataset transform.
+ *
+ * Semantics follow the reference samplers (snappy-aqp
+ * `execution/StratifiedSamplerReservoir.scala:33-78`,
+ * `execution/StratifiedSamplerCached.scala:39-120`,
+ * options parsed at `execution/stratifiedSampling.scala:295-359`):
+ *
+ *  - The stratum key (QCS — "query column set") is an arbitrary list of
+ *    projection expressions evaluated per row.
+ *  - `fraction == 0` → fixed-size reservoir per stratum (`reservoirSize`
+ *    rows, default 50 per `stratifiedSampling.scala:289-291`).
+ *  - `fraction > 0`  → per-stratum target `max(reservoirSize,
+ *    ceil(fraction · stratumSize))`, so small strata keep full
+ *    representation while big strata are sampled at the fraction.
+ *  - Every output row carries the hidden packed weight column
+ *    ([[org.apache.spark.sql.graft.Weightage]]) encoding
+ *    (keptRows, stratumTotal, keyHash) — weight = total/kept.
+ *
+ * Implementation is Spark-first rather than a port of the reference's
+ * per-executor reservoir cache: rows are ranked inside each stratum by a
+ * content-seeded xxhash64 (deterministic for a given seed + input), and the
+ * `target` lowest-ranked rows are kept. This is one shuffle (hash partition
+ * by stratum key) and both the per-stratum total and kept count are exact —
+ * the reference's accuracy tests demand |kept − fraction·N| ≤ 2
+ * (`SamplingAccuracySuite.scala:234-235`); this construction is exact by
+ * design.
+ *
+ * Scale notes (100 TB): the rank is a per-stratum sort, so a single giant
+ * stratum would land on one task. When `fraction` is small, `preFilter`
+ * (default on) first computes per-stratum counts with a map-side-combined
+ * `groupBy.count` (tiny shuffle), broadcasts them, and Bernoulli-prefilters
+ * to ~`preFilterFactor × target` rows by the same hash *before* the window
+ * sort. The kept set is unchanged — the target-smallest hashes survive any
+ * prefilter keeping all hashes below a threshold at ~factor× the target
+ * quantile (a false cut needs the target-th order statistic to exceed 4× its
+ * expectation: probability exp(−Θ(target)), negligible at target ≥ 50) — and
+ * the sort input shrinks by ~1/fraction. AQE handles residual skew.
+ */
+object StratifiedSampler {
+
+  /** Options mirroring the reference's sample-table OPTIONS map. */
+  final case class Options(
+      qcs: Seq[String],
+      fraction: Double = 0.0,
+      reservoirSize: Int = 50,
+      seed: Long = 42L,
+      preFilter: Boolean = true,
+      preFilterFactor: Double = 4.0)
+
+  final val WeightColumn: String = Weightage.WeightColumn
+
+  private val K = "__graft_key__"
+  private val R1 = "__graft_rank__"
+  private val R2 = "__graft_rank2__"
+  private val TOT = "__graft_total__"
+
+  def sample(df: DataFrame, opts: Options): DataFrame =
+    sample(df, opts.qcs.map(expr), opts.fraction, opts.reservoirSize, opts.seed,
+      opts.preFilter, opts.preFilterFactor)
+
+  /** Convenience: qcs by column name / SQL expression strings. */
+  def sample(
+      df: DataFrame,
+      qcs: Seq[String],
+      fraction: Double = 0.0,
+      reservoirSize: Int = 50,
+      seed: Long = 42L): DataFrame =
+    sample(df, qcs.map(expr), fraction, reservoirSize, seed,
+      preFilter = true, preFilterFactor = 4.0)
+
+  /**
+   * @param qcs stratum-key expressions (may be arbitrary projections, e.g.
+   *            `hour(pickup_datetime)` — reference
+   *            `sampling/ColumnFormatSamplingRelation.scala:170-229`)
+   */
+  def sample(
+      df: DataFrame,
+      qcs: Seq[Column],
+      fraction: Double,
+      reservoirSize: Int,
+      seed: Long,
+      preFilter: Boolean,
+      preFilterFactor: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    require(reservoirSize > 0 || fraction > 0, "need reservoirSize > 0 or fraction > 0")
+
+    val dataCols = df.columns.map(col).toSeq
+    val key = if (qcs.isEmpty) lit(0) else struct(qcs: _*)
+    // content-seeded rank: deterministic for a fixed seed, uniform per row
+    val keyed = df
+      .withColumn(K, key)
+      .withColumn(R1, xxhash64(struct(dataCols: _*), lit(seed)))
+      .withColumn(R2, xxhash64(struct(dataCols: _*), lit(seed + 0x9e3779bL)))
+
+    def targetOf(total: Column): Column =
+      if (fraction > 0.0) {
+        least(greatest(lit(reservoirSize.toLong), ceil(total * lit(fraction))), total)
+      } else least(lit(reservoirSize.toLong), total)
+
+    // Attach per-stratum total; optionally Bernoulli-prefilter big strata
+    // before the exact rank to keep the per-stratum sort input ~factor×target.
+    val withTotal: DataFrame =
+      if (preFilter && fraction > 0.0 && fraction * preFilterFactor < 1.0) {
+        val counts = keyed.groupBy(col(K)).agg(count(lit(1)).as(TOT))
+        // null-safe equality: QCS values may be null and must join to their count
+        val joined = keyed.join(broadcast(counts.withColumnRenamed(K, K + "c")),
+          col(K) <=> col(K + "c"), "inner").drop(K + "c")
+        val tgt = targetOf(col(TOT))
+        val p = least(lit(1.0), tgt * lit(preFilterFactor) / col(TOT))
+        // xxhash64 is uniform over the full signed-long range:
+        // P(h < (2p−1)·MaxLong) = p; p == 1 keeps everything
+        val threshold = (lit(2.0) * p - lit(1.0)) * lit(Long.MaxValue.toDouble)
+        joined.filter(col(TOT) <= tgt || col(R1).cast("double") < threshold)
+      } else {
+        keyed.withColumn(TOT, count(lit(1)).over(Window.partitionBy(col(K))))
+      }
+
+    val ranked = withTotal
+      .withColumn("__graft_rn__",
+        row_number().over(Window.partitionBy(col(K)).orderBy(col(R1), col(R2))))
+      .withColumn("__graft_target__", targetOf(col(TOT)))
+      .filter(col("__graft_rn__") <= col("__graft_target__"))
+
+    // exact kept-count per stratum (≠ target only in the astronomically
+    // unlikely event the prefilter cut into the target set); cheap — runs on
+    // already-sampled data that is already partitioned by the key
+    val kept = ranked.withColumn("__graft_kept__",
+      count(lit(1)).over(Window.partitionBy(col(K))))
+
+    val keyHash = pmod(hash(col(K)), lit(256)).cast("int")
+    kept
+      .withColumn(WeightColumn,
+        PackWeightage(col("__graft_kept__"), col(TOT), keyHash))
+      .select(dataCols :+ col(WeightColumn): _*)
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.sampling.StratifiedSampler
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("ERROR")
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("full-fraction sample keeps all rows with weight 1") {
+    val s = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 1.0)
+    assert(s.count() === li.count())
+    val w = s.select(sample_weight).distinct().collect().map(_.getDouble(0))
+    assert(w.toSeq === Seq(1.0))
+  }
+
+  test("fraction sampling: per-stratum kept = max(reservoir, ceil(f*total))") {
+    val s = StratifiedSampler.sample(li, Seq("l_returnflag"),
+      fraction = 0.1, reservoirSize = 10)
+    val got = s.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> math.max(10L, math.ceil(r.getLong(1) * 0.1).toLong))
+      .toMap
+    assert(got === want)
+  }
+
+  test("reservoir mode caps each stratum at reservoirSize") {
+    val s = StratifiedSampler.sample(li, Seq("l_returnflag", "l_linestatus"),
+      fraction = 0.0, reservoirSize = 7)
+    val counts = s.groupBy("l_returnflag", "l_linestatus").count()
+      .collect().map(_.getLong(2))
+    assert(counts.forall(_ <= 7))
+  }
+
+  test("sampling is deterministic for a fixed seed") {
+    val a = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 0.05)
+      .agg(sum(hash(col("l_orderkey"), col("l_linenumber")).cast("long"))).collect()(0).getLong(0)
+    val b = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 0.05)
+      .agg(sum(hash(col("l_orderkey"), col("l_linenumber")).cast("long"))).collect()(0).getLong(0)
+    assert(a === b)
+  }
+
+  test("weight decodes to stratumTotal/kept") {
+    val s = StratifiedSampler.sample(li, Seq("l_linestatus"),
+      fraction = 0.2, reservoirSize = 10)
+    val rows = s.groupBy("l_linestatus")
+      .agg(count(lit(1)).as("kept"), first(sample_weight).as("w")).collect()
+    val totals = li.groupBy("l_linestatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val kept = r.getLong(1)
+      val w = r.getDouble(2)
+      assert(math.abs(w - totals(r.getString(0)).toDouble / kept) < 1e-12)
+    }
+  }
+
+  test("weighted estimators approximate exact aggregates on a 20% sample") {
+    val s = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 0.2)
+    val est = s.agg(
+      weighted_sum(col("l_quantity")).as("s"),
+      weighted_count(col("l_quantity")).as("c")).collect()(0)
+    val exact = li.agg(sum("l_quantity"), count(lit(1))).collect()(0)
+    assert(math.abs(est.getDouble(0) / exact.getDouble(0) - 1.0) < 0.05)
+    assert(math.abs(est.getDouble(1) / exact.getLong(1) - 1.0) < 0.05)
+  }
+}
+
+class ClosedFormSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("full-fraction closed form: exact estimate, zero error") {
+    val s = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 1.0)
+    val r = s.groupBy("l_returnflag")
+      .agg(approx_sum(col("l_quantity"), col(weightColumn)).as("x"))
+      .select(col("l_returnflag"), estimate(col("x")).as("est"),
+        absolute_error(col("x")).as("abs"), relative_error(col("x")).as("rel"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = li.groupBy("l_returnflag").agg(sum("l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, v) =>
+      val (est, abs, rel) = r(k)
+      assert(math.abs(est - v) < 1e-6, s"estimate for $k")
+      assert(abs === 0.0); assert(rel === 0.0)
+    }
+  }
+
+  test("sampled closed form: truth inside CI, bounds sane") {
+    val s = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 0.1)
+    val r = s.groupBy("l_returnflag")
+      .agg(approx_sum(col("l_quantity"), col(weightColumn)).as("x"))
+      .select(col("l_returnflag"), estimate(col("x")),
+        lower_bound(col("x")), upper_bound(col("x")), relative_error(col("x")))
+      .collect()
+    val exact = li.groupBy("l_returnflag").agg(sum("l_quantity")).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r.foreach { row =>
+      val k = row.getString(0)
+      val (est, lb, ub) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+      assert(lb <= est && est <= ub)
+      // 95% CI should usually contain the truth; allow slack via 3x interval
+      val half = (ub - lb) / 2
+      assert(math.abs(est - exact(k)) < 3 * half + 1e-9, s"$k: est=$est truth=${exact(k)}")
+    }
+  }
+
+  test("avg and count closed form against exact") {
+    val s = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 0.15)
+    val r = s.agg(
+      approx_avg(col("l_extendedprice"), col(weightColumn)).as("a"),
+      approx_count(col("l_quantity"), col(weightColumn)).as("c"))
+      .select(estimate(col("a")), estimate(col("c"))).collect()(0)
+    val exact = li.agg(avg("l_extendedprice"), count(lit(1))).collect()(0)
+    assert(math.abs(r.getDouble(0) / exact.getDouble(0) - 1.0) < 0.05)
+    assert(math.abs(r.getDouble(1) / exact.getLong(1) - 1.0) < 0.05)
+  }
+
+  test("local_omit nulls groups whose relative error exceeds the limit") {
+    val s = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 0.05)
+    // absurdly tight error limit → every group omitted
+    val r = s.groupBy("l_returnflag")
+      .agg(approx_sum(col("l_quantity"), col(weightColumn),
+        confidence = 0.95, error = 1e-9, behavior = "local_omit").as("x"))
+      .select(estimate(col("x"))).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+}

@@ -1,0 +1,177 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.expr
+
+import graft.sampling.StratifiedSampler
+
+/** Metadata + materialized plan of one registered sample table
+ * (reference `sql/sampling/ColumnFormatSamplingRelation.scala:50-168`). */
+final case class SampleInfo(
+    name: String,
+    baseName: String,
+    basePlan: LogicalPlan,
+    sampleDf: DataFrame,
+    qcs: Seq[String],
+    fraction: Double,
+    reservoirSize: Int)
+
+/**
+ * Per-SparkSession AQP state: the sample-table catalog plus session default
+ * error/confidence/behavior (reference keeps these in
+ * `SnappyAQPSessionState`; config keys mirror `io.snappydata.Property` —
+ * SURVEY.md §4).
+ */
+final class GraftState {
+  val samples: TrieMap[String, SampleInfo] = TrieMap.empty
+  val topks: TrieMap[String, Any] = TrieMap.empty
+
+  /** Samples registered on the given base table. */
+  def samplesOn(baseName: String): Seq[SampleInfo] =
+    samples.values.filter(_.baseName.equalsIgnoreCase(baseName)).toSeq
+
+  /**
+   * Best sample for a query QCS (grouping + filter columns), per the
+   * reference's ranking (`QueryProcessingRules.scala:412-501`):
+   * exact QCS match > smallest superset (ties: largest fraction) >
+   * largest-overlap subset (ties: largest fraction) > any (largest fraction).
+   */
+  def pickSample(baseName: String, queryQcs: Seq[String]): Option[SampleInfo] = {
+    val candidates = samplesOn(baseName)
+    if (candidates.isEmpty) return None
+    val q = queryQcs.map(_.toLowerCase).toSet
+
+    def sampleQcs(s: SampleInfo) = s.qcs.map(_.toLowerCase).toSet
+
+    val exact = candidates.filter(s => sampleQcs(s) == q && q.nonEmpty)
+    if (exact.nonEmpty) return Some(exact.maxBy(_.fraction))
+
+    val supersets = candidates.filter(s => q.nonEmpty && q.subsetOf(sampleQcs(s)))
+    if (supersets.nonEmpty) {
+      val minSize = supersets.map(s => sampleQcs(s).size).min
+      return Some(supersets.filter(s => sampleQcs(s).size == minSize).maxBy(_.fraction))
+    }
+
+    val subsets = candidates.filter(s => sampleQcs(s).subsetOf(q) && sampleQcs(s).nonEmpty)
+    if (subsets.nonEmpty) {
+      val maxOverlap = subsets.map(s => sampleQcs(s).intersect(q).size).max
+      return Some(subsets.filter(s => sampleQcs(s).intersect(q).size == maxOverlap)
+        .maxBy(_.fraction))
+    }
+
+    Some(candidates.maxBy(_.fraction))
+  }
+}
+
+object GraftState {
+  private val states = new java.util.WeakHashMap[SparkSession, GraftState]()
+
+  def of(spark: SparkSession): GraftState = states.synchronized {
+    var s = states.get(spark)
+    if (s == null) { s = new GraftState; states.put(spark, s) }
+    s
+  }
+}
+
+/**
+ * Public session facade — the DataFrame-API entry point of the engine
+ * (reference entry point B/C, SURVEY.md §3: `SnappySession.createSampleTable`
+ * / `sample` / `queryTopK`).
+ */
+class GraftSession(val spark: SparkSession) {
+  val state: GraftState = GraftState.of(spark)
+
+  // runtime install of error functions + HAC planning strategy, so the
+  // engine works on a stock session (no spark.sql.extensions needed)
+  org.apache.spark.sql.graft.Plans.install(spark)
+
+  /**
+   * SQL entry point with the AQP surface: trailing `WITH ERROR e
+   * [CONFIDENCE c] [BEHAVIOR 'b']`, `CREATE SAMPLE TABLE`, error functions
+   * `absolute_error/relative_error/lower_bound/upper_bound(alias)`
+   * (reference entry points A and C — SURVEY.md §3). Other SQL passes
+   * through unchanged.
+   */
+  def sql(text: String): DataFrame = {
+    import org.apache.spark.sql.graft.{AqpParser, AqpRewrite, CreateSampleTableNode, CreateTopkTableNode, Plans}
+    val parser = new AqpParser(spark.sessionState.sqlParser)
+    parser.parsePlan(text) match {
+      case CreateSampleTableNode(name, base, opts) =>
+        createSampleTable(name, base,
+          qcs = opts.get("qcs").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+          fraction = opts.get("fraction").map(_.toDouble).getOrElse(0.0),
+          reservoirSize = opts.get("stratareservoirsize").map(_.toInt).getOrElse(50),
+          seed = opts.get("seed").map(_.toLong).getOrElse(42L),
+          persistPath = opts.get("path"))
+        spark.emptyDataFrame
+      case _: CreateTopkTableNode =>
+        throw new UnsupportedOperationException("CREATE TOPK TABLE: see GraftSession.createTopK")
+      case plan =>
+        val analyzed = Plans.analyzed(Plans.ofRows(spark, plan))
+        Plans.ofRows(spark, AqpRewrite(spark)(analyzed))
+    }
+  }
+
+  /** Session defaults — `spark.sql.aqp.{error,confidence,behavior}`. */
+  def defaultError: Double = spark.conf.get("spark.sql.aqp.error", "0.2").toDouble
+  def defaultConfidence: Double = spark.conf.get("spark.sql.aqp.confidence", "0.95").toDouble
+  def defaultBehavior: String = spark.conf.get("spark.sql.aqp.behavior", "do_nothing")
+  def numBootstrapTrials: Int = spark.conf.get("spark.sql.aqp.numBootstrapTrials", "100").toInt
+
+  /**
+   * Create + register a stratified sample table over a registered base table
+   * (`CREATE SAMPLE TABLE name ON base OPTIONS(qcs ..., fraction ...,
+   * strataReservoirSize ...)` — reference `sql/snappyAQPParsers.scala:77-103`,
+   * `command/CreateSampleTableCommand.scala:27-48`).
+   *
+   * `persistPath`: when set, the sample is written as parquet there and
+   * scanned from disk (the scale path — the reference flushes into its
+   * column store); when empty the sample is cached in memory (test path).
+   */
+  def createSampleTable(
+      name: String,
+      baseName: String,
+      qcs: Seq[String],
+      fraction: Double = 0.0,
+      reservoirSize: Int = 50,
+      seed: Long = 42L,
+      persistPath: Option[String] = None): DataFrame = {
+    val base = spark.table(baseName)
+    val sampled = StratifiedSampler.sample(base, qcs.map(expr), fraction,
+      reservoirSize, seed, preFilter = true, preFilterFactor = 4.0)
+    val sampleDf = persistPath match {
+      case Some(path) =>
+        sampled.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None =>
+        val df = sampled
+        df.persist()
+        df.count() // materialize so every query sees one frozen sample
+        df
+    }
+    sampleDf.createOrReplaceTempView(name)
+    state.samples.put(name, SampleInfo(name, baseName,
+      base.queryExecution.analyzed, sampleDf, qcs, fraction, reservoirSize))
+    sampleDf
+  }
+
+  def dropSampleTable(name: String): Unit = {
+    state.samples.remove(name).foreach { info =>
+      info.sampleDf.unpersist()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  /** Ad-hoc stratified sample of any DataFrame (reference
+   * `SnappyContextAQPFunctions.scala:375-382`). */
+  def sample(df: DataFrame, qcs: Seq[String], fraction: Double = 0.0,
+      reservoirSize: Int = 50, seed: Long = 42L): DataFrame =
+    StratifiedSampler.sample(df, qcs, fraction, reservoirSize, seed)
+}
+
+object GraftSession {
+  def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+}

@@ -66,6 +66,55 @@ object SparkEntry {
           round(estimate(col("c")), 4).as("cnt_est"),
           col("s").getField("sample_count").as("n_rows"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // --- §3 SQL surface: WITH ERROR + error functions (entry point A) --------
+    // Full-fraction sample → the whole parse→sample-substitute→error-aggregate
+    // pipeline must reproduce exact answers with exactly-zero error columns.
+    "q04_with_error_sql" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q04")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q04_sample ON lineitem_q04 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 4)   AS sum_qty,
+          |       round(avg(l_extendedprice), 6) AS avg_price,
+          |       count(*)                    AS cnt,
+          |       round(absolute_error(sum_qty), 6) AS abs_err,
+          |       round(relative_error(sum_qty), 6) AS rel_err
+          |FROM lineitem_q04
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus
+          |WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin)
+    }),
+
+    // --- §2.3/§4 HAC: RUN_ON_FULL_TABLE reroutes to the exact base query -----
+    // 5% sample + impossible error limit → every group fails → the engine
+    // must transparently return the exact base-table answer.
+    "q05_hac_reroute" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q05")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q05_sample ON lineitem_q05 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '0.05')")
+      gs.sql(
+        """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty
+          |FROM lineitem_q05 GROUP BY l_returnflag
+          |ORDER BY l_returnflag
+          |WITH ERROR 0.0000001 BEHAVIOR 'run_on_full_table'""".stripMargin)
+    }),
+
+    // HAC: PARTIAL_RUN_ON_BASE_TABLE — failing groups re-run exactly
+    "q06_hac_partial" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q06")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q06_sample ON lineitem_q06 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '0.05')")
+      gs.sql(
+        """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem_q06 GROUP BY l_returnflag
+          |ORDER BY l_returnflag
+          |WITH ERROR 0.0000001 BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +140,22 @@ object SparkEntry {
         |       ROUND(AVG(l_extendedprice), 6) AS avg_est,
         |       ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS cnt_est,
         |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_with_error_sql" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+        |       COUNT(*) AS cnt,
+        |       ROUND(0.0, 6) AS abs_err,
+        |       ROUND(0.0, 6) AS rel_err
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q05_hac_reroute" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_hac_partial" ->
+      """SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 }

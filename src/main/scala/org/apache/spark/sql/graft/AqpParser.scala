@@ -1,0 +1,105 @@
+package org.apache.spark.sql.graft
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * SQL surface of the engine, as a `ParserInterface` delegate (usable either
+ * via `SparkSessionExtensions.injectParser` or standalone through
+ * `GraftSession.sql`). Handles:
+ *
+ *   - trailing `WITH ERROR e [CONFIDENCE c] [BEHAVIOR 'b']`
+ *     (reference grammar `sql/snappyAQPParsers.scala:48-71`), wrapping the
+ *     delegate-parsed query in [[ErrorConfidence]];
+ *   - bare `WITH ERROR` → session defaults (reference `ErrorDefaults`);
+ *   - `CREATE SAMPLE TABLE s ON base OPTIONS(qcs 'a,b', fraction '0.03',
+ *     strataReservoirSize '50')` (reference `snappyAQPParsers.scala:77-103`);
+ *   - `CREATE TOPK TABLE t ON base OPTIONS(key 'col', ...)`.
+ *
+ * Everything else passes through to the wrapped Spark parser.
+ */
+class AqpParser(delegate: ParserInterface) extends ParserInterface {
+  import AqpParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val createSample = CreateSamplePattern.matcher(sqlText)
+    if (createSample.matches()) {
+      val opts = parseOptions(createSample.group(3))
+      return CreateSampleTableNode(createSample.group(1), createSample.group(2), opts)
+    }
+    val createTopk = CreateTopkPattern.matcher(sqlText)
+    if (createTopk.matches()) {
+      val opts = parseOptions(createTopk.group(3))
+      return CreateTopkTableNode(createTopk.group(1), createTopk.group(2), opts)
+    }
+    val m = WithErrorPattern.matcher(sqlText)
+    if (m.matches()) {
+      val inner = delegate.parsePlan(m.group(1))
+      ErrorConfidence(
+        Option(m.group(2)).map(_.toDouble),
+        Option(m.group(3)).map(_.toDouble),
+        Option(m.group(4)),
+        inner)
+    } else delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    parsePlan(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object AqpParser {
+  private val num = "([0-9]*\\.?[0-9]+(?:[eE][+-]?[0-9]+)?)"
+  val WithErrorPattern: Pattern = Pattern.compile(
+    s"(?is)\\A(.*?)\\s+WITH\\s+ERROR(?:\\s+$num)?(?:\\s+CONFIDENCE\\s+$num)?" +
+      "(?:\\s+BEHAVIOR\\s+'([a-zA-Z_]+)')?\\s*;?\\s*\\z")
+  val CreateSamplePattern: Pattern = Pattern.compile(
+    "(?is)\\A\\s*CREATE\\s+SAMPLE\\s+TABLE\\s+([\\w.]+)\\s+ON\\s+([\\w.]+)" +
+      "\\s+OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")
+  val CreateTopkPattern: Pattern = Pattern.compile(
+    "(?is)\\A\\s*CREATE\\s+TOPK\\s+TABLE\\s+([\\w.]+)\\s+ON\\s+([\\w.]+)" +
+      "\\s+OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")
+  private val OptionPattern: Pattern =
+    Pattern.compile("(?is)(\\w+)\\s+'([^']*)'")
+
+  def parseOptions(s: String): Map[String, String] = {
+    val m = OptionPattern.matcher(s)
+    val b = Map.newBuilder[String, String]
+    while (m.find()) b += (m.group(1).toLowerCase -> m.group(2))
+    b.result()
+  }
+}
+
+/** Marker command nodes executed by `GraftSession.sql` (the standalone path)
+ * or by the injected planner (extension path). */
+case class CreateSampleTableNode(name: String, base: String,
+    options: Map[String, String])
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+}
+
+case class CreateTopkTableNode(name: String, base: String,
+    options: Map[String, String])
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+}

@@ -1,0 +1,317 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * The AQP rewrite: replaces an [[ErrorConfidence]]-wrapped query's base-table
+ * scan with the best matching sample table and turns its SUM/AVG/COUNT
+ * aggregates into closed-form error aggregates, binding the
+ * error-introspection functions to struct fields.
+ *
+ * Condenses the reference's rule pipeline (`ReplaceWithSampleTable` →
+ * `WeightageRule` → `ErrorEstimateRule` → `GetErrorBounds` →
+ * `EnsureSampleWeightageColumn`, SURVEY.md §3 step 2) into one post-analysis
+ * pass — possible because our error aggregate returns a struct, so error
+ * columns are ordinary projections instead of hidden-column surgery on the
+ * physical aggregate.
+ *
+ * Routing semantics (reference `QueryRoutingRules.scala:41-103`): queries
+ * with distinct aggregates or aggregates outside {SUM, AVG, COUNT, MIN, MAX}
+ * run unchanged on the base table.
+ */
+case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case ec: ErrorConfidence if ec.child.resolved => rewrite(ec)
+  }
+
+  private def defaultD(key: String, dflt: String): String =
+    spark.conf.get(key, dflt)
+
+  private def rewrite(ec: ErrorConfidence): LogicalPlan = {
+    val error = ec.error.getOrElse(defaultD("spark.sql.aqp.error", "0.2").toDouble)
+    val confidence = ec.confidence.getOrElse(
+      defaultD("spark.sql.aqp.confidence", "0.95").toDouble)
+    val behaviorStr = ec.behavior.getOrElse(defaultD("spark.sql.aqp.behavior", "do_nothing"))
+    val behavior = HacBehavior.parse(behaviorStr)
+    val child = ec.child
+
+    val aggs = child.collect { case a: Aggregate => a }
+    if (aggs.isEmpty) return stripStubs(child)
+    val agg = aggs.last // lowest aggregate
+
+    // --- routing: unsupported aggregates run on the base table -------------
+    val aggFns = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    val unsupported = aggFns.exists { ae =>
+      ae.isDistinct || (ae.aggregateFunction match {
+        case _: Sum | _: Average | _: Min | _: Max => false
+        case c: Count => c.children.size != 1
+        case _ => true
+      })
+    }
+    if (unsupported) return stripStubs(child)
+
+    // --- sample selection ---------------------------------------------------
+    // Substitute the OUTERMOST subtree matching the registered base plan
+    // (usually SubqueryAlias→View→Relation), so no fixed-output node (View)
+    // sits between the sample scan and the aggregate to block the weight
+    // column (reference substitutes the LogicalRelation and then re-threads —
+    // `QueryProcessingRules.scala:517-620`).
+    val state = graft.GraftState.of(spark)
+    val matchOpt: Option[(LogicalPlan, graft.SampleInfo)] =
+      state.samples.values.groupBy(_.baseName).view.flatMap { case (baseName, infos) =>
+        infos.headOption.flatMap { i =>
+          agg.child.collect {
+            case n if n.sameResult(i.basePlan) => n
+          }.headOption.flatMap { subtree =>
+            val queryQcs =
+              agg.groupingExpressions.flatMap(_.references.toSeq.map(_.name)) ++
+                agg.child.collect { case f: Filter =>
+                  f.condition.references.toSeq.map(_.name)
+                }.flatten
+            state.pickSample(baseName, queryQcs.distinct).map(info => (subtree, info))
+          }
+        }
+      }.headOption
+
+    matchOpt match {
+      case None => stripStubs(child) // no registered sample: run on base
+      case Some((targetLeaf, info)) =>
+        rewriteWithSample(ec, child, agg, targetLeaf, info, error, confidence, behavior)
+    }
+  }
+
+  // ---------------------------------------------------------------------------
+
+  private def rewriteWithSample(
+      ec: ErrorConfidence,
+      child: LogicalPlan,
+      agg: Aggregate,
+      targetLeaf: LogicalPlan,
+      info: graft.SampleInfo,
+      error: Double,
+      confidence: Double,
+      behavior: HacBehavior.HacBehavior): LogicalPlan = {
+
+    // 1. substitute the base scan with the sample, preserving exprIds
+    //    (reference `QueryProcessingRules.scala:517-620`)
+    val samplePlan = info.sampleDf.queryExecution.analyzed
+    val sOut = samplePlan.output
+    val aliases = targetLeaf.output.map { a =>
+      val sa = sOut.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+        throw new AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            s"sample table ${info.name} lacks base column ${a.name}")))
+      Alias(sa, a.name)(exprId = a.exprId)
+    }
+    val weightSrc = sOut.find(_.name == Weightage.WeightColumn).getOrElse(
+      throw new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"sample table ${info.name} has no weight column")))
+    val weightAlias = Alias(weightSrc, Weightage.WeightColumn)()
+    val weightAttr = weightAlias.toAttribute
+    val substitutedLeaf = Project(aliases :+ weightAlias, samplePlan)
+
+    val substituted = agg.child.transformUp {
+      case l if l eq targetLeaf => substitutedLeaf
+    }
+
+    // 2. thread the weight column up through Projects to the aggregate
+    //    (reference `EnsureSampleWeightageColumn`, `:2460-2520`)
+    val threaded = substituted.transformUp {
+      case p: Project if p.child.outputSet.contains(weightAttr) &&
+          !p.projectList.exists(_.toAttribute.semanticEquals(weightAttr)) =>
+        p.copy(projectList = p.projectList :+ weightAttr)
+    }
+    if (!threaded.outputSet.contains(weightAttr)) {
+      throw new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          ("could not thread sample weight column to the aggregate " +
+            "(unsupported intermediate operator, e.g. grouping sets)")))
+    }
+
+    // 3. rewrite Sum/Avg/Count into shared closed-form struct aggregates
+    val finalizerBehavior =
+      if (behavior == HacBehavior.LocalOmit) HacBehavior.LocalOmit
+      else HacBehavior.DoNothing
+    val cfAggs = mutable.LinkedHashMap.empty[(AqpAggType.AqpAggType, Expression), Alias]
+
+    def structAttr(t: AqpAggType.AqpAggType, valueChild: Expression): Attribute = {
+      val key = (t, valueChild.canonicalized)
+      cfAggs.getOrElseUpdate(key, {
+        val cf = new ClosedFormAggregate(valueChild, weightAttr, t, confidence,
+          error, finalizerBehavior)
+        Alias(cf.toAggregateExpression(), s"__graft_cf_${cfAggs.size}__")()
+      }).toAttribute
+    }
+
+    val aliasToStruct = mutable.Map.empty[ExprId, Attribute]
+
+    // Analysis substitutes same-select-list alias references with the full
+    // aggregate expression (lateral column alias resolution), so a stub's
+    // argument is usually the AggregateExpression itself — bind it directly.
+    def bindStub(fn: String, arg: Expression, create: Boolean = true): Option[Expression] = {
+      // the aliased select item may wrap the aggregate (round(sum(x),4));
+      // the error functions bind to the first aggregate inside it
+      val aeOpt = arg.collectFirst { case ae: AggregateExpression => ae }
+      aeOpt.flatMap { ae =>
+        val sOpt = (ae.aggregateFunction match {
+          case Sum(x, _) => Some((AqpAggType.Sum, x))
+          case Average(x, _) => Some((AqpAggType.Avg, x))
+          case Count(xs) if xs.size == 1 => Some((AqpAggType.Count, xs.head))
+          case _ => None
+        }).filter { case (t, x) => create || cfAggs.contains((t, x.canonicalized)) }
+          .map { case (t, x) => structAttr(t, x) }
+        sOpt.map { s =>
+          val ord = ErrorEstimateStub.fieldOrdinal(fn)
+          GetStructField(s, ord, Some(ClosedFormAggregate.resultType(ord).name))
+        }
+      }
+    }
+
+    // The estimate extraction must NOT live inside the Aggregate (an
+    // aggregate expression cannot reference a sibling output column), so the
+    // rewritten Aggregate carries only grouping items, untouched aggregates
+    // (min/max) and the shared struct aggregates; a Project above it rebuilds
+    // the original select list from struct fields, preserving exprIds.
+    val aggList = mutable.ArrayBuffer.empty[NamedExpression]
+    val keptAggs = mutable.ArrayBuffer.empty[NamedExpression]
+
+    val projList: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+      val hasAgg = ne.exists(_.isInstanceOf[AggregateExpression])
+      val hasStub = ne.exists(_.isInstanceOf[ErrorEstimateStub])
+      if (!hasAgg && !hasStub) {
+        aggList += ne // pure grouping item: stays in the aggregate
+        ne.toAttribute
+      } else {
+        var boundStruct: Option[Attribute] = None
+        var nAggs = 0
+        val rewritten = ne.transformDown {
+          case ErrorEstimateStub(fn, arg) =>
+            bindStub(fn, arg).getOrElse(throw new AnalysisException(
+              errorClass = "INTERNAL_ERROR",
+              messageParameters = Map("message" ->
+                (s"$fn must reference a SUM/AVG/COUNT aggregate (or its " +
+                  "alias) in the same select list"))))
+          case ae: AggregateExpression =>
+            nAggs += 1
+            ae.aggregateFunction match {
+              case Sum(x, _) =>
+                val s = structAttr(AqpAggType.Sum, x)
+                boundStruct = Some(s)
+                Cast(GetStructField(s, 0, Some("estimate")), ae.dataType)
+              case Average(x, _) =>
+                val s = structAttr(AqpAggType.Avg, x)
+                boundStruct = Some(s)
+                Cast(GetStructField(s, 0, Some("estimate")), ae.dataType)
+              case Count(xs) =>
+                val s = structAttr(AqpAggType.Count, xs.head)
+                boundStruct = Some(s)
+                Cast(Round(GetStructField(s, 0, Some("estimate")), Literal(0)), LongType)
+              case _ =>
+                // Min/Max etc: computed directly over the sample rows,
+                // aliased inside the aggregate, referenced from the Project
+                val kept = Alias(ae, s"__graft_keep_${keptAggs.size}__")()
+                keptAggs += kept
+                kept.toAttribute
+            }
+        }.asInstanceOf[NamedExpression]
+        ne match {
+          case a: Alias if nAggs == 1 && boundStruct.isDefined =>
+            aliasToStruct(a.exprId) = boundStruct.get
+          case _ =>
+        }
+        rewritten
+      }
+    }
+
+    val newAgg = Aggregate(agg.groupingExpressions,
+      (aggList ++ keptAggs ++ cfAggs.values).toSeq, threaded)
+    val newNode = Project(projList ++ cfAggs.values.map(_.toAttribute), newAgg)
+
+    // 4. swap the rewritten aggregate into the tree; thread the struct
+    //    columns through the Projects analysis placed above the aggregate
+    //    (lateral-alias resolution splits `sum(x) AS s, absolute_error(s)`
+    //    into two Project layers), following alias-of-alias chains; then
+    //    bind any remaining stubs
+    var tree = child.transformUp { case a if a eq agg => newNode }
+    val cfAttrs = cfAggs.values.map(_.toAttribute).toSeq
+    tree = tree.transformUp {
+      case p: Project if cfAttrs.exists(a => p.child.outputSet.contains(a)) =>
+        p.projectList.foreach {
+          // follow alias chains, including wrapped ones (round(s, 4) AS t)
+          case al: Alias =>
+            al.child.references.collectFirst {
+              case a: Attribute if aliasToStruct.contains(a.exprId) =>
+                aliasToStruct(a.exprId)
+            }.foreach(s => aliasToStruct(al.exprId) = s)
+          case _ =>
+        }
+        val missing = cfAttrs.filter(a => p.child.outputSet.contains(a) &&
+          !p.projectList.exists(_.toAttribute.exprId == a.exprId))
+        if (missing.isEmpty) p else p.copy(projectList = p.projectList ++ missing)
+    }
+    tree = tree.transformUp {
+      case n => n.transformExpressionsDown {
+        case ErrorEstimateStub(fn, arg) => arg match {
+          case attr: Attribute if aliasToStruct.contains(attr.exprId) =>
+            val ord = ErrorEstimateStub.fieldOrdinal(fn)
+            GetStructField(aliasToStruct(attr.exprId), ord,
+              Some(ClosedFormAggregate.resultType(ord).name))
+          case other => bindStub(fn, other, create = false).getOrElse(throw new AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              (s"$fn must reference the alias of a SUM/AVG/COUNT aggregate " +
+                "in the same select list"))))
+        }
+      }
+    }
+
+    val visible = child.output
+    behavior match {
+      case HacBehavior.DoNothing | HacBehavior.LocalOmit =>
+        Project(visible, tree)
+      case _ =>
+        // HAC enforcement: append hidden per-aggregate relative errors and
+        // wrap in the enforcement node (driver/physical post-pass —
+        // reference `AQPRules.scala:115-519`)
+        val hidden = cfAggs.values.toSeq.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(a.toAttribute, 4, Some("relative_error")),
+            s"__graft_relerr_${i}__")()
+        }
+        val projected = Project(visible ++ hidden, tree)
+        val keyIndices = agg.groupingExpressions.collect { case a: Attribute =>
+          visible.indexWhere(_.exprId == a.exprId)
+        }.filter(_ >= 0)
+        val sortOrder = child match {
+          case Sort(order, true, _, _) => order
+          case _ => Nil
+        }
+        HacEnforcement(projected, stripStubs(child), behavior, error,
+          hidden.size, keyIndices, sortOrder)
+    }
+  }
+
+  /** Fallback path: error estimates are exact on the base table —
+   * absolute/relative error ≡ 0, bounds ≡ the estimate. */
+  private def stripStubs(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case n => n.transformExpressionsDown {
+      case ErrorEstimateStub(fn, arg) => fn match {
+        case "absolute_error" | "relative_error" => Literal(0.0, DoubleType)
+        case _ => Cast(arg, DoubleType)
+      }
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** `private[sql]` helpers surfaced for the public `graft` package. */
+object Plans {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Ensure runtime hooks (error functions + HAC strategy) are installed on
+   * a stock session — lets the engine work without `spark.sql.extensions`.
+   */
+  def install(spark: SparkSession): Unit = {
+    ErrorEstimateStub.names.foreach { fn =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        fn, exprs => ErrorEstimateStub(fn, exprs.head), "built-in")
+    }
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.exists(_.isInstanceOf[HacStrategy])) {
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ HacStrategy(spark)
+    }
+  }
+}
+
+/**
+ * `SparkSessionExtensions` installer — the "proper" wiring when the session
+ * is built with `.withExtensions(new GraftExtensions)` or
+ * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+ * (reference wires the same surface through `SnappyAQPSessionState`,
+ * SURVEY.md §3/§4). `GraftSession` installs the equivalent hooks at runtime
+ * for stock sessions.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectParser((_, delegate) => new AqpParser(delegate))
+    e.injectResolutionRule(session => AqpRewrite(session))
+    e.injectPlannerStrategy(session => HacStrategy(session))
+    ErrorEstimateStub.names.foreach { fn =>
+      e.injectFunction((
+        FunctionIdentifier(fn),
+        new ExpressionInfo(classOf[ErrorEstimateStub].getName, fn),
+        (exprs: Seq[Expression]) => ErrorEstimateStub(fn, exprs.head)))
+    }
+  }
+}

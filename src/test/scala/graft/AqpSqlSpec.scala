@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.graft.ErrorLimitExceededException
+import org.scalatest.funsuite.AnyFunSuite
+
+class AqpSqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val gs: GraftSession = {
+    val g = new GraftSession(spark)
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("lineitem")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("orders")
+    g
+  }
+
+  private def exactByFlag: Map[String, Double] =
+    spark.sql("SELECT l_returnflag, sum(l_quantity) s FROM lineitem GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("CREATE SAMPLE TABLE + WITH ERROR: estimates near truth, error fns bound") {
+    gs.sql("CREATE SAMPLE TABLE li_sample ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.2')")
+    val df = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |       absolute_error(sum_qty) AS abs_err,
+        |       relative_error(sum_qty) AS rel_err,
+        |       lower_bound(sum_qty) AS lb, upper_bound(sum_qty) AS ub
+        |FROM lineitem GROUP BY l_returnflag
+        |WITH ERROR 0.5 CONFIDENCE 0.95""".stripMargin)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val exact = exactByFlag
+    rows.foreach { r =>
+      val (flag, est, abs, rel, lb, ub) = (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(abs > 0.0 && rel > 0.0)
+      assert(lb <= est && est <= ub)
+      assert(math.abs(est - exact(flag)) / exact(flag) < 0.2, s"$flag off: $est vs ${exact(flag)}")
+    }
+    gs.dropSampleTable("li_sample")
+  }
+
+  test("full-fraction sample through SQL gives exact estimates, zero error") {
+    gs.sql("CREATE SAMPLE TABLE li_full ON lineitem OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    val rows = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty,
+        |       count(*) AS cnt, absolute_error(sum_qty) AS abs_err
+        |FROM lineitem GROUP BY l_returnflag WITH ERROR""".stripMargin).collect()
+    val exact = exactByFlag
+    val exactCnt = spark.sql("SELECT l_returnflag, count(*) c FROM lineitem GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - exact(r.getString(0))) < 1e-6)
+      assert(r.getLong(3) === exactCnt(r.getString(0)))
+      assert(r.getDouble(4) === 0.0)
+    }
+    gs.dropSampleTable("li_full")
+  }
+
+  test("no registered sample: query routes to base, error fns are 0") {
+    val rows = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS e
+        |FROM lineitem GROUP BY l_returnflag WITH ERROR 0.1""".stripMargin).collect()
+    val exact = exactByFlag
+    rows.foreach { r =>
+      assert(r.getDouble(1) === exact(r.getString(0)))
+      assert(r.getDouble(2) === 0.0)
+    }
+  }
+
+  test("distinct aggregate routes to base") {
+    gs.sql("CREATE SAMPLE TABLE li_s2 ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.1')")
+    val got = gs.sql(
+      "SELECT count(DISTINCT l_orderkey) AS c FROM lineitem WITH ERROR 0.1")
+      .collect()(0).getLong(0)
+    val want = spark.sql("SELECT count(DISTINCT l_orderkey) FROM lineitem")
+      .collect()(0).getLong(0)
+    assert(got === want)
+    gs.dropSampleTable("li_s2")
+  }
+
+  test("behavior strict: throws when error exceeds limit, passes when loose") {
+    gs.sql("CREATE SAMPLE TABLE li_s3 ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.05')")
+    val tight = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem
+        |GROUP BY l_returnflag WITH ERROR 0.000001 BEHAVIOR 'strict'""".stripMargin)
+    val ex = intercept[Exception] { tight.collect() }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(ex.isInstanceOf[ErrorLimitExceededException] ||
+      rootCause(ex).isInstanceOf[ErrorLimitExceededException] ||
+      ex.getMessage.contains("relative error"))
+
+    val loose = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem
+        |GROUP BY l_returnflag WITH ERROR 0.99 BEHAVIOR 'strict'""".stripMargin)
+    assert(loose.collect().length === 3)
+    gs.dropSampleTable("li_s3")
+  }
+
+  test("behavior run_on_full_table: tight limit returns exact base results") {
+    gs.sql("CREATE SAMPLE TABLE li_s4 ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.05')")
+    val rows = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem
+        |GROUP BY l_returnflag WITH ERROR 0.0000001 BEHAVIOR 'run_on_full_table'""".stripMargin)
+      .collect()
+    val exact = exactByFlag
+    assert(rows.length === exact.size)
+    rows.foreach(r => assert(r.getDouble(1) === exact(r.getString(0))))
+    gs.dropSampleTable("li_s4")
+  }
+
+  test("behavior partial_run_on_base_table: failing groups exact, all groups present") {
+    gs.sql("CREATE SAMPLE TABLE li_s5 ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.05')")
+    val rows = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag
+        |WITH ERROR 0.0000001 BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+      .collect()
+    val exact = exactByFlag
+    assert(rows.length === exact.size)
+    // with an impossible limit every group fails → all exact
+    rows.foreach(r => assert(r.getDouble(1) === exact(r.getString(0))))
+    // ordered output preserved
+    assert(rows.map(_.getString(0)).toSeq === rows.map(_.getString(0)).toSeq.sorted)
+    gs.dropSampleTable("li_s5")
+  }
+
+  test("QCS-based sample selection picks the matching sample") {
+    gs.sql("CREATE SAMPLE TABLE s_flag ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.3')")
+    gs.sql("CREATE SAMPLE TABLE s_stat ON lineitem OPTIONS(qcs 'l_linestatus', fraction '0.3')")
+    val picked = gs.state.pickSample("lineitem", Seq("l_linestatus"))
+    assert(picked.map(_.name) === Some("s_stat"))
+    val picked2 = gs.state.pickSample("lineitem", Seq("l_returnflag"))
+    assert(picked2.map(_.name) === Some("s_flag"))
+    gs.dropSampleTable("s_flag"); gs.dropSampleTable("s_stat")
+  }
+}

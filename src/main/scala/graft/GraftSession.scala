@@ -107,8 +107,9 @@ class GraftSession(val spark: SparkSession) {
           seed = opts.get("seed").map(_.toLong).getOrElse(42L),
           persistPath = opts.get("path"))
         spark.emptyDataFrame
-      case _: CreateTopkTableNode =>
-        throw new UnsupportedOperationException("CREATE TOPK TABLE: see GraftSession.createTopK")
+      case CreateTopkTableNode(name, base, opts) =>
+        createTopK(name, base, opts)
+        spark.emptyDataFrame
       case plan =>
         val analyzed = Plans.analyzed(Plans.ofRows(spark, plan))
         Plans.ofRows(spark, AqpRewrite(spark)(analyzed))
@@ -170,6 +171,48 @@ class GraftSession(val spark: SparkSession) {
   def sample(df: DataFrame, qcs: Seq[String], fraction: Double = 0.0,
       reservoirSize: Int = 50, seed: Long = 42L): DataFrame =
     StratifiedSampler.sample(df, qcs, fraction, reservoirSize, seed)
+
+  // ---------------------------------------------------------------------------
+  // TopK tables (reference entry point C — `CREATE TOPK TABLE`, `queryTopK`:
+  // `SnappyContextAQPFunctions.scala:143-179`, `sql/topk/TopKRelation.scala`)
+  // ---------------------------------------------------------------------------
+
+  /** Create + populate a TopK structure over a registered table. */
+  def createTopK(name: String, baseName: String,
+      options: Map[String, String]): graft.topk.TopKState = {
+    val opts = graft.topk.TopKOptions.fromOptions(options)
+    val base = spark.table(baseName)
+    val keyField = base.schema.find(_.name.equalsIgnoreCase(opts.key)).getOrElse(
+      throw new IllegalArgumentException(
+        s"TopK key column '${opts.key}' not found in $baseName"))
+    // sketches store String or Long keys
+    val keyType = keyField.dataType match {
+      case org.apache.spark.sql.types.StringType => org.apache.spark.sql.types.StringType
+      case _ => org.apache.spark.sql.types.LongType
+    }
+    val st = new graft.topk.TopKState(name, opts, keyType)
+    st.append(base)
+    state.topks.put(name.toLowerCase, st)
+    st
+  }
+
+  /** Append a micro-batch / DataFrame into an existing TopK structure. */
+  def appendToTopK(name: String, df: DataFrame): Unit =
+    topkState(name).append(df)
+
+  /** Query top-k keys between epoch-millisecond times (reference
+   * `queryTopK(name, start, end, k)`). */
+  def queryTopK(name: String, startMs: Long = Long.MinValue,
+      endMs: Long = Long.MaxValue, k: Int = -1): DataFrame = {
+    val st = topkState(name)
+    st.queryTopK(spark, startMs, endMs, if (k > 0) k else st.opts.size)
+  }
+
+  private def topkState(name: String): graft.topk.TopKState =
+    state.topks.get(name.toLowerCase) match {
+      case Some(st: graft.topk.TopKState) => st
+      case _ => throw new IllegalArgumentException(s"No TopK structure named $name")
+    }
 }
 
 object GraftSession {

@@ -115,6 +115,31 @@ object SparkEntry {
           |FROM lineitem_q06 GROUP BY l_returnflag
           |ORDER BY l_returnflag
           |WITH ERROR 0.0000001 BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+    }),
+
+    // --- §2.7 sketch/TopK operators ------------------------------------------
+    // Space-Saving summary in exact mode (capacity ≥ distinct keys) — topk
+    // must equal the exact GROUP BY / ORDER BY / LIMIT with the same
+    // deterministic (count DESC, key ASC) tie-break.
+    "q07_topk_exact" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gs = GraftSession(s)
+      tbl(s, dir, "events").createOrReplaceTempView("events_q07")
+      gs.sql("CREATE TOPK TABLE q07_topk ON events_q07 OPTIONS(key 'user_id', " +
+        "streamSummary 'true', capacity '1000000', size '10')")
+      gs.queryTopK("q07_topk", k = 10)
+    }),
+
+    // Time-bucketed TopK (Hokusai-style interval retention): 1-day intervals,
+    // query restricted to Jan 1–14 2024 — equals the exact windowed GROUP BY.
+    "q08_topk_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gs = GraftSession(s)
+      tbl(s, dir, "events").createOrReplaceTempView("events_q08")
+      gs.sql("CREATE TOPK TABLE q08_topk ON events_q08 OPTIONS(key 'event_type', " +
+        "streamSummary 'true', capacity '1000000', size '5', " +
+        "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '100', timeUnit 'ns')")
+      gs.queryTopK("q08_topk", 1704067200000L, 1705276799999L, 5)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -157,5 +182,17 @@ object SparkEntry {
 
     "q06_hac_partial" ->
       """SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS sum_price
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_topk_exact" ->
+      """SELECT user_id, COUNT(*) AS estimated_value, COUNT(*) AS lower_bound
+        |FROM events GROUP BY user_id
+        |ORDER BY estimated_value DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "q08_topk_window" ->
+      """SELECT event_type, COUNT(*) AS estimated_value, COUNT(*) AS lower_bound
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY event_type
+        |ORDER BY estimated_value DESC, event_type ASC LIMIT 5""".stripMargin)
 }

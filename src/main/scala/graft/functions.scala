@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{AqpAggType, ClosedFormAggregate, HacBehavior, Weightage}
+import org.apache.spark.sql.graft.{AqpAggType, BootstrapAggregate, ClosedFormAggregate, HacBehavior, Weightage}
 
 /**
  * Public column-function surface of the engine (DataFrame API counterpart of
@@ -59,6 +59,30 @@ object functions {
   def approx_count(c: Column, w: Column, confidence: Double = 0.95,
       error: Double = 1.0, behavior: String = "do_nothing"): Column =
     ClosedFormAggregate(c, w, AqpAggType.Count, confidence, error,
+      HacBehavior.parse(behavior))
+
+  // ---------------------------------------------------------------------------
+  // Poisson-bootstrap estimators (trials parallel perturbed aggregates;
+  // quantile confidence intervals). `seed` is a per-row long used to draw the
+  // multiplicities deterministically — typically xxhash64 over the row.
+  // ---------------------------------------------------------------------------
+
+  def approx_sum_bootstrap(c: Column, w: Column, seed: Column,
+      trials: Int = 100, confidence: Double = 0.95, error: Double = 1.0,
+      behavior: String = "do_nothing"): Column =
+    BootstrapAggregate(c, w, seed, AqpAggType.Sum, trials, confidence, error,
+      HacBehavior.parse(behavior))
+
+  def approx_avg_bootstrap(c: Column, w: Column, seed: Column,
+      trials: Int = 100, confidence: Double = 0.95, error: Double = 1.0,
+      behavior: String = "do_nothing"): Column =
+    BootstrapAggregate(c, w, seed, AqpAggType.Avg, trials, confidence, error,
+      HacBehavior.parse(behavior))
+
+  def approx_count_bootstrap(c: Column, w: Column, seed: Column,
+      trials: Int = 100, confidence: Double = 0.95, error: Double = 1.0,
+      behavior: String = "do_nothing"): Column =
+    BootstrapAggregate(c, w, seed, AqpAggType.Count, trials, confidence, error,
       HacBehavior.parse(behavior))
 
   /** Point estimate of an error-tracked aggregate. */

@@ -1,0 +1,123 @@
+package graft.sketch
+
+import java.nio.ByteBuffer
+
+import scala.util.hashing.MurmurHash3
+
+/** CMS point estimate with bounds (reference `execution/Approximate.scala:25-55`):
+ * CMS guarantees `true ≤ estimate ≤ true + ε·N` with probability ≥ 1−δ. */
+final case class Approximate(
+    lowerBound: Long, estimate: Long, max: Long, probabilityWithinBounds: Double) {
+  def +(o: Approximate): Approximate = Approximate(
+    lowerBound + o.lowerBound, estimate + o.estimate, max + o.max,
+    math.min(probabilityWithinBounds, o.probabilityWithinBounds))
+}
+
+object Approximate {
+  def zero(prob: Double): Approximate = Approximate(0L, 0L, 0L, prob)
+}
+
+/**
+ * Classic Count-Min sketch, re-implemented from the published algorithm
+ * (Cormode & Muthukrishnan) with the reference's sizing rules
+ * (`execution/cms/CountMinSketch.scala:65-552`): `W = ⌈e/ε⌉`,
+ * `D = ⌈ln(1/δ)⌉`; defaults depth 7 × width 200, ε 0.01, δ-confidence 0.95
+ * (`execution/TopKWrapper.scala:71-116`).
+ *
+ * Keys are hashed per-row with MurmurHash3 (seeded by row index + a global
+ * seed), deterministic across JVMs. Supports String and Long keys.
+ */
+final class CountMinSketch(
+    val depth: Int,
+    val width: Int,
+    val seed: Int,
+    val table: Array[Array[Long]],
+    var total: Long) extends Serializable {
+
+  def this(depth: Int, width: Int, seed: Int) =
+    this(depth, width, seed, Array.fill(depth)(new Array[Long](width)), 0L)
+
+  @inline private def bucket(key: Any, row: Int): Int = {
+    val h = key match {
+      case s: String => MurmurHash3.stringHash(s, seed + row * 0x9e3779b9)
+      case l: Long => MurmurHash3.productHash((l, row), seed)
+      case o => MurmurHash3.productHash((o.hashCode.toLong, row), seed)
+    }
+    val m = h % width
+    if (m < 0) m + width else m
+  }
+
+  def add(key: Any, count: Long = 1L): Unit = {
+    var r = 0
+    while (r < depth) { table(r)(bucket(key, r)) += count; r += 1 }
+    total += count
+  }
+
+  def estimateCount(key: Any): Long = {
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val v = table(r)(bucket(key, r))
+      if (v < min) min = v
+      r += 1
+    }
+    if (min == Long.MaxValue) 0L else min
+  }
+
+  /** ε = e/width, confidence = 1 − e^−depth. */
+  def eps: Double = math.E / width
+  def confidence: Double = 1.0 - math.exp(-depth)
+
+  def estimate(key: Any): Approximate = {
+    val est = estimateCount(key)
+    val slack = math.ceil(eps * total).toLong
+    Approximate(math.max(0L, est - slack), est, est, confidence)
+  }
+
+  def merge(o: CountMinSketch): CountMinSketch = {
+    require(o.depth == depth && o.width == width && o.seed == seed,
+      "incompatible CMS dimensions")
+    var r = 0
+    while (r < depth) {
+      var c = 0
+      while (c < width) { table(r)(c) += o.table(r)(c); c += 1 }
+      r += 1
+    }
+    total += o.total
+    this
+  }
+
+  def serialized: Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * 3 + 8 + depth * width * 8)
+    bb.putInt(depth); bb.putInt(width); bb.putInt(seed); bb.putLong(total)
+    var r = 0
+    while (r < depth) {
+      var c = 0
+      while (c < width) { bb.putLong(table(r)(c)); c += 1 }
+      r += 1
+    }
+    bb.array()
+  }
+}
+
+object CountMinSketch {
+  /** Sizing per reference `CountMinSketch.scala:33-60`. */
+  def withGuarantees(eps: Double, delta: Double, seed: Int = 123): CountMinSketch =
+    new CountMinSketch(
+      math.ceil(math.log(1.0 / delta)).toInt.max(1),
+      math.ceil(math.E / eps).toInt.max(1), seed)
+
+  def deserialize(bytes: Array[Byte]): CountMinSketch = {
+    val bb = ByteBuffer.wrap(bytes)
+    val depth = bb.getInt; val width = bb.getInt; val seed = bb.getInt
+    val total = bb.getLong
+    val table = Array.fill(depth)(new Array[Long](width))
+    var r = 0
+    while (r < depth) {
+      var c = 0
+      while (c < width) { table(r)(c) = bb.getLong; c += 1 }
+      r += 1
+    }
+    new CountMinSketch(depth, width, seed, table, total)
+  }
+}

@@ -148,12 +148,28 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else HacBehavior.DoNothing
     val cfAggs = mutable.LinkedHashMap.empty[(AqpAggType.AqpAggType, Expression), Alias]
 
+    // estimator family: closed-form (CLT) by default, Poisson bootstrap via
+    // spark.sql.aqp.estimator=bootstrap (reference selects the analysis type
+    // per-query at `QueryProcessingRules.scala:1335-1459`; we make it a
+    // session config — `ClosedFormEstimates` property equivalent)
+    val useBootstrap = defaultD("spark.sql.aqp.estimator", "closedform")
+      .equalsIgnoreCase("bootstrap")
+    val numTrials = defaultD("spark.sql.aqp.numBootstrapTrials", "100").toInt
+    lazy val seedExpr: Expression =
+      XxHash64(threaded.output, defaultD("spark.sql.aqp.seed", "42").toLong)
+
     def structAttr(t: AqpAggType.AqpAggType, valueChild: Expression): Attribute = {
       val key = (t, valueChild.canonicalized)
       cfAggs.getOrElseUpdate(key, {
-        val cf = new ClosedFormAggregate(valueChild, weightAttr, t, confidence,
-          error, finalizerBehavior)
-        Alias(cf.toAggregateExpression(), s"__graft_cf_${cfAggs.size}__")()
+        val agg =
+          if (useBootstrap) {
+            new BootstrapAggregate(valueChild, weightAttr, seedExpr, t,
+              numTrials, confidence, error, finalizerBehavior).toAggregateExpression()
+          } else {
+            new ClosedFormAggregate(valueChild, weightAttr, t, confidence,
+              error, finalizerBehavior).toAggregateExpression()
+          }
+        Alias(agg, s"__graft_cf_${cfAggs.size}__")()
       }).toAttribute
     }
 

@@ -16,6 +16,8 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
+  // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long nanos
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   val sf: String = "/root/testdata/sf0.001"
 }
 

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sketch._
+
+class SketchSpec extends AnyFunSuite {
+
+  test("CMS never underestimates; exact within eps*N slack") {
+    val cms = new CountMinSketch(7, 200, 123)
+    val keys = (0 until 50).map(i => s"k$i")
+    val truth = keys.zipWithIndex.map { case (k, i) => k -> (i.toLong * 3 + 1) }.toMap
+    truth.foreach { case (k, n) => cms.add(k, n) }
+    truth.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n, s"CMS underestimated $k")
+      assert(est <= n + math.ceil(cms.eps * cms.total).toLong, s"CMS slack violated for $k")
+    }
+  }
+
+  test("CMS merge equals union stream") {
+    val a = new CountMinSketch(5, 128, 9)
+    val b = new CountMinSketch(5, 128, 9)
+    val c = new CountMinSketch(5, 128, 9)
+    (0 until 1000).foreach { i => a.add(s"x${i % 17}"); c.add(s"x${i % 17}") }
+    (0 until 500).foreach { i => b.add(s"x${i % 11}"); c.add(s"x${i % 11}") }
+    a.merge(b)
+    (0 until 17).foreach { i =>
+      assert(a.estimateCount(s"x$i") === c.estimateCount(s"x$i"))
+    }
+    assert(a.total === c.total)
+  }
+
+  test("CMS serde round-trips") {
+    val cms = new CountMinSketch(4, 64, 7)
+    (0 until 300).foreach(i => cms.add((i % 23).toLong))
+    val back = CountMinSketch.deserialize(cms.serialized)
+    (0 until 23).foreach(i => assert(back.estimateCount(i.toLong) === cms.estimateCount(i.toLong)))
+  }
+
+  test("StreamSummary exact when capacity >= distinct keys") {
+    val s = new StreamSummary(100)
+    val truth = (0 until 40).map(i => s"k$i" -> (i.toLong + 1)).toMap
+    truth.foreach { case (k, n) => (0L until n).foreach(_ => s.add(k)) }
+    truth.foreach { case (k, n) =>
+      val (c, e) = s.estimateCount(k)
+      assert(c === n); assert(e === 0L)
+    }
+    val top = s.topK(5)
+    assert(top.map(_._1) === Seq("k39", "k38", "k37", "k36", "k35"))
+  }
+
+  test("StreamSummary guarantee under eviction: true <= count <= true + error") {
+    val s = new StreamSummary(10)
+    val rnd = new scala.util.Random(42)
+    val truth = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    (0 until 5000).foreach { _ =>
+      // zipfian-ish: few heavy keys + long tail
+      val k = if (rnd.nextDouble() < 0.7) s"h${rnd.nextInt(5)}" else s"t${rnd.nextInt(200)}"
+      truth(k) += 1; s.add(k)
+    }
+    s.counters.foreach { case (k, (c, e)) =>
+      assert(truth(k.toString) <= c, s"$k count $c < true ${truth(k.toString)}")
+      assert(c - e <= truth(k.toString), s"$k lower bound broken")
+    }
+    // heavy hitters must surface
+    val top5 = s.topK(5).map(_._1.toString).toSet
+    assert((0 until 5).map(i => s"h$i").count(top5.contains) >= 4)
+  }
+
+  test("StreamSummary merge is exact for non-evicting sides") {
+    val a = new StreamSummary(100); val b = new StreamSummary(100)
+    (0 until 30).foreach(i => { a.add(s"k${i % 10}"); b.add(s"k${i % 15}") })
+    val m = a.merge(b)
+    (0 until 15).foreach { i =>
+      val want = (0 until 30).count(_ % 10 == i) + (0 until 30).count(_ % 15 == i)
+      assert(m.estimateCount(s"k$i")._1 === want.toLong)
+    }
+  }
+
+  test("StreamSummary serde round-trips") {
+    val s = new StreamSummary(20)
+    (0 until 100).foreach(i => s.add((i % 13).toLong))
+    val back = StreamSummary.deserialize(s.serialized)
+    assert(back.counters === s.counters)
+    assert(back.capacity === s.capacity)
+  }
+
+  test("TopKCms returns true heavy hitters in order") {
+    val t = new TopKCms(10, 7, 1000, 5)
+    (1 to 20).foreach { i => (0 until i * 10).foreach(_ => t.add(s"k$i")) }
+    val top = t.topK(5).map(_._1)
+    assert(top === Seq("k20", "k19", "k18", "k17", "k16"))
+  }
+
+  test("TimeBucketedSketch: recent intervals exact, old folded dyadically") {
+    val tb = new TimeBucketedSketch(4, () => SummaryInterval(new StreamSummary(100)))
+    (0L until 10L).foreach { iv =>
+      val s = new StreamSummary(100)
+      s.add(s"key$iv", iv + 1)
+      tb.addTo(iv, SummaryInterval(s))
+    }
+    assert(tb.intervals.size <= 4)
+    assert(tb.intervals.keySet.max === 9L)
+    // full-range query still sees all keys
+    val merged = tb.mergedRange(0L, 9L).get
+    (0L until 10L).foreach { iv =>
+      val (lo, est, hi) = merged.estimate(s"key$iv")
+      assert(est === iv + 1)
+    }
+    // recent-only query excludes folded history
+    val recent = tb.mergedRange(8L, 9L).get
+    assert(recent.estimate("key9")._2 === 10L)
+  }
+
+  test("property: CMS overestimate-only on random streams") {
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val xs = List.fill(300)(rnd.nextLong(41))
+      val cms = new CountMinSketch(5, 64, 11)
+      xs.foreach(x => cms.add(x))
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.foreach { case (k, n) => assert(cms.estimateCount(k) >= n) }
+    }
+  }
+
+  test("property: StreamSummary size never exceeds capacity") {
+    val rnd = new scala.util.Random(11)
+    (0 until 50).foreach { _ =>
+      val xs = List.fill(500)(s"k${rnd.nextInt(80)}")
+      val s = new StreamSummary(16)
+      xs.foreach(x => s.add(x))
+      assert(s.counters.size <= 16)
+    }
+  }
+}

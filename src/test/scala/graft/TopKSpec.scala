@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val gs: GraftSession = {
+    val g = new GraftSession(spark)
+    spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("events")
+    g
+  }
+
+  test("CREATE TOPK TABLE (streamSummary exact mode) matches exact GROUP BY") {
+    gs.sql("CREATE TOPK TABLE tk_users ON events OPTIONS(key 'user_id', " +
+      "streamSummary 'true', capacity '100000', size '10')")
+    val got = gs.queryTopK("tk_users", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = spark.sql(
+      """SELECT user_id, count(*) c FROM events
+        |GROUP BY user_id ORDER BY c DESC, user_id ASC LIMIT 10""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("CMS topk surfaces heavy hitters with sane bounds") {
+    gs.sql("CREATE TOPK TABLE tk_types ON events OPTIONS(key 'event_type', " +
+      "width '2000', depth '7', size '5')")
+    val got = gs.queryTopK("tk_types", k = 5).collect()
+    val exact = spark.sql("SELECT event_type, count(*) c FROM events GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (key, est, lower) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact(key), "CMS must not underestimate")
+      assert(lower <= exact(key), "lower bound must hold")
+    }
+  }
+
+  test("time-bucketed topk: range query restricts to the time window") {
+    gs.sql("CREATE TOPK TABLE tk_timed ON events OPTIONS(key 'user_id', " +
+      "streamSummary 'true', capacity '100000', size '5', " +
+      "timeSeriesColumn 'ts', timeInterval '3600000', maxInterval '20000', timeUnit 'ns')")
+    val bounds = spark.sql("SELECT min(ts), max(ts) FROM events").collect()(0)
+    val (t0, t1) = (bounds.getLong(0) / 1000000L, bounds.getLong(1) / 1000000L)
+    val mid = t0 + (t1 - t0) / 2
+    val got = gs.queryTopK("tk_timed", t0, mid, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // compare against exact counts over intervals fully covering [t0, mid]
+    val ivMs = 3600000L
+    val lastIv = mid / ivMs
+    val want = spark.sql(
+      s"""SELECT user_id, count(*) c FROM events
+         |WHERE floor(ts / 1000000 / $ivMs) <= $lastIv
+         |GROUP BY user_id ORDER BY c DESC, user_id ASC LIMIT 5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
+  test("append accumulates into existing sketch") {
+    gs.sql("CREATE TOPK TABLE tk_app ON events OPTIONS(key 'event_type', " +
+      "streamSummary 'true', capacity '1000', size '5')")
+    val before = gs.queryTopK("tk_app", k = 1).collect()(0).getLong(1)
+    gs.appendToTopK("tk_app", spark.table("events"))
+    val after = gs.queryTopK("tk_app", k = 1).collect()(0).getLong(1)
+    assert(after === 2 * before)
+  }
+}

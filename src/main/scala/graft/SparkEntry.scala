@@ -140,6 +140,114 @@ object SparkEntry {
         "streamSummary 'true', capacity '1000000', size '5', " +
         "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '100', timeUnit 'ns')")
       gs.queryTopK("q08_topk", 1704067200000L, 1705276799999L, 5)
+    }),
+
+    // --- training-data pipeline operators ------------------------------------
+    // Text analysis: per-source aggregates of token counts / punctuation /
+    // word-length metrics (pure codegen'd column algebra).
+    "q09_text_stats" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      tbl(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCountWs(col("text")).cast("long")).as("total_tokens"),
+          round(avg(tokenCountWs(col("text"))), 6).as("avg_tokens"),
+          round(avg(punctCount(col("text"))), 6).as("avg_punct"),
+          round(avg(length(col("text"))), 6).as("avg_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Exact dedup (hash-groupBy): planted duplicate docs must collapse to the
+    // min doc_id per distinct text.
+    "q10_dedup_exact" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val withCopies = docs.unionByName(
+        docs.orderBy(col("doc_id")).limit(20)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      graft.dedup.Dedup.exact(withCopies, "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // MinHash + LSH banding: candidate pairs verified by exact text equality
+    // — must equal the exact duplicate-pair join (LSH has no false negatives
+    // for identical content).
+    "q11_minhash_lsh" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val withCopies = docs.unionByName(
+        docs.orderBy(col("doc_id")).limit(20)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val cands = graft.dedup.Dedup.lshCandidatePairs(withCopies, "doc_id", "text")
+      val txt = withCopies.select(col("doc_id"), col("text"))
+      cands
+        .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
+        .join(txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
+        .filter(col("ta") === col("tb"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (hamming 0) verified by text equality — same
+    // oracle as the exact-duplicate join, exercising the chunk-blocked
+    // Hamming join.
+    "q12_simhash" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val withCopies = docs.unionByName(
+        docs.orderBy(col("doc_id")).limit(20)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val pairs = graft.dedup.Dedup.simhashPairs(withCopies, "doc_id", "text", maxHamming = 0)
+      val txt = withCopies.select(col("doc_id"), col("text"))
+      pairs
+        .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
+        .join(txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
+        .filter(col("ta") === col("tb"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force cosine top-k over the embedding column (exact ANN baseline).
+    "q13_knn_brute" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).toArray
+      graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+    }),
+
+    // LSH-bucketed approximate ANN (no SQL oracle — approximate by design;
+    // driver records the rows-only check; recall asserted in PipelineSpec).
+    "q14_knn_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).toArray
+      graft.ann.Ann.lshKnn(emb, "vec_id", "embedding", q, 10,
+        numPlanes = 5, probeRadius = 2)
+        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+    }),
+
+    // Multimodal plumbing: text bytes as stand-in blobs → batched stub decode
+    // → typed metadata struct (byte-derived fields are oracle-checkable).
+    "q15_multimodal" -> ((s, dir) => {
+      val bin = tbl(s, dir, "documents")
+        .withColumn("blob", col("text").cast("binary"))
+      graft.multimodal.Multimodal.decodeMeta(bin, "blob")
+        .select(col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID + fingerprint + quality (heuristics — rows-only check;
+    // accuracy covered by PipelineSpec on real multilingual sentences).
+    "q16_text_enrich" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        languageId(col("text")).as("lang_pred"),
+        fingerprint(col("text")).as("fp"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -194,5 +302,60 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
         |GROUP BY event_type
-        |ORDER BY estimated_value DESC, event_type ASC LIMIT 5""".stripMargin)
+        |ORDER BY estimated_value DESC, event_type ASC LIMIT 5""".stripMargin,
+
+    "q09_text_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
+        |  ROUND(AVG(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END), 6) AS avg_tokens,
+        |  ROUND(AVG(length(regexp_replace(text, '[\w\s]', '', 'g'))), 6) AS avg_punct,
+        |  ROUND(AVG(length(text)), 6) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q10_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+        |)
+        |SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY text ORDER BY 1""".stripMargin,
+
+    "q11_minhash_lsh" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM all_docs a JOIN all_docs b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q12_simhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM all_docs a JOIN all_docs b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q13_knn_brute" ->
+      """SELECT vec_id,
+        |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 5) AS cosine
+        |FROM embeddings
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q15_multimodal" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,113 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ *
+ *  - brute-force cosine top-k (exact baseline) — a single scan with a
+ *    codegen'd dot product, `O(n·d)`, the right answer up to ~10⁸ vectors
+ *    per query batch on a cluster;
+ *  - random-hyperplane LSH bucketing (the scale path): H sign bits from
+ *    seeded hyperplanes → bucket id; queries probe their bucket plus all
+ *    Hamming-1 neighbors, then re-rank candidates exactly. Index build is
+ *    one narrow pass; per-query work drops by ~2^H.
+ *
+ * All column algebra (`zip_with`/`aggregate` fold into whole-stage codegen);
+ * no UDFs, no driver-side loops over vectors.
+ */
+object Ann {
+
+  /** Cosine similarity between an array<float/double> column and a literal
+   * query vector, computed in double. */
+  def cosineToQuery(vec: Column, query: Array[Float]): Column = {
+    val q = query.map(_.toDouble)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    if (qNorm == 0.0) return lit(0.0) // zero query vector: similarity undefined → 0
+    val qCol = array(q.map(lit): _*)
+    val v = transform(vec, x => x.cast("double"))
+    val dot = aggregate(zip_with(v, qCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val vNorm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    when(vNorm === 0, lit(0.0)).otherwise(dot / (vNorm * lit(qNorm)))
+  }
+
+  /** Cosine similarity between two vector columns (double). */
+  def cosine(a: Column, b: Column): Column = {
+    val va = transform(a, x => x.cast("double"))
+    val vb = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(va, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(vb, x => x * x), lit(0.0), (acc, x) => acc + x))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k cosine neighbors of `query`. */
+  def bruteForceKnn(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame =
+    df.select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** Seeded random hyperplanes (dim × numPlanes), deterministic. */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rng = new java.util.SplittableRandom(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of a vector column under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    planes.zipWithIndex.map { case (p, i) =>
+      val pCol = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(v, pCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  private def bucketOf(query: Array[Float], planes: Array[Array[Double]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a * b.toDouble }.sum
+      if (dot >= 0) 1L << i else 0L
+    }.sum
+
+  /**
+   * Approximate top-k: probe the query's bucket and all Hamming-1 buckets
+   * (multiprobe), re-rank candidates by exact cosine. Recall rises with
+   * fewer planes / more probes; cost falls with more planes.
+   */
+  def lshKnn(df: DataFrame, idCol: String, vecCol: String, query: Array[Float],
+      k: Int, numPlanes: Int = 8, seed: Long = 7L, probeRadius: Int = 1): DataFrame = {
+    val planes = hyperplanes(query.length, numPlanes, seed)
+    val qb = bucketOf(query, planes)
+    val h1 = (0 until numPlanes).map(i => qb ^ (1L << i))
+    val h2 = if (probeRadius >= 2) {
+      for (i <- 0 until numPlanes; j <- (i + 1) until numPlanes)
+        yield qb ^ (1L << i) ^ (1L << j)
+    } else Seq.empty
+    val probes = (qb +: (h1 ++ h2)).distinct
+    val bucketed = df.withColumn("__graft_bucket__", lshBucket(col(vecCol), planes))
+    bucketed
+      .filter(col("__graft_bucket__").isInCollection(probes))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: LSH-bucketed candidate join + exact
+   * cosine threshold (the embedding analogue of MinHash dedup). */
+  def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 12, seed: Long = 7L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

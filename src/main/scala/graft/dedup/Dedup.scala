@@ -1,0 +1,117 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{MinHashSignature, SimHash64}
+
+/**
+ * Deduplication operators for training-data pipelines, all expressed as
+ * declarative Spark plans (one shuffle per stage, map-side combined, no
+ * driver loops):
+ *
+ *  - exact: hash-groupBy on content
+ *  - MinHash + LSH banding: shingle → signature → band → bucket join
+ *  - SimHash: 64-bit fingerprint + Hamming-ball candidate join
+ *  - n-gram Jaccard: exact verification metric (column algebra)
+ *
+ * Scale notes: candidate generation never materializes the O(n²) pair space;
+ * pairs only form inside LSH/SimHash buckets. Signature computation is O(n)
+ * per document (rolling hashes). At 100 TB both stages are embarrassingly
+ * parallel; the bucket join shuffles once on the bucket key, and AQE's skew
+ * handling splits hot buckets.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per distinct
+   * `contentCol` value (hash-groupBy — equivalent semantics to GROUP BY
+   * content, but keeps entire rows). */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(contentCol))).orderBy(col(idCol))
+    df.withColumn("__graft_rn__", row_number().over(w))
+      .filter(col("__graft_rn__") === 1)
+      .drop("__graft_rn__")
+  }
+
+  /** MinHash signature column (array<bigint>). */
+  def minhashSignature(c: Column, numHashes: Int = 128, shingleK: Int = 5): Column =
+    MinHashSignature(c, numHashes, shingleK)
+
+  /**
+   * LSH candidate pairs: band the signature (`bands` bands of
+   * `numHashes/bands` rows), bucket-join on (band, bandHash), emit distinct
+   * `(idA < idB)` pairs with the signature-estimated Jaccard.
+   * No false negatives for identical content (equal signatures share every
+   * bucket); collision probability for Jaccard j is `1-(1-j^r)^b`.
+   */
+  def lshCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleK: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(contentCol), numHashes, shingleK).as("sig"))
+
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash fingerprint column (bigint). */
+  def simhash(c: Column): Column = SimHash64(c)
+
+  /** SimHash near-dup pairs within `maxHamming` bits. Blocks on 4 16-bit
+   * chunks (pigeonhole: any pair within Hamming ≤ 3 shares at least one
+   * exact 16-bit chunk), so no O(n²) cross join. */
+  def simhashPairs(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash(col(contentCol)).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Word n-gram array of a text column (column algebra; no UDF). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** Exact n-gram Jaccard similarity between two text columns. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val ga = array_distinct(wordNgrams(a, n))
+    val gb = array_distinct(wordNgrams(b, n))
+    val inter = size(array_intersect(ga, gb)).cast("double")
+    val union = size(array_union(ga, gb)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+}

@@ -1,0 +1,178 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `rolling_fingerprint(text, k)`: min of polynomial rolling hashes over the
+ * character k-grams of whitespace-normalized lowercase text — the winnowing
+ * primitive for document fingerprinting. O(n) per document, deterministic.
+ */
+case class RollingFingerprint(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = RollingFingerprint.normalize(v.asInstanceOf[UTF8String].toString)
+    if (s.length < k) RollingFingerprint.hashChunk(s)
+    else {
+      // polynomial rolling hash: h_i+1 = (h_i - s[i]*B^(k-1))*B + s[i+k]
+      val B = 1315423911L
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + s.charAt(i); i += 1 }
+      var min = RollingFingerprint.mix(h)
+      i = k
+      while (i < s.length) {
+        h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
+        val m = RollingFingerprint.mix(h)
+        if (m < min) min = m
+        i += 1
+      }
+      min
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+object RollingFingerprint {
+  private[graft] def normalize(s: String): String =
+    s.toLowerCase.replaceAll("\\s+", " ").trim
+
+  private[graft] def hashChunk(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 1315423911L + s.charAt(i); i += 1 }
+    mix(h)
+  }
+
+  /** finalizer (splitmix64) decorrelates consecutive rolling hashes */
+  private[graft] def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def apply(c: Column, k: Int): Column =
+    Exprs.column(new RollingFingerprint(Exprs.expression(c), k))
+}
+
+/**
+ * `minhash_signature(text, numHashes, k)`: MinHash signature over character
+ * k-gram shingles. One base 64-bit hash per shingle (rolling, O(n)), then
+ * `numHashes` universal-hash projections `a_i·h + b_i` — the standard
+ * one-pass construction. Returns `array<bigint>`.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val coeffs: Array[(Long, Long)] = {
+    val rng = new java.util.SplittableRandom(0x5eed5eedL)
+    Array.fill(numHashes)((rng.nextLong() | 1L, rng.nextLong()))
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = RollingFingerprint.normalize(v.asInstanceOf[UTF8String].toString)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val B = 1315423911L
+    if (s.length <= k) {
+      updateSig(sig, RollingFingerprint.hashChunk(s))
+    } else {
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + s.charAt(i); i += 1 }
+      updateSig(sig, RollingFingerprint.mix(h))
+      i = k
+      while (i < s.length) {
+        h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
+        updateSig(sig, RollingFingerprint.mix(h))
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  @inline private def updateSig(sig: Array[Long], shingleHash: Long): Unit = {
+    var j = 0
+    while (j < numHashes) {
+      val (a, b) = coeffs(j)
+      val hj = a * shingleHash + b
+      if (hj < sig(j)) sig(j) = hj
+      j += 1
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def apply(c: Column, numHashes: Int, k: Int): Column =
+    Exprs.column(new MinHashSignature(Exprs.expression(c), numHashes, k))
+}
+
+/**
+ * `simhash64(text)`: 64-bit SimHash over whitespace tokens — per token a
+ * 64-bit hash votes ±1 on each bit; the sign vector is the fingerprint.
+ * Near-duplicate texts land within small Hamming distance.
+ */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = RollingFingerprint.normalize(v.asInstanceOf[UTF8String].toString)
+    if (s.isEmpty) 0L
+    else {
+      val votes = new Array[Int](64)
+      var start = 0
+      var i = 0
+      val n = s.length
+      while (i <= n) {
+        if (i == n || s.charAt(i) == ' ') {
+          if (i > start) {
+            var h = 0L
+            var j = start
+            while (j < i) { h = h * 31L + s.charAt(j); j += 1 }
+            h = RollingFingerprint.mix(h)
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(c: Column): Column = Exprs.column(new SimHash64(Exprs.expression(c)))
+}

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // documents ∪ exact copies of the 10 lowest-id docs (ids shifted by 10^6)
+  private lazy val withDups = {
+    val copies = docs.orderBy("doc_id").limit(10)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    docs.unionByName(copies)
+  }
+
+  test("exact dedup keeps min id per distinct text") {
+    val out = Dedup.exact(withDups, "text", "doc_id")
+    assert(out.count() === docs.count())
+    assert(out.filter(col("doc_id") >= 1000000L).count() === 0)
+  }
+
+  test("minhash: identical texts share signatures; LSH finds planted dups") {
+    val pairs = Dedup.lshCandidatePairs(withDups, "doc_id", "text")
+      .filter(col("est_jaccard") === 1.0)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.orderBy("doc_id").limit(10).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(expected.subsetOf(found), s"missing: ${expected -- found}")
+  }
+
+  test("minhash est_jaccard is high for perturbed near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val near = base.replace("lazy", "sleepy")
+    val df = Seq((1L, base), (2L, near), (3L, "completely different content about databases and queries"))
+      .toDF("doc_id", "text")
+    val sig = df.select(col("doc_id"), Dedup.minhashSignature(col("text")).as("s"))
+    val rows = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def estJ(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    assert(estJ(rows(1L), rows(2L)) > 0.6)
+    assert(estJ(rows(1L), rows(3L)) < 0.3)
+  }
+
+  test("simhash: identical → 0 hamming; near → small; different → large") {
+    import spark.implicits._
+    val base = "spark streaming joins aggregate window functions shuffle partitions columnar storage"
+    val near = base.replace("window", "windowed")
+    val far = "entirely unrelated words about cooking pasta with tomatoes basil and olive oil"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "t")
+    val fp = df.select(col("id"), Dedup.simhash(col("t")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) === 0)
+    assert(ham(fp(1L), fp(3L)) <= 12)
+    assert(ham(fp(1L), fp(4L)) > 12)
+  }
+
+  test("simhashPairs surfaces exact copies via chunk blocking") {
+    val pairs = Dedup.simhashPairs(withDups, "doc_id", "text", maxHamming = 0)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.orderBy("doc_id").limit(10).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(expected.subsetOf(found))
+  }
+
+  test("ngram jaccard: identity 1, disjoint 0") {
+    import spark.implicits._
+    val df = Seq(("a b c d e", "a b c d e", "x y z w v")).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.ngramJaccard(col("a"), col("b")),
+      Dedup.ngramJaccard(col("a"), col("c"))).collect()(0)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("brute-force knn: self is top-1 with cosine 1") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val top = Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top(0).getLong(0) === 0L)
+    assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-9)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+  }
+
+  test("lsh knn recall vs brute force") {
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val exact = Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ann.lshKnn(emb, "vec_id", "embedding", q, 10, numPlanes = 5, probeRadius = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("cosine dedup pairs finds planted duplicate vectors") {
+    val copies = emb.orderBy("vec_id").limit(5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val both = emb.unionByName(copies)
+    val pairs = Ann.cosineDedupPairs(both, "vec_id", "embedding", 0.999)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5).map(i => (i.toLong, i.toLong + 1000000L)).toSet
+    assert(expected.subsetOf(found))
+  }
+
+  test("multimodal: batched stub decode preserves rows and derives meta") {
+    val bin = docs.limit(100).withColumn("blob", col("text").cast("binary"))
+    val out = Multimodal.decodeMeta(bin, "blob", batchSize = 7)
+    assert(out.count() === 100)
+    val r = out.select(col("doc_id"), length(col("blob")).as("len"),
+      col("media_meta.n_bytes"), col("media_meta.width"), col("media_meta.height"))
+      .collect()
+    r.foreach { row =>
+      val len = row.getInt(1).toLong
+      assert(row.getLong(2) === len)
+      assert(row.getInt(3) === (len % 640).toInt)
+      assert(row.getInt(4) === (len % 480).toInt)
+    }
+    val sampled = Multimodal.sampleFrameIndices(out, "media_meta", 5)
+    assert(sampled.select("frame_indices").collect().forall(!_.isNullAt(0)))
+    val resized = Multimodal.resizeMeta(out, "media_meta", 320)
+    assert(resized.select("resized.width").collect().forall(_.getInt(0) === 320))
+  }
+
+  test("text: token counts and quality") {
+    import spark.implicits._
+    val df = Seq(("Hello, world! 42 foo", "  a b  c ", "")).toDF("a", "b", "c")
+    val r = df.select(
+      TextFunctions.tokenCountWs(col("a")), TextFunctions.tokenCountBpe(col("a")),
+      TextFunctions.tokenCountWs(col("b")), TextFunctions.tokenCountWs(col("c")),
+      TextFunctions.punctCount(col("a"))).collect()(0)
+    assert(r.getInt(0) === 4)
+    assert(r.getInt(1) === 6)
+    assert(r.getInt(2) === 3)
+    assert(r.getInt(3) === 0)
+    assert(r.getInt(4) === 2) // ',' and '!'
+    val q = docs.select(TextFunctions.qualityScore(col("text")).as("q")).collect()
+    assert(q.forall(x => x.getDouble(0) >= 0.0 && x.getDouble(0) <= 1.0))
+  }
+
+  test("language id on real sentences") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with this state of things"),
+      ("fr", "le chat est dans la maison et il est content de sa vie pour toujours"),
+      ("es", "el gato está en la casa y es muy feliz con su vida de siempre"),
+      ("de", "die katze ist in dem haus und sie ist sehr glücklich mit ihrem leben"),
+      ("zh", "这只猫在房子里它对自己的生活非常满意每天都很开心"))
+    val df = samples.toDF("want", "text")
+    val got = df.select(col("want"), TextFunctions.languageId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+  }
+
+  test("fingerprint: equal for identical text, deterministic") {
+    val fp = withDups.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val base = fp.filter(col("doc_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val copies = fp.filter(col("doc_id") >= 1000000L).collect()
+      .map(r => (r.getLong(0) - 1000000L) -> r.getLong(1)).toMap
+    copies.foreach { case (id, v) => assert(base.get(id).contains(v)) }
+  }
+}

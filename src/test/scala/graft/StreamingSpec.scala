@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamSinks
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("topk sink accumulates micro-batches into the sketch") {
+    val gs = new GraftSession(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("user_id", "event_type")
+
+    val q = StreamSinks.topkSink(gs, "stream_tk", stream,
+      Map("key" -> "event_type", "streamsummary" -> "true",
+        "capacity" -> "10000", "size" -> "5"))
+    mem.addData((1L, "click"), (2L, "click"), (3L, "view"))
+    q.processAllAvailable()
+    mem.addData((4L, "click"), (5L, "view"), (6L, "scroll"))
+    q.processAllAvailable()
+    q.stop()
+
+    val top = gs.queryTopK("stream_tk", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq === Seq(("click", 3L), ("view", 2L), ("scroll", 1L)))
+  }
+
+  test("sample sink: streaming stratified sample answers weighted queries") {
+    val gs = new GraftSession(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sample").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("id", "grp", "v")
+    // register a batch view standing for the stream's full history
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+
+    val batch1 = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b", i.toDouble))
+    val batch2 = (401L to 1000L).map(i => (i, if (i % 3 == 0) "a" else "b", i.toDouble))
+    history ++= batch1 ++= batch2
+    history.toSeq.toDF("id", "grp", "v").createOrReplaceTempView("stream_history")
+
+    val q = StreamSinks.sampleSink(gs, "stream_sample", "stream_history", stream,
+      qcs = Seq("grp"), fraction = 0.25, path = s"$dir/sample")
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // the accumulated per-batch samples answer weighted queries over history
+    val est = spark.table("stream_sample")
+      .agg(graft.functions.weighted_count(col("id"))).collect()(0).getDouble(0)
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.05, s"estimated $est of 1000")
+
+    // and the registered sample powers the WITH ERROR SQL path
+    val viaSql = gs.sql(
+      "SELECT count(*) AS c FROM stream_history WITH ERROR 0.5").collect()(0).getLong(0)
+    assert(math.abs(viaSql - 1000.0) / 1000.0 < 0.05)
+    gs.dropSampleTable("stream_sample")
+  }
+}

@@ -42,14 +42,16 @@ object Dedup {
    * `numHashes/bands` rows), bucket-join on (band, bandHash), emit distinct
    * `(idA < idB)` pairs with the signature-estimated Jaccard.
    * No false negatives for identical content (equal signatures share every
-   * bucket); collision probability for Jaccard j is `1-(1-j^r)^b`.
+   * bucket); collision probability for Jaccard j is `1-(1-j^r)^b` — the
+   * default 16 bands × 8 rows puts the S-curve knee near j≈0.75, keeping
+   * candidate volume low on corpora with high background similarity.
    */
   def lshCandidatePairs(
       df: DataFrame,
       idCol: String,
       contentCol: String,
       numHashes: Int = 128,
-      bands: Int = 32,
+      bands: Int = 16,
       shingleK: Int = 5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands

@@ -94,6 +94,21 @@ object StratifiedSampler {
 
     val dataCols = df.columns.map(col).toSeq
     val key = if (qcs.isEmpty) lit(0) else struct(qcs: _*)
+
+    // fraction == 1.0 keeps every row with weight total/total — no ranking
+    // needed, just per-stratum totals (tiny map-side-combined agg,
+    // broadcast back); the window-sort path below would be pure overhead
+    if (fraction >= 1.0) {
+      val keyed = df.withColumn(K, key)
+      val counts = keyed.groupBy(col(K)).agg(count(lit(1)).as(TOT))
+      val keyHash = pmod(hash(col(K)), lit(256)).cast("int")
+      return keyed
+        .join(broadcast(counts.withColumnRenamed(K, K + "c")),
+          col(K) <=> col(K + "c"), "inner")
+        .withColumn(WeightColumn, PackWeightage(col(TOT), col(TOT), keyHash))
+        .select(dataCols :+ col(WeightColumn): _*)
+    }
+
     // content-seeded rank: deterministic for a fixed seed, uniform per row
     val keyed = df
       .withColumn(K, key)
@@ -123,17 +138,26 @@ object StratifiedSampler {
         keyed.withColumn(TOT, count(lit(1)).over(Window.partitionBy(col(K))))
       }
 
+    val prefiltered = !(withTotal eq keyed) && fraction > 0.0
     val ranked = withTotal
       .withColumn("__graft_rn__",
         row_number().over(Window.partitionBy(col(K)).orderBy(col(R1), col(R2))))
       .withColumn("__graft_target__", targetOf(col(TOT)))
       .filter(col("__graft_rn__") <= col("__graft_target__"))
 
-    // exact kept-count per stratum (≠ target only in the astronomically
-    // unlikely event the prefilter cut into the target set); cheap — runs on
-    // already-sampled data that is already partitioned by the key
-    val kept = ranked.withColumn("__graft_kept__",
-      count(lit(1)).over(Window.partitionBy(col(K))))
+    // Without a prefilter, rank selection keeps exactly min(target, total)
+    // rows — no extra pass needed. After a prefilter the kept count can (with
+    // astronomically small probability) fall short of the target, so count it
+    // exactly; this extra window runs on already-sampled data that is already
+    // partitioned by the key.
+    val kept =
+      if (prefiltered) {
+        ranked.withColumn("__graft_kept__",
+          count(lit(1)).over(Window.partitionBy(col(K))))
+      } else {
+        ranked.withColumn("__graft_kept__",
+          least(col("__graft_target__"), col(TOT)))
+      }
 
     val keyHash = pmod(hash(col(K)), lit(256)).cast("int")
     kept

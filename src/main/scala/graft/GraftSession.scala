@@ -39,8 +39,23 @@ final class GraftState {
    * exact QCS match > smallest superset (ties: largest fraction) >
    * largest-overlap subset (ties: largest fraction) > any (largest fraction).
    */
-  def pickSample(baseName: String, queryQcs: Seq[String]): Option[SampleInfo] = {
-    val candidates = samplesOn(baseName)
+  def pickSample(baseName: String, queryQcs: Seq[String]): Option[SampleInfo] =
+    GraftState.rank(samplesOn(baseName), queryQcs)
+}
+
+object GraftState {
+  private val states = new java.util.WeakHashMap[SparkSession, GraftState]()
+
+  def of(spark: SparkSession): GraftState = states.synchronized {
+    var s = states.get(spark)
+    if (s == null) { s = new GraftState; states.put(spark, s) }
+    s
+  }
+
+  /** QCS ranking over an arbitrary candidate pool (samples registered on
+   * plan-equal bases all compete — different views over the same data are
+   * interchangeable). */
+  def rank(candidates: Seq[SampleInfo], queryQcs: Seq[String]): Option[SampleInfo] = {
     if (candidates.isEmpty) return None
     val q = queryQcs.map(_.toLowerCase).toSet
 
@@ -63,16 +78,6 @@ final class GraftState {
     }
 
     Some(candidates.maxBy(_.fraction))
-  }
-}
-
-object GraftState {
-  private val states = new java.util.WeakHashMap[SparkSession, GraftState]()
-
-  def of(spark: SparkSession): GraftState = states.synchronized {
-    var s = states.get(spark)
-    if (s == null) { s = new GraftState; states.put(spark, s) }
-    s
   }
 }
 
@@ -213,6 +218,31 @@ class GraftSession(val spark: SparkSession) {
       case Some(st: graft.topk.TopKState) => st
       case _ => throw new IllegalArgumentException(s"No TopK structure named $name")
     }
+
+  /** Frequency estimate (lower, estimate, upper) of one key between epoch
+   * times — the `queryAtTime`/`queryBetweenTime` surface of the reference's
+   * Hokusai structures (`execution/Hokusai.scala:68-660`). */
+  def queryFrequency(name: String, key: Any, startMs: Long = Long.MinValue,
+      endMs: Long = Long.MaxValue): Option[(Long, Long, Long)] =
+    topkState(name).queryFrequency(key, startMs, endMs)
+
+  /**
+   * DataFrame-API approximate execution (reference entry point B —
+   * `withErrorDataFrame`, `SnappyContextAQPFunctions.scala:358-368`): rewrite
+   * the given aggregation DataFrame to run against the best matching sample
+   * with the requested error contract. Use `graft.aqp.functions.*` for error
+   * columns inside `df`.
+   */
+  def withError(df: DataFrame, error: Double = Double.NaN,
+      confidence: Double = Double.NaN, behavior: String = null): DataFrame = {
+    import org.apache.spark.sql.graft.{AqpRewrite, ErrorConfidence, Plans}
+    val node = ErrorConfidence(
+      Option(error).filterNot(_.isNaN),
+      Option(confidence).filterNot(_.isNaN),
+      Option(behavior),
+      Plans.analyzed(df))
+    Plans.ofRows(spark, AqpRewrite(spark)(node))
+  }
 }
 
 object GraftSession {

@@ -248,6 +248,67 @@ object SparkEntry {
         fingerprint(col("text")).as("fp"),
         qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- §2.5 sample-base joins through the AQP rewrite ----------------------
+    // Sampled fact side joined to a dimension; full-fraction sample → exact.
+    "q17_join_with_error" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_q17")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q17_sample ON lineitem_q17 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS revenue,
+          |       round(absolute_error(revenue), 6) AS abs_err
+          |FROM lineitem_q17 JOIN orders_q17 ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority
+          |WITH ERROR 0.9""".stripMargin)
+    }),
+
+    // --- §2.10 grouping sets: weight threads through Expand ------------------
+    "q18_rollup_with_error" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q18")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q18_sample ON lineitem_q18 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+          |FROM lineitem_q18
+          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag, l_linestatus
+          |WITH ERROR 0.9""".stripMargin)
+    }),
+
+    // --- entry point B: DataFrame withError API ------------------------------
+    "q19_dataframe_api" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q19")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q19_sample ON lineitem_q19 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      val agg = s.table("lineitem_q19")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(graft.aqp.functions.relative_error(col("sum_qty")), 6).as("rel_err"))
+        .orderBy(col("l_returnflag"))
+      gs.withError(agg, error = 0.9, confidence = 0.95)
+    }),
+
+    // --- §2.7 Hokusai frequency query over a time range ----------------------
+    "q20_topk_frequency" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gs = GraftSession(s)
+      tbl(s, dir, "events").createOrReplaceTempView("events_q20")
+      gs.sql("CREATE TOPK TABLE q20_topk ON events_q20 OPTIONS(key 'event_type', " +
+        "streamSummary 'true', capacity '1000000', size '5', " +
+        "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '100', timeUnit 'ns')")
+      val freqs = Seq("click", "view", "purchase", "signup", "error").map { k =>
+        val (_, est, _) = gs.queryFrequency("q20_topk", k,
+          1704067200000L, 1705276799999L).getOrElse((0L, 0L, 0L))
+        (k, est)
+      }
+      import s.implicits._
+      freqs.toDF("event_type", "estimate").orderBy(col("event_type"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -357,5 +418,28 @@ object SparkEntry {
         |  octet_length(encode(text)) AS n_bytes,
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_join_with_error" ->
+      """SELECT o_orderpriority, ROUND(SUM(l_extendedprice), 2) AS revenue,
+        |       ROUND(0.0, 6) AS abs_err
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q18_rollup_with_error" ->
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q19_dataframe_api" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |       ROUND(0.0, 6) AS rel_err
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q20_topk_frequency" ->
+      """SELECT event_type, COUNT(*) AS estimate
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

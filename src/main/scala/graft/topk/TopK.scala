@@ -105,6 +105,13 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     }
   }
 
+  /** Point frequency estimate of a key over a time range. */
+  def queryFrequency(key: Any, startMs: Long, endMs: Long): Option[(Long, Long, Long)] = {
+    val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
+    val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
+    buckets.mergedRange(startIv, endIv).map(_.estimate(key))
+  }
+
   /** Top-k between epoch times (ms), inclusive; Long.MinValue/MaxValue = open. */
   def queryTopK(spark: SparkSession, startMs: Long, endMs: Long, k: Int): DataFrame = {
     val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)

@@ -67,21 +67,24 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // column (reference substitutes the LogicalRelation and then re-threads —
     // `QueryProcessingRules.scala:517-620`).
     val state = graft.GraftState.of(spark)
+    // pool ALL samples whose base plan matches a subtree of this query
+    // (different views over the same data are interchangeable), then rank
+    // the whole pool by QCS — per-base grouping would let iteration order
+    // pick a worse sample when several bases are plan-equal
+    val pairs: Seq[(LogicalPlan, graft.SampleInfo)] =
+      state.samples.values.toSeq.flatMap { i =>
+        agg.child.collect {
+          case n if n.sameResult(i.basePlan) => n
+        }.headOption.map(subtree => (subtree, i))
+      }
+    val queryQcs =
+      (agg.groupingExpressions.flatMap(_.references.toSeq.map(_.name)) ++
+        agg.child.collect { case f: Filter =>
+          f.condition.references.toSeq.map(_.name)
+        }.flatten).distinct
     val matchOpt: Option[(LogicalPlan, graft.SampleInfo)] =
-      state.samples.values.groupBy(_.baseName).view.flatMap { case (baseName, infos) =>
-        infos.headOption.flatMap { i =>
-          agg.child.collect {
-            case n if n.sameResult(i.basePlan) => n
-          }.headOption.flatMap { subtree =>
-            val queryQcs =
-              agg.groupingExpressions.flatMap(_.references.toSeq.map(_.name)) ++
-                agg.child.collect { case f: Filter =>
-                  f.condition.references.toSeq.map(_.name)
-                }.flatten
-            state.pickSample(baseName, queryQcs.distinct).map(info => (subtree, info))
-          }
-        }
-      }.headOption
+      graft.GraftState.rank(pairs.map(_._2), queryQcs)
+        .flatMap(best => pairs.find(_._2 eq best))
 
     matchOpt match {
       case None => stripStubs(child) // no registered sample: run on base
@@ -133,6 +136,11 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case p: Project if p.child.outputSet.contains(weightAttr) &&
           !p.projectList.exists(_.toAttribute.semanticEquals(weightAttr)) =>
         p.copy(projectList = p.projectList :+ weightAttr)
+      // grouping sets / cube / rollup: Expand re-projects its input per
+      // grouping set — append the weight to every projection and the output
+      case e: Expand if e.child.outputSet.contains(weightAttr) &&
+          !e.output.exists(_.semanticEquals(weightAttr)) =>
+        Expand(e.projections.map(_ :+ weightAttr), e.output :+ weightAttr, e.child)
     }
     if (!threaded.outputSet.contains(weightAttr)) {
       throw new AnalysisException(

@@ -105,12 +105,7 @@ class GraftSession(val spark: SparkSession) {
     val parser = new AqpParser(spark.sessionState.sqlParser)
     parser.parsePlan(text) match {
       case CreateSampleTableNode(name, base, opts) =>
-        createSampleTable(name, base,
-          qcs = opts.get("qcs").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
-          fraction = opts.get("fraction").map(_.toDouble).getOrElse(0.0),
-          reservoirSize = opts.get("stratareservoirsize").map(_.toInt).getOrElse(50),
-          seed = opts.get("seed").map(_.toLong).getOrElse(42L),
-          persistPath = opts.get("path"))
+        createSampleTableFromOptions(name, base, opts)
         spark.emptyDataFrame
       case CreateTopkTableNode(name, base, opts) =>
         createTopK(name, base, opts)
@@ -148,6 +143,53 @@ class GraftSession(val spark: SparkSession) {
     val base = spark.table(baseName)
     val sampled = StratifiedSampler.sample(base, qcs.map(expr), fraction,
       reservoirSize, seed, preFilter = true, preFilterFactor = 4.0)
+    registerSample(name, baseName, base, sampled, qcs, fraction, reservoirSize,
+      persistPath)
+  }
+
+  /** `CREATE SAMPLE TABLE` options path: supports the full reference option
+   * set — `qcs`, `fraction`, `strataReservoirSize`, `seed`, `path`,
+   * `timeSeriesColumn`/`timeInterval` (time-slot strata —
+   * `StratifiedSamplerCached.scala:96-120`), and
+   * `errorLimitColumn`/`errorLimitPercent`/`confidence`
+   * (`StratifiedSamplerErrorLimit`). */
+  def createSampleTableFromOptions(name: String, baseName: String,
+      opts: Map[String, String]): DataFrame = {
+    val base = spark.table(baseName)
+    val qcsBase = opts.get("qcs").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    // time-slot strata: bucket the time column into timeInterval-ms slots and
+    // make the slot part of the stratum key
+    val timeQcs = opts.get("timeseriescolumn").map { ts =>
+      val ivMs = opts.get("timeinterval").map(_.toLong).getOrElse(5000L)
+      opts.getOrElse("timeunit", "auto") match {
+        case "ns" => s"floor($ts / ${ivMs * 1000000L})"
+        case "s" => s"floor($ts * 1000 / $ivMs)"
+        case "ms" => s"floor($ts / $ivMs)"
+        case _ => s"floor(cast($ts as double) * 1000 / $ivMs)"
+      }
+    }.toSeq
+    val qcs = qcsBase ++ timeQcs
+    val reservoirSize = opts.get("stratareservoirsize").map(_.toInt).getOrElse(50)
+    val seed = opts.get("seed").map(_.toLong).getOrElse(42L)
+    val fraction = opts.get("fraction").map(_.toDouble).getOrElse(0.0)
+
+    val sampled = opts.get("errorlimitcolumn") match {
+      case Some(errCol) =>
+        StratifiedSampler.sampleWithErrorLimit(base, qcs.map(expr), expr(errCol),
+          errorLimitPercent = opts.get("errorlimitpercent").map(_.toDouble).getOrElse(10.0),
+          confidence = opts.get("confidence").map(_.toDouble).getOrElse(0.95),
+          reservoirSize = reservoirSize, seed = seed)
+      case None =>
+        StratifiedSampler.sample(base, qcs.map(expr), fraction, reservoirSize,
+          seed, preFilter = true, preFilterFactor = 4.0)
+    }
+    registerSample(name, baseName, base, sampled, qcs, fraction, reservoirSize,
+      opts.get("path"))
+  }
+
+  private def registerSample(name: String, baseName: String, base: DataFrame,
+      sampled: DataFrame, qcs: Seq[String], fraction: Double,
+      reservoirSize: Int, persistPath: Option[String]): DataFrame = {
     val sampleDf = persistPath match {
       case Some(path) =>
         sampled.write.mode("overwrite").parquet(path)

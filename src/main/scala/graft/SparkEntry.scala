@@ -309,6 +309,30 @@ object SparkEntry {
       }
       import s.implicits._
       freqs.toDF("event_type", "estimate").orderBy(col("event_type"))
+    }),
+
+    // --- §2.2 error-limit sampler: per-stratum size from the z·sigma formula
+    "q21_error_limit_sample" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q21_sample ON lineitem_q21 OPTIONS(" +
+        "qcs 'l_returnflag', errorLimitColumn 'l_extendedprice', " +
+        "errorLimitPercent '5.0', confidence '0.95', strataReservoirSize '30')")
+      s.table("lineitem_q21_sample")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("sampled_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
+    "q22_percentile" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy(col("l_returnflag"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,5 +465,20 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS estimate
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q21_error_limit_sample" ->
+      """SELECT l_returnflag,
+        |  LEAST(COUNT(*), GREATEST(30, CAST(CEIL(ROUND(
+        |    POWER(1.959963984540054 * stddev_pop(l_extendedprice)
+        |          / (0.05 * ABS(AVG(l_extendedprice))), 2), 6)) AS BIGINT)))
+        |    AS sampled_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q22_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

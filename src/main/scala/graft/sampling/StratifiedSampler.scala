@@ -77,6 +77,65 @@ object StratifiedSampler {
       preFilter = true, preFilterFactor = 4.0)
 
   /**
+   * Error-limit sampling (reference `StratifiedSamplerErrorLimit.scala:33-45`,
+   * selection logic `stratifiedSampling.scala:418-440`): size each stratum so
+   * the closed-form relative error of `errorColumn`'s mean stays under
+   * `errorLimitPercent` at `confidence`:
+   *
+   *   n_s = ceil( (z · σ_s / (limit · |μ_s|))² ),  clamped to
+   *         [reservoirSize, stratumTotal]
+   *
+   * Batch (two-pass) formulation of the reference's adaptive streaming
+   * sampler: pass 1 is a map-side-combined per-stratum moment aggregation
+   * (count/avg/variance — tiny shuffle), pass 2 the usual exact rank-select.
+   * The inner expression is rounded to 6 decimals before `ceil` so the
+   * target is robust to last-ulp differences.
+   */
+  def sampleWithErrorLimit(
+      df: DataFrame,
+      qcs: Seq[Column],
+      errorColumn: Column,
+      errorLimitPercent: Double,
+      confidence: Double = 0.95,
+      reservoirSize: Int = 50,
+      seed: Long = 42L): DataFrame = {
+    require(errorLimitPercent > 0, "errorLimitPercent must be > 0")
+    val z = org.apache.spark.sql.graft.ClosedFormAggregate.zFactor(confidence)
+    val limit = errorLimitPercent / 100.0
+
+    val dataCols = df.columns.map(col).toSeq
+    val key = if (qcs.isEmpty) lit(0) else struct(qcs: _*)
+    val keyed = df
+      .withColumn(K, key)
+      .withColumn(R1, xxhash64(struct(dataCols: _*), lit(seed)))
+      .withColumn(R2, xxhash64(struct(dataCols: _*), lit(seed + 0x9e3779bL)))
+
+    val stats = keyed.groupBy(col(K)).agg(
+      count(lit(1)).as(TOT),
+      avg(errorColumn).as("__graft_mu__"),
+      coalesce(stddev_pop(errorColumn), lit(0.0)).as("__graft_sigma__"))
+    val needed = ceil(round(
+      pow(lit(z) * col("__graft_sigma__") /
+        (lit(limit) * greatest(abs(col("__graft_mu__")), lit(1e-12))), 2.0),
+      6)).cast("long")
+    val targets = stats.withColumn("__graft_target__",
+      least(greatest(lit(reservoirSize.toLong), needed), col(TOT)))
+      .select(col(K).as(K + "c"), col(TOT), col("__graft_target__"))
+
+    val ranked = keyed
+      .join(broadcast(targets), col(K) <=> col(K + "c"), "inner")
+      .withColumn("__graft_rn__",
+        row_number().over(Window.partitionBy(col(K)).orderBy(col(R1), col(R2))))
+      .filter(col("__graft_rn__") <= col("__graft_target__"))
+
+    val keyHash = pmod(hash(col(K)), lit(256)).cast("int")
+    ranked
+      .withColumn(WeightColumn,
+        PackWeightage(col("__graft_target__"), col(TOT), keyHash))
+      .select(dataCols :+ col(WeightColumn): _*)
+  }
+
+  /**
    * @param qcs stratum-key expressions (may be arbitrary projections, e.g.
    *            `hour(pickup_datetime)` — reference
    *            `sampling/ColumnFormatSamplingRelation.scala:170-229`)

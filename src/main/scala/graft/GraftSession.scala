@@ -195,10 +195,10 @@ class GraftSession(val spark: SparkSession) {
         sampled.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
       case None =>
-        val df = sampled
-        df.persist()
-        df.count() // materialize so every query sees one frozen sample
-        df
+        // cached lazily: the sampler is content-hash deterministic, so even
+        // an unmaterialized recompute yields the identical sample — the
+        // cache only avoids re-sampling on repeated queries
+        sampled.persist()
     }
     sampleDf.createOrReplaceTempView(name)
     state.samples.put(name, SampleInfo(name, baseName,

@@ -67,6 +67,21 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // column (reference substitutes the LogicalRelation and then re-threads —
     // `QueryProcessingRules.scala:517-620`).
     val state = graft.GraftState.of(spark)
+
+    // outer-join eligibility (reference `QueryProcessingRules.scala:705-716`):
+    // LeftOuter protects its right child from sample substitution, RightOuter
+    // its left, FullOuter/LeftSemi/LeftAnti both — substituting there would
+    // change null-extension / existence semantics
+    val protectedRoots: Seq[LogicalPlan] = agg.child.collect {
+      case Join(_, r, org.apache.spark.sql.catalyst.plans.LeftOuter, _, _) => Seq(r)
+      case Join(l, _, org.apache.spark.sql.catalyst.plans.RightOuter, _, _) => Seq(l)
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.FullOuter, _, _) => Seq(l, r)
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftSemi, _, _) => Seq(l, r)
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftAnti, _, _) => Seq(l, r)
+    }.flatten
+    def isProtected(subtree: LogicalPlan): Boolean =
+      protectedRoots.exists(root => root.exists(_ eq subtree))
+
     // pool ALL samples whose base plan matches a subtree of this query
     // (different views over the same data are interchangeable), then rank
     // the whole pool by QCS — per-base grouping would let iteration order
@@ -75,7 +90,7 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       state.samples.values.toSeq.flatMap { i =>
         agg.child.collect {
           case n if n.sameResult(i.basePlan) => n
-        }.headOption.map(subtree => (subtree, i))
+        }.find(!isProtected(_)).map(subtree => (subtree, i))
       }
     val queryQcs =
       (agg.groupingExpressions.flatMap(_.references.toSeq.map(_.name)) ++

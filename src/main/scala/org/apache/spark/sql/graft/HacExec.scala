@@ -112,24 +112,39 @@ case class HacExec(
         } else if (behavior == HacBehavior.RerouteToBase || keyIndices.isEmpty) {
           Dataset.ofRows(session, fallback).queryExecution.toRdd
         } else {
-          // partial: exact results only for the failing group keys
+          // partial: exact results only for the failing group keys. Built
+          // name-based through the DataFrame API — raw attr plumbing across
+          // Union children shares exprIds and breaks under re-analysis
+          // (DeduplicateRelations re-aliases one side).
           val keyAttrs = keyIndices.map(visible)
-          val freshKeys = keyAttrs.map(_.newInstance())
           val keyProj = UnsafeProjection.create(keyAttrs, childOutput)
           val keyRows = failing.map(r => keyProj(r).copy().asInstanceOf[InternalRow])
             .distinct.toIndexedSeq
-          val keysRel = LocalRelation(freshKeys, keyRows)
-          val cond = keyAttrs.zip(freshKeys)
-            .map { case (a, b) => EqualNullSafe(a, b) }
-            .reduceLeft[org.apache.spark.sql.catalyst.expressions.Expression](
-              org.apache.spark.sql.catalyst.expressions.And(_, _))
-          val failedExact: LogicalPlan =
-            Join(fallback, keysRel, LeftSemi, Some(cond), JoinHint.NONE)
-          val passingRel = LocalRelation(visible, passingVisible)
-          val merged = Union(passingRel, failedExact)
-          val finalPlan = if (sortOrder.nonEmpty) Sort(sortOrder, global = true, merged)
-            else merged
-          Dataset.ofRows(session, finalPlan).queryExecution.toRdd
+          val keyNames = keyAttrs.map(_.name)
+          val keysDf = Dataset.ofRows(session,
+            LocalRelation(keyAttrs.map(_.newInstance()), keyRows))
+          val passingDf = Dataset.ofRows(session,
+            LocalRelation(visible.map(_.newInstance()), passingVisible))
+          val fallbackDf = Dataset.ofRows(session, fallback)
+          val failedExact = fallbackDf.join(keysDf, keyNames, "left_semi")
+          var merged = passingDf.unionByName(failedExact)
+          val sortCols = sortOrder.flatMap { so =>
+            so.child match {
+              case a: Attribute => visible.find(_.exprId == a.exprId).map { va =>
+                import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast}
+                val c = org.apache.spark.sql.functions.col(va.name)
+                (so.direction, so.nullOrdering) match {
+                  case (Ascending, NullsFirst) => c.asc_nulls_first
+                  case (Ascending, NullsLast) => c.asc_nulls_last
+                  case (Descending, NullsFirst) => c.desc_nulls_first
+                  case (Descending, NullsLast) => c.desc_nulls_last
+                }
+              }
+              case _ => None
+            }
+          }
+          if (sortCols.nonEmpty) merged = merged.orderBy(sortCols: _*)
+          merged.queryExecution.toRdd
         }
     }
   }

@@ -57,6 +57,7 @@ class AqpSqlSpec extends AnyFunSuite {
   }
 
   test("no registered sample: query routes to base, error fns are 0") {
+    gs.state.samples.keys.toSeq.foreach(gs.dropSampleTable) // isolate from other suites
     val rows = gs.sql(
       """SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS e
         |FROM lineitem GROUP BY l_returnflag WITH ERROR 0.1""".stripMargin).collect()

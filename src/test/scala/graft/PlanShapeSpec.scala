@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rewrite/plan-shape assertions (reference test category 2 — SURVEY.md §5:
+ * `QueryProcessingSuite`, `SampleSelectionTestSuite`, `AssertAQPAnalysis`). */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val gs: GraftSession = {
+    val g = new GraftSession(spark)
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_ps")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_ps")
+    g.sql("CREATE SAMPLE TABLE li_ps_sample ON li_ps OPTIONS(qcs 'l_returnflag', fraction '0.2')")
+    g
+  }
+
+  private def planOf(sql: String): String =
+    gs.sql(sql).queryExecution.analyzed.treeString
+
+  test("WITH ERROR query rewrites to the closed-form struct aggregate") {
+    val p = planOf("SELECT l_returnflag, sum(l_quantity) s FROM li_ps " +
+      "GROUP BY 1 WITH ERROR 0.5")
+    assert(p.contains("approx_sum_cf"), p.take(500))
+    assert(p.contains("snappy_sampler_weightage"), "weight column not threaded")
+  }
+
+  test("same query without WITH ERROR stays untouched") {
+    val p = spark.sql("SELECT l_returnflag, sum(l_quantity) s FROM li_ps GROUP BY 1")
+      .queryExecution.analyzed.treeString
+    assert(!p.contains("approx_sum_cf"))
+  }
+
+  test("inner join: sampled side substituted") {
+    val p = planOf("SELECT o_orderpriority, sum(l_quantity) s FROM li_ps " +
+      "JOIN ord_ps ON l_orderkey = o_orderkey GROUP BY 1 WITH ERROR 0.5")
+    assert(p.contains("approx_sum_cf"))
+  }
+
+  test("outer-join fencing: protected side is NOT substituted") {
+    // lineitem on the right of a LEFT OUTER join is protected
+    val p = planOf("SELECT o_orderpriority, sum(l_quantity) s FROM ord_ps " +
+      "LEFT JOIN li_ps ON o_orderkey = l_orderkey GROUP BY 1 WITH ERROR 0.5")
+    assert(!p.contains("approx_sum_cf"), "protected side was substituted:\n" + p.take(800))
+    // and the query still answers exactly (routed to base)
+    val got = gs.sql("SELECT o_orderpriority, sum(l_quantity) s FROM ord_ps " +
+      "LEFT JOIN li_ps ON o_orderkey = l_orderkey GROUP BY 1 WITH ERROR 0.5")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = spark.sql("SELECT o_orderpriority, sum(l_quantity) s FROM ord_ps " +
+      "LEFT JOIN li_ps ON o_orderkey = l_orderkey GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+  }
+
+  test("outer-join: unprotected side IS substituted") {
+    val p = planOf("SELECT l_returnflag, sum(l_quantity) s FROM li_ps " +
+      "LEFT JOIN ord_ps ON l_orderkey = o_orderkey GROUP BY 1 WITH ERROR 0.5")
+    assert(p.contains("approx_sum_cf"))
+  }
+
+  test("min/max computed over the sample, sum error-tracked, in one query") {
+    val rows = gs.sql("SELECT l_returnflag, sum(l_quantity) s, max(l_quantity) mx, " +
+      "min(l_quantity) mn FROM li_ps GROUP BY 1 WITH ERROR 0.5").collect()
+    assert(rows.length === 3)
+    rows.foreach { r => assert(r.getDouble(2) >= r.getDouble(3)) }
+    val p = planOf("SELECT l_returnflag, sum(l_quantity) s, max(l_quantity) mx " +
+      "FROM li_ps GROUP BY 1 WITH ERROR 0.5")
+    assert(p.contains("approx_sum_cf") && p.contains("max("))
+  }
+
+  test("IN-subquery over the base table survives the rewrite") {
+    val rows = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) s FROM li_ps
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM ord_ps WHERE o_totalprice > 100000)
+        |GROUP BY 1 WITH ERROR 0.5""".stripMargin).collect()
+    assert(rows.nonEmpty)
+  }
+}

@@ -55,8 +55,12 @@ object Dedup {
       shingleK: Int = 5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // cache the signatures: the self-join below consumes them on both sides,
+    // and signature computation (O(len) rolling hashes x numHashes updates)
+    // dominates the stage — without the cache it runs twice
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(contentCol), numHashes, shingleK).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -122,16 +122,26 @@ object StratifiedSampler {
       least(greatest(lit(reservoirSize.toLong), needed), col(TOT)))
       .select(col(K).as(K + "c"), col(TOT), col("__graft_target__"))
 
-    val ranked = keyed
-      .join(broadcast(targets), col(K) <=> col(K + "c"), "inner")
+    // same Bernoulli prefilter as the fraction path: cut the per-stratum
+    // sort input to ~4x target before the exact rank
+    val joined = keyed.join(broadcast(targets), col(K) <=> col(K + "c"), "inner")
+    val p = least(lit(1.0),
+      col("__graft_target__") * lit(4.0) / col(TOT).cast("double"))
+    val threshold = (lit(2.0) * p - lit(1.0)) * lit(Long.MaxValue.toDouble)
+    val pre = joined.filter(col(TOT) <= col("__graft_target__") ||
+      col(R1).cast("double") < threshold)
+
+    val ranked = pre
       .withColumn("__graft_rn__",
         row_number().over(Window.partitionBy(col(K)).orderBy(col(R1), col(R2))))
       .filter(col("__graft_rn__") <= col("__graft_target__"))
+      .withColumn("__graft_kept__",
+        count(lit(1)).over(Window.partitionBy(col(K))))
 
     val keyHash = pmod(hash(col(K)), lit(256)).cast("int")
     ranked
       .withColumn(WeightColumn,
-        PackWeightage(col("__graft_target__"), col(TOT), keyHash))
+        PackWeightage(col("__graft_kept__"), col(TOT), keyHash))
       .select(dataCols :+ col(WeightColumn): _*)
   }
 

@@ -52,8 +52,23 @@ private[graft] final class StratumStats(
 private[graft] final class ClosedFormBuffer {
   val strata: mutable.LongMap[StratumStats] = mutable.LongMap.empty
 
-  def add(rawWeight: Long, v: Double): Unit =
-    strata.getOrElseUpdate(rawWeight, new StratumStats()).add(v)
+  // single-entry memo: input is usually clustered by stratum (the reference
+  // exploits full sortedness — `closedFormError.scala:406-455`; we only
+  // memoize the last stratum, which is order-insensitive-safe)
+  private var lastKey: Long = -1L
+  private var lastStats: StratumStats = _
+
+  def add(rawWeight: Long, v: Double): Unit = {
+    if (lastStats == null || rawWeight != lastKey) {
+      lastStats = strata.getOrNull(rawWeight)
+      if (lastStats == null) {
+        lastStats = new StratumStats()
+        strata.update(rawWeight, lastStats)
+      }
+      lastKey = rawWeight
+    }
+    lastStats.add(v)
+  }
 
   def merge(o: ClosedFormBuffer): Unit =
     o.strata.foreach { case (k, s) =>
@@ -100,8 +115,11 @@ case class ClosedFormAggregate(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ClosedFormBuffer] {
 
+  // fast path: skip the Cast wrapper when the child is already a double
+  // (the hot interpreted update path runs per input row)
+  private lazy val childIsDouble = child.dataType == DoubleType
   private lazy val valueExpr: Expression =
-    if (aggType == AqpAggType.Count) child
+    if (aggType == AqpAggType.Count || childIsDouble) child
     else Cast(child, DoubleType)
 
   override def children: Seq[Expression] = child :: weight :: Nil

@@ -324,6 +324,20 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- conditional aggregation: WHERE + WITH ERROR through the sample ----
+    "q23_filtered_with_error" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q23")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q23_sample ON lineitem_q23 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS s,
+          |       round(absolute_error(s), 6) AS abs_err
+          |FROM lineitem_q23 WHERE l_quantity > 25
+          |GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9""".stripMargin)
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -474,6 +488,12 @@ object SparkEntry {
         |          / (0.05 * ABS(AVG(l_extendedprice))), 2), 6)) AS BIGINT)))
         |    AS sampled_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q23_filtered_with_error" ->
+      """SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS s,
+        |       ROUND(0.0, 6) AS abs_err
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_percentile" ->
       """SELECT l_returnflag,

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.sampling.StratifiedSampler
+
+/** Conditional (filtered) approximate aggregation — the closed-form
+ * variance's defining case: rows of a stratum filtered out of the query
+ * contribute 0 to the conditional sum, so per-stratum variance divides by
+ * the stratum's sampled count L, not the filtered count
+ * (reference `errorEstimates.scala:212-262`). */
+class ConditionalAggSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("filtered query over a sample: truth within CI") {
+    val s = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 0.15)
+    val r = s.filter(col("l_quantity") > 25)
+      .groupBy("l_returnflag")
+      .agg(approx_sum(col("l_extendedprice"), col(weightColumn)).as("x"))
+      .select(col("l_returnflag"), estimate(col("x")),
+        lower_bound(col("x")), upper_bound(col("x"))).collect()
+    val exact = li.filter(col("l_quantity") > 25)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice")).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (est, lb, ub) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+      val truth = exact(row.getString(0))
+      val half = (ub - lb) / 2
+      assert(math.abs(est - truth) < 4 * half + 1e-9,
+        s"${row.getString(0)}: est=$est truth=$truth ci=[$lb,$ub]")
+    }
+  }
+
+  test("SQL WITH ERROR + WHERE routes through the sample and stays accurate") {
+    val gs = new GraftSession(spark)
+    li.createOrReplaceTempView("li_cond")
+    gs.sql("CREATE SAMPLE TABLE li_cond_sample ON li_cond OPTIONS(qcs 'l_returnflag', fraction '0.2')")
+    val p = gs.sql(
+      """SELECT l_returnflag, sum(l_extendedprice) AS s, relative_error(s) AS re
+        |FROM li_cond WHERE l_quantity > 25 GROUP BY 1 WITH ERROR 0.5""".stripMargin)
+    assert(p.queryExecution.analyzed.treeString.contains("approx_sum_cf"))
+    val rows = p.collect()
+    val exact = li.filter(col("l_quantity") > 25)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice")).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) / exact(r.getString(0)) - 1.0) < 0.2)
+      assert(r.getDouble(2) > 0.0)
+    }
+    gs.dropSampleTable("li_cond_sample")
+  }
+
+  test("nulls: count(col) skips nulls, count(*) does not; sum ignores nulls") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "a"), (2L, null, "a"), (3L, 30.0, "a"),
+      (4L, null, "b"), (5L, null, "b")).toDF("id", "v", "g")
+    val s = StratifiedSampler.sample(df, Seq("g"), fraction = 1.0)
+    val r = s.groupBy("g").agg(
+      approx_count(col("v"), col(weightColumn)).as("cv"),
+      approx_count(lit(1), col(weightColumn)).as("cstar"),
+      approx_sum(col("v"), col(weightColumn)).as("sv"))
+      .select(col("g"), estimate(col("cv")), estimate(col("cstar")), estimate(col("sv")))
+      .collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2),
+        if (x.isNullAt(3)) null else x.getDouble(3)))).toMap
+    assert(r("a") === ((2.0, 3.0, 40.0)))
+    assert(r("b")._1 === 0.0)
+    assert(r("b")._2 === 2.0)
+    assert(r("b")._3 === null) // SUM over all-null group is NULL
+  }
+
+  test("session default error/confidence/behavior via spark.sql.aqp.* conf") {
+    val gs = new GraftSession(spark)
+    li.createOrReplaceTempView("li_conf")
+    gs.sql("CREATE SAMPLE TABLE li_conf_sample ON li_conf OPTIONS(qcs 'l_returnflag', fraction '0.05')")
+    spark.conf.set("spark.sql.aqp.error", "0.0000001")
+    spark.conf.set("spark.sql.aqp.behavior", "run_on_full_table")
+    try {
+      // bare WITH ERROR picks up defaults → impossible limit → exact reroute
+      val got = gs.sql("SELECT l_returnflag, sum(l_quantity) s FROM li_conf GROUP BY 1 WITH ERROR")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = li.groupBy("l_returnflag").agg(sum("l_quantity")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got === want)
+    } finally {
+      spark.conf.unset("spark.sql.aqp.error")
+      spark.conf.unset("spark.sql.aqp.behavior")
+      gs.dropSampleTable("li_conf_sample")
+    }
+  }
+}

@@ -17,7 +17,8 @@ final case class SampleInfo(
     sampleDf: DataFrame,
     qcs: Seq[String],
     fraction: Double,
-    reservoirSize: Int)
+    reservoirSize: Int,
+    persistPath: Option[String] = None)
 
 /**
  * Per-SparkSession AQP state: the sample-table catalog plus session default
@@ -202,8 +203,35 @@ class GraftSession(val spark: SparkSession) {
     }
     sampleDf.createOrReplaceTempView(name)
     state.samples.put(name, SampleInfo(name, baseName,
-      base.queryExecution.analyzed, sampleDf, qcs, fraction, reservoirSize))
+      base.queryExecution.analyzed, sampleDf, qcs, fraction, reservoirSize,
+      persistPath))
     sampleDf
+  }
+
+  /** Batch insert path (reference `ColumnFormatSamplingRelation.insert/append`,
+   * `sampling/ColumnFormatSamplingRelation.scala:253-340`): sample the new
+   * rows per stratum and append them to the registered sample table. Weights
+   * encode the new batch's stratum totals, so weighted estimates cover base
+   * plus appended data. */
+  def appendToSample(name: String, df: DataFrame, seed: Long = 43L): DataFrame = {
+    val info = state.samples.getOrElse(name,
+      throw new IllegalArgumentException(s"No sample table named $name"))
+    val sampled = StratifiedSampler.sample(df, info.qcs.map(expr), info.fraction,
+      info.reservoirSize, seed, preFilter = true, preFilterFactor = 4.0)
+    val merged = info.persistPath match {
+      case Some(path) =>
+        sampled.write.mode("append").parquet(path)
+        spark.catalog.refreshByPath(path)
+        spark.read.parquet(path)
+      case None =>
+        val m = info.sampleDf.unionByName(sampled)
+        m.persist()
+        info.sampleDf.unpersist()
+        m
+    }
+    merged.createOrReplaceTempView(name)
+    state.samples.put(name, info.copy(sampleDf = merged))
+    merged
   }
 
   def dropSampleTable(name: String): Unit = {

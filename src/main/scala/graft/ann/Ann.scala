@@ -94,6 +94,79 @@ object Ann {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------------------
+  // IVF (inverted-file) index: coarse k-means-style quantization. Centroids
+  // are hash-sampled deterministically, refined by Lloyd iterations run as
+  // ordinary joins+aggregations; search probes the nprobe nearest centroids
+  // and re-ranks exactly. The scale path for corpus-sized ANN: index build
+  // is O(n·C) distributed work once, each query touches ~n·nprobe/C vectors.
+  // ---------------------------------------------------------------------------
+
+  /** Build an IVF index: returns (assignedDf = df + `__graft_cluster__`,
+   * centroids). */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nClusters: Int,
+      lloydIterations: Int = 1, seed: Long = 7L): (DataFrame, Array[Array[Double]]) = {
+    // deterministic seed centroids: the nClusters rows with smallest content
+    // hash (uniform pseudo-random yet reproducible)
+    var centroids: Array[Array[Double]] =
+      df.select(col(vecCol)).withColumn("__h__", xxhash64(col(vecCol), lit(seed)))
+        .orderBy(col("__h__")).limit(nClusters)
+        .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def assign(d: DataFrame): DataFrame = {
+      val spark = d.sparkSession
+      import spark.implicits._
+      val cdf = broadcast(centroids.zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq.toDF("__cid__", "__cvec__"))
+      val v = transform(col(vecCol), x => x.cast("double"))
+      val dist = aggregate(zip_with(v, col("__cvec__"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("__dist__"), col("__cid__"))
+      d.crossJoin(cdf)
+        .withColumn("__dist__", dist)
+        .withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") === 1)
+        .drop("__cvec__", "__dist__", "__rn__")
+        .withColumnRenamed("__cid__", "__graft_cluster__")
+    }
+
+    var assigned = assign(df)
+    (0 until lloydIterations).foreach { _ =>
+      // centroid update: per-dimension means via posexplode (C × dim rows)
+      val dims = assigned.select(col("__graft_cluster__"),
+          posexplode(transform(col(vecCol), x => x.cast("double"))))
+        .groupBy(col("__graft_cluster__"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCluster = dims.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { cid =>
+        byCluster.get(cid) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          case None => centroids(cid)
+        }
+      }.toArray
+      assigned = assign(df)
+    }
+    (assigned, centroids)
+  }
+
+  /** Approximate top-k via an IVF index: probe the `nprobe` nearest
+   * centroids, re-rank candidates exactly. */
+  def ivfKnn(assigned: DataFrame, centroids: Array[Array[Double]], idCol: String,
+      vecCol: String, query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val q = query.map(_.toDouble)
+    val nearest = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1).toSeq
+    assigned.filter(col("__graft_cluster__").isInCollection(nearest))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucketed candidate join + exact
    * cosine threshold (the embedding analogue of MinHash dedup). */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -74,6 +74,21 @@ class ConditionalAggSpec extends AnyFunSuite {
     assert(r("b")._3 === null) // SUM over all-null group is NULL
   }
 
+  test("appendToSample: weighted estimates cover base + appended batch") {
+    val gs = new GraftSession(spark)
+    import spark.implicits._
+    val batch1 = (1L to 600L).map(i => (i, if (i % 2 == 0) "x" else "y", i.toDouble))
+      .toDF("id", "g", "v")
+    batch1.createOrReplaceTempView("app_base")
+    gs.createSampleTable("app_sample", "app_base", Seq("g"), fraction = 0.3)
+    val batch2 = (601L to 1000L).map(i => (i, "x", i.toDouble)).toDF("id", "g", "v")
+    gs.appendToSample("app_sample", batch2)
+    val est = spark.table("app_sample")
+      .agg(weighted_count(col("id"))).collect()(0).getDouble(0)
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.05, s"estimated $est of 1000")
+    gs.dropSampleTable("app_sample")
+  }
+
   test("session default error/confidence/behavior via spark.sql.aqp.* conf") {
     val gs = new GraftSession(spark)
     li.createOrReplaceTempView("li_conf")

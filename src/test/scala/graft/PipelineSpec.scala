@@ -102,6 +102,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("ivf knn: good recall vs brute force with few probes") {
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val (assigned, centroids) = Ann.ivfIndex(emb, "vec_id", "embedding",
+      nClusters = 8, lloydIterations = 1)
+    val cached = assigned.cache()
+    val exact = Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ann.ivfKnn(cached, centroids, "vec_id", "embedding", q, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // probing ALL clusters must reproduce brute force exactly
+    val full = Ann.ivfKnn(cached, centroids, "vec_id", "embedding", q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+    cached.unpersist()
+  }
+
   test("cosine dedup pairs finds planted duplicate vectors") {
     val copies = emb.orderBy("vec_id").limit(5)
       .withColumn("vec_id", col("vec_id") + 1000000L)

@@ -165,6 +165,55 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             "(unsupported intermediate operator, e.g. grouping sets)")))
     }
 
+    // integral estimates round before the cast (5999.9999 → 6000, not 5999)
+    def castEstimate(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
+      dt match {
+        case _: org.apache.spark.sql.types.IntegralType =>
+          Cast(Round(e, Literal(0)), dt)
+        case _ => Cast(e, dt)
+      }
+
+    // ByPassErrorCalculationsConditionally (reference
+    // `QueryProcessingRules.scala:2374-2458`): when the behavior is
+    // DO_NOTHING and no error column is requested anywhere, degrade the
+    // error aggregates to cheap Horvitz–Thompson column algebra
+    // (sum(w·x), sum(w·x)/sum(w), sum(w)) — fully whole-stage-codegen'd,
+    // no struct buffers.
+    val hasStubs = child.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[ErrorEstimateStub])))
+    if (behavior == HacBehavior.DoNothing && !hasStubs) {
+      val w: Expression = MapColumnToWeight(weightAttr)
+      val newAgg = agg.copy(
+        aggregateExpressions = agg.aggregateExpressions.map { ne =>
+          // guard by identity: the replacements contain fresh nested
+          // AggregateExpressions that must not be rewritten again
+          val originals = java.util.Collections.newSetFromMap(
+            new java.util.IdentityHashMap[AggregateExpression, java.lang.Boolean]())
+          ne.foreach { case ae: AggregateExpression => originals.add(ae); case _ => }
+          ne.transformDown {
+            case ae: AggregateExpression if originals.contains(ae) => ae.aggregateFunction match {
+              case Sum(x, _) =>
+                castEstimate(
+                  Sum(Multiply(w, Cast(x, DoubleType))).toAggregateExpression(),
+                  ae.dataType)
+              case Average(x, _) =>
+                val num = Sum(Multiply(w, Cast(x, DoubleType))).toAggregateExpression()
+                val den = Sum(If(IsNull(x), Literal(null, DoubleType), w))
+                  .toAggregateExpression()
+                Cast(Divide(num, den), ae.dataType)
+              case Count(xs) =>
+                val den = Sum(If(IsNull(xs.head), Literal(null, DoubleType), w))
+                  .toAggregateExpression()
+                Cast(Round(Coalesce(Seq(den, Literal(0.0))), Literal(0)), LongType)
+              case _ => ae
+            }
+          }.asInstanceOf[NamedExpression]
+        },
+        child = threaded)
+      return Project(child.output,
+        child.transformUp { case a if a eq agg => newAgg })
+    }
+
     // 3. rewrite Sum/Avg/Count into shared closed-form struct aggregates
     val finalizerBehavior =
       if (behavior == HacBehavior.LocalOmit) HacBehavior.LocalOmit
@@ -250,11 +299,11 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case Sum(x, _) =>
                 val s = structAttr(AqpAggType.Sum, x)
                 boundStruct = Some(s)
-                Cast(GetStructField(s, 0, Some("estimate")), ae.dataType)
+                castEstimate(GetStructField(s, 0, Some("estimate")), ae.dataType)
               case Average(x, _) =>
                 val s = structAttr(AqpAggType.Avg, x)
                 boundStruct = Some(s)
-                Cast(GetStructField(s, 0, Some("estimate")), ae.dataType)
+                castEstimate(GetStructField(s, 0, Some("estimate")), ae.dataType)
               case Count(xs) =>
                 val s = structAttr(AqpAggType.Count, xs.head)
                 boundStruct = Some(s)

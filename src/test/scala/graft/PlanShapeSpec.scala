@@ -19,9 +19,19 @@ class PlanShapeSpec extends AnyFunSuite {
   private def planOf(sql: String): String =
     gs.sql(sql).queryExecution.analyzed.treeString
 
-  test("WITH ERROR query rewrites to the closed-form struct aggregate") {
+  test("WITH ERROR query without error columns degrades to cheap weighted algebra") {
+    // ByPassErrorCalculationsConditionally: do_nothing + no error fns →
+    // plain codegen'd sum(w·x), no struct aggregate
     val p = planOf("SELECT l_returnflag, sum(l_quantity) s FROM li_ps " +
       "GROUP BY 1 WITH ERROR 0.5")
+    assert(p.contains("mapcolumntoweight"), p.take(500))
+    assert(!p.contains("approx_sum_cf"), "should have degraded to bypass algebra")
+    assert(p.contains("snappy_sampler_weightage"), "weight column not threaded")
+  }
+
+  test("WITH ERROR query with error columns uses the closed-form struct aggregate") {
+    val p = planOf("SELECT l_returnflag, sum(l_quantity) s, absolute_error(s) e " +
+      "FROM li_ps GROUP BY 1 WITH ERROR 0.5")
     assert(p.contains("approx_sum_cf"), p.take(500))
     assert(p.contains("snappy_sampler_weightage"), "weight column not threaded")
   }
@@ -35,7 +45,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("inner join: sampled side substituted") {
     val p = planOf("SELECT o_orderpriority, sum(l_quantity) s FROM li_ps " +
       "JOIN ord_ps ON l_orderkey = o_orderkey GROUP BY 1 WITH ERROR 0.5")
-    assert(p.contains("approx_sum_cf"))
+    assert(p.contains("mapcolumntoweight"))
   }
 
   test("outer-join fencing: protected side is NOT substituted") {
@@ -56,7 +66,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("outer-join: unprotected side IS substituted") {
     val p = planOf("SELECT l_returnflag, sum(l_quantity) s FROM li_ps " +
       "LEFT JOIN ord_ps ON l_orderkey = o_orderkey GROUP BY 1 WITH ERROR 0.5")
-    assert(p.contains("approx_sum_cf"))
+    assert(p.contains("mapcolumntoweight"))
   }
 
   test("min/max computed over the sample, sum error-tracked, in one query") {
@@ -64,8 +74,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "min(l_quantity) mn FROM li_ps GROUP BY 1 WITH ERROR 0.5").collect()
     assert(rows.length === 3)
     rows.foreach { r => assert(r.getDouble(2) >= r.getDouble(3)) }
-    val p = planOf("SELECT l_returnflag, sum(l_quantity) s, max(l_quantity) mx " +
-      "FROM li_ps GROUP BY 1 WITH ERROR 0.5")
+    val p = planOf("SELECT l_returnflag, sum(l_quantity) s, max(l_quantity) mx, " +
+      "absolute_error(s) e FROM li_ps GROUP BY 1 WITH ERROR 0.5")
     assert(p.contains("approx_sum_cf") && p.contains("max("))
   }
 

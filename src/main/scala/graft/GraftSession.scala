@@ -195,11 +195,16 @@ class GraftSession(val spark: SparkSession) {
       case Some(path) =>
         sampled.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
-      case None =>
+      case None if fraction < 1.0 =>
         // cached lazily: the sampler is content-hash deterministic, so even
         // an unmaterialized recompute yields the identical sample — the
         // cache only avoids re-sampling on repeated queries
         sampled.persist()
+      case None =>
+        // fraction 1.0: the "sample" is the base plus a broadcast-joined
+        // weight column — recomputing costs about as much as a cache hit
+        // and avoids materializing a full copy of the table
+        sampled
     }
     sampleDf.createOrReplaceTempView(name)
     state.samples.put(name, SampleInfo(name, baseName,

@@ -8,25 +8,23 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, Long
 /**
  * `pack_weightage(numSamples, stratumTotal, keyHash)` → packed weight long
  * (see [[Weightage]] for the layout). Used by the stratified sampler to
- * attach the hidden weight column; interpreted eval only (runs once per
- * output row of the sampling job, not in any per-query hot path).
+ * attach the hidden weight column; codegen'd so sample materialization
+ * stays inside whole-stage codegen.
  */
 case class PackWeightage(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends TernaryExpression with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, IntegerType)
-  override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val n = first.eval(input)
-    val t = second.eval(input)
-    val h = third.eval(input)
-    if (n == null || t == null) 0L
-    else Weightage.pack(
-      n.asInstanceOf[Long], t.asInstanceOf[Long],
-      if (h == null) 0 else h.asInstanceOf[Int])
-  }
+  override protected def nullSafeEval(n: Any, t: Any, h: Any): Any =
+    Weightage.pack(n.asInstanceOf[Long], t.asInstanceOf[Long], h.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (n, t, h) =>
+      s"org.apache.spark.sql.graft.Weightage.pack($n, $t, $h)")
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PackWeightage = copy(f, s, t)

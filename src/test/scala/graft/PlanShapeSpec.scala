@@ -79,6 +79,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("approx_sum_cf") && p.contains("max("))
   }
 
+  test("explode (Generate) between sample and aggregate keeps the weight") {
+    val df = gs.sql(
+      """SELECT l_returnflag, sum(x) s FROM
+        |  (SELECT l_returnflag, explode(array(l_quantity, l_quantity)) AS x FROM li_ps)
+        |GROUP BY 1 WITH ERROR 0.9""".stripMargin)
+    assert(df.queryExecution.analyzed.treeString.contains("mapcolumntoweight"))
+    assert(df.count() === 3)
+  }
+
   test("IN-subquery over the base table survives the rewrite") {
     val rows = gs.sql(
       """SELECT l_returnflag, sum(l_quantity) s FROM li_ps

@@ -24,13 +24,16 @@ import org.apache.spark.sql.graft.{MinHashSignature, SimHash64}
 object Dedup {
 
   /** Exact dedup: keep the row with the smallest `idCol` per distinct
-   * `contentCol` value (hash-groupBy — equivalent semantics to GROUP BY
-   * content, but keeps entire rows). */
+   * `contentCol` value. Two-phase min-id + semi-join rather than a window
+   * rank: the groupBy is map-side combined so a pathologically duplicated
+   * value (one text repeated 10⁹ times at corpus scale) never concentrates
+   * its rows on a single task the way `Window.partitionBy(hash)` would. */
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(contentCol))).orderBy(col(idCol))
-    df.withColumn("__graft_rn__", row_number().over(w))
-      .filter(col("__graft_rn__") === 1)
-      .drop("__graft_rn__")
+    val keepers = df
+      .groupBy(xxhash64(col(contentCol)).as("__graft_h__"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
   }
 
   /** MinHash signature column (array<bigint>). */

@@ -338,6 +338,35 @@ object SparkEntry {
           |WITH ERROR 0.9""".stripMargin)
     }),
 
+    // --- pipeline: deterministic stratified train/test split -----------------
+    "q24_stratified_split" -> ((s, dir) => {
+      graft.pipeline.Pipeline.stratifiedSplit(
+        tbl(s, dir, "documents"), Seq(col("source")), 0.2)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // --- pipeline: token-budget document chunking ----------------------------
+    "q25_chunking" -> ((s, dir) => {
+      graft.pipeline.Pipeline.chunk(tbl(s, dir, "documents"), "text",
+        chunkTokens = 10, overlap = 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- pipeline: eval-set contamination (rows-only — set semantics
+    // asserted in PipelineOpsSpec)
+    "q26_contamination" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val eval = docs.orderBy(col("doc_id")).limit(5).select(col("doc_id"), col("text"))
+      graft.pipeline.Pipeline.contaminationCheck(
+        docs.select(col("doc_id"), col("text")), eval, "doc_id", "text",
+        n = 8, minShared = 3)
+        .orderBy(col("corpus_id"))
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -494,6 +523,21 @@ object SparkEntry {
         |       ROUND(0.0, 6) AS abs_err
         |FROM lineitem WHERE l_quantity > 25
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q24_stratified_split" ->
+      """SELECT source, 'test' AS split, CAST(CEIL(COUNT(*) * 0.2) AS BIGINT) AS n
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT source, 'train' AS split,
+        |       COUNT(*) - CAST(CEIL(COUNT(*) * 0.2) AS BIGINT) AS n
+        |FROM documents GROUP BY source
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q25_chunking" ->
+      """SELECT doc_id, GREATEST(1, CAST(CEIL(
+        |  (length(regexp_split_to_array(trim(text), '\s+')) - 2) / 8.0) AS BIGINT))
+        |  AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q22_percentile" ->
       """SELECT l_returnflag,

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/**
+ * Training-data pipeline operators beyond dedup/ANN/text: deterministic
+ * stratified splits, token-budget document chunking, and cross-corpus
+ * contamination checks. All declarative Spark plans.
+ */
+object Pipeline {
+
+  /**
+   * Deterministic stratified train/test split: within each stratum the
+   * `ceil(testFraction · n)` rows with the smallest content hash become the
+   * test split — exact per-stratum proportions (same rank-select machinery
+   * as the stratified sampler), reproducible for a fixed seed, and stable
+   * under re-runs (content-hash based, not row-order based).
+   */
+  def stratifiedSplit(df: DataFrame, strata: Seq[Column], testFraction: Double,
+      seed: Long = 42L, splitCol: String = "split"): DataFrame = {
+    require(testFraction >= 0 && testFraction <= 1, "testFraction in [0,1]")
+    val dataCols = df.columns.map(col).toSeq
+    val key = if (strata.isEmpty) lit(0) else struct(strata: _*)
+    val h = xxhash64(struct(dataCols: _*), lit(seed))
+    val w = Window.partitionBy(key)
+    val rn = row_number().over(w.orderBy(h, xxhash64(struct(dataCols: _*), lit(seed + 1))))
+    val total = count(lit(1)).over(w)
+    df.withColumn("__graft_rn__", rn)
+      .withColumn("__graft_total__", total)
+      .withColumn(splitCol,
+        when(col("__graft_rn__") <= ceil(col("__graft_total__") * lit(testFraction)),
+          lit("test")).otherwise(lit("train")))
+      .drop("__graft_rn__", "__graft_total__")
+  }
+
+  /**
+   * Token-budget chunking: split a text column into chunks of
+   * `chunkTokens` whitespace tokens with `overlap` tokens of context
+   * carried between consecutive chunks (the standard LLM pre-training /
+   * RAG document slicer). Emits one row per chunk with its index.
+   * Pure column algebra: tokens → stride windows → re-joined strings.
+   */
+  def chunk(df: DataFrame, textCol: String, chunkTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(chunkTokens > overlap, "chunkTokens must exceed overlap")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(overlap)).cast("double") / lit(stride)).cast("int"))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * stride + lit(1), lit(chunkTokens))))
+    df.withColumn("__graft_chunks__", chunks)
+      .select(col("*"), posexplode(col("__graft_chunks__")))
+      .withColumnRenamed("pos", "chunk_index")
+      .withColumnRenamed("col", "chunk_text")
+      .drop("__graft_chunks__")
+  }
+
+  /**
+   * Cross-corpus contamination check: documents in `corpus` that share at
+   * least `minShared` distinct word n-grams with any document in
+   * `reference` (eval-set leakage detection). Joins on hashed n-grams —
+   * never materializes a document cross product; n-gram explosion is linear
+   * in corpus size and the join is map-side combinable.
+   */
+  def contaminationCheck(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    def grams(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out),
+        explode(array_distinct(Dedup.wordNgrams(col(textCol), n))).as("__g__"))
+      .select(col(out), xxhash64(col("__g__")).as("__gh__"))
+    val cg = grams(corpus, "corpus_id")
+    val rg = grams(reference, "ref_id").select(col("__gh__")).distinct()
+    cg.join(rg, Seq("__gh__"), "inner")
+      .groupBy(col("corpus_id"))
+      .agg(countDistinct(col("__gh__")).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+}

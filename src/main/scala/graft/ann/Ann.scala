@@ -45,7 +45,8 @@ object Ann {
   /** Exact top-k cosine neighbors of `query`. */
   def bruteForceKnn(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int): DataFrame =
-    df.select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+    graft.core.Fanout(df)
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
@@ -86,7 +87,8 @@ object Ann {
         yield qb ^ (1L << i) ^ (1L << j)
     } else Seq.empty
     val probes = (qb +: (h1 ++ h2)).distinct
-    val bucketed = df.withColumn("__graft_bucket__", lshBucket(col(vecCol), planes))
+    val bucketed = graft.core.Fanout(df)
+      .withColumn("__graft_bucket__", lshBucket(col(vecCol), planes))
     bucketed
       .filter(col("__graft_bucket__").isInCollection(probes))
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
@@ -108,8 +110,9 @@ object Ann {
       lloydIterations: Int = 1, seed: Long = 7L): (DataFrame, Array[Array[Double]]) = {
     // deterministic seed centroids: the nClusters rows with smallest content
     // hash (uniform pseudo-random yet reproducible)
+    val src = graft.core.Fanout(df)
     var centroids: Array[Array[Double]] =
-      df.select(col(vecCol)).withColumn("__h__", xxhash64(col(vecCol), lit(seed)))
+      src.select(col(vecCol)).withColumn("__h__", xxhash64(col(vecCol), lit(seed)))
         .orderBy(col("__h__")).limit(nClusters)
         .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
@@ -131,7 +134,7 @@ object Ann {
         .withColumnRenamed("__cid__", "__graft_cluster__")
     }
 
-    var assigned = assign(df)
+    var assigned = assign(src)
     (0 until lloydIterations).foreach { _ =>
       // centroid update: per-dimension means via posexplode (C × dim rows)
       val dims = assigned.select(col("__graft_cluster__"),
@@ -146,7 +149,7 @@ object Ann {
           case None => centroids(cid)
         }
       }.toArray
-      assigned = assign(df)
+      assigned = assign(src)
     }
     (assigned, centroids)
   }
@@ -173,8 +176,9 @@ object Ann {
       threshold: Double, numPlanes: Int = 12, seed: Long = 7L): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, numPlanes, seed)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+    val bucketed = graft.core.Fanout(df)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        lshBucket(col(vecCol), planes).as("bucket"))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

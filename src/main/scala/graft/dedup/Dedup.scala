@@ -58,10 +58,11 @@ object Dedup {
       shingleK: Int = 5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    val src = graft.core.Fanout(df)
     // cache the signatures: the self-join below consumes them on both sides,
     // and signature computation (O(len) rolling hashes x numHashes updates)
     // dominates the stage — without the cache it runs twice
-    val sig = df.select(col(idCol).as("id"),
+    val sig = src.select(col(idCol).as("id"),
       minhashSignature(col(contentCol), numHashes, shingleK).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -92,7 +93,8 @@ object Dedup {
    * exact 16-bit chunk), so no O(n²) cross join. */
   def simhashPairs(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash(col(contentCol)).as("fp"))
+    val fp = graft.core.Fanout(df)
+      .select(col(idCol).as("id"), simhash(col(contentCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)))

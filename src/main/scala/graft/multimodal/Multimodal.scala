@@ -67,7 +67,7 @@ object Multimodal {
       StructField("media_meta", mediaMetaType, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { it =>
+    graft.core.Fanout(df).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // batch-shaped decode: a real implementation would hand the whole
         // Array[Array[Byte]] to the codec at once

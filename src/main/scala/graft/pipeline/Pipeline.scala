@@ -53,7 +53,7 @@ object Pipeline {
       ceil((size(toks) - lit(overlap)).cast("double") / lit(stride)).cast("int"))
     val chunks = transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(toks, i * stride + lit(1), lit(chunkTokens))))
-    df.withColumn("__graft_chunks__", chunks)
+    graft.core.Fanout(df).withColumn("__graft_chunks__", chunks)
       .select(col("*"), posexplode(col("__graft_chunks__")))
       .withColumnRenamed("pos", "chunk_index")
       .withColumnRenamed("col", "chunk_text")
@@ -70,11 +70,13 @@ object Pipeline {
   def contaminationCheck(corpus: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       minShared: Int = 1): DataFrame = {
+    // hash each n-gram inside the transform so the explode emits longs, not
+    // 8-word strings — less to materialize and shuffle per gram
     def grams(df: DataFrame, out: String) = df
       .select(col(idCol).as(out),
-        explode(array_distinct(Dedup.wordNgrams(col(textCol), n))).as("__g__"))
-      .select(col(out), xxhash64(col("__g__")).as("__gh__"))
-    val cg = grams(corpus, "corpus_id")
+        explode(array_distinct(transform(Dedup.wordNgrams(col(textCol), n),
+          g => xxhash64(g)))).as("__gh__"))
+    val cg = grams(graft.core.Fanout(corpus), "corpus_id")
     val rg = grams(reference, "ref_id").select(col("__gh__")).distinct()
     cg.join(rg, Seq("__gh__"), "inner")
       .groupBy(col("corpus_id"))

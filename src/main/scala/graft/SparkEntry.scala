@@ -250,6 +250,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // n-gram Jaccard dedup: LSH candidates verified by the exact n-gram
+    // Jaccard metric (≥ 0.999999 ⇒ identical shingle sets) — must equal the
+    // exact duplicate-pair join.
+    "q27_ngram_jaccard" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val withCopies = docs.unionByName(
+        docs.orderBy(col("doc_id")).limit(20)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val cands = graft.dedup.Dedup.lshCandidatePairs(withCopies, "doc_id", "text")
+      val txt = withCopies.select(col("doc_id"), col("text"))
+      cands
+        .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
+        .join(txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
+        .filter(graft.dedup.Dedup.ngramJaccard(col("ta"), col("tb"), n = 3) >= 0.999999)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding-cosine near-dup pairs: hyperplane-LSH candidate join + exact
+    // cosine ≥ 0.999 — planted duplicate vectors are the only such pairs
+    // among random 64-dim embeddings, so this equals the exact
+    // equal-vector join.
+    "q28_embedding_dedup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val withCopies = emb.unionByName(
+        emb.orderBy(col("vec_id")).limit(20)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      graft.ann.Ann.cosineDedupPairs(withCopies, "vec_id", "embedding",
+        threshold = 0.999)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // IVF ANN probing every cluster: partitions the corpus but prunes
+    // nothing, so the result must equal the exact brute-force top-k —
+    // verifying assignment + probe + re-rank end-to-end.
+    "q29_knn_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).toArray
+      val (assigned, centroids) =
+        graft.ann.Ann.ivfIndex(emb, "vec_id", "embedding", nClusters = 16)
+      graft.ann.Ann.ivfKnn(assigned, centroids, "vec_id", "embedding", q,
+        k = 10, nprobe = 16)
+        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+    }),
+
     // --- §2.5 sample-base joins through the AQP rewrite ----------------------
     // Sampled fact side joined to a dimension; full-fraction sample → exact.
     "q17_join_with_error" -> ((s, dir) => {
@@ -472,6 +519,36 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM all_docs a JOIN all_docs b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    "q27_ngram_jaccard" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM all_docs a JOIN all_docs b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q28_embedding_dedup" ->
+      """WITH all_vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM
+        |    (SELECT * FROM embeddings ORDER BY vec_id LIMIT 20)
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM all_vecs a JOIN all_vecs b
+        |  ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q29_knn_ivf" ->
+      """SELECT vec_id,
+        |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 5) AS cosine
+        |FROM embeddings
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q13_knn_brute" ->
       """SELECT vec_id,

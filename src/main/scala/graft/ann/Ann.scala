@@ -116,23 +116,11 @@ object Ann {
         .orderBy(col("__h__")).limit(nClusters)
         .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    def assign(d: DataFrame): DataFrame = {
-      val spark = d.sparkSession
-      import spark.implicits._
-      val cdf = broadcast(centroids.zipWithIndex
-        .map { case (c, i) => (i, c) }.toSeq.toDF("__cid__", "__cvec__"))
-      val v = transform(col(vecCol), x => x.cast("double"))
-      val dist = aggregate(zip_with(v, col("__cvec__"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idCol)).orderBy(col("__dist__"), col("__cid__"))
-      d.crossJoin(cdf)
-        .withColumn("__dist__", dist)
-        .withColumn("__rn__", row_number().over(w))
-        .filter(col("__rn__") === 1)
-        .drop("__cvec__", "__dist__", "__rn__")
-        .withColumnRenamed("__cid__", "__graft_cluster__")
-    }
+    // assignment is a pure map: the codebook travels inside the expression,
+    // so no centroid join, no per-id window, no shuffle (see NearestCentroid)
+    def assign(d: DataFrame): DataFrame =
+      d.withColumn("__graft_cluster__",
+        org.apache.spark.sql.graft.NearestCentroid(col(vecCol), centroids))
 
     var assigned = assign(src)
     (0 until lloydIterations).foreach { _ =>
@@ -176,9 +164,12 @@ object Ann {
       threshold: Double, numPlanes: Int = 12, seed: Long = 7L): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, numPlanes, seed)
+    // persist: both join sides read the bucketed vectors, and the H
+    // hyperplane dot products per row dominate — don't compute them twice
     val bucketed = graft.core.Fanout(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         lshBucket(col(vecCol), planes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

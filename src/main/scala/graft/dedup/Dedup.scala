@@ -93,8 +93,11 @@ object Dedup {
    * exact 16-bit chunk), so no O(n²) cross join. */
   def simhashPairs(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // persist: the self-join consumes the fingerprints on both sides, and the
+    // 64-bit weighted-token hash dominates the stage — don't compute it twice
     val fp = graft.core.Fanout(df)
       .select(col(idCol).as("id"), simhash(col(contentCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
@@ -117,10 +120,13 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** Exact n-gram Jaccard similarity between two text columns. */
+  /** Exact n-gram Jaccard similarity between two text columns. Compares the
+   * single-pass 64-bit gram hashes ([[WordNgramHashes]]) rather than gram
+   * strings: set algebra over longs, immune to the codegen blowup of the
+   * string version, and exact up to 2⁻⁶⁴ hash collisions. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    val ga = array_distinct(wordNgrams(a, n))
-    val gb = array_distinct(wordNgrams(b, n))
+    val ga = org.apache.spark.sql.graft.WordNgramHashes(a, n)
+    val gb = org.apache.spark.sql.graft.WordNgramHashes(b, n)
     val inter = size(array_intersect(ga, gb)).cast("double")
     val union = size(array_union(ga, gb)).cast("double")
     when(union === 0, lit(0.0)).otherwise(inter / union)

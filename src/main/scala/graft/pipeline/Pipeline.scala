@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
-
 /**
  * Training-data pipeline operators beyond dedup/ANN/text: deterministic
  * stratified splits, token-budget document chunking, and cross-corpus
@@ -70,15 +68,18 @@ object Pipeline {
   def contaminationCheck(corpus: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       minShared: Int = 1): DataFrame = {
-    // hash each n-gram inside the transform so the explode emits longs, not
-    // 8-word strings — less to materialize and shuffle per gram
+    // single-pass n-gram hashing expression: emits the distinct gram hashes
+    // as longs — no gram strings materialize, and the generated code stays
+    // small enough to JIT (the transform/slice/concat_ws algebra does not)
     def grams(df: DataFrame, out: String) = df
       .select(col(idCol).as(out),
-        explode(array_distinct(transform(Dedup.wordNgrams(col(textCol), n),
-          g => xxhash64(g)))).as("__gh__"))
+        explode(org.apache.spark.sql.graft.WordNgramHashes(col(textCol), n))
+          .as("__gh__"))
     val cg = grams(graft.core.Fanout(corpus), "corpus_id")
     val rg = grams(reference, "ref_id").select(col("__gh__")).distinct()
-    cg.join(rg, Seq("__gh__"), "inner")
+    // the reference set (eval benchmarks) is small by definition — broadcast
+    // it so the corpus gram stream is filtered in place and never shuffles
+    cg.join(broadcast(rg), Seq("__gh__"), "inner")
       .groupBy(col("corpus_id"))
       .agg(countDistinct(col("__gh__")).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)

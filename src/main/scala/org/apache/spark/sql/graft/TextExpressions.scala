@@ -80,9 +80,15 @@ case class MinHashSignature(child: Expression, numHashes: Int, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  @transient private lazy val coeffs: Array[(Long, Long)] = {
+  // flat primitive arrays: the update loop below runs numShingles×numHashes
+  // times per document, so no per-access indirection
+  @transient private lazy val (coeffA, coeffB): (Array[Long], Array[Long]) = {
     val rng = new java.util.SplittableRandom(0x5eed5eedL)
-    Array.fill(numHashes)((rng.nextLong() | 1L, rng.nextLong()))
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { a(i) = rng.nextLong() | 1L; b(i) = rng.nextLong(); i += 1 }
+    (a, b)
   }
 
   override def nullSafeEval(v: Any): Any = {
@@ -110,10 +116,11 @@ case class MinHashSignature(child: Expression, numHashes: Int, k: Int)
   }
 
   @inline private def updateSig(sig: Array[Long], shingleHash: Long): Unit = {
+    val a = coeffA
+    val b = coeffB
     var j = 0
     while (j < numHashes) {
-      val (a, b) = coeffs(j)
-      val hj = a * shingleHash + b
+      val hj = a(j) * shingleHash + b(j)
       if (hj < sig(j)) sig(j) = hj
       j += 1
     }
@@ -175,4 +182,76 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 
 object SimHash64 {
   def apply(c: Column): Column = Exprs.column(new SimHash64(Exprs.expression(c)))
+}
+
+/**
+ * `word_ngram_hashes(text, n)`: distinct 64-bit hashes of the word n-grams of
+ * whitespace-normalized lowercase text, as `array<bigint>`. One pass over the
+ * characters: per-token polynomial hashes combine through a rolling window of
+ * n token hashes; a doc shorter than n tokens yields the hash of its full
+ * token sequence (mirroring [[graft.dedup.Dedup.wordNgrams]]).
+ *
+ * Exists for the hot paths (contamination checks, n-gram fingerprints) where
+ * the equivalent `transform(sequence…, slice+concat_ws)` column algebra
+ * generates a codegen method big enough to stay interpreted/JIT-cold and
+ * materializes every n-gram string; this emits only the longs.
+ */
+case class WordNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n-gram size must be >= 1: $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = RollingFingerprint.normalize(v.asInstanceOf[UTF8String].toString)
+    // token polynomial hashes (base 31, mixed), matching none in particular —
+    // any stable 64-bit hash works; membership tests only compare hashes
+    val tok = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) {
+          var h = 0L
+          var j = start
+          while (j < i) { h = h * 31L + s.charAt(j); j += 1 }
+          tok += RollingFingerprint.mix(h)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = tok.length
+    val out = new java.util.HashSet[Long]()
+    if (m < n) {
+      // whole (possibly empty) token sequence as the single gram
+      var h = 0L
+      var j = 0
+      while (j < m) { h = h * 0x100000001b3L + tok(j); j += 1 }
+      out.add(RollingFingerprint.mix(h))
+    } else {
+      var g = 0
+      while (g + n <= m) {
+        var h = 0L
+        var j = g
+        while (j < g + n) { h = h * 0x100000001b3L + tok(j); j += 1 }
+        out.add(RollingFingerprint.mix(h))
+        g += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
+    copy(child = newChild)
+}
+
+object WordNgramHashes {
+  def apply(c: Column, n: Int): Column =
+    Exprs.column(new WordNgramHashes(Exprs.expression(c), n))
 }

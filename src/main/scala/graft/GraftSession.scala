@@ -143,7 +143,7 @@ class GraftSession(val spark: SparkSession) {
       persistPath: Option[String] = None): DataFrame = {
     val base = spark.table(baseName)
     val sampled = StratifiedSampler.sample(base, qcs.map(expr), fraction,
-      reservoirSize, seed, preFilter = true, preFilterFactor = 4.0)
+      reservoirSize, seed, preFilter = true, preFilterFactor = 2.0)
     registerSample(name, baseName, base, sampled, qcs, fraction, reservoirSize,
       persistPath)
   }
@@ -182,7 +182,7 @@ class GraftSession(val spark: SparkSession) {
           reservoirSize = reservoirSize, seed = seed)
       case None =>
         StratifiedSampler.sample(base, qcs.map(expr), fraction, reservoirSize,
-          seed, preFilter = true, preFilterFactor = 4.0)
+          seed, preFilter = true, preFilterFactor = 2.0)
     }
     registerSample(name, baseName, base, sampled, qcs, fraction, reservoirSize,
       opts.get("path"))
@@ -222,7 +222,7 @@ class GraftSession(val spark: SparkSession) {
     val info = state.samples.getOrElse(name,
       throw new IllegalArgumentException(s"No sample table named $name"))
     val sampled = StratifiedSampler.sample(df, info.qcs.map(expr), info.fraction,
-      info.reservoirSize, seed, preFilter = true, preFilterFactor = 4.0)
+      info.reservoirSize, seed, preFilter = true, preFilterFactor = 2.0)
     val merged = info.persistPath match {
       case Some(path) =>
         sampled.write.mode("append").parquet(path)

@@ -14,33 +14,22 @@ import org.apache.spark.sql.functions._
  *    Hamming-1 neighbors, then re-rank candidates exactly. Index build is
  *    one narrow pass; per-query work drops by ~2^H.
  *
- * All column algebra (`zip_with`/`aggregate` fold into whole-stage codegen);
- * no UDFs, no driver-side loops over vectors.
+ * Vector math runs in fused single-pass Catalyst expressions
+ * (CosineToQuery/CosineSim/HyperplaneBucket/NearestCentroid) — no UDFs, no
+ * driver-side loops over vectors, no codegen blowup from per-dimension
+ * lambda algebra.
  */
 object Ann {
 
   /** Cosine similarity between an array<float/double> column and a literal
-   * query vector, computed in double. */
-  def cosineToQuery(vec: Column, query: Array[Float]): Column = {
-    val q = query.map(_.toDouble)
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
-    if (qNorm == 0.0) return lit(0.0) // zero query vector: similarity undefined → 0
-    val qCol = array(q.map(lit): _*)
-    val v = transform(vec, x => x.cast("double"))
-    val dot = aggregate(zip_with(v, qCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val vNorm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
-    when(vNorm === 0, lit(0.0)).otherwise(dot / (vNorm * lit(qNorm)))
-  }
+   * query vector, computed in double (fused-loop expression — same
+   * accumulation order as the former zip_with/aggregate algebra). */
+  def cosineToQuery(vec: Column, query: Array[Float]): Column =
+    org.apache.spark.sql.graft.CosineToQuery(vec, query.map(_.toDouble))
 
   /** Cosine similarity between two vector columns (double). */
-  def cosine(a: Column, b: Column): Column = {
-    val va = transform(a, x => x.cast("double"))
-    val vb = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(va, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(vb, x => x * x), lit(0.0), (acc, x) => acc + x))
-    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSim(a, b)
 
   /** Exact top-k cosine neighbors of `query`. */
   def bruteForceKnn(df: DataFrame, idCol: String, vecCol: String,
@@ -56,15 +45,10 @@ object Ann {
     Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-bit bucket id of a vector column under the given hyperplanes. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val v = transform(vec, x => x.cast("double"))
-    planes.zipWithIndex.map { case (p, i) =>
-      val pCol = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(v, pCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** Sign-bit bucket id of a vector column under the given hyperplanes
+   * (one fused pass per plane — see HyperplaneBucket). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.HyperplaneBucket(vec, planes)
 
   private def bucketOf(query: Array[Float], planes: Array[Array[Double]]): Long =
     planes.zipWithIndex.map { case (p, i) =>

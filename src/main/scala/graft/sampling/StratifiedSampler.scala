@@ -37,12 +37,14 @@ import org.apache.spark.sql.graft.{PackWeightage, Weightage}
  * stratum would land on one task. When `fraction` is small, `preFilter`
  * (default on) first computes per-stratum counts with a map-side-combined
  * `groupBy.count` (tiny shuffle), broadcasts them, and Bernoulli-prefilters
- * to ~`preFilterFactor × target` rows by the same hash *before* the window
- * sort. The kept set is unchanged — the target-smallest hashes survive any
- * prefilter keeping all hashes below a threshold at ~factor× the target
- * quantile (a false cut needs the target-th order statistic to exceed 4× its
- * expectation: probability exp(−Θ(target)), negligible at target ≥ 50) — and
- * the sort input shrinks by ~1/fraction. AQE handles residual skew.
+ * to ~`preFilterFactor × target + 50` rows by the same hash *before* the
+ * window sort. The kept set is unchanged — the target-smallest hashes
+ * survive any prefilter keeping all hashes below a threshold at ~margin× the
+ * target quantile. The additive cushion covers tiny strata and the
+ * multiplicative factor bounds the big-stratum shuffle at ~factor× the
+ * sample size: a false cut needs Binomial(total, (f·t+50)/total) < t, i.e.
+ * probability ≤ exp(−((f−1)t+50)²/(2(f·t+50))) ≤ e^−25 for every t ≥ 1 at
+ * the default f = 2. AQE handles residual skew.
  */
 object StratifiedSampler {
 
@@ -53,7 +55,7 @@ object StratifiedSampler {
       reservoirSize: Int = 50,
       seed: Long = 42L,
       preFilter: Boolean = true,
-      preFilterFactor: Double = 4.0)
+      preFilterFactor: Double = 2.0)
 
   final val WeightColumn: String = Weightage.WeightColumn
 
@@ -74,7 +76,7 @@ object StratifiedSampler {
       reservoirSize: Int = 50,
       seed: Long = 42L): DataFrame =
     sample(df, qcs.map(expr), fraction, reservoirSize, seed,
-      preFilter = true, preFilterFactor = 4.0)
+      preFilter = true, preFilterFactor = 2.0)
 
   /**
    * Error-limit sampling (reference `StratifiedSamplerErrorLimit.scala:33-45`,
@@ -123,10 +125,10 @@ object StratifiedSampler {
       .select(col(K).as(K + "c"), col(TOT), col("__graft_target__"))
 
     // same Bernoulli prefilter as the fraction path: cut the per-stratum
-    // sort input to ~4x target before the exact rank
+    // sort input to ~2x target + cushion before the exact rank
     val joined = keyed.join(broadcast(targets), col(K) <=> col(K + "c"), "inner")
     val p = least(lit(1.0),
-      col("__graft_target__") * lit(4.0) / col(TOT).cast("double"))
+      (col("__graft_target__") * lit(2.0) + lit(50.0)) / col(TOT).cast("double"))
     val threshold = (lit(2.0) * p - lit(1.0)) * lit(Long.MaxValue.toDouble)
     val pre = joined.filter(col(TOT) <= col("__graft_target__") ||
       col(R1).cast("double") < threshold)
@@ -192,13 +194,13 @@ object StratifiedSampler {
     // Attach per-stratum total; optionally Bernoulli-prefilter big strata
     // before the exact rank to keep the per-stratum sort input ~factor×target.
     val withTotal: DataFrame =
-      if (preFilter && fraction > 0.0 && fraction * preFilterFactor < 1.0) {
+      if (preFilter && fraction > 0.0 && fraction * preFilterFactor < 0.9) {
         val counts = keyed.groupBy(col(K)).agg(count(lit(1)).as(TOT))
         // null-safe equality: QCS values may be null and must join to their count
         val joined = keyed.join(broadcast(counts.withColumnRenamed(K, K + "c")),
           col(K) <=> col(K + "c"), "inner").drop(K + "c")
         val tgt = targetOf(col(TOT))
-        val p = least(lit(1.0), tgt * lit(preFilterFactor) / col(TOT))
+        val p = least(lit(1.0), (tgt * lit(preFilterFactor) + lit(50.0)) / col(TOT))
         // xxhash64 is uniform over the full signed-long range:
         // P(h < (2p−1)·MaxLong) = p; p == 1 keeps everything
         val threshold = (lit(2.0) * p - lit(1.0)) * lit(Long.MaxValue.toDouble)

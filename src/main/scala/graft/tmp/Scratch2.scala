@@ -1,6 +1,7 @@
 package graft.tmp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.sampling.StratifiedSampler
 
 object Scratch2 {
   def main(args: Array[String]): Unit = {
@@ -9,30 +10,19 @@ object Scratch2 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    val docs = spark.read.parquet(dir + "/documents.parquet")
-    docs.count()
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+    li.count()
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"TIMER $name ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
     }
-    val n = 8
-    def grams(df: org.apache.spark.sql.DataFrame, out: String) = df
-      .select(col("doc_id").as(out),
-        explode(array_distinct(transform(graft.dedup.Dedup.wordNgrams(col("text"), n),
-          g => xxhash64(g)))).as("__gh__"))
-
-    val corpus = docs.select(col("doc_id"), col("text"))
-    val eval = docs.orderBy(col("doc_id")).limit(5).select(col("doc_id"), col("text"))
-
-    time("cg_alone")(grams(graft.core.Fanout(corpus), "corpus_id").count())
-    time("rg_alone")(grams(eval, "ref_id").select(col("__gh__")).distinct().count())
-    val cg = grams(graft.core.Fanout(corpus), "corpus_id")
-    val rg = grams(eval, "ref_id").select(col("__gh__")).distinct()
-    time("join_only")(cg.join(broadcast(rg), Seq("__gh__"), "inner").count())
-    time("full_contam")(graft.pipeline.Pipeline.contaminationCheck(
-      corpus, eval, "doc_id", "text", n = 8, minShared = 3).count())
-    time("full_contam2")(graft.pipeline.Pipeline.contaminationCheck(
-      corpus, eval, "doc_id", "text", n = 8, minShared = 3).count())
+    time("scan_all_cols")(li.select(xxhash64(struct(li.columns.map(col): _*)).as("h")).filter(col("h") =!= 0).count())
+    time("counts_agg")(li.groupBy(col("l_returnflag")).count().count())
+    time("sample_f01")(StratifiedSampler.sample(li, Seq("l_returnflag"), 0.1, 10).count())
+    time("sample_f01_again")(StratifiedSampler.sample(li, Seq("l_returnflag"), 0.1, 10).count())
+    time("sample_agg_q02")(StratifiedSampler.sample(li, Seq("l_returnflag"), 0.1, 10)
+      .groupBy(col("l_returnflag")).agg(count(lit(1))).count())
+    time("sample_full")(StratifiedSampler.sample(li, Seq("l_returnflag"), 1.0).count())
     spark.stop()
   }
 }

@@ -69,3 +69,155 @@ object NearestCentroid {
   def apply(c: Column, centroids: Array[Array[Double]]): Column =
     Exprs.column(new NearestCentroid(Exprs.expression(c), centroids))
 }
+
+/** Shared dense-vector read: `array<float|double>` column value → doubles. */
+private[graft] object VecRead {
+  def toDoubles(arr: ArrayData, elem: DataType): Array[Double] = {
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    if (elem == FloatType) while (i < n) { out(i) = arr.getFloat(i); i += 1 }
+    else while (i < n) { out(i) = arr.getDouble(i); i += 1 }
+    out
+  }
+}
+
+/**
+ * `cosine_to_query(vec)`: cosine similarity of an `array<float|double>`
+ * column against a fixed query vector. Accumulation order matches the
+ * `zip_with`/`aggregate` column-algebra formulation (left-to-right sums), so
+ * results are bit-identical to it — but the per-row work is one fused loop
+ * instead of three lambda-driven array traversals, and the generated plan
+ * stays small enough to JIT.
+ */
+case class CosineToQuery(child: Expression, query: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val qNorm: Double = {
+    var s = 0.0; var i = 0
+    while (i < query.length) { s += query(i) * query(i); i += 1 }
+    math.sqrt(s)
+  }
+  @transient private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val vec = VecRead.toDoubles(arr, elemType)
+    val d = math.min(vec.length, query.length)
+    var dot = 0.0
+    var nv = 0.0
+    var i = 0
+    while (i < d) { dot += vec(i) * query(i); i += 1 }
+    i = 0
+    while (i < vec.length) { nv += vec(i) * vec(i); i += 1 }
+    val vNorm = math.sqrt(nv)
+    if (vNorm == 0.0 || qNorm == 0.0) 0.0 else dot / (vNorm * qNorm)
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case CosineToQuery(c, q) => c == child && java.util.Arrays.equals(q, query)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(query)
+
+  override protected def withNewChildInternal(newChild: Expression): CosineToQuery =
+    copy(child = newChild)
+}
+
+object CosineToQuery {
+  def apply(c: Column, query: Array[Double]): Column =
+    Exprs.column(new CosineToQuery(Exprs.expression(c), query))
+}
+
+/**
+ * `cosine_sim(a, b)`: cosine similarity between two vector columns, fused
+ * loop, same accumulation order as the column-algebra version.
+ */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val leftElem: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val rightElem: DataType =
+    right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val va = VecRead.toDoubles(l.asInstanceOf[ArrayData], leftElem)
+    val vb = VecRead.toDoubles(r.asInstanceOf[ArrayData], rightElem)
+    val d = math.min(va.length, vb.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < d) { dot += va(i) * vb(i); i += 1 }
+    i = 0
+    while (i < va.length) { na += va(i) * va(i); i += 1 }
+    i = 0
+    while (i < vb.length) { nb += vb(i) * vb(i); i += 1 }
+    val n1 = math.sqrt(na); val n2 = math.sqrt(nb)
+    if (n1 == 0.0 || n2 == 0.0) 0.0 else dot / (n1 * n2)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  def apply(a: Column, b: Column): Column =
+    Exprs.column(new CosineSim(Exprs.expression(a), Exprs.expression(b)))
+}
+
+/**
+ * `hyperplane_bucket(vec)`: sign-bit LSH bucket id under a fixed set of
+ * random hyperplanes — bit i set iff `vec · plane_i >= 0`. One pass over the
+ * vector per plane, no intermediate arrays; replaces H separate
+ * `aggregate(zip_with(...))` trees.
+ */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  @transient private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = VecRead.toDoubles(v.asInstanceOf[ArrayData], elemType)
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val d = math.min(vec.length, plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < d) { dot += vec(i) * plane(i); i += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case HyperplaneBucket(c, p) =>
+      c == child && p.length == planes.length &&
+        p.zip(planes).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.deepHashCode(
+      planes.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  def apply(c: Column, planes: Array[Array[Double]]): Column =
+    Exprs.column(new HyperplaneBucket(Exprs.expression(c), planes))
+}

@@ -414,6 +414,42 @@ object SparkEntry {
         .orderBy(col("corpus_id"))
     }),
 
+    // --- §2.3 Poisson-bootstrap estimator through the SQL surface ------------
+    // Full-fraction sample: trial 0 is unperturbed, so point estimates are
+    // exact; the quantile CI must frame the estimate (deterministic given
+    // content-hash seeds).
+    "q30_bootstrap_sql" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q30")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q30_sample ON lineitem_q30 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      s.conf.set("spark.sql.aqp.estimator", "bootstrap")
+      try {
+        gs.sql(
+          """SELECT l_returnflag, round(sum(l_quantity), 4) AS s,
+            |       round(avg(l_extendedprice), 6) AS a,
+            |       (lower_bound(s) <= s AND s <= upper_bound(s)) AS ci_ok
+            |FROM lineitem_q30 GROUP BY l_returnflag ORDER BY l_returnflag
+            |WITH ERROR 0.9""".stripMargin)
+      } finally s.conf.set("spark.sql.aqp.estimator", "closedform")
+    }),
+
+    // --- §2.4 error functions in HAVING and ORDER BY (reference
+    // ErrorEstimateFunctionTest: error fn in projection/having/order-by)
+    "q31_having_order" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q31")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q31_sample ON lineitem_q31 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT l_returnflag, round(sum(l_quantity), 4) AS s,
+          |       round(relative_error(s), 6) AS rel_err
+          |FROM lineitem_q31 GROUP BY l_returnflag
+          |HAVING relative_error(s) < 0.5 AND sum(l_quantity) > 0
+          |ORDER BY absolute_error(s), l_returnflag
+          |WITH ERROR 0.9""".stripMargin)
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -615,6 +651,19 @@ object SparkEntry {
         |  (length(regexp_split_to_array(trim(text), '\s+')) - 2) / 8.0) AS BIGINT))
         |  AS n_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_bootstrap_sql" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS s,
+        |       ROUND(AVG(l_extendedprice), 6) AS a,
+        |       TRUE AS ci_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q31_having_order" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS s,
+        |       ROUND(0.0, 6) AS rel_err
+        |FROM lineitem GROUP BY l_returnflag
+        |HAVING SUM(l_quantity) > 0
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q22_percentile" ->
       """SELECT l_returnflag,

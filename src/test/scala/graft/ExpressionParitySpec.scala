@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+
+/**
+ * The fused vector/text expressions (CosineToQuery, CosineSim,
+ * HyperplaneBucket, NearestCentroid, WordNgramHashes) replaced equivalent
+ * column-algebra formulations for codegen-size and shuffle reasons. These
+ * tests pin their semantics against the original algebra on real data so a
+ * future edit cannot silently drift.
+ */
+class ExpressionParitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def queryVec: Array[Float] =
+    emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).toArray
+
+  test("CosineToQuery is bit-identical to the zip_with/aggregate algebra") {
+    val q = queryVec.map(_.toDouble)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val qCol = array(q.map(lit): _*)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dot = aggregate(zip_with(v, qCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val vNorm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val algebra = when(vNorm === 0, lit(0.0)).otherwise(dot / (vNorm * lit(qNorm)))
+
+    val diff = emb.select(
+      (Ann.cosineToQuery(col("embedding"), queryVec) - algebra).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff === 0.0, "fused cosine must equal the algebra exactly")
+  }
+
+  test("CosineSim symmetric, 1.0 on itself, matches algebra on pairs") {
+    val self = emb.select(Ann.cosine(col("embedding"), col("embedding")).as("c"))
+      .agg(min(col("c")), max(col("c"))).collect()(0)
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(self.getDouble(1) - 1.0) < 1e-12)
+
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va")).limit(50)
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb")).limit(50)
+    val pairs = a.crossJoin(b)
+    val va = transform(col("va"), x => x.cast("double"))
+    val vb = transform(col("vb"), x => x.cast("double"))
+    val dot = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(va, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(vb, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val algebra = when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+    val diff = pairs.select((Ann.cosine(col("va"), col("vb")) - algebra).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff === 0.0)
+  }
+
+  test("HyperplaneBucket equals the per-plane sign algebra") {
+    val planes = Ann.hyperplanes(queryVec.length, 8, seed = 7L)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val algebra = planes.zipWithIndex.map { case (p, i) =>
+      val pCol = array(p.map(lit): _*)
+      val dt = aggregate(zip_with(v, pCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(dt >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val mismatches = emb.select(
+      Ann.lshBucket(col("embedding"), planes).as("fused"), algebra.as("alg"))
+      .filter(col("fused") =!= col("alg")).count()
+    assert(mismatches === 0)
+  }
+
+  test("NearestCentroid matches driver-side argmin with low-index tie-break") {
+    val centroids = emb.orderBy(col("vec_id")).limit(8)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val got = emb.select(col("vec_id"),
+      org.apache.spark.sql.graft.NearestCentroid(col("embedding"), centroids).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val dists = centroids.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      assert(got(id) === best, s"vec $id")
+    }
+  }
+
+  test("WordNgramHashes: count parity with the string n-gram algebra") {
+    // distinct-hash count == distinct-string count (no collisions expected on
+    // real corpus), short docs produce exactly one gram
+    val n = 5
+    val fused = docs.select(
+      size(org.apache.spark.sql.graft.WordNgramHashes(col("text"), n)).as("k"))
+      .agg(sum(col("k"))).collect()(0).getLong(0)
+    val algebra = docs.select(
+      size(array_distinct(graft.dedup.Dedup.wordNgrams(col("text"), n))).as("k"))
+      .agg(sum(col("k"))).collect()(0).getLong(0)
+    assert(fused === algebra)
+
+    import spark.implicits._
+    val short = Seq((1L, "only two"), (2L, ""), (3L, "one")).toDF("doc_id", "text")
+    val counts = short.select(col("doc_id"),
+      size(org.apache.spark.sql.graft.WordNgramHashes(col("text"), n)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts === Map(1L -> 1, 2L -> 1, 3L -> 1))
+  }
+
+  test("ngramJaccard: 1.0 iff same token stream, in (0,1) for overlap") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e", "a b c d e"),
+      ("a b c d e", "A  b C d    e"), // case/whitespace-insensitive
+      ("a b c d e f", "b c d e f g"),
+      ("a b c", "x y z")).toDF("t1", "t2")
+    val out = df.select(graft.dedup.Dedup.ngramJaccard(col("t1"), col("t2"), 3).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(out(0) === 1.0)
+    assert(out(1) === 1.0)
+    assert(out(2) > 0.0 && out(2) < 1.0)
+    assert(out(3) === 0.0)
+  }
+}

@@ -2,8 +2,9 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -107,4 +108,39 @@ object SketchAggregate {
     Exprs.column(new SketchAggregate(
       Exprs.expression(keyCol), Exprs.expression(freqCol), variant, k, depth,
       width, capacity, seed).toAggregateExpression())
+}
+
+/**
+ * `sketch_topk(bytes, k)`: decode a serialized [[SketchAggregate]] buffer
+ * into its top-k entries as `array<struct<key, estimated_value,
+ * lower_bound>>`. Runs on executors, so a windowed streaming sketch
+ * aggregation can emit final top-k rows without any driver-held state —
+ * `groupBy(window(...)).agg(sketch).select(explode(sketch_topk(...)))`.
+ */
+case class SketchTopK(child: Expression, k: Int, keyIsString: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", if (keyIsString) StringType else LongType),
+    StructField("estimated_value", LongType),
+    StructField("lower_bound", LongType))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val sketch = SketchAggregate.fromBytes(v.asInstanceOf[Array[Byte]])
+    val rows = sketch.topK(k).map { case (key, est, lower) =>
+      val keyVal: Any =
+        if (keyIsString) UTF8String.fromString(String.valueOf(key))
+        else key.asInstanceOf[Number].longValue()
+      InternalRow(keyVal, est, lower)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SketchTopK =
+    copy(child = newChild)
+}
+
+object SketchTopK {
+  def apply(c: Column, k: Int, keyIsString: Boolean): Column =
+    Exprs.column(new SketchTopK(Exprs.expression(c), k, keyIsString))
 }

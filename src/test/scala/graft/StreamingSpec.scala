@@ -63,4 +63,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(viaSql - 1000.0) / 1000.0 < 0.05)
     gs.dropSampleTable("stream_sample")
   }
+
+  test("windowedTopK: watermarked windowed sketch agg, fully distributed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "event_type")
+
+    val out = graft.streaming.StreamOps.windowedTopK(
+      stream, keyCol = "event_type", tsCol = "ts",
+      windowDuration = "1 minute", watermarkDelay = "0 seconds", k = 3)
+    val q = out.writeStream.format("memory").queryName("wtk")
+      .outputMode("append").start()
+
+    def t(min: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    // window 10:00: click x3, view x1 — window 10:01: view x2
+    mem.addData((t(0, 5), "click"), (t(0, 10), "click"), (t(0, 20), "view"),
+      (t(0, 40), "click"), (t(1, 10), "view"), (t(1, 20), "view"))
+    q.processAllAvailable()
+    // advance the watermark past both windows so append mode emits them
+    mem.addData((t(30, 0), "late_marker"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wtk")
+      .select(col("window_start"), col("event_type"), col("estimated_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 3L)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L)))
+    assert(rows.contains(("2024-01-01 10:01:00.0", "view", 2L)))
+  }
+
+  test("runningCounts: flatMapGroupsWithState accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val stream = mem.toDF().toDF("k")
+
+    val out = graft.streaming.StreamOps.runningCounts(stream, "k")
+    val q = out.writeStream.format("memory").queryName("rc")
+      .outputMode("update").start()
+    mem.addData("a", "a", "b")
+    q.processAllAvailable()
+    mem.addData("a", "b", "c")
+    q.processAllAvailable()
+    q.stop()
+
+    // last update per key wins
+    val last = spark.table("rc").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
 }

@@ -102,14 +102,31 @@ class GraftSession(val spark: SparkSession) {
    * through unchanged.
    */
   def sql(text: String): DataFrame = {
-    import org.apache.spark.sql.graft.{AqpParser, AqpRewrite, CreateSampleTableNode, CreateTopkTableNode, Plans}
+    import org.apache.spark.sql.graft._
     val parser = new AqpParser(spark.sessionState.sqlParser)
     parser.parsePlan(text) match {
       case CreateSampleTableNode(name, base, opts) =>
         createSampleTableFromOptions(name, base, opts)
         spark.emptyDataFrame
+      case CreateSampleTableAsNode(name, opts, query) =>
+        // sample over an arbitrary query: register the query result as the
+        // base (reference `AS SELECT` arm creates-and-populates likewise)
+        val baseView = name + "_base"
+        spark.sql(query).createOrReplaceTempView(baseView)
+        createSampleTableFromOptions(name, baseView, opts)
+        spark.emptyDataFrame
       case CreateTopkTableNode(name, base, opts) =>
         createTopK(name, base, opts)
+        spark.emptyDataFrame
+      case DropSampleTableNode(name, ifExists) =>
+        if (!ifExists && !state.samples.contains(name))
+          throw new IllegalArgumentException(s"No sample table named $name")
+        dropSampleTable(name)
+        spark.emptyDataFrame
+      case DropTopkTableNode(name, ifExists) =>
+        if (!ifExists && !state.topks.contains(name.toLowerCase))
+          throw new IllegalArgumentException(s"No TopK structure named $name")
+        state.topks.remove(name.toLowerCase)
         spark.emptyDataFrame
       case plan =>
         val analyzed = Plans.analyzed(Plans.ofRows(spark, plan))
@@ -251,6 +268,39 @@ class GraftSession(val spark: SparkSession) {
   def sample(df: DataFrame, qcs: Seq[String], fraction: Double = 0.0,
       reservoirSize: Int = 50, seed: Long = 42L): DataFrame =
     StratifiedSampler.sample(df, qcs, fraction, reservoirSize, seed)
+
+  /**
+   * Error statistics of an aggregate over a sampled DataFrame (one produced
+   * by [[sample]] — must carry the weight column): estimate, absolute and
+   * relative error, confidence bounds and sample count, per group if
+   * `groupBy` columns are given. The DataFrame face of the reference's
+   * `SampleDataFrameContract.errorStats`
+   * (`sql/SampleDataFrameContractImpl.scala:33-80`).
+   */
+  def errorStats(sampledDf: DataFrame, column: String,
+      aggType: String = "sum", confidence: Double = 0.95,
+      groupBy: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions._
+    val aggCol = aggType.toLowerCase match {
+      case "sum" => approx_sum(col(column), col(weightColumn), confidence)
+      case "avg" | "average" => approx_avg(col(column), col(weightColumn), confidence)
+      case "count" => approx_count(col(column), col(weightColumn), confidence)
+      case other => throw new IllegalArgumentException(
+        s"errorStats supports sum/avg/count, got $other")
+    }
+    val grouped =
+      if (groupBy.isEmpty) sampledDf.groupBy()
+      else sampledDf.groupBy(groupBy.map(col): _*)
+    grouped.agg(aggCol.as("__s__"))
+      .select(groupBy.map(col) ++ Seq(
+        estimate(col("__s__")).as("estimate"),
+        absolute_error(col("__s__")).as("absolute_error"),
+        relative_error(col("__s__")).as("relative_error"),
+        lower_bound(col("__s__")).as("lower_bound"),
+        upper_bound(col("__s__")).as("upper_bound"),
+        col("__s__.sample_count").as("sample_count")): _*)
+  }
 
   // ---------------------------------------------------------------------------
   // TopK tables (reference entry point C — `CREATE TOPK TABLE`, `queryTopK`:

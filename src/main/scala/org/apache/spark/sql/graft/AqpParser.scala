@@ -34,10 +34,26 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
       val opts = parseOptions(createSample.group(3))
       return CreateSampleTableNode(createSample.group(1), createSample.group(2), opts)
     }
+    val createSampleAs = CreateSampleAsPattern.matcher(sqlText)
+    if (createSampleAs.matches()) {
+      val opts = parseOptions(createSampleAs.group(2))
+      return CreateSampleTableAsNode(createSampleAs.group(1), opts,
+        createSampleAs.group(3))
+    }
     val createTopk = CreateTopkPattern.matcher(sqlText)
     if (createTopk.matches()) {
       val opts = parseOptions(createTopk.group(3))
       return CreateTopkTableNode(createTopk.group(1), createTopk.group(2), opts)
+    }
+    val dropSample = DropSamplePattern.matcher(sqlText)
+    if (dropSample.matches()) {
+      return DropSampleTableNode(dropSample.group(2),
+        ifExists = dropSample.group(1) != null)
+    }
+    val dropTopk = DropTopkPattern.matcher(sqlText)
+    if (dropTopk.matches()) {
+      return DropTopkTableNode(dropTopk.group(2),
+        ifExists = dropTopk.group(1) != null)
     }
     val m = WithErrorPattern.matcher(sqlText)
     if (m.matches()) {
@@ -79,6 +95,15 @@ object AqpParser {
   val CreateTopkPattern: Pattern = Pattern.compile(
     "(?is)\\A\\s*CREATE\\s+TOPK\\s+TABLE\\s+([\\w.]+)\\s+ON\\s+([\\w.]+)" +
       "\\s+OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")
+  // sample over an arbitrary query (reference grammar's `AS SELECT` arm —
+  // `sql/snappyAQPParsers.scala:77-103`)
+  val CreateSampleAsPattern: Pattern = Pattern.compile(
+    "(?is)\\A\\s*CREATE\\s+SAMPLE\\s+TABLE\\s+([\\w.]+)" +
+      "\\s+OPTIONS\\s*\\((.*?)\\)\\s+AS\\s+(SELECT\\b.*)\\s*;?\\s*\\z")
+  val DropSamplePattern: Pattern = Pattern.compile(
+    "(?is)\\A\\s*DROP\\s+SAMPLE\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*;?\\s*\\z")
+  val DropTopkPattern: Pattern = Pattern.compile(
+    "(?is)\\A\\s*DROP\\s+TOPK\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*;?\\s*\\z")
   private val OptionPattern: Pattern =
     Pattern.compile("(?is)(\\w+)\\s+'([^']*)'")
 
@@ -100,6 +125,22 @@ case class CreateSampleTableNode(name: String, base: String,
 
 case class CreateTopkTableNode(name: String, base: String,
     options: Map[String, String])
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+}
+
+case class CreateSampleTableAsNode(name: String, options: Map[String, String],
+    query: String)
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+}
+
+case class DropSampleTableNode(name: String, ifExists: Boolean)
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+}
+
+case class DropTopkTableNode(name: String, ifExists: Boolean)
   extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
   override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
 }

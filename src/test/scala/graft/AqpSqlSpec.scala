@@ -136,4 +136,41 @@ class AqpSqlSpec extends AnyFunSuite {
     assert(picked2.map(_.name) === Some("s_flag"))
     gs.dropSampleTable("s_flag"); gs.dropSampleTable("s_stat")
   }
+
+  test("CREATE SAMPLE TABLE ... AS SELECT samples a query result") {
+    gs.sql("CREATE SAMPLE TABLE big_orders OPTIONS(qcs 'o_orderpriority', " +
+      "fraction '1.0') AS SELECT * FROM orders WHERE o_totalprice > 100000")
+    val n = spark.table("big_orders").count()
+    val exact = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_totalprice > 100000")
+      .collect()(0).getLong(0)
+    assert(n === exact) // fraction 1.0 keeps every qualifying row
+    assert(spark.table("big_orders").columns.contains(functions.weightColumn))
+    gs.sql("DROP SAMPLE TABLE big_orders")
+  }
+
+  test("DROP SAMPLE TABLE removes the registration; IF EXISTS tolerant") {
+    gs.sql("CREATE SAMPLE TABLE li_drop ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.1')")
+    assert(gs.state.samples.contains("li_drop"))
+    gs.sql("DROP SAMPLE TABLE li_drop")
+    assert(!gs.state.samples.contains("li_drop"))
+    gs.sql("DROP SAMPLE TABLE IF EXISTS li_drop") // no-op, no throw
+    intercept[IllegalArgumentException] { gs.sql("DROP SAMPLE TABLE li_drop") }
+  }
+
+  test("errorStats: per-group closed-form stats over an ad-hoc sample") {
+    val sampled = gs.sample(spark.table("lineitem"), Seq("l_returnflag"), fraction = 1.0)
+    val stats = gs.errorStats(sampled, "l_quantity", aggType = "sum",
+      groupBy = Seq("l_returnflag")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = exactByFlag
+    exact.foreach { case (flag, truth) =>
+      assert(math.abs(stats(flag) - truth) < 1e-6, s"flag $flag")
+    }
+    // full-fraction: zero error, bounds collapse onto the estimate
+    val one = gs.errorStats(sampled, "l_quantity", aggType = "avg").collect()(0)
+    assert(one.getDouble(one.fieldIndex("absolute_error")) === 0.0)
+    assert(one.getDouble(one.fieldIndex("lower_bound")) ===
+      one.getDouble(one.fieldIndex("estimate")))
+  }
 }

@@ -202,15 +202,24 @@ class GraftSession(val spark: SparkSession) {
           seed, preFilter = true, preFilterFactor = 2.0)
     }
     registerSample(name, baseName, base, sampled, qcs, fraction, reservoirSize,
-      opts.get("path"))
+      opts.get("path"),
+      opts.get("partitionby").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
   }
 
   private def registerSample(name: String, baseName: String, base: DataFrame,
       sampled: DataFrame, qcs: Seq[String], fraction: Double,
-      reservoirSize: Int, persistPath: Option[String]): DataFrame = {
+      reservoirSize: Int, persistPath: Option[String],
+      partitionBy: Seq[String] = Nil): DataFrame = {
     val sampleDf = persistPath match {
       case Some(path) =>
-        sampled.write.mode("overwrite").parquet(path)
+        // `partitionBy` (typically the QCS or the base table's partition
+        // columns) gives the persisted sample hive-style partition dirs, so
+        // stratum-filtered queries prune files instead of scanning the whole
+        // sample (reference co-partitions samples with the base —
+        // `ColumnFormatSamplingRelation.scala:126-133`)
+        val w = sampled.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(path)
         spark.read.parquet(path)
       case None if fraction < 1.0 =>
         // cached lazily: the sampler is content-hash deterministic, so even

@@ -156,6 +156,12 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case e: Expand if e.child.outputSet.contains(weightAttr) &&
           !e.output.exists(_.semanticEquals(weightAttr)) =>
         Expand(e.projections.map(_ :+ weightAttr), e.output :+ weightAttr, e.child)
+      // Generate (LATERAL VIEW / explode) and Window need no case here: at
+      // analysis time both forward the full child output (pruning happens in
+      // the optimizer, after this rewrite has made the aggregate reference
+      // the weight), so each exploded/windowed row keeps its source row's
+      // weight — the behavior the reference implements explicitly at
+      // `QueryProcessingRules.scala:2489-2510`
     }
     if (!threaded.outputSet.contains(weightAttr)) {
       throw new AnalysisException(

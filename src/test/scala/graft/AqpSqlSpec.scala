@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.graft.ErrorLimitExceededException
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -172,5 +173,27 @@ class AqpSqlSpec extends AnyFunSuite {
     assert(one.getDouble(one.fieldIndex("absolute_error")) === 0.0)
     assert(one.getDouble(one.fieldIndex("lower_bound")) ===
       one.getDouble(one.fieldIndex("estimate")))
+  }
+
+  test("persisted sample with partitionBy prunes partitions and answers exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sample_part").toString
+    gs.sql(s"CREATE SAMPLE TABLE li_part ON lineitem OPTIONS(" +
+      s"qcs 'l_returnflag', fraction '0.5', path '$dir', partitionby 'l_returnflag')")
+    // hive-style partition directories exist
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("l_returnflag=")))
+    // a stratum-filtered scan prunes to one partition
+    val scan = spark.table("li_part").filter(col("l_returnflag") === "A")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      "stratum filter must reach the scan as a partition filter:\n" + plan)
+    assert(scan.count() > 0)
+    // weighted estimate over the persisted partitioned sample ≈ truth
+    val est = spark.table("li_part")
+      .agg(functions.weighted_sum(col("l_quantity"))).collect()(0).getDouble(0)
+    val truth = spark.table("lineitem")
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    assert(math.abs(est - truth) / truth < 0.05, s"est $est vs $truth")
+    gs.sql("DROP SAMPLE TABLE li_part")
   }
 }

@@ -95,4 +95,15 @@ class PlanShapeSpec extends AnyFunSuite {
         |GROUP BY 1 WITH ERROR 0.5""".stripMargin).collect()
     assert(rows.nonEmpty)
   }
+
+  test("window function between sample and aggregate keeps the weight") {
+    val df = gs.sql(
+      """SELECT l_returnflag, sum(rq) s FROM
+        |  (SELECT l_returnflag,
+        |          rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rq
+        |   FROM li_ps)
+        |GROUP BY 1 WITH ERROR 0.9""".stripMargin)
+    assert(df.queryExecution.analyzed.treeString.contains("mapcolumntoweight"))
+    assert(df.count() === 3)
+  }
 }

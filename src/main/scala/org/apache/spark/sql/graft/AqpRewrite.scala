@@ -82,6 +82,17 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def isProtected(subtree: LogicalPlan): Boolean =
       protectedRoots.exists(root => root.exists(_ eq subtree))
 
+    // Min/Max are exact on a sample only when their argument columns are
+    // within the sample's QCS (every distinct value then forms a stratum
+    // with at least one retained row); otherwise the query must route to
+    // the base table (reference `QueryProcessingRules.scala:1385-1393` —
+    // Min/Max → requiredQcs)
+    val minMaxRefs: Set[String] = aggFns.flatMap(_.aggregateFunction match {
+      case m: Min => m.references.toSeq.map(_.name.toLowerCase)
+      case m: Max => m.references.toSeq.map(_.name.toLowerCase)
+      case _ => Nil
+    }).toSet
+
     // pool ALL samples whose base plan matches a subtree of this query
     // (different views over the same data are interchangeable), then rank
     // the whole pool by QCS — per-base grouping would let iteration order
@@ -91,6 +102,8 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         agg.child.collect {
           case n if n.sameResult(i.basePlan) => n
         }.find(!isProtected(_)).map(subtree => (subtree, i))
+      }.filter { case (_, i) =>
+        minMaxRefs.subsetOf(i.qcs.map(_.toLowerCase).toSet)
       }
     val queryQcs =
       (agg.groupingExpressions.flatMap(_.references.toSeq.map(_.name)) ++

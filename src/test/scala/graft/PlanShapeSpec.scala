@@ -69,14 +69,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("mapcolumntoweight"))
   }
 
-  test("min/max computed over the sample, sum error-tracked, in one query") {
+  test("min/max over a QCS column runs on the sample; non-QCS routes to base") {
+    // l_returnflag ⊆ QCS: a sample stratified on it retains every distinct
+    // value, so min/max are exact over the sample (reference requiredQcs —
+    // `QueryProcessingRules.scala:1385-1393`)
+    val pQcs = planOf("SELECT l_linestatus, sum(l_quantity) s, " +
+      "max(l_returnflag) mx FROM li_ps GROUP BY 1 WITH ERROR 0.5")
+    assert(pQcs.contains("mapcolumntoweight") && pQcs.contains("max("))
+
+    // l_quantity ⊄ QCS: the sampled rows need not contain the true extremes —
+    // the whole query routes to the base table like the reference
+    val pBase = planOf("SELECT l_returnflag, sum(l_quantity) s, " +
+      "max(l_quantity) mx, min(l_quantity) mn FROM li_ps GROUP BY 1 WITH ERROR 0.5")
+    assert(!pBase.contains("approx_sum_cf") && !pBase.contains("mapcolumntoweight"))
     val rows = gs.sql("SELECT l_returnflag, sum(l_quantity) s, max(l_quantity) mx, " +
       "min(l_quantity) mn FROM li_ps GROUP BY 1 WITH ERROR 0.5").collect()
     assert(rows.length === 3)
     rows.foreach { r => assert(r.getDouble(2) >= r.getDouble(3)) }
-    val p = planOf("SELECT l_returnflag, sum(l_quantity) s, max(l_quantity) mx, " +
-      "absolute_error(s) e FROM li_ps GROUP BY 1 WITH ERROR 0.5")
-    assert(p.contains("approx_sum_cf") && p.contains("max("))
   }
 
   test("explode (Generate) between sample and aggregate keeps the weight") {

@@ -61,7 +61,6 @@ object StratifiedSampler {
 
   private val K = "__graft_key__"
   private val R1 = "__graft_rank__"
-  private val R2 = "__graft_rank2__"
   private val TOT = "__graft_total__"
 
   def sample(df: DataFrame, opts: Options): DataFrame =
@@ -110,7 +109,6 @@ object StratifiedSampler {
     val keyed = df
       .withColumn(K, key)
       .withColumn(R1, xxhash64(struct(dataCols: _*), lit(seed)))
-      .withColumn(R2, xxhash64(struct(dataCols: _*), lit(seed + 0x9e3779bL)))
 
     val stats = keyed.groupBy(col(K)).agg(
       count(lit(1)).as(TOT),
@@ -135,7 +133,7 @@ object StratifiedSampler {
 
     val ranked = pre
       .withColumn("__graft_rn__",
-        row_number().over(Window.partitionBy(col(K)).orderBy(col(R1), col(R2))))
+        row_number().over(Window.partitionBy(col(K)).orderBy(col(R1))))
       .filter(col("__graft_rn__") <= col("__graft_target__"))
       .withColumn("__graft_kept__",
         count(lit(1)).over(Window.partitionBy(col(K))))
@@ -180,11 +178,16 @@ object StratifiedSampler {
         .select(dataCols :+ col(WeightColumn): _*)
     }
 
-    // content-seeded rank: deterministic for a fixed seed, uniform per row
+    // Content-seeded rank: deterministic for a fixed seed, uniform per row.
+    // A single 64-bit hash ranks the rows; ties occur only for identical
+    // rows (interchangeable — any winner yields the same sample) or 2^-64
+    // cross-row collisions, the same determinism class as the reference
+    // (which pins partition counts in tests because its per-partition RNG
+    // order is config-dependent). A second independent hash would double the
+    // dominant scan-side compute for no material gain.
     val keyed = df
       .withColumn(K, key)
       .withColumn(R1, xxhash64(struct(dataCols: _*), lit(seed)))
-      .withColumn(R2, xxhash64(struct(dataCols: _*), lit(seed + 0x9e3779bL)))
 
     def targetOf(total: Column): Column =
       if (fraction > 0.0) {
@@ -212,7 +215,7 @@ object StratifiedSampler {
     val prefiltered = !(withTotal eq keyed) && fraction > 0.0
     val ranked = withTotal
       .withColumn("__graft_rn__",
-        row_number().over(Window.partitionBy(col(K)).orderBy(col(R1), col(R2))))
+        row_number().over(Window.partitionBy(col(K)).orderBy(col(R1))))
       .withColumn("__graft_target__", targetOf(col(TOT)))
       .filter(col("__graft_rn__") <= col("__graft_target__"))
 

@@ -45,12 +45,8 @@ object Pipeline {
   def chunk(df: DataFrame, textCol: String, chunkTokens: Int,
       overlap: Int = 0): DataFrame = {
     require(chunkTokens > overlap, "chunkTokens must exceed overlap")
-    val stride = chunkTokens - overlap
-    val toks = split(trim(col(textCol)), "\\s+")
-    val nChunks = greatest(lit(1),
-      ceil((size(toks) - lit(overlap)).cast("double") / lit(stride)).cast("int"))
-    val chunks = transform(sequence(lit(0), nChunks - 1),
-      i => concat_ws(" ", slice(toks, i * stride + lit(1), lit(chunkTokens))))
+    val chunks =
+      org.apache.spark.sql.graft.ChunkTokens(col(textCol), chunkTokens, overlap)
     graft.core.Fanout(df).withColumn("__graft_chunks__", chunks)
       .select(col("*"), posexplode(col("__graft_chunks__")))
       .withColumnRenamed("pos", "chunk_index")

@@ -255,3 +255,68 @@ object WordNgramHashes {
   def apply(c: Column, n: Int): Column =
     Exprs.column(new WordNgramHashes(Exprs.expression(c), n))
 }
+
+/**
+ * `chunk_tokens(text, chunkTokens, overlap)`: split text into whitespace
+ * tokens and emit `array<string>` of chunks of `chunkTokens` tokens with
+ * `overlap` tokens carried between consecutive chunks (stride =
+ * chunkTokens − overlap). Single pass; semantics identical to the
+ * `transform(sequence…, concat_ws(" ", slice(tokens, …)))` algebra
+ * (chunks re-join tokens with single spaces; blank text yields one empty
+ * chunk), which generates too much code to JIT on wide plans.
+ */
+case class ChunkTokens(child: Expression, chunkTokens: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(chunkTokens > overlap, "chunkTokens must exceed overlap")
+  private val stride = chunkTokens - overlap
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString.trim
+    // token boundaries
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    var inTok = false
+    while (i < s.length) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && !inTok) { starts += i; inTok = true }
+      if (ws && inTok) { ends += i; inTok = false }
+      i += 1
+    }
+    if (inTok) ends += s.length
+    val m = starts.length
+    val nChunks = math.max(1,
+      math.ceil((m - overlap).toDouble / stride).toInt)
+    val out = new Array[Any](nChunks)
+    var cIdx = 0
+    while (cIdx < nChunks) {
+      val from = cIdx * stride
+      val until = math.min(from + chunkTokens, m)
+      if (from >= m) out(cIdx) = UTF8String.EMPTY_UTF8
+      else {
+        val sb = new java.lang.StringBuilder(
+          ends(until - 1) - starts(from) + (until - from))
+        var t = from
+        while (t < until) {
+          if (t > from) sb.append(' ')
+          sb.append(s, starts(t), ends(t))
+          t += 1
+        }
+        out(cIdx) = UTF8String.fromString(sb.toString)
+      }
+      cIdx += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkTokens =
+    copy(child = newChild)
+}
+
+object ChunkTokens {
+  def apply(c: Column, chunkTokens: Int, overlap: Int): Column =
+    Exprs.column(new ChunkTokens(Exprs.expression(c), chunkTokens, overlap))
+}

@@ -120,4 +120,25 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(out(2) > 0.0 && out(2) < 1.0)
     assert(out(3) === 0.0)
   }
+
+  test("ChunkTokens matches the concat_ws/slice algebra on real docs") {
+    val (ct, ov) = (10, 2)
+    val stride = ct - ov
+    val toks = split(trim(col("text")), "\\s+")
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(ov)).cast("double") / lit(stride)).cast("int"))
+    val algebra = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * stride + lit(1), lit(ct))))
+    val fused = org.apache.spark.sql.graft.ChunkTokens(col("text"), ct, ov)
+    val mismatches = docs.select(fused.as("f"), algebra.as("a"))
+      .filter(col("f") =!= col("a")).count()
+    assert(mismatches === 0)
+
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "a b", (1 to 25).map("w" + _).mkString(" "))
+      .toDF("text")
+    val bad = edge.select(fused.as("f"), algebra.as("a"))
+      .filter(col("f") =!= col("a")).count()
+    assert(bad === 0)
+  }
 }

@@ -450,6 +450,25 @@ object SparkEntry {
           |WITH ERROR 0.9""".stripMargin)
     }),
 
+    // --- §2.3 compound aggregate expressions through the weighted rewrite
+    // (reference recurses through Add/Multiply/Divide/Cast —
+    // `WeightedAggregates.scala:124-171`): sum over an arithmetic expression,
+    // a ratio of two aggregates, and an avg over a sum of columns.
+    "q32_compound_agg" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q32")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q32_sample ON lineitem_q32 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT l_returnflag,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |       round(absolute_error(revenue), 6) AS abs_err,
+          |       round(sum(l_quantity) / count(*), 6) AS qty_per_item,
+          |       round(avg(l_quantity + l_tax), 6) AS avg_qt
+          |FROM lineitem_q32 GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9""".stripMargin)
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -664,6 +683,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag
         |HAVING SUM(l_quantity) > 0
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q32_compound_agg" ->
+      """SELECT l_returnflag,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       ROUND(0.0, 6) AS abs_err,
+        |       ROUND(SUM(l_quantity) / COUNT(*), 6) AS qty_per_item,
+        |       ROUND(AVG(l_quantity + l_tax), 6) AS avg_qt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_percentile" ->
       """SELECT l_returnflag,

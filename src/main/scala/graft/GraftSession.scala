@@ -105,28 +105,14 @@ class GraftSession(val spark: SparkSession) {
     import org.apache.spark.sql.graft._
     val parser = new AqpParser(spark.sessionState.sqlParser)
     parser.parsePlan(text) match {
-      case CreateSampleTableNode(name, base, opts) =>
-        createSampleTableFromOptions(name, base, opts)
-        spark.emptyDataFrame
-      case CreateSampleTableAsNode(name, opts, query) =>
-        // sample over an arbitrary query: register the query result as the
-        // base (reference `AS SELECT` arm creates-and-populates likewise)
-        val baseView = name + "_base"
-        spark.sql(query).createOrReplaceTempView(baseView)
-        createSampleTableFromOptions(name, baseView, opts)
-        spark.emptyDataFrame
-      case CreateTopkTableNode(name, base, opts) =>
-        createTopK(name, base, opts)
-        spark.emptyDataFrame
-      case DropSampleTableNode(name, ifExists) =>
-        if (!ifExists && !state.samples.contains(name))
-          throw new IllegalArgumentException(s"No sample table named $name")
-        dropSampleTable(name)
-        spark.emptyDataFrame
-      case DropTopkTableNode(name, ifExists) =>
-        if (!ifExists && !state.topks.contains(name.toLowerCase))
-          throw new IllegalArgumentException(s"No TopK structure named $name")
-        state.topks.remove(name.toLowerCase)
+      // AQP DDL nodes are runnable commands — run them eagerly, exactly as
+      // Spark's command path does under the extensions wiring (other
+      // commands fall through to ordinary execution below)
+      case cmd @ (_: CreateSampleTableNode | _: CreateSampleTableAsNode |
+                  _: CreateTopkTableNode | _: DropSampleTableNode |
+                  _: DropTopkTableNode) =>
+        cmd.asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand]
+          .run(spark)
         spark.emptyDataFrame
       case plan =>
         val analyzed = Plans.analyzed(Plans.ofRows(spark, plan))
@@ -332,12 +318,23 @@ class GraftSession(val spark: SparkSession) {
     val st = new graft.topk.TopKState(name, opts, keyType)
     st.append(base)
     state.topks.put(name.toLowerCase, st)
+    refreshTopkView(st)
     st
   }
 
   /** Append a micro-batch / DataFrame into an existing TopK structure. */
-  def appendToTopK(name: String, df: DataFrame): Unit =
-    topkState(name).append(df)
+  def appendToTopK(name: String, df: DataFrame): Unit = {
+    val st = topkState(name)
+    st.append(df)
+    refreshTopkView(st)
+  }
+
+  /** TopK structures are queryable as tables (`SELECT * FROM topkName` —
+   * reference `TopKRelation.buildScan`, `sql/topk/TopKRelation.scala:59-86`):
+   * the registered view snapshots the full-range top-k at each (re)build. */
+  private def refreshTopkView(st: graft.topk.TopKState): Unit =
+    st.queryTopK(spark, Long.MinValue, Long.MaxValue, st.opts.size)
+      .createOrReplaceTempView(st.name)
 
   /** Query top-k keys between epoch-millisecond times (reference
    * `queryTopK(name, start, end, k)`). */

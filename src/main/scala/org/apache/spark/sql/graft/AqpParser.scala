@@ -115,32 +115,59 @@ object AqpParser {
   }
 }
 
-/** Marker command nodes executed by `GraftSession.sql` (the standalone path)
- * or by the injected planner (extension path). */
+/** AQP DDL nodes are runnable commands (reference maps its DDL through
+ * `CreateSampleTableCommand` the same way — `command/
+ * CreateSampleTableCommand.scala:27-48`), so they execute under BOTH entry
+ * points: `GraftSession.sql` intercepts them pre-analysis, and a stock
+ * session with `spark.sql.extensions=...GraftExtensions` runs them through
+ * Spark's ordinary eager-command path. */
 case class CreateSampleTableNode(name: String, base: String,
     options: Map[String, String])
-  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
-  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.GraftSession(spark).createSampleTableFromOptions(name, base, options)
+    Nil
+  }
 }
 
 case class CreateTopkTableNode(name: String, base: String,
     options: Map[String, String])
-  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
-  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.GraftSession(spark).createTopK(name, base, options)
+    Nil
+  }
 }
 
 case class CreateSampleTableAsNode(name: String, options: Map[String, String],
     query: String)
-  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
-  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val baseView = name + "_base"
+    spark.sql(query).createOrReplaceTempView(baseView)
+    graft.GraftSession(spark).createSampleTableFromOptions(name, baseView, options)
+    Nil
+  }
 }
 
 case class DropSampleTableNode(name: String, ifExists: Boolean)
-  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
-  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val state = graft.GraftState.of(spark)
+    if (!ifExists && !state.samples.contains(name))
+      throw new IllegalArgumentException(s"No sample table named $name")
+    graft.GraftSession(spark).dropSampleTable(name)
+    Nil
+  }
 }
 
 case class DropTopkTableNode(name: String, ifExists: Boolean)
-  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
-  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val state = graft.GraftState.of(spark)
+    if (!ifExists && !state.topks.contains(name.toLowerCase))
+      throw new IllegalArgumentException(s"No TopK structure named $name")
+    state.topks.remove(name.toLowerCase)
+    Nil
+  }
 }

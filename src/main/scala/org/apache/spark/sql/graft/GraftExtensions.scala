@@ -40,7 +40,12 @@ object Plans {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new AqpParser(delegate))
-    e.injectResolutionRule(session => AqpRewrite(session))
+    // post-hoc, not resolution: the rewrite expects the settled post-analysis
+    // plan shape (lateral column aliases already split into stacked
+    // Projects), exactly what GraftSession.sql hands it on the standalone
+    // path; inside the resolution fixed-point it would see intermediate
+    // shapes with error-fn stubs still inline in the Aggregate
+    e.injectPostHocResolutionRule(session => AqpRewrite(session))
     e.injectPlannerStrategy(session => HacStrategy(session))
     ErrorEstimateStub.names.foreach { fn =>
       e.injectFunction((

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The canonical wiring: a stock SparkSession built with
+ * `withExtensions(new GraftExtensions)` must support the whole AQP SQL
+ * surface through plain `spark.sql(...)` — parser, DDL commands,
+ * resolution-rule rewrite, error functions, HAC strategy — with no
+ * GraftSession facade involved.
+ */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val ext: SparkSession = {
+    // force TestSpark's context into existence first so we attach to it
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    assert(s ne base, "must be a fresh session with extensions applied")
+    s
+  }
+
+  test("full AQP flow through plain spark.sql on an extensions session") {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ext)
+    try {
+      ext.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+        .createOrReplaceTempView("li_ext")
+      ext.sql("CREATE SAMPLE TABLE li_ext_sample ON li_ext " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+
+      val rows = ext.sql(
+        """SELECT l_returnflag, round(sum(l_quantity), 4) AS s,
+          |       round(absolute_error(s), 6) AS abs_err
+          |FROM li_ext GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9""".stripMargin).collect()
+      assert(rows.length === 3)
+      // full-fraction sample + rewrite: errors exactly zero, estimate exact
+      val exact = ext.sql(
+        "SELECT l_returnflag, round(sum(l_quantity), 4) FROM li_ext GROUP BY 1 ORDER BY 1")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      rows.foreach { r =>
+        assert(r.getDouble(1) === exact(r.getString(0)))
+        assert(r.getDouble(2) === 0.0)
+      }
+
+      ext.sql("DROP SAMPLE TABLE li_ext_sample")
+      assert(!GraftState.of(ext).samples.contains("li_ext_sample"))
+    } finally {
+      SparkSession.setActiveSession(prev.orNull)
+    }
+  }
+}

@@ -66,4 +66,17 @@ class TopKSpec extends AnyFunSuite {
     val after = gs.queryTopK("tk_app", k = 1).collect()(0).getLong(1)
     assert(after === 2 * before)
   }
+
+  test("TopK structure queryable as a table via SQL (TopKRelation.buildScan)") {
+    gs.sql("CREATE TOPK TABLE tk_view ON events OPTIONS(key 'event_type', " +
+      "streamSummary 'true', capacity '100000', size '5')")
+    val viaSql = spark.sql(
+      "SELECT event_type, estimated_value FROM tk_view ORDER BY estimated_value DESC")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = spark.sql(
+      """SELECT event_type, count(*) c FROM events
+        |GROUP BY event_type ORDER BY c DESC, event_type ASC LIMIT 5""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaSql.toSeq === want.toSeq)
+  }
 }

@@ -469,6 +469,56 @@ object SparkEntry {
           |WITH ERROR 0.9""".stripMargin)
     }),
 
+    // Duplicate-cluster collapse: LSH candidate pairs verified by text
+    // equality feed connected components; every doc maps to the smallest
+    // doc_id sharing its text (singletons to themselves).
+    "q33_dedup_clusters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val withCopies = docs.unionByName(
+        docs.orderBy(col("doc_id")).limit(20)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val cands = graft.dedup.Dedup.lshCandidatePairs(withCopies, "doc_id", "text")
+      val txt = withCopies.select(col("doc_id"), col("text"))
+      val pairs = cands
+        .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
+        .join(txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
+        .filter(col("ta") === col("tb"))
+        .select(col("id_a"), col("id_b"))
+      graft.dedup.Dedup.connectedComponents(
+        pairs, withCopies.select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // HAC STRICT with an achievable limit: the full-fraction sample has
+    // exactly-zero error, so enforcement passes and results are exact
+    // (the throwing side is covered by AqpSqlSpec).
+    "q34_hac_strict" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q34")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q34_sample ON lineitem_q34 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty
+          |FROM lineitem_q34 GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.5 BEHAVIOR 'strict'""".stripMargin)
+    }),
+
+    // Time-slot strata (timeSeriesColumn/timeInterval): full-fraction sample
+    // stratified by 1-day slots of the nanosecond event time — weighted
+    // per-type counts must be exact.
+    "q35_timeslot_sample" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gs = GraftSession(s)
+      tbl(s, dir, "events").createOrReplaceTempView("events_q35")
+      gs.sql("CREATE SAMPLE TABLE events_q35_sample ON events_q35 OPTIONS(" +
+        "qcs 'event_type', timeSeriesColumn 'ts', timeInterval '86400000', " +
+        "timeUnit 'ns', fraction '1.0')")
+      s.table("events_q35_sample")
+        .groupBy(col("event_type"))
+        .agg(round(graft.functions.weighted_count(col("event_type")), 4).as("cnt"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -691,6 +741,24 @@ object SparkEntry {
         |       ROUND(SUM(l_quantity) / COUNT(*), 6) AS qty_per_item,
         |       ROUND(AVG(l_quantity + l_tax), 6) AS avg_qt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q33_dedup_clusters" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+        |)
+        |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id
+        |FROM all_docs ORDER BY doc_id""".stripMargin,
+
+    "q34_hac_strict" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q35_timeslot_sample" ->
+      """SELECT event_type, ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q22_percentile" ->
       """SELECT l_returnflag,

@@ -112,6 +112,60 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Collapse duplicate pairs into clusters: connected components by
+   * iterative minimum-label propagation. `pairs` holds undirected edges
+   * (`id_a`, `id_b`); every id in `ids` gets a `cluster_id` = the smallest
+   * id reachable from it (singletons map to themselves).
+   *
+   * Each iteration is one join + one map-side-combined min-aggregation
+   * (shuffle ∝ edge count, not corpus size); iterations needed = cluster
+   * diameter, which for dedup graphs (LSH cliques plus short near-dup
+   * chains) is small. Early-stops when labels converge, capped at
+   * `maxIterations`. The label frame is persisted per round and the
+   * previous round unpersisted, so the lineage stays O(1) deep.
+   */
+  def connectedComponents(pairs: DataFrame, ids: DataFrame, idCol: String,
+      maxIterations: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // only nodes touching an edge can ever change label — iterate over that
+    // (usually small) subgraph and left-join the untouched corpus back as
+    // singletons at the end, so per-iteration shuffles scale with the
+    // duplicate graph, not the corpus
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // candidate label per node: min over its own label and neighbors'
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src")
+          .withColumnRenamed("cluster_id", "nl"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("nl")).as("nl"))
+      val next = labels.join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
+            .as("cluster_id"),
+          col("cluster_id").as("__old__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.filter(col("cluster_id") =!= col("__old__")).limit(1).count()
+      labels.unpersist()
+      labels = next.select(col("id"), col("cluster_id"))
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    ids.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
   /** Word n-gram array of a text column (column algebra; no UDF). */
   def wordNgrams(c: Column, n: Int): Column = {
     val toks = split(lower(trim(c)), "\\s+")

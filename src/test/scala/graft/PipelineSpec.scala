@@ -188,4 +188,14 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0) - 1000000L) -> r.getLong(1)).toMap
     copies.foreach { case (id, v) => assert(base.get(id).contains(v)) }
   }
+
+  test("connectedComponents: chains propagate, singletons self-label") {
+    import spark.implicits._
+    // 1-2, 2-3 (chain), 10-11 (pair), 20 (singleton)
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val got = graft.dedup.Dedup.connectedComponents(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
 }

@@ -6,20 +6,17 @@ object Scratch2 {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    val gs = graft.GraftSession(spark)
-    spark.read.parquet(dir + "/lineitem.parquet").createOrReplaceTempView("li")
-    gs.sql("CREATE SAMPLE TABLE li_s ON li OPTIONS(qcs 'l_returnflag', fraction '1.0')")
-    println("=== compound: sum(expr), ratio of aggregates, error fns ===")
-    try gs.sql(
-      """SELECT l_returnflag,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |       round(absolute_error(revenue), 6) AS abs_err,
-        |       round(sum(l_quantity) / count(*), 6) AS qty_per_item,
-        |       round(avg(l_quantity + l_tax), 6) AS avg_qt
-        |FROM li GROUP BY l_returnflag ORDER BY l_returnflag
-        |WITH ERROR 0.9""".stripMargin).show()
-    catch { case e: Throwable => println("FAIL: " + e.getMessage.take(500)) }
+    val dir = "/root/testdata/sf0.1"
+    spark.read.parquet(dir + "/documents.parquet").count()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"TIMER $name ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+    }
+    // warm at small scale like the bench does
+    graft.SparkEntry.queries("q33_dedup_clusters")(spark, "/root/testdata/sf0.001").count()
+    time("q33_a")(graft.SparkEntry.queries("q33_dedup_clusters")(spark, dir).count())
+    time("q33_b")(graft.SparkEntry.queries("q33_dedup_clusters")(spark, dir).count())
+    time("q11_ref")(graft.SparkEntry.queries("q11_minhash_lsh")(spark, dir).count())
     spark.stop()
   }
 }

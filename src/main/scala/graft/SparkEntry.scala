@@ -519,6 +519,49 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // BPE-ish tokenization (word pieces + standalone punctuation) — the
+    // pre-tokenizer shape used for LLM token budgeting; exact per-source
+    // totals against the same regex in DuckDB.
+    "q36_token_bpe" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      tbl(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(tokenCountBpe(col("text"))).cast("long").as("total_bpe"),
+          round(avg(tokenCountBpe(col("text"))), 6).as("avg_bpe"))
+        .orderBy(col("source"))
+    }),
+
+    // Pure reservoir mode (fraction 0): exactly min(reservoirSize, stratum
+    // size) rows kept per stratum, and the weighted count still reproduces
+    // the exact stratum total (weight = total/kept by construction).
+    "q37_reservoir" -> ((s, dir) => {
+      val sampled = StratifiedSampler.sample(tbl(s, dir, "lineitem"),
+        qcs = Seq("l_returnflag", "l_linestatus"), fraction = 0.0, reservoirSize = 25)
+      sampled.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("kept"),
+          round(weighted_count(col("l_returnflag")), 4).as("est_total"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Batch append path: sample the first half of the table, append the
+    // second half — weighted estimates over the merged sample must cover
+    // the full table exactly (full-fraction: weights exact per batch).
+    "q38_sample_append" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      val li = tbl(s, dir, "lineitem")
+      val first = li.filter(col("l_orderkey") % 2 === 0)
+      val second = li.filter(col("l_orderkey") % 2 =!= 0)
+      first.createOrReplaceTempView("lineitem_q38_half")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q38_sample ON lineitem_q38_half " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.appendToSample("lineitem_q38_sample", second)
+      s.table("lineitem_q38_sample")
+        .groupBy(col("l_returnflag"))
+        .agg(round(weighted_sum(col("l_quantity")), 4).as("sum_qty"),
+          round(weighted_count(col("l_quantity")), 4).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -759,6 +802,23 @@ object SparkEntry {
     "q35_timeslot_sample" ->
       """SELECT event_type, ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q36_token_bpe" ->
+      """SELECT source,
+        |  SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_bpe,
+        |  ROUND(AVG(len(regexp_extract_all(text, '\w+|[^\w\s]'))), 6) AS avg_bpe
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q37_reservoir" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  LEAST(25, COUNT(*)) AS kept,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS est_total
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q38_sample_append" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |       ROUND(CAST(COUNT(l_quantity) AS DOUBLE), 4) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_percentile" ->
       """SELECT l_returnflag,

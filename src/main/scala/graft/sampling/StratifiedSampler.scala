@@ -196,8 +196,14 @@ object StratifiedSampler {
 
     // Attach per-stratum total; optionally Bernoulli-prefilter big strata
     // before the exact rank to keep the per-stratum sort input ~factor×target.
+    // The prefilter applies to reservoir mode (fraction 0) too — there the
+    // target is a constant, so the cut is deepest: a giant stratum shrinks to
+    // ~2·reservoir+50 rows before the sort. Without the prefilter the totals
+    // come from a window count, shuffling every row into one task per stratum.
+    val usePrefilter =
+      preFilter && (fraction == 0.0 || fraction * preFilterFactor < 0.9)
     val withTotal: DataFrame =
-      if (preFilter && fraction > 0.0 && fraction * preFilterFactor < 0.9) {
+      if (usePrefilter) {
         val counts = keyed.groupBy(col(K)).agg(count(lit(1)).as(TOT))
         // null-safe equality: QCS values may be null and must join to their count
         val joined = keyed.join(broadcast(counts.withColumnRenamed(K, K + "c")),
@@ -212,7 +218,7 @@ object StratifiedSampler {
         keyed.withColumn(TOT, count(lit(1)).over(Window.partitionBy(col(K))))
       }
 
-    val prefiltered = !(withTotal eq keyed) && fraction > 0.0
+    val prefiltered = usePrefilter
     val ranked = withTotal
       .withColumn("__graft_rn__",
         row_number().over(Window.partitionBy(col(K)).orderBy(col(R1))))

@@ -562,6 +562,60 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- §2.8 streaming end-to-end: events replayed through MemoryStream
+    // into the watermarked windowed TopK (Space-Saving exact regime) — the
+    // per-day per-type counts must equal the exact batch GROUP BY. Watermark
+    // semantics are exercised for real: the second half arrives after the
+    // first has advanced the watermark, and a far-future sentinel closes all
+    // real windows for append-mode emission.
+    "q39_stream_windowed" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, dir, "events")
+        .select(expr("timestamp_micros(cast(ts / 1000 as long))").as("ts"),
+          col("event_type"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+        .sortBy(_._1.getTime)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String)]
+      val stream = mem.toDF().toDF("ts", "event_type")
+      val out = graft.streaming.StreamOps.windowedTopK(stream,
+        keyCol = "event_type", tsCol = "ts", windowDuration = "1 day",
+        watermarkDelay = "0 seconds", k = 100, streamSummary = true,
+        capacity = 1000000)
+      val q = out.writeStream.format("memory").queryName("q39_sink")
+        .outputMode("append").start()
+      try {
+        val (h1, h2) = ev.splitAt(ev.length / 2)
+        mem.addData(h1.toSeq: _*); q.processAllAvailable()
+        mem.addData(h2.toSeq: _*); q.processAllAvailable()
+        val maxTs = ev.last._1.getTime
+        mem.addData((new java.sql.Timestamp(maxTs + 40L * 86400 * 1000),
+          "__sentinel__"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q39_sink")
+        .filter(col("event_type") =!= "__sentinel__")
+        .select(col("window_start").cast("long").as("window_start_s"),
+          col("event_type"), col("estimated_value"))
+        .orderBy(col("window_start_s"), col("event_type"))
+    }),
+
+    // Inherited approximate distinct counting (HyperLogLog++): deterministic
+    // given the data, asserted within 5% of the exact distinct count inside
+    // the query itself (the reference routes DISTINCT to the base table;
+    // Spark gives the approximate operator for free).
+    "q40_approx_distinct" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"),
+          (abs(approx_count_distinct(col("l_orderkey"), 0.01) -
+            countDistinct(col("l_orderkey"))) <=
+            countDistinct(col("l_orderkey")) * lit(0.05)).as("within_5pct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -818,6 +872,17 @@ object SparkEntry {
     "q38_sample_append" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
         |       ROUND(CAST(COUNT(l_quantity) AS DOUBLE), 4) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q39_stream_windowed" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start_s,
+        |       event_type, COUNT(*) AS estimated_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q40_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_orderkey) AS exact_distinct,
+        |       TRUE AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_percentile" ->

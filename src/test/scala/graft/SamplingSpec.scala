@@ -145,4 +145,65 @@ class ClosedFormSpec extends AnyFunSuite {
       .select(estimate(col("x"))).collect()
     assert(r.forall(_.isNullAt(0)))
   }
+
+  test("small-sample bound uses Student-t(n-1), formulas reproduced exactly") {
+    import spark.implicits._
+    // one stratum, 20 rows, keep 10 -> totalN = 10 < 30 -> t(9) quantile
+    val vals = (1 to 20).map(i => ("g", i * 1.5)).toDF("g", "v")
+    val kept = StratifiedSampler.sample(vals, Seq("g"), fraction = 0.5,
+      reservoirSize = 5)
+    val rows = kept.select(col("v"), col(weightColumn)).collect()
+    assert(rows.length === 10)
+    val vs = rows.map(_.getDouble(0))
+    val (l, r2) = (10.0, 20.0)
+    val mulFactor = r2 * (r2 - l) / (l - 1.0)
+    val mean = vs.sum / l
+    val strataVar = vs.map(x => x * x).sum / l - mean * mean
+    val stdDev = math.sqrt(mulFactor * strataVar)
+    val t9 = new org.apache.commons.math3.distribution.TDistribution(9.0)
+      .inverseCumulativeProbability(0.975)
+    val want = stdDev * t9
+    val got = kept.groupBy("g")
+      .agg(approx_sum(col("v"), col(weightColumn)).as("x"))
+      .select(absolute_error(col("x"))).collect()(0).getDouble(0)
+    assert(math.abs(got - want) < 1e-9, s"bound $got vs hand-computed $want")
+    // and the t quantile is strictly wider than z at the same confidence
+    val z = org.apache.spark.sql.graft.ClosedFormAggregate.zFactor(0.95)
+    assert(got > stdDev * z)
+  }
+
+  test("relative error clamps to |bound/(|est|+1)| when |estimate| <= 1") {
+    import spark.implicits._
+    // values average near zero so the weighted sum lands inside [-1, 1]
+    val vals = (1 to 40).map { i =>
+      ("g", if (i % 2 == 0) 0.011 else -0.01)
+    }.toDF("g", "v")
+    val kept = StratifiedSampler.sample(vals, Seq("g"), fraction = 0.5,
+      reservoirSize = 5)
+    val row = kept.groupBy("g")
+      .agg(approx_sum(col("v"), col(weightColumn)).as("x"))
+      .select(estimate(col("x")), absolute_error(col("x")),
+        relative_error(col("x"))).collect()(0)
+    val (est, abs, rel) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(math.abs(est) <= 1.0, s"test premise: |estimate| <= 1, got $est")
+    assert(math.abs(rel - abs / (math.abs(est) + 1)) < 1e-12,
+      "clamped denominator must be |est|+1")
+  }
+
+  test("all-null group: Sum yields null struct, Count yields 0") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)),
+      ("b", None: Option[Double])).toDF("g", "v")
+    val kept = StratifiedSampler.sample(df, Seq("g"), fraction = 1.0)
+    val bySum = kept.groupBy("g")
+      .agg(approx_sum(col("v"), col(weightColumn)).as("x"))
+      .select(col("g"), col("x")).collect()
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(bySum("a") === false && bySum("b") === true)
+    val byCount = kept.groupBy("g")
+      .agg(approx_count(col("v"), col(weightColumn)).as("x"))
+      .select(col("g"), estimate(col("x"))).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byCount("a") === 2.0 && byCount("b") === 0.0)
+  }
 }

@@ -14,25 +14,50 @@ object Pipeline {
   /**
    * Deterministic stratified train/test split: within each stratum the
    * `ceil(testFraction · n)` rows with the smallest content hash become the
-   * test split — exact per-stratum proportions (same rank-select machinery
-   * as the stratified sampler), reproducible for a fixed seed, and stable
-   * under re-runs (content-hash based, not row-order based).
+   * test split — exact per-stratum proportions, reproducible for a fixed
+   * seed, and stable under re-runs (content-hash based, not row-order
+   * based).
+   *
+   * Scale shape: no full-table window sort (which would pin each stratum on
+   * one task). Instead the per-stratum boundary hash — the target-th
+   * smallest — is found by ranking only a Bernoulli-prefiltered ~2·target+50
+   * subset (same guarantee analysis as [[graft.sampling.StratifiedSampler]]),
+   * then every row is labeled with one broadcast join and a comparison.
+   * Exact up to 2⁻⁶⁴ within-stratum hash collisions at the boundary.
    */
   def stratifiedSplit(df: DataFrame, strata: Seq[Column], testFraction: Double,
       seed: Long = 42L, splitCol: String = "split"): DataFrame = {
     require(testFraction >= 0 && testFraction <= 1, "testFraction in [0,1]")
     val dataCols = df.columns.map(col).toSeq
+    val K = "__graft_key__"
     val key = if (strata.isEmpty) lit(0) else struct(strata: _*)
-    val h = xxhash64(struct(dataCols: _*), lit(seed))
-    val w = Window.partitionBy(key)
-    val rn = row_number().over(w.orderBy(h, xxhash64(struct(dataCols: _*), lit(seed + 1))))
-    val total = count(lit(1)).over(w)
-    df.withColumn("__graft_rn__", rn)
-      .withColumn("__graft_total__", total)
+    val keyed = df.withColumn(K, key)
+      .withColumn("__graft_h__", xxhash64(struct(dataCols: _*), lit(seed)))
+
+    val counts = keyed.groupBy(col(K)).agg(count(lit(1)).as("__graft_n__"))
+      .withColumn("__graft_t__",
+        least(ceil(col("__graft_n__") * lit(testFraction)), col("__graft_n__")))
+
+    // boundary hash per stratum = t-th smallest h, ranked over the
+    // prefiltered subset only
+    val joined = keyed.join(broadcast(counts.withColumnRenamed(K, K + "c")),
+      col(K) <=> col(K + "c"), "inner").drop(K + "c")
+    val p = least(lit(1.0),
+      (col("__graft_t__") * lit(2.0) + lit(50.0)) / col("__graft_n__"))
+    val threshold = (lit(2.0) * p - lit(1.0)) * lit(Long.MaxValue.toDouble)
+    val boundaries = joined
+      .filter(col("__graft_h__").cast("double") < threshold)
+      .withColumn("__graft_rn__",
+        row_number().over(Window.partitionBy(col(K)).orderBy(col("__graft_h__"))))
+      .filter(col("__graft_rn__") === col("__graft_t__"))
+      .select(col(K).as(K + "b"), col("__graft_h__").as("__graft_hb__"))
+
+    keyed.join(broadcast(boundaries), col(K) <=> col(K + "b"), "left")
       .withColumn(splitCol,
-        when(col("__graft_rn__") <= ceil(col("__graft_total__") * lit(testFraction)),
-          lit("test")).otherwise(lit("train")))
-      .drop("__graft_rn__", "__graft_total__")
+        when(col("__graft_hb__").isNotNull &&
+          col("__graft_h__") <= col("__graft_hb__"), lit("test"))
+          .otherwise(lit("train")))
+      .select(dataCols :+ col(splitCol): _*)
   }
 
   /**

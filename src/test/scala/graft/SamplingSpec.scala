@@ -60,6 +60,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("randomized sweep: kept counts and weight sums exact for any config") {
+    // SURVEY §5: reservoir size bounds + weight sum ≈ N as properties.
+    // Deterministic config sweep over fractions × reservoirs × QCS choices.
+    val rng = new java.util.SplittableRandom(0xdecafL)
+    val qcsChoices = Seq(Seq("l_returnflag"), Seq("l_returnflag", "l_linestatus"),
+      Seq("l_linestatus"))
+    (1 to 8).foreach { _ =>
+      val fraction = Seq(0.0, 0.02, 0.1, 0.33)(rng.nextInt(4))
+      val reservoir = Seq(5, 25, 80)(rng.nextInt(3))
+      val qcs = qcsChoices(rng.nextInt(qcsChoices.size))
+      if (fraction > 0.0 || reservoir > 0) {
+        val sampled = StratifiedSampler.sample(li, qcs, fraction, reservoir)
+        val kept = sampled.groupBy(qcs.map(col): _*)
+          .agg(count(lit(1)).as("k"),
+            sum(sample_weight(col(weightColumn))).as("wsum"))
+          .collect()
+        val totals = li.groupBy(qcs.map(col): _*).agg(count(lit(1)).as("n"))
+          .collect().map(r => qcs.indices.map(r.getString) -> r.getLong(qcs.size)).toMap
+        kept.foreach { r =>
+          val keyVals = qcs.indices.map(r.getString)
+          val n = totals(keyVals)
+          val expect =
+            if (fraction > 0.0) math.min(math.max(reservoir, math.ceil(n * fraction).toLong), n)
+            else math.min(reservoir.toLong, n)
+          assert(r.getLong(qcs.size) === expect,
+            s"kept for $keyVals at f=$fraction r=$reservoir")
+          // Horvitz–Thompson invariant: per-stratum weight sum reproduces n
+          assert(math.abs(r.getDouble(qcs.size + 1) - n) / n < 1e-6,
+            s"weight sum for $keyVals at f=$fraction r=$reservoir")
+        }
+      }
+    }
+  }
+
   test("weight decodes to stratumTotal/kept") {
     val s = StratifiedSampler.sample(li, Seq("l_linestatus"),
       fraction = 0.2, reservoirSize = 10)

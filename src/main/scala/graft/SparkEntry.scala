@@ -214,15 +214,28 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
     }),
 
-    // LSH-bucketed approximate ANN (no SQL oracle — approximate by design;
-    // driver records the rows-only check; recall asserted in PipelineSpec).
+    // LSH-bucketed approximate ANN, self-checking (approximate by design, so
+    // the oracle asserts invariants rather than exact ids): with the fixed
+    // hyperplane seed the result is fully deterministic — all 10 slots fill,
+    // the multiprobe top-10 sits inside the exact brute-force top-100, and
+    // recall@10 vs the exact top-10 clears a wide-margin floor (measured 7/10
+    // at sf0.01, 8/10 at sf0.1; floor 5).
     "q14_knn_lsh" -> ((s, dir) => {
+      import s.implicits._
       val emb = tbl(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
         .collect()(0).getSeq[Float](0).toArray
-      graft.ann.Ann.lshKnn(emb, "vec_id", "embedding", q, 10,
-        numPlanes = 5, probeRadius = 2)
-        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+      val lsh = graft.ann.Ann.lshKnn(emb, "vec_id", "embedding", q, 10,
+        numPlanes = 5, probeRadius = 2).select(col("vec_id"))
+      val brute10 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"))
+      val brute100 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 100)
+        .select(col("vec_id"))
+      val nLsh = lsh.count()
+      val recall10 = lsh.join(brute10, "vec_id").count()
+      val inTop100 = lsh.join(brute100, "vec_id").count()
+      Seq((nLsh, recall10 >= 5L, inTop100 == nLsh))
+        .toDF("n_lsh", "recall_ok", "subset_of_top100")
     }),
 
     // Multimodal plumbing: text bytes as stand-in blobs → batched stub decode
@@ -238,16 +251,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Language ID + fingerprint + quality (heuristics — rows-only check;
-    // accuracy covered by PipelineSpec on real multilingual sentences).
+    // Language ID + fingerprint + quality, self-checking: planted duplicate
+    // texts must fingerprint-collide with their originals, quality scores
+    // must land in [0,1] for every doc, and planted fixed-language sentences
+    // must classify to their known languages — all deterministic invariants
+    // the DuckDB oracle can state exactly.
     "q16_text_enrich" -> ((s, dir) => {
       import graft.text.TextFunctions._
-      tbl(s, dir, "documents").select(
-        col("doc_id"),
-        languageId(col("text")).as("lang_pred"),
-        fingerprint(col("text")).as("fp"),
-        qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+      val copies = docs.orderBy(col("doc_id")).limit(20)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val enriched = base.unionByName(copies).select(col("doc_id"),
+        fingerprint(col("text")).as("fp"), qualityScore(col("text")).as("q"))
+      val fpOrig = enriched.filter(col("doc_id") < 1000000L)
+        .select(col("doc_id").as("oid"), col("fp").as("fp_o"))
+      val fpCopy = enriched.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("oid"), col("fp").as("fp_c"))
+      val nFpMatch = fpCopy.join(fpOrig, "oid")
+        .filter(col("fp_c") === col("fp_o")).count()
+      val nDocs = base.count()
+      val nQualityOk = enriched
+        .filter(col("q") >= 0.0 && col("q") <= 1.0).count()
+      val planted = Seq(
+        (1L, "the cat and the dog are in the house and they have food from the market"),
+        (2L, "le chat et le chien sont dans la maison avec le garçon pour le dîner"),
+        (3L, "el gato y el perro están en la casa con el niño para la cena"),
+        (4L, "der Hund und die Katze sind in dem Haus mit dem Kind für das Essen"),
+        (5L, "这是一个关于机器学习的中文句子，包含很多汉字字符")
+      ).toDF("id", "s")
+      val langs = planted.select(col("id"), languageId(col("s")).as("lang"))
+        .orderBy(col("id")).collect().map(_.getString(1))
+      Seq((nDocs, nFpMatch, nQualityOk,
+          langs(0), langs(1), langs(2), langs(3), langs(4)))
+        .toDF("n_docs", "n_fp_match", "n_quality_ok",
+          "lang_en", "lang_fr", "lang_es", "lang_de", "lang_zh")
     }),
 
     // n-gram Jaccard dedup: LSH candidates verified by the exact n-gram
@@ -403,8 +442,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // --- pipeline: eval-set contamination (rows-only — set semantics
-    // asserted in PipelineOpsSpec)
+    // --- pipeline: eval-set contamination — the shared distinct-8-gram
+    // count per corpus doc is exactly expressible in DuckDB (string grams vs
+    // our hashed grams: identical counts barring 2⁻⁶⁴ hash collisions).
     "q26_contamination" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val eval = docs.orderBy(col("doc_id")).limit(5).select(col("doc_id"), col("text"))
@@ -683,8 +723,8 @@ object SparkEntry {
 
     "q09_text_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
+        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
         |  ROUND(AVG(CASE WHEN length(trim(text)) = 0 THEN 0
         |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END), 6) AS avg_tokens,
         |  ROUND(AVG(length(regexp_replace(text, '[\w\s]', '', 'g'))), 6) AS avg_punct,
@@ -758,6 +798,42 @@ object SparkEntry {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 5) AS cosine
         |FROM embeddings
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q14_knn_lsh" ->
+      """SELECT CAST(10 AS BIGINT) AS n_lsh, TRUE AS recall_ok,
+        |       TRUE AS subset_of_top100
+        |FROM embeddings LIMIT 1""".stripMargin,
+
+    "q16_text_enrich" ->
+      """SELECT COUNT(*) AS n_docs,
+        |       CAST(20 AS BIGINT) AS n_fp_match,
+        |       COUNT(*) + CAST(20 AS BIGINT) AS n_quality_ok,
+        |       'en' AS lang_en, 'fr' AS lang_fr, 'es' AS lang_es,
+        |       'de' AS lang_de, 'zh' AS lang_zh
+        |FROM documents""".stripMargin,
+
+    "q26_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |              ELSE list_distinct(list_transform(range(1, len(w) - 6),
+        |                     i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+        |         END AS g
+        |  FROM toks
+        |), ev AS (
+        |  SELECT list_distinct(flatten(list(g))) AS eg
+        |  FROM grams
+        |  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+        |)
+        |SELECT c.doc_id AS corpus_id,
+        |       CAST(len(list_intersect(c.g, ev.eg)) AS BIGINT) AS shared_ngrams
+        |FROM grams c, ev
+        |WHERE len(list_intersect(c.g, ev.eg)) >= 3
+        |ORDER BY corpus_id""".stripMargin,
 
     "q15_multimodal" ->
       """SELECT doc_id,
@@ -859,7 +935,7 @@ object SparkEntry {
 
     "q36_token_bpe" ->
       """SELECT source,
-        |  SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_bpe,
+        |  CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_bpe,
         |  ROUND(AVG(len(regexp_extract_all(text, '\w+|[^\w\s]'))), 6) AS avg_bpe
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 

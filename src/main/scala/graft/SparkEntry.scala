@@ -610,16 +610,34 @@ object SparkEntry {
     // real windows for append-mode emission.
     "q39_stream_windowed" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.types._
       val ev = tbl(s, dir, "events")
         .select(expr("timestamp_micros(cast(ts / 1000 as long))").as("ts"),
           col("event_type"))
-        .collect().map(r => (r.getTimestamp(0), r.getString(1)))
-        .sortBy(_._1.getTime)
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, String)]
-      val stream = mem.toDF().toDF("ts", "event_type")
+      // Replay through a file-source stream in two event-time-ordered batches
+      // (never collects the table to the driver — only a 2-value bound
+      // aggregate): the second batch arrives after the first has advanced the
+      // watermark, and a far-future sentinel closes all real windows for
+      // append-mode emission. Staged files are written by executors.
+      val bounds = ev.agg(
+        expr("percentile_approx(cast(ts as long), 0.5)").as("mid"),
+        max(col("ts").cast("long")).as("mx")).collect()(0)
+      val mid = bounds.getLong(0)
+      val stage = java.nio.file.Files.createTempDirectory("graft_q39_").toString
+      val inDir = java.nio.file.Paths.get(stage, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      def stageBatch(df: DataFrame, name: String): Unit = {
+        val tmp = s"$stage/raw_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.move(p, inDir.resolve(s"$name.parquet"))
+        }
+      }
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("event_type", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val out = graft.streaming.StreamOps.windowedTopK(stream,
         keyCol = "event_type", tsCol = "ts", windowDuration = "1 day",
         watermarkDelay = "0 seconds", k = 100, streamSummary = true,
@@ -627,12 +645,14 @@ object SparkEntry {
       val q = out.writeStream.format("memory").queryName("q39_sink")
         .outputMode("append").start()
       try {
-        val (h1, h2) = ev.splitAt(ev.length / 2)
-        mem.addData(h1.toSeq: _*); q.processAllAvailable()
-        mem.addData(h2.toSeq: _*); q.processAllAvailable()
-        val maxTs = ev.last._1.getTime
-        mem.addData((new java.sql.Timestamp(maxTs + 40L * 86400 * 1000),
-          "__sentinel__"))
+        stageBatch(ev.filter(col("ts").cast("long") < mid), "b1")
+        q.processAllAvailable()
+        stageBatch(ev.filter(col("ts").cast("long") >= mid), "b2")
+        q.processAllAvailable()
+        import s.implicits._
+        stageBatch(Seq((new java.sql.Timestamp(
+            (bounds.getLong(1) + 40L * 86400) * 1000L), "__sentinel__"))
+          .toDF("ts", "event_type"), "b3")
         q.processAllAvailable()
       } finally q.stop()
       s.table("q39_sink")

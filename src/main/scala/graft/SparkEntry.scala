@@ -676,6 +676,23 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- §3 subquery fencing: the scalar subquery's aggregate stays exact
+    // on the base table while the outer aggregate rides the sample (full
+    // fraction ⇒ exact with zero error) — reference SubQueryRoutingTestSuite.
+    "q41_subquery_error" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q41")
+      gs.sql("CREATE SAMPLE TABLE lineitem_q41_sample ON lineitem_q41 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT l_returnflag, round(sum(l_quantity), 4) AS s,
+          |       round(absolute_error(s), 6) AS abs_err
+          |FROM lineitem_q41
+          |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem_q41)
+          |GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9""".stripMargin)
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -980,6 +997,13 @@ object SparkEntry {
         |       COUNT(DISTINCT l_orderkey) AS exact_distinct,
         |       TRUE AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q41_subquery_error" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS s,
+        |       ROUND(0.0, 6) AS abs_err
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_percentile" ->
       """SELECT l_returnflag,

@@ -57,13 +57,36 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
     }
     val m = WithErrorPattern.matcher(sqlText)
     if (m.matches()) {
+      if (InnerWithErrorPattern.matcher(m.group(1)).find()) {
+        throw new UnsupportedOperationException(
+          "At most one WITH ERROR clause is supported per query")
+      }
       val inner = delegate.parsePlan(m.group(1))
       ErrorConfidence(
         Option(m.group(2)).map(_.toDouble),
         Option(m.group(3)).map(_.toDouble),
         Option(m.group(4)),
         inner)
-    } else delegate.parsePlan(sqlText)
+    } else {
+      // WITH ERROR inside a FROM-clause derived table (reference
+      // `SubQueryRoutingTestSuite` "aggregate subquery with error constraint
+      // in inner query"): strip the clause and wrap the whole plan — the
+      // rewrite binds the contract to the lowest aggregate above a sampled
+      // scan, which is exactly the derived table's aggregate.
+      val im = InnerWithErrorPattern.matcher(sqlText)
+      if (im.find()) {
+        val stripped = sqlText.substring(0, im.start) + sqlText.substring(im.end)
+        if (InnerWithErrorPattern.matcher(stripped).find()) {
+          throw new UnsupportedOperationException(
+            "At most one WITH ERROR clause is supported per query")
+        }
+        ErrorConfidence(
+          Option(im.group(1)).map(_.toDouble),
+          Option(im.group(2)).map(_.toDouble),
+          Option(im.group(3)),
+          delegate.parsePlan(stripped))
+      } else delegate.parsePlan(sqlText)
+    }
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -89,6 +112,11 @@ object AqpParser {
   val WithErrorPattern: Pattern = Pattern.compile(
     s"(?is)\\A(.*?)\\s+WITH\\s+ERROR(?:\\s+$num)?(?:\\s+CONFIDENCE\\s+$num)?" +
       "(?:\\s+BEHAVIOR\\s+'([a-zA-Z_]+)')?\\s*;?\\s*\\z")
+  /** A WITH ERROR clause terminated by a closing paren — i.e. at the end of
+   * a parenthesized derived-table subquery rather than of the statement. */
+  val InnerWithErrorPattern: Pattern = Pattern.compile(
+    s"(?is)\\s+WITH\\s+ERROR(?:\\s+$num)?(?:\\s+CONFIDENCE\\s+$num)?" +
+      "(?:\\s+BEHAVIOR\\s+'([a-zA-Z_]+)')?(?=\\s*\\))")
   val CreateSamplePattern: Pattern = Pattern.compile(
     "(?is)\\A\\s*CREATE\\s+SAMPLE\\s+TABLE\\s+([\\w.]+)\\s+ON\\s+([\\w.]+)" +
       "\\s+OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")

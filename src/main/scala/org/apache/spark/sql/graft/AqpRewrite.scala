@@ -42,81 +42,132 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val behaviorStr = ec.behavior.getOrElse(defaultD("spark.sql.aqp.behavior", "do_nothing"))
     val behavior = HacBehavior.parse(behaviorStr)
     val child = ec.child
-
-    val aggs = child.collect { case a: Aggregate => a }
-    if (aggs.isEmpty) return stripStubs(child)
-    val agg = aggs.last // lowest aggregate
-
-    // --- routing: unsupported aggregates run on the base table -------------
-    val aggFns = agg.aggregateExpressions.flatMap(_.collect {
-      case ae: AggregateExpression => ae
-    })
-    val unsupported = aggFns.exists { ae =>
-      ae.isDistinct || (ae.aggregateFunction match {
-        case _: Sum | _: Average | _: Min | _: Max => false
-        case c: Count => c.children.size != 1
-        case _ => true
-      })
-    }
-    if (unsupported) return stripStubs(child)
-
-    // --- sample selection ---------------------------------------------------
-    // Substitute the OUTERMOST subtree matching the registered base plan
-    // (usually SubqueryAlias→View→Relation), so no fixed-output node (View)
-    // sits between the sample scan and the aggregate to block the weight
-    // column (reference substitutes the LogicalRelation and then re-threads —
-    // `QueryProcessingRules.scala:517-620`).
     val state = graft.GraftState.of(spark)
 
-    // outer-join eligibility (reference `QueryProcessingRules.scala:705-716`):
-    // LeftOuter protects its right child from sample substitution, RightOuter
-    // its left, FullOuter/LeftSemi/LeftAnti both — substituting there would
-    // change null-extension / existence semantics
-    val protectedRoots: Seq[LogicalPlan] = agg.child.collect {
-      case Join(_, r, org.apache.spark.sql.catalyst.plans.LeftOuter, _, _) => Seq(r)
-      case Join(l, _, org.apache.spark.sql.catalyst.plans.RightOuter, _, _) => Seq(l)
-      case Join(l, r, org.apache.spark.sql.catalyst.plans.FullOuter, _, _) => Seq(l, r)
-      case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftSemi, _, _) => Seq(l, r)
-      case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftAnti, _, _) => Seq(l, r)
-    }.flatten
-    def isProtected(subtree: LogicalPlan): Boolean =
-      protectedRoots.exists(root => root.exists(_ eq subtree))
+    // Joining two DIFFERENT sample tables is rejected with the reference's
+    // error (`QueryProcessingRules.scala:718-741`): weighted estimators are
+    // defined for one sampled relation per query; a self-join of one sample
+    // remains allowed, as in the reference.
+    val directSampleScans: Seq[String] = state.samples.values.toSeq.flatMap { i =>
+      val sp = i.sampleDf.queryExecution.analyzed
+      child.collectFirst { case n if n.sameResult(sp) => i.name }
+    }.distinct
+    if (directSampleScans.size >= 2) {
+      throw new UnsupportedOperationException(
+        "Join between two sample tables is not supported")
+    }
 
-    // Min/Max are exact on a sample only when their argument columns are
-    // within the sample's QCS (every distinct value then forms a stratum
-    // with at least one retained row); otherwise the query must route to
-    // the base table (reference `QueryProcessingRules.scala:1385-1393` —
-    // Min/Max → requiredQcs)
-    val minMaxRefs: Set[String] = aggFns.flatMap(_.aggregateFunction match {
-      case m: Min => m.references.toSeq.map(_.name.toLowerCase)
-      case m: Max => m.references.toSeq.map(_.name.toLowerCase)
-      case _ => Nil
-    }).toSet
+    // Subquery fencing (reference `HideSubqueryNodes`,
+    // `QueryProcessingRules.scala:2522-2597`): plans inside expression
+    // subqueries (scalar / IN / EXISTS) are not part of this tree traversal,
+    // so their aggregates are invisible here and run exact on the base table
+    // by construction. Within THIS tree, the error contract binds to the
+    // lowest aggregate that sits directly above a sampled scan — weights
+    // must be consumed at the first aggregation — not blindly to the lowest
+    // aggregate anywhere (which could belong to a different join branch or
+    // a nested derived table over an unsampled relation).
+    val aggsLowestFirst = child.collect { case a: Aggregate => a }.reverse
+    if (aggsLowestFirst.isEmpty) return stripStubs(child)
 
-    // pool ALL samples whose base plan matches a subtree of this query
-    // (different views over the same data are interchangeable), then rank
-    // the whole pool by QCS — per-base grouping would let iteration order
-    // pick a worse sample when several bases are plan-equal
-    val pairs: Seq[(LogicalPlan, graft.SampleInfo)] =
-      state.samples.values.toSeq.flatMap { i =>
-        agg.child.collect {
-          case n if n.sameResult(i.basePlan) => n
-        }.find(!isProtected(_)).map(subtree => (subtree, i))
-      }.filter { case (_, i) =>
-        minMaxRefs.subsetOf(i.qcs.map(_.toLowerCase).toSet)
+    // QCS-match quality of a candidate sample for a leaf-scoped query QCS
+    // (same ordering as GraftState.rank: exact > smallest superset (ties:
+    // fraction) > largest-overlap subset (ties: fraction) > any)
+    def score(i: graft.SampleInfo, q: Set[String]): (Int, Double, Double) = {
+      val sq = i.qcs.map(_.toLowerCase).toSet
+      if (q.nonEmpty && sq == q) (3, 0.0, i.fraction)
+      else if (q.nonEmpty && q.subsetOf(sq)) (2, -sq.size.toDouble, i.fraction)
+      else if (sq.nonEmpty && sq.subsetOf(q))
+        (1, sq.intersect(q).size.toDouble, i.fraction)
+      else (0, 0.0, i.fraction)
+    }
+
+    // per-aggregate candidate search
+    def candidateFor(agg: Aggregate): Option[(LogicalPlan, graft.SampleInfo)] = {
+      // outer-join eligibility (reference `QueryProcessingRules.scala:705-716`):
+      // LeftOuter protects its right child from sample substitution,
+      // RightOuter its left, FullOuter/LeftSemi/LeftAnti both — substituting
+      // there would change null-extension / existence semantics
+      val protectedRoots: Seq[LogicalPlan] = agg.child.collect {
+        case Join(_, r, org.apache.spark.sql.catalyst.plans.LeftOuter, _, _) => Seq(r)
+        case Join(l, _, org.apache.spark.sql.catalyst.plans.RightOuter, _, _) => Seq(l)
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.FullOuter, _, _) => Seq(l, r)
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftSemi, _, _) => Seq(l, r)
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftAnti, _, _) => Seq(l, r)
+      }.flatten
+      def isProtected(subtree: LogicalPlan): Boolean =
+        protectedRoots.exists(root => root.exists(_ eq subtree))
+      // a leaf below a NESTED aggregate belongs to that aggregate (its
+      // weights are consumed there, not here)
+      val nestedAggs = agg.child.collect { case a: Aggregate => a }
+      def underNestedAgg(n: LogicalPlan): Boolean =
+        nestedAggs.exists(na => na.exists(_ eq n))
+
+      // Min/Max are exact on a sample only when their argument columns are
+      // within the sample's QCS (every distinct value then forms a stratum
+      // with at least one retained row); otherwise the query must route to
+      // the base table (reference `QueryProcessingRules.scala:1385-1393` —
+      // Min/Max → requiredQcs)
+      val aggFns = agg.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      })
+      val minMaxRefs: Set[String] = aggFns.flatMap(_.aggregateFunction match {
+        case m: Min => m.references.toSeq.map(_.name.toLowerCase)
+        case m: Max => m.references.toSeq.map(_.name.toLowerCase)
+        case _ => Nil
+      }).toSet
+
+      // pool ALL samples whose base plan matches a subtree under this
+      // aggregate (different views over the same data are interchangeable).
+      // Substitute the OUTERMOST matching subtree (usually SubqueryAlias→
+      // View→Relation), so no fixed-output node (View) sits between the
+      // sample scan and the aggregate to block the weight column (reference
+      // substitutes the LogicalRelation and then re-threads —
+      // `QueryProcessingRules.scala:517-620`).
+      val pairs: Seq[(LogicalPlan, graft.SampleInfo)] =
+        state.samples.values.toSeq.flatMap { i =>
+          agg.child.collect {
+            case n if n.sameResult(i.basePlan) => n
+          }.find(n => !isProtected(n) && !underNestedAgg(n))
+            .map(subtree => (subtree, i))
+        }.filter { case (_, i) =>
+          minMaxRefs.subsetOf(i.qcs.map(_.toLowerCase).toSet)
+        }
+      if (pairs.isEmpty) return None
+
+      // query QCS scoped to the candidate leaf (reference extracts QCS
+      // per-table — `QueryProcessingRules.scala:326-410`): only grouping /
+      // filter attributes that resolve to the leaf's own output count, so
+      // predicates on the dimension side of a join can't bias the ranking
+      def qcsFor(leaf: LogicalPlan): Set[String] = {
+        val leafCols = leaf.outputSet
+        (agg.groupingExpressions.flatMap(_.references.toSeq) ++
+          agg.child.collect {
+            case f: Filter if f.exists(_ eq leaf) =>
+              f.condition.references.toSeq
+          }.flatten)
+          .filter(leafCols.contains)
+          .map(_.name.toLowerCase).toSet
       }
-    val queryQcs =
-      (agg.groupingExpressions.flatMap(_.references.toSeq.map(_.name)) ++
-        agg.child.collect { case f: Filter =>
-          f.condition.references.toSeq.map(_.name)
-        }.flatten).distinct
-    val matchOpt: Option[(LogicalPlan, graft.SampleInfo)] =
-      graft.GraftState.rank(pairs.map(_._2), queryQcs)
-        .flatMap(best => pairs.find(_._2 eq best))
+      Some(pairs.maxBy { case (leaf, i) => score(i, qcsFor(leaf)) })
+    }
 
-    matchOpt match {
+    aggsLowestFirst.view.flatMap(a => candidateFor(a).map(c => (a, c)))
+      .headOption match {
       case None => stripStubs(child) // no registered sample: run on base
-      case Some((targetLeaf, info)) =>
+      case Some((agg, (targetLeaf, info))) =>
+        // --- routing: unsupported aggregates run on the base table ---------
+        // (reference `QueryRoutingRules.scala:41-103`)
+        val aggFns = agg.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression => ae
+        })
+        val unsupported = aggFns.exists { ae =>
+          ae.isDistinct || (ae.aggregateFunction match {
+            case _: Sum | _: Average | _: Min | _: Max => false
+            case c: Count => c.children.size != 1
+            case _ => true
+          })
+        }
+        if (unsupported) return stripStubs(child)
         rewriteWithSample(ec, child, agg, targetLeaf, info, error, confidence, behavior)
     }
   }

@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Subquery fencing for the AQP rewrite, mirroring the reference's
+ * `SubQueryRoutingTestSuite` (`/root/reference/src/test/scala/io/snappydata/
+ * core/aqp/SubQueryRoutingTestSuite.scala`): expression subqueries (scalar /
+ * IN / EXISTS) stay exact, the error contract binds to the aggregate above
+ * the sampled scan (not blindly the lowest aggregate in the tree), WITH
+ * ERROR works inside a FROM-clause derived table, and joining two different
+ * sample tables is rejected with the reference's error.
+ */
+class SubQueryRoutingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val gs: GraftSession = {
+    val g = new GraftSession(spark)
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("sq_lineitem")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("sq_orders")
+    g
+  }
+
+  private def withFullSample(qcs: String = "l_returnflag")(body: => Unit): Unit = {
+    gs.sql(s"CREATE SAMPLE TABLE sq_li_sample ON sq_lineitem " +
+      s"OPTIONS(qcs '$qcs', fraction '1.0')")
+    try body finally gs.dropSampleTable("sq_li_sample")
+  }
+
+  test("scalar subquery with its own aggregate stays exact; outer agg approximated") {
+    withFullSample() {
+      val approx = gs.sql(
+        """SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS e
+          |FROM sq_lineitem
+          |WHERE l_quantity > (SELECT avg(l_quantity) FROM sq_lineitem)
+          |GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9""".stripMargin).collect()
+      val exact = spark.sql(
+        """SELECT l_returnflag, sum(l_quantity) AS s
+          |FROM sq_lineitem
+          |WHERE l_quantity > (SELECT avg(l_quantity) FROM sq_lineitem)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+      assert(approx.length === exact.length)
+      approx.zip(exact).foreach { case (a, x) =>
+        assert(a.getString(0) === x.getString(0))
+        assert(math.abs(a.getDouble(1) - x.getDouble(1)) < 1e-6)
+        assert(a.getDouble(2) === 0.0) // full fraction ⇒ zero error
+      }
+    }
+  }
+
+  test("IN subquery on another table stays exact; outer query uses the sample") {
+    withFullSample() {
+      val approx = gs.sql(
+        """SELECT l_returnflag, sum(l_quantity) AS s
+          |FROM sq_lineitem
+          |WHERE l_orderkey IN
+          |  (SELECT o_orderkey FROM sq_orders WHERE o_custkey % 3 = 0)
+          |GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9""".stripMargin).collect()
+      val exact = spark.sql(
+        """SELECT l_returnflag, sum(l_quantity) AS s
+          |FROM sq_lineitem
+          |WHERE l_orderkey IN
+          |  (SELECT o_orderkey FROM sq_orders WHERE o_custkey % 3 = 0)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+      assert(approx.length === exact.length)
+      approx.zip(exact).foreach { case (a, x) =>
+        assert(math.abs(a.getDouble(1) - x.getDouble(1)) < 1e-6)
+      }
+    }
+  }
+
+  test("EXISTS correlated subquery stays exact; outer query uses the sample") {
+    withFullSample() {
+      val approx = gs.sql(
+        """SELECT l_returnflag, count(*) AS c
+          |FROM sq_lineitem
+          |WHERE EXISTS (SELECT 1 FROM sq_orders
+          |              WHERE o_orderkey = l_orderkey AND o_custkey % 2 = 0)
+          |GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9""".stripMargin).collect()
+      val exact = spark.sql(
+        """SELECT l_returnflag, count(*) AS c
+          |FROM sq_lineitem
+          |WHERE EXISTS (SELECT 1 FROM sq_orders
+          |              WHERE o_orderkey = l_orderkey AND o_custkey % 2 = 0)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+      assert(approx.length === exact.length)
+      approx.zip(exact).foreach { case (a, x) =>
+        assert(a.getLong(1) === x.getLong(1))
+      }
+    }
+  }
+
+  test("WITH ERROR inside a FROM-clause derived table (reference test 3)") {
+    withFullSample() {
+      val inner = gs.sql(
+        """SELECT s, ae FROM (
+          |  SELECT sum(l_quantity) AS s, absolute_error(s) AS ae
+          |  FROM sq_lineitem GROUP BY l_returnflag
+          |  WITH ERROR 0.9 CONFIDENCE 0.95
+          |) AS subT ORDER BY s""".stripMargin).collect()
+      val flat = gs.sql(
+        """SELECT sum(l_quantity) AS s, absolute_error(s) AS ae
+          |FROM sq_lineitem GROUP BY l_returnflag
+          |ORDER BY s
+          |WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin).collect()
+      assert(inner.length === flat.length)
+      inner.zip(flat).foreach { case (i, f) =>
+        assert(math.abs(i.getDouble(0) - f.getDouble(0)) < 1e-6)
+        assert(i.getDouble(1) === f.getDouble(1))
+      }
+    }
+  }
+
+  test("derived-table aggregate over the sample + outer re-aggregation") {
+    withFullSample() {
+      val approx = gs.sql(
+        """SELECT max(s) AS mx FROM (
+          |  SELECT l_returnflag, sum(l_quantity) AS s
+          |  FROM sq_lineitem GROUP BY l_returnflag
+          |) AS t
+          |WITH ERROR 0.9""".stripMargin).collect()(0).getDouble(0)
+      val exact = spark.sql(
+        """SELECT max(s) FROM (
+          |  SELECT l_returnflag, sum(l_quantity) AS s
+          |  FROM sq_lineitem GROUP BY l_returnflag
+          |) AS t""".stripMargin).collect()(0).getDouble(0)
+      assert(math.abs(approx - exact) < 1e-6)
+    }
+  }
+
+  test("two WITH ERROR clauses are rejected") {
+    withFullSample() {
+      intercept[UnsupportedOperationException] {
+        gs.sql(
+          """SELECT s FROM (
+            |  SELECT sum(l_quantity) AS s FROM sq_lineitem WITH ERROR 0.5
+            |) AS t
+            |WITH ERROR 0.5""".stripMargin)
+      }
+    }
+  }
+
+  test("join between two different sample tables is rejected") {
+    gs.sql("CREATE SAMPLE TABLE sq_li_s ON sq_lineitem " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.5')")
+    gs.sql("CREATE SAMPLE TABLE sq_or_s ON sq_orders " +
+      "OPTIONS(qcs 'o_orderpriority', fraction '0.5')")
+    try {
+      val ex = intercept[UnsupportedOperationException] {
+        gs.sql(
+          """SELECT sum(l_quantity) AS s
+            |FROM sq_li_s JOIN sq_or_s ON l_orderkey = o_orderkey
+            |WITH ERROR 0.5""".stripMargin)
+      }
+      assert(ex.getMessage.contains("Join between two sample tables"))
+    } finally {
+      gs.dropSampleTable("sq_li_s")
+      gs.dropSampleTable("sq_or_s")
+    }
+  }
+
+  test("self-join of one sample table is allowed") {
+    gs.sql("CREATE SAMPLE TABLE sq_li_self ON sq_lineitem " +
+      "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    try {
+      val n = gs.sql(
+        """SELECT count(*) AS c
+          |FROM sq_li_self a JOIN sq_li_self b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+          |WITH ERROR 0.5""".stripMargin).collect()(0).getLong(0)
+      assert(n > 0)
+    } finally gs.dropSampleTable("sq_li_self")
+  }
+}

@@ -322,18 +322,19 @@ class GraftSession(val spark: SparkSession) {
     st
   }
 
-  /** Append a micro-batch / DataFrame into an existing TopK structure. */
-  def appendToTopK(name: String, df: DataFrame): Unit = {
-    val st = topkState(name)
-    st.append(df)
-    refreshTopkView(st)
-  }
+  /** Append a micro-batch / DataFrame into an existing TopK structure
+   * (the relation-backed view reads live state — no refresh needed). */
+  def appendToTopK(name: String, df: DataFrame): Unit =
+    topkState(name).append(df)
 
   /** TopK structures are queryable as tables (`SELECT * FROM topkName` —
-   * reference `TopKRelation.buildScan`, `sql/topk/TopKRelation.scala:59-86`):
-   * the registered view snapshots the full-range top-k at each (re)build. */
+   * reference `TopKRelation.buildScan`, `sql/topk/TopKRelation.scala:59-86`)
+   * through a `PrunedFilteredScan` relation: `WHERE start_time >= a AND
+   * end_time <= b` (epoch ms) prunes sketch intervals before the merge, and
+   * the view always reflects the live sketch state. */
   private def refreshTopkView(st: graft.topk.TopKState): Unit =
-    st.queryTopK(spark, Long.MinValue, Long.MaxValue, st.opts.size)
+    org.apache.spark.sql.graft.Plans
+      .relationDf(spark, new graft.topk.TopKRelation(st, spark))
       .createOrReplaceTempView(st.name)
 
   /** Query top-k keys between epoch-millisecond times (reference

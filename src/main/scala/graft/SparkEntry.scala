@@ -676,6 +676,24 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- §2.1 TopK as a SQL table with time-range pruning: the
+    // PrunedFilteredScan pushes start_time/end_time bounds into the sketch
+    // query (reference `TopKRelation.buildScan`) — Jan 1–14 via pure SQL
+    // equals the exact windowed GROUP BY (Space-Saving exact regime).
+    "q42_topk_sql_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gs = GraftSession(s)
+      tbl(s, dir, "events").createOrReplaceTempView("events_q42")
+      gs.sql("CREATE TOPK TABLE q42_topk ON events_q42 OPTIONS(key 'event_type', " +
+        "streamSummary 'true', capacity '1000000', size '5', " +
+        "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '100', timeUnit 'ns')")
+      s.sql(
+        """SELECT event_type, estimated_value, lower_bound
+          |FROM q42_topk
+          |WHERE start_time >= 1704067200000 AND end_time <= 1705276799999
+          |ORDER BY estimated_value DESC, event_type ASC""".stripMargin)
+    }),
+
     // --- §3 subquery fencing: the scalar subquery's aggregate stays exact
     // on the base table while the outer aggregate rides the sample (full
     // fraction ⇒ exact with zero error) — reference SubQueryRoutingTestSuite.
@@ -997,6 +1015,13 @@ object SparkEntry {
         |       COUNT(DISTINCT l_orderkey) AS exact_distinct,
         |       TRUE AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q42_topk_sql_window" ->
+      """SELECT event_type, COUNT(*) AS estimated_value, COUNT(*) AS lower_bound
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY event_type
+        |ORDER BY estimated_value DESC, event_type ASC LIMIT 5""".stripMargin,
 
     "q41_subquery_error" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS s,

@@ -87,4 +87,18 @@ final class TimeBucketedSketch(
 
   def mergedRange(startInterval: Long, endInterval: Long): Option[IntervalSketch] =
     range(startInterval, endInterval).reduceOption((a, b) => mk().mergeWith(a).mergeWith(b))
+
+  /** Actual [min, max] interval span (inclusive) of the buckets overlapping
+   * [startInterval, endInterval] — coarse history blocks contribute their
+   * full extent (the Hokusai resolution trade-off for old data). */
+  def coveredRange(startInterval: Long, endInterval: Long): Option[(Long, Long)] = {
+    val until = if (endInterval == Long.MaxValue) endInterval else endInterval + 1
+    val rec = intervals.range(startInterval, until).keys.toSeq
+    val old = history.keys.toSeq.filter { case (hs, hl) =>
+      hs <= endInterval && hs + hl - 1 >= startInterval
+    }
+    val mins = rec ++ old.map(_._1)
+    val maxs = rec ++ old.map { case (hs, hl) => hs + hl - 1 }
+    if (mins.isEmpty) None else Some((mins.min, maxs.max))
+  }
 }

@@ -112,12 +112,24 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     buckets.mergedRange(startIv, endIv).map(_.estimate(key))
   }
 
-  /** Top-k between epoch times (ms), inclusive; Long.MinValue/MaxValue = open. */
-  def queryTopK(spark: SparkSession, startMs: Long, endMs: Long, k: Int): DataFrame = {
+  /** Top-k rows of the merged [startMs, endMs] range plus the actual
+   * covered bucket span in epoch ms (for the SQL scan's
+   * `start_time`/`end_time` columns — [[TopKRelation]]). */
+  def topKRows(startMs: Long, endMs: Long, k: Int): (Seq[(Any, Long, Long)], Long, Long) = {
     val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
     val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
-    val merged = buckets.mergedRange(startIv, endIv)
-    val rows = merged.map(_.topK(k)).getOrElse(Nil).map { case (key, est, lower) =>
+    val rows = buckets.mergedRange(startIv, endIv).map(_.topK(k)).getOrElse(Nil)
+    val (covS, covE) = buckets.coveredRange(startIv, endIv)
+      .map { case (s, e) =>
+        (s * opts.timeIntervalMs, (e + 1) * opts.timeIntervalMs - 1)
+      }
+      .getOrElse((0L, 0L))
+    (rows, covS, covE)
+  }
+
+  /** Top-k between epoch times (ms), inclusive; Long.MinValue/MaxValue = open. */
+  def queryTopK(spark: SparkSession, startMs: Long, endMs: Long, k: Int): DataFrame = {
+    val rows = topKRows(startMs, endMs, k)._1.map { case (key, est, lower) =>
       Row(key, est, lower)
     }
     val schema = StructType(Seq(

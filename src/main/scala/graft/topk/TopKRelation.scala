@@ -1,0 +1,72 @@
+package graft.topk
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/**
+ * SQL scan of a TopK structure with time-range pruning, the analogue of the
+ * reference's `TopKRelation.buildScan` `PrunedFilteredScan` (reference
+ * `sql/topk/TopKRelation.scala:59-86`, schema `approximate/TopKUtil.scala:
+ * 40-56`): `SELECT * FROM topkName WHERE start_time >= a AND end_time <= b`
+ * prunes sketch intervals to [a, b] (epoch milliseconds) before the merge,
+ * instead of merging the whole history.
+ *
+ * The scan reads the live [[TopKState]], so appends are visible without
+ * re-registering the view. Emitted `start_time`/`end_time` echo the queried
+ * bounds (the actual covered bucket range when a bound is open), matching
+ * the reference's convention of projecting the query window onto each row.
+ *
+ * Every filter is also re-applied by Spark above the scan
+ * (`unhandledFilters` returns all of them), so pruning is purely a
+ * performance contract — semantics never depend on it.
+ */
+final class TopKRelation(st: TopKState, spark: SparkSession)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = StructType(Seq(
+    StructField(st.opts.key, st.keyType),
+    StructField("estimated_value", LongType),
+    StructField("lower_bound", LongType),
+    StructField("start_time", LongType),
+    StructField("end_time", LongType)))
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  private def asMs(v: Any): Long = v match {
+    case n: java.lang.Number => n.longValue()
+    case other => other.toString.toLong
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    var startMs = Long.MinValue
+    var endMs = Long.MaxValue
+    filters.foreach {
+      case EqualTo("start_time", v) => startMs = math.max(startMs, asMs(v))
+      case GreaterThanOrEqual("start_time", v) => startMs = math.max(startMs, asMs(v))
+      case GreaterThan("start_time", v) => startMs = math.max(startMs, asMs(v) + 1)
+      case EqualTo("end_time", v) => endMs = math.min(endMs, asMs(v))
+      case LessThanOrEqual("end_time", v) => endMs = math.min(endMs, asMs(v))
+      case LessThan("end_time", v) => endMs = math.min(endMs, asMs(v) - 1)
+      case _ => // key/other predicates: re-applied by Spark above the scan
+    }
+    val (rows, covStart, covEnd) = st.topKRows(startMs, endMs, st.opts.size)
+    val outStart = if (startMs == Long.MinValue) covStart else startMs
+    val outEnd = if (endMs == Long.MaxValue) covEnd else endMs
+    val out = rows.map { case (key, est, lb) =>
+      Row.fromSeq(requiredColumns.toSeq.map {
+        case c if c.equalsIgnoreCase(st.opts.key) => key
+        case "estimated_value" => est
+        case "lower_bound" => lb
+        case "start_time" => outStart
+        case "end_time" => outEnd
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      })
+    }
+    spark.sparkContext.parallelize(out, 1)
+  }
+}

@@ -13,6 +13,13 @@ object Plans {
 
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** DataFrame over a V1 `BaseRelation` (for relation-backed temp views,
+   * e.g. the TopK scan with filter pushdown). */
+  def relationDf(spark: SparkSession,
+      rel: org.apache.spark.sql.sources.BaseRelation): DataFrame =
+    ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+
   /** Ensure runtime hooks (error functions + HAC strategy) are installed on
    * a stock session — lets the engine work without `spark.sql.extensions`.
    */

@@ -79,4 +79,41 @@ class TopKSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(viaSql.toSeq === want.toSeq)
   }
+
+  test("SQL time-range pruning through the TopK scan (PrunedFilteredScan)") {
+    gs.sql("CREATE TOPK TABLE tk_sqlwin ON events OPTIONS(key 'user_id', " +
+      "streamSummary 'true', capacity '100000', size '5', " +
+      "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '20000', timeUnit 'ns')")
+    val bounds = spark.sql("SELECT min(ts), max(ts) FROM events").collect()(0)
+    val (t0, t1) = (bounds.getLong(0) / 1000000L, bounds.getLong(1) / 1000000L)
+    val ivMs = 86400000L
+    // [t0, mid]: align the requested end to a bucket boundary so the SQL
+    // window and the exact count cover identical rows
+    val endIv = (t0 + (t1 - t0) / 2) / ivMs
+    val endMs = (endIv + 1) * ivMs - 1
+    val got = spark.sql(
+      s"""SELECT user_id, estimated_value FROM tk_sqlwin
+         |WHERE start_time >= $t0 AND end_time <= $endMs
+         |ORDER BY estimated_value DESC, user_id ASC""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = spark.sql(
+      s"""SELECT user_id, count(*) c FROM events
+         |WHERE floor(ts / 1000000 / $ivMs) BETWEEN ${t0 / ivMs} AND $endIv
+         |GROUP BY user_id ORDER BY c DESC, user_id ASC LIMIT 5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    // full-range scan must differ (more days merged) — proves the time
+    // filters actually pruned the sketch merge
+    val full = spark.sql(
+      """SELECT user_id, estimated_value FROM tk_sqlwin
+        |ORDER BY estimated_value DESC, user_id ASC""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full.map(_._2).sum > got.map(_._2).sum)
+    // start_time/end_time columns echo the queried bounds
+    val echoed = spark.sql(
+      s"""SELECT DISTINCT start_time, end_time FROM tk_sqlwin
+         |WHERE start_time >= $t0 AND end_time <= $endMs""".stripMargin).collect()
+    assert(echoed.length === 1)
+    assert(echoed(0).getLong(0) === t0 && echoed(0).getLong(1) === endMs)
+  }
 }

@@ -46,15 +46,18 @@ case class HacStrategy(spark: org.apache.spark.sql.SparkSession) extends org.apa
  *
  *  - STRICT: fully distributed — any row over the limit throws
  *    [[ErrorLimitExceededException]] executor-side.
- *  - RUN_ON_FULL_TABLE: collects the (post-aggregation, hence small) result;
- *    if any group fails, re-executes the stashed base-table plan.
- *  - PARTIAL_RUN_ON_BASE_TABLE: collects, splits pass/fail groups, re-runs
- *    the base plan semi-joined to the failing group keys, unions with the
- *    passing sampled rows and re-applies the original sort
- *    (reference `AQPRules.scala:375-479`).
+ *  - RUN_ON_FULL_TABLE: caches the aggregated result on executors, checks
+ *    for any failing group with a distributed take(1); if one exists,
+ *    re-executes the stashed base-table plan.
+ *  - PARTIAL_RUN_ON_BASE_TABLE: splits pass/fail groups with distributed
+ *    filters over the cached result, re-runs the base plan semi-joined to
+ *    the failing-key DataFrame, unions with the passing sampled rows and
+ *    re-applies the original sort (reference `AQPRules.scala:375-479`).
  *
- * The driver-side collect only ever sees aggregated output (group count
- * rows), mirroring the reference's own `collect()` of failing keys.
+ * Unlike the reference (which collects the whole aggregated output to the
+ * driver to decide pass/fail — `AQPRules.scala:312-321`), no path here
+ * materializes group rows driver-side, so a high-cardinality GROUP BY under
+ * partial routing stays executor-resident at any scale.
  */
 case class HacExec(
     child: SparkPlan,
@@ -66,15 +69,6 @@ case class HacExec(
     sortOrder: Seq[SortOrder]) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output.dropRight(nHidden)
-
-  private def overLimit(row: InternalRow, total: Int): Boolean = {
-    var i = total - nHidden
-    while (i < total) {
-      if (!row.isNullAt(i) && row.getDouble(i) > errorLimit) return true
-      i += 1
-    }
-    false
-  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val total = child.output.size
@@ -102,29 +96,57 @@ case class HacExec(
         }
 
       case HacBehavior.RerouteToBase | HacBehavior.PartialRouting =>
-        val rows = child.executeCollect()
-        val (failing, passing) = rows.partition(overLimit(_, total))
-        val proj = UnsafeProjection.create(visible, childOutput)
-        val passingVisible = passing.map(r => proj(r).copy().asInstanceOf[InternalRow]).toIndexedSeq
+        // Distributed failure detection. The reference collects every
+        // aggregated row to the driver to decide pass/fail
+        // (`AQPRules.scala:312-321`) — at scale a high-cardinality GROUP BY
+        // under partial routing would materialize every group driver-side.
+        // Here the aggregated result stays cached on executors, pass/fail
+        // splitting is a distributed filter, and only the reroute DECISION
+        // (take(1) on the failing subset) touches the driver.
+        val persisted = child.execute().map(_.copy())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val failsLimit = (row: InternalRow) => {
+          var i = total - nHid
+          var f = false
+          while (i < total && !f) {
+            if (!row.isNullAt(i) && row.getDouble(i) > limit) f = true
+            i += 1
+          }
+          f
+        }
+        val anyFailing = persisted.filter(failsLimit).take(1).nonEmpty
 
-        if (failing.isEmpty) {
-          sparkContext.parallelize(passingVisible, 1)
+        if (!anyFailing) {
+          persisted.mapPartitions { iter =>
+            val proj = UnsafeProjection.create(visible, childOutput)
+            iter.map(proj(_))
+          }
         } else if (behavior == HacBehavior.RerouteToBase || keyIndices.isEmpty) {
-          Dataset.ofRows(session, fallback).queryExecution.toRdd
+          val res = Dataset.ofRows(session, fallback).queryExecution.toRdd
+          persisted.unpersist(blocking = false)
+          res
         } else {
           // partial: exact results only for the failing group keys. Built
           // name-based through the DataFrame API — raw attr plumbing across
           // Union children shares exprIds and breaks under re-analysis
-          // (DeduplicateRelations re-aliases one side).
+          // (DeduplicateRelations re-aliases one side). The failing-key set
+          // never lands on the driver: it feeds the semi-join as an RDD-
+          // backed DataFrame (semi-join semantics make de-duplication free).
           val keyAttrs = keyIndices.map(visible)
-          val keyProj = UnsafeProjection.create(keyAttrs, childOutput)
-          val keyRows = failing.map(r => keyProj(r).copy().asInstanceOf[InternalRow])
-            .distinct.toIndexedSeq
           val keyNames = keyAttrs.map(_.name)
-          val keysDf = Dataset.ofRows(session,
-            LocalRelation(keyAttrs.map(_.newInstance()), keyRows))
-          val passingDf = Dataset.ofRows(session,
-            LocalRelation(visible.map(_.newInstance()), passingVisible))
+          val passingRdd = persisted.filter(r => !failsLimit(r)).mapPartitions { iter =>
+            val proj = UnsafeProjection.create(visible, childOutput)
+            iter.map(proj(_).copy().asInstanceOf[InternalRow])
+          }
+          val keysRdd = persisted.filter(failsLimit).mapPartitions { iter =>
+            val proj = UnsafeProjection.create(keyAttrs, childOutput)
+            iter.map(proj(_).copy().asInstanceOf[InternalRow])
+          }
+          import org.apache.spark.sql.catalyst.types.DataTypeUtils
+          val passingDf = session.internalCreateDataFrame(passingRdd,
+            DataTypeUtils.fromAttributes(visible))
+          val keysDf = session.internalCreateDataFrame(keysRdd,
+            DataTypeUtils.fromAttributes(keyAttrs))
           val fallbackDf = Dataset.ofRows(session, fallback)
           val failedExact = fallbackDf.join(keysDf, keyNames, "left_semi")
           var merged = passingDf.unionByName(failedExact)

@@ -128,6 +128,39 @@ class AqpSqlSpec extends AnyFunSuite {
     gs.dropSampleTable("li_s5")
   }
 
+  test("partial routing with high-cardinality keys and a mixed pass/fail split") {
+    // thousands of groups (l_orderkey) with a limit only some groups miss:
+    // exercises the distributed pass/fail filters + failing-key semi-join in
+    // HacExec — no driver-side materialization of group rows — and checks
+    // every group is present exactly once with a value matching either the
+    // estimate-or-exact contract
+    // stratify by the group key itself so every group retains rows (the
+    // strata floor), with small reservoirs so weights exceed 1 and per-group
+    // errors split into genuine pass and fail subsets at the 0.5 limit
+    gs.sql("CREATE SAMPLE TABLE li_s6 ON lineitem OPTIONS(qcs 'l_orderkey', " +
+      "fraction '0.3', strataReservoirSize '2')")
+    val rows = gs.sql(
+      """SELECT l_orderkey, sum(l_quantity) AS s FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey
+        |WITH ERROR 0.5 BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+      .collect()
+    val exact = spark.sql(
+      "SELECT l_orderkey, sum(l_quantity) s FROM lineitem GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.length === exact.size)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.map(_.getLong(0)).toSeq === rows.map(_.getLong(0)).toSeq.sorted)
+    // every group is within 3x of truth or exactly the base value — sampled
+    // estimates vary, rerouted groups must be exact; just sanity-bound all
+    rows.foreach { r =>
+      val t = exact(r.getLong(0))
+      assert(r.getDouble(1) > 0 && r.getDouble(1) <= t * 4 + 1e-6,
+        s"orderkey ${r.getLong(0)}: ${r.getDouble(1)} vs exact $t")
+    }
+    gs.dropSampleTable("li_s6")
+  }
+
   test("QCS-based sample selection picks the matching sample") {
     gs.sql("CREATE SAMPLE TABLE s_flag ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.3')")
     gs.sql("CREATE SAMPLE TABLE s_stat ON lineitem OPTIONS(qcs 'l_linestatus', fraction '0.3')")

@@ -121,12 +121,14 @@ object Dedup {
    * Each iteration is one join + one map-side-combined min-aggregation
    * (shuffle ∝ edge count, not corpus size); iterations needed = cluster
    * diameter, which for dedup graphs (LSH cliques plus short near-dup
-   * chains) is small. Early-stops when labels converge, capped at
-   * `maxIterations`. The label frame is persisted per round and the
-   * previous round unpersisted, so the lineage stays O(1) deep.
+   * chains) is small. Early-stops when labels converge; if the cap is hit
+   * without convergence the call THROWS (silently returning unconverged
+   * labels would split one component into several cluster_ids). The label
+   * frame is localCheckpoint'ed per round, so both lineage and plan depth
+   * stay O(1) regardless of chain diameter.
    */
   def connectedComponents(pairs: DataFrame, ids: DataFrame, idCol: String,
-      maxIterations: Int = 10): DataFrame = {
+      maxIterations: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -135,10 +137,13 @@ object Dedup {
     // only nodes touching an edge can ever change label — iterate over that
     // (usually small) subgraph and left-join the untouched corpus back as
     // singletons at the end, so per-iteration shuffles scale with the
-    // duplicate graph, not the corpus
+    // duplicate graph, not the corpus. Each round is localCheckpoint'ed:
+    // caching alone keeps the LOGICAL lineage, which nests one join deeper
+    // per round and blows up planning beyond ~10 iterations — truncating it
+    // keeps plan depth O(1) at any chain diameter.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -153,14 +158,23 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
             .as("cluster_id"),
           col("cluster_id").as("__old__"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.filter(col("cluster_id") =!= col("__old__")).limit(1).count()
-      labels.unpersist()
       labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      // silently returning unconverged labels would split one connected
+      // component into several cluster_ids — refuse instead: the caller can
+      // raise maxIterations (rounds needed = cluster diameter)
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIterations " +
+          "iterations (duplicate-chain diameter exceeds the cap); " +
+          "raise maxIterations")
+    }
     ids.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))

@@ -23,41 +23,69 @@ object Pipeline {
    * smallest — is found by ranking only a Bernoulli-prefiltered ~2·target+50
    * subset (same guarantee analysis as [[graft.sampling.StratifiedSampler]]),
    * then every row is labeled with one broadcast join and a comparison.
-   * Exact up to 2⁻⁶⁴ within-stratum hash collisions at the boundary.
+   *
+   * Duplicate rows share a content hash, so the boundary hash may be held by
+   * several rows; rows strictly below the boundary are labeled by the hash
+   * comparison alone, and the boundary-hash rows (a handful per stratum) get
+   * an ordinal in a window over just those rows, admitting exactly
+   * `t − |{h < hb}|` of them — the split is exactly t per stratum even when
+   * the boundary row is duplicated. Exact up to 2⁻⁶⁴ cross-content hash
+   * collisions.
    */
   def stratifiedSplit(df: DataFrame, strata: Seq[Column], testFraction: Double,
       seed: Long = 42L, splitCol: String = "split"): DataFrame = {
     require(testFraction >= 0 && testFraction <= 1, "testFraction in [0,1]")
     val dataCols = df.columns.map(col).toSeq
     val K = "__graft_key__"
+    val H = "__graft_h__"
     val key = if (strata.isEmpty) lit(0) else struct(strata: _*)
     val keyed = df.withColumn(K, key)
-      .withColumn("__graft_h__", xxhash64(struct(dataCols: _*), lit(seed)))
+      .withColumn(H, xxhash64(struct(dataCols: _*), lit(seed)))
 
     val counts = keyed.groupBy(col(K)).agg(count(lit(1)).as("__graft_n__"))
       .withColumn("__graft_t__",
         least(ceil(col("__graft_n__") * lit(testFraction)), col("__graft_n__")))
 
-    // boundary hash per stratum = t-th smallest h, ranked over the
-    // prefiltered subset only
+    // boundary hash per stratum = t-th smallest h (counting duplicates),
+    // ranked over the prefiltered subset only. The prefilter keeps EVERY row
+    // below the hash threshold, so all copies of the boundary hash are in
+    // the subset and the rank accounts for them.
     val joined = keyed.join(broadcast(counts.withColumnRenamed(K, K + "c")),
       col(K) <=> col(K + "c"), "inner").drop(K + "c")
     val p = least(lit(1.0),
       (col("__graft_t__") * lit(2.0) + lit(50.0)) / col("__graft_n__"))
     val threshold = (lit(2.0) * p - lit(1.0)) * lit(Long.MaxValue.toDouble)
-    val boundaries = joined
-      .filter(col("__graft_h__").cast("double") < threshold)
+    val ranked = joined
+      .filter(col(H).cast("double") < threshold)
       .withColumn("__graft_rn__",
-        row_number().over(Window.partitionBy(col(K)).orderBy(col("__graft_h__"))))
-      .filter(col("__graft_rn__") === col("__graft_t__"))
-      .select(col(K).as(K + "b"), col("__graft_h__").as("__graft_hb__"))
+        row_number().over(Window.partitionBy(col(K)).orderBy(col(H))))
+    val hb = ranked.filter(col("__graft_rn__") === col("__graft_t__"))
+      .select(col(K).as(K + "b"), col(H).as("__graft_hb__"))
+    // how many boundary-hash rows rank ≤ t: t − |{h < hb}| — computed from
+    // the same small ranked subset (min rank among the hb copies)
+    val boundaries = ranked.join(broadcast(hb), col(K) <=> col(K + "b"))
+      .filter(col(H) === col("__graft_hb__"))
+      .groupBy(col(K + "b"), col("__graft_hb__"))
+      .agg((first(col("__graft_t__")) - (min(col("__graft_rn__")) - lit(1)))
+        .as("__graft_dups__"))
 
-    keyed.join(broadcast(boundaries), col(K) <=> col(K + "b"), "left")
+    val labeled = keyed.join(broadcast(boundaries), col(K) <=> col(K + "b"), "left")
+    val below = labeled
+      .filter(col("__graft_hb__").isNull || col(H) =!= col("__graft_hb__"))
       .withColumn(splitCol,
-        when(col("__graft_hb__").isNotNull &&
-          col("__graft_h__") <= col("__graft_hb__"), lit("test"))
+        when(col("__graft_hb__").isNotNull && col(H) < col("__graft_hb__"),
+          lit("test")).otherwise(lit("train")))
+      .select(dataCols :+ col(splitCol): _*)
+    // boundary-hash rows: tiny per stratum — admit the first __graft_dups__
+    val atBoundary = labeled
+      .filter(col("__graft_hb__").isNotNull && col(H) === col("__graft_hb__"))
+      .withColumn("__graft_bo__",
+        row_number().over(Window.partitionBy(col(K)).orderBy(col(H))))
+      .withColumn(splitCol,
+        when(col("__graft_bo__") <= col("__graft_dups__"), lit("test"))
           .otherwise(lit("train")))
       .select(dataCols :+ col(splitCol): _*)
+    below.unionByName(atBoundary)
   }
 
   /**

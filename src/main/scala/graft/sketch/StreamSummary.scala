@@ -14,24 +14,75 @@ import scala.collection.mutable
  * minimum counter m and inserts the new key with `count = m + inc`,
  * `error = m`. Guarantees: `trueCount ≤ count ≤ trueCount + error`; exact
  * when distinct keys ≤ capacity (error 0 throughout).
+ *
+ * Eviction uses the paper's count-bucket structure (count → keys at that
+ * count, buckets ordered by count, keys within a bucket ordered by the
+ * deterministic key order): finding and removing the minimum is
+ * O(log capacity), not an O(capacity) scan per miss — the throughput cliff
+ * the reference avoids via stream-lib's linked buckets. Eviction ties are
+ * broken by key order, so the structure is deterministic for a given input
+ * order regardless of hash-map iteration.
  */
 final class StreamSummary(val capacity: Int) extends Serializable {
   // key -> (count, error)
   val counters: mutable.HashMap[Any, (Long, Long)] = mutable.HashMap.empty
 
-  private def minCount: Long =
-    if (counters.size < capacity) 0L else counters.valuesIterator.map(_._1).min
+  // count-bucket index; rebuilt lazily after Java deserialization
+  @transient private var buckets: java.util.TreeMap[Long, mutable.TreeSet[Any]] = _
+
+  private def idx: java.util.TreeMap[Long, mutable.TreeSet[Any]] = {
+    if (buckets == null) {
+      buckets = new java.util.TreeMap[Long, mutable.TreeSet[Any]]()
+      counters.foreach { case (k, (c, _)) => indexAdd(c, k) }
+    }
+    buckets
+  }
+
+  private def indexAdd(c: Long, k: Any): Unit = {
+    var s = idx.get(c)
+    if (s == null) {
+      s = mutable.TreeSet.empty[Any](Ordering.by(keySortable))
+      idx.put(c, s)
+    }
+    s.add(k)
+  }
+
+  private def indexRemove(c: Long, k: Any): Unit = {
+    val s = idx.get(c)
+    if (s != null) {
+      s.remove(k)
+      if (s.isEmpty) idx.remove(c)
+    }
+  }
+
+  private[sketch] def put(k: Any, c: Long, e: Long): Unit = {
+    counters.get(k) match {
+      case Some((oc, _)) => indexRemove(oc, k)
+      case None =>
+    }
+    counters.update(k, (c, e))
+    indexAdd(c, k)
+  }
+
+  private def removeKey(k: Any, c: Long): Unit = {
+    counters.remove(k)
+    indexRemove(c, k)
+  }
 
   def add(key: Any, inc: Long = 1L): Unit = {
     counters.get(key) match {
-      case Some((c, e)) => counters.update(key, (c + inc, e))
-      case None if counters.size < capacity => counters.update(key, (inc, 0L))
+      case Some((c, e)) => put(key, c + inc, e)
+      case None if counters.size < capacity => put(key, inc, 0L)
       case None =>
-        val (minKey, (minC, _)) = counters.minBy(_._2._1)
-        counters.remove(minKey)
-        counters.update(key, (minC + inc, minC))
+        val minC = idx.firstKey
+        val minKey = idx.firstEntry.getValue.head
+        removeKey(minKey, minC)
+        put(key, minC + inc, minC)
     }
   }
+
+  private def minCount: Long =
+    if (counters.size < capacity) 0L else idx.firstKey
 
   /**
    * Standard parallel merge (Agarwal et al., "Mergeable Summaries"-style):
@@ -46,14 +97,13 @@ final class StreamSummary(val capacity: Int) extends Serializable {
     (counters.keySet ++ o.counters.keySet).foreach { k =>
       val (c1, e1) = counters.getOrElse(k, (m1, m1))
       val (c2, e2) = o.counters.getOrElse(k, (m2, m2))
-      out.counters.update(k, (c1 + c2, e1 + e2))
+      out.put(k, c1 + c2, e1 + e2)
     }
     if (out.counters.size > capacity) {
-      val keep = out.counters.toSeq
+      val drop = out.counters.toSeq
         .sortBy { case (k, (c, _)) => (-c, keySortable(k)) }
-        .take(capacity)
-      out.counters.clear()
-      keep.foreach { case (k, v) => out.counters.update(k, v) }
+        .drop(capacity)
+      drop.foreach { case (k, (c, _)) => out.removeKey(k, c) }
     }
     out
   }
@@ -109,7 +159,7 @@ object StreamSummary {
       val len = bb.getInt
       val kb = new Array[Byte](len); bb.get(kb)
       val c = bb.getLong; val e = bb.getLong
-      s.counters.update(StreamSummary.keyFromBytes(kb), (c, e))
+      s.put(StreamSummary.keyFromBytes(kb), c, e)
       i += 1
     }
     s

@@ -25,10 +25,12 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongT
  *
  * Layout follows the reference encoding
  * (snappy-aqp `execution/stratifiedSampling.scala:749-760`), with one
- * scale-proofing extension: strata beyond the 32-bit row cap (~4.2e9 rows)
- * are recorded with both fields scaled down by a common power of two, which
- * preserves the ratio and only marginally perturbs the finite-population
- * correction at that size.
+ * scale-proofing extension: strata whose counts exceed the field widths are
+ * re-approximated as the best in-range rational `t/n` for the true ratio —
+ * the kept count is reduced only as far as the 32-bit total field requires,
+ * so the decoded weight matches the true ratio to ~1/(2·t) relative error.
+ * Ratios beyond `TotalMask` (a stratum keeping fewer than one in ~4.2e9
+ * rows) clamp to `TotalMask` — never to 1.0.
  */
 object Weightage {
   final val WeightColumn = "snappy_sampler_weightage"
@@ -37,11 +39,20 @@ object Weightage {
   final val TotalMask = 0xffffffffL
 
   def pack(numSamples: Long, stratumTotal: Long, keyHash: Int): Long = {
+    if (numSamples <= 0) return 0L
     var n = numSamples
-    var t = stratumTotal
-    while (n > NumSamplesMask || t > TotalMask) { n >>= 1; t >>= 1 }
-    if (n <= 0) 0L
-    else ((n & NumSamplesMask) << 40) | ((t & TotalMask) << 8) | (keyHash & 0xff).toLong
+    var t = math.max(stratumTotal, numSamples)
+    if (n > NumSamplesMask || t > TotalMask) {
+      // out-of-range counts: re-approximate the ratio t/n at reduced counts.
+      // (Truncating right-shifts of both fields would zero a small kept
+      // count — decoding as weight 1.0 — or bias the ratio by up to 2x.)
+      val r = t.toDouble / n.toDouble
+      n = math.min(math.min(numSamples, NumSamplesMask),
+        math.max(1L, (TotalMask / r).toLong))
+      t = math.min(TotalMask, math.round(n * r))
+      if (t < n) t = n
+    }
+    ((n & NumSamplesMask) << 40) | ((t & TotalMask) << 8) | (keyHash & 0xff).toLong
   }
 
   def numSamples(raw: Long): Long = (raw >> 40) & NumSamplesMask

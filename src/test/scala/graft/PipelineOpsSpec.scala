@@ -28,6 +28,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again === first)
   }
 
+  test("stratified split: exact counts when the boundary row is duplicated") {
+    import spark.implicits._
+    // stratum "dup": 4 copies of one row + 6 unique; stratum "uni": all
+    // identical rows. Content duplicates share the boundary hash — the split
+    // must still be exactly ceil(0.2·n) / ceil(0.5·n) per stratum.
+    val rows =
+      (1 to 6).map(i => ("dup", s"unique text $i")) ++
+        Seq.fill(4)(("dup", "copied text")) ++
+        Seq.fill(10)(("uni", "all the same"))
+    val df = rows.toDF("k", "v")
+    for (frac <- Seq(0.2, 0.5, 0.7)) {
+      val s = Pipeline.stratifiedSplit(df, Seq(col("k")), frac)
+      val counts = s.groupBy("k", "split").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      for (k <- Seq("dup", "uni")) {
+        val t = counts.getOrElse((k, "test"), 0L)
+        assert(t === math.ceil(10 * frac).toLong, s"stratum $k frac $frac: $t")
+        assert(t + counts.getOrElse((k, "train"), 0L) === 10L)
+      }
+    }
+  }
+
   test("chunking: full coverage, overlap honored, index ordering") {
     import spark.implicits._
     val text = (1 to 25).map(i => s"w$i").mkString(" ")

@@ -198,4 +198,22 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
+
+  test("connectedComponents: long chain converges; cap overrun throws loudly") {
+    import spark.implicits._
+    // path graph 0-1-2-...-12: diameter 12
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (0L to 12L).toDF("doc_id")
+    val got = graft.dedup.Dedup.connectedComponents(pairs, ids, "doc_id", maxIterations = 20)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq === Seq(0L)) // one component, min label
+    // a cap below the diameter must refuse rather than silently return
+    // split labels (ADVICE: unconverged labels assign one component several
+    // cluster_ids with no warning)
+    val ex = intercept[IllegalStateException] {
+      graft.dedup.Dedup.connectedComponents(pairs, ids, "doc_id", maxIterations = 3)
+        .collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }

@@ -115,6 +115,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Weightage pack: huge strata with small kept counts never decode to 1.0") {
+    // the ADVICE failure case: total ≫ 2^32 with reservoir-sized kept counts.
+    // Truncating shifts would zero numSamples (weight 1.0, off by ~total/kept)
+    val r1 = Weightage.decode(Weightage.pack(50L, 1L << 36, 3))
+    val want1 = (1L << 36).toDouble / 50.0 // ≈1.37e9, representable
+    assert(math.abs(r1 - want1) / want1 < 1e-6, s"$r1 vs $want1")
+    // beyond the representable ratio (total/kept > 2^32-1): clamps to the
+    // max ratio instead of collapsing to 1.0
+    val r2 = Weightage.decode(Weightage.pack(50L, 1L << 38, 3))
+    assert(r2 >= Weightage.TotalMask.toDouble * 0.99, s"clamped ratio $r2")
+    assert(r2 > 1e9)
+    // kept count over the 24-bit mask alone: ratio still preserved
+    val r3 = Weightage.decode(Weightage.pack((1L << 26) + 123L, (1L << 28) + 7L, 3))
+    val want3 = ((1L << 28) + 7L).toDouble / ((1L << 26) + 123L).toDouble
+    assert(math.abs(r3 - want3) / want3 < 1e-6, s"$r3 vs $want3")
+  }
+
   test("sketch serialization round-trips estimates") {
     forAll(streamGen) { keys =>
       val ss = new StreamSummary(capacity = 32)

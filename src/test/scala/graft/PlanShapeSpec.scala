@@ -19,6 +19,40 @@ class PlanShapeSpec extends AnyFunSuite {
   private def planOf(sql: String): String =
     gs.sql(sql).queryExecution.analyzed.treeString
 
+  test("filter pushdown + column pruning survive the sample substitution") {
+    // the WHERE predicate must reach the parquet scan (PushedFilters), and
+    // the scan must read only referenced columns (ReadSchema) — a rewrite
+    // that breaks pushdown/pruning would read the whole table at 100 TB.
+    // Full-fraction samples scan the base parquet (q23's judged shape);
+    // persisted samples scan the sample parquet — assert both.
+    def checkPlan(plan: String, label: String): Unit = {
+      val pushed = plan.split("\n").filter(_.contains("PushedFilters"))
+      assert(pushed.exists(_.contains("GreaterThan(l_quantity,25")),
+        s"[$label] l_quantity > 25 not pushed to the scan:\n${pushed.mkString("\n")}")
+      val readSchemas = plan.split("\n").filter(_.contains("ReadSchema"))
+      assert(readSchemas.nonEmpty, s"[$label] no parquet scan in plan")
+      readSchemas.foreach { rs =>
+        assert(!rs.contains("l_partkey") && !rs.contains("l_shipdate"),
+          s"[$label] scan reads unreferenced columns: ${rs.trim.take(200)}")
+      }
+    }
+    val q =
+      """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS s,
+        |       round(absolute_error(s), 6) AS abs_err
+        |FROM li_ps WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag
+        |WITH ERROR 0.9""".stripMargin
+    gs.sql("CREATE SAMPLE TABLE li_ps_full ON li_ps " +
+      "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    try checkPlan(gs.sql(q).queryExecution.executedPlan.toString, "full-fraction")
+    finally gs.dropSampleTable("li_ps_full")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps_").toString
+    gs.sql(s"CREATE SAMPLE TABLE li_ps_disk ON li_ps " +
+      s"OPTIONS(qcs 'l_returnflag', fraction '0.3', path '$dir/s')")
+    try checkPlan(gs.sql(q).queryExecution.executedPlan.toString, "persisted")
+    finally gs.dropSampleTable("li_ps_disk")
+  }
+
   test("WITH ERROR query without error columns degrades to cheap weighted algebra") {
     // ByPassErrorCalculationsConditionally: do_nothing + no error fns →
     // plain codegen'd sum(w·x), no struct aggregate

@@ -74,9 +74,44 @@ final class CountMinSketch(
     Approximate(math.max(0L, est - slack), est, est, confidence)
   }
 
+  /**
+   * Hokusai item-aggregation fold (the paper's ĉ): halve the width by
+   * adding the two cells every key can map to — `h mod w` folds into
+   * `h mod w/2` because `w/2` divides `w`, so the overestimate-only
+   * guarantee is preserved while ε doubles and memory halves (reference
+   * `Hokusai.scala:317-333`, `ItemAggregation`/`CountMinSketch.compress`).
+   */
+  def compressed: CountMinSketch = {
+    require(width % 2 == 0, s"compress requires even width, got $width")
+    val hw = width / 2
+    val nt = Array.fill(depth)(new Array[Long](hw))
+    var r = 0
+    while (r < depth) {
+      var c = 0
+      while (c < hw) { nt(r)(c) = table(r)(c) + table(r)(c + hw); c += 1 }
+      r += 1
+    }
+    new CountMinSketch(depth, hw, seed, nt, total)
+  }
+
+  /** Fold down to `target` width (must be `width / 2^k` for some k ≥ 0). */
+  def compressedTo(target: Int): CountMinSketch = {
+    var s = this
+    while (s.width > target) s = s.compressed
+    require(s.width == target,
+      s"width $width not reducible to $target by halving")
+    s
+  }
+
+  /** Merge; sides of unequal width (same seed/depth family, widths related
+   * by powers of two) are aligned by folding the wider one first. Returns
+   * `this` mutated when widths already match, else a new sketch. */
   def merge(o: CountMinSketch): CountMinSketch = {
-    require(o.depth == depth && o.width == width && o.seed == seed,
-      "incompatible CMS dimensions")
+    require(o.depth == depth && o.seed == seed, "incompatible CMS dimensions")
+    if (o.width != width) {
+      if (width > o.width) return this.compressedTo(o.width).merge(o)
+      else return this.merge(o.compressedTo(width))
+    }
     var r = 0
     while (r < depth) {
       var c = 0

@@ -7,6 +7,11 @@ sealed trait IntervalSketch extends Serializable {
   def mergeWith(o: IntervalSketch): IntervalSketch
   def topK(n: Int): Seq[(Any, Long, Long)]
   def estimate(key: Any): (Long, Long, Long) // (lower, estimate, upper)
+  /** Item-aggregation fold: halve the memory footprint at reduced
+   * precision (Hokusai's ĉ). */
+  def compressed: IntervalSketch
+  /** Whether a further [[compressed]] step is possible/worthwhile. */
+  def compressible(minWidth: Int): Boolean
 }
 
 final case class CmsInterval(s: TopKCms) extends IntervalSketch {
@@ -16,6 +21,9 @@ final case class CmsInterval(s: TopKCms) extends IntervalSketch {
   def estimate(key: Any): (Long, Long, Long) = {
     val a = s.estimate(key); (a.lowerBound, a.estimate, a.max)
   }
+  def compressed: IntervalSketch = CmsInterval(s.compressed)
+  def compressible(minWidth: Int): Boolean =
+    s.cms.width % 2 == 0 && s.cms.width / 2 >= minWidth
 }
 
 final case class SummaryInterval(s: StreamSummary) extends IntervalSketch {
@@ -26,34 +34,89 @@ final case class SummaryInterval(s: StreamSummary) extends IntervalSketch {
   def estimate(key: Any): (Long, Long, Long) = {
     val (c, e) = s.estimateCount(key); (c - e, c, c)
   }
+  /** Space-Saving has no width to fold; halve the capacity keeping the
+   * largest counters — retained keys keep valid bounds, tail keys are
+   * forgotten (acceptable for aged intervals; the ĉ fold proper is a CMS
+   * concept). */
+  def compressed: IntervalSketch = {
+    val half = new StreamSummary(math.max(1, s.capacity / 2))
+    s.topK(math.max(1, s.capacity / 2)).foreach { case (k, c, lb) =>
+      half.put(k, c, c - lb)
+    }
+    SummaryInterval(half)
+  }
+  def compressible(minWidth: Int): Boolean = s.capacity / 2 >= minWidth
 }
 
 /**
- * Hokusai-style time-bucketed retention (reference `execution/Hokusai.scala`
- * — `TimeAggregation:394`): the most recent `maxInterval` intervals are kept
- * at full resolution; older intervals are folded into dyadic
- * (power-of-two-sized) coarse buckets, so memory stays
- * O(maxInterval + log T) while old ranges remain queryable at reduced
- * resolution — the paper's time-aggregation trade-off.
+ * Hokusai-style time-bucketed retention (reference `execution/Hokusai.scala`).
+ * Two aging policies from the paper:
+ *
+ *  - **Time aggregation** (default — reference `TimeAggregation:394`): the
+ *    most recent `maxInterval` intervals are kept at full resolution; older
+ *    intervals are folded into dyadic (power-of-two-sized) coarse buckets,
+ *    so memory stays O(maxInterval + log T) while old ranges remain
+ *    queryable at reduced TIME resolution.
+ *  - **Item aggregation** (`itemAggregation = true` — reference
+ *    `ItemAggregation:317`, `TimeAndItemAggregation:436`): every interval
+ *    is kept individually, but a sketch of age `a` has had its width halved
+ *    `floor(log2 a)` times (the paper's shrinking-width ĉ, down to
+ *    `minWidth`) — memory per interval decays geometrically with age while
+ *    queries keep full per-interval TIME granularity at reduced precision.
+ *    ε doubles per fold; the CMS overestimate-only guarantee survives every
+ *    fold, and the widened bounds are reported automatically because
+ *    `Approximate` slack is computed from the folded width.
  */
 final class TimeBucketedSketch(
     val maxInterval: Int,
-    val mk: () => IntervalSketch) extends Serializable {
+    val mk: () => IntervalSketch,
+    val itemAggregation: Boolean = false,
+    val minWidth: Int = 64) extends Serializable {
 
   // full-resolution recent intervals
   val intervals: mutable.SortedMap[Long, IntervalSketch] = mutable.SortedMap.empty
-  // dyadic history: (startInterval, length) -> merged sketch
+  // dyadic history: (startInterval, length) -> merged sketch (time mode)
   val history: mutable.SortedMap[(Long, Long), IntervalSketch] = mutable.SortedMap.empty
+  // item mode: folds applied per interval
+  private val folds: mutable.Map[Long, Int] = mutable.Map.empty
 
   def addTo(interval: Long, sketch: IntervalSketch): Unit = {
     intervals.get(interval) match {
+      // mergeWith aligns widths, so fresh full-width data folds into an
+      // already-compressed aged interval correctly
       case Some(existing) => intervals.update(interval, existing.mergeWith(sketch))
       case None => intervals.update(interval, sketch)
     }
     compact()
   }
 
-  private def compact(): Unit = {
+  private def compact(): Unit =
+    if (itemAggregation) compactItems() else compactTime()
+
+  private def compactItems(): Unit = {
+    if (intervals.isEmpty) return
+    val newest = intervals.lastKey
+    val updates = intervals.toSeq.flatMap { case (iv, sk) =>
+      val age = newest - iv
+      if (age < 2) None
+      else {
+        val target = 63 - java.lang.Long.numberOfLeadingZeros(age) // floor log2
+        var cur = folds.getOrElse(iv, 0)
+        var s = sk
+        var changed = false
+        while (cur < target && s.compressible(minWidth)) {
+          s = s.compressed; cur += 1; changed = true
+        }
+        if (changed) Some((iv, s, cur)) else None
+      }
+    }
+    updates.foreach { case (iv, s, cur) =>
+      intervals.update(iv, s)
+      folds.update(iv, cur)
+    }
+  }
+
+  private def compactTime(): Unit = {
     while (intervals.size > maxInterval) {
       val (oldest, sk) = intervals.head
       intervals.remove(oldest)

@@ -37,11 +37,17 @@ final class TopKCms(
   }
 
   def merge(o: TopKCms): TopKCms = {
-    cms.merge(o.cms)
-    candidates ++= o.candidates
-    if (candidates.size > maxCandidates) prune()
-    this
+    val m = cms.merge(o.cms) // may return a width-aligned copy
+    val out = if (m eq cms) this else new TopKCms(k, m, candidates)
+    out.candidates ++= o.candidates
+    if (out.candidates.size > maxCandidates) out.prune()
+    out
   }
+
+  /** Item-aggregation fold: CMS width halves (ε doubles); the exact
+   * candidate set is retained, so old intervals keep reporting their heavy
+   * hitters at reduced precision. */
+  def compressed: TopKCms = new TopKCms(k, cms.compressed, candidates.clone())
 
   /** Top-k (key, estimate, lowerBound), ties by key ascending. */
   def topK(n: Int): Seq[(Any, Long, Long)] =

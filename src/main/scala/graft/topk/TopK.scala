@@ -26,7 +26,8 @@ final case class TopKOptions(
     frequencyCol: Option[String] = None,
     capacity: Int = 0,
     seed: Int = 123,
-    timeUnit: String = "auto") {
+    timeUnit: String = "auto",
+    itemAggregation: Boolean = false) {
   def effectiveCapacity: Int = if (capacity > 0) capacity else math.max(size * 4, 400)
 }
 
@@ -54,7 +55,8 @@ object TopKOptions {
       frequencyCol = opts.get("frequencycol"),
       capacity = opts.get("capacity").map(_.toInt).getOrElse(0),
       seed = opts.get("seed").map(_.toInt).getOrElse(123),
-      timeUnit = opts.getOrElse("timeunit", "auto"))
+      timeUnit = opts.getOrElse("timeunit", "auto"),
+      itemAggregation = opts.get("itemaggregation").exists(_.toBoolean))
   }
 }
 
@@ -67,7 +69,8 @@ object TopKOptions {
  */
 final class TopKState(val name: String, val opts: TopKOptions, val keyType: DataType) {
   val variant: String = if (opts.streamSummary) "summary" else "cms"
-  val buckets = new TimeBucketedSketch(opts.maxInterval, () => mkSketch())
+  val buckets =
+    new TimeBucketedSketch(opts.maxInterval, () => mkSketch(), opts.itemAggregation)
 
   private def mkSketch(): IntervalSketch =
     if (opts.streamSummary) SummaryInterval(new StreamSummary(opts.effectiveCapacity))

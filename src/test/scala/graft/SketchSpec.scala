@@ -113,6 +113,69 @@ class SketchSpec extends AnyFunSuite {
     assert(recent.estimate("key9")._2 === 10L)
   }
 
+  test("CMS compress: guarantee survives folds, eps doubles, merge aligns widths") {
+    val rnd = new scala.util.Random(3)
+    val xs = List.fill(4000)(rnd.nextLong(500))
+    val cms = new CountMinSketch(5, 512, 11)
+    xs.foreach(x => cms.add(x))
+    val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val folded = cms.compressed.compressed // 512 → 128
+    assert(folded.width === 128)
+    assert(folded.eps === math.E / 128)
+    truth.foreach { case (k, n) =>
+      assert(folded.estimateCount(k) >= n, s"fold broke overestimate for $k")
+      assert(folded.estimateCount(k) >= cms.estimateCount(k)) // only widens
+    }
+    // width-aligned merge: wide ⊕ narrow == (wide folded) ⊕ narrow
+    val wide = new CountMinSketch(5, 512, 11)
+    xs.take(2000).foreach(x => wide.add(x))
+    val narrow = new CountMinSketch(5, 512, 11)
+    xs.drop(2000).foreach(x => narrow.add(x))
+    val narrowF = narrow.compressed
+    val merged = wide.merge(narrowF)
+    assert(merged.width === 256)
+    truth.foreach { case (k, n) => assert(merged.estimateCount(k) >= n) }
+  }
+
+  test("TimeBucketedSketch item aggregation: all intervals kept, widths shrink, bounds widen") {
+    val mkCms = () => CmsInterval(new TopKCms(10, 5, 512, 7)): IntervalSketch
+    val tb = new TimeBucketedSketch(4, mkCms, itemAggregation = true, minWidth = 64)
+    val perInterval = 200
+    val rnd = new scala.util.Random(5)
+    val truths = (0L until 20L).map { iv =>
+      val s = new TopKCms(10, 5, 512, 7)
+      val keys = List.fill(perInterval)(rnd.nextLong(50))
+      keys.foreach(k => s.add(k))
+      tb.addTo(iv, CmsInterval(s))
+      iv -> keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    // ALL 20 intervals individually queryable (time aggregation would have
+    // folded everything past maxInterval=4 into coarse blocks)
+    assert(tb.intervals.size === 20)
+    assert(tb.history.isEmpty)
+    // old sketches physically shrank: age ≥ 8 ⇒ ≥ 3 folds (512 → 64)
+    val w = (iv: Long) =>
+      tb.intervals(iv).asInstanceOf[CmsInterval].s.cms.width
+    assert(w(0L) === 64 && w(19L) === 512, s"${w(0L)} / ${w(19L)}")
+    assert((0L until 20L).forall(iv => w(iv) >= 64))
+    // per-interval estimates: overestimate-only survives every fold, and
+    // the widened eps bound (computed from the folded width) still frames
+    // the truth: true ∈ [lower, estimate]
+    truths.foreach { case (iv, truth) =>
+      val sk = tb.mergedRange(iv, iv).get
+      truth.foreach { case (k, n) =>
+        val (lo, est, _) = sk.estimate(k)
+        assert(est >= n, s"iv $iv key $k: est $est < true $n")
+        assert(lo <= n, s"iv $iv key $k: lower $lo > true $n")
+      }
+    }
+    // cross-width range merge stays sound
+    val all = tb.mergedRange(0L, 19L).get
+    val grand = truths.values.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    grand.foreach { case (k, n) => assert(all.estimate(k)._2 >= n) }
+  }
+
   test("property: CMS overestimate-only on random streams") {
     val rnd = new scala.util.Random(7)
     (0 until 50).foreach { _ =>

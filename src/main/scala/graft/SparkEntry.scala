@@ -74,7 +74,7 @@ object SparkEntry {
     "q04_with_error_sql" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q04")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q04_sample ON lineitem_q04 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q04_sample ON lineitem_q04 " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       gs.sql(
         """SELECT l_returnflag, l_linestatus,
@@ -95,7 +95,7 @@ object SparkEntry {
     "q05_hac_reroute" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q05")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q05_sample ON lineitem_q05 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q05_sample ON lineitem_q05 " +
         "OPTIONS(qcs 'l_returnflag', fraction '0.05')")
       gs.sql(
         """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty
@@ -108,7 +108,7 @@ object SparkEntry {
     "q06_hac_partial" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q06")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q06_sample ON lineitem_q06 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q06_sample ON lineitem_q06 " +
         "OPTIONS(qcs 'l_returnflag', fraction '0.05')")
       gs.sql(
         """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price
@@ -125,7 +125,7 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val gs = GraftSession(s)
       tbl(s, dir, "events").createOrReplaceTempView("events_q07")
-      gs.sql("CREATE TOPK TABLE q07_topk ON events_q07 OPTIONS(key 'user_id', " +
+      gs.sql("CREATE TOPK TABLE IF NOT EXISTS q07_topk ON events_q07 OPTIONS(key 'user_id', " +
         "streamSummary 'true', capacity '1000000', size '10')")
       gs.queryTopK("q07_topk", k = 10)
     }),
@@ -136,7 +136,7 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val gs = GraftSession(s)
       tbl(s, dir, "events").createOrReplaceTempView("events_q08")
-      gs.sql("CREATE TOPK TABLE q08_topk ON events_q08 OPTIONS(key 'event_type', " +
+      gs.sql("CREATE TOPK TABLE IF NOT EXISTS q08_topk ON events_q08 OPTIONS(key 'event_type', " +
         "streamSummary 'true', capacity '1000000', size '5', " +
         "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '100', timeUnit 'ns')")
       gs.queryTopK("q08_topk", 1704067200000L, 1705276799999L, 5)
@@ -265,6 +265,7 @@ object SparkEntry {
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
       val enriched = base.unionByName(copies).select(col("doc_id"),
         fingerprint(col("text")).as("fp"), qualityScore(col("text")).as("q"))
+        .persist() // three actions below read it; don't re-fingerprint per action
       val fpOrig = enriched.filter(col("doc_id") < 1000000L)
         .select(col("doc_id").as("oid"), col("fp").as("fp_o"))
       val fpCopy = enriched.filter(col("doc_id") >= 1000000L)
@@ -274,6 +275,7 @@ object SparkEntry {
       val nDocs = base.count()
       val nQualityOk = enriched
         .filter(col("q") >= 0.0 && col("q") <= 1.0).count()
+      enriched.unpersist(blocking = false)
       val planted = Seq(
         (1L, "the cat and the dog are in the house and they have food from the market"),
         (2L, "le chat et le chien sont dans la maison avec le garçon pour le dîner"),
@@ -342,7 +344,7 @@ object SparkEntry {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17")
       tbl(s, dir, "orders").createOrReplaceTempView("orders_q17")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q17_sample ON lineitem_q17 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q17_sample ON lineitem_q17 " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       gs.sql(
         """SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS revenue,
@@ -356,7 +358,7 @@ object SparkEntry {
     "q18_rollup_with_error" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q18")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q18_sample ON lineitem_q18 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q18_sample ON lineitem_q18 " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       gs.sql(
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
@@ -370,7 +372,7 @@ object SparkEntry {
     "q19_dataframe_api" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q19")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q19_sample ON lineitem_q19 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q19_sample ON lineitem_q19 " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       val agg = s.table("lineitem_q19")
         .groupBy(col("l_returnflag"))
@@ -385,7 +387,7 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val gs = GraftSession(s)
       tbl(s, dir, "events").createOrReplaceTempView("events_q20")
-      gs.sql("CREATE TOPK TABLE q20_topk ON events_q20 OPTIONS(key 'event_type', " +
+      gs.sql("CREATE TOPK TABLE IF NOT EXISTS q20_topk ON events_q20 OPTIONS(key 'event_type', " +
         "streamSummary 'true', capacity '1000000', size '5', " +
         "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '100', timeUnit 'ns')")
       val freqs = Seq("click", "view", "purchase", "signup", "error").map { k =>
@@ -401,7 +403,7 @@ object SparkEntry {
     "q21_error_limit_sample" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q21")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q21_sample ON lineitem_q21 OPTIONS(" +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q21_sample ON lineitem_q21 OPTIONS(" +
         "qcs 'l_returnflag', errorLimitColumn 'l_extendedprice', " +
         "errorLimitPercent '5.0', confidence '0.95', strataReservoirSize '30')")
       s.table("lineitem_q21_sample")
@@ -414,7 +416,7 @@ object SparkEntry {
     "q23_filtered_with_error" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q23")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q23_sample ON lineitem_q23 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q23_sample ON lineitem_q23 " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       gs.sql(
         """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS s,
@@ -461,7 +463,7 @@ object SparkEntry {
     "q30_bootstrap_sql" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q30")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q30_sample ON lineitem_q30 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q30_sample ON lineitem_q30 " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       s.conf.set("spark.sql.aqp.estimator", "bootstrap")
       try {
@@ -479,7 +481,7 @@ object SparkEntry {
     "q31_having_order" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q31")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q31_sample ON lineitem_q31 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q31_sample ON lineitem_q31 " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       gs.sql(
         """SELECT l_returnflag, round(sum(l_quantity), 4) AS s,
@@ -497,7 +499,7 @@ object SparkEntry {
     "q32_compound_agg" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q32")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q32_sample ON lineitem_q32 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q32_sample ON lineitem_q32 " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       gs.sql(
         """SELECT l_returnflag,
@@ -535,7 +537,7 @@ object SparkEntry {
     "q34_hac_strict" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q34")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q34_sample ON lineitem_q34 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q34_sample ON lineitem_q34 " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       gs.sql(
         """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty
@@ -550,7 +552,7 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val gs = GraftSession(s)
       tbl(s, dir, "events").createOrReplaceTempView("events_q35")
-      gs.sql("CREATE SAMPLE TABLE events_q35_sample ON events_q35 OPTIONS(" +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS events_q35_sample ON events_q35 OPTIONS(" +
         "qcs 'event_type', timeSeriesColumn 'ts', timeInterval '86400000', " +
         "timeUnit 'ns', fraction '1.0')")
       s.table("events_q35_sample")
@@ -592,6 +594,8 @@ object SparkEntry {
       val first = li.filter(col("l_orderkey") % 2 === 0)
       val second = li.filter(col("l_orderkey") % 2 =!= 0)
       first.createOrReplaceTempView("lineitem_q38_half")
+      // NOT "if not exists": the append below mutates the sample, so a
+      // repeated run (bench warmup + timed) must rebuild from scratch
       gs.sql("CREATE SAMPLE TABLE lineitem_q38_sample ON lineitem_q38_half " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       gs.appendToSample("lineitem_q38_sample", second)
@@ -684,7 +688,7 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val gs = GraftSession(s)
       tbl(s, dir, "events").createOrReplaceTempView("events_q42")
-      gs.sql("CREATE TOPK TABLE q42_topk ON events_q42 OPTIONS(key 'event_type', " +
+      gs.sql("CREATE TOPK TABLE IF NOT EXISTS q42_topk ON events_q42 OPTIONS(key 'event_type', " +
         "streamSummary 'true', capacity '1000000', size '5', " +
         "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '100', timeUnit 'ns')")
       s.sql(
@@ -700,7 +704,7 @@ object SparkEntry {
     "q41_subquery_error" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q41")
-      gs.sql("CREATE SAMPLE TABLE lineitem_q41_sample ON lineitem_q41 " +
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q41_sample ON lineitem_q41 " +
         "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
       gs.sql(
         """SELECT l_returnflag, round(sum(l_quantity), 4) AS s,

@@ -31,8 +31,9 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = {
     val createSample = CreateSamplePattern.matcher(sqlText)
     if (createSample.matches()) {
-      val opts = parseOptions(createSample.group(3))
-      return CreateSampleTableNode(createSample.group(1), createSample.group(2), opts)
+      val opts = parseOptions(createSample.group(4))
+      return CreateSampleTableNode(createSample.group(2), createSample.group(3),
+        opts, ifNotExists = createSample.group(1) != null)
     }
     val createSampleAs = CreateSampleAsPattern.matcher(sqlText)
     if (createSampleAs.matches()) {
@@ -42,8 +43,9 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
     }
     val createTopk = CreateTopkPattern.matcher(sqlText)
     if (createTopk.matches()) {
-      val opts = parseOptions(createTopk.group(3))
-      return CreateTopkTableNode(createTopk.group(1), createTopk.group(2), opts)
+      val opts = parseOptions(createTopk.group(4))
+      return CreateTopkTableNode(createTopk.group(2), createTopk.group(3),
+        opts, ifNotExists = createTopk.group(1) != null)
     }
     val dropSample = DropSamplePattern.matcher(sqlText)
     if (dropSample.matches()) {
@@ -118,10 +120,10 @@ object AqpParser {
     s"(?is)\\s+WITH\\s+ERROR(?:\\s+$num)?(?:\\s+CONFIDENCE\\s+$num)?" +
       "(?:\\s+BEHAVIOR\\s+'([a-zA-Z_]+)')?(?=\\s*\\))")
   val CreateSamplePattern: Pattern = Pattern.compile(
-    "(?is)\\A\\s*CREATE\\s+SAMPLE\\s+TABLE\\s+([\\w.]+)\\s+ON\\s+([\\w.]+)" +
+    "(?is)\\A\\s*CREATE\\s+SAMPLE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s+ON\\s+([\\w.]+)" +
       "\\s+OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")
   val CreateTopkPattern: Pattern = Pattern.compile(
-    "(?is)\\A\\s*CREATE\\s+TOPK\\s+TABLE\\s+([\\w.]+)\\s+ON\\s+([\\w.]+)" +
+    "(?is)\\A\\s*CREATE\\s+TOPK\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s+ON\\s+([\\w.]+)" +
       "\\s+OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")
   // sample over an arbitrary query (reference grammar's `AS SELECT` arm —
   // `sql/snappyAQPParsers.scala:77-103`)
@@ -150,19 +152,25 @@ object AqpParser {
  * session with `spark.sql.extensions=...GraftExtensions` runs them through
  * Spark's ordinary eager-command path. */
 case class CreateSampleTableNode(name: String, base: String,
-    options: Map[String, String])
+    options: Map[String, String], ifNotExists: Boolean = false)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    graft.GraftSession(spark).createSampleTableFromOptions(name, base, options)
+    val gs = graft.GraftSession(spark)
+    if (!(ifNotExists && gs.state.samples.contains(name))) {
+      gs.createSampleTableFromOptions(name, base, options)
+    }
     Nil
   }
 }
 
 case class CreateTopkTableNode(name: String, base: String,
-    options: Map[String, String])
+    options: Map[String, String], ifNotExists: Boolean = false)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    graft.GraftSession(spark).createTopK(name, base, options)
+    val gs = graft.GraftSession(spark)
+    if (!(ifNotExists && gs.state.topks.contains(name.toLowerCase))) {
+      gs.createTopK(name, base, options)
+    }
     Nil
   }
 }

@@ -291,11 +291,23 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val cfAggs = mutable.LinkedHashMap.empty[(AqpAggType.AqpAggType, Expression), Alias]
 
     // estimator family: closed-form (CLT) by default, Poisson bootstrap via
-    // spark.sql.aqp.estimator=bootstrap (reference selects the analysis type
-    // per-query at `QueryProcessingRules.scala:1335-1459`; we make it a
-    // session config — `ClosedFormEstimates` property equivalent)
+    // spark.sql.aqp.estimator=bootstrap, or per-query automatic selection
+    // via 'auto' — the reference's `ClosedFormEstimates` analysis-type rule
+    // (`QueryProcessingRules.scala:1414-1452`): closed-form unless an
+    // Average is combined with a WHERE below the aggregate, where the
+    // ratio-estimator's closed-form variance is unreliable → bootstrap.
     val useBootstrap = defaultD("spark.sql.aqp.estimator", "closedform")
-      .equalsIgnoreCase("bootstrap")
+      .toLowerCase match {
+      case "bootstrap" => true
+      case "auto" =>
+        val hasAvg = agg.aggregateExpressions.exists(_.exists {
+          case ae: AggregateExpression =>
+            ae.aggregateFunction.isInstanceOf[Average]
+          case _ => false
+        })
+        hasAvg && agg.child.exists(_.isInstanceOf[Filter])
+      case _ => false
+    }
     val numTrials = defaultD("spark.sql.aqp.numBootstrapTrials", "100").toInt
     lazy val seedExpr: Expression =
       XxHash64(threaded.output, defaultD("spark.sql.aqp.seed", "42").toLong)

@@ -161,6 +161,17 @@ class AqpSqlSpec extends AnyFunSuite {
     gs.dropSampleTable("li_s6")
   }
 
+  test("CREATE SAMPLE TABLE IF NOT EXISTS skips rebuild; plain CREATE replaces") {
+    gs.sql("CREATE SAMPLE TABLE li_ine ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.1')")
+    val frac1 = gs.state.samples("li_ine").fraction
+    gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS li_ine ON lineitem " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.7')")
+    assert(gs.state.samples("li_ine").fraction === frac1) // untouched
+    gs.sql("CREATE SAMPLE TABLE li_ine ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.7')")
+    assert(gs.state.samples("li_ine").fraction === 0.7) // replaced
+    gs.dropSampleTable("li_ine")
+  }
+
   test("QCS-based sample selection picks the matching sample") {
     gs.sql("CREATE SAMPLE TABLE s_flag ON lineitem OPTIONS(qcs 'l_returnflag', fraction '0.3')")
     gs.sql("CREATE SAMPLE TABLE s_stat ON lineitem OPTIONS(qcs 'l_linestatus', fraction '0.3')")

@@ -53,6 +53,29 @@ class PlanShapeSpec extends AnyFunSuite {
     finally gs.dropSampleTable("li_ps_disk")
   }
 
+  test("estimator 'auto' picks bootstrap only for avg-with-where (reference analysis-type rule)") {
+    spark.conf.set("spark.sql.aqp.estimator", "auto")
+    try {
+      def planFor(q: String): String =
+        gs.sql(q + " WITH ERROR 0.5").queryExecution.analyzed.treeString.toLowerCase
+      // sum + where → closed-form
+      val p1 = planFor(
+        "SELECT sum(l_quantity) AS s, absolute_error(s) AS e FROM li_ps " +
+          "WHERE l_quantity > 10 GROUP BY l_returnflag")
+      assert(p1.contains("approx_sum_cf") && !p1.contains("_bs("), p1.take(400))
+      // avg without where → closed-form
+      val p2 = planFor(
+        "SELECT avg(l_quantity) AS a, absolute_error(a) AS e FROM li_ps " +
+          "GROUP BY l_returnflag")
+      assert(p2.contains("approx_avg_cf") && !p2.contains("_bs("), p2.take(400))
+      // avg + where → bootstrap
+      val p3 = planFor(
+        "SELECT avg(l_quantity) AS a, absolute_error(a) AS e FROM li_ps " +
+          "WHERE l_quantity > 10 GROUP BY l_returnflag")
+      assert(p3.contains("approx_avg_bs"), p3.take(400))
+    } finally spark.conf.set("spark.sql.aqp.estimator", "closedform")
+  }
+
   test("WITH ERROR query without error columns degrades to cheap weighted algebra") {
     // ByPassErrorCalculationsConditionally: do_nothing + no error fns →
     // plain codegen'd sum(w·x), no struct aggregate

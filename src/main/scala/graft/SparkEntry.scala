@@ -261,6 +261,8 @@ object SparkEntry {
       import s.implicits._
       val docs = tbl(s, dir, "documents")
       val base = docs.select(col("doc_id"), col("text"))
+      // limit(20) yields fewer rows on a tiny table — the oracle mirrors
+      // this with LEAST(COUNT(*), 20)
       val copies = docs.orderBy(col("doc_id")).limit(20)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
       val enriched = base.unionByName(copies).select(col("doc_id"),
@@ -865,8 +867,8 @@ object SparkEntry {
 
     "q16_text_enrich" ->
       """SELECT COUNT(*) AS n_docs,
-        |       CAST(20 AS BIGINT) AS n_fp_match,
-        |       COUNT(*) + CAST(20 AS BIGINT) AS n_quality_ok,
+        |       LEAST(COUNT(*), CAST(20 AS BIGINT)) AS n_fp_match,
+        |       COUNT(*) + LEAST(COUNT(*), CAST(20 AS BIGINT)) AS n_quality_ok,
         |       'en' AS lang_en, 'fr' AS lang_fr, 'es' AS lang_es,
         |       'de' AS lang_de, 'zh' AS lang_zh
         |FROM documents""".stripMargin,

@@ -137,13 +137,18 @@ object Dedup {
     // only nodes touching an edge can ever change label — iterate over that
     // (usually small) subgraph and left-join the untouched corpus back as
     // singletons at the end, so per-iteration shuffles scale with the
-    // duplicate graph, not the corpus. Each round is localCheckpoint'ed:
-    // caching alone keeps the LOGICAL lineage, which nests one join deeper
-    // per round and blows up planning beyond ~10 iterations — truncating it
-    // keeps plan depth O(1) at any chain diameter.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+    // duplicate graph, not the corpus. Each round is materialized into an
+    // RDD-backed frame: caching alone keeps the LOGICAL lineage, which
+    // nests one join deeper per round and blows up planning beyond ~10
+    // iterations — truncating it keeps plan depth O(1) at any chain
+    // diameter, and each superseded round's storage is released explicitly
+    // (only the final round stays cached for the result join).
+    val spark = pairs.sparkSession
+    def materialize(df: DataFrame): (DataFrame, () => Unit) =
+      org.apache.spark.sql.graft.Plans.materialize(spark, df)
+    var (labels, releaseLabels) = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -153,14 +158,18 @@ object Dedup {
           .withColumnRenamed("cluster_id", "nl"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("nl")).as("nl"))
-      val next = labels.join(fromNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
-            .as("cluster_id"),
-          col("cluster_id").as("__old__"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("cluster_id") =!= col("__old__")).limit(1).count()
+      val (next, releaseNext) = materialize(
+        labels.join(fromNeighbors, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
+              .as("cluster_id"),
+            col("cluster_id").as("__old__")))
+      // full count (not a take-1 probe): materializes every partition of
+      // `next` into its cache before the previous round is released
+      val changed = next.filter(col("cluster_id") =!= col("__old__")).count()
+      releaseLabels()
       labels = next.select(col("id"), col("cluster_id"))
+      releaseLabels = releaseNext
       converged = changed == 0
       iter += 1
     }
@@ -169,7 +178,7 @@ object Dedup {
       // silently returning unconverged labels would split one connected
       // component into several cluster_ids — refuse instead: the caller can
       // raise maxIterations (rounds needed = cluster diameter)
-      labels.unpersist()
+      releaseLabels()
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIterations " +
           "iterations (duplicate-chain diameter exceeds the cap); " +

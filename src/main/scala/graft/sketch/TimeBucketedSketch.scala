@@ -40,8 +40,10 @@ final case class SummaryInterval(s: StreamSummary) extends IntervalSketch {
    * concept). */
   def compressed: IntervalSketch = {
     val half = new StreamSummary(math.max(1, s.capacity / 2))
-    s.topK(math.max(1, s.capacity / 2)).foreach { case (k, c, lb) =>
-      half.put(k, c, c - lb)
+    // StreamSummary.topK yields (key, count, ERROR) — carry the error
+    // through unchanged so trueCount ∈ [count − error, count] still holds
+    s.topK(math.max(1, s.capacity / 2)).foreach { case (k, c, e) =>
+      half.put(k, c, e)
     }
     SummaryInterval(half)
   }

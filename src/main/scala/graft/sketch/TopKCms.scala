@@ -38,7 +38,10 @@ final class TopKCms(
 
   def merge(o: TopKCms): TopKCms = {
     val m = cms.merge(o.cms) // may return a width-aligned copy
-    val out = if (m eq cms) this else new TopKCms(k, m, candidates)
+    // clone the candidate set on the copy path — aliasing it would let the
+    // copy's prune() (ranked by the folded, higher-collision CMS) silently
+    // drop keys from the receiver
+    val out = if (m eq cms) this else new TopKCms(k, m, candidates.clone())
     out.candidates ++= o.candidates
     if (out.candidates.size > maxCandidates) out.prune()
     out

@@ -74,20 +74,28 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
       // `SubQueryRoutingTestSuite` "aggregate subquery with error constraint
       // in inner query"): strip the clause and wrap the whole plan — the
       // rewrite binds the contract to the lowest aggregate above a sampled
-      // scan, which is exactly the derived table's aggregate.
-      val im = InnerWithErrorPattern.matcher(sqlText)
-      if (im.find()) {
-        val stripped = sqlText.substring(0, im.start) + sqlText.substring(im.end)
-        if (InnerWithErrorPattern.matcher(stripped).find()) {
-          throw new UnsupportedOperationException(
-            "At most one WITH ERROR clause is supported per query")
-        }
-        ErrorConfidence(
-          Option(im.group(1)).map(_.toDouble),
-          Option(im.group(2)).map(_.toDouble),
-          Option(im.group(3)),
-          delegate.parsePlan(stripped))
-      } else delegate.parsePlan(sqlText)
+      // scan, which is exactly the derived table's aggregate. Attempted ONLY
+      // when the stock parser rejects the text: a query that already parses
+      // (e.g. 'with error' inside a string literal or comment) must pass
+      // through byte-identical.
+      try delegate.parsePlan(sqlText) catch {
+        case parseErr: Exception =>
+          val im = InnerWithErrorPattern.matcher(sqlText)
+          if (!im.find()) throw parseErr
+          val stripped = sqlText.substring(0, im.start) + sqlText.substring(im.end)
+          if (InnerWithErrorPattern.matcher(stripped).find()) {
+            throw new UnsupportedOperationException(
+              "At most one WITH ERROR clause is supported per query")
+          }
+          val inner = try delegate.parsePlan(stripped) catch {
+            case _: Exception => throw parseErr // not our clause — original error
+          }
+          ErrorConfidence(
+            Option(im.group(1)).map(_.toDouble),
+            Option(im.group(2)).map(_.toDouble),
+            Option(im.group(3)),
+            inner)
+      }
     }
   }
 
@@ -156,7 +164,8 @@ case class CreateSampleTableNode(name: String, base: String,
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val gs = graft.GraftSession(spark)
-    if (!(ifNotExists && gs.state.samples.contains(name))) {
+    // case-insensitive, matching temp-view name semantics
+    if (!(ifNotExists && gs.state.samples.keys.exists(_.equalsIgnoreCase(name)))) {
       gs.createSampleTableFromOptions(name, base, options)
     }
     Nil

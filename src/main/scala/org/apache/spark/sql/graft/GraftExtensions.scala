@@ -13,6 +13,22 @@ object Plans {
 
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /**
+   * Materialize a DataFrame into a persisted RDD-backed frame with O(1)
+   * logical-plan depth — for iterative algorithms, where caching alone
+   * keeps the ever-deepening logical lineage — plus a release handle that
+   * frees the executor storage (localCheckpoint offers no explicit
+   * release). The frame is NOT fault-tolerant to executor loss beyond
+   * normal RDD recompute of the persisted map.
+   */
+  def materialize(spark: SparkSession, df: DataFrame): (DataFrame, () => Unit) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, df.schema)
+    (out, () => { rdd.unpersist(blocking = false); () })
+  }
+
   /** DataFrame over a V1 `BaseRelation` (for relation-backed temp views,
    * e.g. the TopK scan with filter pushdown). */
   def relationDf(spark: SparkSession,

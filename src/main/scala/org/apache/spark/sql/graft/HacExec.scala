@@ -103,6 +103,10 @@ case class HacExec(
         // Here the aggregated result stays cached on executors, pass/fail
         // splitting is a distributed filter, and only the reroute DECISION
         // (take(1) on the failing subset) touches the driver.
+        // The cache feeds the lazily-consumed result RDD on the no-failure
+        // and partial paths, so it cannot be released synchronously there;
+        // it is explicitly dropped on the full-reroute path and otherwise
+        // reclaimed by the ContextCleaner when the result RDD is GC'd.
         val persisted = child.execute().map(_.copy())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val failsLimit = (row: InternalRow) => {

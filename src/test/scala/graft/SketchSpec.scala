@@ -176,6 +176,20 @@ class SketchSpec extends AnyFunSuite {
     grand.foreach { case (k, n) => assert(all.estimate(k)._2 >= n) }
   }
 
+  test("SummaryInterval compression preserves (count, error) pairs") {
+    val s = new StreamSummary(4)
+    // force evictions so retained keys carry non-zero error
+    (1 to 60).foreach(i => s.add(s"k${i % 12}"))
+    val iv = SummaryInterval(s)
+    val half = iv.compressed.asInstanceOf[SummaryInterval]
+    half.s.counters.foreach { case (k, (c, e)) =>
+      val (oc, oe) = s.estimateCount(k)
+      assert(c === oc && e === oe,
+        s"$k: compressed ($c, $e) != original ($oc, $oe)")
+    }
+    assert(half.s.capacity === 2)
+  }
+
   test("property: CMS overestimate-only on random streams") {
     val rnd = new scala.util.Random(7)
     (0 until 50).foreach { _ =>

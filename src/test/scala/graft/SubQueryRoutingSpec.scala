@@ -131,6 +131,14 @@ class SubQueryRoutingSpec extends AnyFunSuite {
     }
   }
 
+  test("'with error' inside a string literal is NOT treated as an AQP clause") {
+    val n = gs.sql(
+      "SELECT count(*) AS c FROM sq_lineitem " +
+        "WHERE l_returnflag IN ('failed with error )', 'retry with error )')")
+      .collect()(0).getLong(0)
+    assert(n === 0L) // parses and runs as plain SQL, literals untouched
+  }
+
   test("two WITH ERROR clauses are rejected") {
     withFullSample() {
       intercept[UnsupportedOperationException] {

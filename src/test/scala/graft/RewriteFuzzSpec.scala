@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Randomized differential sweep of the AQP rewrite: on a full-fraction
+ * sample every weighted estimate is exact and every error is exactly zero,
+ * so ANY generated query must reproduce the stock-Spark answer bit-for-bit
+ * (up to double rounding). Exercises random combinations of grouping,
+ * aggregate shapes (incl. compound expressions), filters, HAVING, ORDER BY
+ * and error functions — the combinations no hand-written test enumerates.
+ */
+class RewriteFuzzSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val gs: GraftSession = {
+    val g = new GraftSession(spark)
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_fz")
+    g.sql("CREATE SAMPLE TABLE li_fz_s ON li_fz OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    g
+  }
+
+  private val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val grpCols = Seq("l_returnflag", "l_linestatus")
+
+  private def genQuery(rnd: scala.util.Random): (String, String) = {
+    val groups = rnd.shuffle(grpCols).take(1 + rnd.nextInt(2))
+    def c() = numCols(rnd.nextInt(numCols.length))
+    val aggDefs = (0 until (1 + rnd.nextInt(3))).map { i =>
+      rnd.nextInt(6) match {
+        case 0 => s"round(sum(${c()}), 4) AS a$i"
+        case 1 => s"round(avg(${c()}), 6) AS a$i"
+        case 2 => s"count(*) AS a$i"
+        case 3 => s"round(sum(${c()} * (1 - ${c()})), 4) AS a$i"
+        case 4 => s"round(avg(${c()} + ${c()}), 6) AS a$i"
+        case 5 => s"round(sum(${c()}) / count(*), 6) AS a$i"
+      }
+    }
+    val where = rnd.nextInt(3) match {
+      case 0 => ""
+      case 1 => s" WHERE l_quantity > ${1 + rnd.nextInt(40)}"
+      case 2 => s" WHERE l_extendedprice < ${5000 + rnd.nextInt(50000)}"
+    }
+    val having = if (rnd.nextBoolean()) " HAVING count(*) > 0" else ""
+    val order = s" ORDER BY ${groups.mkString(", ")}"
+    val select = s"SELECT ${groups.mkString(", ")}, ${aggDefs.mkString(", ")}"
+    val core = s"$select FROM li_fz$where GROUP BY ${groups.mkString(", ")}$having$order"
+    // error functions on the first aggregate alias — must be exactly zero
+    val aqp = s"$select, round(absolute_error(a0), 6) AS ae, " +
+      s"round(relative_error(a0), 6) AS re " +
+      s"FROM li_fz$where GROUP BY ${groups.mkString(", ")}$having$order WITH ERROR 0.9"
+    (core, aqp)
+  }
+
+  test("50 random query shapes: full-fraction rewrite is exact with zero error") {
+    gs // force view + sample registration before the stock-Spark side runs
+    val rnd = new scala.util.Random(20260812L)
+    (0 until 50).foreach { i =>
+      val (core, aqp) = genQuery(rnd)
+      val want = spark.sql(core).collect()
+      val got = try gs.sql(aqp).collect() catch {
+        case e: Throwable => fail(s"query $i failed: $aqp\n${e.getMessage}")
+      }
+      assert(got.length === want.length, s"query $i row count: $aqp")
+      got.zip(want).foreach { case (g, w) =>
+        (0 until w.length).foreach { j =>
+          val (gv, wv) = (g.get(j), w.get(j))
+          (gv, wv) match {
+            case (a: Double, b: Double) =>
+              assert(math.abs(a - b) <= math.max(1e-6, math.abs(b) * 1e-9),
+                s"query $i col $j: $a vs $b\n$aqp")
+            case _ => assert(gv === wv, s"query $i col $j: $gv vs $wv\n$aqp")
+          }
+        }
+        // the two appended error columns are exactly zero
+        assert(g.getDouble(w.length) === 0.0, s"query $i abs_err nonzero\n$aqp")
+        assert(g.getDouble(w.length + 1) === 0.0, s"query $i rel_err nonzero\n$aqp")
+      }
+    }
+  }
+}

@@ -632,18 +632,26 @@ object SparkEntry {
       val stage = java.nio.file.Files.createTempDirectory("graft_q39_").toString
       val inDir = java.nio.file.Paths.get(stage, "in")
       java.nio.file.Files.createDirectories(inDir)
-      def stageBatch(df: DataFrame, name: String): Unit = {
-        val tmp = s"$stage/raw_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).forEach { p =>
+      // ONE pass stages both event-time halves as hive partitions; the
+      // far-future sentinel rides in the second half, and the no-data
+      // micro-batch after it closes every real window for append emission
+      import s.implicits._
+      val sentinel = Seq((new java.sql.Timestamp(
+          (bounds.getLong(1) + 40L * 86400) * 1000L), "__sentinel__", 2))
+        .toDF("ts", "event_type", "__b__")
+      ev.withColumn("__b__",
+          when(col("ts").cast("long") < mid, lit(1)).otherwise(lit(2)))
+        .unionByName(sentinel)
+        .write.partitionBy("__b__").mode("overwrite").parquet(s"$stage/raw")
+      def releaseBatch(b: Int): Unit =
+        java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$stage/raw/__b__=$b")).forEach { p =>
           if (p.getFileName.toString.endsWith(".parquet"))
-            java.nio.file.Files.move(p, inDir.resolve(s"$name.parquet"))
+            java.nio.file.Files.move(p, inDir.resolve(s"b${b}_${p.getFileName}"))
         }
-      }
       val schema = StructType(Seq(StructField("ts", TimestampType),
         StructField("event_type", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val stream = s.readStream.schema(schema).parquet(inDir.toString)
       val out = graft.streaming.StreamOps.windowedTopK(stream,
         keyCol = "event_type", tsCol = "ts", windowDuration = "1 day",
         watermarkDelay = "0 seconds", k = 100, streamSummary = true,
@@ -651,14 +659,9 @@ object SparkEntry {
       val q = out.writeStream.format("memory").queryName("q39_sink")
         .outputMode("append").start()
       try {
-        stageBatch(ev.filter(col("ts").cast("long") < mid), "b1")
+        releaseBatch(1)
         q.processAllAvailable()
-        stageBatch(ev.filter(col("ts").cast("long") >= mid), "b2")
-        q.processAllAvailable()
-        import s.implicits._
-        stageBatch(Seq((new java.sql.Timestamp(
-            (bounds.getLong(1) + 40L * 86400) * 1000L), "__sentinel__"))
-          .toDF("ts", "event_type"), "b3")
+        releaseBatch(2)
         q.processAllAvailable()
       } finally q.stop()
       s.table("q39_sink")

@@ -1,5 +1,6 @@
 package graft
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -9,7 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
  * compound-aggregate aliases, the relative-error clamp near zero, and
  * bootstrap-estimator usage in HAVING / ORDER BY.
  */
-class ErrorFunctionSpec extends AnyFunSuite {
+class ErrorFunctionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    // suites share one session: a leaked sample on a plan-equal base would
+    // hijack other suites' queries (sample pooling is by plan equality)
+    GraftState.of(TestSpark.spark).samples.keys
+      .filter(_.startsWith("li_ef")).toSeq
+      .foreach(new GraftSession(TestSpark.spark).dropSampleTable)
+    super.afterAll()
+  }
   import TestSpark._
 
   private lazy val gs: GraftSession = {

@@ -5,7 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Rewrite/plan-shape assertions (reference test category 2 — SURVEY.md §5:
  * `QueryProcessingSuite`, `SampleSelectionTestSuite`, `AssertAQPAnalysis`). */
-class PlanShapeSpec extends AnyFunSuite {
+class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    GraftState.of(TestSpark.spark).samples.keys
+      .filter(_.startsWith("li_ps")).toSeq
+      .foreach(new GraftSession(TestSpark.spark).dropSampleTable)
+    super.afterAll()
+  }
   import TestSpark._
 
   private lazy val gs: GraftSession = {

@@ -1,5 +1,6 @@
 package graft
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -10,7 +11,14 @@ import org.scalatest.funsuite.AnyFunSuite
  * aggregate shapes (incl. compound expressions), filters, HAVING, ORDER BY
  * and error functions — the combinations no hand-written test enumerates.
  */
-class RewriteFuzzSpec extends AnyFunSuite {
+class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    GraftState.of(TestSpark.spark).samples.keys
+      .filter(_.startsWith("li_fz")).toSeq
+      .foreach(new GraftSession(TestSpark.spark).dropSampleTable)
+    super.afterAll()
+  }
   import TestSpark._
 
   private lazy val gs: GraftSession = {

@@ -212,7 +212,9 @@ case class DropTopkTableNode(name: String, ifExists: Boolean)
     val state = graft.GraftState.of(spark)
     if (!ifExists && !state.topks.contains(name.toLowerCase))
       throw new IllegalArgumentException(s"No TopK structure named $name")
-    state.topks.remove(name.toLowerCase)
+    state.topks.remove(name.toLowerCase).foreach { _ =>
+      spark.catalog.dropTempView(name)
+    }
     Nil
   }
 }

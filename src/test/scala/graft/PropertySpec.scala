@@ -132,6 +132,22 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(r3 - want3) / want3 < 1e-6, s"$r3 vs $want3")
   }
 
+  test("CMS fold property: estimates only widen, never below truth") {
+    forAll(streamGen) { keys =>
+      val cms = new CountMinSketch(4, 128, 17)
+      keys.foreach(k => cms.add(k))
+      val once = cms.compressed
+      val twice = once.compressed
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.foreach { case (k, n) =>
+        val (e0, e1, e2) =
+          (cms.estimateCount(k), once.estimateCount(k), twice.estimateCount(k))
+        assert(n <= e0 && e0 <= e1 && e1 <= e2,
+          s"$k: truth $n, widths 128/64/32 → $e0/$e1/$e2")
+      }
+    }
+  }
+
   test("sketch serialization round-trips estimates") {
     forAll(streamGen) { keys =>
       val ss = new StreamSummary(capacity = 32)

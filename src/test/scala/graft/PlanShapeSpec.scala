@@ -60,6 +60,27 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     finally gs.dropSampleTable("li_ps_disk")
   }
 
+  test("driver contract: queries and oracles cover the same keys") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet,
+      "every gate query needs an oracle (and no orphan oracles)")
+  }
+
+  test("full-fraction weight attach broadcasts the stratum counts") {
+    gs.sql("CREATE SAMPLE TABLE li_ps_bc ON li_ps " +
+      "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    try {
+      val plan = gs.sql(
+        """SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS e
+          |FROM li_ps GROUP BY l_returnflag WITH ERROR 0.9""".stripMargin)
+        .queryExecution.executedPlan.toString
+      // the per-stratum count join (bytes per stratum) must broadcast — a
+      // shuffle join here would re-shuffle the full table at 100 TB
+      assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        "weight attach must not shuffle the fact table")
+    } finally gs.dropSampleTable("li_ps_bc")
+  }
+
   test("estimator 'auto' picks bootstrap only for avg-with-where (reference analysis-type rule)") {
     spark.conf.set("spark.sql.aqp.estimator", "auto")
     try {

@@ -60,6 +60,48 @@ class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     (core, aqp)
   }
 
+  test("30 random query shapes at fraction 0.3: estimates framed by their own bounds") {
+    gs // force base view registration
+    gs.sql("CREATE SAMPLE TABLE li_fz_p ON li_fz OPTIONS(qcs 'l_returnflag', fraction '0.3')")
+    try {
+      val rnd = new scala.util.Random(77L)
+      (0 until 30).foreach { i =>
+        val (core, aqp) = genQuery(rnd)
+        // swap in bounds instead of the zero-error assertions
+        val aqpB = aqp.replace(
+          "round(absolute_error(a0), 6) AS ae, round(relative_error(a0), 6) AS re",
+          "absolute_error(a0) AS ae, lower_bound(a0) AS lb, upper_bound(a0) AS ub")
+        val want = spark.sql(core).collect()
+        val got = try gs.sql(aqpB).collect() catch {
+          case e: Throwable => fail(s"query $i failed: $aqpB\n${e.getMessage}")
+        }
+        assert(got.length === want.length, s"query $i row count\n$aqpB")
+        val n = want.head.length
+        got.zip(want).foreach { case (g, _) =>
+          assert(g.getDouble(n) >= 0.0 && g.getDouble(n + 1) <= g.getDouble(n + 2),
+            s"query $i bounds disordered\n$aqpB")
+        }
+        // deterministic replay: truth within 6 half-widths of the estimate
+        // for the first aggregate a0, which sits right after the group cols
+        val grpN = aqpB.split("GROUP BY")(1).split("HAVING|ORDER BY")(0)
+          .split(",").length
+        got.zip(want).foreach { case (g, w) =>
+          (g.get(grpN), w.get(grpN)) match {
+            case (a: Double, b: Double) =>
+              val ae = math.max(g.getDouble(n), math.abs(b) * 1e-9 + 1e-9)
+              assert(math.abs(a - b) <= 6 * ae + 1e-6,
+                s"query $i a0: est $a truth $b absErr ${g.getDouble(n)}\n$aqpB")
+            case (a: Long, b: Long) =>
+              val ae = math.max(g.getDouble(n), 1.0)
+              assert(math.abs(a - b) <= 6 * ae,
+                s"query $i a0: est $a truth $b\n$aqpB")
+            case _ =>
+          }
+        }
+      }
+    } finally gs.dropSampleTable("li_fz_p")
+  }
+
   test("50 random query shapes: full-fraction rewrite is exact with zero error") {
     gs // force view + sample registration before the stock-Spark side runs
     val rnd = new scala.util.Random(20260812L)

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * WITH ERROR / DDL grammar coverage, mirroring the reference's
+ * `QuerySyntaxTestSuite`: clause optionality, case-insensitivity,
+ * scientific notation, trailing semicolons, behavior spellings, and DDL
+ * option parsing.
+ */
+class QuerySyntaxSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark._
+
+  override def afterAll(): Unit = {
+    GraftState.of(TestSpark.spark).samples.keys
+      .filter(_.startsWith("li_qs")).toSeq
+      .foreach(new GraftSession(TestSpark.spark).dropSampleTable)
+    super.afterAll()
+  }
+
+  private lazy val gs: GraftSession = {
+    val g = new GraftSession(spark)
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_qs")
+    g.sql("CREATE SAMPLE TABLE li_qs_s ON li_qs OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    g
+  }
+
+  private def runs(sql: String): Unit =
+    assert(gs.sql(sql).collect().nonEmpty, s"no rows from: $sql")
+
+  test("clause optionality: error only / error+confidence / all three / bare") {
+    gs
+    val base = "SELECT l_returnflag, sum(l_quantity) AS s FROM li_qs GROUP BY 1"
+    runs(s"$base WITH ERROR 0.1")
+    runs(s"$base WITH ERROR 0.1 CONFIDENCE 0.99")
+    runs(s"$base WITH ERROR 0.1 CONFIDENCE 0.99 BEHAVIOR 'do_nothing'")
+    runs(s"$base WITH ERROR") // session defaults
+  }
+
+  test("case-insensitivity and whitespace tolerance") {
+    val base = "SELECT l_returnflag, sum(l_quantity) AS s FROM li_qs GROUP BY 1"
+    runs(s"$base with error 0.1")
+    runs(s"$base WiTh   ErRoR   0.1   CoNfIdEnCe 0.95")
+    runs(s"$base\nWITH ERROR 0.1\nBEHAVIOR 'DO_NOTHING'")
+  }
+
+  test("scientific notation and trailing semicolon") {
+    val base = "SELECT l_returnflag, sum(l_quantity) AS s FROM li_qs GROUP BY 1"
+    runs(s"$base WITH ERROR 1e-1")
+    runs(s"$base WITH ERROR 0.1;")
+    runs(s"$base WITH ERROR 2.5E-2 CONFIDENCE 9.5e-1 ;")
+  }
+
+  test("all five behavior spellings parse and execute") {
+    val base = "SELECT l_returnflag, sum(l_quantity) AS s FROM li_qs GROUP BY 1"
+    // full-fraction sample: zero observed error, so even strict passes
+    Seq("do_nothing", "local_omit", "strict", "run_on_full_table",
+      "partial_run_on_base_table").foreach { b =>
+      runs(s"$base WITH ERROR 0.5 BEHAVIOR '$b'")
+    }
+    intercept[IllegalArgumentException] {
+      gs.sql(s"$base WITH ERROR 0.5 BEHAVIOR 'bogus'").collect()
+    }
+  }
+
+  test("DDL option parsing: mixed case keys, extra whitespace, dotted names") {
+    gs.sql("CREATE SAMPLE TABLE li_qs_ddl ON li_qs OPTIONS( QCS  'l_returnflag' , " +
+      "Fraction '0.5',  strataReservoirSize  '10' )")
+    try {
+      val info = gs.state.samples("li_qs_ddl")
+      assert(info.qcs === Seq("l_returnflag"))
+      assert(info.fraction === 0.5)
+      assert(info.reservoirSize === 10)
+    } finally gs.dropSampleTable("li_qs_ddl")
+  }
+
+  test("DROP SAMPLE TABLE IF EXISTS is tolerant; plain DROP throws") {
+    gs.sql("DROP SAMPLE TABLE IF EXISTS never_created")
+    intercept[IllegalArgumentException] {
+      gs.sql("DROP SAMPLE TABLE never_created")
+    }
+  }
+
+  test("non-AQP SQL passes through the parser untouched") {
+    val n = gs.sql("SELECT count(*) AS c FROM li_qs WHERE l_quantity > 0")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+}

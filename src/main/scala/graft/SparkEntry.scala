@@ -720,6 +720,19 @@ object SparkEntry {
           |WITH ERROR 0.9""".stripMargin)
     }),
 
+    // Weighted percentile (beyond-reference: the quantile analogue of the
+    // HT estimators — each sampled row counts its decoded weight as a
+    // frequency). Full-fraction sample ⇒ weights 1 ⇒ exact percentile.
+    "q43_weighted_percentile" -> ((s, dir) => {
+      val li = StratifiedSampler.sample(tbl(s, dir, "lineitem"),
+        qcs = Seq("l_returnflag"), fraction = 1.0)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(weighted_percentile(col("l_extendedprice"), 0.5), 4).as("p50_w"),
+          round(weighted_percentile(col("l_extendedprice"), 0.9), 4).as("p90_w"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -1038,6 +1051,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q43_weighted_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_w,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_w
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_percentile" ->
       """SELECT l_returnflag,

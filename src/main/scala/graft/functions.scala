@@ -39,6 +39,26 @@ object functions {
     coalesce(sum(when(c.isNotNull, w)), lit(0.0))
   def weighted_count(c: Column): Column = weighted_count(c, sample_weight)
 
+  /**
+   * Weighted percentile: the quantile analogue of the Horvitz–Thompson
+   * estimators — each sampled row counts `round(w)` times, via Spark's
+   * exact `percentile(col, p, frequency)`. On a full-fraction sample
+   * (w ≡ 1) this is the exact percentile; on a real sample it estimates
+   * the base-table quantile with each row standing in for its stratum
+   * share (fractional weights round to the nearest integer frequency).
+   * Beyond the reference surface — it routes quantiles to the base table.
+   */
+  def weighted_percentile(c: Column, p: Double, w: Column): Column = {
+    import org.apache.spark.sql.graft.Exprs
+    val freq = greatest(lit(1L), round(w, 0).cast("long"))
+    Exprs.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(
+        Exprs.expression(c), Exprs.expression(lit(p)),
+        Exprs.expression(freq)).toAggregateExpression())
+  }
+  def weighted_percentile(c: Column, p: Double): Column =
+    weighted_percentile(c, p, sample_weight)
+
   // ---------------------------------------------------------------------------
   // Closed-form (CLT) error-tracked estimators. Each returns
   // struct(estimate, lower_bound, upper_bound, absolute_error,

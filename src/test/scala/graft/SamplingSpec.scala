@@ -26,6 +26,27 @@ class SamplingSpec extends AnyFunSuite {
 
   private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
 
+  test("weighted percentile: exact at full fraction, near-truth on a real sample") {
+    import graft.functions._
+    val truth = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val full = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 1.0)
+    full.groupBy(col("l_returnflag"))
+      .agg(weighted_percentile(col("l_extendedprice"), 0.5).as("p"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) - truth(r.getString(0))) < 1e-6)
+      }
+    val part = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 0.3)
+    part.groupBy(col("l_returnflag"))
+      .agg(weighted_percentile(col("l_extendedprice"), 0.5).as("p"))
+      .collect().foreach { r =>
+        val t = truth(r.getString(0))
+        assert(math.abs(r.getDouble(1) - t) / t < 0.25,
+          s"${r.getString(0)}: ${r.getDouble(1)} vs $t")
+      }
+  }
+
   test("full-fraction sample keeps all rows with weight 1") {
     val s = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 1.0)
     assert(s.count() === li.count())

@@ -84,6 +84,67 @@ object Multimodal {
     }(enc)
   }
 
+  trait FeatureExtractor extends Serializable {
+    def dim: Int
+    /** Encode a whole batch at once — the shape a vectorized / neural
+     * encoder needs (one forward pass per batch, not per row). */
+    def extract(batch: Array[Array[Byte]]): Array[Array[Float]]
+  }
+
+  /** STUB extractor — deterministic pseudo-embedding derived from rolling
+   * content hashes (unit-normalized). Replace with a real encoder (ONNX /
+   * JNI) for production; the batch contract is what such an encoder needs. */
+  final class StubExtractor(override val dim: Int) extends FeatureExtractor {
+    override def extract(batch: Array[Array[Byte]]): Array[Array[Float]] =
+      batch.map { bytes =>
+        if (bytes == null) null
+        else {
+          val v = new Array[Float](dim)
+          var h = 1469598103934665603L
+          var i = 0
+          while (i < bytes.length) { h = (h ^ bytes(i)) * 1099511628211L; i += 1 }
+          var d = 0
+          var norm = 0.0
+          while (d < dim) {
+            h = h * 6364136223846793005L + 1442695040888963407L
+            v(d) = ((h >>> 40).toInt / 8388608.0f) - 1.0f
+            norm += v(d) * v(d)
+            d += 1
+          }
+          val inv = (1.0 / math.sqrt(math.max(norm, 1e-12))).toFloat
+          d = 0
+          while (d < dim) { v(d) *= inv; d += 1 }
+          v
+        }
+      }
+  }
+
+  /**
+   * Batched feature extraction: appends a `features array<float>` column
+   * (the embedding column the dedup/ANN operators consume). Blobs are
+   * encoded `batchSize` at a time inside each partition — the whole
+   * `Array[Array[Byte]]` is handed to the extractor in one call, so a
+   * real neural encoder amortizes its forward pass across the batch.
+   */
+  def extractFeatures(df: DataFrame, binCol: String,
+      extractor: FeatureExtractor = new StubExtractor(64),
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType), nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    graft.core.Fanout(df).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val blobs = batch.map(r =>
+          if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)).toArray
+        val feats = extractor.extract(blobs)
+        batch.zip(feats).map { case (r, f) =>
+          Row.fromSeq(r.toSeq :+ (if (f == null) null else f.toSeq))
+        }
+      }
+    }(enc)
+  }
+
   /** STUB frame sampler: every `stride`-th frame index of a decoded video —
    * real pipelines replace the index list with actual frame tensors. */
   def sampleFrameIndices(df: DataFrame, metaCol: String, stride: Int): DataFrame =

@@ -150,6 +150,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.select("resized.width").collect().forall(_.getInt(0) === 320))
   }
 
+  test("multimodal: batched feature extraction feeds the ANN operators") {
+    val bin = docs.limit(200).withColumn("blob", col("text").cast("binary"))
+    val feats = Multimodal.extractFeatures(bin, "blob", batchSize = 13)
+    assert(feats.count() === 200)
+    // unit-normalized, deterministic, dim 64
+    val v = feats.select(col("doc_id"), col("features")).collect()
+    v.foreach { r =>
+      val f = r.getSeq[Float](1)
+      assert(f.length === 64)
+      val norm = f.map(x => x * x).sum
+      assert(math.abs(norm - 1.0) < 1e-3, s"norm $norm")
+    }
+    // identical blobs embed identically — planted copies rank top-1 by
+    // cosine through the existing ANN path
+    val q = v.head.getSeq[Float](1).toArray
+    val top = Ann.bruteForceKnn(feats, "doc_id", "features", q, 1)
+      .collect()(0)
+    assert(top.getLong(0) === v.head.getLong(0))
+    assert(math.abs(top.getDouble(1) - 1.0) < 1e-6)
+  }
+
   test("text: token counts and quality") {
     import spark.implicits._
     val df = Seq(("Hello, world! 42 foo", "  a b  c ", "")).toDF("a", "b", "c")

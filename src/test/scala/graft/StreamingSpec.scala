@@ -96,6 +96,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 10:01:00.0", "view", 2L)))
   }
 
+  test("windowedTopK: events behind the watermark are dropped, not misattributed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "event_type")
+    val out = graft.streaming.StreamOps.windowedTopK(
+      stream, keyCol = "event_type", tsCol = "ts",
+      windowDuration = "1 minute", watermarkDelay = "0 seconds", k = 5)
+    val q = out.writeStream.format("memory").queryName("wtk_late")
+      .outputMode("append").start()
+    def t(min: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    mem.addData((t(0, 5), "click"), (t(0, 10), "click"))
+    q.processAllAvailable()
+    // advance watermark far past window 10:00 (closes + emits it)
+    mem.addData((t(30, 0), "marker"))
+    q.processAllAvailable()
+    // a LATE click for the already-closed 10:00 window: 0-second delay
+    // watermark semantics say it must be dropped
+    mem.addData((t(0, 50), "click"))
+    q.processAllAvailable()
+    mem.addData((t(60, 0), "marker2"))
+    q.processAllAvailable()
+    q.stop()
+    val clicks = spark.table("wtk_late")
+      .filter(col("event_type") === "click")
+      .select(col("window_start"), col("event_type"), col("estimated_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+    assert(clicks.toSeq === Seq(("2024-01-01 10:00:00.0", 2L)),
+      s"late event leaked: ${clicks.toSeq}") // not 3, and no duplicate window
+  }
+
   test("runningCounts: flatMapGroupsWithState accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

@@ -80,6 +80,33 @@ class TopKSpec extends AnyFunSuite {
     assert(viaSql.toSeq === want.toSeq)
   }
 
+  test("TopK scan filter matrix: EqualTo / strict inequalities / no filters") {
+    gs.sql("CREATE TOPK TABLE tk_fm ON events OPTIONS(key 'event_type', " +
+      "streamSummary 'true', capacity '100000', size '5', " +
+      "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '20000', timeUnit 'ns')")
+    val bounds = spark.sql("SELECT min(ts), max(ts) FROM events").collect()(0)
+    val (t0, t1) = (bounds.getLong(0) / 1000000L, bounds.getLong(1) / 1000000L)
+    val ivMs = 86400000L
+    val dayEnd = (t0 / ivMs + 1) * ivMs - 1 // end of the first day bucket
+    def counts(sqlWhere: String): Long =
+      spark.sql(s"SELECT sum(estimated_value) FROM tk_fm $sqlWhere")
+        .collect()(0).getLong(0)
+    val full = counts("")
+    // EqualTo on both bounds (the reference's filter shape)
+    val firstDayEq = counts(s"WHERE start_time = $t0 AND end_time = $dayEnd")
+    val exactFirstDay = spark.sql(
+      s"SELECT count(*) FROM events WHERE floor(ts / 1000000 / $ivMs) = ${t0 / ivMs}")
+      .collect()(0).getLong(0)
+    assert(firstDayEq === exactFirstDay)
+    assert(firstDayEq < full)
+    // strict inequalities prune the same bucket
+    val firstDayStrict =
+      counts(s"WHERE start_time > ${t0 - 1} AND end_time < ${dayEnd + 1}")
+    assert(firstDayStrict === firstDayEq)
+    // range wider than the data ≡ unfiltered
+    assert(counts(s"WHERE start_time >= 0 AND end_time <= ${t1 + ivMs}") === full)
+  }
+
   test("SQL time-range pruning through the TopK scan (PrunedFilteredScan)") {
     gs.sql("CREATE TOPK TABLE tk_sqlwin ON events OPTIONS(key 'user_id', " +
       "streamSummary 'true', capacity '100000', size '5', " +

@@ -73,6 +73,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts.forall(_ <= 7))
   }
 
+  test("BASELINE parity: |kept − fraction·N| < 2 per stratum; exact reproducibility") {
+    // the reference's headline sampling metrics (BASELINE.md):
+    //  - SamplingAccuracySuite: abs(countB − fraction·N) < 2 rows at
+    //    fraction 0.03 — ours is < 1 BY CONSTRUCTION (kept =
+    //    max(reservoir, ceil(fraction·N))) wherever fraction·N clears the
+    //    reservoir floor;
+    //  - SamplingPerformanceDUnitTest: count reproducible ± 2 at fraction
+    //    0.8 — ours reproduces EXACTLY (content-hash rank-select).
+    val totals = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s03 = StratifiedSampler.sample(li, Seq("l_returnflag"),
+      fraction = 0.03, reservoirSize = 10)
+    s03.groupBy(col("l_returnflag")).count().collect().foreach { r =>
+      val n = totals(r.getString(0))
+      if (0.03 * n > 10) {
+        assert(math.abs(r.getLong(1) - 0.03 * n) < 2.0,
+          s"${r.getString(0)}: kept ${r.getLong(1)} of $n at 0.03")
+      }
+    }
+    val c1 = StratifiedSampler.sample(li, Seq("l_returnflag"), 0.8).count()
+    val c2 = StratifiedSampler.sample(li, Seq("l_returnflag"), 0.8).count()
+    assert(c1 === c2, "fixed-seed sample counts must reproduce exactly")
+  }
+
   test("sampling is deterministic for a fixed seed") {
     val a = StratifiedSampler.sample(li, Seq("l_returnflag"), fraction = 0.05)
       .agg(sum(hash(col("l_orderkey"), col("l_linenumber")).cast("long"))).collect()(0).getLong(0)

@@ -28,14 +28,22 @@ object Bench {
           System.err.println(s"BENCH WARMUP FAILED $name: ${e.getMessage}")
       }
     }
+    // median of 3 timed passes per query: single-run times on this box vary
+    // ±40% from JIT/GC (r02's q37 measured 7.9 s against a 0.8 s steady
+    // state), which makes round-over-round comparison meaningless. The
+    // median is robust to one bad run and still penalizes real plan cost.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"BENCH QUERY FAILED $name: ${e.getMessage}")
-          -1L
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH QUERY FAILED $name: ${e.getMessage}")
+            -1L
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.sorted.apply(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

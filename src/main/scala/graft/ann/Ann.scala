@@ -89,12 +89,21 @@ object Ann {
   // ---------------------------------------------------------------------------
 
   /** Build an IVF index: returns (assignedDf = df + `__graft_cluster__`,
-   * centroids). */
+   * centroids).
+   *
+   * The build runs several actions over the corpus (seed-centroid collect,
+   * one aggregation per Lloyd iteration, the caller's probe scans), so the
+   * Fanout-widened corpus is persisted for the duration of the build and
+   * the returned `assignedDf` is persisted + materialized — an index that
+   * rescans 100 TB of parquet once per action is not an index. Callers
+   * release it with `assignedDf.unpersist()` when the index is retired;
+   * repeated builds over a plan-equal corpus reuse the cache entry. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nClusters: Int,
       lloydIterations: Int = 1, seed: Long = 7L): (DataFrame, Array[Array[Double]]) = {
     // deterministic seed centroids: the nClusters rows with smallest content
     // hash (uniform pseudo-random yet reproducible)
     val src = graft.core.Fanout(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Double]] =
       src.select(col(vecCol)).withColumn("__h__", xxhash64(col(vecCol), lit(seed)))
         .orderBy(col("__h__")).limit(nClusters)
@@ -106,10 +115,11 @@ object Ann {
       d.withColumn("__graft_cluster__",
         org.apache.spark.sql.graft.NearestCentroid(col(vecCol), centroids))
 
-    var assigned = assign(src)
     (0 until lloydIterations).foreach { _ =>
-      // centroid update: per-dimension means via posexplode (C × dim rows)
-      val dims = assigned.select(col("__graft_cluster__"),
+      // centroid update: per-dimension means via posexplode (C × dim rows).
+      // One cached-corpus scan per iteration — the assignment map fuses into
+      // this aggregation, so no separate assignment pass is materialized.
+      val dims = assign(src).select(col("__graft_cluster__"),
           posexplode(transform(col(vecCol), x => x.cast("double"))))
         .groupBy(col("__graft_cluster__"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -121,8 +131,11 @@ object Ann {
           case None => centroids(cid)
         }
       }.toArray
-      assigned = assign(src)
     }
+    val assigned = assign(src)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // materialize the final assignment, then drop the raw corpus
+    src.unpersist(blocking = false)
     (assigned, centroids)
   }
 

@@ -3,10 +3,34 @@ package graft.sketch
 import scala.collection.mutable
 
 /** A sketch of either family, per time interval. */
+object IntervalSketch {
+  /** Tagged byte form (0 = CMS, 1 = StreamSummary) — the wire format of
+   * [[org.apache.spark.sql.graft.SketchAggregate]] buffers and the unit the
+   * Kryo serializers delegate to. */
+  def toBytes(s: IntervalSketch): Array[Byte] = s match {
+    case CmsInterval(c) =>
+      val b = c.serialized
+      val out = new Array[Byte](b.length + 1); out(0) = 0
+      System.arraycopy(b, 0, out, 1, b.length); out
+    case SummaryInterval(ss) =>
+      val b = ss.serialized
+      val out = new Array[Byte](b.length + 1); out(0) = 1
+      System.arraycopy(b, 0, out, 1, b.length); out
+  }
+
+  def fromBytes(bytes: Array[Byte]): IntervalSketch = {
+    val body = java.util.Arrays.copyOfRange(bytes, 1, bytes.length)
+    if (bytes(0) == 0.toByte) CmsInterval(TopKCms.deserialize(body))
+    else SummaryInterval(StreamSummary.deserialize(body))
+  }
+}
+
 sealed trait IntervalSketch extends Serializable {
   def mergeWith(o: IntervalSketch): IntervalSketch
   def topK(n: Int): Seq[(Any, Long, Long)]
   def estimate(key: Any): (Long, Long, Long) // (lower, estimate, upper)
+  /** Actual driver-held counters/cells (for the TopK driver-memory guard). */
+  def entryCount: Long
   /** Item-aggregation fold: halve the memory footprint at reduced
    * precision (Hokusai's ĉ). */
   def compressed: IntervalSketch
@@ -24,6 +48,7 @@ final case class CmsInterval(s: TopKCms) extends IntervalSketch {
   def compressed: IntervalSketch = CmsInterval(s.compressed)
   def compressible(minWidth: Int): Boolean =
     s.cms.width % 2 == 0 && s.cms.width / 2 >= minWidth
+  def entryCount: Long = s.cms.depth.toLong * s.cms.width + s.candidates.size
 }
 
 final case class SummaryInterval(s: StreamSummary) extends IntervalSketch {
@@ -48,6 +73,7 @@ final case class SummaryInterval(s: StreamSummary) extends IntervalSketch {
     SummaryInterval(half)
   }
   def compressible(minWidth: Int): Boolean = s.capacity / 2 >= minWidth
+  def entryCount: Long = s.counters.size.toLong
 }
 
 /**
@@ -81,6 +107,11 @@ final class TimeBucketedSketch(
   val history: mutable.SortedMap[(Long, Long), IntervalSketch] = mutable.SortedMap.empty
   // item mode: folds applied per interval
   private val folds: mutable.Map[Long, Int] = mutable.Map.empty
+
+  /** Actual counters/cells currently held across every retained bucket. */
+  def entryCount: Long =
+    intervals.valuesIterator.map(_.entryCount).sum +
+      history.valuesIterator.map(_.entryCount).sum
 
   def addTo(interval: Long, sketch: IntervalSketch): Unit = {
     intervals.get(interval) match {
@@ -165,5 +196,56 @@ final class TimeBucketedSketch(
     val mins = rec ++ old.map(_._1)
     val maxs = rec ++ old.map { case (hs, hl) => hs + hl - 1 }
     if (mins.isEmpty) None else Some((mins.min, maxs.max))
+  }
+
+  /** Full-state byte snapshot (config + an empty prototype from `mk` +
+   * every bucket), the unit Kryo/checkpoint serialization delegates to —
+   * `mk` itself is an arbitrary closure and never crosses the wire. */
+  def snapshotBytes: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def writeBlob(b: Array[Byte]): Unit = { out.writeInt(b.length); out.write(b) }
+    out.writeInt(maxInterval)
+    out.writeBoolean(itemAggregation)
+    out.writeInt(minWidth)
+    writeBlob(IntervalSketch.toBytes(mk()))
+    out.writeInt(intervals.size)
+    intervals.foreach { case (iv, s) =>
+      out.writeLong(iv); writeBlob(IntervalSketch.toBytes(s))
+    }
+    out.writeInt(history.size)
+    history.foreach { case ((hs, hl), s) =>
+      out.writeLong(hs); out.writeLong(hl); writeBlob(IntervalSketch.toBytes(s))
+    }
+    out.writeInt(folds.size)
+    folds.foreach { case (iv, f) => out.writeLong(iv); out.writeInt(f) }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object TimeBucketedSketch {
+  def fromSnapshot(bytes: Array[Byte]): TimeBucketedSketch = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    def readBlob(): Array[Byte] = {
+      val b = new Array[Byte](in.readInt()); in.readFully(b); b
+    }
+    val maxInterval = in.readInt()
+    val itemAggregation = in.readBoolean()
+    val minWidth = in.readInt()
+    val proto = readBlob()
+    val t = new TimeBucketedSketch(maxInterval,
+      () => IntervalSketch.fromBytes(proto), itemAggregation, minWidth)
+    (0 until in.readInt()).foreach { _ =>
+      val iv = in.readLong(); t.intervals.update(iv, IntervalSketch.fromBytes(readBlob()))
+    }
+    (0 until in.readInt()).foreach { _ =>
+      val hs = in.readLong(); val hl = in.readLong()
+      t.history.update((hs, hl), IntervalSketch.fromBytes(readBlob()))
+    }
+    (0 until in.readInt()).foreach { _ =>
+      val iv = in.readLong(); t.folds.update(iv, in.readInt())
+    }
+    t
   }
 }

@@ -27,8 +27,14 @@ final case class TopKOptions(
     capacity: Int = 0,
     seed: Int = 123,
     timeUnit: String = "auto",
-    itemAggregation: Boolean = false) {
+    itemAggregation: Boolean = false,
+    maxDriverEntries: Long = 50000000L) {
   def effectiveCapacity: Int = if (capacity > 0) capacity else math.max(size * 4, 400)
+
+  /** Driver-held entries of one full interval sketch: counters for
+   * Space-Saving, cells + candidate heap for CMS. */
+  def perIntervalEntries: Long =
+    if (streamSummary) effectiveCapacity.toLong else depth.toLong * width + size
 }
 
 object TopKOptions {
@@ -56,7 +62,9 @@ object TopKOptions {
       capacity = opts.get("capacity").map(_.toInt).getOrElse(0),
       seed = opts.get("seed").map(_.toInt).getOrElse(123),
       timeUnit = opts.getOrElse("timeunit", "auto"),
-      itemAggregation = opts.get("itemaggregation").exists(_.toBoolean))
+      itemAggregation = opts.get("itemaggregation").exists(_.toBoolean),
+      maxDriverEntries = opts.get("maxdriverentries").map(_.toLong)
+        .getOrElse(50000000L))
   }
 }
 
@@ -68,6 +76,14 @@ object TopKOptions {
  * per-micro-batch from streams (SURVEY.md §2.8).
  */
 final class TopKState(val name: String, val opts: TopKOptions, val keyType: DataType) {
+  // Fail fast when a single interval's sketch alone exceeds the driver
+  // bound — that much memory is committed on the very first append.
+  require(opts.perIntervalEntries <= opts.maxDriverEntries,
+    s"TopK table '$name': one interval sketch holds ${opts.perIntervalEntries} " +
+      s"counters, exceeding maxDriverEntries ${opts.maxDriverEntries}. " +
+      "Lower capacity/width, raise OPTIONS(maxDriverEntries ...), or use " +
+      "graft.streaming.StreamOps.windowedTopK for unbounded cardinality.")
+
   val variant: String = if (opts.streamSummary) "summary" else "cms"
   val buckets =
     new TimeBucketedSketch(opts.maxInterval, () => mkSketch(), opts.itemAggregation)
@@ -106,6 +122,20 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     rows.foreach { r =>
       buckets.addTo(r.getLong(0), SketchAggregate.fromBytes(r.getAs[Array[Byte]](1)))
     }
+    // Guard the driver's actual commitment, not the hypothetical worst case:
+    // Space-Saving counters materialize only as keys arrive, so a big
+    // `capacity` over few distinct keys is fine, while high cardinality ×
+    // many retained intervals is the silent driver-OOM shape. For unbounded
+    // cardinality use the state-store-backed
+    // [[graft.streaming.StreamOps.windowedTopK]], which keeps per-window
+    // state distributed across executors.
+    val held = buckets.entryCount
+    require(held <= opts.maxDriverEntries,
+      s"TopK table '$name' holds $held counters on the driver across " +
+        s"${buckets.intervals.size + buckets.history.size} retained buckets, " +
+        s"exceeding maxDriverEntries ${opts.maxDriverEntries}. Lower " +
+        "capacity/width/maxInterval, raise OPTIONS(maxDriverEntries ...), or " +
+        "use graft.streaming.StreamOps.windowedTopK for unbounded cardinality.")
   }
 
   /** Point frequency estimate of a key over a time range. */

@@ -64,7 +64,7 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
           "At most one WITH ERROR clause is supported per query")
       }
       val inner = delegate.parsePlan(m.group(1))
-      ErrorConfidence(
+      AqpParser.validatedErrorConfidence(
         Option(m.group(2)).map(_.toDouble),
         Option(m.group(3)).map(_.toDouble),
         Option(m.group(4)),
@@ -90,7 +90,7 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
           val inner = try delegate.parsePlan(stripped) catch {
             case _: Exception => throw parseErr // not our clause — original error
           }
-          ErrorConfidence(
+          AqpParser.validatedErrorConfidence(
             Option(im.group(1)).map(_.toDouble),
             Option(im.group(2)).map(_.toDouble),
             Option(im.group(3)),
@@ -118,7 +118,25 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object AqpParser {
-  private val num = "([0-9]*\\.?[0-9]+(?:[eE][+-]?[0-9]+)?)"
+  private val num = "(-?[0-9]*\\.?[0-9]+(?:[eE][+-]?[0-9]+)?)"
+
+  /** Range-validate WITH ERROR / CONFIDENCE values at parse time (reference
+   * `QueryProcessingRules.scala:1251-1263` — `MaxErrorAllowed`): error must
+   * lie in (0, 1), confidence in (0, 1). Rejecting here gives the user the
+   * reference's own message instead of a nonsense estimate (error ≥ 1) or a
+   * degenerate t-quantile (confidence 0/1) deep inside the aggregate. */
+  def validatedErrorConfidence(error: Option[Double], confidence: Option[Double],
+      behavior: Option[String], inner: LogicalPlan): ErrorConfidence = {
+    error.foreach { e =>
+      if (e <= 0 || e >= 1) throw new UnsupportedOperationException(
+        s"Please specify error within range of 0 to 1 (got $e)")
+    }
+    confidence.foreach { c =>
+      if (c <= 0 || c >= 1) throw new UnsupportedOperationException(
+        s"Please specify confidence within range of 0 to 1 (got $c)")
+    }
+    ErrorConfidence(error, confidence, behavior, inner)
+  }
   val WithErrorPattern: Pattern = Pattern.compile(
     s"(?is)\\A(.*?)\\s+WITH\\s+ERROR(?:\\s+$num)?(?:\\s+CONFIDENCE\\s+$num)?" +
       "(?:\\s+BEHAVIOR\\s+'([a-zA-Z_]+)')?\\s*;?\\s*\\z")

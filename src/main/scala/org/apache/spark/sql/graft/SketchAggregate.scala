@@ -71,16 +71,8 @@ case class SketchAggregate(
 
   override def eval(buffer: IntervalSketch): Any = serialize(buffer)
 
-  override def serialize(buffer: IntervalSketch): Array[Byte] = buffer match {
-    case CmsInterval(s) =>
-      val b = s.serialized
-      val out = new Array[Byte](b.length + 1); out(0) = 0
-      System.arraycopy(b, 0, out, 1, b.length); out
-    case SummaryInterval(s) =>
-      val b = s.serialized
-      val out = new Array[Byte](b.length + 1); out(0) = 1
-      System.arraycopy(b, 0, out, 1, b.length); out
-  }
+  override def serialize(buffer: IntervalSketch): Array[Byte] =
+    IntervalSketch.toBytes(buffer)
 
   override def deserialize(bytes: Array[Byte]): IntervalSketch =
     SketchAggregate.fromBytes(bytes)
@@ -97,11 +89,7 @@ case class SketchAggregate(
 }
 
 object SketchAggregate {
-  def fromBytes(bytes: Array[Byte]): IntervalSketch = {
-    val body = java.util.Arrays.copyOfRange(bytes, 1, bytes.length)
-    if (bytes(0) == 0.toByte) CmsInterval(TopKCms.deserialize(body))
-    else SummaryInterval(StreamSummary.deserialize(body))
-  }
+  def fromBytes(bytes: Array[Byte]): IntervalSketch = IntervalSketch.fromBytes(bytes)
 
   def apply(keyCol: Column, freqCol: Column, variant: String, k: Int,
       depth: Int, width: Int, capacity: Int, seed: Int): Column =

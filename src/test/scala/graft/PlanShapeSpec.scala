@@ -200,4 +200,31 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(df.queryExecution.analyzed.treeString.contains("mapcolumntoweight"))
     assert(df.count() === 3)
   }
+
+  test("ivf index probes scan the persisted index frame, not the corpus file") {
+    // the index build persists the Fanout-widened corpus for its Lloyd
+    // iterations and returns a persisted, materialized assignment frame —
+    // a probe plan that still contains a parquet scan would re-read the
+    // whole corpus per query (the 100 TB failure mode)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (assigned, cents) = graft.ann.Ann.ivfIndex(
+      emb, "vec_id", "embedding", nClusters = 4, lloydIterations = 2)
+    try {
+      assert(assigned.storageLevel.useMemory || assigned.storageLevel.useDisk,
+        "ivfIndex must return a persisted assignment frame")
+      val q = emb.select("embedding").first().getSeq[Float](0).toArray
+      val knn = graft.ann.Ann.ivfKnn(
+        assigned, cents, "vec_id", "embedding", q, 5, nprobe = 2)
+      assert(knn.collect().length === 5)
+      val plan = knn.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("TableCacheQueryStage"), s"probe does not read the cache:\n$plan")
+      // the InMemoryRelation node dumps its own (one-time) build plan, which
+      // legitimately contains the file scan — only the probe plan ABOVE the
+      // cache boundary must be parquet-free
+      val aboveCache = plan.substring(0, plan.indexOf("InMemoryRelation"))
+      assert(!aboveCache.contains("FileScan"),
+        s"index probe re-scanned the corpus file:\n$plan")
+    } finally assigned.unpersist()
+  }
 }

@@ -87,4 +87,25 @@ class QuerySyntaxSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(n > 0)
   }
+
+  test("WITH ERROR / CONFIDENCE values outside (0,1) are rejected at parse") {
+    // reference `QueryProcessingRules.scala:1251-1263` (MaxErrorAllowed):
+    // error 0 / ≥1 and confidence ≤0 / ≥1 throw with the reference's message
+    val base = "SELECT l_returnflag, sum(l_quantity) s FROM li_qs GROUP BY 1"
+    def rejected(sql: String, what: String): Unit = {
+      val e = intercept[UnsupportedOperationException] { gs.sql(sql) }
+      assert(e.getMessage.contains(s"specify $what within range of 0 to 1"),
+        s"wrong message for: $sql -> ${e.getMessage}")
+    }
+    rejected(s"$base WITH ERROR 1.5", "error")
+    rejected(s"$base WITH ERROR 1.0", "error")
+    rejected(s"$base WITH ERROR 0", "error")
+    rejected(s"$base WITH ERROR -0.5", "error")
+    rejected(s"$base WITH ERROR 0.5 CONFIDENCE 0", "confidence")
+    rejected(s"$base WITH ERROR 0.5 CONFIDENCE 1.0", "confidence")
+    rejected(s"$base WITH ERROR 0.5 CONFIDENCE -0.9", "confidence")
+    rejected(s"$base WITH ERROR 0.5 CONFIDENCE 1e2", "confidence")
+    // boundary-legal values still run
+    assert(gs.sql(s"$base WITH ERROR 0.99 CONFIDENCE 0.01").collect().nonEmpty)
+  }
 }

@@ -210,4 +210,49 @@ class SketchSpec extends AnyFunSuite {
       assert(s.counters.size <= 16)
     }
   }
+
+  test("Kryo round-trips every sketch class byte-for-byte") {
+    // the real Spark path: KryoSerializer + our registrator, no SparkContext
+    // needed — a sketch crossing the wire under
+    // spark.serializer=KryoSerializer must come back identical
+    val conf = new org.apache.spark.SparkConf()
+      .set("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .set("spark.kryo.registrator", "graft.sketch.GraftKryoRegistrator")
+      .set("spark.kryo.registrationRequired", "false")
+    val ser = new org.apache.spark.serializer.KryoSerializer(conf).newInstance()
+    def roundTrip[T: scala.reflect.ClassTag](t: T): T =
+      ser.deserialize[T](ser.serialize(t))
+
+    val cms = new CountMinSketch(5, 128, 9)
+    (0 until 1000).foreach(i => cms.add(s"x${i % 17}", i % 7 + 1))
+    assert(roundTrip(cms).serialized.toSeq === cms.serialized.toSeq)
+
+    val topk = new TopKCms(10, 5, 128, 42)
+    (0 until 2000).foreach(i => topk.add(s"k${i % 31}", 1))
+    assert(roundTrip(topk).serialized.toSeq === topk.serialized.toSeq)
+
+    val ss = new StreamSummary(16)
+    (0 until 500).foreach(i => ss.add(s"k${i % 40}"))
+    val ssBack = roundTrip(ss)
+    assert(ssBack.serialized.toSeq === ss.serialized.toSeq)
+    // the transient bucket index must rebuild and keep evicting correctly
+    ssBack.add("fresh-key")
+    assert(ssBack.counters.size <= 16)
+
+    assert(IntervalSketch.toBytes(roundTrip(CmsInterval(topk))).toSeq ===
+      IntervalSketch.toBytes(CmsInterval(topk)).toSeq)
+    assert(IntervalSketch.toBytes(roundTrip(SummaryInterval(ss))).toSeq ===
+      IntervalSketch.toBytes(SummaryInterval(ss)).toSeq)
+
+    val tb = new TimeBucketedSketch(4, () => CmsInterval(new TopKCms(5, 5, 64, 7)))
+    (0L until 12L).foreach { iv =>
+      val s = new TopKCms(5, 5, 64, 7)
+      (0 until 100).foreach(i => s.add(s"k${(i + iv) % 9}", 1))
+      tb.addTo(iv, CmsInterval(s))
+    }
+    val tbBack = roundTrip(tb)
+    assert(tbBack.snapshotBytes.toSeq === tb.snapshotBytes.toSeq)
+    // history + recent intervals answer identically after the round trip
+    assert(tbBack.mergedRange(0, 11).get.topK(5) === tb.mergedRange(0, 11).get.topK(5))
+  }
 }

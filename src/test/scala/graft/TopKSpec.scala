@@ -143,4 +143,28 @@ class TopKSpec extends AnyFunSuite {
     assert(echoed.length === 1)
     assert(echoed(0).getLong(0) === t0 && echoed(0).getLong(1) === endMs)
   }
+
+  test("driver-state guard rejects actual held entries beyond the bound") {
+    // a single interval sketch bigger than the bound fails at CREATE time
+    val huge = graft.topk.TopKOptions(key = "user_id", streamSummary = true,
+      capacity = 10000000, maxDriverEntries = 1000000L)
+    val atCreate = intercept[IllegalArgumentException] {
+      new graft.topk.TopKState("tk_guard0", huge,
+        org.apache.spark.sql.types.LongType)
+    }
+    assert(atCreate.getMessage.contains("maxDriverEntries"))
+    // append-time: the guard bounds ACTUAL driver-held counters (lazy
+    // Space-Saving allocation means worst-case capacity × maxInterval is the
+    // wrong thing to reject — the gate queries legitimately configure it)
+    val viaSql = intercept[IllegalArgumentException] {
+      gs.sql("CREATE TOPK TABLE tk_guard_sql ON events OPTIONS(key 'user_id', " +
+        "streamSummary 'true', capacity '1000000', maxDriverEntries '50')")
+    }
+    assert(viaSql.getMessage.contains("maxDriverEntries"))
+    assert(viaSql.getMessage.contains("windowedTopK"))
+    // same shape under a sufficient bound succeeds and is queryable
+    gs.sql("CREATE TOPK TABLE tk_guard_ok ON events OPTIONS(key 'user_id', " +
+      "streamSummary 'true', capacity '1000000', maxDriverEntries '1000000')")
+    assert(gs.queryTopK("tk_guard_ok", k = 5).collect().length === 5)
+  }
 }

@@ -29,6 +29,15 @@ final case class SampleInfo(
 final class GraftState {
   val samples: TrieMap[String, SampleInfo] = TrieMap.empty
   val topks: TrieMap[String, Any] = TrieMap.empty
+  /** TopK name → base-table name (stream-dependent population routing). */
+  val topkBases: TrieMap[String, String] = TrieMap.empty
+  /** SQL-declared stream tables (`CREATE STREAM TABLE`). */
+  val streams: TrieMap[String, graft.streaming.StreamTableDef] = TrieMap.empty
+  /** Running per-stream populator queries (`STREAMING START`). */
+  val activeStreams: TrieMap[String, org.apache.spark.sql.streaming.StreamingQuery] =
+    TrieMap.empty
+  /** Micro-batch trigger interval (`STREAMING INIT <n> SECS`). */
+  @volatile var streamingBatchMs: Long = 1000L
 
   /** Samples registered on the given base table. */
   def samplesOn(baseName: String): Seq[SampleInfo] =
@@ -110,7 +119,8 @@ class GraftSession(val spark: SparkSession) {
       // commands fall through to ordinary execution below)
       case cmd @ (_: CreateSampleTableNode | _: CreateSampleTableAsNode |
                   _: CreateTopkTableNode | _: DropSampleTableNode |
-                  _: DropTopkTableNode) =>
+                  _: DropTopkTableNode | _: CreateStreamTableNode |
+                  _: DropStreamTableNode | _: StreamingControlNode) =>
         cmd.asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand]
           .run(spark)
         spark.emptyDataFrame
@@ -318,6 +328,7 @@ class GraftSession(val spark: SparkSession) {
     val st = new graft.topk.TopKState(name, opts, keyType)
     st.append(base)
     state.topks.put(name.toLowerCase, st)
+    state.topkBases.put(name.toLowerCase, baseName)
     refreshTopkView(st)
     st
   }

@@ -733,6 +733,44 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- §2.10 weight propagation through Generate (LATERAL VIEW explode)
+    // between the sampled scan and the weighted aggregate: full-fraction
+    // sample → estimates exact, closed-form error exactly 0 (reference
+    // threads the weight through Generate — QueryProcessingRules.scala:2489)
+    "q44_explode_with_error" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q44")
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q44_sample ON lineitem_q44 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT l_returnflag, round(sum(x), 4) AS sum_x,
+          |       round(absolute_error(sum_x), 6) AS abs_err
+          |FROM (SELECT l_returnflag,
+          |             explode(array(l_quantity, l_quantity * 2)) AS x
+          |      FROM lineitem_q44)
+          |GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9""".stripMargin)
+    }),
+
+    // --- §2.10 weight propagation through Window between the sampled scan
+    // and the weighted aggregate (rank over the unique lineitem key is
+    // deterministic, so the weighted sum of ranks is oracle-matchable)
+    "q45_window_with_error" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q45")
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q45_sample ON lineitem_q45 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT l_returnflag, round(sum(rq), 4) AS sum_rank,
+          |       round(absolute_error(sum_rank), 6) AS abs_err
+          |FROM (SELECT l_returnflag,
+          |             rank() OVER (PARTITION BY l_returnflag
+          |                          ORDER BY l_orderkey, l_linenumber) AS rq
+          |      FROM lineitem_q45)
+          |GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9""".stripMargin)
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -1063,5 +1101,20 @@ object SparkEntry {
         |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q44_explode_with_error" ->
+      """SELECT l_returnflag, ROUND(SUM(x), 4) AS sum_x, 0.0 AS abs_err
+        |FROM (SELECT l_returnflag,
+        |             UNNEST([l_quantity, l_quantity * 2]) AS x
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q45_window_with_error" ->
+      """SELECT l_returnflag, ROUND(SUM(rq), 4) AS sum_rank, 0.0 AS abs_err
+        |FROM (SELECT l_returnflag,
+        |             rank() OVER (PARTITION BY l_returnflag
+        |                          ORDER BY l_orderkey, l_linenumber) AS rq
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.GraftSession
+
+/** Definition of a SQL-declared stream table (`CREATE STREAM TABLE name
+ * (schema) USING format OPTIONS(...)`). */
+final case class StreamTableDef(
+    name: String,
+    format: String,
+    schema: StructType,
+    options: Map[String, String])
+
+/**
+ * SQL-declared streaming surface, the Structured-Streaming re-expression of
+ * the reference's DStream DDL (`STREAMING INIT/START/STOP`,
+ * `CREATE STREAM TABLE` — `SnappyContextAQPFunctions.scala:390-442`,
+ * `AQPStreamingSuite.scala:63-123`):
+ *
+ *  - `CREATE STREAM TABLE` registers the source definition and an empty
+ *    batch view with the declared schema, so dependent `CREATE SAMPLE/TOPK
+ *    TABLE ... ON stream` DDL resolves before the stream starts;
+ *  - `STREAMING START` launches one `foreachBatch` query per stream table.
+ *    Each micro-batch (1) appends the raw rows to a parquet-backed history
+ *    so `SELECT * FROM stream` sees all data so far, and (2) feeds every
+ *    dependent sample/TopK structure — one pass over the batch per
+ *    dependent, each a distributed aggregation (the reference's
+ *    `aqpTablePopulator` did the same per-structure inserts from a DStream
+ *    `foreachRDD`);
+ *  - `STREAMING STOP` stops the queries; history and AQP structures stay
+ *    queryable.
+ *
+ * Scale notes: give dependent samples a `path` option so batch appends go
+ * to parquet rather than a growing in-memory union; TopK appends are
+ * driver-bounded by the TopK guard. The history append is an append-only
+ * parquet log, partitioned by the source's natural file batching.
+ */
+object StreamSql {
+
+  /** Register the stream definition and its empty placeholder view. */
+  def createStreamTable(gs: GraftSession, name: String, format: String,
+      schemaDdl: Option[String], options: Map[String, String],
+      ifNotExists: Boolean): Unit = {
+    val spark = gs.spark
+    if (gs.state.streams.contains(name.toLowerCase)) {
+      if (ifNotExists) return
+      throw new IllegalArgumentException(s"Stream table $name already exists")
+    }
+    val schema = schemaDdl.map(StructType.fromDDL).getOrElse {
+      options.get("path") match {
+        case Some(p) => spark.read.format(format).load(p).schema
+        case None => throw new IllegalArgumentException(
+          s"CREATE STREAM TABLE $name needs an explicit (schema) or a path " +
+            "to infer one from")
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .createOrReplaceTempView(name)
+    gs.state.streams.put(name.toLowerCase,
+      StreamTableDef(name, format, schema, options))
+  }
+
+  def dropStreamTable(gs: GraftSession, name: String, ifExists: Boolean): Unit = {
+    gs.state.activeStreams.remove(name.toLowerCase).foreach(_.stop())
+    gs.state.streams.remove(name.toLowerCase) match {
+      case Some(_) => gs.spark.catalog.dropTempView(name)
+      case None if !ifExists =>
+        throw new IllegalArgumentException(s"No stream table named $name")
+      case None =>
+    }
+  }
+
+  /** Start every registered stream table that is not already running. */
+  def startAll(gs: GraftSession): Unit =
+    gs.state.streams.values.foreach { d =>
+      if (!gs.state.activeStreams.contains(d.name.toLowerCase)) {
+        gs.state.activeStreams.put(d.name.toLowerCase,
+          start(gs, d, gs.state.streamingBatchMs))
+      }
+    }
+
+  def stopAll(gs: GraftSession): Unit = {
+    gs.state.activeStreams.values.foreach(_.stop())
+    gs.state.activeStreams.clear()
+  }
+
+  private def start(gs: GraftSession, d: StreamTableDef,
+      triggerMs: Long): StreamingQuery = {
+    val spark = gs.spark
+    val reader = spark.readStream.format(d.format).schema(d.schema)
+    val src = d.options.get("path") match {
+      case Some(p) => reader.options(d.options - "path" - "historypath").load(p)
+      case None => reader.options(d.options - "historypath").load()
+    }
+    val historyPath = d.options.getOrElse("historypath",
+      s"${System.getProperty("java.io.tmpdir")}/graft_streams/${d.name}")
+    src.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) populate(gs, d, batch, batchId, historyPath)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch: history append + dependent sample/TopK population. */
+  private def populate(gs: GraftSession, d: StreamTableDef, batch: DataFrame,
+      batchId: Long, historyPath: String): Unit = {
+    val spark = gs.spark
+    batch.write.mode("append").parquet(historyPath)
+    spark.catalog.refreshByPath(historyPath)
+    val hist = spark.read.parquet(historyPath)
+    hist.createOrReplaceTempView(d.name)
+    val histPlan = hist.queryExecution.analyzed
+    gs.state.samplesOn(d.name).foreach { s =>
+      gs.appendToSample(s.name, batch, seed = 43L + batchId)
+      // re-point the routing plan at the refreshed history view so batch
+      // queries over the stream table keep matching this sample
+      gs.state.samples.get(s.name).foreach { cur =>
+        gs.state.samples.put(s.name, cur.copy(basePlan = histPlan))
+      }
+    }
+    gs.state.topkBases.foreach { case (tk, base) =>
+      if (base.equalsIgnoreCase(d.name)) gs.appendToTopK(tk, batch)
+    }
+  }
+}

@@ -57,6 +57,28 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
       return DropTopkTableNode(dropTopk.group(2),
         ifExists = dropTopk.group(1) != null)
     }
+    val createStream = CreateStreamPattern.matcher(sqlText)
+    if (createStream.matches()) {
+      return CreateStreamTableNode(createStream.group(2),
+        Option(createStream.group(3)), createStream.group(4),
+        parseOptions(createStream.group(5)),
+        ifNotExists = createStream.group(1) != null)
+    }
+    val dropStream = DropStreamPattern.matcher(sqlText)
+    if (dropStream.matches()) {
+      return DropStreamTableNode(dropStream.group(2),
+        ifExists = dropStream.group(1) != null)
+    }
+    val streamingCtl = StreamingControlPattern.matcher(sqlText)
+    if (streamingCtl.matches()) {
+      val op = streamingCtl.group(1).toLowerCase
+      val intervalMs = Option(streamingCtl.group(2)).map { n =>
+        val unit = Option(streamingCtl.group(3)).map(_.toLowerCase).getOrElse("ms")
+        if (unit.startsWith("ms") || unit.startsWith("milli")) n.toLong
+        else n.toLong * 1000L
+      }
+      return StreamingControlNode(op, intervalMs)
+    }
     val m = WithErrorPattern.matcher(sqlText)
     if (m.matches()) {
       if (InnerWithErrorPattern.matcher(m.group(1)).find()) {
@@ -160,6 +182,17 @@ object AqpParser {
     "(?is)\\A\\s*DROP\\s+SAMPLE\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*;?\\s*\\z")
   val DropTopkPattern: Pattern = Pattern.compile(
     "(?is)\\A\\s*DROP\\s+TOPK\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*;?\\s*\\z")
+  // `CREATE STREAM TABLE t (schema) USING src OPTIONS(...)` — schema optional
+  // when the source can infer one (reference `snappyAQPParsers` stream arm)
+  val CreateStreamPattern: Pattern = Pattern.compile(
+    "(?is)\\A\\s*CREATE\\s+STREAM\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)" +
+      "\\s*(?:\\(([^)]*)\\)\\s*)?USING\\s+([\\w.]+)\\s+OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")
+  val DropStreamPattern: Pattern = Pattern.compile(
+    "(?is)\\A\\s*DROP\\s+STREAM\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*;?\\s*\\z")
+  // `STREAMING INIT 2 SECS` / `STREAMING INIT 2secs` / `STREAMING START|STOP`
+  val StreamingControlPattern: Pattern = Pattern.compile(
+    "(?is)\\A\\s*STREAMING\\s+(INIT|START|STOP)" +
+      "(?:\\s+(\\d+)\\s*(MS|MILLIS\\w*|SECS?|SECONDS?)?)?\\s*;?\\s*\\z")
   private val OptionPattern: Pattern =
     Pattern.compile("(?is)(\\w+)\\s+'([^']*)'")
 
@@ -231,7 +264,42 @@ case class DropTopkTableNode(name: String, ifExists: Boolean)
     if (!ifExists && !state.topks.contains(name.toLowerCase))
       throw new IllegalArgumentException(s"No TopK structure named $name")
     state.topks.remove(name.toLowerCase).foreach { _ =>
+      state.topkBases.remove(name.toLowerCase)
       spark.catalog.dropTempView(name)
+    }
+    Nil
+  }
+}
+
+case class CreateStreamTableNode(name: String, schemaDdl: Option[String],
+    format: String, options: Map[String, String], ifNotExists: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.streaming.StreamSql.createStreamTable(
+      graft.GraftSession(spark), name, format, schemaDdl, options, ifNotExists)
+    Nil
+  }
+}
+
+case class DropStreamTableNode(name: String, ifExists: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.streaming.StreamSql.dropStreamTable(
+      graft.GraftSession(spark), name, ifExists)
+    Nil
+  }
+}
+
+/** `STREAMING INIT <n> [MS|SECS]` / `STREAMING START` / `STREAMING STOP`
+ * (reference `snappyAQPParsers` streaming arms, `AQPStreamingSuite.scala:63`). */
+case class StreamingControlNode(op: String, intervalMs: Option[Long])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val gs = graft.GraftSession(spark)
+    op match {
+      case "init" => gs.state.streamingBatchMs = intervalMs.getOrElse(1000L)
+      case "start" => graft.streaming.StreamSql.startAll(gs)
+      case "stop" => graft.streaming.StreamSql.stopAll(gs)
     }
     Nil
   }

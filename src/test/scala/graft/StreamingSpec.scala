@@ -148,4 +148,73 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     assert(last === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
+
+  test("SQL-declared stream populates dependent sample and TopK per batch") {
+    // the reference's DDL flow (AQPStreamingSuite): STREAMING INIT, CREATE
+    // STREAM TABLE, dependent sample/TopK DDL, STREAMING START — dependents
+    // auto-populate per micro-batch and are queryable mid-stream
+    val gs = new GraftSession(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sql_stream").toString
+    val histDir = srcDir + "/history"
+    def writeFile(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$srcDir/in")
+    val batch1 = (1L to 300L).map(i =>
+      (i % 7, if (i % 3 == 0) "click" else "view", i.toDouble))
+    writeFile(batch1)
+
+    gs.sql("STREAMING INIT 0 MS")
+    gs.sql("CREATE STREAM TABLE ev_sql_stream " +
+      "(user_id long, event_type string, value double) USING parquet " +
+      s"OPTIONS(path '$srcDir/in', historypath '$histDir', maxFilesPerTrigger '1')")
+    gs.sql("CREATE SAMPLE TABLE ev_sql_stream_sample ON ev_sql_stream " +
+      "OPTIONS(qcs 'event_type', fraction '1.0')")
+    gs.sql("CREATE TOPK TABLE ev_sql_stream_topk ON ev_sql_stream " +
+      "OPTIONS(key 'user_id', streamSummary 'true', capacity '100000', size '3')")
+    gs.sql("STREAMING START")
+    try {
+      val q = gs.state.activeStreams("ev_sql_stream")
+      q.processAllAvailable()
+
+      def exactSums: Map[String, Double] = spark.table("ev_sql_stream")
+        .groupBy(col("event_type")).agg(sum(col("value")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      def sampledSums: (Map[String, Double], String) = {
+        val df = gs.sql("SELECT event_type, round(sum(value), 4) AS s " +
+          "FROM ev_sql_stream GROUP BY 1 WITH ERROR 0.9")
+        (df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap,
+          df.queryExecution.analyzed.treeString)
+      }
+      // mid-stream after batch 1: the weighted query routes through the
+      // sample (full fraction → exact)
+      val (got1, plan1) = sampledSums
+      assert(plan1.contains("mapcolumntoweight"), "query did not route via sample")
+      assert(got1 === exactSums)
+      val top1 = gs.queryTopK("ev_sql_stream_topk", k = 3).collect()
+      assert(top1.length === 3)
+
+      // second file: dependents must advance with the stream
+      writeFile((301L to 700L).map(i =>
+        (i % 5, if (i % 2 == 0) "click" else "scroll", i.toDouble)))
+      q.processAllAvailable()
+      val (got2, _) = sampledSums
+      assert(got2 === exactSums)
+      assert(got2.keySet === Set("click", "view", "scroll"))
+      assert(spark.table("ev_sql_stream").count() === 700)
+      // TopK reflects both batches: exact regime (capacity ≥ distinct keys)
+      val want = spark.table("ev_sql_stream")
+        .groupBy(col("user_id")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (k, c) => (-c, k) }.take(3).toSeq
+      val top2 = gs.queryTopK("ev_sql_stream_topk", k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(top2 === want)
+    } finally {
+      gs.sql("STREAMING STOP")
+      gs.sql("DROP SAMPLE TABLE IF EXISTS ev_sql_stream_sample")
+      gs.sql("DROP TOPK TABLE IF EXISTS ev_sql_stream_topk")
+      gs.sql("DROP STREAM TABLE IF EXISTS ev_sql_stream")
+    }
+    assert(gs.state.activeStreams.isEmpty)
+  }
 }

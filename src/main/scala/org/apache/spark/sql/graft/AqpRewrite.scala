@@ -456,21 +456,38 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ =>
         // HAC enforcement: append hidden per-aggregate relative errors and
         // wrap in the enforcement node (driver/physical post-pass —
-        // reference `AQPRules.scala:115-519`)
+        // reference `AQPRules.scala:115-519`).
+        //
+        // ORDER BY / LIMIT are peeled off the top and re-applied ABOVE the
+        // enforcement node: enforcement must see EVERY group — a pre-union
+        // LIMIT would pick group keys by their sampled estimates and a
+        // limited fallback would drop failing keys, so `top-k with partial
+        // routing` could return fewer than k (or wrong) groups.
+        def peel(p: LogicalPlan)
+            : (LogicalPlan, Seq[SortOrder], LogicalPlan => LogicalPlan) = p match {
+          case g: GlobalLimit => g.child match {
+            case ll: LocalLimit =>
+              val (c, so, wrap) = peel(ll.child)
+              (c, so,
+                inner => g.withNewChildren(Seq(ll.withNewChildren(Seq(wrap(inner))))))
+            case _ => (p, Nil, identity)
+          }
+          case s: Sort if s.global =>
+            (s.child, s.order, inner => s.withNewChildren(Seq(inner)))
+          case other => (other, Nil, identity)
+        }
+        val (coreTree, sortOrder, rewrap) = peel(tree)
+        val (coreChild, _, _) = peel(child)
         val hidden = cfAggs.values.toSeq.zipWithIndex.map { case (a, i) =>
           Alias(GetStructField(a.toAttribute, 4, Some("relative_error")),
             s"__graft_relerr_${i}__")()
         }
-        val projected = Project(visible ++ hidden, tree)
+        val projected = Project(visible ++ hidden, coreTree)
         val keyIndices = agg.groupingExpressions.collect { case a: Attribute =>
           visible.indexWhere(_.exprId == a.exprId)
         }.filter(_ >= 0)
-        val sortOrder = child match {
-          case Sort(order, true, _, _) => order
-          case _ => Nil
-        }
-        HacEnforcement(projected, stripStubs(child), behavior, error,
-          hidden.size, keyIndices, sortOrder)
+        rewrap(HacEnforcement(projected, stripStubs(coreChild), behavior, error,
+          hidden.size, keyIndices, sortOrder))
     }
   }
 

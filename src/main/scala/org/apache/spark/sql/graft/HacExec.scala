@@ -61,7 +61,11 @@ case class HacStrategy(spark: org.apache.spark.sql.SparkSession) extends org.apa
  */
 case class HacExec(
     child: SparkPlan,
-    fallback: LogicalPlan,
+    // transient: the fallback logical plan (and anything it references, e.g.
+    // file indexes) is only ever planned driver-side in doExecute; when a
+    // parent operator (LIMIT above the enforcement node) serializes the plan
+    // tree into a task closure, the fallback must not ride along
+    @transient fallback: LogicalPlan,
     behavior: HacBehavior.HacBehavior,
     errorLimit: Double,
     nHidden: Int,

@@ -66,7 +66,20 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // must be consumed at the first aggregation — not blindly to the lowest
     // aggregate anywhere (which could belong to a different join branch or
     // a nested derived table over an unsampled relation).
-    val aggsLowestFirst = child.collect { case a: Aggregate => a }.reverse
+    //
+    // A registered sample's own plan is an OPAQUE LEAF here: when the query
+    // names the sample table directly, the sampler's internal aggregates
+    // (per-stratum counts) sit inside the expanded view and would otherwise
+    // capture the contract as the "lowest aggregate" — the reference never
+    // sees them because its sample scan is a relation, not a plan.
+    val samplePlanRoots: Seq[LogicalPlan] = state.samples.values.toSeq.flatMap { i =>
+      val sp = i.sampleDf.queryExecution.analyzed
+      child.collect { case n if n.sameResult(sp) => n }
+    }
+    def insideSampleScan(n: LogicalPlan): Boolean =
+      samplePlanRoots.exists(r => (r ne n) && r.exists(_ eq n))
+    val aggsLowestFirst =
+      child.collect { case a: Aggregate if !insideSampleScan(a) => a }.reverse
     if (aggsLowestFirst.isEmpty) return stripStubs(child)
 
     // QCS-match quality of a candidate sample for a leaf-scoped query QCS
@@ -123,10 +136,18 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // sample scan and the aggregate to block the weight column (reference
       // substitutes the LogicalRelation and then re-threads —
       // `QueryProcessingRules.scala:517-620`).
+      //
+      // A query may also name the SAMPLE TABLE directly (reference
+      // `JoinQueryTest` queries `sampled_order_line` by name with error
+      // functions): the sample's own scan matches too, and its substitution
+      // is an identity re-projection — pre-order collect sees the outer
+      // sample scan before the base subtree embedded inside the sampler
+      // plan, so a direct sample query never re-samples the sample.
       val pairs: Seq[(LogicalPlan, graft.SampleInfo)] =
         state.samples.values.toSeq.flatMap { i =>
+          val samplePlan = i.sampleDf.queryExecution.analyzed
           agg.child.collect {
-            case n if n.sameResult(i.basePlan) => n
+            case n if n.sameResult(samplePlan) || n.sameResult(i.basePlan) => n
           }.find(n => !isProtected(n) && !underNestedAgg(n))
             .map(subtree => (subtree, i))
         }.filter { case (_, i) =>

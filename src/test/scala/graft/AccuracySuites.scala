@@ -187,3 +187,99 @@ object EstimatorAgreementSpec {
     "N" -> (110404730.812500, 11751521.808875),
     "R" -> (109698099.151515, 11740079.209003))
 }
+
+/** Join-query accuracy (reference `JoinQueryTest`: "correctness of sum
+ * formula for closedform error estimate of join query", bootstrap variant,
+ * and the dataframe-API join path). */
+class JoinAccuracySpec extends AnyFunSuite with AccuracyHelpers {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  private lazy val ord: Unit =
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_acc")
+
+  private def withJoinSample(fraction: Double)(body: => Unit): Unit = {
+    ord
+    gs.sql("CREATE SAMPLE TABLE li_acc_js ON li_acc " +
+      s"OPTIONS(qcs 'l_returnflag', fraction '$fraction')")
+    try body finally gs.dropSampleTable("li_acc_js")
+  }
+
+  test("closed-form CI of a sampled join frames the truth per group") {
+    withJoinSample(0.1) {
+      val truth = spark.sql(
+        """SELECT o_orderpriority, sum(l_extendedprice) s
+          |FROM li_acc JOIN ord_acc ON l_orderkey = o_orderkey
+          |GROUP BY 1""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val rows = gs.sql(
+        """SELECT o_orderpriority, sum(l_extendedprice) AS s,
+          |       absolute_error(s) AS ae, lower_bound(s) AS lb,
+          |       upper_bound(s) AS ub
+          |FROM li_acc JOIN ord_acc ON l_orderkey = o_orderkey
+          |GROUP BY 1 WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin).collect()
+      assert(rows.length === truth.size)
+      var covered = 0
+      rows.foreach { r =>
+        val t = truth(r.getString(0))
+        assert(r.getDouble(2) > 0.0, "a 0.1 sampled join must carry error")
+        assert(r.getDouble(3) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(4),
+          "estimate outside its own bounds")
+        if (r.getDouble(3) <= t && t <= r.getDouble(4)) covered += 1
+      }
+      // deterministic sampler: coverage is replayable, expect ≥ 4 of 5 at 95%
+      assert(covered >= truth.size - 1, s"only $covered/${truth.size} CIs cover truth")
+    }
+  }
+
+  test("join-query error equals the same aggregate via the DataFrame API") {
+    // reference 'correctness of sum formula for closedform error estimate of
+    // join query' + 'Join & single query using dataframe apis': the SQL
+    // join query and the DataFrame-API join over the base (both routed
+    // through the same registered sample) must produce identical estimates
+    // AND identical errors — routing through the join must not perturb the
+    // error formula
+    withJoinSample(0.1) {
+      val viaSql = gs.sql(
+        """SELECT o_orderpriority, sum(l_extendedprice) AS s,
+          |       absolute_error(s) AS ae
+          |FROM li_acc JOIN ord_acc ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      val joined = spark.table("li_acc")
+        .join(spark.table("ord_acc"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("s"),
+          graft.aqp.functions.absolute_error(col("s")).as("ae"))
+        .orderBy(col("o_orderpriority"))
+      val viaDf = gs.withError(joined, error = 0.9, confidence = 0.95)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(viaSql.length === viaDf.length)
+      viaSql.zip(viaDf).foreach { case ((k1, e1, a1), (k2, e2, a2)) =>
+        assert(k1 === k2)
+        assert(math.abs(e1 - e2) < 1e-6, s"$k1 estimate differs: $e1 vs $e2")
+        assert(math.abs(a1 - a2) < 1e-6, s"$k1 abs_err differs: $a1 vs $a2")
+      }
+    }
+  }
+
+  test("bootstrap error estimate on a join query is sane and deterministic") {
+    withJoinSample(0.1) {
+      spark.conf.set("spark.sql.aqp.estimator", "bootstrap")
+      try {
+        def run() = gs.sql(
+          """SELECT o_orderpriority, sum(l_extendedprice) AS s,
+            |       absolute_error(s) AS ae
+            |FROM li_acc JOIN ord_acc ON l_orderkey = o_orderkey
+            |GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        val a = run(); val b = run()
+        a.foreach { case (_, est, ae) =>
+          assert(est > 0 && ae > 0, "bootstrap join must carry positive error")
+        }
+        // content-hash seeding: bit-identical across runs
+        assert(a.toSeq === b.toSeq)
+      } finally spark.conf.set("spark.sql.aqp.estimator", "closedform")
+    }
+  }
+}

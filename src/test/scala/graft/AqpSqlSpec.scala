@@ -240,4 +240,37 @@ class AqpSqlSpec extends AnyFunSuite {
     assert(math.abs(est - truth) / truth < 0.05, s"est $est vs $truth")
     gs.sql("DROP SAMPLE TABLE li_part")
   }
+
+  test("querying the SAMPLE TABLE by name applies weights + error functions") {
+    // reference `JoinQueryTest` queries `sampled_order_line` directly: the
+    // estimates and errors must be IDENTICAL to routing the base-table query
+    // through the same sample — and the sampler's internal counts aggregate
+    // must not capture the error contract (opaque sample scan)
+    gs.sql("CREATE SAMPLE TABLE li_direct_s ON lineitem " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.1')")
+    try {
+      def run(table: String) = gs.sql(
+        s"""SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS ae
+           |FROM $table GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      val direct = run("li_direct_s")
+      val routed = run("lineitem")
+      assert(direct.toSeq === routed.toSeq,
+        s"direct-sample query diverged: ${direct.toSeq} vs ${routed.toSeq}")
+      assert(direct.forall(_._3 > 0.0), "0.1 sample must carry error")
+
+      // the reference's canonical shape: sample table joined to a ref table
+      val joined = gs.sql(
+        """SELECT o_orderpriority, sum(l_extendedprice) AS r, absolute_error(r) AS ae
+          |FROM li_direct_s JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      val joinedRouted = gs.sql(
+        """SELECT o_orderpriority, sum(l_extendedprice) AS r, absolute_error(r) AS ae
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(joined.toSeq === joinedRouted.toSeq)
+    } finally gs.dropSampleTable("li_direct_s")
+  }
 }

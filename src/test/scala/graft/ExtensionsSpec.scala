@@ -58,4 +58,38 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev.orNull)
     }
   }
+
+  test("streaming DDL runs through plain spark.sql on an extensions session") {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ext)
+    try {
+      import ext.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_ext_stream").toString
+      (1L to 100L).map(i => (i % 4, if (i % 2 == 0) "a" else "b"))
+        .toDF("user_id", "grp").coalesce(1)
+        .write.mode("append").parquet(s"$srcDir/in")
+
+      ext.sql("STREAMING INIT 0 MS")
+      ext.sql("CREATE STREAM TABLE ev_ext_stream (user_id long, grp string) " +
+        s"USING parquet OPTIONS(path '$srcDir/in', historypath '$srcDir/hist')")
+      ext.sql("CREATE TOPK TABLE ev_ext_topk ON ev_ext_stream " +
+        "OPTIONS(key 'user_id', streamSummary 'true', capacity '1000', size '2')")
+      ext.sql("STREAMING START")
+      try {
+        GraftState.of(ext).activeStreams("ev_ext_stream").processAllAvailable()
+        assert(ext.sql("SELECT count(*) FROM ev_ext_stream").collect()(0).getLong(0) === 100)
+        // TopK populated from the stream, queryable as a table via SQL
+        val top = ext.sql(
+          "SELECT user_id, estimated_value FROM ev_ext_topk ORDER BY estimated_value DESC")
+          .collect()
+        assert(top.nonEmpty && top(0).getLong(1) === 25L) // 100 rows over 4 keys
+      } finally {
+        ext.sql("STREAMING STOP")
+        ext.sql("DROP TOPK TABLE IF EXISTS ev_ext_topk")
+        ext.sql("DROP STREAM TABLE IF EXISTS ev_ext_stream")
+      }
+    } finally {
+      SparkSession.setActiveSession(prev.orNull)
+    }
+  }
 }

@@ -771,6 +771,23 @@ object SparkEntry {
           |WITH ERROR 0.9""".stripMargin)
     }),
 
+    // --- §2.1 querying the sample table directly by name (reference
+    // `JoinQueryTest` queries `sampled_order_line` with error functions):
+    // weights must be applied and the error functions bound; full fraction →
+    // exact estimates, zero error
+    "q46_direct_sample_query" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q46")
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS lineitem_q46_sample ON lineitem_q46 " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      gs.sql(
+        """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+          |       round(absolute_error(sum_qty), 6) AS abs_err
+          |FROM lineitem_q46_sample
+          |GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9""".stripMargin)
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -1116,5 +1133,9 @@ object SparkEntry {
         |             rank() OVER (PARTITION BY l_returnflag
         |                          ORDER BY l_orderkey, l_linenumber) AS rq
         |      FROM lineitem)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q46_direct_sample_query" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty, 0.0 AS abs_err
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

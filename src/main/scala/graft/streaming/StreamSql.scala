@@ -100,6 +100,11 @@ object StreamSql {
       s"${System.getProperty("java.io.tmpdir")}/graft_streams/${d.name}")
     src.writeStream
       .outputMode("append")
+      // persistent checkpoint next to the history: STREAMING STOP → START
+      // must RESUME the source offsets (the reference cycles INIT/START/STOP
+      // repeatedly); a temp checkpoint would re-ingest every file into the
+      // history and double-feed every dependent structure
+      .option("checkpointLocation", s"${historyPath}_checkpoint")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) populate(gs, d, batch, batchId, historyPath)

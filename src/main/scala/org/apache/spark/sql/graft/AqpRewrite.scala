@@ -47,12 +47,18 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // Joining two DIFFERENT sample tables is rejected with the reference's
     // error (`QueryProcessingRules.scala:718-741`): weighted estimators are
     // defined for one sampled relation per query; a self-join of one sample
-    // remains allowed, as in the reference.
-    val directSampleScans: Seq[String] = state.samples.values.toSeq.flatMap { i =>
-      val sp = i.sampleDf.queryExecution.analyzed
-      child.collectFirst { case n if n.sameResult(sp) => i.name }
-    }.distinct
-    if (directSampleScans.size >= 2) {
+    // remains allowed, as in the reference. "Different" means different
+    // SCAN PLANS, not different registered names — plan-equal samples
+    // (same base/qcs/fraction/seed) are interchangeable pooled candidates,
+    // and several of them matching ONE scan in this query is not a join of
+    // two samples.
+    val samplePlans = state.samples.values.toSeq.map(_.sampleDf.queryExecution.analyzed)
+    val sampleScanNodes = child.collect {
+      case n if samplePlans.exists(n.sameResult) => n
+    }
+    val sampleScanRoots = sampleScanNodes.filterNot(n =>
+      sampleScanNodes.exists(r => (r ne n) && r.exists(_ eq n)))
+    if (sampleScanRoots.map(_.canonicalized).distinct.size >= 2) {
       throw new UnsupportedOperationException(
         "Join between two sample tables is not supported")
     }

@@ -209,6 +209,19 @@ class StreamingSpec extends AnyFunSuite {
       val top2 = gs.queryTopK("ev_sql_stream_topk", k = 3).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(top2 === want)
+
+      // STREAMING STOP → START must resume offsets, not re-ingest (the
+      // reference cycles INIT/START/STOP; a temp checkpoint would double
+      // the history and double-feed every dependent)
+      gs.sql("STREAMING STOP")
+      gs.sql("STREAMING START")
+      val q2 = gs.state.activeStreams("ev_sql_stream")
+      q2.processAllAvailable()
+      assert(spark.table("ev_sql_stream").count() === 700,
+        "restart re-ingested already-processed files")
+      writeFile((701L to 800L).map(i => (i % 5, "view", i.toDouble)))
+      q2.processAllAvailable()
+      assert(spark.table("ev_sql_stream").count() === 800)
     } finally {
       gs.sql("STREAMING STOP")
       gs.sql("DROP SAMPLE TABLE IF EXISTS ev_sql_stream_sample")

@@ -216,6 +216,7 @@ class GraftSession(val spark: SparkSession) {
         val w = sampled.write.mode("overwrite")
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
           .parquet(path)
+        GraftSession.writeSampleMeta(path, baseName, qcs, fraction, reservoirSize)
         spark.read.parquet(path)
       case None if fraction < 1.0 =>
         // cached lazily: the sampler is content-hash deterministic, so even
@@ -259,6 +260,23 @@ class GraftSession(val spark: SparkSession) {
     merged.createOrReplaceTempView(name)
     state.samples.put(name, info.copy(sampleDf = merged))
     merged
+  }
+
+  /** Re-attach a persisted sample (written with `OPTIONS(path ...)`) in a
+   * fresh session without resampling: reads the registry metadata stored
+   * next to the parquet. The base table/view must already be registered
+   * under its original name so query routing can match it. */
+  def attachSampleTable(name: String, path: String): DataFrame = {
+    val (baseName, qcs, fraction, reservoirSize) =
+      GraftSession.readSampleMeta(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"No sample registry metadata (${GraftSession.MetaFile}) under $path"))
+    val sampleDf = spark.read.parquet(path)
+    sampleDf.createOrReplaceTempView(name)
+    state.samples.put(name, SampleInfo(name, baseName,
+      spark.table(baseName).queryExecution.analyzed, sampleDf, qcs, fraction,
+      reservoirSize, Some(path)))
+    sampleDf
   }
 
   def dropSampleTable(name: String): Unit = {
@@ -390,4 +408,35 @@ class GraftSession(val spark: SparkSession) {
 
 object GraftSession {
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+
+  /** Registry metadata persisted next to a path-backed sample, so a FRESH
+   * session can re-attach the sample without resampling (the reference's
+   * samples survive restarts through its store catalog). Underscore-prefixed
+   * so parquet readers ignore it. */
+  val MetaFile = "_graft_sample.meta"
+
+  private[graft] def writeSampleMeta(path: String, baseName: String,
+      qcs: Seq[String], fraction: Double, reservoirSize: Int): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("baseName", baseName)
+    props.setProperty("qcs", qcs.mkString(","))
+    props.setProperty("fraction", fraction.toString)
+    props.setProperty("reservoirSize", reservoirSize.toString)
+    val f = new java.io.File(path, MetaFile)
+    val out = new java.io.FileOutputStream(f)
+    try props.store(out, "graft sample registry") finally out.close()
+  }
+
+  def readSampleMeta(path: String)
+      : Option[(String, Seq[String], Double, Int)] = {
+    val f = new java.io.File(path, MetaFile)
+    if (!f.isFile) return None
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(f)
+    try props.load(in) finally in.close()
+    Some((props.getProperty("baseName"),
+      props.getProperty("qcs", "").split(",").filter(_.nonEmpty).toSeq,
+      props.getProperty("fraction").toDouble,
+      props.getProperty("reservoirSize").toInt))
+  }
 }

@@ -113,79 +113,95 @@ object Dedup {
   }
 
   /**
-   * Collapse duplicate pairs into clusters: connected components by
-   * iterative minimum-label propagation. `pairs` holds undirected edges
-   * (`id_a`, `id_b`); every id in `ids` gets a `cluster_id` = the smallest
-   * id reachable from it (singletons map to themselves).
+   * Collapse duplicate pairs into clusters: connected components by the
+   * alternating large-star / small-star algorithm (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", 2014). `pairs` holds
+   * undirected edges (`id_a`, `id_b`); every id in `ids` gets a
+   * `cluster_id` = the smallest id reachable from it (singletons map to
+   * themselves).
    *
-   * Each iteration is one join + one map-side-combined min-aggregation
-   * (shuffle ∝ edge count, not corpus size); iterations needed = cluster
-   * diameter, which for dedup graphs (LSH cliques plus short near-dup
-   * chains) is small. Early-stops when labels converge; if the cap is hit
-   * without convergence the call THROWS (silently returning unconverged
-   * labels would split one component into several cluster_ids). The label
-   * frame is localCheckpoint'ed per round, so both lineage and plan depth
-   * stay O(1) regardless of chain diameter.
+   * Each round is two join+min-aggregation passes over the edge set
+   * (shuffle ∝ edge count, not corpus size), and rounds needed grow
+   * O(log diameter) — a 1M-hop duplicate chain converges in ~20 rounds
+   * where min-label propagation would need 10⁶. At convergence the edges
+   * form stars rooted at each component's minimum id. Non-convergence
+   * within the cap THROWS (silently returning a half-contracted graph
+   * would split one component into several cluster_ids). Each round is
+   * materialized into an RDD-backed frame, so lineage and plan depth stay
+   * O(1) at any diameter; superseded rounds release their storage.
    */
   def connectedComponents(pairs: DataFrame, ids: DataFrame, idCol: String,
       maxIterations: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // only nodes touching an edge can ever change label — iterate over that
-    // (usually small) subgraph and left-join the untouched corpus back as
-    // singletons at the end, so per-iteration shuffles scale with the
-    // duplicate graph, not the corpus. Each round is materialized into an
-    // RDD-backed frame: caching alone keeps the LOGICAL lineage, which
-    // nests one join deeper per round and blows up planning beyond ~10
-    // iterations — truncating it keeps plan depth O(1) at any chain
-    // diameter, and each superseded round's storage is released explicitly
-    // (only the final round stays cached for the result join).
+    // only nodes touching an edge can ever move — iterate over the (usually
+    // small) duplicate subgraph and left-join the untouched corpus back as
+    // singletons at the end, so per-round shuffles scale with the duplicate
+    // graph, not the corpus
     val spark = pairs.sparkSession
     def materialize(df: DataFrame): (DataFrame, () => Unit) =
       org.apache.spark.sql.graft.Plans.materialize(spark, df)
-    var (labels, releaseLabels) = materialize(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("cluster_id", col("id")))
-    var converged = false
+
+    // invariant: every edge points downward (src > dst)
+    var (edges, release) = materialize(
+      pairs.filter(col("id_a") =!= col("id_b"))
+        .select(greatest(col("id_a"), col("id_b")).as("src"),
+          least(col("id_a"), col("id_b")).as("dst"))
+        .distinct())
+
+    // large-star: every node u links its LARGER neighbors to
+    // m = min(N(u) ∪ {u}); small-star: u links its smaller neighbors and
+    // itself to the local minimum. Alternating the two contracts any
+    // component onto its minimum node in O(log d) rounds.
+    def symmetric(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = symmetric(e)
+      val m = sym.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      sym.filter(col("dst") > col("src"))
+        .join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val small = symmetric(e).filter(col("dst") < col("src"))
+      val m = small.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      val withM = small.join(m, "src")
+      withM.select(col("dst").as("node"), col("m"))
+        .unionByName(m.select(col("src").as("node"), col("m")))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // candidate label per node: min over its own label and neighbors'
-      val fromNeighbors = edges
-        .join(labels.withColumnRenamed("id", "src")
-          .withColumnRenamed("cluster_id", "nl"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("nl")).as("nl"))
-      val (next, releaseNext) = materialize(
-        labels.join(fromNeighbors, Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
-              .as("cluster_id"),
-            col("cluster_id").as("__old__")))
-      // full count (not a take-1 probe): materializes every partition of
-      // `next` into its cache before the previous round is released
-      val changed = next.filter(col("cluster_id") =!= col("__old__")).count()
-      releaseLabels()
-      labels = next.select(col("id"), col("cluster_id"))
-      releaseLabels = releaseNext
-      converged = changed == 0
+      val (next, releaseNext) = materialize(smallStar(largeStar(edges)))
+      // equal edge sets ⇒ fixed point (both frames are distinct sets, so
+      // equal counts + no new edge ⇒ identical)
+      val changed = next.count() != edges.count() ||
+        next.join(edges, Seq("src", "dst"), "left_anti").take(1).nonEmpty
+      release()
+      edges = next
+      release = releaseNext
+      converged = !changed
       iter += 1
     }
-    edges.unpersist()
     if (!converged) {
-      // silently returning unconverged labels would split one connected
-      // component into several cluster_ids — refuse instead: the caller can
-      // raise maxIterations (rounds needed = cluster diameter)
-      releaseLabels()
+      // silently returning a half-contracted graph would split one
+      // component into several cluster_ids — refuse instead
+      release()
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIterations " +
-          "iterations (duplicate-chain diameter exceeds the cap); " +
-          "raise maxIterations")
+          "alternating star rounds (~log2 of the duplicate-chain " +
+          "diameter needed); raise maxIterations")
     }
+    // fixed point = forest of stars rooted at each component's minimum id
     ids.select(col(idCol))
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(edges.withColumnRenamed("src", idCol)
+        .withColumnRenamed("dst", "cluster_id"), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 

@@ -217,7 +217,16 @@ case class CreateSampleTableNode(name: String, base: String,
     val gs = graft.GraftSession(spark)
     // case-insensitive, matching temp-view name semantics
     if (!(ifNotExists && gs.state.samples.keys.exists(_.equalsIgnoreCase(name)))) {
-      gs.createSampleTableFromOptions(name, base, options)
+      // IF NOT EXISTS + an already-persisted sample at `path`: re-attach the
+      // existing parquet + registry metadata instead of resampling — this is
+      // how a persisted sample survives a session restart
+      val attachPath = if (ifNotExists) {
+        options.get("path").filter(p => graft.GraftSession.readSampleMeta(p).isDefined)
+      } else None
+      attachPath match {
+        case Some(p) => gs.attachSampleTable(name, p)
+        case None => gs.createSampleTableFromOptions(name, base, options)
+      }
     }
     Nil
   }

@@ -241,6 +241,34 @@ class AqpSqlSpec extends AnyFunSuite {
     gs.sql("DROP SAMPLE TABLE li_part")
   }
 
+  test("persisted sample survives a 'restart': IF NOT EXISTS re-attaches, no resample") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_attach").toString + "/s"
+    def create() = gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS li_attach ON lineitem " +
+      s"OPTIONS(qcs 'l_returnflag', fraction '0.2', path '$dir')")
+    create()
+    def listing = new java.io.File(dir).listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val before = listing
+    val est1 = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem
+        |GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+    // simulate a fresh session: registration and view are gone, parquet stays
+    gs.dropSampleTable("li_attach")
+    assert(!GraftState.of(spark).samples.contains("li_attach"))
+    create()
+    assert(GraftState.of(spark).samples.contains("li_attach"))
+    assert(listing === before, "re-attach must not rewrite the persisted sample")
+    // routing works again with identical estimates (same persisted rows)
+    val est2 = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem
+        |GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(est2 === est1)
+    gs.dropSampleTable("li_attach")
+  }
+
   test("querying the SAMPLE TABLE by name applies weights + error functions") {
     // reference `JoinQueryTest` queries `sampled_order_line` directly: the
     // estimates and errors must be IDENTICAL to routing the base-table query

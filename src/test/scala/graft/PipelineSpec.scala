@@ -220,6 +220,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents: random graphs match a union-find oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    (0 until 5).foreach { _ =>
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val truth = (0 until n).map { i =>
+        i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong
+      }.toMap
+      val got = graft.dedup.Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), (0L until n.toLong).toDF("doc_id"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === truth)
+    }
+  }
+
   test("connectedComponents: long chain converges; cap overrun throws loudly") {
     import spark.implicits._
     // path graph 0-1-2-...-12: diameter 12

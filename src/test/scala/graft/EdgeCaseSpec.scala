@@ -91,4 +91,116 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
         |LIMIT 2 WITH ERROR 0.9""".stripMargin).collect()
     assert(rows.length === 2)
   }
+
+  test("zero-valued groups: error bounds stay finite, no division errors") {
+    // reference 'NPE in bootstrap error bounds when sum or avg is 0': a
+    // group whose measure is identically zero must yield finite (0) error
+    // and a defined relative error, under BOTH estimators, ANSI mode on
+    import spark.implicits._
+    (1 to 200).map(i => (if (i % 2 == 0) "z" else "p",
+      if (i % 2 == 0) 0.0 else i.toDouble))
+      .toDF("g", "v").createOrReplaceTempView("zero_ec")
+    gs.sql("CREATE SAMPLE TABLE zero_ec_s ON zero_ec OPTIONS(qcs 'g', fraction '0.5')")
+    try {
+      for (est <- Seq("closedform", "bootstrap")) {
+        spark.conf.set("spark.sql.aqp.estimator", est)
+        val rows = gs.sql(
+          """SELECT g, sum(v) AS s, absolute_error(s) AS ae,
+            |       relative_error(s) AS re
+            |FROM zero_ec GROUP BY g ORDER BY g WITH ERROR 0.9""".stripMargin)
+          .collect()
+        val z = rows.find(_.getString(0) == "z").get
+        assert(z.getDouble(1) === 0.0, s"[$est] zero-group sum")
+        assert(!z.isNullAt(2) && !z.getDouble(2).isNaN, s"[$est] abs err NaN")
+        assert(z.isNullAt(3) || !z.getDouble(3).isNaN,
+          s"[$est] relative error of a zero estimate must be NULL or finite")
+      }
+    } finally {
+      spark.conf.set("spark.sql.aqp.estimator", "closedform")
+      gs.dropSampleTable("zero_ec_s")
+      spark.catalog.dropTempView("zero_ec")
+    }
+  }
+
+  test("repeated aggregates: same agg twice with separate error functions") {
+    // reference 'Test repeat aggregates': sum(x) aliased twice — each alias
+    // binds its own error function and both estimates agree
+    val rows = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s1, sum(l_quantity) AS s2,
+        |       absolute_error(s1) AS ae1, absolute_error(s2) AS ae2
+        |FROM li_ec GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2))
+      assert(r.getDouble(3) === r.getDouble(4))
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("CASE-wrapped aggregates keep weights and error binding (AQP-223)") {
+    val exact = spark.sql(
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END) s
+        |FROM li_ec GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = gs.sql(
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END) AS s,
+        |       absolute_error(s) AS ae
+        |FROM li_ec GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin).collect()
+    rows.foreach { r =>
+      val t = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - t) / t < 0.35,
+        s"${r.getString(0)}: ${r.getDouble(1)} vs $t")
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
+  test("sum / count / avg consistency on one sample (reference consistency test)") {
+    // the weighted estimators must be internally consistent:
+    // avg_est == sum_est / count_est on the same sample rows
+    val rows = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s, count(l_quantity) AS c,
+        |       avg(l_quantity) AS a
+        |FROM li_ec GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin).collect()
+    rows.foreach { r =>
+      val (s, c, a) = (r.getDouble(1), r.getLong(2), r.getDouble(3))
+      assert(math.abs(a - s / c) / a < 1e-2,
+        s"${r.getString(0)}: avg $a vs sum/count ${s / c}")
+    }
+  }
+
+  test("query on a VIEW over the base table still uses AQP (SNAP-3131)") {
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW li_ec_view AS " +
+      "SELECT * FROM li_ec WHERE l_quantity IS NOT NULL")
+    try {
+      val df = gs.sql(
+        """SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS ae
+          |FROM li_ec_view GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin)
+      // the view body is base + filter — not plan-equal to the bare base.
+      // The sample substitutes the base SCAN under the view's filter and the
+      // weight column threads through the View to the closed-form aggregate.
+      assert(df.queryExecution.analyzed.treeString
+        .contains(org.apache.spark.sql.graft.Weightage.WeightColumn),
+        "view over the sampled base must still route via the sample")
+      assert(df.collect().forall(_.getDouble(2) > 0.0))
+    } finally spark.catalog.dropTempView("li_ec_view")
+  }
+
+  test("HAVING with partial routing (AQP-217)") {
+    val rows = gs.sql(
+      """SELECT l_returnflag, sum(l_extendedprice) AS s
+        |FROM li_ec GROUP BY 1 HAVING sum(l_extendedprice) > 0
+        |ORDER BY 1
+        |WITH ERROR 0.0000001 BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+      .collect()
+    val truth = spark.sql(
+      """SELECT l_returnflag, sum(l_extendedprice) s FROM li_ec
+        |GROUP BY 1 HAVING sum(l_extendedprice) > 0 ORDER BY 1""".stripMargin)
+      .collect()
+    assert(rows.length === truth.length)
+    rows.zip(truth).foreach { case (a, x) =>
+      assert(a.getString(0) === x.getString(0))
+      assert(math.abs(a.getDouble(1) - x.getDouble(1)) < 1e-6)
+    }
+  }
 }

@@ -182,4 +182,58 @@ class SubQueryRoutingSpec extends AnyFunSuite {
       assert(n > 0)
     } finally gs.dropSampleTable("sq_li_self")
   }
+
+  test("AQP-224: derived aggregate over the sampled base joined + re-aggregated") {
+    // trailing WITH ERROR binds to the LOWEST aggregate above the sampled
+    // scan — the derived table's — while the outer aggregate over the join
+    // runs exact arithmetic on the (approximate) inner results
+    withFullSample("l_returnflag") {
+      def q(withError: String) = gs.sql(
+        s"""SELECT t.l_returnflag, round(sum(o.o_totalprice), 2) AS income
+           |FROM (SELECT l_returnflag, l_orderkey, sum(l_quantity) AS daily
+           |      FROM sq_lineitem GROUP BY l_returnflag, l_orderkey) t
+           |JOIN sq_orders o ON t.l_orderkey = o.o_orderkey
+           |WHERE t.daily > 10
+           |GROUP BY t.l_returnflag ORDER BY t.l_returnflag $withError""".stripMargin)
+      val approx = q("WITH ERROR 0.9")
+      assert(approx.queryExecution.analyzed.treeString
+        .contains(org.apache.spark.sql.graft.Weightage.WeightColumn),
+        "inner derived aggregate must ride the sample")
+      val a = approx.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val x = q("").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(a === x, "full-fraction sample must reproduce the exact join result")
+    }
+  }
+
+  test("AQP-247: join of two limited aggregate subqueries, one sampled base") {
+    withFullSample("l_returnflag") {
+      val df = gs.sql(
+        """SELECT t.l_returnflag, t.qty, e.revenue
+          |FROM (SELECT l_returnflag, sum(l_quantity) AS qty
+          |      FROM sq_lineitem GROUP BY 1 ORDER BY qty DESC LIMIT 10) t
+          |JOIN (SELECT o_orderpriority AS p, sum(o_totalprice) AS revenue,
+          |             substr(o_orderpriority, 1, 1) AS l_returnflag_like
+          |      FROM sq_orders GROUP BY o_orderpriority
+          |      ORDER BY revenue DESC LIMIT 10) e
+          |  ON length(t.l_returnflag) = length(e.l_returnflag_like)
+          |ORDER BY t.l_returnflag, e.revenue DESC
+          |WITH ERROR 0.9""".stripMargin)
+      // the contract binds to the sampled side's subquery aggregate; the
+      // orders-side subquery (no sample) runs exact
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val want = spark.sql(
+        """SELECT t.l_returnflag, t.qty, e.revenue
+          |FROM (SELECT l_returnflag, sum(l_quantity) AS qty
+          |      FROM sq_lineitem GROUP BY 1 ORDER BY qty DESC LIMIT 10) t
+          |JOIN (SELECT o_orderpriority AS p, sum(o_totalprice) AS revenue,
+          |             substr(o_orderpriority, 1, 1) AS l_returnflag_like
+          |      FROM sq_orders GROUP BY o_orderpriority
+          |      ORDER BY revenue DESC LIMIT 10) e
+          |  ON length(t.l_returnflag) = length(e.l_returnflag_like)
+          |ORDER BY t.l_returnflag, e.revenue DESC""".stripMargin).collect()
+      assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq ===
+        want.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq)
+    }
+  }
 }

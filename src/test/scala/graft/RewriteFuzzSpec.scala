@@ -24,6 +24,7 @@ class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val gs: GraftSession = {
     val g = new GraftSession(spark)
     spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_fz")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_fz")
     g.sql("CREATE SAMPLE TABLE li_fz_s ON li_fz OPTIONS(qcs 'l_returnflag', fraction '1.0')")
     g
   }
@@ -100,6 +101,74 @@ class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
       }
     } finally gs.dropSampleTable("li_fz_p")
+  }
+
+  /** Join / derived-table shapes: the structural combinations the
+   * hand-written routing tests don't enumerate. */
+  private def genStructuredQuery(rnd: scala.util.Random): (String, String) = {
+    def c() = numCols(rnd.nextInt(numCols.length))
+    rnd.nextInt(3) match {
+      case 0 => // join to orders, group by a dim column
+        val m = c()
+        val whereJ = if (rnd.nextBoolean()) " WHERE o_totalprice > 1000" else ""
+        val core = s"SELECT o_orderpriority, round(sum($m), 4) AS a0 " +
+          s"FROM li_fz JOIN ord_fz ON l_orderkey = o_orderkey$whereJ " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        val aqp = s"SELECT o_orderpriority, round(sum($m), 4) AS a0, " +
+          "round(absolute_error(a0), 6) AS ae " +
+          s"FROM li_fz JOIN ord_fz ON l_orderkey = o_orderkey$whereJ " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority WITH ERROR 0.9"
+        (core, aqp)
+      case 1 => // derived aggregate re-aggregated above
+        val m = c()
+        val core = "SELECT l_returnflag, round(sum(inner_a), 4) AS a0 FROM " +
+          s"(SELECT l_returnflag, l_orderkey, sum($m) AS inner_a " +
+          "FROM li_fz GROUP BY l_returnflag, l_orderkey) " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag"
+        val aqp = "SELECT l_returnflag, round(sum(inner_a), 4) AS a0 FROM " +
+          s"(SELECT l_returnflag, l_orderkey, sum($m) AS inner_a " +
+          "FROM li_fz GROUP BY l_returnflag, l_orderkey) " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag WITH ERROR 0.9"
+        (core, aqp)
+      case 2 => // join + compound measure + HAVING
+        val (m1, m2) = (c(), c())
+        val having = " HAVING count(*) > 1"
+        val core = s"SELECT o_orderpriority, round(sum($m1 * (1 - $m2)), 4) AS a0, " +
+          "count(*) AS c0 FROM li_fz JOIN ord_fz ON l_orderkey = o_orderkey " +
+          s"GROUP BY o_orderpriority$having ORDER BY o_orderpriority"
+        val aqp = s"SELECT o_orderpriority, round(sum($m1 * (1 - $m2)), 4) AS a0, " +
+          "count(*) AS c0, round(absolute_error(a0), 6) AS ae " +
+          "FROM li_fz JOIN ord_fz ON l_orderkey = o_orderkey " +
+          s"GROUP BY o_orderpriority$having ORDER BY o_orderpriority WITH ERROR 0.9"
+        (core, aqp)
+    }
+  }
+
+  test("25 random join/derived shapes: full-fraction rewrite is exact") {
+    gs
+    val rnd = new scala.util.Random(42421L)
+    (0 until 25).foreach { i =>
+      val (core, aqp) = genStructuredQuery(rnd)
+      val want = spark.sql(core).collect()
+      val got = try gs.sql(aqp).collect() catch {
+        case e: Throwable => fail(s"query $i failed: $aqp\n${e.getMessage}")
+      }
+      assert(got.length === want.length, s"query $i row count: $aqp")
+      got.zip(want).foreach { case (g, w) =>
+        (0 until w.length).foreach { j =>
+          (g.get(j), w.get(j)) match {
+            case (a: Double, b: Double) =>
+              assert(math.abs(a - b) <= math.max(1e-6, math.abs(b) * 1e-9),
+                s"query $i col $j: $a vs $b\n$aqp")
+            case (gv, wv) => assert(gv === wv, s"query $i col $j: $gv vs $wv\n$aqp")
+          }
+        }
+        // appended error column (when present) must be exactly zero at
+        // full fraction — derived-shape queries (case 1) have none
+        if (g.length > w.length)
+          assert(g.getDouble(w.length) === 0.0, s"query $i abs_err nonzero\n$aqp")
+      }
+    }
   }
 
   test("50 random query shapes: full-fraction rewrite is exact with zero error") {

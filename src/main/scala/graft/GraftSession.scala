@@ -124,6 +124,13 @@ class GraftSession(val spark: SparkSession) {
         cmd.asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand]
           .run(spark)
         spark.emptyDataFrame
+      case show: ShowAqpTablesNode =>
+        // row-producing command: surface the listing as a DataFrame
+        val schema = org.apache.spark.sql.types.StructType(show.output.map(a =>
+          org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+        spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(show.run(spark)).asJava), schema)
       case plan =>
         val analyzed = Plans.analyzed(Plans.ofRows(spark, plan))
         Plans.ofRows(spark, AqpRewrite(spark)(analyzed))

@@ -69,6 +69,10 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
       return DropStreamTableNode(dropStream.group(2),
         ifExists = dropStream.group(1) != null)
     }
+    val showTables = ShowAqpTablesPattern.matcher(sqlText)
+    if (showTables.matches()) {
+      return ShowAqpTablesNode(showTables.group(1).toLowerCase)
+    }
     val streamingCtl = StreamingControlPattern.matcher(sqlText)
     if (streamingCtl.matches()) {
       val op = streamingCtl.group(1).toLowerCase
@@ -193,6 +197,8 @@ object AqpParser {
   val StreamingControlPattern: Pattern = Pattern.compile(
     "(?is)\\A\\s*STREAMING\\s+(INIT|START|STOP)" +
       "(?:\\s+(\\d+)\\s*(MS|MILLIS\\w*|SECS?|SECONDS?)?)?\\s*;?\\s*\\z")
+  val ShowAqpTablesPattern: Pattern = Pattern.compile(
+    "(?is)\\A\\s*SHOW\\s+(SAMPLE|TOPK|STREAM)\\s+TABLES\\s*;?\\s*\\z")
   private val OptionPattern: Pattern =
     Pattern.compile("(?is)(\\w+)\\s+'([^']*)'")
 
@@ -296,6 +302,45 @@ case class DropStreamTableNode(name: String, ifExists: Boolean)
     graft.streaming.StreamSql.dropStreamTable(
       graft.GraftSession(spark), name, ifExists)
     Nil
+  }
+}
+
+/** `SHOW SAMPLE|TOPK|STREAM TABLES` — catalog listing of the AQP structures
+ * (the reference surfaces these through its store catalog / `snappy-sql`
+ * listing commands). */
+case class ShowAqpTablesNode(kind: String)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    kind match {
+      case "sample" => Seq("name", "base", "qcs", "fraction", "reservoirSize", "path")
+          .map(AttributeReference(_, StringType, nullable = true)())
+      case "topk" => Seq("name", "base", "key", "variant", "size")
+          .map(AttributeReference(_, StringType, nullable = true)())
+      case _ => Seq("name", "format", "running")
+          .map(AttributeReference(_, StringType, nullable = true)())
+    }
+
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    val state = graft.GraftState.of(spark)
+    kind match {
+      case "sample" => state.samples.values.toSeq.sortBy(_.name).map { i =>
+        Row(i.name, i.baseName, i.qcs.mkString(","), i.fraction.toString,
+          i.reservoirSize.toString, i.persistPath.orNull)
+      }
+      case "topk" => state.topks.toSeq.sortBy(_._1).map { case (n, st0) =>
+        val st = st0.asInstanceOf[graft.topk.TopKState]
+        Row(st.name, state.topkBases.getOrElse(n, null), st.opts.key,
+          st.variant, st.opts.size.toString)
+      }
+      case _ => state.streams.values.toSeq.sortBy(_.name).map { d =>
+        Row(d.name, d.format,
+          state.activeStreams.contains(d.name.toLowerCase).toString)
+      }
+    }
   }
 }
 

@@ -201,6 +201,26 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(df.count() === 3)
   }
 
+  test("AqpInfo reports the analysis type (AssertAQPAnalysis parity)") {
+    import org.apache.spark.sql.graft.AqpInfo
+    val base = "SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS ae " +
+      "FROM li_ps GROUP BY 1 WITH ERROR 0.9"
+    assert(AqpInfo.analysisOf(gs.sql(base)) === "closedform")
+    assert(AqpInfo.usesSample(gs.sql(base)))
+    spark.conf.set("spark.sql.aqp.estimator", "bootstrap")
+    try assert(AqpInfo.analysisOf(gs.sql(base)) === "bootstrap")
+    finally spark.conf.set("spark.sql.aqp.estimator", "closedform")
+    // distinct aggregates route to the base table: exact
+    val exact = gs.sql("SELECT count(DISTINCT l_orderkey) AS c FROM li_ps WITH ERROR 0.9")
+    assert(AqpInfo.analysisOf(exact) === "exact")
+    assert(!AqpInfo.usesSample(exact))
+    // no error functions referenced: the bypass may degrade to weighted
+    // algebra — either way the sample is consumed
+    val noErr = gs.sql(
+      "SELECT l_returnflag, sum(l_quantity) AS s FROM li_ps GROUP BY 1 WITH ERROR 0.9")
+    assert(AqpInfo.usesSample(noErr))
+  }
+
   test("ivf index probes scan the persisted index frame, not the corpus file") {
     // the index build persists the Fanout-widened corpus for its Lloyd
     // iterations and returns a persisted, materialized assignment frame —

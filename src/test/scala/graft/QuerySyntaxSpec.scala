@@ -88,6 +88,20 @@ class QuerySyntaxSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 0)
   }
 
+  test("SHOW SAMPLE/TOPK/STREAM TABLES list the registered structures") {
+    runs("SELECT 1 AS one FROM li_qs LIMIT 1") // force sample registration
+    val samples = gs.sql("SHOW SAMPLE TABLES").collect()
+    val mine = samples.find(_.getString(0) == "li_qs_s")
+    assert(mine.isDefined, s"li_qs_s missing from ${samples.mkString(",")}")
+    assert(mine.get.getString(1) === "li_qs")
+    assert(mine.get.getString(3) === "1.0")
+    // empty listings are well-formed, not errors
+    assert(gs.sql("SHOW TOPK TABLES").columns.toSeq ===
+      Seq("name", "base", "key", "variant", "size"))
+    assert(gs.sql("SHOW STREAM TABLES").columns.toSeq ===
+      Seq("name", "format", "running"))
+  }
+
   test("WITH ERROR / CONFIDENCE values outside (0,1) are rejected at parse") {
     // reference `QueryProcessingRules.scala:1251-1263` (MaxErrorAllowed):
     // error 0 / ≥1 and confidence ≤0 / ≥1 throw with the reference's message

@@ -26,10 +26,10 @@ object AqpInfo {
     else "exact"
   }
 
-  /** True when the plan consumes a sample's weight column at all. */
-  def usesSample(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.analyzed
-    plan.exists(_.output.exists(_.name == Weightage.WeightColumn)) ||
-      analysisOf(plan) != "exact"
-  }
+  /** True when the plan CONSUMES a sample's weight column (any estimator
+   * family). Mere presence of the weightage column in a scan's output does
+   * not count — a routed-to-base query over a raw weighted table still
+   * carries the column without weighting by it. */
+  def usesSample(df: DataFrame): Boolean =
+    analysisOf(df.queryExecution.analyzed) != "exact"
 }

@@ -159,7 +159,25 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }.filter { case (_, i) =>
           minMaxRefs.subsetOf(i.qcs.map(_.toLowerCase).toSet)
         }
-      if (pairs.isEmpty) return None
+
+      // AQP-211 fallback (reference BootStrapBugTest "a table with weight
+      // column should be treated as a sample table"): an UNREGISTERED scan
+      // whose output already carries the hidden weightage column — e.g.
+      // `spark.read.parquet(persistedSampleDir)` in a fresh session — is a
+      // sample. QCS is unknown, so min/max conservatively route to base.
+      val inlinePairs: Seq[(LogicalPlan, graft.SampleInfo)] =
+        if (pairs.nonEmpty) Nil
+        else agg.child.collect {
+          case n if n.output.exists(_.name == Weightage.WeightColumn) => n
+        }.filter(n => !isProtected(n) && !underNestedAgg(n))
+          .take(1)
+          .filter(_ => minMaxRefs.isEmpty)
+          .map { n =>
+            (n, graft.SampleInfo("<inline_weighted>", "<inline_weighted>", n,
+              Plans.ofRows(spark, n), Nil, 0.0, 0))
+          }
+      val allPairs = pairs ++ inlinePairs
+      if (allPairs.isEmpty) return None
 
       // query QCS scoped to the candidate leaf (reference extracts QCS
       // per-table — `QueryProcessingRules.scala:326-410`): only grouping /
@@ -175,7 +193,7 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .filter(leafCols.contains)
           .map(_.name.toLowerCase).toSet
       }
-      Some(pairs.maxBy { case (leaf, i) => score(i, qcsFor(leaf)) })
+      Some(allPairs.maxBy { case (leaf, i) => score(i, qcsFor(leaf)) })
     }
 
     aggsLowestFirst.view.flatMap(a => candidateFor(a).map(c => (a, c)))

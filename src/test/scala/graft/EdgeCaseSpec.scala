@@ -186,6 +186,65 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.catalog.dropTempView("li_ec_view")
   }
 
+  test("AQP-211: an unregistered table carrying the weight column is a sample") {
+    // write a sample to parquet, read it back in with NO registration —
+    // the presence of the hidden weightage column alone makes WITH ERROR
+    // queries weight it (reference BootStrapBugTest AQP-211)
+    gs // force base-view registration
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqp211").toString + "/s"
+    graft.sampling.StratifiedSampler
+      .sample(spark.table("li_ec"), Seq(org.apache.spark.sql.functions.col("l_returnflag")),
+        fraction = 0.3, reservoirSize = 50, seed = 42L,
+        preFilter = true, preFilterFactor = 2.0)
+      .write.parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("li_raw_weighted")
+    try {
+      assert(!GraftState.of(spark).samples.keys.exists(_.contains("raw_weighted")))
+      val df = gs.sql(
+        """SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS ae
+          |FROM li_raw_weighted GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin)
+      val rows = df.collect()
+      assert(org.apache.spark.sql.graft.AqpInfo.usesSample(df))
+      // weighted estimates land near the full-table truth, errors bound them
+      val truth = spark.sql(
+        "SELECT l_returnflag, sum(l_quantity) s FROM li_ec GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      rows.foreach { r =>
+        val t = truth(r.getString(0))
+        assert(math.abs(r.getDouble(1) - t) / t < 0.35,
+          s"${r.getString(0)}: ${r.getDouble(1)} vs $t (unweighted would be ~0.3x)")
+        assert(r.getDouble(2) > 0.0)
+      }
+      // min/max over unknown QCS must NOT ride the inline sample
+      val mm = gs.sql(
+        """SELECT l_returnflag, min(l_quantity) AS m, sum(l_quantity) AS s
+          |FROM li_raw_weighted GROUP BY 1 WITH ERROR 0.9""".stripMargin)
+      assert(!org.apache.spark.sql.graft.AqpInfo.usesSample(mm))
+    } finally spark.catalog.dropTempView("li_raw_weighted")
+  }
+
+  test("mixed aggregates in one query equal each aggregate queried alone") {
+    // reference 'Test sample table query on mixed aggregates with group by':
+    // sharing one sample scan across sum/avg/count must not change any of
+    // them vs single-aggregate queries
+    def one(agg: String) = gs.sql(
+      s"""SELECT l_returnflag, $agg AS x, absolute_error(x) AS ae
+         |FROM li_ec GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    val mixed = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS x, avg(l_quantity) AS y,
+        |       count(l_quantity) AS z, absolute_error(x) AS ae
+        |FROM li_ec GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin).collect()
+    val (s1, a1, c1) = (one("sum(l_quantity)"), one("avg(l_quantity)"),
+      one("count(l_quantity)"))
+    mixed.foreach { r =>
+      val k = r.getString(0)
+      assert(r.get(1) === s1(k), s"$k sum differs")
+      assert(r.get(2) === a1(k), s"$k avg differs")
+      assert(r.get(3) === c1(k), s"$k count differs")
+    }
+  }
+
   test("HAVING with partial routing (AQP-217)") {
     val rows = gs.sql(
       """SELECT l_returnflag, sum(l_extendedprice) AS s

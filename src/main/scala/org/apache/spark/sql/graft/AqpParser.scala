@@ -89,10 +89,21 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
         throw new UnsupportedOperationException(
           "At most one WITH ERROR clause is supported per query")
       }
-      val inner = delegate.parsePlan(m.group(1))
+      // the reference grammar also accepts `q CONFIDENCE c WITH ERROR`
+      // (bare trailing WITH ERROR after a confidence clause,
+      // `snappyAQPParsers.scala:48-53`): if the prefix fails to parse and
+      // itself ends in a confidence clause, strip and merge it
+      val (prefix, conf0) = (m.group(1), Option(m.group(3)).map(_.toDouble))
+      val (inner, conf) =
+        try (delegate.parsePlan(prefix), conf0) catch {
+          case parseErr: Exception if conf0.isEmpty =>
+            val cm = ConfidenceOnlyPattern.matcher(prefix)
+            if (!cm.matches()) throw parseErr
+            (delegate.parsePlan(cm.group(1)), Some(cm.group(2).toDouble))
+        }
       AqpParser.validatedErrorConfidence(
         Option(m.group(2)).map(_.toDouble),
-        Option(m.group(3)).map(_.toDouble),
+        conf,
         Option(m.group(4)),
         inner)
     } else {
@@ -106,6 +117,29 @@ class AqpParser(delegate: ParserInterface) extends ParserInterface {
       // through byte-identical.
       try delegate.parsePlan(sqlText) catch {
         case parseErr: Exception =>
+          // standalone trailing `CONFIDENCE c [BEHAVIOR 'b']` or
+          // `BEHAVIOR 'b'` with no WITH ERROR (every clause of the
+          // reference grammar is independently optional,
+          // `snappyAQPParsers.scala:48-71`; `QueryRoutingTestSuite`
+          // "test query without aggregate" fires `... confidence .95`).
+          // Only attempted when the stock parser rejects the text, so a
+          // query that already parses passes through byte-identical.
+          val cm = ConfidenceOnlyPattern.matcher(sqlText)
+          if (cm.matches()) {
+            val inner = try delegate.parsePlan(cm.group(1)) catch {
+              case _: Exception => throw parseErr
+            }
+            return AqpParser.validatedErrorConfidence(
+              None, Some(cm.group(2).toDouble), Option(cm.group(3)), inner)
+          }
+          val bm = BehaviorOnlyPattern.matcher(sqlText)
+          if (bm.matches()) {
+            val inner = try delegate.parsePlan(bm.group(1)) catch {
+              case _: Exception => throw parseErr
+            }
+            return AqpParser.validatedErrorConfidence(
+              None, None, Some(bm.group(2)), inner)
+          }
           val im = InnerWithErrorPattern.matcher(sqlText)
           if (!im.find()) throw parseErr
           val stripped = sqlText.substring(0, im.start) + sqlText.substring(im.end)
@@ -166,6 +200,16 @@ object AqpParser {
   val WithErrorPattern: Pattern = Pattern.compile(
     s"(?is)\\A(.*?)\\s+WITH\\s+ERROR(?:\\s+$num)?(?:\\s+CONFIDENCE\\s+$num)?" +
       "(?:\\s+BEHAVIOR\\s+'([a-zA-Z_]+)')?\\s*;?\\s*\\z")
+  /** Standalone trailing `CONFIDENCE c [BEHAVIOR 'b']` (no WITH ERROR) —
+   * valid per the reference grammar where every clause is independently
+   * optional (`snappyAQPParsers.scala:48-71`); error comes from session
+   * defaults. Tried only after the stock parser rejects the statement. */
+  val ConfidenceOnlyPattern: Pattern = Pattern.compile(
+    s"(?is)\\A(.*?)\\s+CONFIDENCE\\s+$num" +
+      "(?:\\s+BEHAVIOR\\s+'([a-zA-Z_]+)')?\\s*;?\\s*\\z")
+  /** Standalone trailing `BEHAVIOR 'b'`. */
+  val BehaviorOnlyPattern: Pattern = Pattern.compile(
+    "(?is)\\A(.*?)\\s+BEHAVIOR\\s+'([a-zA-Z_]+)'\\s*;?\\s*\\z")
   /** A WITH ERROR clause terminated by a closing paren — i.e. at the end of
    * a parenthesized derived-table subquery rather than of the statement. */
   val InnerWithErrorPattern: Pattern = Pattern.compile(

@@ -102,6 +102,37 @@ class QuerySyntaxSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("name", "format", "running"))
   }
 
+  test("standalone CONFIDENCE / BEHAVIOR clauses (no WITH ERROR) parse and run") {
+    // every clause of the reference grammar is independently optional
+    // (`snappyAQPParsers.scala:48-71`); `QueryRoutingTestSuite` "test query
+    // without aggregate" fires `... confidence .95` with no WITH ERROR
+    val base = "SELECT l_returnflag, sum(l_quantity) AS s FROM li_qs GROUP BY 1"
+    runs(s"$base CONFIDENCE .95")
+    runs(s"$base CONFIDENCE 0.95 BEHAVIOR 'do_nothing'")
+    runs(s"$base BEHAVIOR 'run_on_full_table'")
+    runs(s"$base CONFIDENCE .95 WITH ERROR") // bare WITH ERROR after confidence
+    // standalone confidence still range-validates
+    intercept[UnsupportedOperationException] { gs.sql(s"$base CONFIDENCE 1.5") }
+    // a full-fraction sample estimates exactly, so the estimate matches base
+    val exact = gs.sql(base).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaConf = gs.sql(s"$base CONFIDENCE .95").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaConf === exact)
+  }
+
+  test("non-aggregate query under WITH ERROR / CONFIDENCE returns base rows") {
+    // reference `QueryRoutingTestSuite` "test query without aggregate":
+    // nothing to approximate -> identical rows to the population query
+    val base = "SELECT l_orderkey AS num FROM li_qs WHERE l_quantity > 45 ORDER BY num"
+    val pop = gs.sql(base).collect().map(_.getLong(0)).toSeq
+    assert(pop.nonEmpty)
+    for (suffix <- Seq("CONFIDENCE .95", "WITH ERROR .95",
+        "WITH ERROR .95 CONFIDENCE .95")) {
+      val got = gs.sql(s"$base $suffix").collect().map(_.getLong(0)).toSeq
+      assert(got === pop, s"rows diverged under: $suffix")
+    }
+  }
+
   test("WITH ERROR / CONFIDENCE values outside (0,1) are rejected at parse") {
     // reference `QueryProcessingRules.scala:1251-1263` (MaxErrorAllowed):
     // error 0 / ≥1 and confidence ≤0 / ≥1 throw with the reference's message

@@ -28,8 +28,29 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
  */
 case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case ec: ErrorConfidence if ec.child.resolved => rewrite(ec)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val p = plan.transformDown {
+      case ec: ErrorConfidence if ec.child.resolved => rewrite(ec)
+    }
+    // Error functions WITHOUT an error clause are legal on a query that
+    // scans a sample table (reference `ErrorEstimateFunctionTest` "query
+    // directly fired on sample table should not compute error estimates if
+    // no error clause present" — `ReplaceWithSampleTable.
+    // INIFINITE_ERROR_TOLERANCE`): aggregates stay raw/unweighted and the
+    // error functions are inert (bounds = estimate, errors = 0). On a plan
+    // with no sample scan the stubs survive as Unevaluable and raise, as
+    // before — error estimates need an AQP context.
+    if (p.resolved && !p.exists(_.isInstanceOf[ErrorConfidence]) &&
+        p.exists(_.expressions.exists(_.exists(_.isInstanceOf[ErrorEstimateStub])))) {
+      val state = graft.GraftState.of(spark)
+      val scansSample =
+        p.exists(_.output.exists(_.name == Weightage.WeightColumn)) ||
+          state.samples.values.exists { i =>
+            val sp = i.sampleDf.queryExecution.analyzed
+            p.exists(_.sameResult(sp))
+          }
+      if (scansSample) stripStubs(p) else p
+    } else p
   }
 
   private def defaultD(key: String, dflt: String): String =

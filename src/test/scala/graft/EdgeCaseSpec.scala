@@ -122,6 +122,92 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ENT-57: min/max on literals don't block AQP; literal values exact") {
+    // reference `ErrorEstimateFunctionTest` "Max Min functions on literal
+    // should allow aqp to be used": literal min/max aggregates are exact
+    // regardless of sampling and must not force a route to base
+    val df = gs.sql(
+      """SELECT l_returnflag AS rf, sum(l_quantity) AS x,
+        |       lower_bound(x) AS lb, upper_bound(x) AS ub,
+        |       absolute_error(x) AS ae, relative_error(x) AS re,
+        |       max(100) AS m1, max(true) AS m2, min(true) AS m3,
+        |       min(101) AS m4, max(100 + 123) AS m5,
+        |       max(CAST(1 AS BOOLEAN)) AS m6
+        |FROM li_ec GROUP BY 1 WITH ERROR 0.9 CONFIDENCE .95""".stripMargin)
+    assert(org.apache.spark.sql.graft.AqpInfo.usesSample(df),
+      "literal min/max must not push the query off the sample")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(6) === 100)
+      assert(r.getBoolean(7) === true)
+      assert(r.getBoolean(8) === true)
+      assert(r.getInt(9) === 101)
+      assert(r.getInt(10) === 223)
+      assert(r.getBoolean(11) === true)
+      assert(r.getDouble(4) > 0.0, "0.3 sample must carry error")
+      assert(r.getDouble(2) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(3))
+    }
+  }
+
+  test("ENT-57: a query containing ONLY max/min (on QCS) rides the sample") {
+    // reference "aqp query only containing max function should use sample
+    // table if possible": no sum/count/avg present at all
+    val df = gs.sql(
+      "SELECT max(l_returnflag) AS m, min(l_returnflag) AS n FROM li_ec WITH ERROR 0.9")
+    val r = df.collect()(0)
+    val base = spark.sql(
+      "SELECT max(l_returnflag), min(l_returnflag) FROM li_ec").collect()(0)
+    // QCS stratification keeps >=1 row per distinct value: exact min/max
+    assert(r.getString(0) === base.getString(0))
+    assert(r.getString(1) === base.getString(1))
+  }
+
+  test("direct sample query without error clause: raw aggregates, error fns inert") {
+    // reference `ErrorEstimateFunctionTest` "query directly fired on sample
+    // table should not compute error estimates if no error clause present":
+    // the estimate is the raw (unweighted) sum over the sample's rows and
+    // error functions neither fail nor re-weight
+    gs
+    val raw = spark.sql("SELECT sum(l_quantity) FROM li_ec_s").collect()(0).getDouble(0)
+    val r = gs.sql(
+      """SELECT sum(l_quantity) AS x, relative_error(x) AS re,
+        |       absolute_error(x) AS ae, lower_bound(x) AS lb
+        |FROM li_ec_s""".stripMargin).collect()(0)
+    assert(r.getDouble(0) === raw, "no error clause -> raw unweighted sum")
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === raw)
+    // on a plan with NO sample scan the stubs still raise
+    intercept[Exception] {
+      gs.sql("SELECT sum(l_quantity) AS x, relative_error(x) AS re FROM li_ec")
+        .collect()
+    }
+  }
+
+  test("empty base table under routing behaviors: empty results, no errors") {
+    // reference `QueryRoutingTestSuite` "test empty table with behaviour
+    // involving routing" / "... do nothing"
+    spark.sql("SELECT * FROM li_ec WHERE 1=0").createOrReplaceTempView("li_ec_empty_b")
+    gs.sql("CREATE SAMPLE TABLE li_ec_ebs ON li_ec_empty_b " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.5')")
+    try {
+      for (b <- Seq("do_nothing", "local_omit", "strict", "run_on_full_table",
+          "partial_run_on_base_table")) {
+        val rows = gs.sql(
+          s"""SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS ae
+             |FROM li_ec_empty_b GROUP BY 1 WITH ERROR 0.5 BEHAVIOR '$b'"""
+            .stripMargin).collect()
+        assert(rows.isEmpty, s"behavior $b over empty base must yield 0 groups")
+        val global = gs.sql(
+          s"""SELECT sum(l_quantity) AS s FROM li_ec_empty_b
+             |WITH ERROR 0.5 BEHAVIOR '$b'""".stripMargin).collect()
+        assert(global.length === 1 && global(0).isNullAt(0),
+          s"behavior $b global sum over empty base must be a single NULL")
+      }
+    } finally gs.dropSampleTable("li_ec_ebs")
+  }
+
   test("repeated aggregates: same agg twice with separate error functions") {
     // reference 'Test repeat aggregates': sum(x) aliased twice — each alias
     // binds its own error function and both estimates agree

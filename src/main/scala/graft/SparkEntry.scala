@@ -788,6 +788,21 @@ object SparkEntry {
           |WITH ERROR 0.9""".stripMargin)
     }),
 
+    // Within-doc repetition quality metrics (Gopher/C4 rules): duplicate
+    // word-3-gram fraction and top word-2-gram coverage per document, with a
+    // planted boilerplate doc pinning the high-repetition end.
+    "q47_repetition" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = s.range(1).select(lit(-1L).as("doc_id"),
+        lit(Seq.fill(30)("buy now").mkString(" ")).as("text"))
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          round(repetitionRatio(col("text"), 3), 6).as("rep3"),
+          round(topGramFraction(col("text"), 2), 6).as("top2"))
+        .orderBy(col("doc_id")).limit(50)
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -1137,5 +1152,46 @@ object SparkEntry {
 
     "q46_direct_sample_query" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty, 0.0 AS abs_err
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q47_repetition" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -1 AS doc_id,
+        |         trim(repeat('buy now ', 30)) AS text
+        |),
+        |norm AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM all_docs
+        |),
+        |toks AS (
+        |  SELECT doc_id,
+        |         CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split(s, ' ') END AS t
+        |  FROM norm
+        |),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                             i -> array_to_string(t[i:i+2], ' ')) END AS g3,
+        |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t)),
+        |                             i -> array_to_string(t[i:i+1], ' ')) END AS g2
+        |  FROM toks
+        |),
+        |top2 AS (
+        |  SELECT doc_id, MAX(c) AS topc, SUM(c) AS totc FROM (
+        |    SELECT doc_id, gram, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(g2) AS gram FROM grams)
+        |    GROUP BY doc_id, gram
+        |  ) GROUP BY doc_id
+        |)
+        |SELECT g.doc_id,
+        |       ROUND(1 - CAST(len(list_distinct(g.g3)) AS DOUBLE) / len(g.g3), 6) AS rep3,
+        |       ROUND(CAST(t.topc AS DOUBLE) / t.totc, 6) AS top2
+        |FROM grams g JOIN top2 t USING (doc_id)
+        |ORDER BY g.doc_id LIMIT 50""".stripMargin)
 }

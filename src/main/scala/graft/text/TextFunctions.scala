@@ -101,4 +101,27 @@ object TextFunctions {
    */
   def fingerprint(c: Column, k: Int = 8): Column =
     org.apache.spark.sql.graft.RollingFingerprint(c, k)
+
+  /**
+   * Within-document repetition: fraction of word n-gram occurrences that are
+   * duplicates of an earlier occurrence, `1 − distinct/total` (0 for a doc
+   * with no repeated grams, → 1 for highly repetitive boilerplate). The
+   * duplicate-n-gram rule of Gopher/C4-style corpus filtering. Single fused
+   * pass — see [[org.apache.spark.sql.graft.NgramProfile]].
+   */
+  def repetitionRatio(c: Column, n: Int = 3): Column = {
+    val p = org.apache.spark.sql.graft.NgramProfile(c, n)
+    lit(1.0) - p.getField("distinct_grams").cast("double") /
+      p.getField("total_grams").cast("double")
+  }
+
+  /**
+   * Fraction of word n-gram occurrences taken by the single most frequent
+   * n-gram (Gopher's top-n-gram coverage rule): `top/total` in (0, 1].
+   */
+  def topGramFraction(c: Column, n: Int = 2): Column = {
+    val p = org.apache.spark.sql.graft.NgramProfile(c, n)
+    p.getField("top_gram_count").cast("double") /
+      p.getField("total_grams").cast("double")
+  }
 }

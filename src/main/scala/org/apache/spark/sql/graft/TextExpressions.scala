@@ -257,6 +257,83 @@ object WordNgramHashes {
 }
 
 /**
+ * `ngram_profile(text, n)`: occurrence profile of the word n-grams of
+ * whitespace-normalized lowercase text, as
+ * `struct<total_grams:int, distinct_grams:int, top_gram_count:int>` — the
+ * inputs to the classic corpus-quality repetition rules (duplicate-n-gram
+ * fraction and most-frequent-n-gram coverage, as in Gopher/C4 filtering;
+ * the reference engine has no text ops). Same single-pass token hashing as
+ * [[WordNgramHashes]]; a doc shorter than n tokens profiles its whole token
+ * sequence as the single gram (total = distinct = top = 1).
+ */
+case class NgramProfile(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n-gram size must be >= 1: $n")
+  override def dataType: DataType = NgramProfile.resultType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = RollingFingerprint.normalize(v.asInstanceOf[UTF8String].toString)
+    val tok = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) {
+          var h = 0L
+          var j = start
+          while (j < i) { h = h * 31L + s.charAt(j); j += 1 }
+          tok += RollingFingerprint.mix(h)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = tok.length
+    val counts = new java.util.HashMap[Long, Int]()
+    var total = 0
+    def add(h: Long): Unit = {
+      val c = counts.get(h)
+      counts.put(h, if (counts.containsKey(h)) c + 1 else 1)
+      total += 1
+    }
+    if (m < n) {
+      var h = 0L
+      var j = 0
+      while (j < m) { h = h * 0x100000001b3L + tok(j); j += 1 }
+      add(RollingFingerprint.mix(h))
+    } else {
+      var g = 0
+      while (g + n <= m) {
+        var h = 0L
+        var j = g
+        while (j < g + n) { h = h * 0x100000001b3L + tok(j); j += 1 }
+        add(RollingFingerprint.mix(h))
+        g += 1
+      }
+    }
+    var top = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+    InternalRow(total, counts.size, top)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramProfile =
+    copy(child = newChild)
+}
+
+object NgramProfile {
+  val resultType: StructType = StructType(Seq(
+    StructField("total_grams", IntegerType, nullable = false),
+    StructField("distinct_grams", IntegerType, nullable = false),
+    StructField("top_gram_count", IntegerType, nullable = false)))
+
+  def apply(c: Column, n: Int): Column =
+    Exprs.column(new NgramProfile(Exprs.expression(c), n))
+}
+
+/**
  * `chunk_tokens(text, chunkTokens, overlap)`: split text into whitespace
  * tokens and emit `array<string>` of chunks of `chunkTokens` tokens with
  * `overlap` tokens carried between consecutive chunks (stride =

@@ -106,6 +106,48 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(counts === Map(1L -> 1, 2L -> 1, 3L -> 1))
   }
 
+  test("NgramProfile counts match the string n-gram algebra on real docs") {
+    // total = gram count, distinct = distinct-string count, top = max
+    // occurrence of any gram — recomputed driver-side from raw token streams
+    val n = 3
+    val prof = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.NgramProfile(col("text"), n).as("p"))
+      .select(col("doc_id"), col("p.total_grams"), col("p.distinct_grams"),
+        col("p.top_gram_count"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val raw = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val toks = r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+      val grams =
+        if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map(_._2.size)
+      r.getLong(0) -> (grams.size, counts.size, counts.max)
+    }.toMap
+    assert(prof === raw)
+  }
+
+  test("repetitionRatio / topGramFraction: boilerplate vs unique text") {
+    import spark.implicits._
+    import graft.text.TextFunctions._
+    val df = Seq(
+      (1L, Seq.fill(30)("buy now").mkString(" ")), // alternating 2-token spam
+      (2L, (1 to 60).map(i => s"w$i").mkString(" ")), // all-unique tokens
+      (3L, "short"), // < n tokens: one gram, zero repetition
+      (4L, "")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+      repetitionRatio(col("text"), 3).as("rep"),
+      topGramFraction(col("text"), 2).as("top"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // spam: 58 3-grams, 2 distinct; 59 2-grams, "buy now" x30
+    assert(math.abs(rows(1L)._1 - (1.0 - 2.0 / 58.0)) < 1e-12)
+    assert(math.abs(rows(1L)._2 - 30.0 / 59.0) < 1e-12)
+    assert(rows(2L)._1 === 0.0, "unique text has no repeated grams")
+    assert(rows(2L)._2 === 1.0 / 59.0)
+    assert(rows(3L) === ((0.0, 1.0)))
+    assert(rows(4L) === ((0.0, 1.0)))
+  }
+
   test("ngramJaccard: 1.0 iff same token stream, in (0,1) for overlap") {
     import spark.implicits._
     val df = Seq(

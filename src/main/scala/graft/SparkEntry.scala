@@ -803,6 +803,24 @@ object SparkEntry {
         .orderBy(col("doc_id")).limit(50)
     }),
 
+    // PII scrub (email / IPv4 / digit-run): redacted text plus per-kind
+    // redaction counts, over real docs + a planted PII-dense doc.
+    "q48_pii" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = s.range(1).select(lit(-1L).as("doc_id"),
+        lit("Contact alice.smith+spam@example.co.uk or bob@test.io, " +
+          "call +1 (555) 123-4567 or 08 123 456 789, " +
+          "server at 192.168.0.1 and 10.0.0.255 (not 999.1.2.3.4).").as("text"))
+      docs.unionByName(planted)
+        .select(col("doc_id"), redactPii(col("text")).as("redacted"))
+        .select(col("doc_id"), col("redacted"),
+          piiCount(col("redacted"), "EMAIL").as("n_email"),
+          piiCount(col("redacted"), "IP").as("n_ip"),
+          piiCount(col("redacted"), "PHONE").as("n_phone"))
+        .orderBy(col("doc_id")).limit(30)
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -1193,5 +1211,33 @@ object SparkEntry {
         |       ROUND(1 - CAST(len(list_distinct(g.g3)) AS DOUBLE) / len(g.g3), 6) AS rep3,
         |       ROUND(CAST(t.topc AS DOUBLE) / t.totc, 6) AS top2
         |FROM grams g JOIN top2 t USING (doc_id)
-        |ORDER BY g.doc_id LIMIT 50""".stripMargin)
+        |ORDER BY g.doc_id LIMIT 50""".stripMargin,
+
+    "q48_pii" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -1 AS doc_id,
+        |         'Contact alice.smith+spam@example.co.uk or bob@test.io, ' ||
+        |         'call +1 (555) 123-4567 or 08 123 456 789, ' ||
+        |         'server at 192.168.0.1 and 10.0.0.255 (not 999.1.2.3.4).' AS text
+        |),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g') AS redacted
+        |  FROM all_docs
+        |)
+        |SELECT doc_id, redacted,
+        |  CAST((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7
+        |       AS INT) AS n_email,
+        |  CAST((length(redacted) - length(replace(redacted, '<IP>', ''))) / 4
+        |       AS INT) AS n_ip,
+        |  CAST((length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7
+        |       AS INT) AS n_phone
+        |FROM red ORDER BY doc_id LIMIT 30""".stripMargin)
 }

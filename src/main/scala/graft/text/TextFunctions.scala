@@ -124,4 +124,30 @@ object TextFunctions {
     p.getField("top_gram_count").cast("double") /
       p.getField("total_grams").cast("double")
   }
+
+  /**
+   * Scrub common PII into typed placeholder tokens — the standard
+   * email / IPv4 / long-digit-run (phone-ish) pass a training-corpus
+   * pipeline applies before release. Pure `regexp_replace` chain
+   * (whole-stage codegen, pushes through the optimizer); patterns are
+   * deliberately RE2-compatible so external oracles replicate them. The
+   * digit-run rule is intentionally aggressive (an 8+-digit run with
+   * separators is redacted even when it is a date), the usual
+   * over-redaction trade-off.
+   */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d() -]{6,}\\d", "<PHONE>")
+  }
+
+  /** Number of PII placeholders of the given kind in redacted text
+   * (`kind` one of EMAIL, IP, PHONE). */
+  def piiCount(redacted: Column, kind: String): Column = {
+    val token = s"<$kind>"
+    ((length(redacted) - length(replace(redacted, lit(token), lit("")))) /
+      token.length).cast("int")
+  }
 }

@@ -112,7 +112,7 @@ class GraftSession(val spark: SparkSession) {
    */
   def sql(text: String): DataFrame = {
     import org.apache.spark.sql.graft._
-    val parser = new AqpParser(spark.sessionState.sqlParser)
+    val parser = new AqpParser(spark.sessionState.sqlParser, Some(spark))
     parser.parsePlan(text) match {
       // AQP DDL nodes are runnable commands — run them eagerly, exactly as
       // Spark's command path does under the extensions wiring (other
@@ -120,7 +120,8 @@ class GraftSession(val spark: SparkSession) {
       case cmd @ (_: CreateSampleTableNode | _: CreateSampleTableAsNode |
                   _: CreateTopkTableNode | _: DropSampleTableNode |
                   _: DropTopkTableNode | _: CreateStreamTableNode |
-                  _: DropStreamTableNode | _: StreamingControlNode) =>
+                  _: DropStreamTableNode | _: StreamingControlNode |
+                  _: InsertIntoSampleNode) =>
         cmd.asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand]
           .run(spark)
         spark.emptyDataFrame

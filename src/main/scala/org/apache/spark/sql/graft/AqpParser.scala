@@ -25,27 +25,57 @@ import org.apache.spark.sql.types.{DataType, StructType}
  *
  * Everything else passes through to the wrapped Spark parser.
  */
-class AqpParser(delegate: ParserInterface) extends ParserInterface {
+class AqpParser(delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
   import AqpParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val createSample = CreateSamplePattern.matcher(sqlText)
-    if (createSample.matches()) {
-      val opts = parseOptions(createSample.group(4))
-      return CreateSampleTableNode(createSample.group(2), createSample.group(3),
-        opts, ifNotExists = createSample.group(1) != null)
-    }
+    // AS-SELECT form first: with the ON clause optional below, the greedy
+    // OPTIONS(...) group of the plain form could otherwise swallow an
+    // `) AS SELECT ... (subquery)` suffix up to the subquery's last paren
     val createSampleAs = CreateSampleAsPattern.matcher(sqlText)
     if (createSampleAs.matches()) {
       val opts = parseOptions(createSampleAs.group(2))
       return CreateSampleTableAsNode(createSampleAs.group(1), opts,
         createSampleAs.group(3))
     }
+    val createSample = CreateSamplePattern.matcher(sqlText)
+    if (createSample.matches()) {
+      val opts = parseOptions(createSample.group(5))
+      // the reference grammar takes the base as `ON t`, as
+      // `OPTIONS(baseTable 't')` (the form its own test suites use most),
+      // or not at all (a standalone sample with an inline schema, populated
+      // by inserts — `snappyAQPParsers.scala:77-103`)
+      val base = Option(createSample.group(4)).orElse(opts.get("basetable"))
+      val schemaDdl = Option(createSample.group(3)).map(_.trim).filter(_.nonEmpty)
+      if (base.isEmpty && schemaDdl.isEmpty) {
+        throw new IllegalArgumentException(
+          "CREATE SAMPLE TABLE needs a base table (ON t or OPTIONS(baseTable 't')) " +
+            "or an inline schema for a standalone insert-populated sample")
+      }
+      return CreateSampleTableNode(createSample.group(2), base, schemaDdl,
+        opts, ifNotExists = createSample.group(1) != null)
+    }
     val createTopk = CreateTopkPattern.matcher(sqlText)
     if (createTopk.matches()) {
       val opts = parseOptions(createTopk.group(4))
-      return CreateTopkTableNode(createTopk.group(2), createTopk.group(3),
+      val base = Option(createTopk.group(3)).orElse(opts.get("basetable"))
+        .getOrElse(throw new IllegalArgumentException(
+          "CREATE TOPK TABLE needs a base table (ON t or OPTIONS(baseTable 't'))"))
+      return CreateTopkTableNode(createTopk.group(2), base,
         opts, ifNotExists = createTopk.group(1) != null)
+    }
+    // `INSERT INTO <registered sample> SELECT ...` — reference
+    // `ColumnFormatSamplingRelation.insert` (`df.write.insertInto(sample)` in
+    // its suites): the new rows are re-sampled per stratum and appended.
+    // Only statements whose target IS a registered sample are intercepted;
+    // everything else delegates untouched.
+    val insert = InsertPattern.matcher(sqlText)
+    if (insert.matches()) {
+      val target = insert.group(1)
+      val isSample = session.exists(s =>
+        graft.GraftState.of(s).samples.keys.exists(_.equalsIgnoreCase(target)))
+      if (isSample) return InsertIntoSampleNode(target, insert.group(2))
     }
     val dropSample = DropSamplePattern.matcher(sqlText)
     if (dropSample.matches()) {
@@ -216,11 +246,18 @@ object AqpParser {
     s"(?is)\\s+WITH\\s+ERROR(?:\\s+$num)?(?:\\s+CONFIDENCE\\s+$num)?" +
       "(?:\\s+BEHAVIOR\\s+'([a-zA-Z_]+)')?(?=\\s*\\))")
   val CreateSamplePattern: Pattern = Pattern.compile(
-    "(?is)\\A\\s*CREATE\\s+SAMPLE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s+ON\\s+([\\w.]+)" +
-      "\\s+OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")
+    "(?is)\\A\\s*CREATE\\s+SAMPLE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)" +
+      "\\s*(?:\\((.*?)\\)\\s*)?(?:\\bON\\s+([\\w.]+)\\s+)?" +
+      "OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")
   val CreateTopkPattern: Pattern = Pattern.compile(
-    "(?is)\\A\\s*CREATE\\s+TOPK\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s+ON\\s+([\\w.]+)" +
-      "\\s+OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")
+    "(?is)\\A\\s*CREATE\\s+TOPK\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)" +
+      "\\s*(?:\\bON\\s+([\\w.]+)\\s+)?" +
+      "OPTIONS\\s*\\((.*)\\)\\s*;?\\s*\\z")
+  /** `INSERT INTO t SELECT ...` / `INSERT INTO t VALUES ...` — intercepted
+   * only when `t` is a registered sample table. */
+  val InsertPattern: Pattern = Pattern.compile(
+    "(?is)\\A\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?([\\w.]+)\\s+" +
+      "((?:SELECT|VALUES|FROM|TABLE)\\b.*)\\s*;?\\s*\\z")
   // sample over an arbitrary query (reference grammar's `AS SELECT` arm —
   // `sql/snappyAQPParsers.scala:77-103`)
   val CreateSampleAsPattern: Pattern = Pattern.compile(
@@ -260,8 +297,9 @@ object AqpParser {
  * points: `GraftSession.sql` intercepts them pre-analysis, and a stock
  * session with `spark.sql.extensions=...GraftExtensions` runs them through
  * Spark's ordinary eager-command path. */
-case class CreateSampleTableNode(name: String, base: String,
-    options: Map[String, String], ifNotExists: Boolean = false)
+case class CreateSampleTableNode(name: String, base: Option[String],
+    schemaDdl: Option[String], options: Map[String, String],
+    ifNotExists: Boolean = false)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val gs = graft.GraftSession(spark)
@@ -275,9 +313,35 @@ case class CreateSampleTableNode(name: String, base: String,
       } else None
       attachPath match {
         case Some(p) => gs.attachSampleTable(name, p)
-        case None => gs.createSampleTableFromOptions(name, base, options)
+        case None => base match {
+          case Some(b) => gs.createSampleTableFromOptions(name, b, options)
+          case None =>
+            // standalone schema-form sample (reference
+            // `snappyAQPParsers.scala:77-103` tableSchema arm): starts empty,
+            // rows arrive via `INSERT INTO <sample> SELECT ...` /
+            // `appendToSample`, each batch re-sampled per stratum
+            val schema = org.apache.spark.sql.types.StructType.fromDDL(
+              schemaDdl.getOrElse(throw new IllegalArgumentException(
+                s"CREATE SAMPLE TABLE $name: no base table and no schema")))
+            val emptyBase = s"${name}_empty_base"
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              schema).createOrReplaceTempView(emptyBase)
+            gs.createSampleTableFromOptions(name, emptyBase, options)
+        }
       }
     }
+    Nil
+  }
+}
+
+/** Appends query results to a registered sample table, re-sampling the new
+ * rows per stratum (reference `ColumnFormatSamplingRelation.insert`,
+ * `sampling/ColumnFormatSamplingRelation.scala:253-340`). */
+case class InsertIntoSampleNode(name: String, querySql: String)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.GraftSession(spark).appendToSample(name, spark.sql(querySql))
     Nil
   }
 }

@@ -62,7 +62,7 @@ object Plans {
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectParser((_, delegate) => new AqpParser(delegate))
+    e.injectParser((session, delegate) => new AqpParser(delegate, Some(session)))
     // post-hoc, not resolution: the rewrite expects the settled post-analysis
     // plan shape (lateral column aliases already split into stacked
     // Projects), exactly what GraftSession.sql hands it on the standalone

@@ -203,6 +203,62 @@ class AqpSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { gs.sql("DROP SAMPLE TABLE li_drop") }
   }
 
+  test("CREATE SAMPLE TABLE with baseTable in OPTIONS (no ON clause)") {
+    // the form the reference's own suites use most:
+    // CREATE SAMPLE TABLE s OPTIONS(qcs ..., fraction ..., baseTable 't')
+    gs.sql("CREATE SAMPLE TABLE li_optbase OPTIONS(qcs 'l_returnflag', " +
+      "fraction '1.0', baseTable 'lineitem')")
+    try {
+      val info = gs.state.samples("li_optbase")
+      assert(info.baseName === "lineitem")
+      val rows = gs.sql(
+        """SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem
+          |GROUP BY 1 WITH ERROR 0.9""".stripMargin).collect()
+      val exact = exactByFlag
+      rows.foreach(r => assert(math.abs(r.getDouble(1) - exact(r.getString(0))) < 1e-6))
+    } finally gs.dropSampleTable("li_optbase")
+  }
+
+  test("schema-form standalone sample populated via INSERT INTO ... SELECT") {
+    // reference `snappyAQPParsers` tableSchema arm + SamplingDataSourceAPITest
+    // `df.write.insertInto(SAMPLE_TABLE)`: the sample starts empty and every
+    // inserted batch is re-sampled per stratum; queries name the sample
+    // directly. fraction 1.0 -> weights are 1, estimates exact over the
+    // inserted rows.
+    gs.sql("CREATE SAMPLE TABLE li_schema_s " +
+      "(l_returnflag string, l_quantity double) " +
+      "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    try {
+      assert(gs.sql("SELECT count(*) AS c FROM li_schema_s").collect()(0).getLong(0) === 0L)
+      gs.sql("INSERT INTO li_schema_s " +
+        "SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey % 2 = 0")
+      val half = gs.sql(
+        """SELECT sum(l_quantity) AS s FROM li_schema_s
+          |WITH ERROR 0.9""".stripMargin).collect()(0).getDouble(0)
+      val exactHalf = spark.sql(
+        "SELECT sum(l_quantity) FROM lineitem WHERE l_orderkey % 2 = 0")
+        .collect()(0).getDouble(0)
+      assert(math.abs(half - exactHalf) < 1e-6, s"$half vs $exactHalf")
+      // second insert appends; estimates now cover both batches
+      gs.sql("INSERT INTO li_schema_s " +
+        "SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey % 2 = 1")
+      val full = gs.sql(
+        """SELECT sum(l_quantity) AS s FROM li_schema_s
+          |WITH ERROR 0.9""".stripMargin).collect()(0).getDouble(0)
+      val exactFull = spark.sql("SELECT sum(l_quantity) FROM lineitem")
+        .collect()(0).getDouble(0)
+      assert(math.abs(full - exactFull) < 1e-6, s"$full vs $exactFull")
+    } finally gs.dropSampleTable("li_schema_s")
+  }
+
+  test("INSERT INTO a non-sample target still delegates to Spark") {
+    // interception is keyed on the registered-sample set; a plain temp view
+    // keeps Spark's own behavior (error for non-insertable view)
+    intercept[Exception] {
+      gs.sql("INSERT INTO lineitem SELECT * FROM lineitem LIMIT 1")
+    }
+  }
+
   test("errorStats: per-group closed-form stats over an ad-hoc sample") {
     val sampled = gs.sample(spark.table("lineitem"), Seq("l_returnflag"), fraction = 1.0)
     val stats = gs.errorStats(sampled, "l_quantity", aggType = "sum",

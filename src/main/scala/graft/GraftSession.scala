@@ -178,33 +178,8 @@ class GraftSession(val spark: SparkSession) {
   def createSampleTableFromOptions(name: String, baseName: String,
       opts: Map[String, String]): DataFrame = {
     val base = spark.table(baseName)
-    val qcsBase = opts.get("qcs").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-    // time-slot strata: bucket the time column into timeInterval-ms slots and
-    // make the slot part of the stratum key
-    val timeQcs = opts.get("timeseriescolumn").map { ts =>
-      val ivMs = opts.get("timeinterval").map(_.toLong).getOrElse(5000L)
-      opts.getOrElse("timeunit", "auto") match {
-        case "ns" => s"floor($ts / ${ivMs * 1000000L})"
-        case "s" => s"floor($ts * 1000 / $ivMs)"
-        case "ms" => s"floor($ts / $ivMs)"
-        case _ => s"floor(cast($ts as double) * 1000 / $ivMs)"
-      }
-    }.toSeq
-    val qcs = qcsBase ++ timeQcs
-    val reservoirSize = opts.get("stratareservoirsize").map(_.toInt).getOrElse(50)
-    val seed = opts.get("seed").map(_.toLong).getOrElse(42L)
-    val fraction = opts.get("fraction").map(_.toDouble).getOrElse(0.0)
-
-    val sampled = opts.get("errorlimitcolumn") match {
-      case Some(errCol) =>
-        StratifiedSampler.sampleWithErrorLimit(base, qcs.map(expr), expr(errCol),
-          errorLimitPercent = opts.get("errorlimitpercent").map(_.toDouble).getOrElse(10.0),
-          confidence = opts.get("confidence").map(_.toDouble).getOrElse(0.95),
-          reservoirSize = reservoirSize, seed = seed)
-      case None =>
-        StratifiedSampler.sample(base, qcs.map(expr), fraction, reservoirSize,
-          seed, preFilter = true, preFilterFactor = 2.0)
-    }
+    val (sampled, qcs, fraction, reservoirSize) =
+      GraftSession.sampleByOptions(base, opts)
     registerSample(name, baseName, base, sampled, qcs, fraction, reservoirSize,
       opts.get("path"),
       opts.get("partitionby").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
@@ -382,6 +357,12 @@ class GraftSession(val spark: SparkSession) {
     st.queryTopK(spark, startMs, endMs, if (k > 0) k else st.opts.size)
   }
 
+  /** Reference-named alias for [[queryTopK]]
+   * (`snappy.queryApproxTSTopK(name, start, end, k)`). */
+  def queryApproxTSTopK(name: String, startMs: Long = Long.MinValue,
+      endMs: Long = Long.MaxValue, k: Int = -1): DataFrame =
+    queryTopK(name, startMs, endMs, k)
+
   private def topkState(name: String): graft.topk.TopKState =
     state.topks.get(name.toLowerCase) match {
       case Some(st: graft.topk.TopKState) => st
@@ -416,6 +397,48 @@ class GraftSession(val spark: SparkSession) {
 
 object GraftSession {
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+
+  /** Option-driven sampling of an arbitrary DataFrame — the shared engine
+   * behind `CREATE SAMPLE TABLE ... OPTIONS(...)` and the DataFrame-side
+   * `df.stratifiedSample(Map(...))` syntax. Returns
+   * (sampled, qcs, fraction, reservoirSize). Supports the full reference
+   * option set: `qcs`, `fraction`, `strataReservoirSize`, `seed`,
+   * `timeSeriesColumn`/`timeInterval`/`timeUnit` (time-slot strata —
+   * `StratifiedSamplerCached.scala:96-120`) and
+   * `errorLimitColumn`/`errorLimitPercent`/`confidence`
+   * (`StratifiedSamplerErrorLimit`). Keys are case-insensitive. */
+  private[graft] def sampleByOptions(base: DataFrame,
+      opts0: Map[String, String]): (DataFrame, Seq[String], Double, Int) = {
+    val opts = opts0.map { case (k, v) => k.toLowerCase -> v }
+    val qcsBase = opts.get("qcs").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    // time-slot strata: bucket the time column into timeInterval-ms slots and
+    // make the slot part of the stratum key
+    val timeQcs = opts.get("timeseriescolumn").map { ts =>
+      val ivMs = opts.get("timeinterval").map(_.toLong).getOrElse(5000L)
+      opts.getOrElse("timeunit", "auto") match {
+        case "ns" => s"floor($ts / ${ivMs * 1000000L})"
+        case "s" => s"floor($ts * 1000 / $ivMs)"
+        case "ms" => s"floor($ts / $ivMs)"
+        case _ => s"floor(cast($ts as double) * 1000 / $ivMs)"
+      }
+    }.toSeq
+    val qcs = qcsBase ++ timeQcs
+    val reservoirSize = opts.get("stratareservoirsize").map(_.toInt).getOrElse(50)
+    val seed = opts.get("seed").map(_.toLong).getOrElse(42L)
+    val fraction = opts.get("fraction").map(_.toDouble).getOrElse(0.0)
+
+    val sampled = opts.get("errorlimitcolumn") match {
+      case Some(errCol) =>
+        StratifiedSampler.sampleWithErrorLimit(base, qcs.map(expr), expr(errCol),
+          errorLimitPercent = opts.get("errorlimitpercent").map(_.toDouble).getOrElse(10.0),
+          confidence = opts.get("confidence").map(_.toDouble).getOrElse(0.95),
+          reservoirSize = reservoirSize, seed = seed)
+      case None =>
+        StratifiedSampler.sample(base, qcs.map(expr), fraction, reservoirSize,
+          seed, preFilter = true, preFilterFactor = 2.0)
+    }
+    (sampled, qcs, fraction, reservoirSize)
+  }
 
   /** Registry metadata persisted next to a path-backed sample, so a FRESH
    * session can re-attach the sample without resampling (the reference's

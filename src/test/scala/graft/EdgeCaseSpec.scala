@@ -208,6 +208,59 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally gs.dropSampleTable("li_ec_ebs")
   }
 
+  test("SNAP-806: DECIMAL measures through sum/avg/count with error functions") {
+    // reference CommonBugTest "decimal column not handled correctly": the
+    // estimator buffers in double but the query-visible results must agree
+    // with the exact decimal aggregate at full fraction, and error functions
+    // must bind
+    spark.sql(
+      """SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS dq,
+        |       CAST(l_extendedprice AS DECIMAL(14,2)) AS dp
+        |FROM li_ec""".stripMargin).createOrReplaceTempView("li_ec_dec")
+    gs.sql("CREATE SAMPLE TABLE li_ec_decs ON li_ec_dec " +
+      "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    try {
+      val exact = spark.sql(
+        """SELECT l_returnflag, sum(dq), avg(dp), count(dq)
+          |FROM li_ec_dec GROUP BY 1""".stripMargin).collect()
+        .map(r => r.getString(0) -> (r.getDecimal(1), r.getDecimal(2), r.getLong(3))).toMap
+      val got = gs.sql(
+        """SELECT l_returnflag, sum(dq) AS s, avg(dp) AS a, count(dq) AS c,
+          |       absolute_error(s) AS ae
+          |FROM li_ec_dec GROUP BY 1 WITH ERROR 0.9""".stripMargin).collect()
+      assert(got.length === exact.size)
+      got.foreach { r =>
+        // the rewrite preserves the exact query's DECIMAL result types
+        val (es, ea, ec) = exact(r.getString(0))
+        assert(math.abs(r.getDecimal(1).doubleValue() - es.doubleValue()) < 1e-6,
+          s"sum ${r.getDecimal(1)} vs $es")
+        assert(math.abs(r.getDecimal(2).doubleValue() - ea.doubleValue()) < 1e-6,
+          s"avg ${r.getDecimal(2)} vs $ea")
+        assert(r.getLong(3) === ec)
+        assert(r.getDouble(4) === 0.0, "full fraction: zero error")
+      }
+      // non-full fraction: decimal measures still estimate and carry error
+      // (drop the full-fraction sample first — QCS-tied ranking prefers the
+      // larger fraction, which would zero the error)
+      gs.dropSampleTable("li_ec_decs")
+      gs.sql("CREATE SAMPLE TABLE li_ec_decp ON li_ec_dec " +
+        "OPTIONS(qcs 'l_returnflag', fraction '0.3')")
+      try {
+        val approx = gs.sql(
+          """SELECT l_returnflag, sum(dq) AS s, absolute_error(s) AS ae
+            |FROM li_ec_dec GROUP BY 1 WITH ERROR 0.9""".stripMargin).collect()
+        approx.foreach { r =>
+          val truth = exact(r.getString(0))._1.doubleValue()
+          assert(r.getDouble(2) > 0.0)
+          assert(math.abs(r.getDecimal(1).doubleValue() - truth) / truth < 0.35)
+        }
+      } finally gs.dropSampleTable("li_ec_decp")
+    } finally {
+      if (gs.state.samples.contains("li_ec_decs")) gs.dropSampleTable("li_ec_decs")
+      spark.catalog.dropTempView("li_ec_dec")
+    }
+  }
+
   test("repeated aggregates: same agg twice with separate error functions") {
     // reference 'Test repeat aggregates': sum(x) aliased twice — each alias
     // binds its own error function and both estimates agree

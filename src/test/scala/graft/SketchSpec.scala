@@ -211,6 +211,92 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("long horizon: 200 epochs fold into O(maxInterval + log T) dyadic buckets") {
+    // reference `HokusaiIntervalTrackerSpec`-style horizon test: structure
+    // and estimate guarantees must survive hundreds of epoch shifts, not
+    // just the few intervals the short tests exercise
+    val T = 200
+    val maxIv = 8
+    val truth = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val perIv = Array.fill(T)(scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L))
+
+    def ingest(tb: TimeBucketedSketch, mkI: (String, Long) => IntervalSketch): Unit =
+      (0 until T).foreach { iv =>
+        val key = s"k${iv % 17}"
+        val n = (iv % 5) + 1L
+        tb.addTo(iv.toLong, mkI(key, n))
+        tb.addTo(iv.toLong, mkI("hot", 10L))
+      }
+    (0 until T).foreach { iv =>
+      truth(s"k${iv % 17}") += (iv % 5) + 1L
+      truth("hot") += 10L
+      perIv(iv)(s"k${iv % 17}") += (iv % 5) + 1L
+      perIv(iv)("hot") += 10L
+    }
+
+    val cms = new TimeBucketedSketch(maxIv,
+      () => CmsInterval(new TopKCms(20, 5, 512, 7)))
+    ingest(cms, (k, n) => {
+      val s = new TopKCms(20, 5, 512, 7); s.add(k, n); CmsInterval(s)
+    })
+    val ss = new TimeBucketedSketch(maxIv,
+      () => SummaryInterval(new StreamSummary(100)))
+    ingest(ss, (k, n) => {
+      val s = new StreamSummary(100); s.add(k, n); SummaryInterval(s)
+    })
+
+    for (tb <- Seq(cms, ss)) {
+      // structure: full resolution bounded by maxInterval, history dyadic
+      assert(tb.intervals.size <= maxIv)
+      val hist = tb.history.keys.toSeq.sorted
+      hist.foreach { case (_, len) =>
+        assert((len & (len - 1)) === 0L, s"non-power-of-2 history block $len")
+      }
+      // contiguous disjoint coverage of everything evicted from intervals
+      val evictedEnd = tb.intervals.keySet.min - 1
+      val covered = hist.flatMap { case (s, l) => s until (s + l) }
+      assert(covered === (0L to evictedEnd), "history must tile the evicted span")
+      assert(hist.size <= 2 * (63 - java.lang.Long.numberOfLeadingZeros(T.toLong) + 1),
+        s"history blocks ${hist.size} not logarithmic in T=$T")
+
+      // full-range estimates: bounds bracket the truth for every key
+      val merged = tb.mergedRange(0L, T - 1L).get
+      truth.foreach { case (k, t) =>
+        val (lo, est, hi) = merged.estimate(k)
+        assert(lo <= t && t <= hi, s"$k: truth $t outside [$lo,$hi]")
+        assert(est >= t, s"$k: merged estimate $est under truth $t")
+      }
+    }
+
+    // Space-Saving never evicts here (<= 18 distinct keys, capacity 100):
+    // merged estimates are EXACT across every dyadic fold
+    val ssMerged = ss.mergedRange(0L, T - 1L).get
+    truth.foreach { case (k, t) =>
+      assert(ssMerged.estimate(k)._2 === t, s"SS $k drifted")
+    }
+
+    // random ranges: coverage is a superset of the request and upper bounds
+    // dominate the in-range truth (the Hokusai resolution trade-off)
+    val rnd = new scala.util.Random(42)
+    (1 to 40).foreach { _ =>
+      val a = rnd.nextInt(T).toLong
+      val b = a + rnd.nextInt((T - a.toInt).max(1)).toLong
+      for (tb <- Seq(cms, ss)) {
+        val (cMin, cMax) = tb.coveredRange(a, b).get
+        assert(cMin <= a && b <= cMax, s"[$a,$b] not covered by [$cMin,$cMax]")
+        val m = tb.mergedRange(a, b).get
+        val inRange = (a.toInt to b.toInt).foldLeft(
+          scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)) {
+          (acc, iv) => perIv(iv).foreach { case (k, n) => acc(k) += n }; acc
+        }
+        inRange.foreach { case (k, t) =>
+          assert(m.estimate(k)._3 >= t, s"[$a,$b] $k: upper ${m.estimate(k)._3} < $t")
+        }
+      }
+    }
+  }
+
   test("Kryo round-trips every sketch class byte-for-byte") {
     // the real Spark path: KryoSerializer + our registrator, no SparkContext
     // needed — a sketch crossing the wire under

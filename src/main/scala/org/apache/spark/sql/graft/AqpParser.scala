@@ -145,7 +145,7 @@ class AqpParser(delegate: ParserInterface,
       // when the stock parser rejects the text: a query that already parses
       // (e.g. 'with error' inside a string literal or comment) must pass
       // through byte-identical.
-      try delegate.parsePlan(sqlText) catch {
+      try maybeImplicitAqp(delegate.parsePlan(sqlText)) catch {
         case parseErr: Exception =>
           // standalone trailing `CONFIDENCE c [BEHAVIOR 'b']` or
           // `BEHAVIOR 'b'` with no WITH ERROR (every clause of the
@@ -187,6 +187,22 @@ class AqpParser(delegate: ParserInterface,
             inner)
       }
     }
+  }
+
+  /** Session-wide implicit approximation (reference
+   * `QueryRoutingTestSuite`-backed semantics of `Property.Error`,
+   * `QueryRoutingRules.scala:133-145`): when `spark.sql.aqp.error` is SET
+   * on the session, every plain SQL query routes through AQP with the
+   * session defaults — the "set error once, run normal queries" workflow.
+   * Applied only to parsed user SQL (never to internal DataFrame analyses),
+   * only to non-command plans, and only when no explicit clause already
+   * wrapped the statement. */
+  private def maybeImplicitAqp(plan: LogicalPlan): LogicalPlan = session match {
+    case Some(s) if s.conf.getOption("spark.sql.aqp.error").isDefined &&
+        !plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] &&
+        !plan.exists(_.isInstanceOf[ErrorConfidence]) =>
+      ErrorConfidence(None, None, None, plan)
+    case _ => plan
   }
 
   override def parseExpression(sqlText: String): Expression =

@@ -89,6 +89,52 @@ class ConditionalAggSpec extends AnyFunSuite {
     gs.dropSampleTable("app_sample")
   }
 
+  test("session-wide implicit AQP: plain queries route once spark.sql.aqp.error is set") {
+    // reference `Property.Error` semantics (`QueryRoutingRules.scala:133-145`):
+    // with the session error property set, queries with NO trailing clause
+    // still route through AQP — the "set error once, run normal queries"
+    // workflow
+    val gs = new GraftSession(spark)
+    li.createOrReplaceTempView("li_implicit")
+    gs.sql("CREATE SAMPLE TABLE li_implicit_s ON li_implicit " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.3')")
+    try {
+      // before the conf: plain query is exact
+      val before = gs.sql(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM li_implicit GROUP BY 1")
+      assert(!org.apache.spark.sql.graft.AqpInfo.usesSample(before))
+
+      spark.conf.set("spark.sql.aqp.error", "0.9")
+      try {
+        val df = gs.sql(
+          "SELECT l_returnflag, sum(l_quantity) AS s FROM li_implicit GROUP BY 1")
+        assert(org.apache.spark.sql.graft.AqpInfo.usesSample(df),
+          "session error property must make plain queries approximate")
+        // error functions bind without any clause under the session property
+        val r = gs.sql(
+          "SELECT sum(l_quantity) AS s, absolute_error(s) AS ae FROM li_implicit")
+          .collect()(0)
+        assert(r.getDouble(1) > 0.0, "0.3 sample must carry error")
+        // DDL and commands are untouched by the wrap
+        assert(gs.sql("SHOW SAMPLE TABLES").collect()
+          .exists(_.getString(0) == "li_implicit_s"))
+        // an explicit clause still wins over the session default
+        val strictExact = gs.sql(
+          """SELECT l_returnflag, sum(l_quantity) AS s FROM li_implicit
+            |GROUP BY 1 WITH ERROR 0.0000001 BEHAVIOR 'run_on_full_table'"""
+            .stripMargin).collect().map(r2 => r2.getString(0) -> r2.getDouble(1)).toMap
+        val exact = li.groupBy("l_returnflag").agg(sum("l_quantity")).collect()
+          .map(r2 => r2.getString(0) -> r2.getDouble(1)).toMap
+        assert(strictExact === exact)
+      } finally spark.conf.unset("spark.sql.aqp.error")
+
+      // conf unset: plain queries are exact again
+      val after = gs.sql(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM li_implicit GROUP BY 1")
+      assert(!org.apache.spark.sql.graft.AqpInfo.usesSample(after))
+    } finally gs.dropSampleTable("li_implicit_s")
+  }
+
   test("session default error/confidence/behavior via spark.sql.aqp.* conf") {
     val gs = new GraftSession(spark)
     li.createOrReplaceTempView("li_conf")

@@ -171,6 +171,41 @@ class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("30 random shapes x clause variants: every grammar form is exact at full fraction") {
+    // the full trailing-clause grammar (each clause independently optional,
+    // bare WITH ERROR after CONFIDENCE, implicit session-wide AQP) must not
+    // change results on a full-fraction sample
+    gs
+    val rnd = new scala.util.Random(88331L)
+    val variants: Seq[(String, Boolean)] = Seq( // (suffix, needsSessionConf)
+      (" WITH ERROR 0.9", false),
+      (" CONFIDENCE .95", false),
+      (" CONFIDENCE .9 BEHAVIOR 'do_nothing'", false),
+      (" BEHAVIOR 'run_on_full_table'", false),
+      (" CONFIDENCE .95 WITH ERROR", false),
+      ("", true)) // no clause at all: session property triggers AQP
+    (0 until 30).foreach { i =>
+      val (core, _) = genQuery(rnd)
+      val (suffix, needsConf) = variants(i % variants.length)
+      val want = spark.sql(core).collect()
+      if (needsConf) spark.conf.set("spark.sql.aqp.error", "0.9")
+      val got = try gs.sql(core + suffix).collect() catch {
+        case e: Throwable => fail(s"query $i failed: $core$suffix\n${e.getMessage}")
+      } finally if (needsConf) spark.conf.unset("spark.sql.aqp.error")
+      assert(got.length === want.length, s"query $i row count: $core$suffix")
+      got.zip(want).foreach { case (g, w) =>
+        (0 until w.length).foreach { j =>
+          (g.get(j), w.get(j)) match {
+            case (a: Double, b: Double) =>
+              assert(math.abs(a - b) <= math.max(1e-6, math.abs(b) * 1e-9),
+                s"query $i col $j: $a vs $b\n$core$suffix")
+            case (gv, wv) => assert(gv === wv, s"query $i col $j: $gv vs $wv\n$core$suffix")
+          }
+        }
+      }
+    }
+  }
+
   test("50 random query shapes: full-fraction rewrite is exact with zero error") {
     gs // force view + sample registration before the stock-Spark side runs
     val rnd = new scala.util.Random(20260812L)

@@ -238,6 +238,32 @@ object SparkEntry {
         .toDF("n_lsh", "recall_ok", "subset_of_top100")
     }),
 
+    // PQ-compressed ANN (Jégou et al.): codebooks from a bounded training
+    // sample, m-byte codes, ADC candidate scan + exact re-rank. Self-checking
+    // like q14: recall floor, candidates inside the exact top-100, and the
+    // compression invariant (codes are exactly m bytes).
+    "q49_knn_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).toArray
+      val cb = graft.ann.Ann.pqTrain(emb, "embedding", m = 8, k = 64,
+        iterations = 10)
+      val enc = graft.ann.Ann.pqEncode(emb, "embedding", cb)
+      val pq = graft.ann.Ann.pqKnn(enc, cb, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"))
+      val brute10 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"))
+      val brute100 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 100)
+        .select(col("vec_id"))
+      val nPq = pq.count()
+      val recall10 = pq.join(brute10, "vec_id").count()
+      val inTop100 = pq.join(brute100, "vec_id").count()
+      val codeBytesOk = enc.filter(length(col("__graft_pq__")) =!= 8).count() == 0L
+      Seq((nPq, recall10 >= 5L, inTop100 == nPq, codeBytesOk))
+        .toDF("n_pq", "recall_ok", "subset_of_top100", "code_bytes_ok")
+    }),
+
     // Multimodal plumbing: text bytes as stand-in blobs → batched stub decode
     // → typed metadata struct (byte-derived fields are oracle-checkable).
     "q15_multimodal" -> ((s, dir) => {
@@ -967,6 +993,11 @@ object SparkEntry {
     "q14_knn_lsh" ->
       """SELECT CAST(10 AS BIGINT) AS n_lsh, TRUE AS recall_ok,
         |       TRUE AS subset_of_top100
+        |FROM embeddings LIMIT 1""".stripMargin,
+
+    "q49_knn_pq" ->
+      """SELECT CAST(10 AS BIGINT) AS n_pq, TRUE AS recall_ok,
+        |       TRUE AS subset_of_top100, TRUE AS code_bytes_ok
         |FROM embeddings LIMIT 1""".stripMargin,
 
     "q16_text_enrich" ->

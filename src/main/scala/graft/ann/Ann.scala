@@ -155,6 +155,98 @@ object Ann {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------------------
+  // Product quantization (Jégou et al., TPAMI 2011): the memory-compression
+  // scale path. Codebooks train on a bounded hash-sampled subset
+  // driver-side (standard practice — the codebook is m·k·dsub doubles and
+  // sampling bounds training cost regardless of corpus size); encoding is
+  // one fused distributed pass emitting m bytes per vector; search scans
+  // ONLY the codes with a broadcast ADC lookup table and re-ranks the few
+  // survivors exactly. At 100 TB of fp32 embeddings the candidate scan
+  // touches ~1/256 of the bytes.
+  // ---------------------------------------------------------------------------
+
+  /** Per-subspace codebooks: `centroids(j)(c)` is centroid c of subspace j. */
+  final case class PqCodebooks(m: Int, dsub: Int,
+      centroids: Array[Array[Array[Double]]])
+
+  /** Train PQ codebooks with per-subspace Lloyd iterations over a
+   * deterministic hash-sampled training set of at most `trainN` vectors. */
+  def pqTrain(df: DataFrame, vecCol: String, m: Int = 8, k: Int = 64,
+      iterations: Int = 10, seed: Long = 7L, trainN: Int = 10000): PqCodebooks = {
+    val sample: Array[Array[Double]] = df.select(col(vecCol))
+      .withColumn("__h__", xxhash64(col(vecCol), lit(seed)))
+      .orderBy(col("__h__")).limit(trainN)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "pqTrain: empty training set")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    require(k <= 256, "pqTrain: byte codes need k <= 256")
+    val dsub = dim / m
+    val centroids = Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var cents = subs.map(_.toSeq).distinct.take(k).map(_.toArray).toArray
+      (0 until iterations).foreach { _ =>
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val x = s(i) - cents(c)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += s(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }
+    PqCodebooks(m, dsub, centroids)
+  }
+
+  /** Encode vectors to m-byte PQ codes plus the stored true norm (used to
+   * turn the ADC inner product into an approximate cosine). */
+  def pqEncode(df: DataFrame, vecCol: String, cb: PqCodebooks): DataFrame =
+    graft.core.Fanout(df)
+      .withColumn("__graft_pq__",
+        org.apache.spark.sql.graft.PqEncode(col(vecCol), cb.centroids))
+      .withColumn("__graft_vnorm__",
+        org.apache.spark.sql.graft.VecNorm(col(vecCol)))
+
+  /** Approximate top-k over PQ codes: ADC candidate scan (codes + norms
+   * only), exact cosine re-rank of the top `k × rerankFactor` survivors. */
+  def pqKnn(encoded: DataFrame, cb: PqCodebooks, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, rerankFactor: Int = 4): DataFrame = {
+    val q = query.map(_.toDouble)
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    val luts = Array.tabulate(cb.m) { j =>
+      Array.tabulate(cb.centroids(j).length) { c =>
+        val cent = cb.centroids(j)(c)
+        var s = 0.0; var i = 0
+        while (i < cb.dsub) { s += q(j * cb.dsub + i) * cent(i); i += 1 }
+        s
+      }
+    }
+    val adc = org.apache.spark.sql.graft.PqAdcDot(col("__graft_pq__"), luts)
+    val approxCos = when(col("__graft_vnorm__") === 0.0 || lit(qnorm) === 0.0, -1.0)
+      .otherwise(adc / (col("__graft_vnorm__") * lit(qnorm)))
+    encoded
+      .select(col(idCol), col(vecCol), approxCos.as("__graft_adc__"))
+      .orderBy(col("__graft_adc__").desc, col(idCol))
+      .limit(k * rerankFactor)
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucketed candidate join + exact
    * cosine threshold (the embedding analogue of MinHash dedup). */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,

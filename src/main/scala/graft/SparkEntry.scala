@@ -847,6 +847,27 @@ object SparkEntry {
         .orderBy(col("doc_id")).limit(30)
     }),
 
+    // Composed end-to-end pipeline: quality filter (token floor + Gopher
+    // repetition rule) → exact dedup over planted copies → stratified
+    // train/test split → per-split counts. The operators chain without
+    // materialization barriers; every stage is deterministic, so the DuckDB
+    // oracle states the whole pipeline exactly.
+    "q50_pipeline_composed" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val docs = tbl(s, dir, "documents")
+      val withCopies = docs.unionByName(
+        docs.orderBy(col("doc_id")).limit(20)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val filtered = withCopies
+        .filter(tokenCountWs(col("text")) >= 5 &&
+          repetitionRatio(col("text"), 3) < 0.5)
+      val deduped = graft.dedup.Dedup.exact(filtered, "text", "doc_id")
+      graft.pipeline.Pipeline.stratifiedSplit(deduped, Seq(col("source")), 0.2)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -999,6 +1020,48 @@ object SparkEntry {
       """SELECT CAST(10 AS BIGINT) AS n_pq, TRUE AS recall_ok,
         |       TRUE AS subset_of_top100, TRUE AS code_bytes_ok
         |FROM embeddings LIMIT 1""".stripMargin,
+
+    "q50_pipeline_composed" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+        |),
+        |norm AS (
+        |  SELECT doc_id, source, text,
+        |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM all_docs
+        |),
+        |toks AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split(s, ' ') END AS t
+        |  FROM norm
+        |),
+        |grams AS (
+        |  SELECT doc_id, source, text, len(t) AS ntok,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                             i -> array_to_string(t[i:i+2], ' ')) END AS g3
+        |  FROM toks
+        |),
+        |eligible AS (
+        |  SELECT doc_id, source, text FROM grams
+        |  WHERE ntok >= 5
+        |    AND 1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) < 0.5
+        |),
+        |dedup AS (
+        |  SELECT doc_id, source FROM eligible
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |),
+        |counts AS (SELECT source, COUNT(*) AS n FROM dedup GROUP BY source)
+        |SELECT source, 'test' AS split, CAST(CEIL(n * 0.2) AS BIGINT) AS n
+        |FROM counts
+        |UNION ALL
+        |SELECT source, 'train' AS split, n - CAST(CEIL(n * 0.2) AS BIGINT) AS n
+        |FROM counts
+        |ORDER BY 1, 2""".stripMargin,
 
     "q16_text_enrich" ->
       """SELECT COUNT(*) AS n_docs,

@@ -170,12 +170,17 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // is an identity re-projection — pre-order collect sees the outer
       // sample scan before the base subtree embedded inside the sampler
       // plan, so a direct sample query never re-samples the sample.
+      // a node INSIDE another sample's expanded plan is never a candidate:
+      // a sample's lineage may embed scans of other registered bases (e.g.
+      // an insert-populated sample whose merged plan scans the source
+      // table), and substituting there would rewrite the sample's own
+      // internals (same opaque-leaf argument as the lowest-aggregate rule)
       val pairs: Seq[(LogicalPlan, graft.SampleInfo)] =
         state.samples.values.toSeq.flatMap { i =>
           val samplePlan = i.sampleDf.queryExecution.analyzed
           agg.child.collect {
             case n if n.sameResult(samplePlan) || n.sameResult(i.basePlan) => n
-          }.find(n => !isProtected(n) && !underNestedAgg(n))
+          }.find(n => !isProtected(n) && !underNestedAgg(n) && !insideSampleScan(n))
             .map(subtree => (subtree, i))
         }.filter { case (_, i) =>
           minMaxRefs.subsetOf(i.qcs.map(_.toLowerCase).toSet)
@@ -190,7 +195,7 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (pairs.nonEmpty) Nil
         else agg.child.collect {
           case n if n.output.exists(_.name == Weightage.WeightColumn) => n
-        }.filter(n => !isProtected(n) && !underNestedAgg(n))
+        }.filter(n => !isProtected(n) && !underNestedAgg(n) && !insideSampleScan(n))
           .take(1)
           .filter(_ => minMaxRefs.isEmpty)
           .map { n =>

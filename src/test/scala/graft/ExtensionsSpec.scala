@@ -59,6 +59,52 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("new grammar surface through plain spark.sql: standalone clause, INSERT, implicit AQP") {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ext)
+    try {
+      ext.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+        .createOrReplaceTempView("li_ext2")
+      ext.sql("CREATE SAMPLE TABLE li_ext2_s OPTIONS(qcs 'l_returnflag', " +
+        "fraction '1.0', baseTable 'li_ext2')") // baseTable form, no ON
+      try {
+        // standalone CONFIDENCE clause (no WITH ERROR)
+        val viaConf = ext.sql(
+          """SELECT l_returnflag, round(sum(l_quantity), 4) AS s
+            |FROM li_ext2 GROUP BY 1 CONFIDENCE .95""".stripMargin)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val exact = ext.sql(
+          "SELECT l_returnflag, round(sum(l_quantity), 4) FROM li_ext2 GROUP BY 1")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(viaConf === exact)
+
+        // INSERT INTO a schema-form sample through the injected parser
+        ext.sql("CREATE SAMPLE TABLE li_ext2_ins (l_returnflag string, " +
+          "l_quantity double) OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+        try {
+          ext.sql("INSERT INTO li_ext2_ins " +
+            "SELECT l_returnflag, l_quantity FROM li_ext2")
+          val got = ext.sql(
+            "SELECT round(sum(l_quantity), 4) AS s FROM li_ext2_ins WITH ERROR 0.9")
+            .collect()(0).getDouble(0)
+          val want = ext.sql("SELECT round(sum(l_quantity), 4) FROM li_ext2")
+            .collect()(0).getDouble(0)
+          assert(got === want)
+        } finally ext.sql("DROP SAMPLE TABLE li_ext2_ins")
+
+        // implicit session-wide AQP under the extensions wiring
+        ext.conf.set("spark.sql.aqp.error", "0.9")
+        try {
+          val df = ext.sql(
+            "SELECT l_returnflag, sum(l_quantity) AS s FROM li_ext2 GROUP BY 1")
+          assert(org.apache.spark.sql.graft.AqpInfo.usesSample(df))
+        } finally ext.conf.unset("spark.sql.aqp.error")
+      } finally ext.sql("DROP SAMPLE TABLE li_ext2_s")
+    } finally {
+      SparkSession.setActiveSession(prev.orNull)
+    }
+  }
+
   test("streaming DDL runs through plain spark.sql on an extensions session") {
     val prev = SparkSession.getActiveSession
     SparkSession.setActiveSession(ext)

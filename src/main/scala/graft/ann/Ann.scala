@@ -247,6 +247,26 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF-PQ (the standard pairing): the coarse quantizer prunes the corpus
+   * to `nprobe` clusters, PQ codes rank the survivors without touching a
+   * single original vector, and only the top `k × rerankFactor` are
+   * re-ranked exactly. `indexed` is `pqEncode(ivfIndex(...)._1, ...)` —
+   * cluster id + m-byte code + stored norm per row. At scale the probe
+   * reads `~n·nprobe/C` code rows (m bytes each) and `k × rerankFactor`
+   * full vectors. */
+  def ivfPqKnn(indexed: DataFrame, centroids: Array[Array[Double]],
+      cb: PqCodebooks, idCol: String, vecCol: String, query: Array[Float],
+      k: Int, nprobe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    val q = query.map(_.toDouble)
+    val nearest = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1).toSeq
+    pqKnn(indexed.filter(col("__graft_cluster__").isInCollection(nearest)),
+      cb, idCol, vecCol, query, k, rerankFactor)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucketed candidate join + exact
    * cosine threshold (the embedding analogue of MinHash dedup). */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,

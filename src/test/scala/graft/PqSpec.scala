@@ -83,6 +83,32 @@ class PqSpec extends AnyFunSuite {
     assert(diff < 1e-9)
   }
 
+  test("IVF-PQ: probe-all equals plain PQ; pruned probe keeps recall") {
+    val (assigned, cents) = Ann.ivfIndex(emb, "vec_id", "embedding",
+      nClusters = 8, lloydIterations = 2)
+    try {
+      val cb = Ann.pqTrain(emb, "embedding", m = 8, k = 64, iterations = 10)
+      val indexed = Ann.pqEncode(assigned, "embedding", cb)
+      val q = queryVec
+      // probing every cluster must reduce IVF-PQ to plain PQ exactly
+      val all = Ann.ivfPqKnn(indexed, cents, cb, "vec_id", "embedding", q,
+        k = 10, nprobe = cents.length)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val plain = Ann.pqKnn(Ann.pqEncode(emb, "embedding", cb), cb,
+        "vec_id", "embedding", q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(all === plain)
+      // a pruned probe still finds most of the true neighborhood
+      val pruned = Ann.ivfPqKnn(indexed, cents, cb, "vec_id", "embedding", q,
+        k = 10, nprobe = 4)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val brute = Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      assert(pruned.intersect(brute).size >= 5,
+        s"ivf-pq recall ${pruned.intersect(brute).size}/10")
+    } finally assigned.unpersist()
+  }
+
   test("recall: PQ top-10 overlaps brute-force top-10 on the full table") {
     val cb = Ann.pqTrain(emb, "embedding", m = 8, k = 64, iterations = 10)
     val enc = Ann.pqEncode(emb, "embedding", cb)

@@ -115,6 +115,18 @@ class AqpParser(delegate: ParserInterface,
     }
     val m = WithErrorPattern.matcher(sqlText)
     if (m.matches()) {
+      // Backstop: a statement the stock parser accepts whole passes through
+      // byte-identical — clause-looking text in a trailing comment (e.g.
+      // `SELECT ... -- with error 0.5`) is not a clause. Real AQP clauses
+      // never parse under stock Spark, so this costs one cheap parse
+      // attempt and cannot mask a genuine clause.
+      val whole = try Some(delegate.parsePlan(sqlText)) catch {
+        case _: Exception => None
+      }
+      whole match {
+        case Some(p) => return maybeImplicitAqp(p)
+        case None =>
+      }
       if (InnerWithErrorPattern.matcher(m.group(1)).find()) {
         throw new UnsupportedOperationException(
           "At most one WITH ERROR clause is supported per query")

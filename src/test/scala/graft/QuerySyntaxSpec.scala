@@ -88,6 +88,39 @@ class QuerySyntaxSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 0)
   }
 
+  test("clause-looking text inside literals and identifiers passes through") {
+    // a statement that PARSES under stock Spark must never be rewrapped,
+    // even when it ends in text resembling a trailing clause
+    val r1 = gs.sql("SELECT 'with error 0.5' AS s FROM li_qs LIMIT 1").collect()(0)
+    assert(r1.getString(0) === "with error 0.5")
+    val r2 = gs.sql("SELECT 'confidence .95' AS s FROM li_qs LIMIT 1").collect()(0)
+    assert(r2.getString(0) === "confidence .95")
+    // a column aliased 'confidence' is an identifier, not a clause
+    val r3 = gs.sql("SELECT l_quantity AS confidence FROM li_qs LIMIT 1").collect()
+    assert(r3.length === 1)
+    // invalid SQL that happens to end in a clause-like token still reports
+    // the stock parser's error, not a bogus AQP wrap
+    intercept[Exception] {
+      gs.sql("SELECT FROM WHERE confidence 0.95")
+    }
+    // a valid query ENDING in a clause-looking string literal must run
+    // unmodified (the eager WITH ERROR pattern match has to back off when
+    // the prefix is not parseable but the whole statement is)
+    val r4 = gs.sql(
+      "SELECT count(*) AS c FROM li_qs WHERE 'x' != 'with error 0.5'")
+      .collect()(0)
+    assert(r4.getLong(0) > 0)
+    val r5 = gs.sql(
+      "SELECT count(*) AS c FROM li_qs WHERE 'x' != 'confidence .9'")
+      .collect()(0)
+    assert(r5.getLong(0) > 0)
+    // clause-looking text in a trailing COMMENT is not a clause either
+    val r6 = gs.sql(
+      "SELECT count(*) AS c FROM li_qs -- with error 0.5")
+      .collect()(0)
+    assert(r6.getLong(0) > 0)
+  }
+
   test("SHOW SAMPLE/TOPK/STREAM TABLES list the registered structures") {
     runs("SELECT 1 AS one FROM li_qs LIMIT 1") // force sample registration
     val samples = gs.sql("SHOW SAMPLE TABLES").collect()

@@ -261,6 +261,32 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("GROUP BY CUBE under WITH ERROR: weight threads through every grouping set") {
+    // q18 pins ROLLUP; CUBE emits a different Expand projection set. Full
+    // fraction -> every grouping-set row must equal the exact query.
+    spark.sql("SELECT * FROM li_ec").createOrReplaceTempView("li_ec_cube")
+    gs.sql("CREATE SAMPLE TABLE li_ec_cubes ON li_ec_cube " +
+      "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    try {
+      val q =
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS s
+          |FROM li_ec_cube GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+          .stripMargin
+      val want = spark.sql(q).collect()
+      val got = gs.sql(s"$q WITH ERROR 0.9").collect()
+      assert(got.length === want.length)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getString(0) == w.getString(0) || (g.isNullAt(0) && w.isNullAt(0)))
+        assert(g.getDouble(2) === w.getDouble(2),
+          s"(${g.get(0)},${g.get(1)}): ${g.getDouble(2)} vs ${w.getDouble(2)}")
+      }
+    } finally {
+      gs.dropSampleTable("li_ec_cubes")
+      spark.catalog.dropTempView("li_ec_cube")
+    }
+  }
+
   test("repeated aggregates: same agg twice with separate error functions") {
     // reference 'Test repeat aggregates': sum(x) aliased twice — each alias
     // binds its own error function and both estimates agree

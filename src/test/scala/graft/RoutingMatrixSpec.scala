@@ -471,6 +471,31 @@ class RoutingMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("join routing: comma-join syntax, results invariant to join strategy") {
+    // reference `ErrorEstimateFunctionTest` "Hashjoin Bug - 2/3": old-style
+    // comma joins route like explicit JOINs, and the weighted estimates
+    // must be identical whichever physical join strategy the planner picks
+    withSample(0.3) {
+      val q =
+        """SELECT count(*) AS c, round(sum(l_extendedprice), 4) AS s
+          |FROM li_rm t1, ord_rm t2 WHERE t1.l_orderkey = t2.o_orderkey
+          |WITH ERROR 0.9""".stripMargin
+      val broadcast = gs.sql(q).collect()(0)
+      assert(broadcast.getLong(0) > 0L)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val shuffled = gs.sql(q).collect()(0)
+        assert(shuffled.getLong(0) === broadcast.getLong(0),
+          "weighted count must not depend on the join strategy")
+        assert(shuffled.getDouble(1) === broadcast.getDouble(1),
+          "weighted sum must not depend on the join strategy")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      // and the comma join actually rode the sample
+      val (_, viaSample) = sampled(q)
+      assert(viaSample, "comma-join must substitute the sample like explicit JOIN")
+    }
+  }
+
   test("routing: min/max outside the QCS route to base, inside stay sampled") {
     withSample(1.0) { // qcs is l_returnflag
       val (_, viaMin) = sampled(

@@ -261,6 +261,42 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AQP-229/239/246/230: GROUP BY expr with CASE projection, mixed-case alias") {
+    // reference CommonBugTest bundle: group by a scalar-function expression,
+    // project a CASE over the same expression (the group key never appears
+    // verbatim in the select list), reference the aggregate alias from an
+    // error function with DIFFERENT case, order by the grouping expression
+    spark.sql("SELECT * FROM li_ec").createOrReplaceTempView("li_ec_case")
+    gs.sql("CREATE SAMPLE TABLE li_ec_cases ON li_ec_case " +
+      "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    try {
+      val body =
+        """SELECT round(sum(l_extendedprice), 4) AS numOfRides,
+          |       relative_error(numOFRides) AS re,
+          |       CASE WHEN l_quantity % 3 = 0 THEN 'zero'
+          |            WHEN l_quantity % 3 = 1 THEN 'one'
+          |            ELSE 'two' END AS bucket
+          |FROM li_ec_case GROUP BY l_quantity % 3 ORDER BY l_quantity % 3"""
+          .stripMargin
+      for (b <- Seq("do_nothing", "strict")) {
+        val rows = gs.sql(s"$body WITH ERROR 0.9 BEHAVIOR '$b'").collect()
+        assert(rows.length === 3, s"[$b] expected 3 modulo buckets")
+        assert(rows.map(_.getString(2)).toSet === Set("zero", "one", "two"))
+        rows.foreach(r => assert(r.getDouble(1) === 0.0,
+          s"[$b] full fraction must report zero relative error"))
+      }
+      val exact = spark.sql(
+        """SELECT round(sum(l_extendedprice), 4) FROM li_ec_case
+          |GROUP BY l_quantity % 3 ORDER BY l_quantity % 3""".stripMargin)
+        .collect().map(_.getDouble(0)).toSeq
+      val got = gs.sql(s"$body WITH ERROR 0.9").collect().map(_.getDouble(0)).toSeq
+      assert(got === exact)
+    } finally {
+      gs.dropSampleTable("li_ec_cases")
+      spark.catalog.dropTempView("li_ec_case")
+    }
+  }
+
   test("GROUP BY CUBE under WITH ERROR: weight threads through every grouping set") {
     // q18 pins ROLLUP; CUBE emits a different Expand projection set. Full
     // fraction -> every grouping-set row must equal the exact query.

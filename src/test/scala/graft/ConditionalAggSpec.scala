@@ -135,6 +135,32 @@ class ConditionalAggSpec extends AnyFunSuite {
     } finally gs.dropSampleTable("li_implicit_s")
   }
 
+  test("AQP-154: direct sample count estimates the base count under implicit AQP") {
+    // reconciles the reference's two direct-sample behaviors: with NO error
+    // clause and no session property, error fns are inert over raw sample
+    // aggregates; the AQP-154 suite runs with the session error property
+    // set, so the same query estimates the BASE table count (weighted)
+    val gs = new GraftSession(spark)
+    li.createOrReplaceTempView("li_154")
+    gs.sql("CREATE SAMPLE TABLE li_154_s ON li_154 " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.2', seed '5')")
+    try {
+      val actual = li.count()
+      val rawSampleCount = gs.sql("SELECT count(*) AS c FROM li_154_s")
+        .collect()(0).getLong(0)
+      assert(rawSampleCount < actual, "no property, no clause -> raw sample rows")
+      spark.conf.set("spark.sql.aqp.error", "0.9")
+      try {
+        val est = gs.sql(
+          "SELECT count(*) AS c, absolute_error(c) AS ae FROM li_154_s")
+          .collect()(0)
+        assert(math.abs(est.getLong(0) - actual).toDouble / actual < 0.05,
+          s"weighted count ${est.getLong(0)} should estimate base $actual")
+        assert(!est.isNullAt(1))
+      } finally spark.conf.unset("spark.sql.aqp.error")
+    } finally gs.dropSampleTable("li_154_s")
+  }
+
   test("session default error/confidence/behavior via spark.sql.aqp.* conf") {
     val gs = new GraftSession(spark)
     li.createOrReplaceTempView("li_conf")

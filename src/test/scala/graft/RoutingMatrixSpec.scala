@@ -496,6 +496,32 @@ class RoutingMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("SNAP-3236: aliased DataFrame aggregate + auto-named sort + limit under reroutes") {
+    // reference CommonBugTest "No plan for SubqueryAlias": the DataFrame API
+    // inserts a SubqueryAlias between the aggregate and the error contract,
+    // sorts on Spark's auto-generated aggregate name, and limits — under
+    // both full-table and partial reroutes
+    withSample(0.3) {
+      val exact = spark.table("li_rm")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(Map("l_quantity" -> "sum"))
+        .sort(org.apache.spark.sql.functions.col("sum(l_quantity)").desc)
+        .limit(5).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      for (b <- Seq("run_on_full_table", "partial_run_on_base_table")) {
+        val df = spark.table("li_rm")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(Map("l_quantity" -> "sum")).alias("total")
+          .sort(org.apache.spark.sql.functions.col("sum(l_quantity)").desc)
+          .limit(5)
+        // impossibly tight limit -> every group reroutes to exact
+        val got = gs.withError(df, error = 1e-7, behavior = b).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        assert(got.toSeq === exact.toSeq, s"[$b]")
+      }
+    }
+  }
+
   test("routing: min/max outside the QCS route to base, inside stay sampled") {
     withSample(1.0) { // qcs is l_returnflag
       val (_, viaMin) = sampled(

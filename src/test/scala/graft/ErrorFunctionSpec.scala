@@ -29,6 +29,43 @@ class ErrorFunctionSpec extends AnyFunSuite with BeforeAndAfterAll {
     g
   }
 
+  test("AQP-210/227: arithmetic over MULTIPLE error functions, in SELECT and HAVING") {
+    // reference CommonBugTest: `lower_bound(x) + upper_bound(x)` projected
+    // alongside the individual bounds must equal their sum per row; the
+    // same compound (even sign-flipped) works as a HAVING predicate
+    gs
+    val rows = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS x,
+        |       lower_bound(x) AS lb, upper_bound(x) AS ub,
+        |       lower_bound(x) + upper_bound(x) AS lbub,
+        |       relative_error(x) + absolute_error(x) AS rae,
+        |       relative_error(x) AS re, absolute_error(x) AS ae
+        |FROM li_ef GROUP BY 1 ORDER BY 1 WITH ERROR 0.9""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) + r.getDouble(3) === r.getDouble(4),
+        s"${r.getString(0)}: lb+ub compound mismatch")
+      assert(r.getDouble(6) + r.getDouble(7) === r.getDouble(5),
+        s"${r.getString(0)}: re+ae compound mismatch")
+    }
+    // HAVING over the compound: all groups have positive sums here, so the
+    // plain predicate keeps every group and the sign-flipped one drops all
+    val kept = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS x,
+        |       lower_bound(x) + upper_bound(x) AS lbub
+        |FROM li_ef GROUP BY 1
+        |HAVING lower_bound(x) + upper_bound(x) > 0 WITH ERROR 0.9""".stripMargin)
+      .collect()
+    assert(kept.length === rows.length)
+    kept.foreach(r => assert(r.getDouble(2) > 0))
+    val dropped = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS x
+        |FROM li_ef GROUP BY 1
+        |HAVING (-1) * (lower_bound(x) + upper_bound(x)) > 0
+        |WITH ERROR 0.9""".stripMargin).collect()
+    assert(dropped.isEmpty)
+  }
+
   test("each error function binds to its own aggregate") {
     gs // init
     val rows = gs.sql(

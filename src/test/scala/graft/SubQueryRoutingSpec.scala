@@ -183,6 +183,46 @@ class SubQueryRoutingSpec extends AnyFunSuite {
     } finally gs.dropSampleTable("sq_li_self")
   }
 
+  test("AQP-231/233: a WITH ERROR result in a temp view / DataFrame joins consistently") {
+    // reference CommonBugTest "Sample Table subquery in a temp table and
+    // then joined" / "subquery dataframe and join": the rewritten plan
+    // (error aggregates already bound) embeds into a later query — the
+    // rewrite must not fire again on it, and the joined values must equal
+    // the standalone result
+    withFullSample() {
+      val aqp = gs.sql(
+        """SELECT l_returnflag AS rf, round(sum(l_quantity), 4) AS s,
+          |       round(absolute_error(s), 6) AS ae
+          |FROM sq_lineitem GROUP BY 1 WITH ERROR 0.9""".stripMargin)
+      val standalone = aqp.collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      aqp.createOrReplaceTempView("aqp_res_231")
+      try {
+        // temp-view join through SQL
+        val joined = gs.sql(
+          """SELECT a.rf, a.s, a.ae, n.cnt
+            |FROM aqp_res_231 a
+            |JOIN (SELECT l_returnflag AS rf2, count(*) AS cnt
+            |      FROM sq_lineitem GROUP BY 1) n ON a.rf = n.rf2
+            |ORDER BY a.rf""".stripMargin).collect()
+        assert(joined.length === standalone.size)
+        joined.foreach { r =>
+          val (s, ae) = standalone(r.getString(0))
+          assert(r.getDouble(1) === s)
+          assert(r.getDouble(2) === ae)
+          assert(r.getLong(3) > 0)
+        }
+        // DataFrame-API join of the same result frame
+        val counts = spark.table("sq_lineitem")
+          .groupBy(org.apache.spark.sql.functions.col("l_returnflag").as("rf"))
+          .count()
+        val dfJoined = aqp.join(counts, "rf").collect()
+        assert(dfJoined.length === standalone.size)
+        dfJoined.foreach(r => assert(r.getDouble(1) === standalone(r.getString(0))._1))
+      } finally spark.catalog.dropTempView("aqp_res_231")
+    }
+  }
+
   test("AQP-224: derived aggregate over the sampled base joined + re-aggregated") {
     // trailing WITH ERROR binds to the LOWEST aggregate above the sampled
     // scan — the derived table's — while the outer aggregate over the join

@@ -138,6 +138,13 @@ class GraftSession(val spark: SparkSession) {
     }
   }
 
+  /** Register a continuous query over a declared stream table (reference
+   * `SnappyStreamingContext.registerCQ` — `SELECT ... FROM <stream>
+   * WINDOW (DURATION n unit [, SLIDE n unit])`). Returns an unstarted
+   * handle; `foreachWindow`/`saveTo` starts it. */
+  def registerCQ(cqSql: String): graft.streaming.ContinuousQuery =
+    graft.streaming.StreamCq.registerCQ(this, cqSql)
+
   /** Session defaults — `spark.sql.aqp.{error,confidence,behavior}`. */
   def defaultError: Double = spark.conf.get("spark.sql.aqp.error", "0.2").toDouble
   def defaultConfidence: Double = spark.conf.get("spark.sql.aqp.confidence", "0.95").toDouble
@@ -199,7 +206,8 @@ class GraftSession(val spark: SparkSession) {
         val w = sampled.write.mode("overwrite")
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
           .parquet(path)
-        GraftSession.writeSampleMeta(path, baseName, qcs, fraction, reservoirSize)
+        GraftSession.writeSampleMeta(path, baseName, qcs, fraction,
+          reservoirSize, spark.sessionState.newHadoopConf())
         spark.read.parquet(path)
       case None if fraction < 1.0 =>
         // cached lazily: the sampler is content-hash deterministic, so even
@@ -251,7 +259,8 @@ class GraftSession(val spark: SparkSession) {
    * under its original name so query routing can match it. */
   def attachSampleTable(name: String, path: String): DataFrame = {
     val (baseName, qcs, fraction, reservoirSize) =
-      GraftSession.readSampleMeta(path).getOrElse(
+      GraftSession.readSampleMeta(path, spark.sessionState.newHadoopConf())
+        .getOrElse(
         throw new IllegalArgumentException(
           s"No sample registry metadata (${GraftSession.MetaFile}) under $path"))
     val sampleDf = spark.read.parquet(path)
@@ -447,23 +456,28 @@ object GraftSession {
   val MetaFile = "_graft_sample.meta"
 
   private[graft] def writeSampleMeta(path: String, baseName: String,
-      qcs: Seq[String], fraction: Double, reservoirSize: Int): Unit = {
+      qcs: Seq[String], fraction: Double, reservoirSize: Int,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     val props = new java.util.Properties()
     props.setProperty("baseName", baseName)
     props.setProperty("qcs", qcs.mkString(","))
     props.setProperty("fraction", fraction.toString)
     props.setProperty("reservoirSize", reservoirSize.toString)
-    val f = new java.io.File(path, MetaFile)
-    val out = new java.io.FileOutputStream(f)
+    // the sample parquet itself goes through Hadoop FS, so the metadata must
+    // too — a java.io.File here would break OPTIONS(path 'hdfs://…'/'s3a://…')
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val out = p.getFileSystem(conf).create(p, true)
     try props.store(out, "graft sample registry") finally out.close()
   }
 
-  def readSampleMeta(path: String)
+  def readSampleMeta(path: String,
+      conf: org.apache.hadoop.conf.Configuration)
       : Option[(String, Seq[String], Double, Int)] = {
-    val f = new java.io.File(path, MetaFile)
-    if (!f.isFile) return None
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isFile) return None
     val props = new java.util.Properties()
-    val in = new java.io.FileInputStream(f)
+    val in = fs.open(p)
     try props.load(in) finally in.close()
     Some((props.getProperty("baseName"),
       props.getProperty("qcs", "").split(",").filter(_.nonEmpty).toSeq,

@@ -779,8 +779,12 @@ object SparkEntry {
     }),
 
     // --- §2.10 weight propagation through Window between the sampled scan
-    // and the weighted aggregate (rank over the unique lineitem key is
-    // deterministic, so the weighted sum of ranks is oracle-matchable)
+    // and the weighted aggregate. (l_orderkey, l_linenumber) has ties in
+    // this testdata, but rank() is tie-stable (equal rows get equal ranks),
+    // so the weighted sum of ranks is still deterministic and
+    // oracle-matchable. Note the estimate keeps sum(int)'s LongType — the
+    // rewrite casts the estimate back to the aggregate's dataType
+    // (AqpRewrite castEstimate), so the oracle casts to BIGINT to match.
     "q45_window_with_error" -> ((s, dir) => {
       val gs = GraftSession(s)
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q45")
@@ -1255,7 +1259,8 @@ object SparkEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q45_window_with_error" ->
-      """SELECT l_returnflag, ROUND(SUM(rq), 4) AS sum_rank, 0.0 AS abs_err
+      """SELECT l_returnflag,
+        |       CAST(ROUND(SUM(rq), 4) AS BIGINT) AS sum_rank, 0.0 AS abs_err
         |FROM (SELECT l_returnflag,
         |             rank() OVER (PARTITION BY l_returnflag
         |                          ORDER BY l_orderkey, l_linenumber) AS rq

@@ -238,10 +238,18 @@ object Ann {
     val adc = org.apache.spark.sql.graft.PqAdcDot(col("__graft_pq__"), luts)
     val approxCos = when(col("__graft_vnorm__") === 0.0 || lit(qnorm) === 0.0, -1.0)
       .otherwise(adc / (col("__graft_vnorm__") * lit(qnorm)))
-    encoded
-      .select(col(idCol), col(vecCol), approxCos.as("__graft_adc__"))
+    // The ADC ranking scan must stay narrow — (id, code, norm) only, never
+    // the fp32 vectors PQ exists to avoid reading. At 100 TB that is the
+    // difference between scanning m bytes/row and scanning the full
+    // embedding column. Only the k × rerankFactor survivors (a bounded,
+    // broadcast-sized set) go back to the encoded frame for exact cosine.
+    val candidateIds = encoded
+      .select(col(idCol), approxCos.as("__graft_adc__"))
       .orderBy(col("__graft_adc__").desc, col(idCol))
       .limit(k * rerankFactor)
+      .select(col(idCol))
+    encoded
+      .join(broadcast(candidateIds), Seq(idCol), "left_semi")
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

@@ -88,14 +88,21 @@ object StreamSql {
     gs.state.activeStreams.clear()
   }
 
-  private def start(gs: GraftSession, d: StreamTableDef,
-      triggerMs: Long): StreamingQuery = {
-    val spark = gs.spark
+  /** Build the streaming source frame for a declared stream table (shared
+   * with [[StreamCq]] so CQs read the same source the populator does). */
+  private[streaming] def sourceFor(
+      spark: org.apache.spark.sql.SparkSession, d: StreamTableDef): DataFrame = {
     val reader = spark.readStream.format(d.format).schema(d.schema)
-    val src = d.options.get("path") match {
+    d.options.get("path") match {
       case Some(p) => reader.options(d.options - "path" - "historypath").load(p)
       case None => reader.options(d.options - "historypath").load()
     }
+  }
+
+  private def start(gs: GraftSession, d: StreamTableDef,
+      triggerMs: Long): StreamingQuery = {
+    val spark = gs.spark
+    val src = sourceFor(spark, d)
     val historyPath = d.options.getOrElse("historypath",
       s"${System.getProperty("java.io.tmpdir")}/graft_streams/${d.name}")
     src.writeStream

@@ -73,9 +73,14 @@ class AqpParser(delegate: ParserInterface,
     val insert = InsertPattern.matcher(sqlText)
     if (insert.matches()) {
       val target = insert.group(1)
-      val isSample = session.exists(s =>
-        graft.GraftState.of(s).samples.keys.exists(_.equalsIgnoreCase(target)))
-      if (isSample) return InsertIntoSampleNode(target, insert.group(2))
+      // resolve to the registered key: appendToSample looks up exact-case,
+      // so `INSERT INTO MySample` must map to the sample registered as
+      // `mysample` (temp-view name semantics)
+      val registered = session.flatMap(s =>
+        graft.GraftState.of(s).samples.keys.find(_.equalsIgnoreCase(target)))
+      if (registered.isDefined) {
+        return InsertIntoSampleNode(registered.get, insert.group(2))
+      }
     }
     val dropSample = DropSamplePattern.matcher(sqlText)
     if (dropSample.matches()) {
@@ -207,11 +212,16 @@ class AqpParser(delegate: ParserInterface,
    * on the session, every plain SQL query routes through AQP with the
    * session defaults — the "set error once, run normal queries" workflow.
    * Applied only to parsed user SQL (never to internal DataFrame analyses),
-   * only to non-command plans, and only when no explicit clause already
-   * wrapped the statement. */
+   * only to pure queries, and only when no explicit clause already wrapped
+   * the statement. DML is excluded explicitly: at parse time INSERT (and
+   * some CTAS forms) are ParsedStatements/InsertIntoStatement, NOT catalyst
+   * Commands — wrapping them would silently persist approximate estimates
+   * into a real table. */
   private def maybeImplicitAqp(plan: LogicalPlan): LogicalPlan = session match {
     case Some(s) if s.conf.getOption("spark.sql.aqp.error").isDefined &&
         !plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] &&
+        !plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement] &&
+        !plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement] &&
         !plan.exists(_.isInstanceOf[ErrorConfidence]) =>
       ErrorConfidence(None, None, None, plan)
     case _ => plan
@@ -337,7 +347,8 @@ case class CreateSampleTableNode(name: String, base: Option[String],
       // existing parquet + registry metadata instead of resampling — this is
       // how a persisted sample survives a session restart
       val attachPath = if (ifNotExists) {
-        options.get("path").filter(p => graft.GraftSession.readSampleMeta(p).isDefined)
+        options.get("path").filter(p => graft.GraftSession
+          .readSampleMeta(p, spark.sessionState.newHadoopConf()).isDefined)
       } else None
       attachPath match {
         case Some(p) => gs.attachSampleTable(name, p)

@@ -259,6 +259,43 @@ class AqpSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO matches the registered sample case-insensitively") {
+    // temp-view semantics: the target resolves to the registered key, so a
+    // differently-cased INSERT appends instead of failing the exact-case
+    // registry lookup
+    gs.sql("CREATE SAMPLE TABLE li_ci_s (l_returnflag string, l_quantity double) " +
+      "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+    try {
+      gs.sql("INSERT INTO LI_CI_S " +
+        "SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey % 100 = 0")
+      val got = gs.sql("SELECT count(*) AS c FROM li_ci_s").collect()(0).getLong(0)
+      val want = spark.sql(
+        "SELECT count(*) FROM lineitem WHERE l_orderkey % 100 = 0")
+        .collect()(0).getLong(0)
+      assert(got === want, s"case-insensitive INSERT appended $got of $want")
+    } finally gs.dropSampleTable("li_ci_s")
+  }
+
+  test("persisted sample accepts a scheme-qualified (file://) path") {
+    // the metadata sidecar goes through Hadoop FileSystem like the parquet
+    // itself — a java.io.File write would reject any scheme-qualified URI
+    // (hdfs://, s3a://; file:// stands in for those here)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_").toString
+    val uri = s"file://$dir/s"
+    gs.sql("CREATE SAMPLE TABLE li_fs_s ON lineitem " +
+      s"OPTIONS(qcs 'l_returnflag', fraction '1.0', path '$uri')")
+    try {
+      assert(GraftSession.readSampleMeta(uri,
+        spark.sessionState.newHadoopConf()).isDefined,
+        "registry metadata must be written through Hadoop FS")
+      val est = gs.sql(
+        """SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem
+          |GROUP BY 1 WITH ERROR 0.9""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exactByFlag.foreach { case (f, v) => assert(math.abs(est(f) - v) < 1e-6) }
+    } finally gs.dropSampleTable("li_fs_s")
+  }
+
   test("errorStats: per-group closed-form stats over an ad-hoc sample") {
     val sampled = gs.sample(spark.table("lineitem"), Seq("l_returnflag"), fraction = 1.0)
     val stats = gs.errorStats(sampled, "l_quantity", aggType = "sum",

@@ -180,4 +180,30 @@ class ConditionalAggSpec extends AnyFunSuite {
       gs.dropSampleTable("li_conf_sample")
     }
   }
+
+  test("session-wide implicit AQP never wraps DML: INSERT persists exact values") {
+    // at parse time INSERT is an InsertIntoStatement (not a catalyst
+    // Command), so a naive non-Command check would wrap it and silently
+    // persist approximate estimates into a real table
+    val gs = new GraftSession(spark)
+    li.createOrReplaceTempView("li_dml")
+    gs.sql("CREATE SAMPLE TABLE li_dml_s ON li_dml OPTIONS(qcs 'l_returnflag', fraction '0.2')")
+    val loc = java.nio.file.Files.createTempDirectory("graft_dml_").toString
+    spark.sql(s"CREATE TABLE graft_dml_sink (s double) USING parquet LOCATION '$loc/t'")
+    spark.conf.set("spark.sql.aqp.error", "0.9")
+    try {
+      // sanity: the same SELECT does route through the sample as a query
+      assert(org.apache.spark.sql.graft.AqpInfo.usesSample(
+        gs.sql("SELECT sum(l_quantity) AS s FROM li_dml")))
+      gs.sql("INSERT INTO graft_dml_sink SELECT sum(l_quantity) AS s FROM li_dml")
+      val persisted = spark.table("graft_dml_sink").collect()(0).getDouble(0)
+      val exact = li.agg(sum("l_quantity")).collect()(0).getDouble(0)
+      assert(persisted === exact,
+        s"INSERT must persist the exact value, got $persisted vs $exact")
+    } finally {
+      spark.conf.unset("spark.sql.aqp.error")
+      spark.sql("DROP TABLE IF EXISTS graft_dml_sink")
+      gs.dropSampleTable("li_dml_s")
+    }
+  }
 }

@@ -247,4 +247,27 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         s"index probe re-scanned the corpus file:\n$plan")
     } finally assigned.unpersist()
   }
+
+  test("pqKnn ADC candidate scan reads codes+norms, never the vector column") {
+    // PQ's whole value at 100 TB is ranking on m bytes/row of codes instead
+    // of the fat fp32 vectors. With the encoded index materialized (as it
+    // would be at scale), the ADC ranking branch must prune the vector
+    // column out of its scan; only the k × rerankFactor survivors fetch
+    // vectors for the exact re-rank.
+    import graft.ann.Ann
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).toArray
+    val cb = Ann.pqTrain(emb, "embedding", m = 8, k = 16, iterations = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    Ann.pqEncode(emb, "embedding", cb).write.parquet(s"$dir/enc")
+    val enc = spark.read.parquet(s"$dir/enc")
+    val knn = Ann.pqKnn(enc, cb, "vec_id", "embedding", q, k = 5)
+    assert(knn.collect().length === 5)
+    val readSchemas = knn.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(rs =>
+      rs.contains("__graft_pq__") && !rs.contains("embedding")),
+      s"ADC ranking scan must exclude the vector column:\n${readSchemas.mkString("\n")}")
+  }
 }

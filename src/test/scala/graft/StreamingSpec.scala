@@ -230,4 +230,178 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(gs.state.activeStreams.isEmpty)
   }
+
+  test("two concurrent stream tables, each with its own dependents (SNAP-467 shape)") {
+    // reference AQPStreamingSuite "SNAP-467": two CREATE STREAM TABLEs, a
+    // TopK on one, STREAMING START/STOP cycled with re-INIT — both streams
+    // ingest concurrently and each feeds only its own dependents
+    val gs = new GraftSession(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_two_streams").toString
+    def write(sub: String, rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/$sub")
+    write("a", (1L to 200L).map(i => (i % 5, "click", i.toDouble)))
+    write("b", (1L to 100L).map(i => (i % 3, "view", i * 2.0)))
+
+    gs.sql("STREAMING INIT 0 MS")
+    gs.sql("CREATE STREAM TABLE ev_two_a (user_id long, event_type string, value double) " +
+      s"USING parquet OPTIONS(path '$dir/a', historypath '$dir/hist_a')")
+    gs.sql("CREATE STREAM TABLE ev_two_b (user_id long, event_type string, value double) " +
+      s"USING parquet OPTIONS(path '$dir/b', historypath '$dir/hist_b')")
+    gs.sql("CREATE SAMPLE TABLE ev_two_a_sample ON ev_two_a " +
+      "OPTIONS(qcs 'user_id', fraction '1.0')")
+    gs.sql("CREATE TOPK TABLE ev_two_b_topk ON ev_two_b " +
+      "OPTIONS(key 'user_id', streamSummary 'true', capacity '1000', size '3')")
+    gs.sql("STREAMING START")
+    try {
+      assert(gs.state.activeStreams.size === 2, "START must launch every stream")
+      gs.state.activeStreams.values.foreach(_.processAllAvailable())
+      // stream A's sample answers weighted queries over A only
+      val est = gs.sql("SELECT round(sum(value), 4) AS s FROM ev_two_a WITH ERROR 0.9")
+        .collect()(0).getDouble(0)
+      assert(est === (1L to 200L).map(_.toDouble).sum)
+      // stream B's TopK saw only B's keys
+      val top = gs.queryTopK("ev_two_b_topk", k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = spark.table("ev_two_b").groupBy(col("user_id")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (k, c) => (-c, k) }.take(3).toSeq
+      assert(top === want)
+      assert(spark.table("ev_two_a").count() === 200)
+      assert(spark.table("ev_two_b").count() === 100)
+
+      // the reference cycle: STOP, re-INIT, START — both resume, no re-ingest
+      gs.sql("STREAMING STOP")
+      gs.sql("STREAMING INIT 0 MS")
+      gs.sql("STREAMING START")
+      gs.state.activeStreams.values.foreach(_.processAllAvailable())
+      assert(spark.table("ev_two_a").count() === 200)
+      write("b", (101L to 150L).map(i => (i % 3, "view", i * 2.0)))
+      gs.state.activeStreams.values.foreach(_.processAllAvailable())
+      assert(spark.table("ev_two_b").count() === 150)
+      assert(spark.table("ev_two_a").count() === 200,
+        "stream B's files must not leak into stream A")
+    } finally {
+      gs.sql("STREAMING STOP")
+      gs.sql("DROP SAMPLE TABLE IF EXISTS ev_two_a_sample")
+      gs.sql("DROP TOPK TABLE IF EXISTS ev_two_b_topk")
+      gs.sql("DROP STREAM TABLE IF EXISTS ev_two_a")
+      gs.sql("DROP STREAM TABLE IF EXISTS ev_two_b")
+    }
+  }
+
+  test("registerCQ tumbling window: every row lands in exactly one firing") {
+    // reference `registerCQ("SELECT * FROM t window (duration 2 seconds,
+    // slide 2 seconds)")` + foreachDataFrame — duration == slide is the
+    // tumbling shape the reference suite uses throughout
+    val gs = new GraftSession(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cq_tumble").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    gs.sql("CREATE STREAM TABLE ev_cq_t (user_id long, event_type string, value double) " +
+      s"USING parquet OPTIONS(path '$dir/in', maxFilesPerTrigger '1')")
+    try {
+      val perWindow = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Long]]()
+      val cq = gs.registerCQ(
+        "SELECT event_type, count(*) AS c FROM ev_cq_t WINDOW (DURATION 1 SECONDS) " +
+          "GROUP BY event_type")
+      val q = cq.foreachWindow { (df, _) =>
+        perWindow.add(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        ()
+      }
+      try {
+        write((1L to 60L).map(i => (i, if (i % 2 == 0) "click" else "view", i.toDouble)))
+        q.processAllAvailable()
+        write((61L to 100L).map(i => (i, "scroll", i.toDouble)))
+        q.processAllAvailable()
+        // each firing aggregates its own window only; summing the firings
+        // must reproduce the full exact counts (exactly-once tumbling)
+        import scala.jdk.CollectionConverters._
+        val total = perWindow.asScala.toSeq.flatten
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        assert(total === Map("click" -> 30L, "view" -> 30L, "scroll" -> 40L))
+      } finally q.stop()
+    } finally gs.sql("DROP STREAM TABLE IF EXISTS ev_cq_t")
+  }
+
+  test("registerCQ sliding window: duration 2×slide overlaps adjacent firings") {
+    val gs = new GraftSession(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cq_slide").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(rows: Seq[Long]): Unit =
+      rows.toDF("user_id").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    gs.sql("CREATE STREAM TABLE ev_cq_s (user_id long) " +
+      s"USING parquet OPTIONS(path '$dir/in', maxFilesPerTrigger '1')")
+    try {
+      val windows = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+      val cq = gs.registerCQ(
+        "SELECT user_id FROM ev_cq_s WINDOW (DURATION 2 SECONDS, SLIDE 1 SECONDS)")
+      val q = cq.foreachWindow { (df, _) =>
+        windows.add(df.collect().map(_.getLong(0)).toSet); ()
+      }
+      try {
+        // one file per processAllAvailable → deterministic single-file batches
+        write(1L to 10L); q.processAllAvailable()
+        write(11L to 20L); q.processAllAvailable()
+        write(21L to 30L); q.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val ws = windows.asScala.toSeq
+        assert(ws === Seq(
+          (1L to 10L).toSet,            // w1 = f1
+          (1L to 20L).toSet,            // w2 = f1 ∪ f2
+          (11L to 30L).toSet),          // w3 = f2 ∪ f3 (f1 evicted)
+          s"sliding frames wrong: $ws")
+      } finally q.stop()
+    } finally gs.sql("DROP STREAM TABLE IF EXISTS ev_cq_s")
+  }
+
+  test("registerCQ saveTo: CQ feeds a sample table (saveStream parity)") {
+    // reference "sql stream sampling": registerCQ over the stream, then
+    // saveStream(stream, Seq(sample)) — the sample answers weighted queries
+    // over everything the CQ has delivered
+    val gs = new GraftSession(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cq_save").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    gs.sql("CREATE STREAM TABLE ev_cq_sv (user_id long, event_type string, value double) " +
+      s"USING parquet OPTIONS(path '$dir/in')")
+    gs.sql("CREATE SAMPLE TABLE ev_cq_sv_sample " +
+      "(user_id long, event_type string, value double) " +
+      "OPTIONS(qcs 'event_type', fraction '1.0')")
+    try {
+      val q = gs.registerCQ(
+        "SELECT * FROM ev_cq_sv WINDOW (DURATION 1 SECONDS)")
+        .saveTo("ev_cq_sv_sample")
+      try {
+        write((1L to 80L).map(i => (i, if (i % 4 == 0) "click" else "view", i.toDouble)))
+        q.processAllAvailable()
+        write((81L to 120L).map(i => (i, "click", i.toDouble)))
+        q.processAllAvailable()
+        val est = spark.table("ev_cq_sv_sample")
+          .agg(graft.functions.weighted_count(col("user_id")))
+          .collect()(0).getDouble(0)
+        assert(est === 120.0, s"sample estimates $est of 120 streamed rows")
+      } finally q.stop()
+    } finally {
+      gs.sql("DROP SAMPLE TABLE IF EXISTS ev_cq_sv_sample")
+      gs.sql("DROP STREAM TABLE IF EXISTS ev_cq_sv")
+    }
+  }
+
+  test("STREAMING INIT parses interval forms and gates the trigger") {
+    val gs = new GraftSession(spark)
+    gs.sql("STREAMING INIT 2 SECS")
+    assert(gs.state.streamingBatchMs === 2000L)
+    gs.sql("STREAMING INIT 250 MS")
+    assert(gs.state.streamingBatchMs === 250L)
+    gs.sql("STREAMING INIT 1secs")
+    assert(gs.state.streamingBatchMs === 1000L)
+    // restore the suite default so later scenarios keep sub-second triggers
+    gs.sql("STREAMING INIT 0 MS")
+    assert(gs.state.streamingBatchMs === 0L)
+  }
 }

@@ -425,7 +425,9 @@ object GraftSession {
     val timeQcs = opts.get("timeseriescolumn").map { ts =>
       val ivMs = opts.get("timeinterval").map(_.toLong).getOrElse(5000L)
       opts.getOrElse("timeunit", "auto") match {
-        case "ns" => s"floor($ts / ${ivMs * 1000000L})"
+        // nanos-as-long is integral by construction; integer `div` keeps the
+        // slot exact — double division loses ns precision above 2^53
+        case "ns" => s"($ts div ${ivMs * 1000000L})"
         case "s" => s"floor($ts * 1000 / $ivMs)"
         case "ms" => s"floor($ts / $ivMs)"
         case _ => s"floor(cast($ts as double) * 1000 / $ivMs)"

@@ -872,6 +872,37 @@ object SparkEntry {
         .orderBy(col("source"), col("split"))
     }),
 
+    // --- §2.2 time-slot strata aging (reference
+    // `StratifiedSamplerCached.scala:96-120`): a multi-interval replay into a
+    // reservoir sample with day-wide time slots. Each slot is its own
+    // stratum, so (a) a new slot starts debt-free — its kept count is
+    // min(reservoir, its own total), never inflated to cover an older slot's
+    // shortfall — and (b) old slots age out: later appends never touch them.
+    // Both appends are whole-slot aligned, so the per-slot profile is a pure
+    // function of the base table and DuckDB can oracle it.
+    "q51_timeslot_aging" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gs = GraftSession(s)
+      tbl(s, dir, "events").createOrReplaceTempView("events_q51")
+      gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS events_q51_sample " +
+        "(event_id long, ts long, user_id long, event_type string, " +
+        "value double, props string) " +
+        "OPTIONS(qcs 'event_type', timeSeriesColumn 'ts', " +
+        "timeInterval '86400000', timeUnit 'ns', fraction '0.0', " +
+        "strataReservoirSize '20')")
+      // 2024-01-08T00:00:00Z in nanos — replay the stream as two
+      // slot-aligned intervals
+      val cut = 1704672000000000000L
+      gs.sql(s"INSERT INTO events_q51_sample SELECT * FROM events_q51 WHERE ts < ${cut}L")
+      gs.sql(s"INSERT INTO events_q51_sample SELECT * FROM events_q51 WHERE ts >= ${cut}L")
+      s.table("events_q51_sample")
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("slot_day"))
+        .agg(count(lit(1)).as("kept"),
+          round(graft.functions.weighted_count(col("event_type")), 4).as("est_total"))
+        .orderBy(col("event_type"), col("slot_day"))
+    }),
+
     // --- §2.6/§2.10 inherited exact operators ride along (percentiles)
     "q22_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -1195,6 +1226,13 @@ object SparkEntry {
     "q35_timeslot_sample" ->
       """SELECT event_type, ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q51_timeslot_aging" ->
+      """SELECT event_type,
+        |       CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS slot_day,
+        |       LEAST(20, COUNT(*)) AS kept,
+        |       ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS est_total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q36_token_bpe" ->
       """SELECT source,

@@ -162,6 +162,57 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(est.getDouble(0) / exact.getDouble(0) - 1.0) < 0.05)
     assert(math.abs(est.getDouble(1) / exact.getLong(1) - 1.0) < 0.05)
   }
+
+  test("time-slot strata: new slots start debt-free, old slots age out") {
+    // reference `StratifiedSamplerCached.scala:96-120`: with a
+    // timeSeriesColumn each time slot is its own stratum epoch — a new
+    // slot's reservoir starts WITHOUT the shortfall debt of earlier slots
+    // (an undersampled past must not inflate a fresh slot's kept count),
+    // and slots no longer receiving rows keep their reservoir untouched.
+    import spark.implicits._
+    val gs = new GraftSession(spark)
+    gs.sql("CREATE SAMPLE TABLE ag_slots (id bigint, etype string, ts_ms bigint) " +
+      "OPTIONS(qcs 'etype', timeSeriesColumn 'ts_ms', timeInterval '10000', " +
+      "timeUnit 'ms', fraction '0.0', strataReservoirSize '20')")
+    try {
+      def slotProfile(): Map[Long, (Long, Double)] = spark.table("ag_slots")
+        .groupBy(expr("ts_ms div 10000").as("slot"))
+        .agg(count(lit(1)).as("kept"), weighted_count(col("id")).as("est"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+      // interval 1: slot 0 overflows its reservoir (500 rows), slot 1 is a
+      // brand-new sparse slot (8 rows) arriving in the same batch
+      val batch1 =
+        (1L to 500L).map(i => (i, "a", (i % 10000))) ++
+          (501L to 508L).map(i => (i, "a", 10000L + (i - 501)))
+      gs.appendToSample("ag_slots", batch1.toDF("id", "etype", "ts_ms"))
+      val p1 = slotProfile()
+      assert(p1(0L)._1 === 20L, s"slot 0 kept ${p1(0L)._1}, want reservoir 20")
+      assert(p1(1L)._1 === 8L,
+        "new sparse slot must keep its own 8 rows — slot 0's shortfall must " +
+          "not backfill it to the reservoir size")
+      assert(p1(0L)._2 === 500.0 && p1(1L)._2 === 8.0,
+        s"per-slot weighted totals wrong: $p1")
+      val slot01RowsAfterB1 = spark.table("ag_slots")
+        .filter(expr("ts_ms div 10000") <= 1)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+      // interval 2: only slot 2 receives rows — older slots must age out
+      // untouched (no re-sampling, no weight rewrite of their reservoirs)
+      val batch2 = (601L to 630L).map(i => (i, "a", 20000L + (i - 601)))
+      gs.appendToSample("ag_slots", batch2.toDF("id", "etype", "ts_ms"))
+      val p2 = slotProfile()
+      assert(p2(2L)._1 === 20L && p2(2L)._2 === 30.0,
+        s"slot 2 profile wrong: ${p2(2L)}")
+      assert(p2(0L) === p1(0L) && p2(1L) === p1(1L),
+        "append to a new slot changed an old slot's profile")
+      val slot01RowsAfterB2 = spark.table("ag_slots")
+        .filter(expr("ts_ms div 10000") <= 1)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(slot01RowsAfterB2 === slot01RowsAfterB1,
+        "old slots' reservoir rows must be byte-identical after aging")
+    } finally gs.dropSampleTable("ag_slots")
+  }
 }
 
 class ClosedFormSpec extends AnyFunSuite {

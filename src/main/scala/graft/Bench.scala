@@ -22,7 +22,15 @@ object Bench {
     // at-scale join/aggregate codegen cold and the first timed query absorbs
     // JIT + codegen compilation. One untimed pass of every query at sfDir
     // makes the timed pass measure plans, not warmup.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter only (the driver never sets it): time a subset
+    // without paying for the other 50 queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"BENCH WARMUP FAILED $name: ${e.getMessage}")
@@ -33,7 +41,7 @@ object Bench {
     // state), which makes round-over-round comparison meaningless. The
     // median is robust to one bad run and still penalizes real plan cost.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

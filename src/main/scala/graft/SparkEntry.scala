@@ -249,9 +249,11 @@ object SparkEntry {
         .collect()(0).getSeq[Float](0).toArray
       val cb = graft.ann.Ann.pqTrain(emb, "embedding", m = 8, k = 64,
         iterations = 10)
-      val enc = graft.ann.Ann.pqEncode(emb, "embedding", cb)
+      // persist: the ADC scan, the exact re-rank, and the code-width audit
+      // each read the encoded frame — don't PQ-encode the corpus per action
+      val enc = graft.ann.Ann.pqEncode(emb, "embedding", cb).persist()
       val pq = graft.ann.Ann.pqKnn(enc, cb, "vec_id", "embedding", q, 10)
-        .select(col("vec_id"))
+        .select(col("vec_id")).persist()
       val brute10 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
         .select(col("vec_id"))
       val brute100 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 100)
@@ -260,6 +262,8 @@ object SparkEntry {
       val recall10 = pq.join(brute10, "vec_id").count()
       val inTop100 = pq.join(brute100, "vec_id").count()
       val codeBytesOk = enc.filter(length(col("__graft_pq__")) =!= 8).count() == 0L
+      enc.unpersist(blocking = false)
+      pq.unpersist(blocking = false)
       Seq((nPq, recall10 >= 5L, inTop100 == nPq, codeBytesOk))
         .toDF("n_pq", "recall_ok", "subset_of_top100", "code_bytes_ok")
     }),
@@ -682,8 +686,15 @@ object SparkEntry {
         keyCol = "event_type", tsCol = "ts", windowDuration = "1 day",
         watermarkDelay = "0 seconds", k = 100, streamSummary = true,
         capacity = 1000000)
-      val q = out.writeStream.format("memory").queryName("q39_sink")
-        .outputMode("append").start()
+      // the stateful agg pays per-partition state-store overhead every
+      // micro-batch; a handful of event-type keys doesn't need 32 state
+      // partitions (pinned at query start; restored after)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try out.writeStream.format("memory").queryName("q39_sink")
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       try {
         releaseBatch(1)
         q.processAllAvailable()
@@ -862,13 +873,28 @@ object SparkEntry {
       val withCopies = docs.unionByName(
         docs.orderBy(col("doc_id")).limit(20)
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      // The dedup (build + probe) and the split (count/rank/label) each
+      // rescan this frame; persisting it evaluates the ngram-profile quality
+      // expressions once instead of once per downstream scan.
       val filtered = withCopies
         .filter(tokenCountWs(col("text")) >= 5 &&
           repetitionRatio(col("text"), 3) < 0.5)
-      val deduped = graft.dedup.Dedup.exact(filtered, "text", "doc_id")
-      graft.pipeline.Pipeline.stratifiedSplit(deduped, Seq(col("source")), 0.2)
+        .persist()
+      // the split reads its input three times (stratum counts, boundary
+      // ranking, labeling) — cache the deduped frame so each pass is a
+      // cache read, not a re-run of the semi-join
+      val deduped = graft.dedup.Dedup.exact(filtered, "text", "doc_id").persist()
+      val out = graft.pipeline.Pipeline
+        .stratifiedSplit(deduped, Seq(col("source")), 0.2)
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split"))
+      // materialize (40 rows), then release the caches — the bench runs 53
+      // queries × 4 passes and leaked cache entries evict each other
+      val rows = out.collect()
+      filtered.unpersist(blocking = false)
+      deduped.unpersist(blocking = false)
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
         .orderBy(col("source"), col("split"))
     }),
 
@@ -912,6 +938,41 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Budget-capped greedy selection over the distributed prefix sum: take
+    // documents longest-first (n_chars desc, doc_id tiebreak) while the
+    // running whitespace-token total stays within 12k. The cumsum is exact
+    // and the order total, so DuckDB's single-node window states the same
+    // prefix; the engine computes it with per-bucket windows — never a
+    // one-task global sort.
+    "q52_token_budget_select" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      graft.pipeline.Pipeline.selectByTokenBudget(
+          docs.withColumn("tok", tokenCountWs(col("text")).cast("long")),
+          col("tok"),
+          Seq(col("n_chars") * lit(-1L), col("doc_id")),
+          budget = 12000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sel_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Concat-and-chunk sequence packing: documents in doc_id order packed
+    // into 512-token training sequences; per-document placement (global
+    // offset, spanned sequence ids, offset inside the first sequence) is a
+    // pure function of the order, so the oracle can state every row.
+    "q53_sequence_packing" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), tokenCountWs(col("text")).cast("long").as("tok"))
+      graft.pipeline.Pipeline.packSequences(
+          docs, col("tok"), Seq(col("doc_id")), seqTokens = 512)
+        .select(col("doc_id"), col("token_offset"), col("seq_first"),
+          col("seq_last"), col("seq_offset"))
+        .orderBy(col("doc_id"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1233,6 +1294,35 @@ object SparkEntry {
         |       LEAST(20, COUNT(*)) AS kept,
         |       ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS est_total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q52_token_budget_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT *, SUM(tok) OVER (ORDER BY -n_chars, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM toks)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sel_tokens
+        |FROM cum WHERE c <= 12000 GROUP BY source ORDER BY source""".stripMargin,
+
+    "q53_sequence_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, tok, SUM(tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM toks)
+        |SELECT doc_id, CAST(c - tok AS BIGINT) AS token_offset,
+        |  CAST(FLOOR((c - tok) / 512) AS BIGINT) AS seq_first,
+        |  CAST(FLOOR(GREATEST(c - 1, c - tok) / 512) AS BIGINT) AS seq_last,
+        |  CAST((c - tok) % 512 AS BIGINT) AS seq_offset
+        |FROM cum ORDER BY doc_id""".stripMargin,
 
     "q36_token_bpe" ->
       """SELECT source,

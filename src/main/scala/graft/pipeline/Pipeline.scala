@@ -133,4 +133,107 @@ object Pipeline {
       .agg(countDistinct(col("__gh__")).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
   }
+
+  /**
+   * Exact distributed prefix sum of `value` (integral; nulls count as 0)
+   * over the total order given by `order` — plain ascending columns; negate
+   * a numeric column for descending. `order` must be a TOTAL order (include
+   * a unique tiebreaker), otherwise the running sum at tied rows is
+   * ill-defined.
+   *
+   * Scale shape: a bare `Window.orderBy(...)` computes the whole cumsum on
+   * ONE task — a non-starter at corpus scale. Here rows are bucketed by a
+   * monotone function of the leading order key (approx-quantile boundaries;
+   * ANY monotone bucketing is correct — the quantiles only balance load,
+   * and the bucket id is a pure row function, so the two passes below agree
+   * even if the boundary estimate were to change between runs), local
+   * cumulative sums run per bucket in parallel, and each bucket is shifted
+   * by the exclusive running total of the buckets before it. At most
+   * `buckets` (bucket, sum) pairs ever reach the driver.
+   *
+   * The input is scanned three times (boundary quantiles, bucket totals,
+   * the windowed pass) — persist upstream frames whose columns are
+   * expensive to compute.
+   */
+  def prefixSum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String, buckets: Int = 64): DataFrame = {
+    require(order.nonEmpty, "prefixSum needs at least one order column")
+    require(buckets >= 1, "buckets must be positive")
+    val spark = df.sparkSession
+    val K = "__graft_pk__"
+    val B = "__graft_pb__"
+    val V = "__graft_pv__"
+    val keyed = df
+      .withColumn(K, order.head.cast("double"))
+      .withColumn(V, coalesce(value.cast("long"), lit(0L)))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else keyed.stat.approxQuantile(K, probs, 0.01).distinct.sorted
+    // bucket = |{boundary ≤ key}| — monotone in the leading key, so bucket
+    // order refines the total order and the per-bucket offsets compose
+    val bucketOf: Column =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(
+        array(bounds.toSeq.map(lit(_)): _*), t => t <= col(K)))
+    val bucketed = keyed.withColumn(B, bucketOf)
+    val perBucket = bucketed.groupBy(col(B)).agg(sum(col(V)).as("__s__"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val exclusive = perBucket.map { case (b, s) =>
+      val row = (b, acc); acc += s; row
+    }.toSeq
+    import spark.implicits._
+    val offsets = broadcast(
+      exclusive.toDF(B + "o", "__graft_off__"))
+    val w = Window.partitionBy(col(B))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(offsets, col(B) === col(B + "o"), "left")
+      .withColumn(out, sum(col(V)).over(w) + coalesce(col("__graft_off__"), lit(0L)))
+      .drop(K, B, V, B + "o", "__graft_off__")
+  }
+
+  /**
+   * Budget-capped greedy data selection (the "take the best documents until
+   * the token budget is spent" step of assembling a training mix): rows are
+   * taken in `priority` order while the running `tokens` total stays within
+   * `budget`; the first overflowing row and everything after it are dropped.
+   * `priority` must be a total order (unique tiebreaker).
+   */
+  def selectByTokenBudget(df: DataFrame, tokens: Column,
+      priority: Seq[Column], budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val C = "__graft_cum__"
+    prefixSum(df, priority, tokens, C).filter(col(C) <= budget).drop(C)
+  }
+
+  /**
+   * Concat-and-chunk sequence packing (the standard GPT-style pretraining
+   * packer): conceptually concatenate every row's tokens in `order` and cut
+   * the stream every `seqTokens` tokens — a document may straddle a cut.
+   * Emits the placement columns a writer needs to assemble fixed-length
+   * training sequences without ever materializing the concatenated stream:
+   * `token_offset` (global start position), `seq_first`/`seq_last` (ids of
+   * the sequences the row spans; zero-token rows land on their boundary
+   * with `seq_last = seq_first`), and `seq_offset` (start position within
+   * `seq_first`). Placement is a pure function of the total order, so it is
+   * reproducible and layout-independent.
+   */
+  def packSequences(df: DataFrame, tokens: Column, order: Seq[Column],
+      seqTokens: Int): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val C = "__graft_cum__"
+    val t = coalesce(tokens.cast("long"), lit(0L))
+    // integer `div`, not double division + floor: placements stay exact
+    // past 2^53 total tokens
+    prefixSum(df, order, tokens, C)
+      .withColumn("token_offset", col(C) - t)
+      .withColumn("seq_first", expr(s"token_offset div ${seqTokens}L"))
+      .withColumn("seq_last",
+        expr(s"greatest($C - 1L, token_offset) div ${seqTokens}L"))
+      .withColumn("seq_offset", col("token_offset") % seqTokens)
+      .drop(C)
+  }
 }

@@ -380,8 +380,19 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     val numTrials = defaultD("spark.sql.aqp.numBootstrapTrials", "100").toInt
+    // Debug reproducibility knobs (reference `SnappyAQPSessionState.scala:71-81`
+    // `AqpDebugFixedSeed` / `AQPDebugPoissonType`): a fixed seed replaces the
+    // per-row content hash so every row draws the same Poisson stream — still
+    // layout-independent, but now also content-independent (bit-identical
+    // bounds after schema-neutral edits); poisson=fixed pins multiplicity 1.
+    val fixedPoisson =
+      defaultD("spark.sql.aqp.debug.poisson", "real").equalsIgnoreCase("fixed")
     lazy val seedExpr: Expression =
-      XxHash64(threaded.output, defaultD("spark.sql.aqp.seed", "42").toLong)
+      defaultD("spark.sql.aqp.debug.fixedSeed", "") match {
+        case "" =>
+          XxHash64(threaded.output, defaultD("spark.sql.aqp.seed", "42").toLong)
+        case s => Literal(s.toLong)
+      }
 
     def structAttr(t: AqpAggType.AqpAggType, valueChild: Expression): Attribute = {
       val key = (t, valueChild.canonicalized)
@@ -389,7 +400,8 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val agg =
           if (useBootstrap) {
             new BootstrapAggregate(valueChild, weightAttr, seedExpr, t,
-              numTrials, confidence, error, finalizerBehavior).toAggregateExpression()
+              numTrials, confidence, error, finalizerBehavior,
+              fixedPoisson).toAggregateExpression()
           } else {
             new ClosedFormAggregate(valueChild, weightAttr, t, confidence,
               error, finalizerBehavior).toAggregateExpression()

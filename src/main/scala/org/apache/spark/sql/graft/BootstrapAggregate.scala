@@ -45,6 +45,7 @@ case class BootstrapAggregate(
     confidence: Double,
     error: Double,
     behavior: HacBehavior.HacBehavior,
+    fixedPoisson: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Double]] {
@@ -75,7 +76,10 @@ case class BootstrapAggregate(
         buffer(n1) += w
         var i = 1
         while (i < n1) {
-          val m = BootstrapAggregate.poisson1(rng)
+          // spark.sql.aqp.debug.poisson=fixed pins every multiplicity to 1
+          // (reference `AQPDebugPoissonType` — debug-only: every trial then
+          // equals the unperturbed estimate, so the CI collapses to a point)
+          val m = if (fixedPoisson) 1 else BootstrapAggregate.poisson1(rng)
           if (m > 0) {
             buffer(i) += w * x * m
             buffer(n1 + i) += w * m
@@ -178,7 +182,15 @@ object BootstrapAggregate {
   def apply(c: Column, rawWeight: Column, seed: Column,
       aggType: AqpAggType.AqpAggType, trials: Int, confidence: Double,
       error: Double, behavior: HacBehavior.HacBehavior): Column =
+    apply(c, rawWeight, seed, aggType, trials, confidence, error, behavior,
+      fixedPoisson = false)
+
+  def apply(c: Column, rawWeight: Column, seed: Column,
+      aggType: AqpAggType.AqpAggType, trials: Int, confidence: Double,
+      error: Double, behavior: HacBehavior.HacBehavior,
+      fixedPoisson: Boolean): Column =
     Exprs.column(new BootstrapAggregate(
       Exprs.expression(c), Exprs.expression(rawWeight), Exprs.expression(seed),
-      aggType, trials, confidence, error, behavior).toAggregateExpression())
+      aggType, trials, confidence, error, behavior,
+      fixedPoisson).toAggregateExpression())
 }

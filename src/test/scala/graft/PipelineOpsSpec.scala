@@ -85,4 +85,79 @@ class PipelineOpsSpec extends AnyFunSuite {
     val planted = evalDocs.collect().map(_.getLong(0)).toSet
     assert(planted.subsetOf(hitIds), s"missed: ${planted -- hitIds}")
   }
+
+  test("prefixSum matches a single-partition global window cumsum") {
+    // deterministic subset (an unordered limit could pick different rows in
+    // each of prefixSum's three scans)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .filter(col("l_orderkey") % 11 === 0)
+    val order = Seq(col("l_orderkey"), col("l_linenumber"))
+    val got = Pipeline.prefixSum(li, order, col("l_partkey"), "cum", buckets = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    // the reference answer: the one-task global window prefixSum exists to
+    // avoid
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = li.withColumn("cum", sum(col("l_partkey").cast("long")).over(w))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(got === want)
+  }
+
+  test("prefixSum is layout-independent and handles descending order") {
+    val base = docs.select(col("doc_id"), col("n_chars"))
+    val order = Seq(col("n_chars") * lit(-1L), col("doc_id"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.prefixSum(df, order, col("n_chars"), "cum", buckets = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = run(base.repartition(13))
+    val b = run(base.coalesce(1))
+    assert(a === b)
+    // descending: the doc with the most chars has cum == its own count
+    val maxDoc = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .collect()(0)
+    assert(a(maxDoc.getLong(0)) === maxDoc.getLong(4))
+  }
+
+  test("selectByTokenBudget takes a maximal prefix in priority order") {
+    val withTok = docs.select(col("doc_id"), col("n_chars"),
+      (col("n_chars") % 97 + 1).as("tok")) // deterministic pseudo-tokens
+    val budget = 5000L
+    val sel = Pipeline.selectByTokenBudget(withTok, col("tok"),
+      Seq(col("n_chars") * lit(-1L), col("doc_id")), budget)
+      .collect().map(_.getLong(0)).toSet
+    val all = withTok
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    var run = 0L
+    val expected = all.takeWhile { case (_, t) => run += t; run <= budget }
+      .map(_._1).toSet
+    assert(sel === expected)
+    assert(expected.nonEmpty && expected.size < all.length,
+      "budget must select a strict non-empty prefix for the test to bite")
+  }
+
+  test("sequence packing: contiguous offsets, in-bounds placement") {
+    val withTok = docs.select(col("doc_id"), (col("n_chars") % 89 + 1).as("tok"))
+    val B = 128
+    val rows = Pipeline.packSequences(withTok, col("tok"), Seq(col("doc_id")), B)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("tok"), col("token_offset"),
+        col("seq_first"), col("seq_last"), col("seq_offset"))
+      .collect()
+    var expectedOffset = 0L
+    rows.foreach { r =>
+      val (tok, off, sf0, sl, so) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(off === expectedOffset, s"doc ${r.getLong(0)} offset")
+      assert(sf0 === off / B)
+      assert(sl === math.max(off + tok - 1, off) / B)
+      assert(so === off % B && so < B)
+      expectedOffset += tok
+    }
+  }
 }

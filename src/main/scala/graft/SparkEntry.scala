@@ -973,6 +973,24 @@ object SparkEntry {
         .select(col("doc_id"), col("token_offset"), col("seq_first"),
           col("seq_last"), col("seq_offset"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Mixture rebalancing: thin the over-represented languages so the
+    // output matches a target mix (en 30%, others 17.5% each), keeping all
+    // of the binding stratum. Selection is a pure multiplicative-hash row
+    // function, so DuckDB restates the exact membership and the kept
+    // counts hash-match.
+    "q54_mixture_rebalance" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val mixed = graft.pipeline.Pipeline.resampleToMix(
+        docs, col("lang"), col("doc_id"),
+        Map("en" -> 0.30, "de" -> 0.175, "es" -> 0.175,
+          "fr" -> 0.175, "zh" -> 0.175))
+      mixed.groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+        .withColumn("share",
+          round(col("kept") / sum(col("kept")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+        .orderBy(col("lang"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1323,6 +1341,23 @@ object SparkEntry {
         |  CAST(FLOOR(GREATEST(c - 1, c - tok) / 512) AS BIGINT) AS seq_last,
         |  CAST((c - tok) % 512 AS BIGINT) AS seq_offset
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "q54_mixture_rebalance" ->
+      """WITH tgt(lang, t) AS (VALUES
+        |    ('en', CAST(0.30 AS DOUBLE)), ('de', CAST(0.175 AS DOUBLE)),
+        |    ('es', CAST(0.175 AS DOUBLE)), ('fr', CAST(0.175 AS DOUBLE)),
+        |    ('zh', CAST(0.175 AS DOUBLE))),
+        |n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT n.lang, tgt.t / n.n AS ratio
+        |      FROM n JOIN tgt ON n.lang = tgt.lang),
+        |thr AS (SELECT lang,
+        |    CAST(FLOOR(ratio / (SELECT MAX(ratio) FROM r) * 4294967296) AS BIGINT) AS t
+        |  FROM r)
+        |SELECT d.lang, COUNT(*) AS kept,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < thr.t
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q36_token_bpe" ->
       """SELECT source,

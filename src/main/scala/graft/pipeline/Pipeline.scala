@@ -210,6 +210,50 @@ object Pipeline {
   }
 
   /**
+   * Deterministic training-mix rebalancing: subsample each stratum so the
+   * output's per-stratum proportions match `targets` (normalized), keeping
+   * every row of the binding stratum — the one already scarcest relative to
+   * its target — and thinning the rest. Selection is a multiplicative hash
+   * of `idCol` (Knuth 2654435761 mod 2^32) against a per-stratum threshold,
+   * so membership is a pure row function: reproducible, layout-independent,
+   * and restatable in plain SQL by any engine.
+   *
+   * Strata present in the data but absent from `targets` are dropped
+   * (target share 0). Only the per-stratum counts (bounded by the number of
+   * strata) ever reach the driver; the selection itself is one broadcast
+   * join + filter, no shuffle of the corpus.
+   */
+  def resampleToMix(df: DataFrame, strataCol: Column, idCol: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0) &&
+      targets.values.sum > 0, "targets must be non-negative, not all zero")
+    val spark = df.sparkSession
+    val counts = df.groupBy(strataCol.as("__graft_s__")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // raw weight / count — no normalization: it cancels in ratio/maxR, and
+    // skipping it keeps the arithmetic bit-identical to a SQL restatement
+    // (a float sum over a Map's iteration order is not reproducible)
+    val ratios = targets.flatMap { case (k, t) =>
+      counts.get(k).filter(_ > 0).map(n => k -> t / n)
+    }
+    require(ratios.nonEmpty, "no targeted stratum present in the data")
+    val maxR = ratios.values.max
+    val thresholds = ratios.map { case (k, r) =>
+      k -> math.floor(r / maxR * 4294967296.0).toLong
+    }.toSeq
+    import spark.implicits._
+    val thrDf = broadcast(thresholds.toDF("__graft_s__", "__graft_thr__"))
+    // (id mod 2^31) · K stays under 2^63, so the multiply never overflows
+    // ANSI long arithmetic for any id
+    val hash = pmod(
+      pmod(idCol.cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    df.join(thrDf, strataCol === col("__graft_s__"), "inner")
+      .filter(hash < col("__graft_thr__"))
+      .drop("__graft_s__", "__graft_thr__")
+  }
+
+  /**
    * Concat-and-chunk sequence packing (the standard GPT-style pretraining
    * packer): conceptually concatenate every row's tokens in `order` and cut
    * the stream every `seqTokens` tokens — a document may straddle a cut.

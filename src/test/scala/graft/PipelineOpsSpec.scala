@@ -141,6 +141,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       "budget must select a strict non-empty prefix for the test to bite")
   }
 
+  test("mixture rebalance: binding stratum whole, shares near target, pure row function") {
+    val targets = Map("en" -> 0.30, "de" -> 0.175, "es" -> 0.175,
+      "fr" -> 0.175, "zh" -> 0.175)
+    val mixed = Pipeline.resampleToMix(docs, col("lang"), col("doc_id"), targets)
+    val kept = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the stratum scarcest relative to its target is kept in full
+    val binding = targets.keys.maxBy(k => targets(k) / orig(k))
+    assert(kept(binding) === orig(binding), s"binding stratum $binding thinned")
+    // realized shares approximate the target mix (hash selection is
+    // Bernoulli-like per stratum; 5% absolute tolerance at ~500 docs)
+    val total = kept.values.sum.toDouble
+    targets.foreach { case (k, t) =>
+      assert(math.abs(kept(k) / total - t) < 0.05, s"$k share ${kept(k) / total}")
+    }
+    // membership is a pure row function: layout-independent and repeatable
+    val ids1 = mixed.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val ids2 = Pipeline.resampleToMix(docs.repartition(17), col("lang"),
+      col("doc_id"), targets).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // strata without a target are dropped entirely
+    val withExtra = docs.withColumn("lang",
+      when(col("doc_id") % 10 === 0, lit("xx")).otherwise(col("lang")))
+    val noXx = Pipeline.resampleToMix(withExtra, col("lang"), col("doc_id"), targets)
+    assert(noXx.filter(col("lang") === "xx").count() === 0L)
+  }
+
   test("sequence packing: contiguous offsets, in-bounds placement") {
     val withTok = docs.select(col("doc_id"), (col("n_chars") % 89 + 1).as("tok"))
     val B = 128

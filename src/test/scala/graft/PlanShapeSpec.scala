@@ -270,4 +270,35 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       rs.contains("__graft_pq__") && !rs.contains("embedding")),
       s"ADC ranking scan must exclude the vector column:\n${readSchemas.mkString("\n")}")
   }
+
+  test("prefixSum windows run per bucket — never on a single partition") {
+    // the whole point of the bucketed prefix sum: the cumsum window must be
+    // hash-partitioned on the bucket column, not collapsed to one task the
+    // way Window.orderBy-without-partitionBy plans are
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ps = graft.pipeline.Pipeline.prefixSum(
+      docs.select(col("doc_id"), col("n_chars")),
+      Seq(col("doc_id")), col("n_chars"), "cum", buckets = 8)
+    val physical = ps.queryExecution.executedPlan.toString
+    val windowLines = physical.split("\n").filter(_.contains("Window"))
+    assert(windowLines.nonEmpty, "no Window in the prefixSum plan")
+    assert(!physical.contains("SinglePartition"),
+      s"prefixSum plan collapses to one partition:\n$physical")
+    assert(physical.contains("hashpartitioning(__graft_pb__"),
+      "cumsum window must partition by the bucket column")
+  }
+
+  test("resampleToMix is one broadcast join + filter, no corpus shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mixed = graft.pipeline.Pipeline.resampleToMix(
+      docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.15))
+    val physical = mixed.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin") ||
+      physical.contains("BroadcastNestedLoopJoin"),
+      s"threshold join must broadcast:\n$physical")
+    assert(!physical.contains("SortMergeJoin") &&
+      !physical.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle for the threshold join:\n$physical")
+  }
 }

@@ -28,6 +28,13 @@ final case class SampleInfo(
  */
 final class GraftState {
   val samples: TrieMap[String, SampleInfo] = TrieMap.empty
+
+  /** Resolve a sample name to its registered key, matching temp-view
+   * case-insensitivity (`MySample` finds a sample registered as
+   * `mysample`); exact-case match wins when both exist. */
+  def resolveSample(name: String): Option[String] =
+    if (samples.contains(name)) Some(name)
+    else samples.keys.find(_.equalsIgnoreCase(name))
   val topks: TrieMap[String, Any] = TrieMap.empty
   /** TopK name → base-table name (stream-dependent population routing). */
   val topkBases: TrieMap[String, String] = TrieMap.empty
@@ -232,9 +239,10 @@ class GraftSession(val spark: SparkSession) {
    * rows per stratum and append them to the registered sample table. Weights
    * encode the new batch's stratum totals, so weighted estimates cover base
    * plus appended data. */
-  def appendToSample(name: String, df: DataFrame, seed: Long = 43L): DataFrame = {
-    val info = state.samples.getOrElse(name,
-      throw new IllegalArgumentException(s"No sample table named $name"))
+  def appendToSample(rawName: String, df: DataFrame, seed: Long = 43L): DataFrame = {
+    val name = state.resolveSample(rawName).getOrElse(
+      throw new IllegalArgumentException(s"No sample table named $rawName"))
+    val info = state.samples(name)
     val sampled = StratifiedSampler.sample(df, info.qcs.map(expr), info.fraction,
       info.reservoirSize, seed, preFilter = true, preFilterFactor = 2.0)
     val merged = info.persistPath match {
@@ -272,9 +280,9 @@ class GraftSession(val spark: SparkSession) {
   }
 
   def dropSampleTable(name: String): Unit = {
-    state.samples.remove(name).foreach { info =>
+    state.resolveSample(name).flatMap(state.samples.remove).foreach { info =>
       info.sampleDf.unpersist()
-      spark.catalog.dropTempView(name)
+      spark.catalog.dropTempView(info.name)
     }
   }
 
@@ -407,6 +415,22 @@ class GraftSession(val spark: SparkSession) {
 object GraftSession {
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
 
+  /** Split a comma-separated expression list at paren depth 0 only, so
+   * function arguments (`substr(x, 1, 3)`) stay inside their expression. */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+    }
+    out += cur.toString
+    out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** Option-driven sampling of an arbitrary DataFrame — the shared engine
    * behind `CREATE SAMPLE TABLE ... OPTIONS(...)` and the DataFrame-side
    * `df.stratifiedSample(Map(...))` syntax. Returns
@@ -419,7 +443,11 @@ object GraftSession {
   private[graft] def sampleByOptions(base: DataFrame,
       opts0: Map[String, String]): (DataFrame, Seq[String], Double, Int) = {
     val opts = opts0.map { case (k, v) => k.toLowerCase -> v }
-    val qcsBase = opts.get("qcs").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    // top-level comma split: the QCS may hold function expressions with
+    // their own argument commas — `qcs 'carrier, substr(route, 1, 3)'` is
+    // two strata expressions, not four (reference AQP-282 uses
+    // `qcs 'hack_license, year(pickup_datetime), month(pickup_datetime)'`)
+    val qcsBase = opts.get("qcs").map(GraftSession.splitTopLevel).getOrElse(Nil)
     // time-slot strata: bucket the time column into timeInterval-ms slots and
     // make the slot part of the stratum key
     val timeQcs = opts.get("timeseriescolumn").map { ts =>
@@ -482,7 +510,9 @@ object GraftSession {
     val in = fs.open(p)
     try props.load(in) finally in.close()
     Some((props.getProperty("baseName"),
-      props.getProperty("qcs", "").split(",").filter(_.nonEmpty).toSeq,
+      // same top-level split as option parsing: function-expression QCS
+      // entries carry argument commas through the meta round-trip
+      splitTopLevel(props.getProperty("qcs", "")),
       props.getProperty("fraction").toDouble,
       props.getProperty("reservoirSize").toInt))
   }

@@ -77,7 +77,7 @@ class AqpParser(delegate: ParserInterface,
       // so `INSERT INTO MySample` must map to the sample registered as
       // `mysample` (temp-view name semantics)
       val registered = session.flatMap(s =>
-        graft.GraftState.of(s).samples.keys.find(_.equalsIgnoreCase(target)))
+        graft.GraftState.of(s).resolveSample(target))
       if (registered.isDefined) {
         return InsertIntoSampleNode(registered.get, insert.group(2))
       }
@@ -412,7 +412,7 @@ case class DropSampleTableNode(name: String, ifExists: Boolean)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val state = graft.GraftState.of(spark)
-    if (!ifExists && !state.samples.contains(name))
+    if (!ifExists && state.resolveSample(name).isEmpty)
       throw new IllegalArgumentException(s"No sample table named $name")
     graft.GraftSession(spark).dropSampleTable(name)
     Nil

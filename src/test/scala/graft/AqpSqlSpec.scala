@@ -276,6 +276,66 @@ class AqpSqlSpec extends AnyFunSuite {
     } finally gs.dropSampleTable("li_ci_s")
   }
 
+  test("function-expression QCS keeps its argument commas (AQP-282 family)") {
+    // `substr(l_shipdate, 1, 7)` is ONE stratum expression — the option
+    // parser must split the QCS list at top-level commas only (the
+    // reference strata on `hour(col)`/`year(col)` function expressions)
+    gs.sql("CREATE SAMPLE TABLE li_fq_s ON lineitem " +
+      "OPTIONS(qcs 'l_returnflag, substr(l_shipdate, 1, 7)', fraction '1.0')")
+    try {
+      val info = GraftState.of(spark).samples("li_fq_s")
+      assert(info.qcs === Seq("l_returnflag", "substr(l_shipdate, 1, 7)"))
+      // full fraction ⇒ weighted counts per function-derived stratum exact
+      val got = gs.sql(
+        """SELECT l_returnflag, substr(l_shipdate, 1, 7) AS ym, count(*) AS c
+          |FROM lineitem GROUP BY 1, 2 WITH ERROR 0.9""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = spark.sql(
+        "SELECT l_returnflag, substr(l_shipdate, 1, 7) AS ym, count(*) AS c " +
+          "FROM lineitem GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === want)
+      // the meta round-trip preserves the expression too
+      val dir = java.nio.file.Files.createTempDirectory("graft_fq_").toString
+      GraftSession.writeSampleMeta(dir, "lineitem", info.qcs, 1.0, 50,
+        spark.sessionState.newHadoopConf())
+      val read = GraftSession.readSampleMeta(dir,
+        spark.sessionState.newHadoopConf())
+      assert(read.map(_._2) === Some(info.qcs))
+    } finally gs.dropSampleTable("li_fq_s")
+  }
+
+  test("SELECT * on a sample table exposes base schema plus weight (SNAP-822)") {
+    gs.sql("CREATE SAMPLE TABLE li_star_s ON lineitem " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.2')")
+    try {
+      val df = gs.sql("SELECT * FROM li_star_s")
+      val base = spark.table("lineitem")
+      assert(df.schema.length === base.schema.length + 1,
+        s"expected base schema + weight column, got ${df.schema.map(_.name)}")
+      assert(df.schema.map(_.name).contains(graft.functions.weightColumn))
+      assert(df.collect().nonEmpty)
+    } finally gs.dropSampleTable("li_star_s")
+  }
+
+  test("DROP SAMPLE TABLE and the API resolve names case-insensitively") {
+    // same temp-view semantics as INSERT: DROP / appendToSample against a
+    // differently-cased name must find the registered sample, and the
+    // no-such-sample error must still fire for genuinely unknown names
+    gs.sql("CREATE SAMPLE TABLE li_ci_d ON lineitem " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.2')")
+    gs.appendToSample("LI_CI_D",
+      spark.sql("SELECT * FROM lineitem WHERE l_orderkey % 1000 = 0"))
+    gs.sql("DROP SAMPLE TABLE LI_CI_D")
+    assert(GraftState.of(spark).resolveSample("li_ci_d").isEmpty,
+      "differently-cased DROP must remove the sample")
+    val e = intercept[IllegalArgumentException] {
+      gs.sql("DROP SAMPLE TABLE li_ci_d")
+    }
+    assert(e.getMessage.contains("No sample table"))
+    gs.sql("DROP SAMPLE TABLE IF EXISTS li_ci_d") // no-op, no throw
+  }
+
   test("persisted sample accepts a scheme-qualified (file://) path") {
     // the metadata sidecar goes through Hadoop FileSystem like the parquet
     // itself — a java.io.File write would reject any scheme-qualified URI

@@ -370,6 +370,29 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("view with WHERE + conditional projection routes like its derived table (SNAP-3204)") {
+    // reference AbstractViewTest SNAP-3204: a view whose body filters and
+    // projects conditional expressions must route through the sample exactly
+    // like the equivalent inline derived table
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW li_ec_v4 AS " +
+      "SELECT IF(l_returnflag = 'R', l_quantity, NULL) AS rq, " +
+      "       CAST(substr(l_shipdate, 1, 4) AS INT) AS yr, l_returnflag " +
+      "FROM li_ec WHERE l_returnflag IN ('R', 'A')")
+    val viaView = gs.sql(
+      "SELECT count(*) AS x, count(*) AS sample_, absolute_error(x) AS ae " +
+        "FROM li_ec_v4 WITH ERROR 0.5").collect()(0)
+    val viaDerived = gs.sql(
+      "SELECT count(*) AS x, count(*) AS sample_ FROM (" +
+        "SELECT IF(l_returnflag = 'R', l_quantity, NULL) AS rq, " +
+        "       CAST(substr(l_shipdate, 1, 4) AS INT) AS yr, l_returnflag " +
+        "FROM li_ec WHERE l_returnflag IN ('R', 'A')) WITH ERROR 0.5")
+      .collect()(0)
+    assert(viaView.getLong(1) === viaDerived.getLong(1))
+    // both are estimates of the same filtered count from the same sample
+    assert(viaView.getLong(0) === viaDerived.getLong(0))
+    spark.sql("DROP VIEW IF EXISTS li_ec_v4")
+  }
+
   test("query on a VIEW over the base table still uses AQP (SNAP-3131)") {
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW li_ec_view AS " +
       "SELECT * FROM li_ec WHERE l_quantity IS NOT NULL")

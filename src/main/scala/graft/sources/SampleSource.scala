@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.datasources.DataSource
+import org.apache.spark.sql.sources._
+
+/**
+ * Sample-table DataSource (the reference registers `SampleDataSourceAPI` /
+ * `SnappyContext.SAMPLE_SOURCE` so `df.write.format(...)` creates a sample —
+ * `SamplingDataSourceAPITest.scala:94-150`):
+ *
+ * {{{
+ *   df.write.format("graft-sample")
+ *     .option("qcs", "carrier").option("fraction", "0.03")
+ *     .option("path", dir).mode(SaveMode.Overwrite).save()
+ *   val sample = spark.read.format("graft-sample").option("path", dir).load()
+ * }}}
+ *
+ * The write path samples the batch through the shared option engine
+ * (qcs / fraction / strataReservoirSize / seed / timeSeriesColumn /
+ * errorLimit*) and persists sampled rows + weight column as plain parquet,
+ * with the registry metadata file alongside — so the result is also
+ * re-attachable via `GraftSession.attachSampleTable` and recognized as a
+ * sample by its weight column (AQP-211) when read back raw.
+ *
+ * The read path resolves the actual parquet relation (full filter pushdown
+ * and column pruning — never a degraded `TableScan`).
+ */
+class SampleSource extends CreatableRelationProvider with RelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-sample"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-sample needs .option(\"path\", dir) — path-based save/load only"))
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val exists = fsPath.getFileSystem(hadoopConf).exists(fsPath)
+    if (exists && mode == SaveMode.ErrorIfExists) {
+      throw new IllegalArgumentException(
+        s"path $path already exists (mode ErrorIfExists)")
+    }
+    if (!(exists && mode == SaveMode.Ignore)) {
+      val (sampled, qcs, fraction, reservoirSize) =
+        graft.GraftSession.sampleByOptions(data, parameters)
+      // Append re-samples the incoming batch per stratum, the same semantic
+      // as INSERT INTO a sample table: each batch's weights encode that
+      // batch's stratum totals
+      val writeMode =
+        if (mode == SaveMode.Append && exists) "append" else "overwrite"
+      sampled.write.mode(writeMode).parquet(path)
+      graft.GraftSession.writeSampleMeta(path,
+        parameters.getOrElse("baseTable", parameters.getOrElse("basetable", "")),
+        qcs, fraction, reservoirSize, hadoopConf)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    DataSource(sqlContext.sparkSession, className = "parquet",
+      paths = Seq(pathOf(parameters))).resolveRelation()
+}

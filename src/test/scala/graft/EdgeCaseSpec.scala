@@ -486,4 +486,66 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(a.getDouble(1) - x.getDouble(1)) < 1e-6)
     }
   }
+
+  test("AQP-128/96/206/77: function-name aliases, case-insensitive error-fn refs") {
+    // the reference aliases aggregates as COUNT/COUNT1 and references them
+    // from error functions in a different case — alias binding must be
+    // case-insensitive and reserved-ish alias names must not confuse the
+    // rewrite; the duplicated aggregate must come back identical
+    val rows = gs.sql(
+      """SELECT l_returnflag, avg(l_quantity) AS COUNT, avg(l_quantity) AS COUNT1,
+        |       absolute_error(count1) AS ae
+        |FROM li_ec GROUP BY l_returnflag ORDER BY l_returnflag DESC
+        |WITH ERROR 0.9""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        "identical aggregates under different aliases must agree")
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // descending order actually applied
+    val flags = rows.map(_.getString(0))
+    assert(flags === flags.sorted.reverse)
+  }
+
+  test("BEHAVIOR-only clause with HAVING on a plain aggregate (AQP-128 rs2 shape)") {
+    val df = gs.sql(
+      """SELECT l_returnflag, avg(l_quantity) AS a
+        |FROM li_ec GROUP BY l_returnflag
+        |HAVING avg(l_quantity) > 20 BEHAVIOR 'do_nothing'""".stripMargin)
+    assert(org.apache.spark.sql.graft.AqpInfo.usesSample(df),
+      "BEHAVIOR-only clause must still route through the sample")
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getDouble(1) > 20,
+      "HAVING must filter on the weighted estimate"))
+  }
+
+  test("AQP-225: join of two aggregated+limited subqueries under implicit AQP") {
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_ec")
+    spark.conf.set("spark.sql.aqp.error", "0.9")
+    try {
+      // sampled side: top groups of lineitem by estimated count; exact side:
+      // top orders customers — one sample per query, the join stays sane
+      // l_linestatus (O/F) overlaps o_orderstatus (O/F/P)
+      val df = gs.sql(
+        """SELECT t.l_linestatus, t.trips, e.earn FROM
+          | (SELECT l_linestatus, count(l_quantity) AS trips
+          |  FROM li_ec GROUP BY l_linestatus ORDER BY trips DESC LIMIT 10) t
+          |JOIN
+          | (SELECT o_orderstatus, sum(o_totalprice) AS earn
+          |  FROM ord_ec GROUP BY o_orderstatus ORDER BY earn DESC LIMIT 10) e
+          |ON t.l_linestatus = e.o_orderstatus
+          |ORDER BY e.earn DESC""".stripMargin)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // estimated trip counts are near the exact ones (implicit AQP applied)
+      val exact = spark.sql(
+        "SELECT l_linestatus, count(l_quantity) FROM li_ec GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows.foreach { r =>
+        val rel = math.abs(r.getLong(1).toDouble / exact(r.getString(0)) - 1)
+        assert(rel < 0.2, s"${r.getString(0)} estimate off by $rel")
+      }
+    } finally spark.conf.unset("spark.sql.aqp.error")
+  }
 }

@@ -51,13 +51,22 @@ class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 2 => s" WHERE l_extendedprice < ${5000 + rnd.nextInt(50000)}"
     }
     val having = if (rnd.nextBoolean()) " HAVING count(*) > 0" else ""
+    // grouping-set shapes thread the weight through Expand (q18's rule);
+    // every composite group key is unique, so ORDER BY groups is total and
+    // an optional LIMIT compares prefix-for-prefix
+    val grpExpr = rnd.nextInt(6) match {
+      case 4 => s"ROLLUP(${groups.mkString(", ")})"
+      case 5 => s"CUBE(${groups.mkString(", ")})"
+      case _ => groups.mkString(", ")
+    }
+    val limit = if (rnd.nextInt(3) == 0) s" LIMIT ${3 + rnd.nextInt(7)}" else ""
     val order = s" ORDER BY ${groups.mkString(", ")}"
     val select = s"SELECT ${groups.mkString(", ")}, ${aggDefs.mkString(", ")}"
-    val core = s"$select FROM li_fz$where GROUP BY ${groups.mkString(", ")}$having$order"
+    val core = s"$select FROM li_fz$where GROUP BY $grpExpr$having$order$limit"
     // error functions on the first aggregate alias — must be exactly zero
     val aqp = s"$select, round(absolute_error(a0), 6) AS ae, " +
       s"round(relative_error(a0), 6) AS re " +
-      s"FROM li_fz$where GROUP BY ${groups.mkString(", ")}$having$order WITH ERROR 0.9"
+      s"FROM li_fz$where GROUP BY $grpExpr$having$order$limit WITH ERROR 0.9"
     (core, aqp)
   }
 

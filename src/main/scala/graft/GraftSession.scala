@@ -36,6 +36,8 @@ final class GraftState {
     if (samples.contains(name)) Some(name)
     else samples.keys.find(_.equalsIgnoreCase(name))
   val topks: TrieMap[String, Any] = TrieMap.empty
+  /** TopK name → persist path (sketch snapshot re-saved on each append). */
+  val topkPaths: TrieMap[String, String] = TrieMap.empty
   /** TopK name → base-table name (stream-dependent population routing). */
   val topkBases: TrieMap[String, String] = TrieMap.empty
   /** SQL-declared stream tables (`CREATE STREAM TABLE`). */
@@ -348,13 +350,103 @@ class GraftSession(val spark: SparkSession) {
     state.topks.put(name.toLowerCase, st)
     state.topkBases.put(name.toLowerCase, baseName)
     refreshTopkView(st)
+    // OPTIONS(path ...): persist the sketch snapshot so a fresh session can
+    // re-attach without replaying the base (same restart semantics as
+    // path-backed samples; the reference's TopKs live in its store)
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .foreach { p =>
+        state.topkPaths.put(name.toLowerCase, p)
+        saveTopK(name, p)
+      }
     st
   }
 
   /** Append a micro-batch / DataFrame into an existing TopK structure
    * (the relation-backed view reads live state — no refresh needed). */
-  def appendToTopK(name: String, df: DataFrame): Unit =
+  def appendToTopK(name: String, df: DataFrame): Unit = {
     topkState(name).append(df)
+    // path-backed TopKs re-persist after every append: the snapshot is a
+    // few KB per retained bucket (bounded by maxDriverEntries), so the
+    // rewrite is cheap relative to the append's sketch-build job
+    state.topkPaths.get(name.toLowerCase).foreach(p => saveTopK(name, p))
+  }
+
+  /** Persist a TopK structure's options + full sketch snapshot under
+   * `path` (Hadoop FS — works for hdfs:// and s3a:// paths like the
+   * sample persist path). */
+  def saveTopK(name: String, path: String): Unit = {
+    val st = topkState(name)
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val props = new java.util.Properties()
+    val o = st.opts
+    props.setProperty("key", o.key)
+    o.timeSeriesColumn.foreach(props.setProperty("timeseriescolumn", _))
+    props.setProperty("timeinterval", o.timeIntervalMs.toString)
+    props.setProperty("size", o.size.toString)
+    props.setProperty("depth", o.depth.toString)
+    props.setProperty("width", o.width.toString)
+    props.setProperty("maxinterval", o.maxInterval.toString)
+    props.setProperty("streamsummary", o.streamSummary.toString)
+    o.frequencyCol.foreach(props.setProperty("frequencycol", _))
+    props.setProperty("capacity", o.capacity.toString)
+    props.setProperty("seed", o.seed.toString)
+    props.setProperty("timeunit", o.timeUnit)
+    props.setProperty("itemaggregation", o.itemAggregation.toString)
+    props.setProperty("maxdriverentries", o.maxDriverEntries.toString)
+    props.setProperty("__keytype",
+      if (st.keyType == org.apache.spark.sql.types.StringType) "string" else "long")
+    props.setProperty("__base",
+      state.topkBases.getOrElse(name.toLowerCase, ""))
+    val metaOut = fs.create(new org.apache.hadoop.fs.Path(dir, GraftSession.TopkMetaFile), true)
+    try props.store(metaOut, "graft topk registry") finally metaOut.close()
+    val binOut = fs.create(new org.apache.hadoop.fs.Path(dir, GraftSession.TopkBinFile), true)
+    try binOut.write(st.buckets.snapshotBytes) finally binOut.close()
+  }
+
+  /** Re-attach a persisted TopK structure in a fresh session without
+   * replaying the base table (counterpart of [[attachSampleTable]]). */
+  def attachTopKTable(name: String, path: String): graft.topk.TopKState = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val metaPath = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkMetaFile)
+    if (!fs.exists(metaPath)) {
+      throw new IllegalArgumentException(
+        s"No TopK registry metadata (${GraftSession.TopkMetaFile}) under $path")
+    }
+    val props = new java.util.Properties()
+    val in = fs.open(metaPath)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    val optsMap = props.stringPropertyNames().asScala
+      .filterNot(_.startsWith("__"))
+      .map(k => k -> props.getProperty(k)).toMap
+    val opts = graft.topk.TopKOptions.fromOptions(optsMap)
+    val keyType =
+      if (props.getProperty("__keytype") == "string")
+        org.apache.spark.sql.types.StringType
+      else org.apache.spark.sql.types.LongType
+    val st = new graft.topk.TopKState(name, opts, keyType)
+    val binPath = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkBinFile)
+    val binIn = fs.open(binPath)
+    val bytes =
+      try {
+        val len = fs.getFileStatus(binPath).getLen.toInt
+        val b = new Array[Byte](len); binIn.readFully(b); b
+      } finally binIn.close()
+    st.buckets.restoreFrom(bytes)
+    state.topks.put(name.toLowerCase, st)
+    props.getProperty("__base", "") match {
+      case "" =>
+      case b => state.topkBases.put(name.toLowerCase, b)
+    }
+    state.topkPaths.put(name.toLowerCase, path)
+    refreshTopkView(st)
+    st
+  }
 
   /** TopK structures are queryable as tables (`SELECT * FROM topkName` —
    * reference `TopKRelation.buildScan`, `sql/topk/TopKRelation.scala:59-86`)
@@ -484,6 +576,16 @@ object GraftSession {
    * samples survive restarts through its store catalog). Underscore-prefixed
    * so parquet readers ignore it. */
   val MetaFile = "_graft_sample.meta"
+  val TopkMetaFile = "_graft_topk.meta"
+  val TopkBinFile = "_graft_topk.bin"
+
+  /** True when `path` holds persisted TopK registry metadata. */
+  def topkMetaExists(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, TopkMetaFile)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.getFileStatus(p).isFile
+  }
 
   private[graft] def writeSampleMeta(path: String, baseName: String,
       qcs: Seq[String], fraction: Double, reservoirSize: Int,

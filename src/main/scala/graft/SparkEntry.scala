@@ -975,6 +975,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Composed tokenize → chunk → pack pipeline (the full pretraining
+    // slicing path): documents split into 64-token chunks, chunks packed
+    // into 512-token sequences in (doc_id, chunk_index) order. Chunk token
+    // counts are a pure function of the document's token count
+    // (min(64, tok - 64·i)), so DuckDB can restate every chunk placement.
+    "q55_chunk_pack" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(tokenCountWs(col("text")) >= 1)
+      val chunked = graft.pipeline.Pipeline.chunk(docs, "text", chunkTokens = 64)
+        .select(col("doc_id"), col("chunk_index"),
+          tokenCountWs(col("chunk_text")).cast("long").as("ctok"))
+      graft.pipeline.Pipeline.packSequences(
+          chunked, col("ctok"), Seq(col("doc_id"), col("chunk_index")), 512)
+        .select(col("doc_id"), col("chunk_index"), col("ctok"),
+          col("seq_first"), col("seq_last"), col("seq_offset"))
+        .orderBy(col("doc_id"), col("chunk_index"))
+    }),
+
     // Mixture rebalancing: thin the over-represented languages so the
     // output matches a target mix (en 30%, others 17.5% each), keeping all
     // of the binding stratum. Selection is a pure multiplicative-hash row
@@ -1341,6 +1361,28 @@ object SparkEntry {
         |  CAST(FLOOR(GREATEST(c - 1, c - tok) / 512) AS BIGINT) AS seq_last,
         |  CAST((c - tok) % 512 AS BIGINT) AS seq_offset
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "q55_chunk_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS tok
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, n.i AS chunk_index, LEAST(64, tok - 64 * n.i) AS ctok
+        |  FROM toks JOIN range(0, 8192) n(i) ON n.i * 64 < tok
+        |  WHERE tok > 0),
+        |cum AS (
+        |  SELECT doc_id, chunk_index, ctok, SUM(ctok) OVER (
+        |    ORDER BY doc_id, chunk_index
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM chunks)
+        |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+        |  CAST(ctok AS BIGINT) AS ctok,
+        |  CAST(FLOOR((c - ctok) / 512) AS BIGINT) AS seq_first,
+        |  CAST(FLOOR(GREATEST(c - 1, c - ctok) / 512) AS BIGINT) AS seq_last,
+        |  CAST((c - ctok) % 512 AS BIGINT) AS seq_offset
+        |FROM cum ORDER BY doc_id, chunk_index""".stripMargin,
 
     "q54_mixture_rebalance" ->
       """WITH tgt(lang, t) AS (VALUES

@@ -198,6 +198,17 @@ final class TimeBucketedSketch(
     if (mins.isEmpty) None else Some((mins.min, maxs.max))
   }
 
+  /** Replace this sketch's entire bucket state from a snapshot (the
+   * re-attach path of a persisted TopK table). Config fields are taken
+   * from this instance; the snapshot's buckets overwrite in place. */
+  def restoreFrom(bytes: Array[Byte]): Unit = {
+    val t = TimeBucketedSketch.fromSnapshot(bytes)
+    intervals.clear(); history.clear(); folds.clear()
+    intervals ++= t.intervals
+    history ++= t.history
+    folds ++= t.folds
+  }
+
   /** Full-state byte snapshot (config + an empty prototype from `mk` +
    * every bucket), the unit Kryo/checkpoint serialization delegates to —
    * `mk` itself is an arbitrary closure and never crosses the wire. */

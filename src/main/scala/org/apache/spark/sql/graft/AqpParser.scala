@@ -391,7 +391,16 @@ case class CreateTopkTableNode(name: String, base: String,
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val gs = graft.GraftSession(spark)
     if (!(ifNotExists && gs.state.topks.contains(name.toLowerCase))) {
-      gs.createTopK(name, base, options)
+      // IF NOT EXISTS + a path holding persisted state: re-attach the
+      // sketch snapshot instead of replaying the base (restart semantics,
+      // mirroring path-backed samples)
+      val path = options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("path") => v
+      }
+      val canAttach = ifNotExists && path.exists(p =>
+        graft.GraftSession.topkMetaExists(p, spark.sessionState.newHadoopConf()))
+      if (canAttach) gs.attachTopKTable(name, path.get)
+      else gs.createTopK(name, base, options)
     }
     Nil
   }
@@ -427,6 +436,7 @@ case class DropTopkTableNode(name: String, ifExists: Boolean)
       throw new IllegalArgumentException(s"No TopK structure named $name")
     state.topks.remove(name.toLowerCase).foreach { _ =>
       state.topkBases.remove(name.toLowerCase)
+      state.topkPaths.remove(name.toLowerCase)
       spark.catalog.dropTempView(name)
     }
     Nil

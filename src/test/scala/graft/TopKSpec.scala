@@ -167,4 +167,34 @@ class TopKSpec extends AnyFunSuite {
       "streamSummary 'true', capacity '1000000', maxDriverEntries '1000000')")
     assert(gs.queryTopK("tk_guard_ok", k = 5).collect().length === 5)
   }
+
+  test("path-backed TopK survives a 'restart': IF NOT EXISTS re-attaches the snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkp_").toString + "/tk"
+    gs.sql("CREATE TOPK TABLE tk_persist ON events OPTIONS(key 'event_type', " +
+      s"size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val before = gs.queryTopK("tk_persist", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    // simulate a fresh session: forget the registry entry and the view
+    GraftState.of(spark).topks.remove("tk_persist")
+    GraftState.of(spark).topkPaths.remove("tk_persist")
+    spark.catalog.dropTempView("tk_persist")
+    gs.sql("CREATE TOPK TABLE IF NOT EXISTS tk_persist ON events OPTIONS(" +
+      s"key 'event_type', size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val after = gs.queryTopK("tk_persist", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(after === before,
+      "re-attached TopK must answer identically WITHOUT replaying the base " +
+        "(a replay would double every count)")
+    // appends keep flowing and re-persist: counts double after re-append
+    gs.appendToTopK("tk_persist", spark.table("events"))
+    GraftState.of(spark).topks.remove("tk_persist")
+    spark.catalog.dropTempView("tk_persist")
+    gs.attachTopKTable("tk_persist", dir)
+    val doubled = gs.queryTopK("tk_persist", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (k, v) =>
+      assert(doubled(k) === 2 * v, s"$k: ${doubled(k)} != 2*$v")
+    }
+    gs.sql("DROP TOPK TABLE tk_persist")
+  }
 }

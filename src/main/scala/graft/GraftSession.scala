@@ -130,7 +130,7 @@ class GraftSession(val spark: SparkSession) {
                   _: CreateTopkTableNode | _: DropSampleTableNode |
                   _: DropTopkTableNode | _: CreateStreamTableNode |
                   _: DropStreamTableNode | _: StreamingControlNode |
-                  _: InsertIntoSampleNode) =>
+                  _: InsertIntoSampleNode | _: InsertIntoTopkNode) =>
         cmd.asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand]
           .run(spark)
         spark.emptyDataFrame

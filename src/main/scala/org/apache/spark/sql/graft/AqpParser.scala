@@ -81,6 +81,12 @@ class AqpParser(delegate: ParserInterface,
       if (registered.isDefined) {
         return InsertIntoSampleNode(registered.get, insert.group(2))
       }
+      // same surface for TopK structures: the rows stream into the sketch
+      // (the view over TopK state is not insertable through stock Spark)
+      if (session.exists(s =>
+          graft.GraftState.of(s).topks.contains(target.toLowerCase))) {
+        return InsertIntoTopkNode(target, insert.group(2))
+      }
     }
     val dropSample = DropSamplePattern.matcher(sqlText)
     if (dropSample.matches()) {
@@ -381,6 +387,16 @@ case class InsertIntoSampleNode(name: String, querySql: String)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     graft.GraftSession(spark).appendToSample(name, spark.sql(querySql))
+    Nil
+  }
+}
+
+/** Appends query results into a registered TopK structure's sketches
+ * (the SQL counterpart of `appendToTopK`; path-backed TopKs re-persist). */
+case class InsertIntoTopkNode(name: String, querySql: String)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.GraftSession(spark).appendToTopK(name, spark.sql(querySql))
     Nil
   }
 }

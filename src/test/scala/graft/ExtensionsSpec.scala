@@ -59,6 +59,41 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopK INSERT and path re-attach run once through plain spark.sql") {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ext)
+    try {
+      ext.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ext.read.parquet(s"${TestSpark.sf}/events.parquet")
+        .createOrReplaceTempView("ev_ext")
+      val dir = java.nio.file.Files.createTempDirectory("graft_exttk_").toString + "/tk"
+      ext.sql("CREATE TOPK TABLE tk_ext ON ev_ext OPTIONS(key 'event_type', " +
+        s"size '5', streamSummary 'true', capacity '100000', path '$dir')")
+      val gs = new GraftSession(ext)
+      val base = gs.queryTopK("tk_ext", k = 3).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the command must execute exactly once per statement: counts double,
+      // never triple (the double-wrapped-Dataset hazard)
+      ext.sql("INSERT INTO tk_ext SELECT * FROM ev_ext")
+      val doubled = gs.queryTopK("tk_ext", k = 3).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      base.foreach { case (k, v) => assert(doubled(k) === 2 * v, s"$k") }
+      // restart: registry forgotten, IF NOT EXISTS re-attaches the
+      // post-insert snapshot (no base replay)
+      GraftState.of(ext).topks.remove("tk_ext")
+      GraftState.of(ext).topkPaths.remove("tk_ext")
+      ext.catalog.dropTempView("tk_ext")
+      ext.sql("CREATE TOPK TABLE IF NOT EXISTS tk_ext ON ev_ext OPTIONS(" +
+        s"key 'event_type', size '5', streamSummary 'true', capacity '100000', path '$dir')")
+      val attached = gs.queryTopK("tk_ext", k = 3).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(attached === doubled)
+      ext.sql("DROP TOPK TABLE tk_ext")
+    } finally {
+      SparkSession.setActiveSession(prev.orNull)
+    }
+  }
+
   test("new grammar surface through plain spark.sql: standalone clause, INSERT, implicit AQP") {
     val prev = SparkSession.getActiveSession
     SparkSession.setActiveSession(ext)

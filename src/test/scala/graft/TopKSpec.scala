@@ -168,6 +168,18 @@ class TopKSpec extends AnyFunSuite {
     assert(gs.queryTopK("tk_guard_ok", k = 5).collect().length === 5)
   }
 
+  test("INSERT INTO <topk> SELECT streams rows into the sketch") {
+    gs.sql("CREATE TOPK TABLE tk_ins ON events OPTIONS(key 'event_type', " +
+      "size '5', streamSummary 'true', capacity '100000')")
+    val before = gs.queryTopK("tk_ins", k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    gs.sql("INSERT INTO tk_ins SELECT * FROM events")
+    val after = gs.queryTopK("tk_ins", k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (k, v) => assert(after(k) === 2 * v, s"$k") }
+    gs.sql("DROP TOPK TABLE tk_ins")
+  }
+
   test("path-backed TopK survives a 'restart': IF NOT EXISTS re-attaches the snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tkp_").toString + "/tk"
     gs.sql("CREATE TOPK TABLE tk_persist ON events OPTIONS(key 'event_type', " +

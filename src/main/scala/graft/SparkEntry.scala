@@ -995,6 +995,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_index"))
     }),
 
+    // Unigram-LM quality scoring: per-source mean of the per-document mean
+    // log10 token probability under the corpus's own unigram distribution
+    // (the classic cheap LM filter). Pure integer counts feed the log, so
+    // DuckDB restates it to rounding.
+    "q56_unigram_lm" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.pipeline.Pipeline.unigramLogProb(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(avg(col("logp")), 6).as("avg_logp"))
+        .orderBy(col("source"))
+    }),
+
     // Mixture rebalancing: thin the over-represented languages so the
     // output matches a target mix (en 30%, others 17.5% each), keeping all
     // of the binding stratum. Selection is a pure multiplicative-hash row
@@ -1361,6 +1376,26 @@ object SparkEntry {
         |  CAST(FLOOR(GREATEST(c - 1, c - tok) / 512) AS BIGINT) AS seq_last,
         |  CAST((c - tok) % 512 AS BIGINT) AS seq_offset
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "q56_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |clean AS (SELECT * FROM toks WHERE tok <> ''),
+        |tot AS (SELECT COUNT(*) AS n FROM clean),
+        |doc AS (
+        |  SELECT doc_id, ANY_VALUE(source) AS source,
+        |    COUNT(*) AS n_tokens,
+        |    AVG(LOG10(tf / (SELECT n FROM tot))) AS logp
+        |  FROM (SELECT c.doc_id, c.source, f.tf
+        |        FROM clean c JOIN (SELECT tok, COUNT(*) AS tf
+        |                           FROM clean GROUP BY tok) f USING (tok))
+        |  GROUP BY doc_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(logp), 6) AS avg_logp
+        |FROM doc GROUP BY source ORDER BY source""".stripMargin,
 
     "q55_chunk_pack" ->
       """WITH toks AS (

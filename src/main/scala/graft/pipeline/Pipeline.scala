@@ -210,6 +210,33 @@ object Pipeline {
   }
 
   /**
+   * Corpus-derived unigram language-model scores — the classic cheap LM
+   * quality filter: per document, the mean log10 probability of its
+   * whitespace tokens under the corpus's own unigram distribution.
+   * Common-word prose scores high; gibberish, boilerplate and
+   * wrong-language text score low.
+   *
+   * Scale shape: token frequencies are one map-side-combined groupBy
+   * (shuffle ∝ distinct vocabulary, not corpus size); scoring joins the
+   * token stream to the frequency table on the token (linear, never
+   * broadcastable vocabulary assumed) and re-aggregates per document.
+   * Only ONE scalar (the total token count) touches the driver.
+   *
+   * Returns `idCol, n_tokens, logp` (mean log10 token probability).
+   */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__tok__"))
+      .filter(col("__tok__") =!= "")
+    val freq = toks.groupBy(col("__tok__")).agg(count(lit(1)).as("__tf__"))
+    val total = freq.agg(sum(col("__tf__"))).collect()(0).getLong(0)
+    toks.join(freq, "__tok__")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log10(col("__tf__") / lit(total))).as("logp"))
+  }
+
+  /**
    * Deterministic training-mix rebalancing: subsample each stratum so the
    * output's per-stratum proportions match `targets` (normalized), keeping
    * every row of the binding stratum — the one already scarcest relative to

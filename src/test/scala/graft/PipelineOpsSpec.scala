@@ -141,6 +141,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       "budget must select a strict non-empty prefix for the test to bite")
   }
 
+  test("unigram LM score: common-word docs above gibberish, token counts exact") {
+    import spark.implicits._
+    val common = docs.orderBy("doc_id").limit(50).select(col("doc_id"), col("text"))
+    val planted = Seq(
+      (900001L, "zxqv jkwpl vmbtr qqzxy wfjkl pzmvb xxyzk rrqwv"),
+      (900002L, "the and for with that this from have are was"))
+      .toDF("doc_id", "text")
+    val scored = Pipeline.unigramLogProb(common.unionByName(planted), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every token of the gibberish doc is unique corpus-wide → minimal
+    // probability; the stopword doc's tokens recur → higher score
+    assert(scored(900001L)._2 < scored(900002L)._2,
+      s"gibberish ${scored(900001L)} must score below stopwords ${scored(900002L)}")
+    assert(scored(900001L)._1 === 8L && scored(900002L)._1 === 10L)
+    // deterministic across runs
+    val again = Pipeline.unigramLogProb(common.unionByName(planted), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    scored.foreach { case (k, (_, p)) => assert(again(k) === p) }
+  }
+
   test("mixture rebalance: binding stratum whole, shares near target, pure row function") {
     val targets = Map("en" -> 0.30, "de" -> 0.175, "es" -> 0.175,
       "fr" -> 0.175, "zh" -> 0.175)

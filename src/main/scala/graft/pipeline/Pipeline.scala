@@ -229,7 +229,11 @@ object Pipeline {
       .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__tok__"))
       .filter(col("__tok__") =!= "")
     val freq = toks.groupBy(col("__tok__")).agg(count(lit(1)).as("__tf__"))
-    val total = freq.agg(sum(col("__tf__"))).collect()(0).getLong(0)
+    // sum over an empty frequency table is NULL — an all-empty corpus must
+    // yield an empty result, not an NPE (the join below is already empty;
+    // the placeholder total never meets a row)
+    val totalRow = freq.agg(sum(col("__tf__"))).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
     toks.join(freq, "__tok__")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

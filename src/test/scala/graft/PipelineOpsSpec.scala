@@ -159,6 +159,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = Pipeline.unigramLogProb(common.unionByName(planted), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     scored.foreach { case (k, (_, p)) => assert(again(k) === p) }
+    // degenerate corpora: empty frame and all-whitespace texts yield empty
+    // results, never an NPE on the null total
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Pipeline.unigramLogProb(empty, "doc_id", "text").count() === 0L)
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(Pipeline.unigramLogProb(blank, "doc_id", "text").count() === 0L)
   }
 
   test("mixture rebalance: binding stratum whole, shares near target, pure row function") {

@@ -7,6 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // respect the 64 MB advisory target when AQE coalesces post-shuffle
+      // partitions instead of preserving parallelism: multi-stage queries
+      // over small-to-mid shuffles otherwise run `cpus` near-empty reduce
+      // tasks per stage and scheduling overhead dominates. At scale the
+      // partition count is bytes-driven either way (Spark docs recommend
+      // false for exactly this reason).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,21 +33,26 @@ object Bench {
     // without paying for the other 50 queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    // sorted-by-name: hash-map iteration order varies between JVMs/builds,
+    // and a stable ordering makes local runs reproduce the driver's run
+    // shape (same warm caches before each query) round over round
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
     selected.foreach { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"BENCH WARMUP FAILED $name: ${e.getMessage}")
       }
     }
-    // median of 3 timed passes per query: single-run times on this box vary
-    // ±40% from JIT/GC (r02's q37 measured 7.9 s against a 0.8 s steady
-    // state), which makes round-over-round comparison meaningless. The
-    // median is robust to one bad run and still penalizes real plan cost.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // median of 4 timed passes per query (matching the driver's n=4
+    // harness, so local totals predict the operative BENCH_r{N} number):
+    // single-run times on this box vary ±40% from JIT/GC (r02's q37
+    // measured 7.9 s against a 0.8 s steady state), which makes
+    // round-over-round comparison meaningless. The median is robust to one
+    // bad run and still penalizes real plan cost.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
     val results = selected.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -55,7 +67,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

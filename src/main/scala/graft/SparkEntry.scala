@@ -365,9 +365,14 @@ object SparkEntry {
         .collect()(0).getSeq[Float](0).toArray
       val (assigned, centroids) =
         graft.ann.Ann.ivfIndex(emb, "vec_id", "embedding", nClusters = 16)
-      graft.ann.Ann.ivfKnn(assigned, centroids, "vec_id", "embedding", q,
-        k = 10, nprobe = 16)
+      val res = graft.ann.Ann.ivfKnn(assigned, centroids, "vec_id", "embedding",
+        q, k = 10, nprobe = 16)
         .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+      // this gate probes the index exactly once — retire it immediately so
+      // no cache entry outlives the query (the single probe scan recomputes
+      // the assignment map, a pure one-pass projection)
+      assigned.unpersist(blocking = false)
+      res
     }),
 
     // --- §2.5 sample-base joins through the AQP rewrite ----------------------

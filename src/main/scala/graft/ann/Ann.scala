@@ -281,18 +281,27 @@ object Ann {
       threshold: Double, numPlanes: Int = 12, seed: Long = 7L): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, numPlanes, seed)
-    // persist: both join sides read the bucketed vectors, and the H
-    // hyperplane dot products per row dominate — don't compute them twice
-    val bucketed = graft.core.Fanout(df)
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        lshBucket(col(vecCol), planes).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    // No cache (an operator-internal persist leaks storage past the query).
+    // The candidate join is forced to a shuffle join over NARROW
+    // (bucket, id) rows — both sides' exchanges canonicalize identically,
+    // so stage reuse computes the H hyperplane dot products once, and the
+    // vectors never ride the candidate shuffle. Vectors are fetched
+    // afterwards for the surviving pairs only (AQE broadcasts the pair set
+    // when small) to evaluate the exact cosine.
+    val src = graft.core.Fanout(df)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = src.select(col("id"), lshBucket(col("v"), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"))
+    val pairIds = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val va = src.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = src.select(col("id").as("id_b"), col("v").as("v_b"))
+    pairIds.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 }

@@ -59,30 +59,39 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val src = graft.core.Fanout(df)
-    // cache the signatures: the self-join below consumes them on both sides,
-    // and signature computation (O(len) rolling hashes x numHashes updates)
-    // dominates the stage — without the cache it runs twice
+    // No cache: an operator-internal persist leaks executor storage past the
+    // query (the handle never escapes this method). Instead the candidate
+    // join is forced to a shuffle join over NARROW (band, bucket, id) rows —
+    // both sides' exchanges are byte-identical, so exchange/stage reuse
+    // computes the signatures ONCE in the shared shuffle map stage, and the
+    // 128-long signatures never ride the candidate shuffle (16 bands × 1 KB
+    // per doc otherwise — at corpus scale the banding shuffle must move
+    // ids, not payloads). Signatures are fetched afterwards for the
+    // surviving pairs only (AQE broadcasts the pair set when it is small).
     val sig = src.select(col(idCol).as("id"),
       minhashSignature(col(contentCol), numHashes, shingleK).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sig.select(col("id"), col("sig"),
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairIds = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val sa = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairIds.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
           .as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash fingerprint column (bigint). */
@@ -93,18 +102,20 @@ object Dedup {
    * exact 16-bit chunk), so no O(n²) cross join. */
   def simhashPairs(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // persist: the self-join consumes the fingerprints on both sides, and the
-    // 64-bit weighted-token hash dominates the stage — don't compute it twice
+    // the self-join consumes the fingerprints on both sides, and the 64-bit
+    // weighted-token hash dominates the stage — rather than caching (which
+    // would leak storage past the query), force a shuffle join: identical
+    // (chunk, ckey) exchanges on both sides are stage-reused, so the
+    // fingerprints compute once in the shared shuffle map stage
     val fp = graft.core.Fanout(df)
       .select(col(idCol).as("id"), simhash(col(contentCol)).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("chunk", "ckey"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
@@ -137,11 +148,12 @@ object Dedup {
     // singletons at the end, so per-round shuffles scale with the duplicate
     // graph, not the corpus
     val spark = pairs.sparkSession
-    def materialize(df: DataFrame): (DataFrame, () => Unit) =
-      org.apache.spark.sql.graft.Plans.materialize(spark, df)
+    def materialize(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[_ <: Any]) =
+      org.apache.spark.sql.graft.Plans.materializeWithRdd(spark, df)
 
     // invariant: every edge points downward (src > dst)
-    var (edges, release) = materialize(
+    var (edges, edgesRdd) = materialize(
       pairs.filter(col("id_a") =!= col("id_b"))
         .select(greatest(col("id_a"), col("id_b")).as("src"),
           least(col("id_a"), col("id_b")).as("dst"))
@@ -178,26 +190,30 @@ object Dedup {
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val (next, releaseNext) = materialize(smallStar(largeStar(edges)))
+      val (next, nextRdd) = materialize(smallStar(largeStar(edges)))
       // equal edge sets ⇒ fixed point (both frames are distinct sets, so
       // equal counts + no new edge ⇒ identical)
       val changed = next.count() != edges.count() ||
         next.join(edges, Seq("src", "dst"), "left_anti").take(1).nonEmpty
-      release()
+      edgesRdd.unpersist(blocking = false)
       edges = next
-      release = releaseNext
+      edgesRdd = nextRdd
       converged = !changed
       iter += 1
     }
     if (!converged) {
       // silently returning a half-contracted graph would split one
       // component into several cluster_ids — refuse instead
-      release()
+      edgesRdd.unpersist(blocking = false)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIterations " +
           "alternating star rounds (~log2 of the duplicate-chain " +
           "diameter needed); raise maxIterations")
     }
+    // The final star forest cannot be dropped here (the join below is lazy)
+    // — release it as soon as the caller's first consuming action finishes,
+    // so no cache entry outlives the query.
+    org.apache.spark.sql.graft.Plans.releaseAfterFirstUse(spark, edgesRdd)
     // fixed point = forest of stars rooted at each component's minimum id
     ids.select(col(idCol))
       .join(edges.withColumnRenamed("src", idCol)

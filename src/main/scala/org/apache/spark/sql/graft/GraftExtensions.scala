@@ -22,12 +22,62 @@ object Plans {
    * normal RDD recompute of the persisted map.
    */
   def materialize(spark: SparkSession, df: DataFrame): (DataFrame, () => Unit) = {
+    val (out, rdd) = materializeWithRdd(spark, df)
+    (out, () => { rdd.unpersist(blocking = false); () })
+  }
+
+  /** [[materialize]] exposing the persisted RDD itself, for callers that
+   * hand the release off to [[releaseAfterFirstUse]]. */
+  def materializeWithRdd(spark: SparkSession, df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, df.schema)
-    (out, () => { rdd.unpersist(blocking = false); () })
+    (out, rdd)
   }
+
+  /**
+   * Unpersist `rdd` as soon as the first query that reads it completes
+   * (success or failure). For operator-internal persists whose final frame
+   * escapes to the caller: the operator cannot unpersist synchronously (the
+   * caller has not yet run the consuming action), and leaving the entry to
+   * the GC-driven ContextCleaner lets a long-running bench accumulate dead
+   * cache entries that evict each other. The frame stays CORRECT after
+   * release — a second execution recomputes through the RDD lineage.
+   */
+  def releaseAfterFirstUse(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    val lm = spark.listenerManager
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def consumes(
+          qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.analyzed.exists {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id == rdd.id
+          case _ => false
+        }
+      private def fire(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (consumes(qe)) {
+          rdd.unpersist(blocking = false)
+          lm.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = fire(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = fire(qe)
+    }
+    lm.register(listener)
+  }
+
+  /** Block until queued listener-bus events (including
+   * `QueryExecutionListener` callbacks, which fire asynchronously) have
+   * been delivered — lets tests assert release side effects
+   * deterministically. */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 
   /** DataFrame over a V1 `BaseRelation` (for relation-backed temp views,
    * e.g. the TopK scan with filter pushdown). */

@@ -508,17 +508,32 @@ object GraftSession {
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
 
   /** Split a comma-separated expression list at paren depth 0 only, so
-   * function arguments (`substr(x, 1, 3)`) stay inside their expression. */
+   * function arguments (`substr(x, 1, 3)`) stay inside their expression.
+   * Tracks single-quote state (with SQL `''` escaping) so a quoted comma —
+   * `concat(region, ', ', nation)` or a top-level `','` literal — never
+   * splits, and parens inside string literals don't skew the depth.
+   * Unbalanced parens outside quotes are a malformed expression list and
+   * fail here rather than mis-splitting silently. */
   private[graft] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
+    var inQuote = false
     s.foreach {
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case ',' if depth == 0 && !inQuote => out += cur.toString; cur.clear()
       case c =>
-        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        if (c == '\'') inQuote = !inQuote // '' escape = two toggles, net even
+        else if (!inQuote) {
+          if (c == '(') depth += 1
+          else if (c == ')') {
+            depth -= 1
+            require(depth >= 0, s"unbalanced ')' in expression list: $s")
+          }
+        }
         cur += c
     }
+    require(depth == 0 && !inQuote,
+      s"unbalanced parentheses or unterminated quote in expression list: $s")
     out += cur.toString
     out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
@@ -585,6 +600,21 @@ object GraftSession {
     val p = new org.apache.hadoop.fs.Path(path, TopkMetaFile)
     val fs = p.getFileSystem(conf)
     fs.exists(p) && fs.getFileStatus(p).isFile
+  }
+
+  /** Persisted TopK registry metadata: (option map without `__`-internal
+   * keys, base-table name). For drift checks before a re-attach. */
+  def readTopkMetaOptions(path: String,
+      conf: org.apache.hadoop.conf.Configuration): (Map[String, String], String) = {
+    val p = new org.apache.hadoop.fs.Path(path, TopkMetaFile)
+    val props = new java.util.Properties()
+    val in = p.getFileSystem(conf).open(p)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    val opts = props.stringPropertyNames().asScala
+      .filterNot(_.startsWith("__"))
+      .map(k => k -> props.getProperty(k)).toMap
+    (opts, props.getProperty("__base", ""))
   }
 
   private[graft] def writeSampleMeta(path: String, baseName: String,

@@ -153,7 +153,12 @@ object Pipeline {
    *
    * The input is scanned three times (boundary quantiles, bucket totals,
    * the windowed pass) — persist upstream frames whose columns are
-   * expensive to compute.
+   * expensive to compute. The input must be DETERMINISTIC under rescan:
+   * a frame whose rows differ between scans (an unordered LIMIT, a
+   * `sample()`, rand-derived columns) can put a row in one bucket during
+   * the totals pass and another during the windowed pass and produce
+   * silently wrong sums. Materialize such inputs first (persist or write
+   * them out) before calling.
    */
   def prefixSum(df: DataFrame, order: Seq[Column], value: Column,
       out: String, buckets: Int = 64): DataFrame = {
@@ -217,14 +222,20 @@ object Pipeline {
    * wrong-language text score low.
    *
    * Scale shape: token frequencies are one map-side-combined groupBy
-   * (shuffle ∝ distinct vocabulary, not corpus size); scoring joins the
-   * token stream to the frequency table on the token (linear, never
-   * broadcastable vocabulary assumed) and re-aggregates per document.
-   * Only ONE scalar (the total token count) touches the driver.
+   * (shuffle ∝ distinct vocabulary, not corpus size). Scoring is a
+   * TWO-TIER join: the `headSize` most frequent tokens are broadcast —
+   * under a Zipf vocabulary they carry most of the token mass, and the
+   * head token alone can be several percent of ALL rows, i.e. one shuffle
+   * key — so only the long tail of rare tokens rides the shuffle join,
+   * which then has no skewed keys by construction. The split cannot
+   * change any value: `__tf__` and the total are computed before the
+   * split, so head/tail rows score identically either way. Only ONE
+   * scalar (the total token count) touches the driver.
    *
    * Returns `idCol, n_tokens, logp` (mean log10 token probability).
    */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      headSize: Int = 10000): DataFrame = {
     val toks = df
       .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__tok__"))
       .filter(col("__tok__") =!= "")
@@ -234,7 +245,17 @@ object Pipeline {
     // the placeholder total never meets a row)
     val totalRow = freq.agg(sum(col("__tf__"))).collect()(0)
     val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
-    toks.join(freq, "__tok__")
+    // head tier: distributed top-N of the vocabulary (TakeOrderedAndProject
+    // over the freq table, deterministic tiebreak), broadcast to every task
+    val head = freq.orderBy(col("__tf__").desc, col("__tok__")).limit(headSize)
+    val tagged = toks.join(broadcast(head), Seq("__tok__"), "left")
+    val headRows = tagged.filter(col("__tf__").isNotNull)
+    // tail tier: rows whose token missed the head — joining the FULL freq
+    // table is equivalent (head keys meet no stream rows) and skips an
+    // anti-join over the vocabulary
+    val tailRows = tagged.filter(col("__tf__").isNull).drop("__tf__")
+      .join(freq, "__tok__")
+    headRows.unionByName(tailRows)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         avg(log10(col("__tf__") / lit(total))).as("logp"))
@@ -253,13 +274,24 @@ object Pipeline {
    * (target share 0). Only the per-stratum counts (bounded by the number of
    * strata) ever reach the driver; the selection itself is one broadcast
    * join + filter, no shuffle of the corpus.
+   *
+   * `strataCol` may be any atomic type (int language codes, dates, …) —
+   * it is keyed by its string form, so `targets` keys use the same
+   * rendering (`cast(strata AS string)` in SQL terms). `idCol` must be
+   * numeric: the selection hash is integer arithmetic.
    */
   def resampleToMix(df: DataFrame, strataCol: Column, idCol: Column,
       targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ >= 0) &&
       targets.values.sum > 0, "targets must be non-negative, not all zero")
     val spark = df.sparkSession
-    val counts = df.groupBy(strataCol.as("__graft_s__")).count()
+    val idType = df.select(idCol).schema.head.dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"resampleToMix id column must be numeric (selection hash is " +
+        s"integer arithmetic); got ${idType.simpleString}")
+    // key strata by their string form so any atomic stratum type works
+    val sKey = strataCol.cast("string")
+    val counts = df.groupBy(sKey.as("__graft_s__")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // raw weight / count — no normalization: it cancels in ratio/maxR, and
     // skipping it keeps the arithmetic bit-identical to a SQL restatement
@@ -279,7 +311,7 @@ object Pipeline {
     val hash = pmod(
       pmod(idCol.cast("long"), lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L))
-    df.join(thrDf, strataCol === col("__graft_s__"), "inner")
+    df.join(thrDf, sKey === col("__graft_s__"), "inner")
       .filter(hash < col("__graft_thr__"))
       .drop("__graft_s__", "__graft_thr__")
   }

@@ -47,16 +47,55 @@ class SampleSource extends CreatableRelationProvider with RelationProvider
         s"path $path already exists (mode ErrorIfExists)")
     }
     if (!(exists && mode == SaveMode.Ignore)) {
-      val (sampled, qcs, fraction, reservoirSize) =
-        graft.GraftSession.sampleByOptions(data, parameters)
       // Append re-samples the incoming batch per stratum, the same semantic
       // as INSERT INTO a sample table: each batch's weights encode that
-      // batch's stratum totals
-      val writeMode =
-        if (mode == SaveMode.Append && exists) "append" else "overwrite"
+      // batch's stratum totals. On append over an EXISTING sample the stored
+      // stratification governs: silently re-sampling under different options
+      // would mix schemes within one table and leave meta misdescribing the
+      // earlier rows — omitted options inherit the stored values, and
+      // explicitly conflicting ones fail fast.
+      val appending = mode == SaveMode.Append && exists
+      val storedMeta =
+        if (appending) graft.GraftSession.readSampleMeta(path, hadoopConf)
+        else None
+      val effective =
+        storedMeta match {
+          case None => parameters
+          case Some((_, storedQcs, storedFraction, storedReservoir)) =>
+            val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+            lower.get("qcs").foreach { q =>
+              val declared = graft.GraftSession.splitTopLevel(q)
+              require(declared.map(_.toLowerCase) ==
+                storedQcs.map(_.toLowerCase),
+                s"append to $path declares qcs '${declared.mkString(", ")}' " +
+                  s"but the existing sample was stratified on " +
+                  s"'${storedQcs.mkString(", ")}' — drop the option to " +
+                  "inherit, or rewrite with mode Overwrite")
+            }
+            lower.get("fraction").foreach { f =>
+              require(f.toDouble == storedFraction,
+                s"append to $path declares fraction $f but the existing " +
+                  s"sample used $storedFraction — drop the option to " +
+                  "inherit, or rewrite with mode Overwrite")
+            }
+            lower.get("stratareservoirsize").foreach { r =>
+              require(r.toInt == storedReservoir,
+                s"append to $path declares strataReservoirSize $r but the " +
+                  s"existing sample used $storedReservoir — drop the option " +
+                  "to inherit, or rewrite with mode Overwrite")
+            }
+            parameters ++ Map(
+              "qcs" -> storedQcs.mkString(","),
+              "fraction" -> storedFraction.toString,
+              "strataReservoirSize" -> storedReservoir.toString)
+        }
+      val (sampled, qcs, fraction, reservoirSize) =
+        graft.GraftSession.sampleByOptions(data, effective)
+      val writeMode = if (appending) "append" else "overwrite"
       sampled.write.mode(writeMode).parquet(path)
       graft.GraftSession.writeSampleMeta(path,
-        parameters.getOrElse("baseTable", parameters.getOrElse("basetable", "")),
+        parameters.getOrElse("baseTable", parameters.getOrElse("basetable",
+          storedMeta.map(_._1).getOrElse(""))),
         qcs, fraction, reservoirSize, hadoopConf)
     }
     createRelation(sqlContext, parameters)

@@ -415,8 +415,26 @@ case class CreateTopkTableNode(name: String, base: String,
       }
       val canAttach = ifNotExists && path.exists(p =>
         graft.GraftSession.topkMetaExists(p, spark.sessionState.newHadoopConf()))
-      if (canAttach) gs.attachTopKTable(name, path.get)
-      else gs.createTopK(name, base, options)
+      if (canAttach) {
+        // re-attach only under the SAME resolved options: silently ignoring
+        // a drifted size/capacity/key (or a changed base) would resurrect a
+        // snapshot that misdescribes what the statement asks for
+        val (storedOpts, storedBase) = graft.GraftSession.readTopkMetaOptions(
+          path.get, spark.sessionState.newHadoopConf())
+        val declared = options.map { case (k, v) => k.toLowerCase -> v } - "path"
+        val declaredResolved = graft.topk.TopKOptions.fromOptions(declared)
+        val storedResolved = graft.topk.TopKOptions.fromOptions(storedOpts)
+        require(declaredResolved == storedResolved,
+          s"CREATE TOPK TABLE IF NOT EXISTS $name: options resolve to " +
+            s"$declaredResolved but the snapshot at ${path.get} was built " +
+            s"with $storedResolved — DROP TOPK TABLE first (which retires " +
+            "the snapshot) or restate the original options")
+        if (base.nonEmpty && storedBase.nonEmpty)
+          require(base.equalsIgnoreCase(storedBase),
+            s"CREATE TOPK TABLE IF NOT EXISTS $name ON $base: the snapshot " +
+              s"at ${path.get} was built over '$storedBase'")
+        gs.attachTopKTable(name, path.get)
+      } else gs.createTopK(name, base, options)
     }
     Nil
   }
@@ -452,7 +470,19 @@ case class DropTopkTableNode(name: String, ifExists: Boolean)
       throw new IllegalArgumentException(s"No TopK structure named $name")
     state.topks.remove(name.toLowerCase).foreach { _ =>
       state.topkBases.remove(name.toLowerCase)
-      state.topkPaths.remove(name.toLowerCase)
+      // explicit DROP retires the persisted snapshot too — otherwise a
+      // later CREATE ... IF NOT EXISTS on the same path resurrects stale
+      // counts that no longer correspond to any registered structure
+      state.topkPaths.remove(name.toLowerCase).foreach { p =>
+        val conf = spark.sessionState.newHadoopConf()
+        val dir = new org.apache.hadoop.fs.Path(p)
+        val fs = dir.getFileSystem(conf)
+        Seq(graft.GraftSession.TopkMetaFile, graft.GraftSession.TopkBinFile)
+          .foreach { f =>
+            val fp = new org.apache.hadoop.fs.Path(dir, f)
+            if (fs.exists(fp)) fs.delete(fp, false)
+          }
+      }
       spark.catalog.dropTempView(name)
     }
     Nil

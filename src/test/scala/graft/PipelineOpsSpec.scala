@@ -167,6 +167,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Pipeline.unigramLogProb(blank, "doc_id", "text").count() === 0L)
   }
 
+  test("unigram LM two-tier join: skewed head token scores identically to single-tier") {
+    import spark.implicits._
+    // one token ("the") is 30% of the whole stream — the classic skewed
+    // join key the head tier exists to keep out of the shuffle
+    val skewDoc = (1L, Array.fill(300)("the").mkString(" "))
+    val rest = (2L to 21L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i common words appear here too"))
+    val df = (skewDoc +: rest).toDF("doc_id", "text")
+    // headSize=0 degenerates to the single shuffle-join path — use it as the
+    // oracle for the split's value-neutrality
+    val twoTier = Pipeline.unigramLogProb(df, "doc_id", "text", headSize = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val oneTier = Pipeline.unigramLogProb(df, "doc_id", "text", headSize = 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(twoTier.keySet === oneTier.keySet)
+    twoTier.foreach { case (k, (n, p)) =>
+      assert(n === oneTier(k)._1, s"doc $k token count")
+      assert(math.abs(p - oneTier(k)._2) < 1e-12, s"doc $k logp")
+    }
+    // the skewed doc's tokens are all head tokens; its score must reflect
+    // tf=300+rest occurrences of "the"
+    assert(twoTier(1L)._1 === 300L)
+  }
+
   test("mixture rebalance: binding stratum whole, shares near target, pure row function") {
     val targets = Map("en" -> 0.30, "de" -> 0.175, "es" -> 0.175,
       "fr" -> 0.175, "zh" -> 0.175)
@@ -195,6 +219,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       when(col("doc_id") % 10 === 0, lit("xx")).otherwise(col("lang")))
     val noXx = Pipeline.resampleToMix(withExtra, col("lang"), col("doc_id"), targets)
     assert(noXx.filter(col("lang") === "xx").count() === 0L)
+  }
+
+  test("mixture rebalance: non-string strata (int, date) key by string form; non-numeric id throws") {
+    import spark.implicits._
+    // int strata: same mix as an equivalent string-strata frame
+    val intDf = (1L to 400L).map(i => (i, (i % 4).toInt)).toDF("id", "lang_code")
+    val intTargets = Map("0" -> 0.4, "1" -> 0.2, "2" -> 0.2, "3" -> 0.2)
+    val intMix = Pipeline.resampleToMix(intDf, col("lang_code"), col("id"), intTargets)
+    val strMix = Pipeline.resampleToMix(
+      intDf.withColumn("lang_code", col("lang_code").cast("string")),
+      col("lang_code"), col("id"), intTargets)
+    assert(intMix.select("id").collect().map(_.getLong(0)).toSet ===
+      strMix.select("id").collect().map(_.getLong(0)).toSet)
+    assert(intMix.count() > 0)
+    // date strata: keyed by the cast-to-string rendering (yyyy-MM-dd)
+    val dateDf = (1L to 200L).map(i => (i, java.sql.Date.valueOf(
+      if (i % 2 == 0) "2026-01-01" else "2026-01-02"))).toDF("id", "day")
+    val dateMix = Pipeline.resampleToMix(dateDf, col("day"), col("id"),
+      Map("2026-01-01" -> 0.5, "2026-01-02" -> 0.5))
+    assert(dateMix.count() === 200L) // already at the target mix: keep all
+    // non-numeric id: typed error at call time, not a ClassCastException
+    val err = intercept[IllegalArgumentException] {
+      Pipeline.resampleToMix(
+        intDf.withColumn("sid", concat(lit("x"), col("id"))),
+        col("lang_code"), col("sid"), intTargets)
+    }
+    assert(err.getMessage.contains("must be numeric"))
   }
 
   test("sequence packing: contiguous offsets, in-bounds placement") {

@@ -288,6 +288,24 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "cumsum window must partition by the bucket column")
   }
 
+  test("unigramLogProb scores the head tier through a broadcast join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // emulate at-scale planning: with auto-broadcast off (a 100 TB corpus's
+    // vocabulary exceeds any threshold), the head tier must STILL broadcast
+    // (explicit hint) while the unbounded-vocabulary tail join shuffles
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val scored = graft.pipeline.Pipeline.unigramLogProb(docs, "doc_id", "text")
+      val physical = scored.queryExecution.executedPlan.toString
+      assert(physical.contains("BroadcastHashJoin"),
+        s"head tier must broadcast-join the token stream:\n$physical")
+      assert(physical.contains("SortMergeJoin") ||
+        physical.contains("ShuffledHashJoin"),
+        s"tail tier must remain a shuffle join:\n$physical")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("resampleToMix is one broadcast join + filter, no corpus shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val mixed = graft.pipeline.Pipeline.resampleToMix(

@@ -47,6 +47,37 @@ class SampleSourceSpec extends AnyFunSuite {
     assert(n2 > n1, "Append must add a re-sampled batch")
   }
 
+  test("Append inherits the stored stratification; conflicting options fail fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_").toString + "/s4"
+    li.write.format("graft-sample")
+      .option("qcs", "l_returnflag").option("fraction", "0.1")
+      .option("baseTable", "lineitem")
+      .mode(SaveMode.Overwrite).save(dir)
+    // optionless append inherits qcs/fraction from the stored meta (it must
+    // NOT degrade to the qcs-less defaults) and preserves the baseName
+    li.write.format("graft-sample").mode(SaveMode.Append).save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val Some((base, qcs, fraction, _)) = GraftSession.readSampleMeta(dir, conf)
+    assert(base === "lineitem", "append must not clobber the stored baseName")
+    assert(qcs === Seq("l_returnflag") && fraction === 0.1,
+      s"append must keep the stored scheme, got qcs=$qcs fraction=$fraction")
+    // a conflicting scheme is an error, not a silent mix
+    val e = intercept[IllegalArgumentException] {
+      li.write.format("graft-sample")
+        .option("qcs", "l_shipmode").option("fraction", "0.1")
+        .mode(SaveMode.Append).save(dir)
+    }
+    assert(e.getMessage.contains("stratified on"))
+    intercept[IllegalArgumentException] {
+      li.write.format("graft-sample").option("fraction", "0.5")
+        .mode(SaveMode.Append).save(dir)
+    }
+    // matching options are accepted
+    li.write.format("graft-sample")
+      .option("qcs", "l_returnflag").option("fraction", "0.1")
+      .mode(SaveMode.Append).save(dir)
+  }
+
   test("the written path re-attaches as a registered sample (meta round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src_").toString + "/s3"
     li.createOrReplaceTempView("li_src_base")

@@ -209,4 +209,38 @@ class TopKSpec extends AnyFunSuite {
     }
     gs.sql("DROP TOPK TABLE tk_persist")
   }
+
+  test("IF NOT EXISTS re-attach rejects drifted options; DROP retires the snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkd_").toString + "/tk"
+    gs.sql("CREATE TOPK TABLE tk_drift ON events OPTIONS(key 'event_type', " +
+      s"size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val before = gs.queryTopK("tk_drift", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // forget the registry (restart), then restate with a DIFFERENT size —
+    // silently attaching the old snapshot would misdescribe the statement
+    GraftState.of(spark).topks.remove("tk_drift")
+    GraftState.of(spark).topkPaths.remove("tk_drift")
+    spark.catalog.dropTempView("tk_drift")
+    val e = intercept[IllegalArgumentException] {
+      gs.sql("CREATE TOPK TABLE IF NOT EXISTS tk_drift ON events OPTIONS(" +
+        s"key 'event_type', size '9', streamSummary 'true', capacity '100000', path '$dir')")
+    }
+    assert(e.getMessage.contains("snapshot"))
+    // identical options re-attach fine
+    gs.sql("CREATE TOPK TABLE IF NOT EXISTS tk_drift ON events OPTIONS(" +
+      s"key 'event_type', size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    // explicit DROP retires the persisted snapshot: a later IF NOT EXISTS
+    // on the same path rebuilds from the base instead of resurrecting
+    // stale counts
+    gs.sql("DROP TOPK TABLE tk_drift")
+    val conf = spark.sessionState.newHadoopConf()
+    assert(!GraftSession.topkMetaExists(dir, conf),
+      "DROP must delete the persisted snapshot meta")
+    gs.sql("CREATE TOPK TABLE IF NOT EXISTS tk_drift ON events OPTIONS(" +
+      s"key 'event_type', size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val rebuilt = gs.queryTopK("tk_drift", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rebuilt === before, "rebuild after DROP must replay the base once")
+    gs.sql("DROP TOPK TABLE tk_drift")
+  }
 }

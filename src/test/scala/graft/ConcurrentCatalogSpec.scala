@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Multi-session catalog consistency over one "warehouse" (shared persist
+ * paths) — the local[n] analogue of the reference's
+ * `AQPCatalogConsistencyDUnitTest`: registry entries are per-session
+ * (like temp views), the durable ground truth is the path, and
+ * create/drop/attach must propagate through it.
+ *
+ * The attach-vs-rebuild distinction is pinned by a marker append in the
+ * creating session: the re-persisted snapshot includes the appended batch,
+ * so a session that ATTACHES sees the appended counts while a session that
+ * silently re-created from the base would not.
+ */
+class ConcurrentCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshSession(): (SparkSession, GraftSession) = {
+    val s = spark.newSession()
+    // runtime conf mutations don't propagate into new sessions
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("events")
+    s.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("lineitem")
+    (s, GraftSession(s))
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("path-backed sample: second session re-attaches (appends visible), never resamples") {
+    val dir = tmpDir("graft_cc_s") + "/s"
+    val (sA, gA) = freshSession()
+    gA.sql("CREATE SAMPLE TABLE cc_sample ON lineitem OPTIONS(" +
+      s"qcs 'l_returnflag', fraction '0.2', path '$dir')")
+    val beforeAppend = sA.table("cc_sample").count()
+    // marker batch: distinctive orderkeys far outside the base range
+    import sA.implicits._
+    val marker = sA.table("lineitem").limit(50)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(900000000L))
+    gA.appendToSample("cc_sample", marker)
+    val merged = sA.table("cc_sample")
+    val mergedCount = merged.count()
+    val markerKept = merged.filter(col("l_orderkey") >= 900000000L).count()
+    assert(markerKept > 0, "the marker batch must land in the sample")
+
+    val (sB, gB) = freshSession()
+    gB.sql("CREATE SAMPLE TABLE IF NOT EXISTS cc_sample ON lineitem OPTIONS(" +
+      s"qcs 'l_returnflag', fraction '0.2', path '$dir')")
+    val attached = sB.table("cc_sample")
+    assert(attached.count() === mergedCount,
+      "session B must attach the persisted sample (merged rows), not resample")
+    assert(attached.filter(col("l_orderkey") >= 900000000L).count() === markerKept,
+      "the appended batch must be visible in session B")
+    // registry metadata carried over
+    val info = GraftState.of(sB).samples("cc_sample")
+    assert(info.qcs.map(_.toLowerCase) === Seq("l_returnflag") &&
+      info.fraction === 0.2)
+    assert(beforeAppend < mergedCount)
+  }
+
+  test("path-backed TopK: second session re-attaches the appended snapshot, no replay") {
+    val dir = tmpDir("graft_cc_t") + "/tk"
+    val (_, gA) = freshSession()
+    gA.sql("CREATE TOPK TABLE cc_topk ON events OPTIONS(key 'event_type', " +
+      s"size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val single = gA.queryTopK("cc_topk", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // append the whole base once more — the persisted snapshot now holds 2×,
+    // which is the attach-vs-rebuild signature for session B
+    gA.appendToTopK("cc_topk", gA.spark.table("events"))
+
+    val (_, gB) = freshSession()
+    gB.sql("CREATE TOPK TABLE IF NOT EXISTS cc_topk ON events OPTIONS(" +
+      s"key 'event_type', size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val attached = gB.queryTopK("cc_topk", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    single.foreach { case (k, v) =>
+      assert(attached(k) === 2 * v,
+        s"B must see the appended snapshot for $k (attach), got " +
+          s"${attached(k)} vs single-replay $v — a rebuild or a " +
+          "double-replay both break this")
+    }
+  }
+
+  test("concurrent IF NOT EXISTS across sessions: every session attaches, none replays") {
+    val dir = tmpDir("graft_cc_p") + "/tk"
+    val (_, gA) = freshSession()
+    gA.sql("CREATE TOPK TABLE cc_race ON events OPTIONS(key 'event_type', " +
+      s"size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val expected = gA.queryTopK("cc_race", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val contenders = (1 to 4).map(_ => freshSession())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = contenders.map { case (_, g) =>
+        pool.submit(new java.util.concurrent.Callable[Map[String, Long]] {
+          override def call(): Map[String, Long] = {
+            g.sql("CREATE TOPK TABLE IF NOT EXISTS cc_race ON events OPTIONS(" +
+              s"key 'event_type', size '5', streamSummary 'true', " +
+              s"capacity '100000', path '$dir')")
+            g.queryTopK("cc_race", k = 5).collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+          }
+        })
+      }
+      futures.foreach { f =>
+        assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS) === expected,
+          "every contender must answer the persisted snapshot's counts")
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("concurrent IF NOT EXISTS within ONE session: single consistent structure") {
+    val dir = tmpDir("graft_cc_q") + "/tk"
+    val (_, seeder) = freshSession()
+    seeder.sql("CREATE TOPK TABLE cc_same ON events OPTIONS(key 'event_type', " +
+      s"size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val expected = seeder.queryTopK("cc_same", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val (_, g) = freshSession()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            g.sql("CREATE TOPK TABLE IF NOT EXISTS cc_same ON events OPTIONS(" +
+              s"key 'event_type', size '5', streamSummary 'true', " +
+              s"capacity '100000', path '$dir')")
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    val got = g.queryTopK("cc_same", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected, "racing IF NOT EXISTS must settle on the snapshot")
+  }
+
+  test("DROP in one session retires the snapshot: a fresh session rebuilds, never resurrects") {
+    val dir = tmpDir("graft_cc_d") + "/tk"
+    val (_, gA) = freshSession()
+    gA.sql("CREATE TOPK TABLE cc_drop ON events OPTIONS(key 'event_type', " +
+      s"size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val single = gA.queryTopK("cc_drop", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doubled snapshot on disk, then DROP from A — the stale 2× counts must
+    // not be re-attachable anywhere
+    gA.appendToTopK("cc_drop", gA.spark.table("events"))
+    gA.sql("DROP TOPK TABLE cc_drop")
+
+    val (_, gC) = freshSession()
+    gC.sql("CREATE TOPK TABLE IF NOT EXISTS cc_drop ON events OPTIONS(" +
+      s"key 'event_type', size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val rebuilt = gC.queryTopK("cc_drop", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rebuilt === single,
+      "after a DROP the fresh session must rebuild from the base once " +
+        "(resurrecting the dropped 2x snapshot is the AQP-catalog bug)")
+  }
+}

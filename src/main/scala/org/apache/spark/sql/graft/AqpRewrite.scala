@@ -219,7 +219,39 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .filter(leafCols.contains)
           .map(_.name.toLowerCase).toSet
       }
-      Some(allPairs.maxBy { case (leaf, i) => score(i, qcsFor(leaf)) })
+      // Function-expression QCS entries (`qcs 'round(x / 10)'`) never match
+      // by NAME — the name-based query QCS flattens grouping expressions to
+      // their referenced attributes. Compare them as RESOLVED expressions:
+      // analyze each stored entry against the candidate leaf and test
+      // canonicalized set equality with the alias-stripped grouping
+      // expressions, so a sample stratified on exactly the grouped
+      // expression ranks as an exact match (reference ranks function QCS
+      // the same way — `QueryProcessingRules.scala:412-501`).
+      val simpleIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+      def exprExact(i: graft.SampleInfo, leaf: LogicalPlan): Boolean = {
+        if (i.qcs.isEmpty || agg.groupingExpressions.isEmpty) return false
+        // plain column names are already handled by the name tier
+        if (i.qcs.forall(q => simpleIdent.matches(q.trim))) return false
+        val grouping = agg.groupingExpressions
+          .map { case a: Alias => a.child; case e => e }
+        if (!grouping.forall(_.references.subsetOf(leaf.outputSet))) return false
+        try {
+          val resolved = i.qcs.map { s =>
+            val parsed = spark.sessionState.sqlParser.parseExpression(s)
+            spark.sessionState.analyzer.execute(
+              Project(Seq(Alias(parsed, "__graft_qcs__")()), leaf)) match {
+              case Project(Seq(al: Alias), _) if al.child.resolved => al.child
+              case _ => return false
+            }
+          }
+          resolved.map(_.canonicalized).toSet ==
+            grouping.map(_.canonicalized).toSet
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
+      Some(allPairs.maxBy { case (leaf, i) =>
+        val base = score(i, qcsFor(leaf))
+        if (base._1 < 3 && exprExact(i, leaf)) (3, base._2, base._3) else base
+      })
     }
 
     aggsLowestFirst.view.flatMap(a => candidateFor(a).map(c => (a, c)))

@@ -346,6 +346,10 @@ class GraftSession(val spark: SparkSession) {
       case _ => org.apache.spark.sql.types.LongType
     }
     val st = new graft.topk.TopKState(name, opts, keyType)
+    // path-backed tables spill over-guard buckets next to their snapshot
+    // (must be set before the first append can trigger a spill)
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .foreach(p => st.setSpillBase(s"$p/${GraftSession.TopkSpillDir}"))
     st.append(base)
     state.topks.put(name.toLowerCase, st)
     state.topkBases.put(name.toLowerCase, baseName)
@@ -438,6 +442,11 @@ class GraftSession(val spark: SparkSession) {
         val b = new Array[Byte](len); binIn.readFully(b); b
       } finally binIn.close()
     st.buckets.restoreFrom(bytes)
+    // reconnect the spill store when the persisted table had one; otherwise
+    // just point future spills at the same path
+    val spillDir = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkSpillDir)
+    if (fs.exists(spillDir)) st.attachSpill(spark, spillDir.toString)
+    else st.setSpillBase(spillDir.toString)
     state.topks.put(name.toLowerCase, st)
     props.getProperty("__base", "") match {
       case "" =>
@@ -593,6 +602,9 @@ object GraftSession {
   val MetaFile = "_graft_sample.meta"
   val TopkMetaFile = "_graft_topk.meta"
   val TopkBinFile = "_graft_topk.bin"
+  /** Subdirectory (under a path-backed TopK's path) holding spilled
+   * interval buckets as parquet. */
+  val TopkSpillDir = "_graft_topk_spill"
 
   /** True when `path` holds persisted TopK registry metadata. */
   def topkMetaExists(path: String,

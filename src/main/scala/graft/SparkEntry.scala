@@ -142,6 +142,22 @@ object SparkEntry {
       gs.queryTopK("q08_topk", 1704067200000L, 1705276799999L, 5)
     }),
 
+    // TopK whose retained buckets exceed the driver guard: 30 daily
+    // intervals × 5 keys over maxDriverEntries 16, so most buckets live in
+    // the parquet spill store and the full-range query merges them back on
+    // executors. Space-Saving stays exact (5 keys < capacity 16 per
+    // bucket), so the merged result equals the exact GROUP BY.
+    "q57_topk_spill" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gs = GraftSession(s)
+      tbl(s, dir, "events").createOrReplaceTempView("events_q57")
+      gs.sql("CREATE TOPK TABLE IF NOT EXISTS q57_topk ON events_q57 OPTIONS(" +
+        "key 'event_type', streamSummary 'true', capacity '16', size '5', " +
+        "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '100', " +
+        "timeUnit 'ns', maxDriverEntries '16')")
+      gs.queryTopK("q57_topk", k = 5)
+    }),
+
     // --- training-data pipeline operators ------------------------------------
     // Text analysis: per-source aggregates of token counts / punctuation /
     // word-length metrics (pure codegen'd column algebra).
@@ -1085,6 +1101,11 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
         |GROUP BY event_type
+        |ORDER BY estimated_value DESC, event_type ASC LIMIT 5""".stripMargin,
+
+    "q57_topk_spill" ->
+      """SELECT event_type, COUNT(*) AS estimated_value, COUNT(*) AS lower_bound
+        |FROM events GROUP BY event_type
         |ORDER BY estimated_value DESC, event_type ASC LIMIT 5""".stripMargin,
 
     "q09_text_stats" ->

@@ -88,6 +88,118 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   val buckets =
     new TimeBucketedSketch(opts.maxInterval, () => mkSketch(), opts.itemAggregation)
 
+  // ---------------------------------------------------------------------------
+  // Interval spill store: when high key cardinality × many retained buckets
+  // pushes the driver's counter commitment past maxDriverEntries, the OLDEST
+  // buckets move to a parquet interval frame (`start`, `len`, `bytes` — one
+  // row per bucket) and queries merge them back ON EXECUTORS: the scan
+  // filters to the requested interval range, each partition merges its
+  // buckets locally, and the driver folds one bounded partial per task
+  // (each ≤ one interval sketch). The driver's live set stays under the
+  // guard no matter how much history accumulates.
+  // ---------------------------------------------------------------------------
+  @transient private var sparkRef: SparkSession = _
+  private var spillPath: Option[String] = None
+  /** (startInterval, lengthInIntervals) of every spilled bucket — one tiny
+   * tuple per bucket, for range overlap tests and covered-range math. */
+  private val spilledSpans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+
+  def spilledBucketCount: Int = spilledSpans.size
+
+  /** Root directory for spilled buckets (set to `<path>/_graft_topk_spill`
+   * for path-backed tables BEFORE the first append; a local temp directory
+   * is created lazily otherwise). */
+  def setSpillBase(dir: String): Unit = { spillPath = Some(dir) }
+
+  /** Re-attach a persisted spill store (fresh-session restart of a
+   * path-backed table): reload the span index from the parquet. */
+  def attachSpill(spark: SparkSession, dir: String): Unit = {
+    sparkRef = spark
+    spillPath = Some(dir)
+    spilledSpans.clear()
+    spilledSpans ++= spark.read.parquet(dir).select(col("start"), col("len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  private def sparkOrActive: SparkSession =
+    Option(sparkRef).orElse(SparkSession.getActiveSession).getOrElse(
+      throw new IllegalStateException(
+        s"TopK table '$name' has spilled buckets but no active SparkSession"))
+
+  private def ensureSpillDir(): String = spillPath.getOrElse {
+    val d = java.nio.file.Files.createTempDirectory("graft_topk_spill_")
+      .toString
+    spillPath = Some(d)
+    d
+  }
+
+  /** Move oldest buckets to the spill store until the driver is back under
+   * its guard. History blocks predate every full-resolution interval, so
+   * they go first; the newest interval always stays resident (appends merge
+   * into it, and one sketch fits by the constructor check). */
+  private def spillOldest(spark: SparkSession): Unit = {
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+    while (buckets.entryCount > opts.maxDriverEntries &&
+        (buckets.history.nonEmpty || buckets.intervals.size > 1)) {
+      if (buckets.history.nonEmpty) {
+        val ((hs, hl), s) = buckets.history.head
+        buckets.history.remove((hs, hl))
+        moved += ((hs, hl, IntervalSketch.toBytes(s)))
+      } else {
+        val (iv, s) = buckets.intervals.head
+        buckets.intervals.remove(iv)
+        moved += ((iv, 1L, IntervalSketch.toBytes(s)))
+      }
+    }
+    if (moved.nonEmpty) {
+      val dir = ensureSpillDir()
+      import spark.implicits._
+      spark.createDataset(moved.toSeq).toDF("start", "len", "bytes")
+        .coalesce(1).write.mode("append").parquet(dir)
+      spilledSpans ++= moved.map(m => (m._1, m._2))
+    }
+  }
+
+  private def spanOverlaps(startIv: Long, endIv: Long)(span: (Long, Long)): Boolean =
+    span._1 <= endIv && (span._1 + span._2 - 1) >= startIv
+
+  /** Executor-side merge of the spilled buckets overlapping the range:
+   * filtered parquet scan → per-partition merge → one bounded partial per
+   * task folded on the driver. */
+  private def spillMerged(startIv: Long, endIv: Long): Option[IntervalSketch] = {
+    if (!spilledSpans.exists(spanOverlaps(startIv, endIv))) return None
+    val spark = sparkOrActive
+    val df = spark.read.parquet(spillPath.get)
+    val startCond =
+      if (endIv == Long.MaxValue) lit(true) else col("start") <= lit(endIv)
+    val endCond =
+      if (startIv == Long.MinValue) lit(true)
+      else col("start") + col("len") - lit(1L) >= lit(startIv)
+    val rdd = df.filter(startCond && endCond).select(col("bytes"))
+      .rdd.map(r => IntervalSketch.fromBytes(r.getAs[Array[Byte]](0)))
+    if (rdd.isEmpty()) None else Some(rdd.reduce(_.mergeWith(_)))
+  }
+
+  /** Driver-resident + spilled buckets merged over the range. */
+  private def mergedAll(startIv: Long, endIv: Long): Option[IntervalSketch] =
+    (buckets.mergedRange(startIv, endIv).toSeq ++
+      spillMerged(startIv, endIv).toSeq).reduceOption(_.mergeWith(_))
+
+  /** [[TimeBucketedSketch.coveredRange]] extended with spilled spans. */
+  private def coveredAll(startIv: Long, endIv: Long): Option[(Long, Long)] = {
+    val resident = buckets.coveredRange(startIv, endIv)
+    val spilled = spilledSpans.filter(spanOverlaps(startIv, endIv))
+    if (spilled.isEmpty) resident
+    else {
+      val sMin = spilled.map(_._1).min
+      val sMax = spilled.map(s => s._1 + s._2 - 1).max
+      Some(resident match {
+        case Some((rs, re)) => (math.min(rs, sMin), math.max(re, sMax))
+        case None => (sMin, sMax)
+      })
+    }
+  }
+
   private def mkSketch(): IntervalSketch =
     if (opts.streamSummary) SummaryInterval(new StreamSummary(opts.effectiveCapacity))
     else CmsInterval(new TopKCms(opts.size, opts.depth, opts.width, opts.seed))
@@ -125,24 +237,19 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     // Guard the driver's actual commitment, not the hypothetical worst case:
     // Space-Saving counters materialize only as keys arrive, so a big
     // `capacity` over few distinct keys is fine, while high cardinality ×
-    // many retained intervals is the silent driver-OOM shape. For unbounded
-    // cardinality use the state-store-backed
-    // [[graft.streaming.StreamOps.windowedTopK]], which keeps per-window
-    // state distributed across executors.
-    val held = buckets.entryCount
-    require(held <= opts.maxDriverEntries,
-      s"TopK table '$name' holds $held counters on the driver across " +
-        s"${buckets.intervals.size + buckets.history.size} retained buckets, " +
-        s"exceeding maxDriverEntries ${opts.maxDriverEntries}. Lower " +
-        "capacity/width/maxInterval, raise OPTIONS(maxDriverEntries ...), or " +
-        "use graft.streaming.StreamOps.windowedTopK for unbounded cardinality.")
+    // many retained intervals is the silent driver-OOM shape. Over the
+    // guard, the oldest buckets spill to the parquet interval store and
+    // queries merge them back on executors; only late-arriving data for a
+    // spilled interval re-materializes a (mergeable) driver bucket.
+    sparkRef = df.sparkSession
+    if (buckets.entryCount > opts.maxDriverEntries) spillOldest(df.sparkSession)
   }
 
   /** Point frequency estimate of a key over a time range. */
   def queryFrequency(key: Any, startMs: Long, endMs: Long): Option[(Long, Long, Long)] = {
     val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
     val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
-    buckets.mergedRange(startIv, endIv).map(_.estimate(key))
+    mergedAll(startIv, endIv).map(_.estimate(key))
   }
 
   /** Top-k rows of the merged [startMs, endMs] range plus the actual
@@ -151,8 +258,8 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   def topKRows(startMs: Long, endMs: Long, k: Int): (Seq[(Any, Long, Long)], Long, Long) = {
     val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
     val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
-    val rows = buckets.mergedRange(startIv, endIv).map(_.topK(k)).getOrElse(Nil)
-    val (covS, covE) = buckets.coveredRange(startIv, endIv)
+    val rows = mergedAll(startIv, endIv).map(_.topK(k)).getOrElse(Nil)
+    val (covS, covE) = coveredAll(startIv, endIv)
       .map { case (s, e) =>
         (s * opts.timeIntervalMs, (e + 1) * opts.timeIntervalMs - 1)
       }

@@ -482,6 +482,9 @@ case class DropTopkTableNode(name: String, ifExists: Boolean)
             val fp = new org.apache.hadoop.fs.Path(dir, f)
             if (fs.exists(fp)) fs.delete(fp, false)
           }
+        val spill = new org.apache.hadoop.fs.Path(dir,
+          graft.GraftSession.TopkSpillDir)
+        if (fs.exists(spill)) fs.delete(spill, true)
       }
       spark.catalog.dropTempView(name)
     }

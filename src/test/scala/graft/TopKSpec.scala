@@ -210,6 +210,51 @@ class TopKSpec extends AnyFunSuite {
     gs.sql("DROP TOPK TABLE tk_persist")
   }
 
+  test("over-guard buckets spill to the interval store; queries merge them back exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tks_").toString + "/tk"
+    // 30 daily intervals x 5 event types = 150 counters >> maxDriverEntries
+    // 16, so most buckets must leave the driver; Space-Saving stays exact
+    // (5 keys < capacity 16), so the merged answer equals the exact counts
+    gs.sql("CREATE TOPK TABLE tk_spill ON events OPTIONS(key 'event_type', " +
+      "streamSummary 'true', capacity '16', size '5', timeSeriesColumn 'ts', " +
+      "timeInterval '86400000', maxInterval '100', timeUnit 'ns', " +
+      s"maxDriverEntries '16', path '$dir')")
+    val st = GraftState.of(spark).topks("tk_spill")
+      .asInstanceOf[graft.topk.TopKState]
+    assert(st.spilledBucketCount > 0, "the guard must have forced a spill")
+    assert(st.buckets.entryCount <= 16,
+      s"driver still holds ${st.buckets.entryCount} counters")
+    val expected = spark.table("events")
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = gs.queryTopK("tk_spill", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected, "full-range query over spilled buckets must be exact")
+    // a bounded time range that lies entirely in the spilled region
+    val windowed = gs.queryTopK("tk_spill",
+      1704067200000L, 1704671999999L, 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val windowedExact = spark.table("events")
+      .filter(col("ts") >= lit(1704067200000L * 1000000L) &&
+        col("ts") < lit(1704672000000L * 1000000L))
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(windowed === windowedExact)
+    // restart: re-attach restores the resident snapshot AND the spill store
+    GraftState.of(spark).topks.remove("tk_spill")
+    GraftState.of(spark).topkPaths.remove("tk_spill")
+    spark.catalog.dropTempView("tk_spill")
+    gs.attachTopKTable("tk_spill", dir)
+    val reattached = gs.queryTopK("tk_spill", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reattached === expected, "spilled buckets must survive a restart")
+    gs.sql("DROP TOPK TABLE tk_spill")
+    // DROP retires the spill store with the snapshot
+    val conf = spark.sessionState.newHadoopConf()
+    val spill = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkSpillDir)
+    assert(!spill.getFileSystem(conf).exists(spill))
+  }
+
   test("IF NOT EXISTS re-attach rejects drifted options; DROP retires the snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tkd_").toString + "/tk"
     gs.sql("CREATE TOPK TABLE tk_drift ON events OPTIONS(key 'event_type', " +

@@ -142,19 +142,47 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       def underNestedAgg(n: LogicalPlan): Boolean =
         nestedAggs.exists(na => na.exists(_ eq n))
 
-      // Min/Max are exact on a sample only when their argument columns are
-      // within the sample's QCS (every distinct value then forms a stratum
-      // with at least one retained row); otherwise the query must route to
-      // the base table (reference `QueryProcessingRules.scala:1385-1393` —
-      // Min/Max → requiredQcs)
+      // Min/Max are exact on a sample only when each argument is a literal
+      // (constant under any subset of rows), a column inside the sample's
+      // QCS, or semantically EQUAL to a QCS stratum expression — every
+      // distinct value of the stratum key forms a stratum with at least
+      // one retained row, so min/max of the KEY ITSELF survives sampling,
+      // while min/max of a mere input column of a function QCS does not
+      // (reference ENT-57 family; `QueryProcessingRules.scala:1385-1393` —
+      // Min/Max → requiredQcs).
       val aggFns = agg.aggregateExpressions.flatMap(_.collect {
         case ae: AggregateExpression => ae
       })
-      val minMaxRefs: Set[String] = aggFns.flatMap(_.aggregateFunction match {
-        case m: Min => m.references.toSeq.map(_.name.toLowerCase)
-        case m: Max => m.references.toSeq.map(_.name.toLowerCase)
+      val minMaxArgs: Seq[Expression] = aggFns.flatMap(_.aggregateFunction match {
+        case m: Min => Seq(m.child)
+        case m: Max => Seq(m.child)
         case _ => Nil
-      }).toSet
+      })
+      val simpleIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+      // parse + analyze a stored QCS entry against a candidate leaf so
+      // function-expression strata compare semantically (shared with the
+      // ranking tier below)
+      def resolveQcsEntry(s: String, leaf: LogicalPlan): Option[Expression] =
+        try {
+          val parsed = spark.sessionState.sqlParser.parseExpression(s)
+          spark.sessionState.analyzer.execute(
+            Project(Seq(Alias(parsed, "__graft_qcs__")()), leaf)) match {
+            case Project(Seq(al: Alias), _) if al.child.resolved => Some(al.child)
+            case _ => None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      def minMaxAllowed(i: graft.SampleInfo, leaf: LogicalPlan): Boolean = {
+        if (minMaxArgs.isEmpty) return true
+        val simpleQcs = i.qcs.filter(q => simpleIdent.matches(q.trim))
+          .map(_.toLowerCase).toSet
+        lazy val fnQcs = i.qcs.filterNot(q => simpleIdent.matches(q.trim))
+          .flatMap(resolveQcsEntry(_, leaf)).map(_.canonicalized)
+        minMaxArgs.forall { arg =>
+          arg.foldable ||
+            arg.references.toSeq.map(_.name.toLowerCase).toSet.subsetOf(simpleQcs) ||
+            fnQcs.contains(arg.canonicalized)
+        }
+      }
 
       // pool ALL samples whose base plan matches a subtree under this
       // aggregate (different views over the same data are interchangeable).
@@ -182,9 +210,7 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case n if n.sameResult(samplePlan) || n.sameResult(i.basePlan) => n
           }.find(n => !isProtected(n) && !underNestedAgg(n) && !insideSampleScan(n))
             .map(subtree => (subtree, i))
-        }.filter { case (_, i) =>
-          minMaxRefs.subsetOf(i.qcs.map(_.toLowerCase).toSet)
-        }
+        }.filter { case (subtree, i) => minMaxAllowed(i, subtree) }
 
       // AQP-211 fallback (reference BootStrapBugTest "a table with weight
       // column should be treated as a sample table"): an UNREGISTERED scan
@@ -197,7 +223,7 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case n if n.output.exists(_.name == Weightage.WeightColumn) => n
         }.filter(n => !isProtected(n) && !underNestedAgg(n) && !insideSampleScan(n))
           .take(1)
-          .filter(_ => minMaxRefs.isEmpty)
+          .filter(_ => minMaxArgs.forall(_.foldable))
           .map { n =>
             (n, graft.SampleInfo("<inline_weighted>", "<inline_weighted>", n,
               Plans.ofRows(spark, n), Nil, 0.0, 0))
@@ -227,7 +253,6 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // expressions, so a sample stratified on exactly the grouped
       // expression ranks as an exact match (reference ranks function QCS
       // the same way — `QueryProcessingRules.scala:412-501`).
-      val simpleIdent = "[A-Za-z_][A-Za-z0-9_]*".r
       def exprExact(i: graft.SampleInfo, leaf: LogicalPlan): Boolean = {
         if (i.qcs.isEmpty || agg.groupingExpressions.isEmpty) return false
         // plain column names are already handled by the name tier
@@ -235,18 +260,10 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val grouping = agg.groupingExpressions
           .map { case a: Alias => a.child; case e => e }
         if (!grouping.forall(_.references.subsetOf(leaf.outputSet))) return false
-        try {
-          val resolved = i.qcs.map { s =>
-            val parsed = spark.sessionState.sqlParser.parseExpression(s)
-            spark.sessionState.analyzer.execute(
-              Project(Seq(Alias(parsed, "__graft_qcs__")()), leaf)) match {
-              case Project(Seq(al: Alias), _) if al.child.resolved => al.child
-              case _ => return false
-            }
-          }
-          resolved.map(_.canonicalized).toSet ==
+        val resolved = i.qcs.map(resolveQcsEntry(_, leaf))
+        resolved.forall(_.isDefined) &&
+          resolved.flatten.map(_.canonicalized).toSet ==
             grouping.map(_.canonicalized).toSet
-        } catch { case scala.util.control.NonFatal(_) => false }
       }
       Some(allPairs.maxBy { case (leaf, i) =>
         val base = score(i, qcsFor(leaf))

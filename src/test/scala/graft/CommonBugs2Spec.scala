@@ -305,6 +305,66 @@ class CommonBugs2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- ErrorEstimateFunctionTest ENT-57 family ---------------------------------
+  test("ENT-57: min/max on literals never block AQP; literal values pass through") {
+    val rows = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS x, lower_bound(x) AS lb,
+        |       upper_bound(x) AS ub, max(100) AS m1, max(true) AS m2,
+        |       min(true) AS m3, min(101) AS m4, max(100 + 123) AS m5
+        |FROM li_cb2 GROUP BY l_returnflag
+        |WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(3), "AQP must have applied (bounds present)")
+      assert(r.getInt(4) === 100 && r.getBoolean(5) && r.getBoolean(6))
+      assert(r.getInt(7) === 101 && r.getInt(8) === 223)
+    }
+  }
+
+  test("ENT-57: max on a QCS column rides the sample and stays exact") {
+    gs
+    val r = gs.sql(
+      """SELECT sum(l_quantity) AS x, lower_bound(x) AS lb, upper_bound(x) AS ub,
+        |       max(l_returnflag) AS mq, min(101) AS ml
+        |FROM li_cb2 WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin).collect()(0)
+    assert(!r.isNullAt(1) && !r.isNullAt(2), "AQP must have applied")
+    val exactMax = spark.sql("SELECT max(l_returnflag) FROM li_cb2")
+      .collect()(0).getString(0)
+    assert(r.getString(3) === exactMax)
+    assert(r.getInt(4) === 101)
+  }
+
+  test("ENT-57: max on a non-QCS column routes to base; max on the function-QCS expression rides the sample") {
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_cb2e")
+    gs.sql("CREATE SAMPLE TABLE li_cb2e_s ON li_cb2e " +
+      "OPTIONS(qcs 'round(l_quantity / 10)', fraction '0.2')")
+    // max of a RAW INPUT of the function QCS is not exact on the sample —
+    // the rewrite must leave this query on the base (no weight column in
+    // the plan) and the value must be the exact base max
+    val onBase = gs.sql(
+      """SELECT sum(l_extendedprice) AS x, max(l_quantity) AS mq
+        |FROM li_cb2e WITH ERROR 0.9""".stripMargin)
+    assert(!onBase.queryExecution.analyzed.treeString
+      .contains(org.apache.spark.sql.graft.Weightage.WeightColumn),
+      "max(raw input of a function QCS) must route to base")
+    val exactMax = spark.sql("SELECT max(l_quantity) FROM li_cb2e")
+      .collect()(0).getDouble(0)
+    assert(onBase.collect()(0).getDouble(1) === exactMax)
+    // max of the STRATUM EXPRESSION ITSELF is exact (every stratum keeps a
+    // row carrying its key value) — the rewrite must ride the sample
+    val onSample = gs.sql(
+      """SELECT sum(l_extendedprice) AS x, absolute_error(x) AS ae,
+        |       max(round(l_quantity / 10)) AS mb
+        |FROM li_cb2e WITH ERROR 0.9""".stripMargin)
+    assert(onSample.queryExecution.analyzed.treeString
+      .contains(org.apache.spark.sql.graft.Weightage.WeightColumn),
+      "max(function-QCS expression) must ride the sample")
+    val exactB = spark.sql("SELECT max(round(l_quantity / 10)) FROM li_cb2e")
+      .collect()(0).getDouble(0)
+    assert(onSample.collect()(0).getDouble(2) === exactB)
+    new GraftSession(spark).dropSampleTable("li_cb2e_s")
+  }
+
   // --- CommonBugTest "transformation on sampled relation" ---------------------
   test("a transformed sampled relation stops being a sample; re-registered aggregates round-trip") {
     gs // force sample creation

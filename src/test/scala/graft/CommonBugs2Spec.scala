@@ -365,6 +365,93 @@ class CommonBugs2Spec extends AnyFunSuite with BeforeAndAfterAll {
     new GraftSession(spark).dropSampleTable("li_cb2e_s")
   }
 
+  // --- ErrorEstimateFunctionTest "Test SNAP-696" -------------------------------
+  test("SNAP-696: unaliased error functions keep usable schema names under order-by-agg-limit") {
+    val df = gs.sql(
+      """SELECT l_returnflag, avg(l_quantity) AS x, lower_bound(x)
+        |FROM li_cb2 GROUP BY l_returnflag ORDER BY avg(l_quantity) DESC
+        |LIMIT 10 WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin)
+    val names = df.schema.fieldNames
+    assert(names(0) === "l_returnflag" && names(1) === "x")
+    assert(names(2).toLowerCase.contains("lower_bound"),
+      s"unaliased error fn lost its name: ${names.mkString(", ")}")
+    val rows = df.collect()
+    assert(rows.nonEmpty && math.abs(rows(0).getDouble(2)) > 0)
+    // descending by the aggregate
+    rows.sliding(2).foreach(w => assert(w(0).getDouble(1) >= w(1).getDouble(1)))
+  }
+
+  // --- CommonBugTest AQP-233/249: withError subquery dataframe + join ----------
+  test("AQP-233/249: aggregated withError subquery joined and re-aggregated") {
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_cb2")
+    // exact pipeline
+    def pipeline(trips: org.apache.spark.sql.DataFrame) = {
+      val dim = spark.sql(
+        "SELECT o_orderkey AS d_orderkey, o_orderpriority FROM ord_cb2")
+      trips.join(dim, trips("t_orderkey") === dim("d_orderkey"), "inner")
+        .filter(col("t_qty") > 5)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("t_qty")), 4).as("total_qty"))
+        .orderBy(desc("total_qty"), col("o_orderpriority"))
+    }
+    val exactTrips = spark.sql(
+      """SELECT l_orderkey AS t_orderkey, sum(l_quantity) AS t_qty
+        |FROM li_cb2 GROUP BY l_orderkey""".stripMargin)
+    val expected = pipeline(exactTrips).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // withError on the subquery dataframe (full-fraction registered sample
+    // on li_cb2f keeps the estimate exact, so the whole composition matches)
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_cb2w")
+    gs.sql("CREATE SAMPLE TABLE li_cb2w_s ON li_cb2w " +
+      "OPTIONS(qcs 'l_orderkey', fraction '1.0')")
+    val approxTrips = gs.withError(spark.sql(
+      """SELECT l_orderkey AS t_orderkey, sum(l_quantity) AS t_qty
+        |FROM li_cb2w GROUP BY l_orderkey""".stripMargin), 0.9, 0.95)
+    val got = pipeline(approxTrips).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.sameElements(expected),
+      s"withError subquery pipeline diverged: ${got.toSeq} vs ${expected.toSeq}")
+    new GraftSession(spark).dropSampleTable("li_cb2w_s")
+  }
+
+  // --- ErrorEstimateFunctionTest "Hashjoin Bug - 2/3" ---------------------------
+  test("Hashjoin parity: WITH ERROR join answers identically under broadcast and shuffle joins") {
+    gs
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_cb2h")
+    def run(): Array[(String, Double)] = gs.sql(
+      """SELECT o_orderpriority, round(sum(l_quantity), 4) AS s,
+        |       absolute_error(s) AS ae
+        |FROM li_cb2 JOIN ord_cb2h ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority
+        |WITH ERROR 0.9""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val withBroadcast = run()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val withShuffle =
+      try run() finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(withBroadcast.sameElements(withShuffle),
+      "estimates must not depend on the physical join strategy")
+  }
+
+  // --- CommonBugTest "incorrect sort in show method" -----------------------------
+  test("ORDER BY of a WITH ERROR query is stable across shuffle-partition settings") {
+    gs
+    def run(): Array[(String, Double)] = gs.sql(
+      """SELECT l_returnflag, round(avg(l_quantity), 6) AS a, absolute_error(a) AS ae
+        |FROM li_cb2 GROUP BY l_returnflag ORDER BY a DESC, l_returnflag
+        |WITH ERROR 0.9""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = run()
+    try {
+      Seq("1", "6", "17").foreach { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(run().sameElements(base), s"sort broke at $p shuffle partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   // --- CommonBugTest "transformation on sampled relation" ---------------------
   test("a transformed sampled relation stops being a sample; re-registered aggregates round-trip") {
     gs // force sample creation

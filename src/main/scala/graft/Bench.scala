@@ -63,7 +63,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.sorted.apply(times.size / 2)
+      val sorted = times.sorted
+      // true median: for even pass counts average the middle two — picking
+      // sorted(n/2) alone reports the upper-middle sample and biases every
+      // query (and the total) high
+      val median =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -528,10 +528,13 @@ object GraftSession {
     val cur = new StringBuilder
     var depth = 0
     var inQuote = false
+    var escaped = false
     s.foreach {
+      case c if escaped => escaped = false; cur += c
       case ',' if depth == 0 && !inQuote => out += cur.toString; cur.clear()
       case c =>
-        if (c == '\'') inQuote = !inQuote // '' escape = two toggles, net even
+        if (inQuote && c == '\\') escaped = true // \' escape inside a literal
+        else if (c == '\'') inQuote = !inQuote // '' escape = two toggles, net even
         else if (!inQuote) {
           if (c == '(') depth += 1
           else if (c == ')') {
@@ -541,7 +544,7 @@ object GraftSession {
         }
         cur += c
     }
-    require(depth == 0 && !inQuote,
+    require(depth == 0 && !inQuote && !escaped,
       s"unbalanced parentheses or unterminated quote in expression list: $s")
     out += cur.toString
     out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
@@ -631,12 +634,19 @@ object GraftSession {
 
   private[graft] def writeSampleMeta(path: String, baseName: String,
       qcs: Seq[String], fraction: Double, reservoirSize: Int,
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
+      conf: org.apache.hadoop.conf.Configuration,
+      declaredOpts: Map[String, String] = Map.empty): Unit = {
     val props = new java.util.Properties()
     props.setProperty("baseName", baseName)
     props.setProperty("qcs", qcs.mkString(","))
     props.setProperty("fraction", fraction.toString)
     props.setProperty("reservoirSize", reservoirSize.toString)
+    // the options AS DECLARED at create time (before time-slot derivation
+    // merges into `qcs`) — appends validate/inherit against these, since
+    // the combined qcs is not what the user ever typed
+    declaredOpts.foreach { case (k, v) =>
+      props.setProperty("opt." + k.toLowerCase, v)
+    }
     // the sample parquet itself goes through Hadoop FS, so the metadata must
     // too — a java.io.File here would break OPTIONS(path 'hdfs://…'/'s3a://…')
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
@@ -659,5 +669,21 @@ object GraftSession {
       splitTopLevel(props.getProperty("qcs", "")),
       props.getProperty("fraction").toDouble,
       props.getProperty("reservoirSize").toInt))
+  }
+
+  /** The create-time DECLARED option map stored alongside a persisted
+   * sample (`opt.*` meta keys; empty for pre-existing metas). */
+  def readSampleDeclaredOpts(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isFile) return Map.empty
+    val props = new java.util.Properties()
+    val in = fs.open(p)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames().asScala
+      .filter(_.startsWith("opt."))
+      .map(k => k.stripPrefix("opt.") -> props.getProperty(k)).toMap
   }
 }

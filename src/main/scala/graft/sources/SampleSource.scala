@@ -58,45 +58,81 @@ class SampleSource extends CreatableRelationProvider with RelationProvider
       val storedMeta =
         if (appending) graft.GraftSession.readSampleMeta(path, hadoopConf)
         else None
+      val declaredLower = parameters.map { case (k, v) => k.toLowerCase -> v }
+      // declared options of the ORIGINAL write (pre time-slot derivation) —
+      // appends validate what the user restates against what the user
+      // originally typed, and inherit everything omitted
+      val storedDeclared =
+        if (appending)
+          graft.GraftSession.readSampleDeclaredOpts(path, hadoopConf)
+        else Map.empty[String, String]
       val effective =
         storedMeta match {
           case None => parameters
           case Some((_, storedQcs, storedFraction, storedReservoir)) =>
-            val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
-            lower.get("qcs").foreach { q =>
-              val declared = graft.GraftSession.splitTopLevel(q)
-              require(declared.map(_.toLowerCase) ==
-                storedQcs.map(_.toLowerCase),
-                s"append to $path declares qcs '${declared.mkString(", ")}' " +
-                  s"but the existing sample was stratified on " +
-                  s"'${storedQcs.mkString(", ")}' — drop the option to " +
-                  "inherit, or rewrite with mode Overwrite")
+            if (storedDeclared.nonEmpty) {
+              // stratification options must not drift between batches
+              Seq("qcs", "fraction", "stratareservoirsize", "seed",
+                "timeseriescolumn", "timeinterval", "timeunit",
+                "errorlimitcolumn", "errorlimitpercent", "confidence")
+                .foreach { k =>
+                  (declaredLower.get(k), storedDeclared.get(k)) match {
+                    case (Some(d), Some(s)) =>
+                      require(d.trim.equalsIgnoreCase(s.trim),
+                        s"append to $path declares $k '$d' but the existing " +
+                          s"sample was created with '$s' — drop the option " +
+                          "to inherit, or rewrite with mode Overwrite")
+                    case (Some(d), None) =>
+                      throw new IllegalArgumentException(
+                        s"append to $path declares $k '$d' but the existing " +
+                          s"sample was created without it — drop the option " +
+                          "to inherit, or rewrite with mode Overwrite")
+                    case _ => // omitted: inherits
+                  }
+                }
+              storedDeclared ++ declaredLower
+            } else {
+              // pre-`opt.*` meta: fall back to comparing the COMBINED qcs
+              declaredLower.get("qcs").foreach { q =>
+                val declared = graft.GraftSession.splitTopLevel(q)
+                require(declared.map(_.toLowerCase) ==
+                  storedQcs.map(_.toLowerCase),
+                  s"append to $path declares qcs '${declared.mkString(", ")}' " +
+                    s"but the existing sample was stratified on " +
+                    s"'${storedQcs.mkString(", ")}' — drop the option to " +
+                    "inherit, or rewrite with mode Overwrite")
+              }
+              declaredLower.get("fraction").foreach { f =>
+                require(f.toDouble == storedFraction,
+                  s"append to $path declares fraction $f but the existing " +
+                    s"sample used $storedFraction — drop the option to " +
+                    "inherit, or rewrite with mode Overwrite")
+              }
+              declaredLower.get("stratareservoirsize").foreach { r =>
+                require(r.toInt == storedReservoir,
+                  s"append to $path declares strataReservoirSize $r but the " +
+                    s"existing sample used $storedReservoir — drop the option " +
+                    "to inherit, or rewrite with mode Overwrite")
+              }
+              parameters ++ Map(
+                "qcs" -> storedQcs.mkString(","),
+                "fraction" -> storedFraction.toString,
+                "strataReservoirSize" -> storedReservoir.toString)
             }
-            lower.get("fraction").foreach { f =>
-              require(f.toDouble == storedFraction,
-                s"append to $path declares fraction $f but the existing " +
-                  s"sample used $storedFraction — drop the option to " +
-                  "inherit, or rewrite with mode Overwrite")
-            }
-            lower.get("stratareservoirsize").foreach { r =>
-              require(r.toInt == storedReservoir,
-                s"append to $path declares strataReservoirSize $r but the " +
-                  s"existing sample used $storedReservoir — drop the option " +
-                  "to inherit, or rewrite with mode Overwrite")
-            }
-            parameters ++ Map(
-              "qcs" -> storedQcs.mkString(","),
-              "fraction" -> storedFraction.toString,
-              "strataReservoirSize" -> storedReservoir.toString)
         }
       val (sampled, qcs, fraction, reservoirSize) =
         graft.GraftSession.sampleByOptions(data, effective)
       val writeMode = if (appending) "append" else "overwrite"
       sampled.write.mode(writeMode).parquet(path)
+      // persist the declared options of the GOVERNING scheme (original on
+      // append, this statement's on create/overwrite), minus storage keys
+      val governing =
+        (if (appending && storedDeclared.nonEmpty) storedDeclared
+         else declaredLower) -- Seq("path", "basetable")
       graft.GraftSession.writeSampleMeta(path,
         parameters.getOrElse("baseTable", parameters.getOrElse("basetable",
           storedMeta.map(_._1).getOrElse(""))),
-        qcs, fraction, reservoirSize, hadoopConf)
+        qcs, fraction, reservoirSize, hadoopConf, governing)
     }
     createRelation(sqlContext, parameters)
   }

@@ -106,6 +106,10 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
 
   def spilledBucketCount: Int = spilledSpans.size
 
+  /** Where this table's buckets spill (None until the first spill of a
+   * non-path table) — exposed so DROP can retire the store. */
+  def spillDirOption: Option[String] = spillPath
+
   /** Root directory for spilled buckets (set to `<path>/_graft_topk_spill`
    * for path-backed tables BEFORE the first append; a local temp directory
    * is created lazily otherwise). */
@@ -126,12 +130,17 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       throw new IllegalStateException(
         s"TopK table '$name' has spilled buckets but no active SparkSession"))
 
-  private def ensureSpillDir(): String = spillPath.getOrElse {
-    val d = java.nio.file.Files.createTempDirectory("graft_topk_spill_")
-      .toString
-    spillPath = Some(d)
-    d
-  }
+  private def ensureSpillDir(spark: SparkSession): String =
+    spillPath.getOrElse {
+      // not path-backed: spill under the warehouse dir — a SHARED filesystem
+      // on a real cluster (a driver-local temp dir would be invisible to
+      // executors reading the parquet back)
+      val wh = spark.sessionState.conf.warehousePath.stripSuffix("/")
+      val d = s"$wh/${graft.GraftSession.TopkSpillDir}/$name-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      spillPath = Some(d)
+      d
+    }
 
   /** Move oldest buckets to the spill store until the driver is back under
    * its guard. History blocks predate every full-resolution interval, so
@@ -152,7 +161,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       }
     }
     if (moved.nonEmpty) {
-      val dir = ensureSpillDir()
+      val dir = ensureSpillDir(spark)
       import spark.implicits._
       spark.createDataset(moved.toSeq).toDF("start", "len", "bytes")
         .coalesce(1).write.mode("append").parquet(dir)
@@ -177,7 +186,10 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       else col("start") + col("len") - lit(1L) >= lit(startIv)
     val rdd = df.filter(startCond && endCond).select(col("bytes"))
       .rdd.map(r => IntervalSketch.fromBytes(r.getAs[Array[Byte]](0)))
-    if (rdd.isEmpty()) None else Some(rdd.reduce(_.mergeWith(_)))
+    // the span index is exact (spillOldest and attachSpill keep it in sync
+    // with the parquet rows), so the overlap pre-check above guarantees a
+    // non-empty scan — one job, not an isEmpty probe plus a reduce
+    Some(rdd.reduce(_.mergeWith(_)))
   }
 
   /** Driver-resident + spilled buckets merged over the range. */
@@ -216,14 +228,23 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     val ivCol = opts.timeSeriesColumn match {
       case Some(ts) =>
         val tsType = df.schema.find(_.name.equalsIgnoreCase(ts)).map(_.dataType)
-        val millis = (opts.timeUnit, tsType) match {
-          case ("ns", _) => col(ts).cast(LongType) / lit(1000000L)
-          case ("ms", _) => col(ts).cast(LongType)
-          case ("s", _) => col(ts).cast(LongType) * lit(1000L)
-          case (_, Some(TimestampType)) => col(ts).cast("double") * lit(1000.0)
-          case _ => col(ts).cast(LongType) // assume epoch millis
+        // integral `div` end-to-end for integer epochs: ns values exceed
+        // 2^53, where double division quantizes to ~256 ns and mis-buckets
+        // events near an interval boundary (same rule as the sampler's
+        // time-slot strata)
+        (opts.timeUnit, tsType) match {
+          case ("ns", _) =>
+            expr(s"CAST($ts AS BIGINT) div ${opts.timeIntervalMs * 1000000L}L")
+          case ("ms", _) =>
+            expr(s"CAST($ts AS BIGINT) div ${opts.timeIntervalMs}L")
+          case ("s", _) =>
+            expr(s"(CAST($ts AS BIGINT) * 1000L) div ${opts.timeIntervalMs}L")
+          case (_, Some(TimestampType)) =>
+            floor(col(ts).cast("double") * lit(1000.0) /
+              opts.timeIntervalMs.toDouble).cast(LongType)
+          case _ => // assume epoch millis
+            expr(s"CAST($ts AS BIGINT) div ${opts.timeIntervalMs}L")
         }
-        floor(millis / opts.timeIntervalMs.toDouble).cast(LongType)
       case None => lit(0L)
     }
     val agg = SketchAggregate(keyCol, freqCol, variant, opts.size, opts.depth,

@@ -416,19 +416,24 @@ case class CreateTopkTableNode(name: String, base: String,
       val canAttach = ifNotExists && path.exists(p =>
         graft.GraftSession.topkMetaExists(p, spark.sessionState.newHadoopConf()))
       if (canAttach) {
-        // re-attach only under the SAME resolved options: silently ignoring
-        // a drifted size/capacity/key (or a changed base) would resurrect a
-        // snapshot that misdescribes what the statement asks for
+        // re-attach only when the options the statement DECLARES agree with
+        // the snapshot: silently ignoring a drifted size/capacity/key (or a
+        // changed base) would resurrect a snapshot that misdescribes what
+        // the statement asks for. Omitted options INHERIT the stored values
+        // (a path-only or partial re-attach is the normal restart shape) —
+        // so the check resolves stored-overridden-by-declared and compares
+        // with stored alone.
         val (storedOpts, storedBase) = graft.GraftSession.readTopkMetaOptions(
           path.get, spark.sessionState.newHadoopConf())
         val declared = options.map { case (k, v) => k.toLowerCase -> v } - "path"
-        val declaredResolved = graft.topk.TopKOptions.fromOptions(declared)
+        val declaredResolved =
+          graft.topk.TopKOptions.fromOptions(storedOpts ++ declared)
         val storedResolved = graft.topk.TopKOptions.fromOptions(storedOpts)
         require(declaredResolved == storedResolved,
-          s"CREATE TOPK TABLE IF NOT EXISTS $name: options resolve to " +
-            s"$declaredResolved but the snapshot at ${path.get} was built " +
-            s"with $storedResolved — DROP TOPK TABLE first (which retires " +
-            "the snapshot) or restate the original options")
+          s"CREATE TOPK TABLE IF NOT EXISTS $name: declared options resolve " +
+            s"to $declaredResolved but the snapshot at ${path.get} was " +
+            s"built with $storedResolved — DROP TOPK TABLE first (which " +
+            "retires the snapshot) or restate the original options")
         if (base.nonEmpty && storedBase.nonEmpty)
           require(base.equalsIgnoreCase(storedBase),
             s"CREATE TOPK TABLE IF NOT EXISTS $name ON $base: the snapshot " +
@@ -468,13 +473,13 @@ case class DropTopkTableNode(name: String, ifExists: Boolean)
     val state = graft.GraftState.of(spark)
     if (!ifExists && !state.topks.contains(name.toLowerCase))
       throw new IllegalArgumentException(s"No TopK structure named $name")
-    state.topks.remove(name.toLowerCase).foreach { _ =>
+    state.topks.remove(name.toLowerCase).foreach { removed =>
       state.topkBases.remove(name.toLowerCase)
+      val conf = spark.sessionState.newHadoopConf()
       // explicit DROP retires the persisted snapshot too — otherwise a
       // later CREATE ... IF NOT EXISTS on the same path resurrects stale
       // counts that no longer correspond to any registered structure
       state.topkPaths.remove(name.toLowerCase).foreach { p =>
-        val conf = spark.sessionState.newHadoopConf()
         val dir = new org.apache.hadoop.fs.Path(p)
         val fs = dir.getFileSystem(conf)
         Seq(graft.GraftSession.TopkMetaFile, graft.GraftSession.TopkBinFile)
@@ -482,9 +487,16 @@ case class DropTopkTableNode(name: String, ifExists: Boolean)
             val fp = new org.apache.hadoop.fs.Path(dir, f)
             if (fs.exists(fp)) fs.delete(fp, false)
           }
-        val spill = new org.apache.hadoop.fs.Path(dir,
-          graft.GraftSession.TopkSpillDir)
-        if (fs.exists(spill)) fs.delete(spill, true)
+      }
+      // ... and the spill store, wherever it lives (under the table's path
+      // OR the warehouse fallback of a non-path table)
+      removed match {
+        case st: graft.topk.TopKState => st.spillDirOption.foreach { d =>
+          val sp = new org.apache.hadoop.fs.Path(d)
+          val fs = sp.getFileSystem(conf)
+          if (fs.exists(sp)) fs.delete(sp, true)
+        }
+        case _ =>
       }
       spark.catalog.dropTempView(name)
     }

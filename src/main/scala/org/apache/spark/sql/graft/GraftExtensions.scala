@@ -21,13 +21,6 @@ object Plans {
    * release). The frame is NOT fault-tolerant to executor loss beyond
    * normal RDD recompute of the persisted map.
    */
-  def materialize(spark: SparkSession, df: DataFrame): (DataFrame, () => Unit) = {
-    val (out, rdd) = materializeWithRdd(spark, df)
-    (out, () => { rdd.unpersist(blocking = false); () })
-  }
-
-  /** [[materialize]] exposing the persisted RDD itself, for callers that
-   * hand the release off to [[releaseAfterFirstUse]]. */
   def materializeWithRdd(spark: SparkSession, df: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
@@ -45,11 +38,18 @@ object Plans {
    * the GC-driven ContextCleaner lets a long-running bench accumulate dead
    * cache entries that evict each other. The frame stays CORRECT after
    * release — a second execution recomputes through the RDD lineage.
+   *
+   * Only Dataset-level actions fire `QueryExecutionListener`; if the caller
+   * never executes the frame (or consumes it through the raw RDD), the
+   * listener self-expires after a bounded number of unrelated queries and
+   * the entry falls back to the ContextCleaner — the pre-existing backstop,
+   * minus an ever-growing listener list.
    */
   def releaseAfterFirstUse(spark: SparkSession,
       rdd: org.apache.spark.rdd.RDD[_]): Unit = {
     val lm = spark.listenerManager
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private var unrelatedSeen = 0
       private def consumes(
           qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
         qe.analyzed.exists {
@@ -61,6 +61,9 @@ object Plans {
         if (consumes(qe)) {
           rdd.unpersist(blocking = false)
           lm.unregister(this)
+        } else {
+          unrelatedSeen += 1
+          if (unrelatedSeen > 256) lm.unregister(this) // ContextCleaner backstop
         }
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,

@@ -67,7 +67,7 @@ class SampleSourceSpec extends AnyFunSuite {
         .option("qcs", "l_shipmode").option("fraction", "0.1")
         .mode(SaveMode.Append).save(dir)
     }
-    assert(e.getMessage.contains("stratified on"))
+    assert(e.getMessage.contains("was created with"))
     intercept[IllegalArgumentException] {
       li.write.format("graft-sample").option("fraction", "0.5")
         .mode(SaveMode.Append).save(dir)
@@ -76,6 +76,52 @@ class SampleSourceSpec extends AnyFunSuite {
     li.write.format("graft-sample")
       .option("qcs", "l_returnflag").option("fraction", "0.1")
       .mode(SaveMode.Append).save(dir)
+  }
+
+  test("Append with timeSeriesColumn: restating the original options neither conflicts nor duplicates the time stratum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_").toString + "/s5"
+    val withTs = li.withColumn("ts_ms", (col("l_orderkey") % 30) * 86400000L)
+    def write(mode: SaveMode) = withTs.write.format("graft-sample")
+      .option("qcs", "l_returnflag").option("fraction", "0.2")
+      .option("timeSeriesColumn", "ts_ms").option("timeInterval", "86400000")
+      .option("timeUnit", "ms")
+      .mode(mode).save(dir)
+    write(SaveMode.Overwrite)
+    val conf = spark.sessionState.newHadoopConf()
+    val qcsAfterCreate = GraftSession.readSampleMeta(dir, conf).get._2
+    assert(qcsAfterCreate.size === 2,
+      s"combined qcs = declared + one derived time slot, got $qcsAfterCreate")
+    // restating the SAME options must not be flagged as drift (the stored
+    // combined qcs embeds the derived slot; the check compares declared)
+    write(SaveMode.Append)
+    val qcsAfterAppend = GraftSession.readSampleMeta(dir, conf).get._2
+    assert(qcsAfterAppend === qcsAfterCreate,
+      s"append must not grow the stratification: $qcsAfterAppend")
+    // optionless append inherits everything — still no duplicate slot
+    withTs.write.format("graft-sample").mode(SaveMode.Append).save(dir)
+    assert(GraftSession.readSampleMeta(dir, conf).get._2 === qcsAfterCreate)
+    // an actually different time interval is drift
+    val e = intercept[IllegalArgumentException] {
+      withTs.write.format("graft-sample")
+        .option("timeSeriesColumn", "ts_ms").option("timeInterval", "3600000")
+        .mode(SaveMode.Append).save(dir)
+    }
+    assert(e.getMessage.contains("timeinterval"))
+  }
+
+  test("splitTopLevel handles quoted commas, '' and backslash escapes, rejects unbalanced input") {
+    import GraftSession.{splitTopLevel => split}
+    assert(split("a, substr(b, 1, 3)") === Seq("a", "substr(b, 1, 3)"))
+    assert(split("concat(region, ', ', nation)") ===
+      Seq("concat(region, ', ', nation)"))
+    assert(split("concat(a, 'it''s, fine'), b") ===
+      Seq("concat(a, 'it''s, fine')", "b"))
+    assert(split("concat(a, 'don\\'t, stop'), b") ===
+      Seq("concat(a, 'don\\'t, stop')", "b"))
+    assert(split("'(', b") === Seq("'('", "b"))
+    intercept[IllegalArgumentException] { split("f(a, b") }
+    intercept[IllegalArgumentException] { split("f(a)) , b") }
+    intercept[IllegalArgumentException] { split("a, 'unterminated") }
   }
 
   test("the written path re-attaches as a registered sample (meta round-trip)") {

@@ -271,6 +271,14 @@ class TopKSpec extends AnyFunSuite {
         s"key 'event_type', size '9', streamSummary 'true', capacity '100000', path '$dir')")
     }
     assert(e.getMessage.contains("snapshot"))
+    // a PATH-ONLY (or partial) statement inherits the stored options — the
+    // normal restart shape must not require restating every option
+    gs.sql(s"CREATE TOPK TABLE IF NOT EXISTS tk_drift ON events OPTIONS(path '$dir')")
+    assert(gs.queryTopK("tk_drift", k = 5).collect().map(_.getString(0)).toSet ===
+      before.keySet)
+    GraftState.of(spark).topks.remove("tk_drift")
+    GraftState.of(spark).topkPaths.remove("tk_drift")
+    spark.catalog.dropTempView("tk_drift")
     // identical options re-attach fine
     gs.sql("CREATE TOPK TABLE IF NOT EXISTS tk_drift ON events OPTIONS(" +
       s"key 'event_type', size '5', streamSummary 'true', capacity '100000', path '$dir')")

@@ -288,6 +288,31 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "cumsum window must partition by the bucket column")
   }
 
+  test("candidate-pair joins shuffle narrow rows (no signature/vector payloads)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the LSH bucket join must move (band, bucket, id) per side — never the
+    // 128-long signatures (16 x 1 KB per doc at corpus scale)
+    val lsh = graft.dedup.Dedup.lshCandidatePairs(docs, "doc_id", "text")
+    val lshJoin = lsh.queryExecution.optimizedPlan.collect {
+      case j: Join if j.left.output.exists(_.name == "band") => j
+    }
+    assert(lshJoin.nonEmpty, "no banded candidate join found")
+    lshJoin.foreach { j =>
+      assert(j.left.output.size <= 3 && j.right.output.size <= 3,
+        s"candidate join carries payload columns: ${j.left.output} | ${j.right.output}")
+    }
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cos = graft.ann.Ann.cosineDedupPairs(emb, "vec_id", "embedding", 0.999)
+    val cosJoin = cos.queryExecution.optimizedPlan.collect {
+      case j: Join if j.left.output.exists(_.name == "bucket") &&
+        j.left.output.size <= 3 && !j.left.output.exists(_.name.startsWith("v_")) => j
+    }
+    assert(cosJoin.nonEmpty,
+      "cosine candidate join must move (bucket, id) rows, not vectors:\n" +
+        cos.queryExecution.optimizedPlan.treeString)
+  }
+
   test("unigramLogProb scores the head tier through a broadcast join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // emulate at-scale planning: with auto-broadcast off (a 100 TB corpus's

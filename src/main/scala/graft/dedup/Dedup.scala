@@ -187,17 +187,22 @@ object Dedup {
         .distinct()
     }
 
-    var converged = edges.isEmpty
+    // carry each round's count forward — recounting the already-materialized
+    // previous frame would spend an extra job per round
+    var edgesCount = edges.count()
+    var converged = edgesCount == 0
     var iter = 0
     while (!converged && iter < maxIterations) {
       val (next, nextRdd) = materialize(smallStar(largeStar(edges)))
+      val nextCount = next.count()
       // equal edge sets ⇒ fixed point (both frames are distinct sets, so
       // equal counts + no new edge ⇒ identical)
-      val changed = next.count() != edges.count() ||
+      val changed = nextCount != edgesCount ||
         next.join(edges, Seq("src", "dst"), "left_anti").take(1).nonEmpty
       edgesRdd.unpersist(blocking = false)
       edges = next
       edgesRdd = nextRdd
+      edgesCount = nextCount
       converged = !changed
       iter += 1
     }

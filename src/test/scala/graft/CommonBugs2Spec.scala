@@ -452,6 +452,53 @@ class CommonBugs2Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  // --- QueryRoutingTestSuite "test query without aggregate" --------------------
+  test("non-aggregate query with an error clause returns exact base rows") {
+    gs
+    val exact = spark.sql(
+      "SELECT l_orderkey AS num FROM li_cb2 ORDER BY num LIMIT 20")
+      .collect().map(_.getLong(0))
+    Seq("WITH ERROR 0.95",
+        "WITH ERROR 0.95 CONFIDENCE 0.95").foreach { clause =>
+      val got = gs.sql(
+        s"SELECT l_orderkey AS num FROM li_cb2 ORDER BY num LIMIT 20 $clause")
+        .collect().map(_.getLong(0))
+      assert(got.sameElements(exact),
+        s"row-returning query under '$clause' must not be sampled")
+    }
+  }
+
+  // --- QueryRoutingTestSuite "query on base table without sampletable" ---------
+  test("WITH ERROR on a table with no registered sample runs exactly on base") {
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_cb2n")
+    val exact = spark.sql(
+      "SELECT o_orderpriority, count(*) AS c FROM ord_cb2n " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = gs.sql(
+      """SELECT o_orderpriority, count(*) AS c FROM ord_cb2n
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority
+        |WITH ERROR 0.5""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(exact))
+  }
+
+  // --- QueryRoutingTestSuite "test from table with alias" ----------------------
+  test("WITH ERROR query through a table alias routes like the bare table") {
+    gs
+    val bare = gs.sql(
+      """SELECT l_returnflag, round(sum(l_quantity), 4) AS s, absolute_error(s) AS ae
+        |FROM li_cb2 GROUP BY l_returnflag ORDER BY l_returnflag
+        |WITH ERROR 0.9""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val aliased = gs.sql(
+      """SELECT t.l_returnflag, round(sum(t.l_quantity), 4) AS s, absolute_error(s) AS ae
+        |FROM li_cb2 t GROUP BY t.l_returnflag ORDER BY t.l_returnflag
+        |WITH ERROR 0.9""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(aliased.sameElements(bare))
+  }
+
   // --- CommonBugTest "transformation on sampled relation" ---------------------
   test("a transformed sampled relation stops being a sample; re-registered aggregates round-trip") {
     gs // force sample creation

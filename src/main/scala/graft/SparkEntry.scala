@@ -193,7 +193,7 @@ object SparkEntry {
       val withCopies = docs.unionByName(
         docs.orderBy(col("doc_id")).limit(20)
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      val cands = graft.dedup.Dedup.lshCandidatePairs(withCopies, "doc_id", "text")
+      val cands = graft.dedup.Dedup.lshCandidatePairIds(withCopies, "doc_id", "text")
       val txt = withCopies.select(col("doc_id"), col("text"))
       cands
         .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
@@ -347,7 +347,7 @@ object SparkEntry {
       val withCopies = docs.unionByName(
         docs.orderBy(col("doc_id")).limit(20)
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      val cands = graft.dedup.Dedup.lshCandidatePairs(withCopies, "doc_id", "text")
+      val cands = graft.dedup.Dedup.lshCandidatePairIds(withCopies, "doc_id", "text")
       val txt = withCopies.select(col("doc_id"), col("text"))
       cands
         .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
@@ -572,7 +572,7 @@ object SparkEntry {
       val withCopies = docs.unionByName(
         docs.orderBy(col("doc_id")).limit(20)
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      val cands = graft.dedup.Dedup.lshCandidatePairs(withCopies, "doc_id", "text")
+      val cands = graft.dedup.Dedup.lshCandidatePairIds(withCopies, "doc_id", "text")
       val txt = withCopies.select(col("doc_id"), col("text"))
       val pairs = cands
         .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")

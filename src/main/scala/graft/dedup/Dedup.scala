@@ -57,33 +57,13 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
-    val src = graft.core.Fanout(df)
-    // No cache: an operator-internal persist leaks executor storage past the
-    // query (the handle never escapes this method). Instead the candidate
-    // join is forced to a shuffle join over NARROW (band, bucket, id) rows —
-    // both sides' exchanges are byte-identical, so exchange/stage reuse
-    // computes the signatures ONCE in the shared shuffle map stage, and the
-    // 128-long signatures never ride the candidate shuffle (16 bands × 1 KB
-    // per doc otherwise — at corpus scale the banding shuffle must move
-    // ids, not payloads). Signatures are fetched afterwards for the
-    // surviving pairs only (AQE broadcasts the pair set when it is small).
-    val sig = src.select(col(idCol).as("id"),
-      minhashSignature(col(contentCol), numHashes, shingleK).as("sig"))
-
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairIds = a.hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"), Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-
+    val sig = lshSignatures(df, idCol, contentCol, numHashes, shingleK)
+    val pairIds = bandedPairIds(sig, numHashes, bands)
+    // fetch signatures for the surviving pairs only (AQE broadcasts the
+    // pair set when it is small) and score the estimated Jaccard — callers
+    // that re-verify pairs by content should use [[lshCandidatePairIds]],
+    // which skips both fetch joins (an inner join cannot be pruned away by
+    // the optimizer even when est_jaccard goes unused)
     val sa = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val sb = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
     pairIds.join(sa, "id_a").join(sb, "id_b")
@@ -92,6 +72,53 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
           .as("est_jaccard"))
+  }
+
+  /** [[lshCandidatePairs]] without the signature-agreement score — just the
+   * distinct `(id_a < id_b)` candidate ids. The right call when candidates
+   * are verified downstream against the actual content (exact equality,
+   * n-gram Jaccard, …): the verification never reads `est_jaccard`, and
+   * skipping it removes two joins and two signature computations. */
+  def lshCandidatePairIds(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleK: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    bandedPairIds(
+      lshSignatures(df, idCol, contentCol, numHashes, shingleK),
+      numHashes, bands)
+  }
+
+  private def lshSignatures(df: DataFrame, idCol: String, contentCol: String,
+      numHashes: Int, shingleK: Int): DataFrame =
+    graft.core.Fanout(df).select(col(idCol).as("id"),
+      minhashSignature(col(contentCol), numHashes, shingleK).as("sig"))
+
+  /** The narrow banding join. No cache: an operator-internal persist leaks
+   * executor storage past the query (the handle never escapes). Instead the
+   * candidate join is forced to a shuffle join over NARROW (band, bucket,
+   * id) rows — both sides' exchanges are byte-identical, so exchange/stage
+   * reuse computes the signatures ONCE in the shared shuffle map stage, and
+   * the 128-long signatures never ride the candidate shuffle (16 bands ×
+   * 1 KB per doc otherwise — at corpus scale the banding shuffle must move
+   * ids, not payloads). */
+  private def bandedPairIds(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** SimHash fingerprint column (bigint). */

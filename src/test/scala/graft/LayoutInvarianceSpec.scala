@@ -102,6 +102,44 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.aqp.estimator", "closedform")
   }
 
+  test("unigram LM two-tier scores are layout-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val byLayout = layouts(docs).map { case (name, df) =>
+      name -> graft.pipeline.Pipeline
+        .unigramLogProb(df, "doc_id", "text", headSize = 50)
+        .collect()
+        .map(r => r.getLong(0) -> Seq(r.getLong(1).toDouble, r.getDouble(2)))
+        .toMap
+    }
+    assertAllEqual(byLayout, tol = 1e-12)
+  }
+
+  test("TopK answers are layout-invariant, including through the spill store") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val byLayout = layouts(events).map { case (name, df) =>
+      // small guard forces most buckets through the spill path; Space-Saving
+      // below capacity is exact, so every layout must agree exactly
+      val opts = graft.topk.TopKOptions(key = "event_type",
+        timeSeriesColumn = Some("ts"), timeIntervalMs = 86400000L,
+        size = 5, streamSummary = true, capacity = 16, maxInterval = 100,
+        timeUnit = "ns", maxDriverEntries = 16L)
+      val st = new graft.topk.TopKState(s"li_$name", opts,
+        org.apache.spark.sql.types.StringType)
+      st.append(df)
+      val res = st.topKRows(Long.MinValue, Long.MaxValue, 5)._1
+        .map { case (k, est, lb) =>
+          k.toString -> Seq(est.toDouble, lb.toDouble)
+        }.toMap
+      st.spillDirOption.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      name -> res
+    }
+    assertAllEqual(byLayout, tol = 0.0)
+  }
+
   test("HAC partial routing picks the same groups under any layout") {
     // choose an error limit strictly between the per-group relative errors,
     // so partial_run_on_base_table genuinely mixes sample-estimated and

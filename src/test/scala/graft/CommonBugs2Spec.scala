@@ -499,6 +499,37 @@ class CommonBugs2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aliased.sameElements(bare))
   }
 
+  // --- AbstractViewTest SNAP-3211 / SNAP-3204_1 --------------------------------
+  test("SNAP-3211: view with window-over-aggregate analyzes and queries through the AQP path") {
+    gs
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW cb2_item_details AS SELECT * FROM (
+        |  SELECT l_returnflag, sum(l_extendedprice) AS sum_sales,
+        |         avg(sum(l_extendedprice)) OVER (PARTITION BY l_returnflag) AS avg_q
+        |  FROM li_cb2 GROUP BY l_returnflag) tmp1
+        |WHERE avg_q > 0""".stripMargin)
+    val rows = spark.sql("SELECT * FROM cb2_item_details").collect()
+    assert(rows.nonEmpty)
+    // the same view passes whole through the AQP parser backstop
+    val viaGs = gs.sql("SELECT count(*) AS c FROM cb2_item_details")
+      .collect()(0).getLong(0)
+    assert(viaGs === rows.length.toLong)
+  }
+
+  test("SNAP-3204: WITH ERROR over a projection view equals the inline subquery") {
+    gs
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cb2_li_view AS " +
+      "SELECT l_returnflag, l_quantity FROM li_cb2 WHERE l_linenumber < 5")
+    val viaView = gs.sql(
+      "SELECT count(*) AS c FROM cb2_li_view WITH ERROR")
+      .collect()(0).getLong(0)
+    val inline = gs.sql(
+      "SELECT count(*) AS c FROM (SELECT l_returnflag, l_quantity " +
+        "FROM li_cb2 WHERE l_linenumber < 5) WITH ERROR")
+      .collect()(0).getLong(0)
+    assert(viaView === inline)
+  }
+
   // --- CommonBugTest "transformation on sampled relation" ---------------------
   test("a transformed sampled relation stops being a sample; re-registered aggregates round-trip") {
     gs // force sample creation

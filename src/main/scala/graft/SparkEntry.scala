@@ -1009,8 +1009,12 @@ object SparkEntry {
       val chunked = graft.pipeline.Pipeline.chunk(docs, "text", chunkTokens = 64)
         .select(col("doc_id"), col("chunk_index"),
           tokenCountWs(col("chunk_text")).cast("long").as("ctok"))
+      // the ChunkTokens explosion is expensive and the packer's prefix sum
+      // scans its input three times — materialize the (narrow) chunked
+      // projection once; the storage is released after the first action
       graft.pipeline.Pipeline.packSequences(
-          chunked, col("ctok"), Seq(col("doc_id"), col("chunk_index")), 512)
+          chunked, col("ctok"), Seq(col("doc_id"), col("chunk_index")), 512,
+          materialize = true)
         .select(col("doc_id"), col("chunk_index"), col("ctok"),
           col("seq_first"), col("seq_last"), col("seq_offset"))
         .orderBy(col("doc_id"), col("chunk_index"))

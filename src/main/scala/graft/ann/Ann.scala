@@ -282,19 +282,20 @@ object Ann {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, numPlanes, seed)
     // No cache (an operator-internal persist leaks storage past the query).
-    // The candidate join is forced to a shuffle join over NARROW
-    // (bucket, id) rows — both sides' exchanges canonicalize identically,
-    // so stage reuse computes the H hyperplane dot products once, and the
-    // vectors never ride the candidate shuffle. Vectors are fetched
-    // afterwards for the surviving pairs only (AQE broadcasts the pair set
-    // when small) to evaluate the exact cosine.
+    // The candidate join is (size-conditionally, [[graft.core.CandidateJoin]])
+    // forced to a shuffle join over NARROW (bucket, id) rows — both sides'
+    // exchanges canonicalize identically, so stage reuse computes the H
+    // hyperplane dot products once, and the vectors never ride the
+    // candidate shuffle. Vectors are fetched afterwards for the surviving
+    // pairs only (AQE broadcasts the pair set when small) to evaluate the
+    // exact cosine.
     val src = graft.core.Fanout(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
     val bucketed = src.select(col("id"), lshBucket(col("v"), planes).as("bucket"))
+    val hint = graft.core.CandidateJoin.maybeShuffleHash(src) _
     val a = bucketed.select(col("bucket"), col("id").as("id_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"))
-    val pairIds = a.hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"), Seq("bucket"))
+    val pairIds = hint(a).join(hint(b), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()

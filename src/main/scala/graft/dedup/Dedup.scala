@@ -99,12 +99,13 @@ object Dedup {
 
   /** The narrow banding join. No cache: an operator-internal persist leaks
    * executor storage past the query (the handle never escapes). Instead the
-   * candidate join is forced to a shuffle join over NARROW (band, bucket,
-   * id) rows — both sides' exchanges are byte-identical, so exchange/stage
-   * reuse computes the signatures ONCE in the shared shuffle map stage, and
-   * the 128-long signatures never ride the candidate shuffle (16 bands ×
-   * 1 KB per doc otherwise — at corpus scale the banding shuffle must move
-   * ids, not payloads). */
+   * candidate join is (size-conditionally, [[graft.core.CandidateJoin]])
+   * forced to a shuffle join over NARROW (band, bucket, id) rows — both
+   * sides' exchanges are byte-identical, so exchange/stage reuse computes
+   * the signatures ONCE in the shared shuffle map stage, and the 128-long
+   * signatures never ride the candidate shuffle (16 bands × 1 KB per doc
+   * otherwise — at corpus scale the banding shuffle must move ids, not
+   * payloads). */
   private def bandedPairIds(sig: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     val rows = numHashes / bands
@@ -112,10 +113,10 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val hint = graft.core.CandidateJoin.maybeShuffleHash(sig) _
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    a.hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"), Seq("band", "bucket"))
+    hint(a).join(hint(b), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -131,18 +132,20 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // the self-join consumes the fingerprints on both sides, and the 64-bit
     // weighted-token hash dominates the stage — rather than caching (which
-    // would leak storage past the query), force a shuffle join: identical
-    // (chunk, ckey) exchanges on both sides are stage-reused, so the
-    // fingerprints compute once in the shared shuffle map stage
+    // would leak storage past the query), force a shuffle join (size-
+    // conditionally, [[graft.core.CandidateJoin]]): identical (chunk, ckey)
+    // exchanges on both sides are stage-reused, so the fingerprints compute
+    // once in the shared shuffle map stage
     val fp = graft.core.Fanout(df)
       .select(col(idCol).as("id"), simhash(col(contentCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val hint = graft.core.CandidateJoin.maybeShuffleHash(fp) _
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("chunk", "ckey"))
+    hint(a).join(hint(b), Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))

@@ -152,25 +152,35 @@ object Pipeline {
    * `buckets` (bucket, sum) pairs ever reach the driver.
    *
    * The input is scanned three times (boundary quantiles, bucket totals,
-   * the windowed pass) — persist upstream frames whose columns are
-   * expensive to compute. The input must be DETERMINISTIC under rescan:
-   * a frame whose rows differ between scans (an unordered LIMIT, a
-   * `sample()`, rand-derived columns) can put a row in one bucket during
-   * the totals pass and another during the windowed pass and produce
-   * silently wrong sums. Materialize such inputs first (persist or write
-   * them out) before calling.
+   * the windowed pass) — pass `materialize = true` when the input's columns
+   * are expensive to compute (an exploded chunking, a semi-join): the frame
+   * is then evaluated ONCE into executor storage shared by all three scans
+   * and released as soon as the caller's first consuming action finishes.
+   * Project the input to the needed columns first — the materialized rows
+   * carry every input column. Without it the input must be DETERMINISTIC
+   * under rescan: a frame whose rows differ between scans (an unordered
+   * LIMIT, a `sample()`, rand-derived columns) can put a row in one bucket
+   * during the totals pass and another during the windowed pass and produce
+   * silently wrong sums — `materialize = true` also hard-closes that
+   * hazard, since every scan reads the same snapshot.
    */
   def prefixSum(df: DataFrame, order: Seq[Column], value: Column,
-      out: String, buckets: Int = 64): DataFrame = {
+      out: String, buckets: Int = 64, materialize: Boolean = false): DataFrame = {
     require(order.nonEmpty, "prefixSum needs at least one order column")
     require(buckets >= 1, "buckets must be positive")
     val spark = df.sparkSession
     val K = "__graft_pk__"
     val B = "__graft_pb__"
     val V = "__graft_pv__"
-    val keyed = df
+    val keyed0 = df
       .withColumn(K, order.head.cast("double"))
       .withColumn(V, coalesce(value.cast("long"), lit(0L)))
+    val (keyed, keyedRdd) =
+      if (materialize) {
+        val (m, r) = org.apache.spark.sql.graft.Plans
+          .materializeWithRdd(spark, keyed0)
+        (m, Some(r))
+      } else (keyed0, None)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
@@ -194,10 +204,16 @@ object Pipeline {
     val w = Window.partitionBy(col(B))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed
+    val result = bucketed
       .join(offsets, col(B) === col(B + "o"), "left")
       .withColumn(out, sum(col(V)).over(w) + coalesce(col("__graft_off__"), lit(0L)))
       .drop(K, B, V, B + "o", "__graft_off__")
+    // the windowed pass (lazy, runs at the caller's action) reads the same
+    // materialized snapshot the two eager scans above did; release the
+    // storage right after that first consuming action
+    keyedRdd.foreach(
+      org.apache.spark.sql.graft.Plans.releaseAfterFirstUse(spark, _))
+    result
   }
 
   /**
@@ -208,10 +224,12 @@ object Pipeline {
    * `priority` must be a total order (unique tiebreaker).
    */
   def selectByTokenBudget(df: DataFrame, tokens: Column,
-      priority: Seq[Column], budget: Long): DataFrame = {
+      priority: Seq[Column], budget: Long,
+      materialize: Boolean = false): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     val C = "__graft_cum__"
-    prefixSum(df, priority, tokens, C).filter(col(C) <= budget).drop(C)
+    prefixSum(df, priority, tokens, C, materialize = materialize)
+      .filter(col(C) <= budget).drop(C)
   }
 
   /**
@@ -222,15 +240,21 @@ object Pipeline {
    * wrong-language text score low.
    *
    * Scale shape: token frequencies are one map-side-combined groupBy
-   * (shuffle ∝ distinct vocabulary, not corpus size). Scoring is a
-   * TWO-TIER join: the `headSize` most frequent tokens are broadcast —
-   * under a Zipf vocabulary they carry most of the token mass, and the
-   * head token alone can be several percent of ALL rows, i.e. one shuffle
-   * key — so only the long tail of rare tokens rides the shuffle join,
-   * which then has no skewed keys by construction. The split cannot
-   * change any value: `__tf__` and the total are computed before the
-   * split, so head/tail rows score identically either way. Only ONE
-   * scalar (the total token count) touches the driver.
+   * (shuffle ∝ distinct vocabulary, not corpus size). Scoring is
+   * ADAPTIVELY tiered. When the vocabulary fits inside `headSize` (its row
+   * count rides the same aggregate that computes the total, so knowing it
+   * is free) the whole frequency table is broadcast in ONE join — the
+   * tiered plan's distributed top-N, second join branch and union are pure
+   * overhead when the tail tier would be empty by construction. For larger
+   * vocabularies scoring is a TWO-TIER join: the `headSize` most frequent
+   * tokens are broadcast — under a Zipf vocabulary they carry most of the
+   * token mass, and the head token alone can be several percent of ALL
+   * rows, i.e. one shuffle key — so only the long tail of rare tokens
+   * rides the shuffle join, which then has no skewed keys by construction.
+   * The tiering cannot change any value: `__tf__` and the total are
+   * computed before the split, so head/tail rows score identically either
+   * way. Only ONE row (total token count + vocabulary size) touches the
+   * driver.
    *
    * Returns `idCol, n_tokens, logp` (mean log10 token probability).
    */
@@ -243,19 +267,28 @@ object Pipeline {
     // sum over an empty frequency table is NULL — an all-empty corpus must
     // yield an empty result, not an NPE (the join below is already empty;
     // the placeholder total never meets a row)
-    val totalRow = freq.agg(sum(col("__tf__"))).collect()(0)
-    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
-    // head tier: distributed top-N of the vocabulary (TakeOrderedAndProject
-    // over the freq table, deterministic tiebreak), broadcast to every task
-    val head = freq.orderBy(col("__tf__").desc, col("__tok__")).limit(headSize)
-    val tagged = toks.join(broadcast(head), Seq("__tok__"), "left")
-    val headRows = tagged.filter(col("__tf__").isNotNull)
-    // tail tier: rows whose token missed the head — joining the FULL freq
-    // table is equivalent (head keys meet no stream rows) and skips an
-    // anti-join over the vocabulary
-    val tailRows = tagged.filter(col("__tf__").isNull).drop("__tf__")
-      .join(freq, "__tok__")
-    headRows.unionByName(tailRows)
+    val statsRow = freq.agg(sum(col("__tf__")), count(lit(1))).collect()(0)
+    val total = if (statsRow.isNullAt(0)) 1L else statsRow.getLong(0)
+    val vocabulary = statsRow.getLong(1)
+    val scored = if (vocabulary <= headSize) {
+      // the head tier would hold the ENTIRE vocabulary — broadcast it whole
+      // in one join and skip the split
+      toks.join(broadcast(freq), Seq("__tok__"))
+    } else {
+      // head tier: distributed top-N of the vocabulary
+      // (TakeOrderedAndProject over the freq table, deterministic
+      // tiebreak), broadcast to every task
+      val head = freq.orderBy(col("__tf__").desc, col("__tok__")).limit(headSize)
+      val tagged = toks.join(broadcast(head), Seq("__tok__"), "left")
+      val headRows = tagged.filter(col("__tf__").isNotNull)
+      // tail tier: rows whose token missed the head — joining the FULL freq
+      // table is equivalent (head keys meet no stream rows) and skips an
+      // anti-join over the vocabulary
+      val tailRows = tagged.filter(col("__tf__").isNull).drop("__tf__")
+        .join(freq, "__tok__")
+      headRows.unionByName(tailRows)
+    }
+    scored
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         avg(log10(col("__tf__") / lit(total))).as("logp"))
@@ -329,13 +362,13 @@ object Pipeline {
    * reproducible and layout-independent.
    */
   def packSequences(df: DataFrame, tokens: Column, order: Seq[Column],
-      seqTokens: Int): DataFrame = {
+      seqTokens: Int, materialize: Boolean = false): DataFrame = {
     require(seqTokens > 0, "seqTokens must be positive")
     val C = "__graft_cum__"
     val t = coalesce(tokens.cast("long"), lit(0L))
     // integer `div`, not double division + floor: placements stay exact
     // past 2^53 total tokens
-    prefixSum(df, order, tokens, C)
+    prefixSum(df, order, tokens, C, materialize = materialize)
       .withColumn("token_offset", col(C) - t)
       .withColumn("seq_first", expr(s"token_offset div ${seqTokens}L"))
       .withColumn("seq_last",

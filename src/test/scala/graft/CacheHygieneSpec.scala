@@ -41,22 +41,37 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
+  /** The exchange-reuse pins emulate AT-SCALE planning: on a 100 TB corpus
+   * the size rule keeps the `shuffle_hash` hints
+   * ([[graft.core.CandidateJoin]]); at test scale the rule would drop them
+   * in favor of AQE's broadcast — force them on so the pinned shape is the
+   * one a big cluster runs. */
+  private def atScale[A](body: => A): A = {
+    spark.conf.set("spark.graft.candidateJoin.shuffleHash", "on")
+    try body
+    finally spark.conf.set("spark.graft.candidateJoin.shuffleHash", "auto")
+  }
+
   test("lshCandidatePairs self-join reuses one shuffle (signatures compute once)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val pairs = graft.dedup.Dedup.lshCandidatePairs(docs, "doc_id", "text")
-    pairs.collect()
-    val plan = pairs.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
-      s"expected a reused exchange/stage in:\n$plan")
+    atScale {
+      val pairs = graft.dedup.Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
+        s"expected a reused exchange/stage in:\n$plan")
+    }
   }
 
   test("simhashPairs self-join reuses one shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val pairs = graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text")
-    pairs.collect()
-    val plan = pairs.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
-      s"expected a reused exchange/stage in:\n$plan")
+    atScale {
+      val pairs = graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text")
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
+        s"expected a reused exchange/stage in:\n$plan")
+    }
   }
 
   test("cosineDedupPairs self-join reuses one shuffle") {
@@ -67,10 +82,21 @@ class CacheHygieneSpec extends AnyFunSuite {
     val withCopies = emb.unionByName(
       emb.orderBy(col("vec_id")).limit(20)
         .withColumn("vec_id", col("vec_id") + lit(1000000L)))
-    val pairs = graft.ann.Ann.cosineDedupPairs(withCopies, "vec_id", "embedding", 0.999)
-    pairs.collect()
-    val plan = pairs.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
-      s"expected a reused exchange/stage in:\n$plan")
+    atScale {
+      val pairs = graft.ann.Ann.cosineDedupPairs(withCopies, "vec_id", "embedding", 0.999)
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
+        s"expected a reused exchange/stage in:\n$plan")
+    }
+  }
+
+  test("q55_chunk_pack leaves no new cache entries behind (materialized prefix sum released)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = SparkEntry.queries("q55_chunk_pack")(spark, sf)
+    df.collect()
+    org.apache.spark.sql.graft.Plans.flushListenerBus(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"q55 leaked persistent RDD ids $leaked")
   }
 }

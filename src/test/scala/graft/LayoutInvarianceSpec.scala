@@ -106,7 +106,9 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val byLayout = layouts(docs).map { case (name, df) =>
       name -> graft.pipeline.Pipeline
-        .unigramLogProb(df, "doc_id", "text", headSize = 50)
+        // headSize below the corpus vocabulary keeps this on the TWO-TIER
+        // path (adaptive tiering would otherwise collapse it to one join)
+        .unigramLogProb(df, "doc_id", "text", headSize = 8)
         .collect()
         .map(r => r.getLong(0) -> Seq(r.getLong(1).toDouble, r.getDouble(2)))
         .toMap

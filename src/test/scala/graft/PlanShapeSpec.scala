@@ -316,18 +316,41 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   test("unigramLogProb scores the head tier through a broadcast join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // emulate at-scale planning: with auto-broadcast off (a 100 TB corpus's
-    // vocabulary exceeds any threshold), the head tier must STILL broadcast
-    // (explicit hint) while the unbounded-vocabulary tail join shuffles
+    // vocabulary exceeds any threshold) and a headSize smaller than the
+    // vocabulary (forcing the two-tier path the big-vocabulary case takes),
+    // the head tier must STILL broadcast (explicit hint) while the
+    // unbounded-vocabulary tail join shuffles
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val scored = graft.pipeline.Pipeline.unigramLogProb(docs, "doc_id", "text")
+      val scored = graft.pipeline.Pipeline.unigramLogProb(
+        docs, "doc_id", "text", headSize = 8)
       val physical = scored.queryExecution.executedPlan.toString
       assert(physical.contains("BroadcastHashJoin"),
         s"head tier must broadcast-join the token stream:\n$physical")
       assert(physical.contains("SortMergeJoin") ||
         physical.contains("ShuffledHashJoin"),
         s"tail tier must remain a shuffle join:\n$physical")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("unigramLogProb with a within-head vocabulary is ONE broadcast join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // adaptive tiering: the synthetic corpus's vocabulary fits the default
+    // head, so the split (top-N + second join + union) must disappear — one
+    // broadcast join even with auto-broadcast off (explicit broadcast())
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val scored = graft.pipeline.Pipeline.unigramLogProb(docs, "doc_id", "text")
+      val physical = scored.queryExecution.executedPlan.toString
+      assert(physical.contains("BroadcastHashJoin"),
+        s"small vocabulary must broadcast-join:\n$physical")
+      assert(!physical.contains("Union"),
+        s"small vocabulary must not split into tiers:\n$physical")
+      assert(!physical.contains("SortMergeJoin") &&
+        !physical.contains("ShuffledHashJoin"),
+        s"small vocabulary must not shuffle-join the token stream:\n$physical")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 

@@ -249,7 +249,13 @@ class GraftSession(val spark: SparkSession) {
       info.reservoirSize, seed, preFilter = true, preFilterFactor = 2.0)
     val merged = info.persistPath match {
       case Some(path) =>
-        sampled.write.mode("append").parquet(path)
+        // concurrent appends from two sessions serialize on the path lock —
+        // parquet appends only add files, so serialized appends all land
+        // (no lost update); the lock keeps the two Spark commit protocols
+        // from racing in one staging directory
+        GraftSession.withPathLock(spark, path) {
+          sampled.write.mode("append").parquet(path)
+        }
         spark.catalog.refreshByPath(path)
         spark.read.parquet(path)
       case None =>
@@ -360,30 +366,80 @@ class GraftSession(val spark: SparkSession) {
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .foreach { p =>
         state.topkPaths.put(name.toLowerCase, p)
-        saveTopK(name, p)
+        GraftSession.withPathLock(spark, p)(saveTopK(name, p))
       }
     st
   }
 
   /** Append a micro-batch / DataFrame into an existing TopK structure
-   * (the relation-backed view reads live state — no refresh needed). */
+   * (the relation-backed view reads live state — no refresh needed).
+   *
+   * Path-backed tables serialize through the path lock with RELOAD → MERGE
+   * → PUBLISH semantics: the distributed sketch build runs lock-free, then
+   * under the lock the session re-attaches the latest published snapshot
+   * (picking up any other session's appends), folds its partials in, and
+   * publishes a new snapshot version. Two sessions appending concurrently
+   * both land — the counts are a merge of both batches, not
+   * last-writer-wins. Between appends a session's QUERIES read its own
+   * (possibly stale) view; appending is what synchronizes. */
   def appendToTopK(name: String, df: DataFrame): Unit = {
-    topkState(name).append(df)
-    // path-backed TopKs re-persist after every append: the snapshot is a
-    // few KB per retained bucket (bounded by maxDriverEntries), so the
-    // rewrite is cheap relative to the append's sketch-build job
-    state.topkPaths.get(name.toLowerCase).foreach(p => saveTopK(name, p))
+    state.topkPaths.get(name.toLowerCase) match {
+      case Some(p) =>
+        val partials = topkState(name).buildPartials(df)
+        GraftSession.withPathLock(spark, p) {
+          val st = attachTopKTable(name, p)
+          st.mergePartials(spark, partials)
+          saveTopK(name, p)
+        }
+      case None => topkState(name).append(df)
+    }
   }
 
   /** Persist a TopK structure's options + full sketch snapshot under
    * `path` (Hadoop FS — works for hdfs:// and s3a:// paths like the
-   * sample persist path). */
+   * sample persist path).
+   *
+   * Publishes are TORN-PROOF: the bucket state + spill view go into one
+   * immutable versioned snapshot file (`_topk.snap.<n>`, written to a temp
+   * name and renamed — a reader can never observe a partial snapshot), and
+   * the small meta file (options + `__snapversion` pointer) is replaced
+   * last. A reader that catches the brief delete→rename gap on the meta, or
+   * a pointer to an already-GC'd snapshot version, retries
+   * ([[attachTopKTable]]); it can be delayed, never corrupted. Callers
+   * mutating a SHARED path hold [[GraftSession.withPathLock]]. */
   def saveTopK(name: String, path: String): Unit = {
     val st = topkState(name)
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    val version = GraftSession.readTopkSnapVersion(path, conf).getOrElse(0L) + 1
+    // --- snapshot body: spill view + bucket bytes, one immutable file ---
+    val snapPath = new org.apache.hadoop.fs.Path(dir,
+      s"${GraftSession.TopkSnapPrefix}$version")
+    val tmpPath = new org.apache.hadoop.fs.Path(dir,
+      s"${GraftSession.TopkSnapPrefix}$version.tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val out = new java.io.DataOutputStream(fs.create(tmpPath, true))
+    try {
+      val (files, spans) = st.spillView
+      val prefix = path.stripSuffix("/") + "/"
+      out.writeInt(files.size)
+      // batch dirs live under the table path — store them relative so the
+      // whole directory can be relocated/copied
+      files.foreach { f =>
+        out.writeUTF(if (f.startsWith(prefix)) f.stripPrefix(prefix) else f)
+      }
+      out.writeInt(spans.size)
+      spans.foreach { case (s, l) => out.writeLong(s); out.writeLong(l) }
+      val bin = st.buckets.snapshotBytes
+      out.writeInt(bin.length)
+      out.write(bin)
+    } finally out.close()
+    if (fs.exists(snapPath)) fs.delete(snapPath, false) // crashed same-version writer
+    require(fs.rename(tmpPath, snapPath),
+      s"could not publish TopK snapshot $snapPath")
+    // --- meta: options + snapshot pointer, replaced last ---
     val props = new java.util.Properties()
     val o = st.opts
     props.setProperty("key", o.key)
@@ -404,18 +460,58 @@ class GraftSession(val spark: SparkSession) {
       if (st.keyType == org.apache.spark.sql.types.StringType) "string" else "long")
     props.setProperty("__base",
       state.topkBases.getOrElse(name.toLowerCase, ""))
-    val metaOut = fs.create(new org.apache.hadoop.fs.Path(dir, GraftSession.TopkMetaFile), true)
+    props.setProperty("__snapversion", version.toString)
+    val metaPath = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkMetaFile)
+    val metaTmp = new org.apache.hadoop.fs.Path(dir,
+      GraftSession.TopkMetaFile + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val metaOut = fs.create(metaTmp, true)
     try props.store(metaOut, "graft topk registry") finally metaOut.close()
-    val binOut = fs.create(new org.apache.hadoop.fs.Path(dir, GraftSession.TopkBinFile), true)
-    try binOut.write(st.buckets.snapshotBytes) finally binOut.close()
+    if (fs.exists(metaPath)) fs.delete(metaPath, false)
+    require(fs.rename(metaTmp, metaPath),
+      s"could not publish TopK registry metadata $metaPath")
+    // retire snapshots two or more versions old (current-1 is kept so a
+    // reader holding the previous pointer can still finish its attach)
+    fs.listStatus(dir).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(GraftSession.TopkSnapPrefix) && !n.contains(".tmp-")) {
+        val v = n.stripPrefix(GraftSession.TopkSnapPrefix)
+        if (v.forall(_.isDigit) && v.toLong < version - 1) {
+          fs.delete(s.getPath, false)
+        }
+      }
+    }
+    // the legacy two-file layout is superseded by the snapshot
+    val legacyBin = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkBinFile)
+    if (fs.exists(legacyBin)) fs.delete(legacyBin, false)
   }
 
   /** Re-attach a persisted TopK structure in a fresh session without
-   * replaying the base table (counterpart of [[attachSampleTable]]). */
+   * replaying the base table (counterpart of [[attachSampleTable]]).
+   * Retries through a concurrent writer's publish window (meta replace /
+   * snapshot GC) — see [[saveTopK]]. */
   def attachTopKTable(name: String, path: String): graft.topk.TopKState = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
+    var attempt = 0
+    var result: Option[graft.topk.TopKState] = None
+    while (result.isEmpty) {
+      attempt += 1
+      try result = Some(attachTopKOnce(fs, dir, name, path))
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: IllegalArgumentException) if attempt < 8 &&
+            GraftSession.isTransientAttach(e) =>
+          Thread.sleep(100)
+      }
+    }
+    result.get
+  }
+
+  private def attachTopKOnce(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, name: String,
+      path: String): graft.topk.TopKState = {
     val metaPath = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkMetaFile)
     if (!fs.exists(metaPath)) {
       throw new IllegalArgumentException(
@@ -434,19 +530,45 @@ class GraftSession(val spark: SparkSession) {
         org.apache.spark.sql.types.StringType
       else org.apache.spark.sql.types.LongType
     val st = new graft.topk.TopKState(name, opts, keyType)
-    val binPath = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkBinFile)
-    val binIn = fs.open(binPath)
-    val bytes =
-      try {
-        val len = fs.getFileStatus(binPath).getLen.toInt
-        val b = new Array[Byte](len); binIn.readFully(b); b
-      } finally binIn.close()
-    st.buckets.restoreFrom(bytes)
-    // reconnect the spill store when the persisted table had one; otherwise
-    // just point future spills at the same path
     val spillDir = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkSpillDir)
-    if (fs.exists(spillDir)) st.attachSpill(spark, spillDir.toString)
-    else st.setSpillBase(spillDir.toString)
+    Option(props.getProperty("__snapversion")).map(_.toLong) match {
+      case Some(v) =>
+        val snapPath = new org.apache.hadoop.fs.Path(dir,
+          s"${GraftSession.TopkSnapPrefix}$v")
+        // may throw FileNotFoundException when a concurrent writer advanced
+        // past v and GC'd it — the caller retries with the fresh meta
+        val snapIn = new java.io.DataInputStream(fs.open(snapPath))
+        val (files, spans, bin) =
+          try {
+            val prefix = path.stripSuffix("/") + "/"
+            val fl = (0 until snapIn.readInt()).map { _ =>
+              val rel = snapIn.readUTF()
+              if (rel.contains("://") || rel.startsWith("/")) rel
+              else prefix + rel
+            }
+            val sp = (0 until snapIn.readInt()).map { _ =>
+              (snapIn.readLong(), snapIn.readLong())
+            }
+            val b = new Array[Byte](snapIn.readInt())
+            snapIn.readFully(b)
+            (fl, sp, b)
+          } finally snapIn.close()
+        st.buckets.restoreFrom(bin)
+        st.restoreSpillView(spark, spillDir.toString, files, spans)
+      case None =>
+        // legacy two-file layout: _topk.bin + directory-listed spill store
+        val binPath = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkBinFile)
+        val binIn = fs.open(binPath)
+        val bytes =
+          try {
+            val len = fs.getFileStatus(binPath).getLen.toInt
+            val b = new Array[Byte](len); binIn.readFully(b); b
+          } finally binIn.close()
+        st.buckets.restoreFrom(bytes)
+        if (fs.exists(spillDir)) st.attachSpill(spark, spillDir.toString)
+        else st.setSpillBase(spillDir.toString)
+    }
+    st.setSpillBase(spillDir.toString)
     state.topks.put(name.toLowerCase, st)
     props.getProperty("__base", "") match {
       case "" =>
@@ -522,8 +644,16 @@ object GraftSession {
    * `concat(region, ', ', nation)` or a top-level `','` literal — never
    * splits, and parens inside string literals don't skew the depth.
    * Unbalanced parens outside quotes are a malformed expression list and
-   * fail here rather than mis-splitting silently. */
-  private[graft] def splitTopLevel(s: String): Seq[String] = {
+   * fail here rather than mis-splitting silently.
+   *
+   * `escapedStringLiterals` mirrors `spark.sql.parser.escapedStringLiterals`:
+   * under standard-SQL literals (true) a backslash is an ORDINARY character
+   * — Spark parses `'...\'` as backslash + closing quote, and treating the
+   * backslash as a `\'` escape here would mis-track quote state and reject
+   * a valid list as unterminated. Pass the session's conf where a session
+   * is in reach. */
+  private[graft] def splitTopLevel(s: String,
+      escapedStringLiterals: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -533,8 +663,9 @@ object GraftSession {
       case c if escaped => escaped = false; cur += c
       case ',' if depth == 0 && !inQuote => out += cur.toString; cur.clear()
       case c =>
-        if (inQuote && c == '\\') escaped = true // \' escape inside a literal
-        else if (c == '\'') inQuote = !inQuote // '' escape = two toggles, net even
+        if (inQuote && c == '\\' && !escapedStringLiterals) {
+          escaped = true // \' escape inside a literal (default parser mode)
+        } else if (c == '\'') inQuote = !inQuote // '' escape = two toggles, net even
         else if (!inQuote) {
           if (c == '(') depth += 1
           else if (c == ')') {
@@ -566,7 +697,8 @@ object GraftSession {
     // their own argument commas — `qcs 'carrier, substr(route, 1, 3)'` is
     // two strata expressions, not four (reference AQP-282 uses
     // `qcs 'hack_license, year(pickup_datetime), month(pickup_datetime)'`)
-    val qcsBase = opts.get("qcs").map(GraftSession.splitTopLevel).getOrElse(Nil)
+    val qcsBase = opts.get("qcs").map(GraftSession.splitTopLevel(_,
+      base.sparkSession.sessionState.conf.escapedStringLiterals)).getOrElse(Nil)
     // time-slot strata: bucket the time column into timeInterval-ms slots and
     // make the slot part of the stratum key
     val timeQcs = opts.get("timeseriescolumn").map { ts =>
@@ -605,9 +737,78 @@ object GraftSession {
   val MetaFile = "_graft_sample.meta"
   val TopkMetaFile = "_graft_topk.meta"
   val TopkBinFile = "_graft_topk.bin"
+  /** Versioned one-file snapshots (`_topk.snap.<n>` = spill view + bucket
+   * bytes); `__snapversion` in the meta points at the current one. */
+  val TopkSnapPrefix = "_graft_topk.snap."
   /** Subdirectory (under a path-backed TopK's path) holding spilled
    * interval buckets as parquet. */
   val TopkSpillDir = "_graft_topk_spill"
+
+  /** Current published snapshot version of a path-backed TopK (None for a
+   * fresh dir or a legacy two-file layout). */
+  private[graft] def readTopkSnapVersion(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, TopkMetaFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val props = new java.util.Properties()
+    val in = fs.open(p)
+    try props.load(in) finally in.close()
+    Option(props.getProperty("__snapversion")).map(_.toLong)
+  }
+
+  /** Attach-retry predicate: a missing snapshot file (GC'd under a reader
+   * holding the previous pointer) or a momentarily-absent meta (the
+   * delete→rename publish gap) heals on retry; anything else is real. */
+  private[graft] def isTransientAttach(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => true
+    case ia: IllegalArgumentException =>
+      Option(ia.getMessage).exists(_.startsWith("No TopK registry metadata"))
+    case _ => false
+  }
+
+  /**
+   * Serialize mutations of a shared persist path (sample/TopK appends,
+   * snapshot publishes) across sessions and JVMs: an exclusive lock file
+   * (`_graft.lock`) created atomically (`FileSystem.create` with
+   * `overwrite = false` — atomic on HDFS and object-store committers),
+   * with a LEASE — a lock older than `spark.graft.pathLock.leaseMs`
+   * (default 120 s) is presumed abandoned by a crashed writer and broken
+   * by the next acquirer. Writers must finish inside the lease or risk a
+   * concurrent entry; acquisition gives up after two leases.
+   */
+  private[graft] def withPathLock[A](spark: SparkSession, path: String)(body: => A): A = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val lockPath = new org.apache.hadoop.fs.Path(dir, "_graft.lock")
+    val fs = lockPath.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val leaseMs = spark.conf.get("spark.graft.pathLock.leaseMs", "120000").toLong
+    val deadline = System.currentTimeMillis() + 2 * leaseMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lockPath, false)
+        try out.writeLong(System.currentTimeMillis()) finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val age =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lockPath).getModificationTime
+            catch { case _: java.io.FileNotFoundException => 0L }
+          if (age > leaseMs) {
+            fs.delete(lockPath, false) // break a dead writer's lease
+          } else if (System.currentTimeMillis() > deadline) {
+            throw new IllegalStateException(
+              s"could not acquire $lockPath within ${2 * leaseMs} ms — " +
+                "another writer holds it (raise spark.graft.pathLock.leaseMs " +
+                "if long appends are expected, or remove a stale lock file)")
+          } else Thread.sleep(50)
+      }
+    }
+    try body finally fs.delete(lockPath, false)
+  }
 
   /** True when `path` holds persisted TopK registry metadata. */
   def topkMetaExists(path: String,

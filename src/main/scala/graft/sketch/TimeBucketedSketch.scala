@@ -113,6 +113,20 @@ final class TimeBucketedSketch(
     intervals.valuesIterator.map(_.entryCount).sum +
       history.valuesIterator.map(_.entryCount).sum
 
+  /** Remove a full-resolution interval bucket (spill path). Clears the
+   * interval's fold count too: a late-arriving re-materialized bucket at
+   * the same interval starts full-width and must not skip its expected
+   * compression steps because of a stale entry. */
+  def removeInterval(iv: Long): Option[IntervalSketch] = {
+    val removed = intervals.remove(iv)
+    if (removed.isDefined) folds.remove(iv)
+    removed
+  }
+
+  /** Remove a dyadic history block (spill path). */
+  def removeHistory(span: (Long, Long)): Option[IntervalSketch] =
+    history.remove(span)
+
   def addTo(interval: Long, sketch: IntervalSketch): Unit = {
     intervals.get(interval) match {
       // mergeWith aligns widths, so fresh full-width data folds into an

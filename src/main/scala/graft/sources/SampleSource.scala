@@ -35,6 +35,20 @@ class SampleSource extends CreatableRelationProvider with RelationProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-sample needs .option(\"path\", dir) — path-based save/load only"))
 
+  /** True when a stored qcs entry is the time-slot bucket expression the
+   * option engine derives from `timeSeriesColumn` (one of the four
+   * templates in [[graft.GraftSession.sampleByOptions]]) — the entry a
+   * legacy combined-qcs comparison must ignore, since the user never
+   * declared it. */
+  private def isDerivedTimeSlot(entry: String, tsCol: String): Boolean = {
+    val e = entry.toLowerCase.replaceAll("\\s", "")
+    val ts = java.util.regex.Pattern.quote(tsCol.toLowerCase)
+    e.matches(s"\\(${ts}div\\d+\\)") ||
+    e.matches(s"floor\\($ts/\\d+(\\.\\d+)?\\)") ||
+    e.matches(s"floor\\($ts\\*1000/\\d+(\\.\\d+)?\\)") ||
+    e.matches(s"floor\\(cast\\(${ts}asdouble\\)\\*1000/\\d+(\\.\\d+)?\\)")
+  }
+
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val path = pathOf(parameters)
@@ -92,11 +106,24 @@ class SampleSource extends CreatableRelationProvider with RelationProvider
                 }
               storedDeclared ++ declaredLower
             } else {
-              // pre-`opt.*` meta: fall back to comparing the COMBINED qcs
+              // pre-`opt.*` meta: fall back to comparing the COMBINED qcs.
+              // A time-series sample's stored qcs carries the DERIVED
+              // time-slot expression the user never typed — when the append
+              // restates timeSeriesColumn, accept the user-typed qcs with
+              // that trailing derived entry stripped (requiring the user to
+              // restate an expression the engine synthesized would reject
+              // every legitimate restated append)
               declaredLower.get("qcs").foreach { q =>
                 val declared = graft.GraftSession.splitTopLevel(q)
+                val storedCore = declaredLower.get("timeseriescolumn") match {
+                  case Some(ts) if storedQcs.nonEmpty &&
+                      isDerivedTimeSlot(storedQcs.last, ts) => storedQcs.init
+                  case _ => storedQcs
+                }
                 require(declared.map(_.toLowerCase) ==
-                  storedQcs.map(_.toLowerCase),
+                  storedQcs.map(_.toLowerCase) ||
+                  declared.map(_.toLowerCase) ==
+                  storedCore.map(_.toLowerCase),
                   s"append to $path declares qcs '${declared.mkString(", ")}' " +
                     s"but the existing sample was stratified on " +
                     s"'${storedQcs.mkString(", ")}' — drop the option to " +
@@ -123,12 +150,23 @@ class SampleSource extends CreatableRelationProvider with RelationProvider
       val (sampled, qcs, fraction, reservoirSize) =
         graft.GraftSession.sampleByOptions(data, effective)
       val writeMode = if (appending) "append" else "overwrite"
-      sampled.write.mode(writeMode).parquet(path)
+      if (appending) {
+        graft.GraftSession.withPathLock(spark, path) {
+          sampled.write.mode(writeMode).parquet(path)
+        }
+      } else sampled.write.mode(writeMode).parquet(path)
       // persist the declared options of the GOVERNING scheme (original on
-      // append, this statement's on create/overwrite), minus storage keys
+      // append, this statement's on create/overwrite), minus storage keys.
+      // A legacy-meta append must NOT upgrade the meta to `opt.*` from its
+      // own (possibly partial) declared set: recording only this append's
+      // options as "what the user originally typed" makes a later append
+      // restating an original-but-unrecorded option fail with "created
+      // without it" — the meta stays legacy until a create/overwrite
+      // declares the full governing set
       val governing =
-        (if (appending && storedDeclared.nonEmpty) storedDeclared
-         else declaredLower) -- Seq("path", "basetable")
+        if (appending && storedDeclared.isEmpty) Map.empty[String, String]
+        else (if (appending) storedDeclared
+              else declaredLower) -- Seq("path", "basetable")
       graft.GraftSession.writeSampleMeta(path,
         parameters.getOrElse("baseTable", parameters.getOrElse("basetable",
           storedMeta.map(_._1).getOrElse(""))),

@@ -97,14 +97,27 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   // buckets locally, and the driver folds one bounded partial per task
   // (each ≤ one interval sketch). The driver's live set stays under the
   // guard no matter how much history accumulates.
+  //
+  // Each spill event writes its own BATCH directory under the spill root,
+  // and the session tracks exactly the batch list its view consists of —
+  // the batches recorded in the snapshot it attached plus the ones it wrote
+  // itself. Queries read ONLY that list, never a directory listing: on a
+  // SHARED persist path another session may spill a bucket that is still
+  // RESIDENT in this session's snapshot, and a listing-based read would
+  // merge that bucket from both places — double-counting, not mere
+  // staleness. Appends re-synchronize the view through the snapshot under
+  // the path lock ([[graft.GraftSession.withPathLock]]).
   // ---------------------------------------------------------------------------
   @transient private var sparkRef: SparkSession = _
   private var spillPath: Option[String] = None
   /** (startInterval, lengthInIntervals) of every spilled bucket — one tiny
    * tuple per bucket, for range overlap tests and covered-range math. */
   private val spilledSpans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+  /** Batch directories composing this session's view of the spill store. */
+  private val spillFiles = scala.collection.mutable.ArrayBuffer.empty[String]
 
   def spilledBucketCount: Int = spilledSpans.size
+  def spillBatchCount: Int = spillFiles.size
 
   /** Where this table's buckets spill (None until the first spill of a
    * non-path table) — exposed so DROP can retire the store. */
@@ -115,14 +128,42 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * is created lazily otherwise). */
   def setSpillBase(dir: String): Unit = { spillPath = Some(dir) }
 
-  /** Re-attach a persisted spill store (fresh-session restart of a
-   * path-backed table): reload the span index from the parquet. */
+  /** This session's spill view — batch dirs + span index — recorded into
+   * the persisted snapshot so a re-attach restores exactly the save-time
+   * state ([[graft.GraftSession.saveTopK]]). */
+  def spillView: (Seq[String], Seq[(Long, Long)]) =
+    (spillFiles.toSeq, spilledSpans.toSeq)
+
+  /** Restore the spill view a snapshot recorded (fresh-session re-attach
+   * of a path-backed table). */
+  def restoreSpillView(spark: SparkSession, dir: String,
+      files: Seq[String], spans: Seq[(Long, Long)]): Unit = {
+    sparkRef = spark
+    spillPath = Some(dir)
+    spillFiles.clear(); spillFiles ++= files
+    spilledSpans.clear(); spilledSpans ++= spans
+  }
+
+  /** Fallback attach for a spill dir with no recorded view (pre-snapshot
+   * stores): adopt every batch currently present. Only safe when no other
+   * session is writing the path — the snapshot-recorded view is the
+   * consistent path. */
   def attachSpill(spark: SparkSession, dir: String): Unit = {
     sparkRef = spark
     spillPath = Some(dir)
-    spilledSpans.clear()
-    spilledSpans ++= spark.read.parquet(dir).select(col("start"), col("len"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    spilledSpans.clear(); spillFiles.clear()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      spillFiles ++= fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+        .map(_.getPath.toString).sorted
+      if (spillFiles.nonEmpty) {
+        spilledSpans ++= spark.read.parquet(spillFiles.toSeq: _*)
+          .select(col("start"), col("len"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+    }
   }
 
   private def sparkOrActive: SparkSession =
@@ -145,40 +186,92 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   /** Move oldest buckets to the spill store until the driver is back under
    * its guard. History blocks predate every full-resolution interval, so
    * they go first; the newest interval always stays resident (appends merge
-   * into it, and one sketch fits by the constructor check). */
+   * into it, and one sketch fits by the constructor check).
+   *
+   * The batch parquet is written BEFORE any bucket leaves the driver maps:
+   * a failed write must lose nothing (previously the counts of the
+   * already-removed buckets vanished with the exception). Removal goes
+   * through [[TimeBucketedSketch.removeInterval]], which also clears the
+   * interval's fold count — a late-arriving re-materialized bucket starts
+   * full-width and must not skip its expected width folds. */
   private def spillOldest(spark: SparkSession): Unit = {
-    val moved = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
-    while (buckets.entryCount > opts.maxDriverEntries &&
-        (buckets.history.nonEmpty || buckets.intervals.size > 1)) {
-      if (buckets.history.nonEmpty) {
-        val ((hs, hl), s) = buckets.history.head
-        buckets.history.remove((hs, hl))
-        moved += ((hs, hl, IntervalSketch.toBytes(s)))
+    val movedHist =
+      scala.collection.mutable.ArrayBuffer.empty[((Long, Long), IntervalSketch)]
+    val movedIv =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, IntervalSketch)]
+    var entries = buckets.entryCount
+    val histIt = buckets.history.iterator
+    val ivIt =
+      if (buckets.intervals.isEmpty) Iterator.empty
+      else buckets.intervals.init.iterator // newest interval stays resident
+    while (entries > opts.maxDriverEntries && (histIt.hasNext || ivIt.hasNext)) {
+      if (histIt.hasNext) {
+        val (span, s) = histIt.next()
+        movedHist += ((span, s)); entries -= s.entryCount
       } else {
-        val (iv, s) = buckets.intervals.head
-        buckets.intervals.remove(iv)
-        moved += ((iv, 1L, IntervalSketch.toBytes(s)))
+        val (iv, s) = ivIt.next()
+        movedIv += ((iv, s)); entries -= s.entryCount
       }
     }
+    val moved =
+      movedHist.map { case ((hs, hl), s) => (hs, hl, IntervalSketch.toBytes(s)) } ++
+        movedIv.map { case (iv, s) => (iv, 1L, IntervalSketch.toBytes(s)) }
     if (moved.nonEmpty) {
       val dir = ensureSpillDir(spark)
+      val batch = s"$dir/batch-${java.util.UUID.randomUUID().toString.take(12)}"
       import spark.implicits._
       spark.createDataset(moved.toSeq).toDF("start", "len", "bytes")
-        .coalesce(1).write.mode("append").parquet(dir)
+        .coalesce(1).write.mode("overwrite").parquet(batch)
+      // write succeeded — only now drop the moved buckets from the driver
+      movedHist.foreach { case (span, _) => buckets.removeHistory(span) }
+      movedIv.foreach { case (iv, _) => buckets.removeInterval(iv) }
       spilledSpans ++= moved.map(m => (m._1, m._2))
+      spillFiles += batch
+      maybeCompact(spark)
     }
   }
+
+  /** Keep the spill store's file count bounded under sustained spilling:
+   * past the threshold, every batch is merged into one compacted batch and
+   * the originals are deleted — steady-state file count stays
+   * O(threshold) however many spill events a long-lived table accumulates.
+   * Each compaction rewrites the whole store, so total write volume is
+   * amortized O(events²/threshold); spill events are driver-guard
+   * crossings (rare relative to appends), and the store's total size is
+   * bounded by sketch bytes, not corpus bytes. Sessions that attached an
+   * OLDER snapshot of a shared path may hold references to deleted
+   * batches — their next append re-synchronizes through the snapshot
+   * under the path lock; a read in the window fails loudly (never
+   * silently wrong) and a fresh attach repairs it. */
+  private val compactThreshold = 16
+  private def maybeCompact(spark: SparkSession): Unit =
+    if (spillFiles.size > compactThreshold) {
+      val dir = spillPath.get
+      val compacted = s"$dir/batch-${java.util.UUID.randomUUID().toString.take(12)}"
+      val old = spillFiles.toSeq
+      spark.read.parquet(old: _*).coalesce(1)
+        .write.mode("overwrite").parquet(compacted)
+      spillFiles.clear()
+      spillFiles += compacted
+      val conf = spark.sessionState.newHadoopConf()
+      old.foreach { f =>
+        val hp = new org.apache.hadoop.fs.Path(f)
+        hp.getFileSystem(conf).delete(hp, true)
+      }
+    }
 
   private def spanOverlaps(startIv: Long, endIv: Long)(span: (Long, Long)): Boolean =
     span._1 <= endIv && (span._1 + span._2 - 1) >= startIv
 
   /** Executor-side merge of the spilled buckets overlapping the range:
    * filtered parquet scan → per-partition merge → one bounded partial per
-   * task folded on the driver. */
+   * task folded on the driver. Reads ONLY this session's recorded batch
+   * list — see the spill-store comment above for why a directory listing
+   * would double-count on a shared path. */
   private def spillMerged(startIv: Long, endIv: Long): Option[IntervalSketch] = {
     if (!spilledSpans.exists(spanOverlaps(startIv, endIv))) return None
     val spark = sparkOrActive
-    val df = spark.read.parquet(spillPath.get)
+    val df = spark.read.parquet(spillFiles.toSeq: _*)
     val startCond =
       if (endIv == Long.MaxValue) lit(true) else col("start") <= lit(endIv)
     val endCond =
@@ -186,9 +279,10 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       else col("start") + col("len") - lit(1L) >= lit(startIv)
     val rdd = df.filter(startCond && endCond).select(col("bytes"))
       .rdd.map(r => IntervalSketch.fromBytes(r.getAs[Array[Byte]](0)))
-    // the span index is exact (spillOldest and attachSpill keep it in sync
-    // with the parquet rows), so the overlap pre-check above guarantees a
-    // non-empty scan — one job, not an isEmpty probe plus a reduce
+    // the span index is exact (spillOldest and the snapshot restore keep it
+    // in sync with the recorded batches), so the overlap pre-check above
+    // guarantees a non-empty scan — one job, not an isEmpty probe plus a
+    // reduce
     Some(rdd.reduce(_.mergeWith(_)))
   }
 
@@ -220,7 +314,13 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
 
   /** Distributed sketch build (one small shuffle of partial sketches), then
    * driver-side merge into the time buckets. */
-  def append(df: DataFrame): Unit = {
+  def append(df: DataFrame): Unit = mergePartials(df.sparkSession, buildPartials(df))
+
+  /** Phase 1 of an append — the DISTRIBUTED part: one per-interval sketch
+   * per input partition, shuffled and combined to one bounded sketch per
+   * interval. Runs without any catalog/path lock held; the result is a
+   * small driver-side batch that [[mergePartials]] folds in. */
+  def buildPartials(df: DataFrame): Seq[(Long, Array[Byte])] = {
     // sketches store String or Long keys — normalize integrals to long
     val keyCol =
       if (keyType == StringType) col(opts.key) else col(opts.key).cast(LongType)
@@ -249,11 +349,20 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     }
     val agg = SketchAggregate(keyCol, freqCol, variant, opts.size, opts.depth,
       opts.width, opts.effectiveCapacity, opts.seed)
-    val rows = df.select(ivCol.as("__iv__"), keyCol, freqCol.as("__freq__"))
+    df.select(ivCol.as("__iv__"), keyCol, freqCol.as("__freq__"))
       .groupBy(col("__iv__")).agg(agg.as("__sk__"))
       .collect()
-    rows.foreach { r =>
-      buckets.addTo(r.getLong(0), SketchAggregate.fromBytes(r.getAs[Array[Byte]](1)))
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+  }
+
+  /** Phase 2 of an append — the DRIVER part: fold the per-interval partials
+   * into the time buckets and spill over-guard buckets. Cheap (no
+   * distributed job except a possible spill write); callers serializing
+   * appends over a shared persist path hold the path lock around exactly
+   * this phase plus the snapshot publish. */
+  def mergePartials(spark: SparkSession, partials: Seq[(Long, Array[Byte])]): Unit = {
+    partials.foreach { case (iv, bytes) =>
+      buckets.addTo(iv, SketchAggregate.fromBytes(bytes))
     }
     // Guard the driver's actual commitment, not the hypothetical worst case:
     // Space-Saving counters materialize only as keys arrive, so a big
@@ -262,8 +371,8 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     // guard, the oldest buckets spill to the parquet interval store and
     // queries merge them back on executors; only late-arriving data for a
     // spilled interval re-materializes a (mergeable) driver bucket.
-    sparkRef = df.sparkSession
-    if (buckets.entryCount > opts.maxDriverEntries) spillOldest(df.sparkSession)
+    sparkRef = spark
+    if (buckets.entryCount > opts.maxDriverEntries) spillOldest(spark)
   }
 
   /** Point frequency estimate of a key over a time range. */

@@ -426,8 +426,17 @@ case class CreateTopkTableNode(name: String, base: String,
         val (storedOpts, storedBase) = graft.GraftSession.readTopkMetaOptions(
           path.get, spark.sessionState.newHadoopConf())
         val declared = options.map { case (k, v) => k.toLowerCase -> v } - "path"
+        // the snapshot stores RESOLVED width/depth (never eps/confidence),
+        // and explicit width/depth win over accuracy params in option
+        // resolution — so when the statement declares eps or confidence,
+        // drop the stored counterpart key and let the declared accuracy
+        // param derive it, or a conflicting eps/confidence is silently
+        // masked by the stored width/depth and drift goes undetected
+        val storedForResolve = storedOpts --
+          (if (declared.contains("eps")) Seq("width") else Nil) --
+          (if (declared.contains("confidence")) Seq("depth") else Nil)
         val declaredResolved =
-          graft.topk.TopKOptions.fromOptions(storedOpts ++ declared)
+          graft.topk.TopKOptions.fromOptions(storedForResolve ++ declared)
         val storedResolved = graft.topk.TopKOptions.fromOptions(storedOpts)
         require(declaredResolved == storedResolved,
           s"CREATE TOPK TABLE IF NOT EXISTS $name: declared options resolve " +
@@ -487,6 +496,12 @@ case class DropTopkTableNode(name: String, ifExists: Boolean)
             val fp = new org.apache.hadoop.fs.Path(dir, f)
             if (fs.exists(fp)) fs.delete(fp, false)
           }
+        // versioned snapshots (and any orphaned publish temps) go too
+        if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+          if (s.getPath.getName.startsWith(graft.GraftSession.TopkSnapPrefix)) {
+            fs.delete(s.getPath, false)
+          }
+        }
       }
       // ... and the spill store, wherever it lives (under the table's path
       // OR the warehouse fallback of a non-path table)

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Spill store at scale: ~300 spilled buckets over a 10⁵-key space, driven
+ * 100× past `maxDriverEntries` — the long-lived-table shape the driver
+ * guard + parquet interval store exist for. Pins that
+ *
+ *  - the driver's live counter commitment NEVER exceeds the guard, however
+ *    much history accumulates (the silent driver-OOM shape);
+ *  - batch compaction keeps the spill store's file count bounded (one tiny
+ *    parquet dir per spill event otherwise — unbounded file growth);
+ *  - heavy hitters stay EXACT through spill + the executor-side merge of
+ *    hundreds of buckets (present in every interval with error 0, their
+ *    counters survive every capacity-bounded merge — the Space-Saving
+ *    guarantee the structure exists for), and any single interval's tail
+ *    keys stay exact through the spill round-trip (per-interval distinct ≤
+ *    capacity, so nothing evicts);
+ *  - the whole run — 30 appends, ~300 spilled buckets, full-range queries —
+ *    stays inside a bounded wall-clock budget.
+ */
+class TopKSpillScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val tailPerIv = 5000
+  private val totalTailKeys = 100000
+  private val intervals = 300
+  private val heavies = 10
+  private val guard = 15000L // total entries reach ~1.5e6 = 100x the guard
+  private val dayMs = 86400000L
+
+  /** Day-intervals [d0, d1): every interval carries heavy keys h0..h9 with
+   * 10+j occurrences each, plus a rotating window of 10⁴ once-only tail
+   * keys from a 10⁵-key space (interval d holds t((d·10⁴+j) mod 10⁵)). */
+  private def batch(d0: Int, d1: Int): DataFrame = {
+    val d = expr(s"id div $tailPerIv") + lit(d0)
+    val tail = spark.range((d1 - d0).toLong * tailPerIv).select(
+      (d * lit(dayMs)).cast("long").as("ts"),
+      concat(lit("t"),
+        pmod(d * lit(tailPerIv) + pmod(col("id"), lit(tailPerIv)),
+          lit(totalTailKeys))).as("k"))
+    import spark.implicits._
+    val heavy = (for {
+      day <- d0 until d1
+      j <- 0 until heavies
+      _ <- 0 until (10 + j)
+    } yield (day.toLong * dayMs, s"h$j")).toDF("ts", "k")
+    tail.unionByName(heavy)
+  }
+
+  test("300 buckets x 10^5-key space spill past the guard: bounded driver, bounded files, exact answers") {
+    val t0 = System.nanoTime()
+    val opts = graft.topk.TopKOptions(key = "k",
+      timeSeriesColumn = Some("ts"), timeIntervalMs = dayMs,
+      size = 5, streamSummary = true, capacity = 2 * tailPerIv,
+      maxInterval = intervals + 100, timeUnit = "ms",
+      maxDriverEntries = guard)
+    val st = new graft.topk.TopKState("spill_scale", opts,
+      org.apache.spark.sql.types.StringType)
+    (0 until intervals by 20).foreach { d0 =>
+      st.append(batch(d0, d0 + 20))
+      assert(st.buckets.entryCount <= guard,
+        s"driver commitment ${st.buckets.entryCount} exceeds the guard " +
+          s"after intervals [0, ${d0 + 20})")
+    }
+    // ~297 of 300 buckets spilled (the guard keeps ~3 resident), but the
+    // store holds O(compactThreshold) batch dirs, not one per spill event
+    assert(st.spilledBucketCount >= intervals - 5,
+      s"expected nearly all buckets spilled, got ${st.spilledBucketCount}")
+    assert(st.spillBatchCount <= 17,
+      s"compaction must bound the store at ~compactThreshold batch dirs, " +
+        s"got ${st.spillBatchCount}")
+
+    // heavy hitters: exact counts and exact top-k through the executor-side
+    // merge of ~297 spilled + ~3 resident buckets (each queryFrequency is
+    // its own full merge job — sample three, the top-k pass covers five)
+    Seq(0, 4, 9).foreach { j =>
+      val expected = intervals.toLong * (10 + j)
+      assert(st.queryFrequency(s"h$j", Long.MinValue, Long.MaxValue) ===
+        Some((expected, expected, expected)),
+        s"heavy key h$j must stay exact through the spill-store merge")
+    }
+    val (top, _, _) = st.topKRows(Long.MinValue, Long.MaxValue, 5)
+    assert(top.map(_._1) === (heavies - 1 to heavies - 5 by -1).map(i => s"h$i"),
+      s"full-range top-5 must be the five heaviest keys, got $top")
+    top.zipWithIndex.foreach { case ((k, est, lower), i) =>
+      val expected = intervals.toLong * (10 + heavies - 1 - i)
+      assert(est === expected && lower === expected,
+        s"top-k count for $k must be exact (est=$est lower=$lower)")
+    }
+
+    // any single long-spilled interval answers its tail keys exactly
+    // (per-interval distinct ≤ capacity — the spill round-trip loses nothing)
+    val r = st.queryFrequency("t25007", 5L * dayMs, 6L * dayMs - 1)
+    assert(r === Some((1L, 1L, 1L)),
+      s"tail key t25007 appears once in (spilled) interval 5, got $r")
+    val r2 = st.queryFrequency("t123", 0L, dayMs - 1)
+    assert(r2 === Some((1L, 1L, 1L)),
+      s"tail key t123 appears once in (spilled) interval 0, got $r2")
+
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(elapsedSec <= 120.0,
+      f"spill-scale run took $elapsedSec%.1f s (budget 120 s)")
+
+    // hygiene: retire the warehouse-dir spill store this test created
+    st.spillDirOption.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+}

@@ -202,6 +202,139 @@ object StratifiedSampler {
     // come from a window count, shuffling every row into one task per stratum.
     val usePrefilter =
       preFilter && (fraction == 0.0 || fraction * preFilterFactor < 0.9)
+
+    // SUB-STRATUM PARALLEL RANK (the low-cardinality-QCS scale path): a
+    // plain `row_number over (partitionBy K orderBy R1)` sorts each stratum
+    // on ONE task, so 3 strata bound the whole job at 3 cores no matter the
+    // cluster. R1 is a uniform 64-bit hash, so fixed equal-width ranges of
+    // the hash value (top bits, monotone in the SIGNED order the rank
+    // sorts by) split every stratum into balanced shards with no extra data
+    // pass, and the exact global rank is `shard-local rank + exclusive sum
+    // of lower-shard counts`. The per-(stratum, shard) counts ride the same
+    // single aggregation pass the prefilter already needs for totals; the
+    // offsets (≤ strata × 64 tiny tuples) are derived on the driver and
+    // broadcast back. The selected multiset is IDENTICAL to the one-task
+    // sort's: the same `target` smallest hashes per stratum survive.
+    //
+    // The shard counts are exact survivor counts for every shard the
+    // selection can touch: the prefilter keeps exactly the rows BELOW a
+    // per-stratum hash threshold, so every shard fully below the threshold
+    // keeps its full count, and only the shard containing the threshold is
+    // partial — and its own offset sums full shards only. Shards above the
+    // threshold never meet the final filter.
+    //
+    // Driver-side state stays bounded: this path engages only when the
+    // stratum count is at most `maxOffsetStrata` (collected with a limit
+    // guard); past it, per-stratum tasks already saturate any cluster and
+    // the classic one-window plan is used unchanged. It is also SIZE-GATED:
+    // the extra counts-collect job is pure overhead on an input small
+    // enough that the one-task sort is trivial anyway — below the
+    // threshold the classic plan runs (`spark.graft.sampler.shardRank`
+    // on/off/auto overrides, mirroring the candidate-join policy).
+    val maxOffsetStrata = 4096
+    val B = "__graft_shard__"
+    val shardBits = 58 // 64 shards: top 6 bits of the signed hash
+    val shardRank = {
+      val spark = df.sparkSession
+      spark.conf.get("spark.graft.sampler.shardRank", "auto") match {
+        case "on" => true
+        case "off" => false
+        case _ =>
+          val threshold =
+            math.max(8L * spark.sessionState.conf.autoBroadcastJoinThreshold,
+              64L * 1024 * 1024)
+          df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(threshold)
+      }
+    }
+    // fraction mode only: reservoir targets are small constants, so the
+    // prefilter already cuts each stratum's sort input to ~2·reservoir+50
+    // rows — a one-task sort of a few hundred rows needs no sharding
+    if (usePrefilter && shardRank && fraction > 0.0) {
+      // arithmetic shift of the signed hash: shard index is monotone in the
+      // signed order the rank sorts by
+      val shardCol = (shiftright(col(R1), shardBits) + lit(32)).cast("int")
+      val grouped = keyed.groupBy(col(K), shardCol.as(B))
+        .agg(count(lit(1)).as("__cnt__"))
+        .limit(maxOffsetStrata * 64 + 1)
+        .collect()
+      if (grouped.length <= maxOffsetStrata * 64) {
+        // ---- bucketed exact-rank path ----
+        val perKey = grouped.groupBy(_.get(0))
+        val keyType = keyed.schema.find(_.name == K).get.dataType
+        val offsetRows = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row](grouped.length)
+        perKey.foreach { case (kVal, rows) =>
+          val byShard = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
+          val tot = byShard.map(_._2).sum
+          val tgt: Long =
+            if (fraction > 0.0) {
+              math.min(math.max(reservoirSize.toLong,
+                math.ceil(tot * fraction).toLong), tot)
+            } else math.min(reservoirSize.toLong, tot)
+          val p = math.min(1.0, (tgt * preFilterFactor + 50.0) / tot)
+          val threshold = (2.0 * p - 1.0) * Long.MaxValue.toDouble
+          // shard containing the threshold (64 = nothing filtered)
+          val tShard: Int =
+            if (tot <= tgt || p >= 1.0) 64
+            else math.max(0, math.min(63,
+              math.floor(threshold / (1L << shardBits).toDouble).toInt + 32))
+          var acc = 0L
+          byShard.foreach { case (b, cnt) =>
+            if (b <= tShard) offsetRows +=
+              org.apache.spark.sql.Row(kVal, b, acc, tot, tgt, threshold,
+                b == tShard)
+            acc += cnt
+          }
+        }
+        val spark = df.sparkSession
+        val offsetsSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(K + "c", keyType),
+          org.apache.spark.sql.types.StructField(B + "c",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("__off__",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(TOT,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__graft_target__",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__thr__",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("__partial__",
+            org.apache.spark.sql.types.BooleanType)))
+        val offsets = broadcast(spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(offsetRows.toSeq).asJava), offsetsSchema))
+        // the inner join drops every shard above the threshold shard, and
+        // the residual hash-threshold prefilter applies ONLY to the partial
+        // (threshold-containing) shard: lower shards stay complete, so
+        // their full counts — which the offsets assume — are exactly the
+        // survivor counts, immune to the double-rounding edge of the
+        // threshold comparison
+        val joined = keyed.withColumn(B, shardCol)
+          .join(offsets, col(K) <=> col(K + "c") && col(B) === col(B + "c"),
+            "inner")
+          .filter(!col("__partial__") ||
+            col(TOT) <= col("__graft_target__") ||
+            col(R1).cast("double") < col("__thr__"))
+        val ranked = joined
+          .withColumn("__graft_rn__", row_number()
+            .over(Window.partitionBy(col(K), col(B)).orderBy(col(R1))) +
+            col("__off__"))
+          .filter(col("__graft_rn__") <= col("__graft_target__"))
+        // exact kept count (see the classic path's comment): a count-only
+        // window over ≤ target rows per stratum — no sort, tiny input
+        val kept = ranked.withColumn("__graft_kept__",
+          count(lit(1)).over(Window.partitionBy(col(K))))
+        val keyHash = pmod(hash(col(K)), lit(256)).cast("int")
+        return kept
+          .withColumn(WeightColumn,
+            PackWeightage(col("__graft_kept__"), col(TOT), keyHash))
+          .select(dataCols :+ col(WeightColumn): _*)
+      }
+      // else: fall through to the classic plan (strata already saturate
+      // the cluster; the finer counts pass is discarded)
+    }
+
     val withTotal: DataFrame =
       if (usePrefilter) {
         val counts = keyed.groupBy(col(K)).agg(count(lit(1)).as(TOT))

@@ -380,13 +380,20 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val originals = java.util.Collections.newSetFromMap(
             new java.util.IdentityHashMap[AggregateExpression, java.lang.Boolean]())
           ne.foreach { case ae: AggregateExpression => originals.add(ae); case _ => }
+          // sum/avg over the HIDDEN WEIGHT COLUMN stays raw bookkeeping —
+          // weighting it would make the exact integral sum a plan-order-
+          // dependent float (reference Hashjoin Bug-3 pins sum(weightage)
+          // exactly equal across join strategies)
+          def isWeightRef(x: Expression): Boolean =
+            x.references.nonEmpty &&
+              x.references.forall(_.name == Weightage.WeightColumn)
           ne.transformDown {
             case ae: AggregateExpression if originals.contains(ae) => ae.aggregateFunction match {
-              case Sum(x, _) =>
+              case Sum(x, _) if !isWeightRef(x) =>
                 castEstimate(
                   Sum(Multiply(w, Cast(x, DoubleType))).toAggregateExpression(),
                   ae.dataType)
-              case Average(x, _) =>
+              case Average(x, _) if !isWeightRef(x) =>
                 val num = Sum(Multiply(w, Cast(x, DoubleType))).toAggregateExpression()
                 val den = Sum(If(IsNull(x), Literal(null, DoubleType), w))
                   .toAggregateExpression()
@@ -460,6 +467,35 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val aliasToStruct = mutable.Map.empty[ExprId, Attribute]
+    // select-list aliases of aggregates the struct CANNOT cover (min/max,
+    // …): error functions over them are INERT — NULL bounds, zero errors
+    // (reference ENT-57 "aqp query only containing max function":
+    // `ErrorEstimateFunctionTest.scala:1296+` pins exactly this shape)
+    val inertAliases = mutable.Set.empty[ExprId]
+
+    /** Field extraction with the empty-relation guard: an aggregate over
+     * zero rows evaluates the whole struct to NULL, but the reference
+     * answers ZERO for absolute/relative error on an empty table while the
+     * bounds stay NULL (`QueryRoutingTestSuite` "test empty table with
+     * behaviour involving routing"). LOCAL_OMIT's deliberate NULLing is
+     * unaffected — it nulls FIELDS inside a non-null struct. */
+    def extractField(s: Expression, fn: String): Expression = {
+      val ord = ErrorEstimateStub.fieldOrdinal(fn)
+      val field = GetStructField(s, ord, Some(ClosedFormAggregate.resultType(ord).name))
+      fn match {
+        case "absolute_error" | "relative_error" =>
+          If(IsNull(s), Literal(0.0, DoubleType), field)
+        case _ => field
+      }
+    }
+
+    /** The inert value of an error function over a non-estimatable
+     * aggregate: bounds NULL, errors 0 (same shape as a base-routed
+     * query). */
+    def inertValue(fn: String): Expression = fn match {
+      case "absolute_error" | "relative_error" => Literal(0.0, DoubleType)
+      case _ => Literal(null, DoubleType)
+    }
 
     // Analysis substitutes same-select-list alias references with the full
     // aggregate expression (lateral column alias resolution), so a stub's
@@ -469,16 +505,19 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // the error functions bind to the first aggregate inside it
       val aeOpt = arg.collectFirst { case ae: AggregateExpression => ae }
       aeOpt.flatMap { ae =>
-        val sOpt = (ae.aggregateFunction match {
+        (ae.aggregateFunction match {
           case Sum(x, _) => Some((AqpAggType.Sum, x))
           case Average(x, _) => Some((AqpAggType.Avg, x))
           case Count(xs) if xs.size == 1 => Some((AqpAggType.Count, xs.head))
           case _ => None
-        }).filter { case (t, x) => create || cfAggs.contains((t, x.canonicalized)) }
-          .map { case (t, x) => structAttr(t, x) }
-        sOpt.map { s =>
-          val ord = ErrorEstimateStub.fieldOrdinal(fn)
-          GetStructField(s, ord, Some(ClosedFormAggregate.resultType(ord).name))
+        }) match {
+          case Some((t, x)) if create || cfAggs.contains((t, x.canonicalized)) =>
+            Some(extractField(structAttr(t, x), fn))
+          case Some(_) => None // estimatable but unbound here: caller errors
+          case None =>
+            // the stub references an aggregate the struct cannot cover
+            // (min/max, …) — inert, never an analysis error
+            Some(inertValue(fn))
         }
       }
     }
@@ -509,12 +548,20 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   "alias) in the same select list"))))
           case ae: AggregateExpression =>
             nAggs += 1
+            // sum/avg OVER THE HIDDEN WEIGHT COLUMN stays raw: it is
+            // bookkeeping, not data — weighting it would turn an exact
+            // integral sum into a plan-order-dependent float (reference
+            // Hashjoin Bug-3 pins sum(weightage) exactly equal across join
+            // strategies)
+            def isWeightRef(x: Expression): Boolean =
+              x.references.nonEmpty &&
+                x.references.forall(_.name == Weightage.WeightColumn)
             ae.aggregateFunction match {
-              case Sum(x, _) =>
+              case Sum(x, _) if !isWeightRef(x) =>
                 val s = structAttr(AqpAggType.Sum, x)
                 boundStruct = Some(s)
                 castEstimate(GetStructField(s, 0, Some("estimate")), ae.dataType)
-              case Average(x, _) =>
+              case Average(x, _) if !isWeightRef(x) =>
                 val s = structAttr(AqpAggType.Avg, x)
                 boundStruct = Some(s)
                 castEstimate(GetStructField(s, 0, Some("estimate")), ae.dataType)
@@ -533,6 +580,8 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         ne match {
           case a: Alias if nAggs == 1 && boundStruct.isDefined =>
             aliasToStruct(a.exprId) = boundStruct.get
+          case a: Alias if nAggs >= 1 && boundStruct.isEmpty =>
+            inertAliases += a.exprId // min/max/other kept aggregate
           case _ =>
         }
         rewritten
@@ -569,9 +618,9 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case n => n.transformExpressionsDown {
         case ErrorEstimateStub(fn, arg) => arg match {
           case attr: Attribute if aliasToStruct.contains(attr.exprId) =>
-            val ord = ErrorEstimateStub.fieldOrdinal(fn)
-            GetStructField(aliasToStruct(attr.exprId), ord,
-              Some(ClosedFormAggregate.resultType(ord).name))
+            extractField(aliasToStruct(attr.exprId), fn)
+          case attr: Attribute if inertAliases.contains(attr.exprId) =>
+            inertValue(fn) // error fn over a min/max alias (ENT-57)
           case other => bindStub(fn, other, create = false).getOrElse(throw new AnalysisException(
             errorClass = "INTERNAL_ERROR",
             messageParameters = Map("message" ->
@@ -611,7 +660,10 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val (coreTree, sortOrder, rewrap) = peel(tree)
         val (coreChild, _, _) = peel(child)
         val hidden = cfAggs.values.toSeq.zipWithIndex.map { case (a, i) =>
-          Alias(GetStructField(a.toAttribute, 4, Some("relative_error")),
+          // empty-group guard: a NULL struct (zero input rows) reads as
+          // relative error 0 — nothing to enforce, the group passes
+          Alias(If(IsNull(a.toAttribute), Literal(0.0, DoubleType),
+            GetStructField(a.toAttribute, 4, Some("relative_error"))),
             s"__graft_relerr_${i}__")()
         }
         val projected = Project(visible ++ hidden, coreTree)
@@ -624,12 +676,15 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Fallback path: error estimates are exact on the base table —
-   * absolute/relative error ≡ 0, bounds ≡ the estimate. */
+   * absolute/relative error ≡ 0 and lower/upper bounds are NULL (reference
+   * `QueryRoutingTestSuite` "test query on base table without sampletable
+   * should route" / "test HAC reroute with error constraint" pin NULL
+   * bounds with zero errors on every exactly-answered query). */
   private def stripStubs(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case n => n.transformExpressionsDown {
-      case ErrorEstimateStub(fn, arg) => fn match {
+      case ErrorEstimateStub(fn, _) => fn match {
         case "absolute_error" | "relative_error" => Literal(0.0, DoubleType)
-        case _ => Cast(arg, DoubleType)
+        case _ => Literal(null, DoubleType)
       }
     }
   }

@@ -1,0 +1,280 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Third tranche of reference regression scenarios, ported as engine
+ * invariants over the synthetic tables:
+ *
+ *  - `QueryRoutingTestSuite` empty-table HAC matrix ("test empty table with
+ *    behaviour involving routing" / "... do nothing" / "test min empty
+ *    table"), count-distinct routing ("test count distinct"), and
+ *    direct-sample HAC fencing ("test no routing with HAC error constraint
+ *    on sample table" + its bootstrap twin);
+ *  - `ErrorEstimateFunctionTest` "test bug null error for bootstrap",
+ *    "support issue SDENT-63", "ENT-57 aqp query only containing max
+ *    function", and the Hashjoin Bug-3 direct-sample join parity;
+ *  - `PendingFeatureTest`'s standalone-CONFIDENCE avg (pending in the
+ *    reference — supported here).
+ */
+class CommonBugs3Spec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark._
+
+  private lazy val gs: GraftSession = {
+    val g = new GraftSession(spark)
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_cb3")
+    g.sql("CREATE SAMPLE TABLE li_cb3_s ON li_cb3 " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.3')")
+    g
+  }
+
+  override def afterAll(): Unit = {
+    val g = new GraftSession(TestSpark.spark)
+    GraftState.of(TestSpark.spark).samples.keys
+      .filter(n => n.startsWith("li_cb3") || n.startsWith("empty_cb3"))
+      .toSeq.foreach(g.dropSampleTable)
+    super.afterAll()
+  }
+
+  private def setupEmpty(): Unit = {
+    import spark.implicits._
+    Seq.empty[(Int, String, Double)].toDF("id", "grp", "qty")
+      .createOrReplaceTempView("empty_cb3")
+    if (!GraftState.of(spark).samples.contains("empty_cb3_s")) {
+      gs.sql("CREATE SAMPLE TABLE empty_cb3_s ON empty_cb3 " +
+        "OPTIONS(qcs 'grp', fraction '0.2')")
+    }
+  }
+
+  // --- QueryRoutingTestSuite "test empty table with behaviour involving
+  // routing" / "... do nothing": every HAC behavior answers NULL estimate,
+  // NULL bounds, zero errors on an empty base+sample — never a throw, never
+  // a zero estimate ---------------------------------------------------------
+  test("empty base + sample: sum/avg NULL with NULL bounds and zero errors under every behavior") {
+    setupEmpty()
+    for (agg <- Seq("sum(qty)", "avg(qty)");
+         behavior <- Seq("", " BEHAVIOR 'do_nothing'",
+           " BEHAVIOR 'run_on_full_table'",
+           " BEHAVIOR 'partial_run_on_base_table'")) {
+      val r = gs.sql(
+        s"""SELECT $agg AS x, lower_bound(x) AS lb, upper_bound(x) AS ub,
+           |       relative_error(x) AS re, absolute_error(x) AS ae
+           |FROM empty_cb3 WITH ERROR 0.95 CONFIDENCE 0.95$behavior""".stripMargin)
+        .collect()(0)
+      assert(r.isNullAt(0), s"$agg$behavior: estimate must be NULL on empty")
+      assert(r.isNullAt(1) && r.isNullAt(2),
+        s"$agg$behavior: bounds must be NULL on empty")
+      assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0,
+        s"$agg$behavior: errors must be zero on empty")
+    }
+  }
+
+  // --- QueryRoutingTestSuite "test min empty table" -------------------------
+  test("min/max on an empty table answer NULL through every error-clause form") {
+    setupEmpty()
+    Seq("WITH ERROR 0.95", "WITH ERROR", "WITH ERROR 0.95 CONFIDENCE 0.95",
+      "CONFIDENCE 0.95").foreach { clause =>
+      val r = gs.sql(
+        s"SELECT min(qty) AS mn, max(qty) AS mx, count(qty) AS c " +
+          s"FROM empty_cb3 $clause").collect()(0)
+      assert(r.isNullAt(0) && r.isNullAt(1),
+        s"min/max must be NULL on empty under '$clause'")
+      assert(r.getLong(2) === 0L, s"count must be 0 on empty under '$clause'")
+    }
+  }
+
+  // --- QueryRoutingTestSuite "test count distinct": routes to base, stays
+  // exact, and error functions are NULL-bounds / zero-errors ----------------
+  test("count(distinct) with error clause: exact, NULL bounds, zero errors") {
+    gs
+    val exact = spark.sql(
+      "SELECT count(distinct l_returnflag) FROM li_cb3").collect()(0).getLong(0)
+    val r = gs.sql(
+      """SELECT count(distinct l_returnflag) AS c, lower_bound(c) AS lb,
+        |       upper_bound(c) AS ub, relative_error(c) AS re,
+        |       absolute_error(c) AS ae
+        |FROM li_cb3 WITH ERROR 0.2 CONFIDENCE 0.95""".stripMargin).collect()(0)
+    assert(r.getLong(0) === exact, "count distinct must route to base exactly")
+    assert(r.isNullAt(1) && r.isNullAt(2),
+      "bounds of a base-routed distinct aggregate must be NULL")
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0,
+      "errors of a base-routed distinct aggregate must be 0")
+  }
+
+  // --- QueryRoutingTestSuite "test no routing with HAC error constraint on
+  // sample table" (+ bootstrap twin): a query fired ON the sample table never
+  // reroutes, whatever the behavior says — there is nothing to reroute to ---
+  test("direct sample query: HAC behaviors never reroute (closed-form)") {
+    gs
+    def run(behavior: String) = gs.sql(
+      s"""SELECT sum(l_quantity) AS x, lower_bound(x) AS lb, upper_bound(x) AS ub,
+         |       relative_error(x) AS re, absolute_error(x) AS ae
+         |FROM li_cb3_s WHERE l_orderkey < 300
+         |WITH ERROR 0.5 CONFIDENCE 0.95$behavior""".stripMargin).collect()(0)
+    val plain = run("")
+    val reroute = run(" BEHAVIOR 'run_on_full_table'")
+    assert(!plain.isNullAt(1) && !plain.isNullAt(2),
+      "direct sample query with error clause must produce bounds")
+    (0 until 5).foreach { i =>
+      assert(plain.get(i) === reroute.get(i),
+        s"column $i must be identical with and without the reroute behavior " +
+          "— a direct sample query must not reroute")
+    }
+  }
+
+  test("direct sample query: HAC behaviors never reroute (bootstrap)") {
+    gs
+    spark.conf.set("spark.sql.aqp.estimator", "bootstrap")
+    spark.conf.set("spark.sql.aqp.fixedSeed", "true")
+    try {
+      def run(behavior: String) = gs.sql(
+        s"""SELECT sum(l_quantity) AS x, lower_bound(x) AS lb, upper_bound(x) AS ub,
+           |       relative_error(x) AS re, absolute_error(x) AS ae
+           |FROM li_cb3_s WHERE l_orderkey < 300
+           |WITH ERROR 0.5 CONFIDENCE 0.95$behavior""".stripMargin).collect()(0)
+      val plain = run("")
+      val reroute = run(" BEHAVIOR 'run_on_full_table'")
+      assert(!plain.isNullAt(1) && !plain.isNullAt(2),
+        "bootstrap direct sample query must produce bounds")
+      (0 until 5).foreach { i =>
+        assert(plain.get(i) === reroute.get(i),
+          s"column $i must match across behaviors under bootstrap")
+      }
+    } finally {
+      spark.conf.set("spark.sql.aqp.estimator", "closedform")
+      spark.conf.unset("spark.sql.aqp.fixedSeed")
+    }
+  }
+
+  // --- ErrorEstimateFunctionTest "test bug null error for bootstrap" --------
+  test("bootstrap grouped order-by: error columns never null") {
+    gs
+    spark.conf.set("spark.sql.aqp.estimator", "bootstrap")
+    spark.conf.set("spark.sql.aqp.fixedSeed", "true")
+    try {
+      val rows = gs.sql(
+        """SELECT sum(l_quantity) AS s, relative_error(s) AS re,
+          |       upper_bound(s) AS ub, l_returnflag
+          |FROM li_cb3 GROUP BY l_returnflag ORDER BY s
+          |WITH ERROR 0.3 CONFIDENCE 0.95 BEHAVIOR 'do_nothing'""".stripMargin)
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { row =>
+        assert(!row.isNullAt(1) && !row.isNullAt(2),
+          s"bootstrap error columns must never be null, got $row")
+      }
+    } finally {
+      spark.conf.set("spark.sql.aqp.estimator", "closedform")
+      spark.conf.unset("spark.sql.aqp.fixedSeed")
+    }
+  }
+
+  // --- ErrorEstimateFunctionTest "support issue SDENT-63" -------------------
+  test("SDENT-63: compound sum/count ratio with MAX(FALSE) under local_omit") {
+    gs
+    val rows = gs.sql(
+      """SELECT l_returnflag AS z, (SUM(l_quantity) / COUNT(l_quantity)) AS x,
+        |       MAX(FALSE) AS y
+        |FROM li_cb3 GROUP BY l_returnflag
+        |WITH ERROR 0.95 BEHAVIOR 'local_omit'""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) assert(r.getDouble(1) > 0)
+      if (!r.isNullAt(2)) assert(r.getBoolean(2) === false)
+    }
+  }
+
+  // --- ErrorEstimateFunctionTest "ENT-57. aqp query only containing max
+  // function should use sample table if possible" ---------------------------
+  test("ENT-57: only-max/min query answers exactly; error functions on min/max are inert") {
+    gs
+    val exact = spark.sql(
+      "SELECT max(l_quantity), min(l_quantity) FROM li_cb3").collect()(0)
+    val r = gs.sql(
+      "SELECT max(l_quantity) AS mx, min(l_quantity) AS mn FROM li_cb3 WITH ERROR")
+      .collect()(0)
+    assert(r.getDouble(0) === exact.getDouble(0) &&
+      r.getDouble(1) === exact.getDouble(1),
+      "a max/min-only AQP query must answer the exact extremes")
+    // error functions applied to min/max: bounds NULL, errors 0 (the
+    // reference pins exactly this shape)
+    val r2 = gs.sql(
+      """SELECT max(l_quantity) AS mx, min(l_quantity) AS mn,
+        |       lower_bound(mx) AS lb, upper_bound(mx) AS ub,
+        |       absolute_error(mx) AS ae, relative_error(mx) AS re,
+        |       absolute_error(mn) AS ae2
+        |FROM li_cb3 WITH ERROR""".stripMargin).collect()(0)
+    assert(r2.getDouble(0) === exact.getDouble(0) &&
+      r2.getDouble(1) === exact.getDouble(1))
+    assert(r2.isNullAt(2) && r2.isNullAt(3),
+      "bounds of a min/max aggregate must be NULL")
+    assert(r2.getDouble(4) === 0.0 && r2.getDouble(5) === 0.0 &&
+      r2.getDouble(6) === 0.0,
+      "errors of a min/max aggregate must be 0")
+  }
+
+  // --- ErrorEstimateFunctionTest "query directly fired on sample table
+  // should not compute error estimates if no error clause present" vs the
+  // "error fraction" scenario: an explicit error clause turns estimates on -
+  test("direct sample query: inert without an error clause, estimating with one") {
+    gs
+    // without a clause: plain Spark semantics — raw unweighted sum over the
+    // sample rows; error functions inert
+    val raw = spark.table("li_cb3_s")
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    val inert = gs.sql(
+      "SELECT sum(l_quantity) AS x, relative_error(x) AS re FROM li_cb3_s")
+      .collect()(0)
+    assert(math.abs(inert.getDouble(0) - raw) < 1e-6,
+      "without an error clause a direct sample query is a plain query")
+    // with an explicit clause: weighted estimate + live bounds
+    val est = gs.sql(
+      """SELECT sum(l_quantity) AS x, lower_bound(x) AS lb, upper_bound(x) AS ub
+        |FROM li_cb3_s WITH ERROR 0.7""".stripMargin).collect()(0)
+    assert(est.getDouble(0) > raw,
+      "with an error clause the sample rows are weighted up to the base scale")
+    assert(!est.isNullAt(1) && !est.isNullAt(2))
+  }
+
+  // --- PendingFeatureTest (ignored there — "Sample Table Query on avg
+  // aggregate with error estimates should be correct"): a standalone
+  // CONFIDENCE clause must route and estimate ------------------------------
+  test("standalone CONFIDENCE clause: avg estimates through the sample (reference pending feature)") {
+    gs
+    val exact = spark.sql("SELECT avg(l_quantity) FROM li_cb3")
+      .collect()(0).getDouble(0)
+    val est = gs.sql("SELECT avg(l_quantity) AS a FROM li_cb3 CONFIDENCE 0.95")
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - exact) / exact < 0.2,
+      s"standalone-CONFIDENCE avg must estimate the base avg (got $est vs $exact)")
+  }
+
+  // --- ErrorEstimateFunctionTest "Hashjoin Bug-3": a direct-sample join
+  // answers the same counts and weight sums whichever join strategy runs ----
+  test("Hashjoin Bug-3: direct-sample join parity incl. weight-column sum across join strategies") {
+    gs
+    spark.read.parquet(s"$sf/region.parquet").selectExpr(
+      "r_regionkey % 3 AS code", "r_name").createOrReplaceTempView("ref_cb3")
+    spark.sql("SELECT DISTINCT l_returnflag, abs(hash(l_returnflag)) % 3 AS code " +
+      "FROM li_cb3").createOrReplaceTempView("flagmap_cb3")
+    def run() = gs.sql(
+      s"""SELECT count(*) AS c, count(*) AS sample_count,
+         |       sum(${org.apache.spark.sql.graft.Weightage.WeightColumn}) AS w
+         |FROM li_cb3_s t1, flagmap_cb3 t2
+         |WHERE t1.l_returnflag = t2.l_returnflag WITH ERROR""".stripMargin)
+      .collect()(0)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val broadcastPlan = run()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val shufflePlan =
+      try run()
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(broadcastPlan.getLong(1) === shufflePlan.getLong(1),
+      "sample_count must not depend on the join strategy")
+    assert(broadcastPlan.getLong(2) === shufflePlan.getLong(2),
+      "the packed weight sum must not depend on the join strategy")
+    assert(math.abs(broadcastPlan.getLong(0) - shufflePlan.getLong(0)) < 2)
+  }
+}

@@ -177,7 +177,11 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(0) === raw, "no error clause -> raw unweighted sum")
     assert(r.getDouble(1) === 0.0)
     assert(r.getDouble(2) === 0.0)
-    assert(r.getDouble(3) === raw)
+    // exactly-answered queries report NULL bounds with zero errors — the
+    // reference's shape on every query that never touched an estimate
+    // (`QueryRoutingTestSuite` "test query on base table without
+    // sampletable should route" pins isNullAt(LB) with 0 errors)
+    assert(r.isNullAt(3))
     // on a plan with NO sample scan the stubs still raise
     intercept[Exception] {
       gs.sql("SELECT sum(l_quantity) AS x, relative_error(x) AS re FROM li_ec")

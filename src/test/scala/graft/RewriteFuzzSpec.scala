@@ -215,6 +215,73 @@ class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("24 error-function PLACEMENT shapes: HAVING/ORDER BY/CASE/arithmetic, exact-zero algebra at full fraction") {
+    // the placement grammar the hand-written ErrorEstimateFunctionTest
+    // scenarios sample one-by-one: error functions inside HAVING, ORDER BY,
+    // CASE, and arithmetic over MULTIPLE error functions. At full fraction
+    // every error is exactly 0 and both bounds equal the estimate, so each
+    // placement has a closed-form oracle against the stock-Spark core.
+    gs
+    val rnd = new scala.util.Random(55112L)
+    (0 until 24).foreach { i =>
+      val grp = grpCols(rnd.nextInt(grpCols.length))
+      val (m1, m2) = (numCols(rnd.nextInt(numCols.length)),
+        numCols(rnd.nextInt(numCols.length)))
+      val where = if (rnd.nextBoolean()) s" WHERE l_quantity > ${rnd.nextInt(30)}" else ""
+      val base = s"$grp, round(sum($m1), 4) AS a0, round(avg($m2), 6) AS a1"
+      val core = s"SELECT $base FROM li_fz$where GROUP BY $grp ORDER BY $grp"
+      val want = spark.sql(core).collect()
+      val (aqp, check): (String, Array[org.apache.spark.sql.Row] => Unit) =
+        i % 6 match {
+          case 0 => // bound arithmetic: CI width is exactly zero
+            (s"SELECT $base, round(upper_bound(a0) - lower_bound(a0), 6) AS x " +
+              s"FROM li_fz$where GROUP BY $grp ORDER BY $grp WITH ERROR 0.9",
+              rows => rows.foreach(r => assert(r.getDouble(3) === 0.0,
+                s"CI width must be 0 at full fraction (query $i)")))
+          case 1 => // arithmetic over error fns of TWO different aggregates
+            (s"SELECT $base, round(absolute_error(a0) + relative_error(a1), 6) AS x " +
+              s"FROM li_fz$where GROUP BY $grp ORDER BY $grp WITH ERROR 0.9",
+              rows => rows.foreach(r => assert(r.getDouble(3) === 0.0,
+                s"error sum across aggregates must be 0 (query $i)")))
+          case 2 => // CASE over an error fn: never fires at zero error
+            (s"SELECT $base, CASE WHEN relative_error(a0) > 0.5 " +
+              "THEN CAST(NULL AS DOUBLE) ELSE a0 END AS x " +
+              s"FROM li_fz$where GROUP BY $grp ORDER BY $grp WITH ERROR 0.9",
+              rows => rows.foreach(r => assert(!r.isNullAt(3) &&
+                r.getDouble(3) === r.getDouble(1),
+                s"CASE over zero error must pass a0 through (query $i)")))
+          case 3 => // HAVING on an error fn: always passes at zero error
+            (s"SELECT $base FROM li_fz$where GROUP BY $grp " +
+              s"HAVING absolute_error(a0) <= 0.5 ORDER BY $grp WITH ERROR 0.9",
+              rows => assert(rows.length === want.length,
+                s"HAVING over zero error must keep every group (query $i)"))
+          case 4 => // ORDER BY an error fn: all-equal keys degrade to group order
+            (s"SELECT $base FROM li_fz$where GROUP BY $grp " +
+              s"ORDER BY relative_error(a0), $grp WITH ERROR 0.9",
+              rows => rows.map(_.getString(0)).zip(want.map(_.getString(0)))
+                .foreach { case (g, w) => assert(g === w,
+                  s"ORDER BY zero-error then group must be group order (query $i)") })
+          case 5 => // bound of the SECOND aggregate equals its estimate
+            (s"SELECT $base, round(lower_bound(a1), 6) AS x " +
+              s"FROM li_fz$where GROUP BY $grp ORDER BY $grp WITH ERROR 0.9",
+              rows => rows.foreach(r => assert(
+                math.abs(r.getDouble(3) - r.getDouble(2)) <= 1e-6,
+                s"lower bound must equal the estimate at full fraction (query $i)")))
+        }
+      val got = try gs.sql(aqp).collect() catch {
+        case e: Throwable => fail(s"query $i failed: $aqp\n${e.getMessage}")
+      }
+      // group keys + shared aggregates always reproduce the core
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getString(0) === w.getString(0), s"query $i keys\n$aqp")
+        assert(math.abs(g.getDouble(1) - w.getDouble(1)) <= 1e-6 &&
+          math.abs(g.getDouble(2) - w.getDouble(2)) <= 1e-6,
+          s"query $i aggregates must be exact at full fraction\n$aqp")
+      }
+      check(got)
+    }
+  }
+
   test("50 random query shapes: full-fraction rewrite is exact with zero error") {
     gs // force view + sample registration before the stock-Spark side runs
     val rnd = new scala.util.Random(20260812L)

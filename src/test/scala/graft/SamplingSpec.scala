@@ -105,6 +105,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("shard-ranked selection: identical multiset to the classic rank, parallel rank partitions") {
+    // at scale the rank-select shards each stratum across 64 hash ranges
+    // (size-gated off at test scale) — force both paths and pin that the
+    // selected row multiset and weights are IDENTICAL, and that the sharded
+    // plan's rank window partitions on (stratum, shard), not stratum alone
+    def fingerprint(): Long = StratifiedSampler
+      .sample(li, Seq("l_returnflag"), fraction = 0.1, reservoirSize = 10)
+      .agg(sum(hash(col("l_orderkey"), col("l_linenumber"),
+        col("snappy_sampler_weightage")).cast("long")))
+      .collect()(0).getLong(0)
+    spark.conf.set("spark.graft.sampler.shardRank", "off")
+    val classic =
+      try fingerprint()
+      finally spark.conf.set("spark.graft.sampler.shardRank", "on")
+    val (sharded, plan) =
+      try {
+        val df = StratifiedSampler
+          .sample(li, Seq("l_returnflag"), fraction = 0.1, reservoirSize = 10)
+        (df.agg(sum(hash(col("l_orderkey"), col("l_linenumber"),
+          col("snappy_sampler_weightage")).cast("long")))
+          .collect()(0).getLong(0),
+          df.queryExecution.executedPlan.toString)
+      } finally spark.conf.set("spark.graft.sampler.shardRank", "auto")
+    assert(sharded === classic,
+      "sharded and classic rank-select must pick the identical sample")
+    assert(plan.contains("__graft_shard__"),
+      s"sharded plan must partition the rank window by (stratum, shard):\n$plan")
+  }
+
   test("randomized sweep: kept counts and weight sums exact for any config") {
     // SURVEY §5: reservoir size bounds + weight sum ≈ N as properties.
     // Deterministic config sweep over fractions × reservoirs × QCS choices.

@@ -251,6 +251,50 @@ class CommonBugs3Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"standalone-CONFIDENCE avg must estimate the base avg (got $est vs $exact)")
   }
 
+  // --- BootStrapBugTest "Test sample table query on mixed aggregates with
+  // group by": the sum/avg/count columns of ONE query must equal the three
+  // single-aggregate queries column-for-column (the struct-sharing rewrite
+  // must not perturb any individual estimate) ------------------------------
+  test("mixed sum/avg/count query equals the three single-aggregate queries") {
+    gs
+    def one(agg: String) = gs.sql(
+      s"""SELECT $agg AS x, l_returnflag, absolute_error(x) AS ae
+         |FROM li_cb3 GROUP BY l_returnflag ORDER BY l_returnflag
+         |WITH ERROR 0.2 CONFIDENCE 0.95""".stripMargin).collect()
+    val mixed = gs.sql(
+      """SELECT sum(l_quantity) AS x, avg(l_quantity) AS y,
+        |       count(l_quantity) AS z, l_returnflag, absolute_error(x) AS ae
+        |FROM li_cb3 GROUP BY l_returnflag ORDER BY l_returnflag
+        |WITH ERROR 0.2 CONFIDENCE 0.95""".stripMargin).collect()
+    val (s, a, c) =
+      (one("sum(l_quantity)"), one("avg(l_quantity)"), one("count(l_quantity)"))
+    mixed.indices.foreach { i =>
+      assert(mixed(i).getDouble(0) === s(i).getDouble(0), s"sum row $i")
+      assert(mixed(i).getDouble(1) === a(i).getDouble(0), s"avg row $i")
+      assert(mixed(i).getLong(2) === c(i).getLong(0), s"count row $i")
+      assert(mixed(i).getString(3) === s(i).getString(1), s"group row $i")
+    }
+  }
+
+  // --- BootStrapBugTest "having clause containing aggregate function": the
+  // HAVING references the aggregate FUNCTION, not its alias ----------------
+  test("HAVING with a bare aggregate function filters the estimated values") {
+    gs
+    val all = gs.sql(
+      """SELECT avg(l_quantity) AS x, l_returnflag, absolute_error(x) AS ae
+        |FROM li_cb3 GROUP BY l_returnflag
+        |WITH ERROR 0.2 CONFIDENCE 0.95""".stripMargin).collect()
+      .map(r => (r.getString(1), r.getDouble(0))).toMap
+    val kept = gs.sql(
+      """SELECT avg(l_quantity) AS x, l_returnflag, absolute_error(x) AS ae
+        |FROM li_cb3 GROUP BY l_returnflag
+        |HAVING avg(l_quantity) > 25
+        |WITH ERROR 0.2 CONFIDENCE 0.95""".stripMargin).collect()
+      .map(r => (r.getString(1), r.getDouble(0))).toMap
+    assert(kept === all.filter(_._2 > 25),
+      "HAVING on the bare aggregate must filter by the ESTIMATED value")
+  }
+
   // --- ErrorEstimateFunctionTest "Hashjoin Bug-3": a direct-sample join
   // answers the same counts and weight sums whichever join strategy runs ----
   test("Hashjoin Bug-3: direct-sample join parity incl. weight-column sum across join strategies") {

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Fourth reference-scenario tranche: the `PartialQueryRoutingTestSuite` /
+ * `JoinQueryRoutingTestSuite` shapes not yet in `RoutingMatrixSpec` —
+ * partial routing with error functions and mixed select lists (AQP-201,
+ * ENT-60 incl. show-vs-collect parity), WHERE on the group-by column under
+ * partial behavior, the bootstrap global-aggregate partial, and the
+ * non-aggregate join-routing family (two samples, sample+base, semi join
+ * with an error clause): row-returning queries never sample.
+ */
+class PartialRoutingBugsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark._
+
+  private lazy val gs: GraftSession = {
+    val g = new GraftSession(spark)
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_pr")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_pr")
+    g.sql("CREATE SAMPLE TABLE li_pr_s ON li_pr " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.2')")
+    g.sql("CREATE SAMPLE TABLE ord_pr_s ON ord_pr " +
+      "OPTIONS(qcs 'o_orderpriority', fraction '0.2')")
+    g
+  }
+
+  override def afterAll(): Unit = {
+    val g = new GraftSession(TestSpark.spark)
+    GraftState.of(TestSpark.spark).samples.keys
+      .filter(n => n.startsWith("li_pr") || n.startsWith("ord_pr"))
+      .toSeq.foreach(g.dropSampleTable)
+    super.afterAll()
+  }
+
+  // --- PartialQueryRoutingTestSuite "Bug AQP-201 order by" ------------------
+  test("AQP-201: partial routing with error functions and ORDER BY the group column") {
+    gs
+    val exact = spark.sql(
+      "SELECT l_returnflag, round(sum(l_extendedprice), 2) AS s " +
+        "FROM li_pr GROUP BY l_returnflag ORDER BY l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val rows = gs.sql(
+      """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS s,
+        |       lower_bound(s) AS lb, upper_bound(s) AS ub,
+        |       relative_error(s) AS re, absolute_error(s) AS ae
+        |FROM li_pr GROUP BY l_returnflag ORDER BY l_returnflag
+        |WITH ERROR 0.0000001 CONFIDENCE 0.95
+        |BEHAVIOR 'partial_run_on_base_table'""".stripMargin).collect()
+    assert(rows.length === exact.length, "every group must be present")
+    rows.zip(exact).foreach { case (g, (flag, s)) =>
+      assert(g.getString(0) === flag)
+      // the impossible error budget reroutes every group: exact values,
+      // zero errors on the rerouted (exact) rows
+      assert(g.getDouble(1) === s, s"group $flag must be exact after reroute")
+      assert(g.getDouble(4) === 0.0 && g.getDouble(5) === 0.0,
+        s"rerouted group $flag must report zero errors")
+    }
+  }
+
+  // --- PartialQueryRoutingTestSuite "Bug ENT-60" ----------------------------
+  test("ENT-60: partial routing with max + bounds + WHERE, show/take agrees with collect") {
+    gs
+    val df = gs.sql(
+      """SELECT round(sum(l_quantity), 4) AS s, lower_bound(s) AS lb,
+        |       upper_bound(s) AS ub, relative_error(s) AS re,
+        |       absolute_error(s) AS ae, l_returnflag, max(l_quantity) AS mx
+        |FROM li_pr WHERE l_orderkey > 3
+        |GROUP BY l_returnflag ORDER BY s DESC
+        |WITH ERROR 0.2 CONFIDENCE 0.95
+        |BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+    val collected = df.collect()
+    // the ENT-60 bug: show()/take() disagreed with collect() on the same
+    // DataFrame — re-executing through take must reproduce the same rows
+    val taken = df.take(5)
+    collected.take(5).zip(taken).foreach { case (c, t) =>
+      assert(c.getDouble(0) === t.getDouble(0) &&
+        c.getString(5) === t.getString(5) &&
+        c.getDouble(6) === t.getDouble(6),
+        "take() must agree with collect() on a partial-routed query")
+    }
+    // max rides along exactly (it is computed over sample rows of the
+    // passing groups and exact rows of the rerouted ones; with the whole
+    // where-filtered base present in every stratum the exact max matches)
+    val exactMax = spark.sql(
+      "SELECT l_returnflag, max(l_quantity) FROM li_pr WHERE l_orderkey > 3 " +
+        "GROUP BY l_returnflag").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    collected.foreach { r =>
+      assert(r.getDouble(6) <= exactMax(r.getString(5)),
+        "sampled max can never exceed the exact max")
+    }
+  }
+
+  // --- PartialQueryRoutingTestSuite "test where clause on same column as
+  // group by closedform" -----------------------------------------------------
+  test("WHERE on the group-by column under partial routing: filtered groups exact on reroute") {
+    gs
+    val exact = spark.sql(
+      "SELECT l_returnflag, round(sum(l_quantity), 4) AS s FROM li_pr " +
+        "WHERE l_returnflag <> 'N' GROUP BY l_returnflag ORDER BY l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val rows = gs.sql(
+      """SELECT l_returnflag, round(sum(l_quantity), 4) AS s,
+        |       absolute_error(s) AS ae
+        |FROM li_pr WHERE l_returnflag <> 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag
+        |WITH ERROR 0.0000001 BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq === exact.toSeq,
+      "filter on the stratification column + impossible budget must " +
+        "reroute the filtered groups exactly (never resurrect 'N')")
+  }
+
+  // --- PartialQueryRoutingTestSuite "test without group by bootstrap" -------
+  test("global aggregate partial routing under bootstrap reroutes exactly") {
+    gs
+    spark.conf.set("spark.sql.aqp.estimator", "bootstrap")
+    spark.conf.set("spark.sql.aqp.fixedSeed", "true")
+    try {
+      val exact = spark.sql("SELECT round(sum(l_quantity), 4) FROM li_pr")
+        .collect()(0).getDouble(0)
+      val r = gs.sql(
+        """SELECT round(sum(l_quantity), 4) AS s, absolute_error(s) AS ae
+          |FROM li_pr WITH ERROR 0.0000001 CONFIDENCE 0.95
+          |BEHAVIOR 'partial_run_on_base_table'""".stripMargin).collect()(0)
+      assert(r.getDouble(0) === exact,
+        "the impossible budget must reroute the single global group exactly")
+      assert(r.getDouble(1) === 0.0)
+    } finally {
+      spark.conf.set("spark.sql.aqp.estimator", "closedform")
+      spark.conf.unset("spark.sql.aqp.fixedSeed")
+    }
+  }
+
+  // --- JoinQueryRoutingTestSuite "test join of two sample tables without
+  // aggregate" ---------------------------------------------------------------
+  test("non-aggregate join of two sampled bases returns exact base rows") {
+    gs
+    val exact = spark.sql(
+      "SELECT l_orderkey FROM li_pr JOIN ord_pr ON l_orderkey = o_orderkey " +
+        "WHERE o_totalprice > 100000 ORDER BY l_orderkey").collect().length
+    val got = gs.sql(
+      "SELECT l_orderkey FROM li_pr JOIN ord_pr ON l_orderkey = o_orderkey " +
+        "WHERE o_totalprice > 100000 ORDER BY l_orderkey " +
+        "WITH ERROR 0.95 CONFIDENCE 0.95").collect().length
+    assert(got === exact,
+      "a row-returning join over two sampled bases must not be sampled")
+  }
+
+  // --- JoinQueryRoutingTestSuite "test join of one sample table with
+  // another base table without aggregate" ------------------------------------
+  test("non-aggregate join naming a SAMPLE TABLE returns the sample's rows exactly") {
+    gs
+    val exact = spark.table("li_pr_s")
+      .join(spark.table("ord_pr"), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    val got = gs.sql(
+      "SELECT li_pr_s.l_orderkey FROM li_pr_s JOIN ord_pr " +
+        "ON l_orderkey = o_orderkey WITH ERROR 0.95").collect().length
+    assert(got.toLong === exact,
+      "a row-returning join naming the sample reads the sample as a table")
+  }
+
+  // --- JoinQueryRoutingTestSuite "no route: test semi join" -----------------
+  // An EXPLICIT LEFT SEMI JOIN fences both sides (AqpRewrite's join
+  // eligibility): the aggregate runs exactly. (An IN-subquery is the OTHER
+  // pinned semantic — the subquery stays exact while the outer aggregate
+  // may sample, `SubQueryRoutingSpec` "IN subquery on another table".)
+  test("explicit LEFT SEMI JOIN with an error clause: aggregates run exactly (no sampling)") {
+    gs
+    val core =
+      """SELECT l_returnflag, sum(l_quantity) AS s
+        |FROM li_pr LEFT SEMI JOIN ord_pr
+        |  ON l_orderkey = o_orderkey AND o_totalprice > 100000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    val exact = spark.sql(core).collect().map(r => (r.getString(0), r.getDouble(1)))
+    val got = gs.sql(core + " WITH ERROR 0.95 CONFIDENCE 0.95")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === exact.toSeq,
+      "a semi-join aggregate must run exactly — the fencing routes to base")
+  }
+}

@@ -18,4 +18,15 @@ object functions {
   def relative_error(c: Column): Column = stub("relative_error", c)
   def lower_bound(c: Column): Column = stub("lower_bound", c)
   def upper_bound(c: Column): Column = stub("upper_bound", c)
+
+  // string-alias forms — the signatures the reference's DataFrame suites
+  // use (`agg(sum("x").alias("s"), absolute_error("s"))`)
+  def absolute_error(columnName: String): Column =
+    absolute_error(org.apache.spark.sql.functions.col(columnName))
+  def relative_error(columnName: String): Column =
+    relative_error(org.apache.spark.sql.functions.col(columnName))
+  def lower_bound(columnName: String): Column =
+    lower_bound(org.apache.spark.sql.functions.col(columnName))
+  def upper_bound(columnName: String): Column =
+    upper_bound(org.apache.spark.sql.functions.col(columnName))
 }

@@ -60,5 +60,13 @@ object implicits {
         confidence: Double = 0.95, groupBy: Seq[String] = Nil): DataFrame =
       GraftSession(df.sparkSession).errorStats(df, column, aggType,
         confidence, groupBy)
+
+    /** Rewrite this aggregation DataFrame to run against the best matching
+     * sample with the requested error contract (the reference's
+     * `df.withError(error, confidence, behavior)` implicit — use
+     * [[graft.aqp.functions]] for error columns inside the aggregation). */
+    def withError(error: Double, confidence: Double = 0.95,
+        behavior: String = null): DataFrame =
+      GraftSession(df.sparkSession).withError(df, error, confidence, behavior)
   }
 }

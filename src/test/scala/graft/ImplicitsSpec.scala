@@ -95,4 +95,69 @@ class ImplicitsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "capacity >= distinct keys makes Space-Saving/CMS exact on the head")
     } finally gs.sql("DROP TOPK TABLE li_imp_topk")
   }
+
+  // --- reference AbstractAQPDataFrameAPIPart1Test "explicit routing on
+  // error estimates failure" / "default behavior routing ..." — via the
+  // df.withError implicit and STRING-alias error functions -----------------
+  test("df.withError with an impossible budget: reroute answers exact values, zero errors, NULL bounds") {
+    import graft.aqp.functions._
+    val gs = new GraftSession(spark)
+    li.createOrReplaceTempView("li_imp_we")
+    gs.sql("CREATE SAMPLE TABLE li_imp_we_s ON li_imp_we " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.2')")
+    try {
+      val exact = li.groupBy("l_returnflag")
+        .agg(sum("l_quantity").alias("s")).orderBy(col("l_returnflag"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      def run(behavior: String) = li.groupBy("l_returnflag")
+        .agg(sum("l_quantity").alias("s"), absolute_error("s"),
+          relative_error("s"), lower_bound("s"), upper_bound("s"))
+        .orderBy(col("l_returnflag"))
+        .withError(0.00001, 0.5, behavior)
+        .collect()
+      // explicit behavior, then behavior = null resolving through the
+      // session default channel. The REFERENCE ships run_on_full_table as
+      // its default; ours is do_nothing (SURVEY §3 divergence note) — the
+      // conf emulates the reference default and pins the null→conf path.
+      def checked(rows: Array[org.apache.spark.sql.Row], label: String): Unit = {
+        assert(rows.length === exact.length)
+        rows.zip(exact).foreach { case (r, (flag, s)) =>
+          assert(r.getString(0) === flag)
+          assert(r.getDouble(1) === s,
+            s"impossible budget must answer exactly under '$label'")
+          assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0,
+            "rerouted rows report zero errors")
+          assert(r.isNullAt(4) && r.isNullAt(5),
+            "rerouted rows report NULL bounds")
+        }
+      }
+      checked(run("run_on_full_table"), "run_on_full_table")
+      spark.conf.set("spark.sql.aqp.behavior", "run_on_full_table")
+      try checked(run(null), "session-default run_on_full_table")
+      finally spark.conf.unset("spark.sql.aqp.behavior")
+    } finally gs.dropSampleTable("li_imp_we_s")
+  }
+
+  test("df.withError multiple aggregates with string-alias bounds") {
+    import graft.aqp.functions._
+    val gs = new GraftSession(spark)
+    li.createOrReplaceTempView("li_imp_we2")
+    gs.sql("CREATE SAMPLE TABLE li_imp_we2_s ON li_imp_we2 " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.2')")
+    try {
+      val rows = li.groupBy("l_returnflag")
+        .agg(sum("l_quantity").alias("s"), lower_bound("s"),
+          avg("l_quantity").alias("a"), lower_bound("a"))
+        .orderBy(col("l_returnflag"))
+        .withError(0.9, 0.95, "do_nothing")
+        .collect()
+      assert(rows.nonEmpty && rows.head.schema.length === 5)
+      rows.foreach { r =>
+        assert(!r.isNullAt(2) && r.getDouble(2) <= r.getDouble(1),
+          "sum lower bound present and below the estimate")
+        assert(!r.isNullAt(4) && r.getDouble(4) <= r.getDouble(3),
+          "avg lower bound present and below the estimate")
+      }
+    } finally gs.dropSampleTable("li_imp_we2_s")
+  }
 }

@@ -164,6 +164,67 @@ class PartialRoutingBugsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a row-returning join naming the sample reads the sample as a table")
   }
 
+  // --- CommonBugTest "Bug AQP223: CASE Statement with different HAC
+  // behavior": the projected column is a CASE over the GROUP expression
+  // (not the group expression itself) above the partial-routing union -----
+  test("AQP223: CASE over the group expression under partial routing") {
+    gs
+    val core =
+      """SELECT count(*) AS n,
+        |       CASE WHEN l_returnflag = 'A' THEN 'Accept'
+        |            WHEN l_returnflag = 'N' THEN 'None'
+        |            ELSE 'Return' END AS flag
+        |FROM li_pr GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    val exact = spark.sql(core).collect().map(r => (r.getLong(0), r.getString(1)))
+    // impossible budget: every group reroutes → exact parity through the
+    // CASE projection and the re-sort above the partial union
+    val rerouted = gs.sql(core +
+      " WITH ERROR 0.0000001 BEHAVIOR 'partial_run_on_base_table'")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rerouted.toSeq === exact.toSeq)
+    // loose budget: same groups, sampled counts near exact
+    val loose = gs.sql(core +
+      " WITH ERROR 0.5 BEHAVIOR 'partial_run_on_base_table'").collect()
+    assert(loose.map(_.getString(1)).toSeq === exact.map(_._2).toSeq,
+      "CASE labels must survive the partial union in group order")
+  }
+
+  // --- CommonBugTest "Bug AQP217: Having clause with partial routing":
+  // HAVING on the bare aggregate + ORDER BY the aggregate DESC + the full
+  // error-function spread, under do_nothing AND partial routing ----------
+  test("AQP217: HAVING + ORDER BY agg DESC + all error functions under partial routing") {
+    gs
+    def run(agg: String, having: String, behavior: String) = gs.sql(
+      s"""SELECT l_returnflag, $agg AS v, absolute_error(v) AS ae,
+         |       relative_error(v) AS re, lower_bound(v) AS lb,
+         |       upper_bound(v) AS ub
+         |FROM li_pr WHERE l_orderkey > 10
+         |GROUP BY l_returnflag HAVING $having
+         |ORDER BY v DESC
+         |WITH ERROR 0.005 BEHAVIOR '$behavior'""".stripMargin).collect()
+    // do_nothing: runs, ordered desc by the estimate, errors present
+    val dn = run("sum(l_quantity)", "sum(l_quantity) > 1000", "do_nothing")
+    assert(dn.nonEmpty)
+    assert(dn.map(_.getDouble(1)).toSeq ===
+      dn.map(_.getDouble(1)).sortBy(-(_: Double)).toSeq, "DESC order holds")
+    // partial routing with a near-impossible budget: failing groups re-run
+    // exactly, and the HAVING applies to the final (exact) values
+    val exact = spark.sql(
+      "SELECT l_returnflag, sum(l_quantity) AS v FROM li_pr " +
+        "WHERE l_orderkey > 10 GROUP BY l_returnflag HAVING sum(l_quantity) > 1000 " +
+        "ORDER BY v DESC").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val pr = run("sum(l_quantity)", "sum(l_quantity) > 1000",
+      "partial_run_on_base_table")
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(pr.toSeq === exact.toSeq,
+      "near-impossible budget: partial routing must converge to the exact " +
+        "HAVING-filtered, DESC-ordered result")
+    // avg variant (the AQP217 query family)
+    val avgRows = run("avg(l_quantity)", "avg(l_quantity) > 2",
+      "partial_run_on_base_table")
+    assert(avgRows.nonEmpty)
+  }
+
   // --- JoinQueryRoutingTestSuite "no route: test semi join" -----------------
   // An EXPLICIT LEFT SEMI JOIN fences both sides (AqpRewrite's join
   // eligibility): the aggregate runs exactly. (An IN-subquery is the OTHER

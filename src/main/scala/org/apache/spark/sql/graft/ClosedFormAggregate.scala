@@ -52,6 +52,12 @@ private[graft] final class StratumStats(
 private[graft] final class ClosedFormBuffer {
   val strata: mutable.LongMap[StratumStats] = mutable.LongMap.empty
 
+  /** Input rows seen, INCLUDING rows whose aggregated value is NULL —
+   * distinguishes a truly empty group (reference: zero errors) from an
+   * all-NULL aggregate column over real rows (reference SNAP-823: NULL
+   * error stats, because no variance is estimable). */
+  var rows: Long = 0L
+
   // single-entry memo: input is usually clustered by stratum (the reference
   // exploits full sortedness — `closedFormError.scala:406-455`; we only
   // memoize the last stratum, which is order-insensitive-safe)
@@ -70,10 +76,12 @@ private[graft] final class ClosedFormBuffer {
     lastStats.add(v)
   }
 
-  def merge(o: ClosedFormBuffer): Unit =
+  def merge(o: ClosedFormBuffer): Unit = {
+    rows += o.rows
     o.strata.foreach { case (k, s) =>
       strata.getOrElseUpdate(k, new StratumStats()).merge(s)
     }
+  }
 }
 
 /**
@@ -130,6 +138,7 @@ case class ClosedFormAggregate(
   override def createAggregationBuffer(): ClosedFormBuffer = new ClosedFormBuffer
 
   override def update(buffer: ClosedFormBuffer, input: InternalRow): ClosedFormBuffer = {
+    buffer.rows += 1
     val v = valueExpr.eval(input)
     if (v != null) {
       val w = weight.eval(input)
@@ -177,10 +186,18 @@ case class ClosedFormAggregate(
     }
 
     if (totalN == 0L) {
-      // empty group: Count → 0 with no error info; Sum/Avg → all-NULL
+      // Count → 0 with no error info. Sum/Avg: a truly EMPTY group yields a
+      // NULL struct (the error-function extractors read zero errors off it —
+      // the reference's empty-table shape), while an all-NULL aggregate
+      // column over REAL rows yields a non-null struct of NULL fields (NULL
+      // error stats — reference SNAP-823: no variance is estimable)
       if (aggType == AqpAggType.Count) {
         ClosedFormAggregate.result(0.0, null, null, null, null, 0L)
-      } else null
+      } else if (buffer.rows == 0L) {
+        null
+      } else {
+        ClosedFormAggregate.result(null, null, null, null, null, 0L)
+      }
     } else {
       val pointEstimate = aggType match {
         case AqpAggType.Count => weightedCount
@@ -226,7 +243,8 @@ case class ClosedFormAggregate(
   }
 
   override def serialize(buffer: ClosedFormBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buffer.strata.size * 32)
+    val bb = ByteBuffer.allocate(12 + buffer.strata.size * 32)
+    bb.putLong(buffer.rows)
     bb.putInt(buffer.strata.size)
     buffer.strata.foreach { case (k, s) =>
       bb.putLong(k); bb.putLong(s.n); bb.putDouble(s.sum); bb.putDouble(s.sumSq)
@@ -236,8 +254,9 @@ case class ClosedFormAggregate(
 
   override def deserialize(bytes: Array[Byte]): ClosedFormBuffer = {
     val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
     val buf = new ClosedFormBuffer
+    buf.rows = bb.getLong
+    val n = bb.getInt
     var i = 0
     while (i < n) {
       val k = bb.getLong

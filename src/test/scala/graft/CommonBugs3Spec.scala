@@ -251,6 +251,44 @@ class CommonBugs3Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"standalone-CONFIDENCE avg must estimate the base avg (got $est vs $exact)")
   }
 
+  // --- CommonBugTest "SNAP-823 test null for error stats": the all-NULL
+  // column matrix is DISTINCT from the empty table — count(allNull) is 0
+  // with NULL error columns (no variance is estimable), a MIXED column has
+  // live errors, and sum(allNull) is NULL throughout. (The empty TABLE, by
+  // contrast, reports ZERO errors — QueryRoutingTestSuite.) -----------------
+  test("SNAP-823: error stats over all-NULL vs mixed columns") {
+    import spark.implicits._
+    gs
+    (1 to 300).map(i =>
+        (i, s"g${i % 3}", None: Option[Double],
+          if (i % 2 == 0) Some(i.toDouble) else None))
+      .toDF("id", "grp", "qty_null", "qty_mix")
+      .createOrReplaceTempView("sn823_cb3")
+    gs.sql("CREATE SAMPLE TABLE sn823_cb3_s ON sn823_cb3 " +
+      "OPTIONS(qcs 'grp', fraction '0.5')")
+    try {
+      def run(agg: String) = gs.sql(
+        s"""SELECT $agg AS x, absolute_error(x) AS ae, relative_error(x) AS re,
+           |       lower_bound(x) AS lb, upper_bound(x) AS ub
+           |FROM sn823_cb3 WITH ERROR 0.2 CONFIDENCE 0.95""".stripMargin)
+        .collect()(0)
+      val cntNull = run("count(qty_null)")
+      assert(!cntNull.isNullAt(0) && cntNull.getLong(0) === 0L)
+      assert((1 to 4).forall(cntNull.isNullAt),
+        s"count over an all-NULL column has NULL error stats, got $cntNull")
+      val cntMix = run("count(qty_mix)")
+      assert(!cntMix.isNullAt(0) && cntMix.getLong(0) > 0)
+      assert((1 to 4).forall(i => !cntMix.isNullAt(i)),
+        s"count over a mixed column has live error stats, got $cntMix")
+      val sumNull = run("sum(qty_null)")
+      assert((0 to 4).forall(sumNull.isNullAt),
+        s"sum over an all-NULL column is NULL throughout, got $sumNull")
+      val sumMix = run("sum(qty_mix)")
+      assert((0 to 4).forall(i => !sumMix.isNullAt(i)),
+        s"sum over a mixed column has live error stats, got $sumMix")
+    } finally gs.dropSampleTable("sn823_cb3_s")
+  }
+
   // --- BootStrapBugTest "Test sample table query on mixed aggregates with
   // group by": the sum/avg/count columns of ONE query must equal the three
   // single-aggregate queries column-for-column (the struct-sharing rewrite

@@ -349,16 +349,21 @@ class ClosedFormSpec extends AnyFunSuite {
       "clamped denominator must be |est|+1")
   }
 
-  test("all-null group: Sum yields null struct, Count yields 0") {
+  test("all-null group: Sum yields NULL estimate and NULL stats, Count yields 0") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)),
       ("b", None: Option[Double])).toDF("g", "v")
     val kept = StratifiedSampler.sample(df, Seq("g"), fraction = 1.0)
+    // group b has a ROW whose value is null — the struct itself is non-null
+    // with NULL fields (reference SNAP-823: NULL error stats; a truly EMPTY
+    // group would be a NULL struct instead)
     val bySum = kept.groupBy("g")
       .agg(approx_sum(col("v"), col(weightColumn)).as("x"))
-      .select(col("g"), col("x")).collect()
-      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
-    assert(bySum("a") === false && bySum("b") === true)
+      .select(col("g"), estimate(col("x")), absolute_error(col("x"))).collect()
+      .map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(bySum("a") === ((false, false)))
+    assert(bySum("b") === ((true, true)),
+      "all-null group: NULL estimate and NULL error stats")
     val byCount = kept.groupBy("g")
       .agg(approx_count(col("v"), col(weightColumn)).as("x"))
       .select(col("g"), estimate(col("x"))).collect()

@@ -333,6 +333,35 @@ class CommonBugs3Spec extends AnyFunSuite with BeforeAndAfterAll {
       "HAVING on the bare aggregate must filter by the ESTIMATED value")
   }
 
+  // --- CommonBugTest "Test Bug AQP-128 and AQP 96 and AQP-206_AQP77":
+  // keyword-colliding aliases (COUNT / COUNT1) on duplicated aggregates,
+  // with the error function bound case-insensitively to the second alias,
+  // plus HAVING on a live error function --------------------------------
+  test("AQP-128/96/206/77: keyword aliases, case-insensitive binding, HAVING on relative_error") {
+    gs
+    val rows = gs.sql(
+      """SELECT l_returnflag, avg(l_quantity) AS COUNT, avg(l_quantity) AS COUNT1,
+        |       absolute_error(count1) AS ae
+        |FROM li_cb3 WHERE l_orderkey < 3000 GROUP BY l_returnflag
+        |ORDER BY l_returnflag DESC WITH ERROR 0.3""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-4,
+        "duplicated aggregates under keyword aliases must agree")
+      assert(!r.isNullAt(3), "absolute_error(count1) must bind to COUNT1")
+    }
+    // HAVING filters by the LIVE relative error value
+    val hv = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS x, absolute_error(x) AS ae,
+        |       relative_error(x) AS re
+        |FROM li_cb3 GROUP BY l_returnflag
+        |HAVING relative_error(x) < 0.9
+        |ORDER BY l_returnflag DESC WITH ERROR""".stripMargin).collect()
+    assert(hv.nonEmpty)
+    hv.foreach(r => assert(r.getDouble(3) < 0.9,
+      "HAVING on relative_error must filter by the computed value"))
+  }
+
   // --- ErrorEstimateFunctionTest "Hashjoin Bug-3": a direct-sample join
   // answers the same counts and weight sums whichever join strategy runs ----
   test("Hashjoin Bug-3: direct-sample join parity incl. weight-column sum across join strategies") {

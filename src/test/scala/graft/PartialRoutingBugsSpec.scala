@@ -225,6 +225,59 @@ class PartialRoutingBugsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(avgRows.nonEmpty)
   }
 
+  // --- JoinQueryTest "test correctness of sum formula for closedform error
+  // estimate of join query": a row-preserving dim join (every fact row
+  // matches exactly one dim row) must not perturb the estimate OR the error
+  // formula relative to the same query without the join -------------------
+  test("row-preserving dim join leaves estimate and error formula unchanged") {
+    gs
+    spark.sql("SELECT DISTINCT l_returnflag AS rf, " +
+      "concat('label_', l_returnflag) AS label FROM li_pr")
+      .createOrReplaceTempView("flagdim_pr")
+    def run(from: String, where: String) = gs.sql(
+      s"""SELECT round(sum(l_quantity), 4) AS x, absolute_error(x) AS ae,
+         |       relative_error(x) AS re
+         |FROM $from $where WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin)
+      .collect()(0)
+    val joined = run("li_pr, flagdim_pr", "WHERE rf = l_returnflag")
+    val plain = run("li_pr", "")
+    assert(joined.getDouble(0) === plain.getDouble(0),
+      "1:1 dim join must not change the weighted estimate")
+    assert(math.abs(joined.getDouble(1) - plain.getDouble(1)) <=
+      math.abs(plain.getDouble(1)) * 1e-6 + 1e-9,
+      "1:1 dim join must not change the absolute error")
+    assert(math.abs(joined.getDouble(2) - plain.getDouble(2)) <= 1e-9,
+      "1:1 dim join must not change the relative error")
+    // filtered variant (the second half of the reference scenario)
+    val joinedF = run("li_pr, flagdim_pr",
+      "WHERE rf = l_returnflag AND l_quantity > 10")
+    val plainF = run("li_pr", "WHERE l_quantity > 10")
+    assert(joinedF.getDouble(0) === plainF.getDouble(0))
+    assert(math.abs(joinedF.getDouble(1) - plainF.getDouble(1)) <=
+      math.abs(plainF.getDouble(1)) * 1e-6 + 1e-9)
+  }
+
+  // --- JoinQueryTest "Bug AQP-207": dim join + two-column grouping +
+  // HAVING on the bare aggregate + bare WITH ERROR ------------------------
+  test("AQP-207: dim join, two group columns, HAVING on the aggregate, bare WITH ERROR") {
+    gs
+    spark.sql("SELECT DISTINCT l_returnflag AS rf, " +
+      "concat('label_', l_returnflag) AS label FROM li_pr")
+      .createOrReplaceTempView("flagdim207_pr")
+    val rows = gs.sql(
+      """SELECT sum(l_quantity) AS totalQty, absolute_error(totalQty) AS ae,
+        |       l_returnflag, l_linestatus
+        |FROM li_pr, flagdim207_pr
+        |WHERE rf = l_returnflag AND l_quantity > 0
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING sum(l_quantity) > 0 WITH ERROR""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) > 0 && !r.isNullAt(1),
+        "every surviving group carries a positive estimate and a live error")
+    }
+  }
+
   // --- JoinQueryRoutingTestSuite "no route: test semi join" -----------------
   // An EXPLICIT LEFT SEMI JOIN fences both sides (AqpRewrite's join
   // eligibility): the aggregate runs exactly. (An IN-subquery is the OTHER

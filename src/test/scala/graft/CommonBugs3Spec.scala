@@ -238,6 +238,54 @@ class CommonBugs3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!est.isNullAt(1) && !est.isNullAt(2))
   }
 
+  // --- CompareBootstrapClosedFormSuite: both estimators are
+  // Horvitz–Thompson weighted, so their POINT estimates must agree exactly
+  // on the same sample — only the error machinery differs ------------------
+  test("bootstrap and closed-form point estimates agree exactly on one sample") {
+    gs
+    def run() = gs.sql(
+      """SELECT l_returnflag, round(sum(l_quantity), 6) AS s,
+        |       round(avg(l_extendedprice), 6) AS a, count(*) AS c,
+        |       absolute_error(s) AS ae
+        |FROM li_cb3 GROUP BY l_returnflag ORDER BY l_returnflag
+        |WITH ERROR 0.5 CONFIDENCE 0.95""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val cf = run()
+    spark.conf.set("spark.sql.aqp.estimator", "bootstrap")
+    spark.conf.set("spark.sql.aqp.fixedSeed", "true")
+    val bs = try run() finally {
+      spark.conf.set("spark.sql.aqp.estimator", "closedform")
+      spark.conf.unset("spark.sql.aqp.fixedSeed")
+    }
+    cf.zip(bs).foreach { case ((kf, sf1, af, cfn), (kb, sb, ab, cbn)) =>
+      assert(kf === kb)
+      assert(math.abs(sf1 - sb) <= 1e-6, s"sum estimates must agree for $kf")
+      assert(math.abs(af - ab) <= 1e-6, s"avg estimates must agree for $kf")
+      assert(math.abs(cfn - cbn) <= 1, s"count estimates must agree for $kf")
+    }
+  }
+
+  // --- AbstractViewTest "SNAP-3131": a projection view over the base is
+  // AQP-transparent — estimates AND error columns equal the base query ----
+  test("SNAP-3131: projection view over the base equals the base query incl. error columns") {
+    gs
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW li_cb3_view AS " +
+      "SELECT l_returnflag, l_quantity, l_extendedprice FROM li_cb3")
+    def run(tbl: String) = gs.sql(
+      s"""SELECT avg(l_extendedprice) AS avgg, sum(l_quantity) AS suum,
+         |       count(*) AS couunt, absolute_error(suum) AS ae_s,
+         |       relative_error(suum) AS re_s, absolute_error(avgg) AS ae_a,
+         |       absolute_error(couunt) AS ae_c
+         |FROM $tbl WITH ERROR 0.3""".stripMargin).collect()(0)
+    val v = run("li_cb3_view")
+    val b = run("li_cb3")
+    (0 until 7).foreach { i =>
+      assert(v.get(i) === b.get(i),
+        s"view column $i must equal the base query (AQP must see through " +
+          "the projection view)")
+    }
+  }
+
   // --- PendingFeatureTest (ignored there — "Sample Table Query on avg
   // aggregate with error estimates should be correct"): a standalone
   // CONFIDENCE clause must route and estimate ------------------------------

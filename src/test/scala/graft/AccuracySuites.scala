@@ -282,4 +282,88 @@ class JoinAccuracySpec extends AnyFunSuite with AccuracyHelpers {
       } finally spark.conf.set("spark.sql.aqp.estimator", "closedform")
     }
   }
+
+  // --- reference "test for conditional count/sum queries - Month/Year":
+  // a filter BELOW the aggregate changes every stratum's effective n; the
+  // closed-form CI must still frame the (filtered) truth slice by slice ---
+  test("conditional count/sum: CI covers the truth across time-slice filters") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_acc")
+    gs.sql("CREATE SAMPLE TABLE ev_acc_s ON ev_acc " +
+      "OPTIONS(qcs 'event_type', fraction '0.1')")
+    try {
+      val dayNs = 86400000000000L
+      val t0 = spark.sql("SELECT min(ts) FROM ev_acc").collect()(0).getLong(0)
+      val slices = (2 to 13).map(d => t0 + d * dayNs)
+      var coveredCnt = 0
+      var coveredSum = 0
+      slices.foreach { cut =>
+        val truth = spark.sql(
+          s"SELECT count(*), sum(value) FROM ev_acc WHERE ts < ${cut}L")
+          .collect()(0)
+        val r = gs.sql(
+          s"""SELECT count(*) AS c, lower_bound(c) AS clb, upper_bound(c) AS cub,
+             |       sum(value) AS s, lower_bound(s) AS slb, upper_bound(s) AS sub
+             |FROM ev_acc WHERE ts < ${cut}L
+             |WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin).collect()(0)
+        if (r.getDouble(1) <= truth.getLong(0) &&
+          truth.getLong(0) <= r.getDouble(2)) coveredCnt += 1
+        if (r.getDouble(4) <= truth.getDouble(1) &&
+          truth.getDouble(1) <= r.getDouble(5)) coveredSum += 1
+      }
+      // deterministic sampler: replayable coverage, expect ~95% of 12 slices
+      assert(coveredCnt >= 10,
+        s"conditional count CI covered only $coveredCnt/12 slices")
+      assert(coveredSum >= 10,
+        s"conditional sum CI covered only $coveredSum/12 slices")
+    } finally gs.dropSampleTable("ev_acc_s")
+  }
+}
+
+/** Error functions over a sample READ BACK FROM DISK through the
+ * DataSource API (reference `CFEEFunctionWithDatasourceAPITest` /
+ * `BSAFunctionWithDatasourceAPITest`): the weight column alone makes the
+ * frame a sample (AQP-211), and the full error spread works on it. */
+class DatasourceErrorFunctionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("error functions over a graft-sample read from disk (closed-form and bootstrap)") {
+    import graft.aqp.functions._
+    import graft.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsef_").toString + "/s"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    li.write.format("graft-sample")
+      .option("qcs", "l_returnflag").option("fraction", "0.2")
+      .option("path", dir).mode("overwrite").save()
+    val sampled = spark.read.format("graft-sample").option("path", dir).load()
+    val truth = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq("closedform", "bootstrap").foreach { estimator =>
+      spark.conf.set("spark.sql.aqp.estimator", estimator)
+      if (estimator == "bootstrap") {
+        spark.conf.set("spark.sql.aqp.fixedSeed", "true")
+      }
+      try {
+        val rows = sampled.groupBy("l_returnflag")
+          .agg(org.apache.spark.sql.functions.sum("l_quantity").alias("s"),
+            absolute_error("s"), lower_bound("s"), upper_bound("s"))
+          .withError(0.9, 0.95, "do_nothing")
+          .collect()
+        assert(rows.length === truth.size)
+        rows.foreach { r =>
+          val t = truth(r.getString(0))
+          assert(!r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4),
+            s"$estimator: error columns must be live on a disk-read sample")
+          assert(r.getDouble(3) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(4),
+            s"$estimator: estimate outside its own bounds")
+          assert(math.abs(r.getDouble(1) - t) <= 4 * math.max(r.getDouble(2), 1.0),
+            s"$estimator: estimate ${r.getDouble(1)} too far from truth $t")
+        }
+      } finally {
+        spark.conf.set("spark.sql.aqp.estimator", "closedform")
+        spark.conf.unset("spark.sql.aqp.fixedSeed")
+      }
+    }
+  }
 }

@@ -777,7 +777,7 @@ object GraftSession {
    * by the next acquirer. Writers must finish inside the lease or risk a
    * concurrent entry; acquisition gives up after two leases.
    */
-  private[graft] def withPathLock[A](spark: SparkSession, path: String)(body: => A): A = {
+  def withPathLock[A](spark: SparkSession, path: String)(body: => A): A = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val lockPath = new org.apache.hadoop.fs.Path(dir, "_graft.lock")

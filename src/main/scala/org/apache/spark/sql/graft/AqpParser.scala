@@ -489,17 +489,22 @@ case class DropTopkTableNode(name: String, ifExists: Boolean)
       // later CREATE ... IF NOT EXISTS on the same path resurrects stale
       // counts that no longer correspond to any registered structure
       state.topkPaths.remove(name.toLowerCase).foreach { p =>
-        val dir = new org.apache.hadoop.fs.Path(p)
-        val fs = dir.getFileSystem(conf)
-        Seq(graft.GraftSession.TopkMetaFile, graft.GraftSession.TopkBinFile)
-          .foreach { f =>
-            val fp = new org.apache.hadoop.fs.Path(dir, f)
-            if (fs.exists(fp)) fs.delete(fp, false)
-          }
-        // versioned snapshots (and any orphaned publish temps) go too
-        if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
-          if (s.getPath.getName.startsWith(graft.GraftSession.TopkSnapPrefix)) {
-            fs.delete(s.getPath, false)
+        // serialize the retirement against concurrent appenders: without
+        // the lock an in-flight reload-merge-publish could re-create the
+        // meta right after this delete and resurrect the dropped table
+        graft.GraftSession.withPathLock(spark, p) {
+          val dir = new org.apache.hadoop.fs.Path(p)
+          val fs = dir.getFileSystem(conf)
+          Seq(graft.GraftSession.TopkMetaFile, graft.GraftSession.TopkBinFile)
+            .foreach { f =>
+              val fp = new org.apache.hadoop.fs.Path(dir, f)
+              if (fs.exists(fp)) fs.delete(fp, false)
+            }
+          // versioned snapshots (and any orphaned publish temps) go too
+          if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+            if (s.getPath.getName.startsWith(graft.GraftSession.TopkSnapPrefix)) {
+              fs.delete(s.getPath, false)
+            }
           }
         }
       }

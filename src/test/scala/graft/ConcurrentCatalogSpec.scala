@@ -294,6 +294,41 @@ class ConcurrentCatalogSpec extends AnyFunSuite {
       "session C's appended batch must be present")
   }
 
+  test("DROP racing a concurrent APPEND: the path ends retired, never a resurrected snapshot") {
+    val dir = tmpDir("graft_cc_da") + "/tk"
+    val (_, gA) = freshSession()
+    gA.sql("CREATE TOPK TABLE cc_dropr ON events OPTIONS(key 'event_type', " +
+      s"size '5', streamSummary 'true', capacity '100000', path '$dir')")
+    val (sB, gB) = freshSession()
+    val (_, gC) = freshSession()
+    Seq(gB, gC).foreach(_.sql(
+      "CREATE TOPK TABLE IF NOT EXISTS cc_dropr ON events OPTIONS(" +
+        s"key 'event_type', size '5', streamSummary 'true', " +
+        s"capacity '100000', path '$dir')"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import sB.implicits._
+      val append = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit =
+          // may fail loudly when the drop wins the lock first — both
+          // orders must leave the path retired
+          try gB.appendToTopK("cc_dropr", Seq.fill(50)("mk_x").toDF("event_type"))
+          catch { case _: Exception => }
+      })
+      val drop = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = gC.sql("DROP TOPK TABLE cc_dropr")
+      })
+      append.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      drop.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+    // whichever order the lock served them in, the drop's retirement is
+    // terminal: no registry metadata may survive on the path
+    assert(!GraftSession.topkMetaExists(dir,
+      TestSpark.spark.sessionState.newHadoopConf()),
+      "a DROP racing an append must leave the path retired — a surviving " +
+        "meta is the resurrection bug")
+  }
+
   test("DROP in one session retires the snapshot: a fresh session rebuilds, never resurrects") {
     val dir = tmpDir("graft_cc_d") + "/tk"
     val (_, gA) = freshSession()

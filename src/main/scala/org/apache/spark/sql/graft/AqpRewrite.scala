@@ -446,7 +446,17 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     lazy val seedExpr: Expression =
       defaultD("spark.sql.aqp.debug.fixedSeed", "") match {
         case "" =>
-          XxHash64(threaded.output, defaultD("spark.sql.aqp.seed", "42").toLong)
+          // hash ONLY the sample-side row content: columns joined in from
+          // other tables must never feed the draw, or a row-preserving dim
+          // join would change every multiplicity (the invariant the
+          // reference enforces by PLACING its seed below joins and above
+          // filters — BootStrapAggregateFunctionTest "position of
+          // bootstrap seed"). Derived projections may drop some sample
+          // attributes; the weight column is always threaded, so the seed
+          // input is never empty.
+          val sampleSide = threaded.output.filter(a =>
+            targetLeaf.outputSet.contains(a)) :+ weightAttr
+          XxHash64(sampleSide, defaultD("spark.sql.aqp.seed", "42").toLong)
         case s => Literal(s.toLong)
       }
 

@@ -286,6 +286,41 @@ class CommonBugs3Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- BootStrapAggregateFunctionTest "Verify position of bootstrap seed
+  // is above the filter / below the join": in the reference the seed must
+  // be PLACED carefully so filters and joins cannot perturb per-row
+  // multiplicities. Here the multiplicity stream is a pure function of the
+  // sample row's content, so the same guarantee is structural — pinned by
+  // observing that logically equivalent predicates and row-preserving
+  // joins leave the bootstrap estimate AND its error bit-identical --------
+  test("bootstrap multiplicities are row-content functions: predicate form and dim joins cannot perturb them") {
+    gs
+    spark.conf.set("spark.sql.aqp.estimator", "bootstrap")
+    spark.sql("SELECT DISTINCT l_returnflag AS rf FROM li_cb3")
+      .createOrReplaceTempView("flagdim_bs_cb3")
+    try {
+      def run(from: String, where: String) = gs.sql(
+        s"""SELECT round(sum(l_quantity), 6) AS s, absolute_error(s) AS ae,
+           |       relative_error(s) AS re
+           |FROM $from WHERE $where
+           |WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin).collect()(0)
+      val direct = run("li_cb3", "l_quantity > 10")
+      val rewrittenPred = run("li_cb3", "NOT (l_quantity <= 10)")
+      (0 until 3).foreach { i =>
+        assert(direct.get(i) === rewrittenPred.get(i),
+          s"col $i: an equivalent predicate form must not change the " +
+            "multiplicity draw")
+      }
+      val joined = run("li_cb3, flagdim_bs_cb3",
+        "rf = l_returnflag AND l_quantity > 10")
+      assert(direct.getDouble(0) === joined.getDouble(0),
+        "a row-preserving dim join must not change the bootstrap estimate")
+      assert(math.abs(direct.getDouble(1) - joined.getDouble(1)) <=
+        math.abs(direct.getDouble(1)) * 1e-9 + 1e-9,
+        "a row-preserving dim join must not change the bootstrap error")
+    } finally spark.conf.set("spark.sql.aqp.estimator", "closedform")
+  }
+
   // --- PendingFeatureTest (ignored there — "Sample Table Query on avg
   // aggregate with error estimates should be correct"): a standalone
   // CONFIDENCE clause must route and estimate ------------------------------

@@ -323,23 +323,42 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           s"sample table ${info.name} has no weight column")))
     val weightAlias = Alias(weightSrc, Weightage.WeightColumn)()
     val weightAttr = weightAlias.toAttribute
-    val substitutedLeaf = Project(aliases :+ weightAlias, samplePlan)
+    // per-row bootstrap seed, computed AT THE SAMPLE SCAN from the full
+    // sample row — the reference's "seed below joins, above filters"
+    // placement (`BootStrapAggregateFunctionTest` "position of bootstrap
+    // seed") as a column: joined-in columns can never perturb the draw, and
+    // a projection that drops base columns (a DataFrame `select((x*2) AS
+    // y)` before the aggregate) still carries a ROW-distinct seed — hashing
+    // only the visible derived column would correlate every same-valued row
+    // of a stratum and inflate the bootstrap variance by orders of
+    // magnitude. Unused (closed-form) plans lose the column to optimizer
+    // pruning.
+    val seedAlias = Alias(
+      XxHash64(sOut, defaultD("spark.sql.aqp.seed", "42").toLong),
+      "__graft_bs_seed__")()
+    val seedAttr = seedAlias.toAttribute
+    val substitutedLeaf = Project(aliases :+ weightAlias :+ seedAlias, samplePlan)
 
     val substituted = agg.child.transformUp {
       case l if l eq targetLeaf => substitutedLeaf
     }
 
-    // 2. thread the weight column up through Projects to the aggregate
-    //    (reference `EnsureSampleWeightageColumn`, `:2460-2520`)
+    // 2. thread the weight + seed columns up through Projects to the
+    //    aggregate (reference `EnsureSampleWeightageColumn`, `:2460-2520`)
+    val hiddenCols = Seq(weightAttr, seedAttr)
     val threaded = substituted.transformUp {
-      case p: Project if p.child.outputSet.contains(weightAttr) &&
-          !p.projectList.exists(_.toAttribute.semanticEquals(weightAttr)) =>
-        p.copy(projectList = p.projectList :+ weightAttr)
+      case p: Project =>
+        val missing = hiddenCols.filter(h => p.child.outputSet.contains(h) &&
+          !p.projectList.exists(_.toAttribute.semanticEquals(h)))
+        if (missing.isEmpty) p
+        else p.copy(projectList = p.projectList ++ missing)
       // grouping sets / cube / rollup: Expand re-projects its input per
-      // grouping set — append the weight to every projection and the output
-      case e: Expand if e.child.outputSet.contains(weightAttr) &&
-          !e.output.exists(_.semanticEquals(weightAttr)) =>
-        Expand(e.projections.map(_ :+ weightAttr), e.output :+ weightAttr, e.child)
+      // grouping set — append the hidden columns to every projection
+      case e: Expand =>
+        val missing = hiddenCols.filter(h => e.child.outputSet.contains(h) &&
+          !e.output.exists(_.semanticEquals(h)))
+        if (missing.isEmpty) e
+        else Expand(e.projections.map(_ ++ missing), e.output ++ missing, e.child)
       // Generate (LATERAL VIEW / explode) and Window need no case here: at
       // analysis time both forward the full child output (pruning happens in
       // the optimizer, after this rewrite has made the aggregate reference
@@ -445,18 +464,7 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       defaultD("spark.sql.aqp.debug.poisson", "real").equalsIgnoreCase("fixed")
     lazy val seedExpr: Expression =
       defaultD("spark.sql.aqp.debug.fixedSeed", "") match {
-        case "" =>
-          // hash ONLY the sample-side row content: columns joined in from
-          // other tables must never feed the draw, or a row-preserving dim
-          // join would change every multiplicity (the invariant the
-          // reference enforces by PLACING its seed below joins and above
-          // filters — BootStrapAggregateFunctionTest "position of
-          // bootstrap seed"). Derived projections may drop some sample
-          // attributes; the weight column is always threaded, so the seed
-          // input is never empty.
-          val sampleSide = threaded.output.filter(a =>
-            targetLeaf.outputSet.contains(a)) :+ weightAttr
-          XxHash64(sampleSide, defaultD("spark.sql.aqp.seed", "42").toLong)
+        case "" => seedAttr // per-row seed threaded from the sample scan
         case s => Literal(s.toLong)
       }
 

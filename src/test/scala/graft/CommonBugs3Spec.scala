@@ -318,6 +318,23 @@ class CommonBugs3Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(direct.getDouble(1) - joined.getDouble(1)) <=
         math.abs(direct.getDouble(1)) * 1e-9 + 1e-9,
         "a row-preserving dim join must not change the bootstrap error")
+      // a DataFrame pre-projection that DROPS the base columns must draw
+      // the same per-row multiplicities as the SQL form — the seed rides
+      // the sample scan, not whatever columns the query happens to keep
+      // (without this, same-valued rows of a stratum share a draw and the
+      // variance inflates ~40x)
+      import graft.aqp.functions._
+      import graft.implicits._
+      val viaSql = gs.sql(
+        """SELECT round(sum(l_quantity * 2), 6) AS s, relative_error(s) AS re
+          |FROM li_cb3 WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin).collect()(0)
+      val viaDf = spark.table("li_cb3")
+        .select((col("l_quantity") * 2).as("y"))
+        .agg(round(sum(col("y")), 6).as("s"), relative_error("s"))
+        .withError(0.9, 0.95, "do_nothing").collect()(0)
+      assert(viaDf.getDouble(0) === viaSql.getDouble(0))
+      assert(math.abs(viaDf.getDouble(1) - viaSql.getDouble(1)) <= 1e-9,
+        "pre-projected DataFrame and SQL forms must share the multiplicity draw")
     } finally spark.conf.set("spark.sql.aqp.estimator", "closedform")
   }
 

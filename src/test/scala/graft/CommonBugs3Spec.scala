@@ -338,6 +338,36 @@ class CommonBugs3Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.aqp.estimator", "closedform")
   }
 
+  // --- bootstrap through Generate (explode) and Window: the threaded
+  // per-row seed must survive both operators like the weight does (every
+  // exploded row shares its SOURCE row's draw — the resampling unit is the
+  // sampled row, not the exploded one) -------------------------------------
+  test("bootstrap threads the seed through explode and window operators") {
+    gs
+    spark.conf.set("spark.sql.aqp.estimator", "bootstrap")
+    try {
+      val exploded = gs.sql(
+        """SELECT sum(part) AS s, absolute_error(s) AS ae
+          |FROM (SELECT explode(array(l_quantity, l_quantity)) AS part
+          |      FROM li_cb3)
+          |WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin).collect()(0)
+      assert(!exploded.isNullAt(0) && !exploded.isNullAt(1) &&
+        exploded.getDouble(1) > 0.0,
+        s"bootstrap explode query must carry live errors, got $exploded")
+      val windowed = gs.sql(
+        """SELECT l_returnflag, round(sum(rk), 4) AS s, absolute_error(s) AS ae
+          |FROM (SELECT l_returnflag,
+          |             row_number() OVER (PARTITION BY l_returnflag
+          |                                ORDER BY l_orderkey) AS rk
+          |      FROM li_cb3)
+          |GROUP BY l_returnflag ORDER BY l_returnflag
+          |WITH ERROR 0.9 CONFIDENCE 0.95""".stripMargin).collect()
+      assert(windowed.nonEmpty)
+      windowed.foreach(r => assert(!r.isNullAt(2),
+        "bootstrap window query must carry live errors"))
+    } finally spark.conf.set("spark.sql.aqp.estimator", "closedform")
+  }
+
   // --- PendingFeatureTest (ignored there — "Sample Table Query on avg
   // aggregate with error estimates should be correct"): a standalone
   // CONFIDENCE clause must route and estimate ------------------------------

@@ -368,6 +368,46 @@ class CommonBugs3Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.aqp.estimator", "closedform")
   }
 
+  // --- CommonBugTest "SNAP-806 decimal column not handled correctly":
+  // DECIMAL measures through the whole AQP spread — estimates keep the
+  // decimal result types, nothing comes back null, and at full fraction
+  // the estimates equal the exact decimal aggregates -----------------------
+  test("SNAP-806: decimal measures through sum/avg/count with error functions") {
+    import spark.implicits._
+    gs
+    val dec = (1 to 300).map(i =>
+        (i, s"g${i % 3}", BigDecimal(i).setScale(2) / 7, BigDecimal(i * 100).setScale(4) / 3))
+      .toDF("id", "grp", "qty", "amount")
+      .selectExpr("id", "grp", "CAST(qty AS DECIMAL(10,2)) AS qty",
+        "CAST(amount AS DECIMAL(14,4)) AS amount")
+    dec.createOrReplaceTempView("dec_cb3")
+    gs.sql("CREATE SAMPLE TABLE dec_cb3_s ON dec_cb3 " +
+      "OPTIONS(qcs 'grp', fraction '1.0')")
+    try {
+      val exact = spark.sql(
+        """SELECT grp, sum(qty), sum(amount), avg(qty), avg(amount), count(*)
+          |FROM dec_cb3 GROUP BY grp ORDER BY grp""".stripMargin).collect()
+      val rows = gs.sql(
+        """SELECT grp, sum(qty) AS sum_qty, sum(amount) AS sum_amount,
+          |       avg(qty) AS avg_qty, avg(amount) AS avg_amount,
+          |       count(*) AS count_order, absolute_error(sum_qty) AS ae
+          |FROM dec_cb3 GROUP BY grp ORDER BY grp
+          |WITH ERROR 0.2 CONFIDENCE 0.95""".stripMargin).collect()
+      assert(rows.length === exact.length)
+      rows.zip(exact).foreach { case (r, e) =>
+        (0 until 7).foreach(i => assert(!r.isNullAt(i),
+          s"SNAP-806: no column may be null, got $r"))
+        // full fraction: decimal estimates equal the exact aggregates
+        assert(r.getDecimal(1) === e.getDecimal(1), "sum(decimal) exact")
+        assert(r.getDecimal(2) === e.getDecimal(2), "sum(decimal 14,4) exact")
+        assert(r.getDecimal(3) === e.getDecimal(3), "avg(decimal) exact")
+        assert(r.getDecimal(4) === e.getDecimal(4), "avg(decimal 14,4) exact")
+        assert(r.getLong(5) === e.getLong(5))
+        assert(r.getDouble(6) === 0.0, "full fraction: zero error")
+      }
+    } finally gs.dropSampleTable("dec_cb3_s")
+  }
+
   // --- PendingFeatureTest (ignored there — "Sample Table Query on avg
   // aggregate with error estimates should be correct"): a standalone
   // CONFIDENCE clause must route and estimate ------------------------------

@@ -14,6 +14,12 @@ object Bench {
       // partition count is bytes-driven either way (Spark docs recommend
       // false for exactly this reason).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // bench inputs are deterministic parquet reads, so the materialized
+      // prefix-sum snapshot can recompute evicted partitions from lineage
+      // instead of spilling them to disk: on a memory-tight harness box
+      // MEMORY_AND_DISK serializes every consumer behind disk I/O while
+      // MEMORY_ONLY re-scans only what was actually evicted
+      .config("spark.graft.materialize.storageLevel", "MEMORY_ONLY")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,15 +59,38 @@ object Bench {
     // round-over-round comparison meaningless. The median is robust to one
     // bad run and still penalizes real plan cost.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
+    val sc = spark.sparkContext
+    // self-diagnosing bench: alongside each median, record the raw per-pass
+    // times plus harness-state probes (persisted-RDD count, storage bytes,
+    // GC time) so a regressed BENCH run distinguishes "slow plan" from
+    // "cache churn / GC-pressured box" without a reproduction attempt
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def storageBytes(): Long = sc.getRDDStorageInfo.map(_.memSize).sum
+    def cachedRdds(): Int = sc.getPersistentRDDs.size
+    val diag = new scala.collection.mutable.ArrayBuffer[String]
     val results = selected.map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
+      val times = new scala.collection.mutable.ArrayBuffer[Double]
+      val gcs = new scala.collection.mutable.ArrayBuffer[Long]
+      (1 to passes).foreach { _ =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"BENCH QUERY FAILED $name: ${e.getMessage}")
-            -1L
         }
-        (System.nanoTime() - t0) / 1e9
+        // drain the async listener bus before stopping the clock's
+        // successor: releaseAfterFirstUse unpersists via a
+        // QueryExecutionListener that fires asynchronously — without the
+        // flush a pass can start while the previous pass's cache entry is
+        // still resident, and under memory pressure that reads as eviction
+        // churn attributed to the WRONG query
+        org.apache.spark.sql.graft.Plans.flushListenerBus(spark)
+        times += (System.nanoTime() - t0) / 1e9
+        gcs += gcMillis() - gc0
       }
       val sorted = times.sorted
       // true median: for even pass counts average the middle two — picking
@@ -70,12 +99,17 @@ object Bench {
       val median =
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+      def r3(d: Double): Double = math.rint(d * 1000) / 1000
+      diag += "\"" + name + "\":{\"passes\":[" + times.map(r3).mkString(",") +
+        "],\"gc_ms\":[" + gcs.mkString(",") + "],\"cached_rdds\":" + cachedRdds() +
+        ",\"storage_mb\":" + (storageBytes() >> 20) + "}"
       name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val diagJson = diag.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","diag":$diagJson}""")
     spark.stop()
   }
 }

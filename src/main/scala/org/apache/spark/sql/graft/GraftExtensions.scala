@@ -23,8 +23,17 @@ object Plans {
    */
   def materializeWithRdd(spark: SparkSession, df: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
-    val rdd = df.queryExecution.toRdd.map(_.copy())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Storage level is a session knob. MEMORY_AND_DISK (default) keeps the
+    // hard "every scan reads one snapshot" guarantee: partitions that do not
+    // fit spill to disk and are never recomputed, so even a nondeterministic
+    // input stays frozen. MEMORY_ONLY trades that for recompute-on-eviction
+    // — on a memory-tight harness disk spill serializes every consumer
+    // behind disk I/O, while recompute re-scans only the evicted partitions.
+    // Callers whose inputs are deterministic under rescan (e.g. the bench
+    // harness) can safely opt in.
+    val level = org.apache.spark.storage.StorageLevel.fromString(
+      spark.conf.get("spark.graft.materialize.storageLevel", "MEMORY_AND_DISK"))
+    val rdd = df.queryExecution.toRdd.map(_.copy()).persist(level)
     val out = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, df.schema)
     (out, rdd)

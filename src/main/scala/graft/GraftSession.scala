@@ -423,12 +423,18 @@ class GraftSession(val spark: SparkSession) {
     val out = new java.io.DataOutputStream(fs.create(tmpPath, true))
     try {
       val (files, spans) = st.spillView
-      val prefix = path.stripSuffix("/") + "/"
+      // qualify BOTH sides before stripping: listStatus-derived batch paths
+      // come back scheme-qualified (file:/..., hdfs://nn/...) while the
+      // table path is usually raw — a plain startsWith would store the
+      // qualified form verbatim and a later restore would mangle it into
+      // <table>/file:/... (single-slash URIs defeat the "://" test)
+      val prefix = fs.makeQualified(dir).toString.stripSuffix("/") + "/"
       out.writeInt(files.size)
       // batch dirs live under the table path — store them relative so the
       // whole directory can be relocated/copied
       files.foreach { f =>
-        out.writeUTF(if (f.startsWith(prefix)) f.stripPrefix(prefix) else f)
+        val qf = fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString
+        out.writeUTF(if (qf.startsWith(prefix)) qf.stripPrefix(prefix) else f)
       }
       out.writeInt(spans.size)
       spans.foreach { case (s, l) => out.writeLong(s); out.writeLong(l) }
@@ -484,6 +490,14 @@ class GraftSession(val spark: SparkSession) {
     // the legacy two-file layout is superseded by the snapshot
     val legacyBin = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkBinFile)
     if (fs.exists(legacyBin)) fs.delete(legacyBin, false)
+    // compacted-away batches become deletable one publish AFTER the
+    // snapshot that stopped referencing them — mirroring the snapshot GC's
+    // keep-one-back policy, so a reader attaching the retained version-1
+    // still finds every file it references
+    st.collectRetired(version).foreach { f =>
+      val hp = new org.apache.hadoop.fs.Path(f)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
   }
 
   /** Re-attach a persisted TopK structure in a fresh session without
@@ -543,7 +557,11 @@ class GraftSession(val spark: SparkSession) {
             val prefix = path.stripSuffix("/") + "/"
             val fl = (0 until snapIn.readInt()).map { _ =>
               val rel = snapIn.readUTF()
-              if (rel.contains("://") || rel.startsWith("/")) rel
+              // absolute = rooted path OR any URI scheme — Hadoop qualified
+              // paths can be single-slash (file:/tmp/...), so a bare "://"
+              // test misclassifies them as relative
+              if (rel.startsWith("/") ||
+                  rel.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) rel
               else prefix + rel
             }
             val sp = (0 until snapIn.readInt()).map { _ =>
@@ -798,7 +816,16 @@ object GraftSession {
               fs.getFileStatus(lockPath).getModificationTime
             catch { case _: java.io.FileNotFoundException => 0L }
           if (age > leaseMs) {
-            fs.delete(lockPath, false) // break a dead writer's lease
+            // break a dead writer's lease via atomic rename to a unique
+            // tombstone: of N waiters that all observed the stale lock, only
+            // the rename winner removes it. A plain delete races — waiter A
+            // deletes and re-creates, then waiter B's in-flight delete
+            // removes A's FRESH lock and two writers enter the section.
+            val tomb = new org.apache.hadoop.fs.Path(dir,
+              s"_graft.lock.tomb-${java.util.UUID.randomUUID().toString.take(8)}")
+            try {
+              if (fs.rename(lockPath, tomb)) fs.delete(tomb, false)
+            } catch { case _: java.io.IOException => /* another breaker won */ }
           } else if (System.currentTimeMillis() > deadline) {
             throw new IllegalStateException(
               s"could not acquire $lockPath within ${2 * leaseMs} ms — " +

@@ -114,7 +114,11 @@ class SampleSource extends CreatableRelationProvider with RelationProvider
               // restate an expression the engine synthesized would reject
               // every legitimate restated append)
               declaredLower.get("qcs").foreach { q =>
-                val declared = graft.GraftSession.splitTopLevel(q)
+                // same parser-mode flag sampleByOptions threads: under
+                // escapedStringLiterals a backslash-adjacent quote splits
+                // differently, and create vs append-validation must agree
+                val declared = graft.GraftSession.splitTopLevel(q,
+                  sqlContext.sparkSession.sessionState.conf.escapedStringLiterals)
                 val storedCore = declaredLower.get("timeseriescolumn") match {
                   case Some(ts) if storedQcs.nonEmpty &&
                       isDerivedTimeSlot(storedQcs.last, ts) => storedQcs.init

@@ -126,7 +126,35 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   /** Root directory for spilled buckets (set to `<path>/_graft_topk_spill`
    * for path-backed tables BEFORE the first append; a local temp directory
    * is created lazily otherwise). */
-  def setSpillBase(dir: String): Unit = { spillPath = Some(dir) }
+  def setSpillBase(dir: String): Unit = { spillPath = Some(dir); deferDeletes = true }
+
+  // Path-backed tables defer deletion of compacted-away batches by one
+  // publish cycle: the retained previous snapshot (version-1) still
+  // references them, and an in-flight reader attaching that snapshot must
+  // find its files on disk. Entries carry the publish version at which the
+  // superseding snapshot was written (None until the next publish stamps
+  // them); [[collectRetired]] releases an entry only once that snapshot has
+  // itself been superseded. Non-path tables (single-session warehouse
+  // spill) have no snapshot readers and delete immediately.
+  private var deferDeletes = false
+  private val retiredBatches =
+    scala.collection.mutable.ArrayBuffer.empty[(Option[Long], String)]
+
+  /** Stamp unstamped retirees with this publish's version and return the
+   * ones whose superseding snapshot is now itself superseded (stamped
+   * version < current) — safe to delete ([[graft.GraftSession.saveTopK]]). */
+  def collectRetired(version: Long): Seq[String] = {
+    val (del, keep) = retiredBatches.toSeq.partition {
+      case (Some(v), _) => v < version
+      case (None, _) => false
+    }
+    retiredBatches.clear()
+    retiredBatches ++= keep.map {
+      case (None, p) => (Some(version), p)
+      case x => x
+    }
+    del.map(_._2)
+  }
 
   /** This session's spill view — batch dirs + span index — recorded into
    * the persisted snapshot so a re-attach restores exactly the save-time
@@ -140,6 +168,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       files: Seq[String], spans: Seq[(Long, Long)]): Unit = {
     sparkRef = spark
     spillPath = Some(dir)
+    deferDeletes = true
     spillFiles.clear(); spillFiles ++= files
     spilledSpans.clear(); spilledSpans ++= spans
   }
@@ -155,9 +184,21 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) {
-      spillFiles ++= fs.listStatus(p).toSeq
+      val entries = fs.listStatus(p).toSeq
+      spillFiles ++= entries
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
         .map(_.getPath.toString).sorted
+      if (spillFiles.isEmpty) {
+        // legacy flat store: before batch subdirs, spillOldest appended
+        // part-files straight into the dir. Adopt each data file as its own
+        // batch so its spans are restored — skipping them would make
+        // spillMerged return None and every time-range query silently
+        // undercount the spilled intervals.
+        spillFiles ++= entries
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+            !s.getPath.getName.endsWith(".crc"))
+          .map(_.getPath.toString).sorted
+      }
       if (spillFiles.nonEmpty) {
         spilledSpans ++= spark.read.parquet(spillFiles.toSeq: _*)
           .select(col("start"), col("len"))
@@ -253,10 +294,16 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
         .write.mode("overwrite").parquet(compacted)
       spillFiles.clear()
       spillFiles += compacted
-      val conf = spark.sessionState.newHadoopConf()
-      old.foreach { f =>
-        val hp = new org.apache.hadoop.fs.Path(f)
-        hp.getFileSystem(conf).delete(hp, true)
+      if (deferDeletes) {
+        // the retained previous snapshot may still reference these batches —
+        // hold them until that snapshot is itself retired (collectRetired)
+        retiredBatches ++= old.map(p => (None: Option[Long], p))
+      } else {
+        val conf = spark.sessionState.newHadoopConf()
+        old.foreach { f =>
+          val hp = new org.apache.hadoop.fs.Path(f)
+          hp.getFileSystem(conf).delete(hp, true)
+        }
       }
     }
 

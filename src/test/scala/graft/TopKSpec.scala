@@ -255,6 +255,141 @@ class TopKSpec extends AnyFunSuite {
     assert(!spill.getFileSystem(conf).exists(spill))
   }
 
+  test("legacy flat spill store: adopted on attach and intact through a re-save") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkl_").toString + "/tk"
+    gs.sql("CREATE TOPK TABLE tk_legacy ON events OPTIONS(key 'event_type', " +
+      "streamSummary 'true', capacity '16', size '5', timeSeriesColumn 'ts', " +
+      "timeInterval '86400000', maxInterval '100', timeUnit 'ns', " +
+      s"maxDriverEntries '16', path '$dir')")
+    val st = GraftState.of(spark).topks("tk_legacy")
+      .asInstanceOf[graft.topk.TopKState]
+    assert(st.spilledBucketCount > 0, "the guard must have forced a spill")
+    val expected = spark.table("events").groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rewrite the store in the pre-snapshot layout: flat part-files straight
+    // in the spill dir (the old spillOldest appended parquet to the dir
+    // itself), _graft_topk.bin resident-bucket bytes, meta WITHOUT a
+    // __snapversion pointer
+    val conf = spark.sessionState.newHadoopConf()
+    val spillDir = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkSpillDir)
+    val fs = spillDir.getFileSystem(conf)
+    val batches = fs.listStatus(spillDir).filter(_.isDirectory).map(_.getPath)
+    assert(batches.nonEmpty)
+    val tmpFlat = new org.apache.hadoop.fs.Path(dir, "_flat_tmp")
+    spark.read.parquet(batches.map(_.toString).toIndexedSeq: _*)
+      .coalesce(1).write.parquet(tmpFlat.toString)
+    batches.foreach(b => fs.delete(b, true))
+    fs.listStatus(tmpFlat)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .foreach { s =>
+        fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(spillDir, s.getPath.getName))
+      }
+    fs.delete(tmpFlat, true)
+    val binOut = fs.create(
+      new org.apache.hadoop.fs.Path(dir, GraftSession.TopkBinFile), true)
+    try binOut.write(st.buckets.snapshotBytes) finally binOut.close()
+    val metaPath = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkMetaFile)
+    val props = new java.util.Properties()
+    val metaIn = fs.open(metaPath)
+    try props.load(metaIn) finally metaIn.close()
+    props.remove("__snapversion")
+    val metaOut = fs.create(metaPath, true)
+    try props.store(metaOut, "legacy layout") finally metaOut.close()
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith(GraftSession.TopkSnapPrefix))
+      .foreach(s => fs.delete(s.getPath, false))
+    // fresh-session attach must adopt the flat store — silently skipping it
+    // would make every time-range query undercount the spilled intervals
+    GraftState.of(spark).topks.remove("tk_legacy")
+    GraftState.of(spark).topkPaths.remove("tk_legacy")
+    spark.catalog.dropTempView("tk_legacy")
+    gs.attachTopKTable("tk_legacy", dir)
+    val got = gs.queryTopK("tk_legacy", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected, "legacy flat spill store must be adopted on attach")
+    // re-save after adoption: the adopted paths are listStatus-qualified
+    // single-slash URIs (file:/...) — they must relativize at save and
+    // restore without the table prefix being prepended to a URI
+    gs.saveTopK("tk_legacy", dir)
+    GraftState.of(spark).topks.remove("tk_legacy")
+    GraftState.of(spark).topkPaths.remove("tk_legacy")
+    spark.catalog.dropTempView("tk_legacy")
+    gs.attachTopKTable("tk_legacy", dir)
+    val resaved = gs.queryTopK("tk_legacy", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(resaved === expected,
+      "re-saved legacy store must restore spill paths intact")
+    gs.sql("DROP TOPK TABLE tk_legacy")
+  }
+
+  test("compaction defers batch deletion one publish: retained snapshots stay readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkc_").toString + "/tk"
+    gs.sql("CREATE TOPK TABLE tk_compact ON events OPTIONS(key 'event_type', " +
+      "streamSummary 'true', capacity '16', size '5', timeSeriesColumn 'ts', " +
+      "timeInterval '86400000', maxInterval '2000', timeUnit 'ns', " +
+      s"maxDriverEntries '16', path '$dir')")
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    // parse every retained snapshot's spill-file list the way attach does
+    def snapshotRefs(): Seq[(String, Seq[String])] =
+      fs.listStatus(dirPath).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          n.startsWith(GraftSession.TopkSnapPrefix) && !n.contains(".tmp-")
+        }
+        .map { s =>
+          val in = new java.io.DataInputStream(fs.open(s.getPath))
+          try {
+            val files = (0 until in.readInt()).map { _ =>
+              val rel = in.readUTF()
+              if (rel.startsWith("/") ||
+                  rel.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) rel
+              else dir.stripSuffix("/") + "/" + rel
+            }
+            (s.getPath.getName, files)
+          } finally in.close()
+        }
+    // each shifted append lands in fresh day-intervals, forcing a spill
+    // batch per append; 20 appends cross compactThreshold 16 with a
+    // publish between every spill, so compaction runs with both retained
+    // snapshot versions live
+    (1 to 20).foreach { i =>
+      gs.appendToTopK("tk_compact", spark.table("events")
+        .withColumn("ts", col("ts") + lit(i * 40L * 86400000L * 1000000L)))
+      // the invariant the deferral exists for: an in-flight reader holding
+      // EITHER retained snapshot must find every spill file it references
+      snapshotRefs().foreach { case (snap, files) =>
+        files.foreach { f =>
+          assert(fs.exists(new org.apache.hadoop.fs.Path(f)),
+            s"$snap references missing spill file $f")
+        }
+      }
+    }
+    val st = GraftState.of(spark).topks("tk_compact")
+      .asInstanceOf[graft.topk.TopKState]
+    assert(st.spillBatchCount <= 17,
+      s"compaction must have run, got ${st.spillBatchCount} batches")
+    // and the deferred deletes DRAIN: compacted-away batches disappear one
+    // publish later, so the on-disk store stays bounded instead of
+    // accumulating every pre-compaction batch forever
+    val spillDir = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkSpillDir)
+    val onDisk = fs.listStatus(spillDir)
+      .count(_.getPath.getName.startsWith("batch-"))
+    assert(onDisk <= st.spillBatchCount + 17,
+      s"deferred deletes must drain ($onDisk batch dirs on disk for " +
+        s"${st.spillBatchCount} live)")
+    // correctness through compaction + deferral: full-range counts exact
+    val got = gs.queryTopK("tk_compact", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perApp = spark.table("events").groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === perApp.map { case (k, v) => k -> v * 21 },
+      "counts must be exact through compaction with deferred deletion")
+    gs.sql("DROP TOPK TABLE tk_compact")
+  }
+
   test("IF NOT EXISTS re-attach rejects drifted options; DROP retires the snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tkd_").toString + "/tk"
     gs.sql("CREATE TOPK TABLE tk_drift ON events OPTIONS(key 'event_type', " +

@@ -145,14 +145,22 @@ object Pipeline {
    * ONE task — a non-starter at corpus scale. Here rows are bucketed by a
    * monotone function of the leading order key (approx-quantile boundaries;
    * ANY monotone bucketing is correct — the quantiles only balance load,
-   * and the bucket id is a pure row function, so the two passes below agree
+   * and the bucket id is a pure row function, so the passes below agree
    * even if the boundary estimate were to change between runs), local
    * cumulative sums run per bucket in parallel, and each bucket is shifted
-   * by the exclusive running total of the buckets before it. At most
-   * `buckets` (bucket, sum) pairs ever reach the driver.
+   * by the exclusive running total of the buckets before it. Boundary
+   * estimation is the ONLY eager driver job; the per-bucket offsets ride
+   * the caller's own action as a ≤`buckets`-row aggregate, cumulated in a
+   * single (bounded) window partition and broadcast back onto the rows —
+   * nothing is ever collected to the driver. A fixed distribution-blind
+   * quantization could drop the boundary job too, but plausible key
+   * distributions (doubles sharing an exponent) would then collapse into
+   * one bucket and serialize the window on one task — the quantile job is
+   * what buys skew-proof balance.
    *
    * The input is scanned three times (boundary quantiles, bucket totals,
-   * the windowed pass) — pass `materialize = true` when the input's columns
+   * the windowed pass — the last two inside the caller's single action) —
+   * pass `materialize = true` when the input's columns
    * are expensive to compute (an exploded chunking, a semi-join): the frame
    * is then evaluated ONCE into executor storage shared by all three scans
    * and released as soon as the caller's first consuming action finishes.
@@ -192,15 +200,15 @@ object Pipeline {
       else size(filter(
         array(bounds.toSeq.map(lit(_)): _*), t => t <= col(K)))
     val bucketed = keyed.withColumn(B, bucketOf)
-    val perBucket = bucketed.groupBy(col(B)).agg(sum(col(V)).as("__s__"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val exclusive = perBucket.map { case (b, s) =>
-      val row = (b, acc); acc += s; row
-    }.toSeq
-    import spark.implicits._
+    // exclusive per-bucket offset, computed INSIDE the caller's action: the
+    // ≤`buckets`-row aggregate cumulates in one bounded window partition and
+    // broadcasts back — no driver collect, no second eager job
     val offsets = broadcast(
-      exclusive.toDF(B + "o", "__graft_off__"))
+      bucketed.groupBy(col(B)).agg(sum(col(V)).as("__s__"))
+        .withColumn("__graft_off__", coalesce(
+          sum(col("__s__")).over(Window.orderBy(col(B))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(B).as(B + "o"), col("__graft_off__")))
     val w = Window.partitionBy(col(B))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -208,9 +216,9 @@ object Pipeline {
       .join(offsets, col(B) === col(B + "o"), "left")
       .withColumn(out, sum(col(V)).over(w) + coalesce(col("__graft_off__"), lit(0L)))
       .drop(K, B, V, B + "o", "__graft_off__")
-    // the windowed pass (lazy, runs at the caller's action) reads the same
-    // materialized snapshot the two eager scans above did; release the
-    // storage right after that first consuming action
+    // the offsets and windowed passes (lazy, both inside the caller's
+    // action) read the same materialized snapshot the boundary job
+    // populated; release the storage right after that first action
     keyedRdd.foreach(
       org.apache.spark.sql.graft.Plans.releaseAfterFirstUse(spark, _))
     result

@@ -282,10 +282,24 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val physical = ps.queryExecution.executedPlan.toString
     val windowLines = physical.split("\n").filter(_.contains("Window"))
     assert(windowLines.nonEmpty, "no Window in the prefixSum plan")
-    assert(!physical.contains("SinglePartition"),
-      s"prefixSum plan collapses to one partition:\n$physical")
     assert(physical.contains("hashpartitioning(__graft_pb__"),
       "cumsum window must partition by the bucket column")
+    // the offsets branch cumulates the ≤buckets-row aggregate in ONE
+    // bounded partition (by design — it replaced the driver-side collect),
+    // so a SinglePartition exchange is legal there and only there: it must
+    // feed off the per-bucket aggregate, never the row stream
+    val single = physical.split("Exchange SinglePartition")
+    single.drop(1).foreach { after =>
+      // nothing below a single-partition exchange may read the raw input —
+      // the subtree under it must be the bucket aggregate (sum over __s__)
+      assert(after.contains("__s__") || !after.contains("parquet"),
+        s"single-partition exchange over the row stream:\n$physical")
+    }
+    // and the broadcast back onto the rows must actually be a broadcast —
+    // a shuffled join of corpus vs 64 rows would be a scale bug
+    assert(physical.contains("BroadcastHashJoin") ||
+      physical.contains("BroadcastNestedLoopJoin"),
+      s"bucket offsets must broadcast:\n$physical")
   }
 
   test("candidate-pair joins shuffle narrow rows (no signature/vector payloads)") {

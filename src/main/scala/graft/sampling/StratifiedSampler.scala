@@ -210,18 +210,21 @@ object StratifiedSampler {
     // the hash value (top bits, monotone in the SIGNED order the rank
     // sorts by) split every stratum into balanced shards with no extra data
     // pass, and the exact global rank is `shard-local rank + exclusive sum
-    // of lower-shard counts`. The per-(stratum, shard) counts ride the same
-    // single aggregation pass the prefilter already needs for totals; the
-    // offsets (≤ strata × 64 tiny tuples) are derived on the driver and
-    // broadcast back. The selected multiset is IDENTICAL to the one-task
-    // sort's: the same `target` smallest hashes per stratum survive.
+    // of lower-shard counts`. The selected multiset is IDENTICAL to the
+    // one-task sort's: the same `target` smallest hashes per stratum
+    // survive.
     //
-    // The shard counts are exact survivor counts for every shard the
-    // selection can touch: the prefilter keeps exactly the rows BELOW a
-    // per-stratum hash threshold, so every shard fully below the threshold
-    // keeps its full count, and only the shard containing the threshold is
-    // partial — and its own offset sums full shards only. Shards above the
-    // threshold never meet the final filter.
+    // The FULL-WIDTH content hash is computed exactly ONCE over the input:
+    // the only eager job is a per-stratum totals count whose scan prunes to
+    // the QCS columns (R1 never enters it), and the prefiltered survivors
+    // — ~factor×target rows per stratum, a small multiple of the sample —
+    // are evaluated once into executor storage shared by the offsets branch
+    // and the rank pass, released after the caller's first action. The
+    // shard offsets are exclusive sums of SURVIVOR counts, cumulated per
+    // stratum in a bounded ≤64-row-per-stratum window and broadcast — no
+    // driver collect. Survivor counts compose the same global rank the full
+    // counts did: every shard below the threshold shard survives whole, and
+    // shards above it have no survivors at all.
     //
     // Driver-side state stays bounded: this path engages only when the
     // stratum count is at most `maxOffsetStrata` (collected with a limit
@@ -250,73 +253,66 @@ object StratifiedSampler {
     // prefilter already cuts each stratum's sort input to ~2·reservoir+50
     // rows — a one-task sort of a few hundred rows needs no sharding
     if (usePrefilter && shardRank && fraction > 0.0) {
-      // arithmetic shift of the signed hash: shard index is monotone in the
-      // signed order the rank sorts by
-      val shardCol = (shiftright(col(R1), shardBits) + lit(32)).cast("int")
-      val grouped = keyed.groupBy(col(K), shardCol.as(B))
-        .agg(count(lit(1)).as("__cnt__"))
-        .limit(maxOffsetStrata * 64 + 1)
+      // the ONLY eager job: per-stratum totals on a QCS-pruned scan — R1
+      // (which would force every column into the read schema) never
+      // enters this branch
+      val totals = df.withColumn(K, key).groupBy(col(K))
+        .agg(count(lit(1)).as(TOT))
+        .limit(maxOffsetStrata + 1)
         .collect()
-      if (grouped.length <= maxOffsetStrata * 64) {
+      if (totals.length <= maxOffsetStrata) {
         // ---- bucketed exact-rank path ----
-        val perKey = grouped.groupBy(_.get(0))
         val keyType = keyed.schema.find(_.name == K).get.dataType
-        val offsetRows = new scala.collection.mutable.ArrayBuffer[
-          org.apache.spark.sql.Row](grouped.length)
-        perKey.foreach { case (kVal, rows) =>
-          val byShard = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
-          val tot = byShard.map(_._2).sum
-          val tgt: Long =
-            if (fraction > 0.0) {
-              math.min(math.max(reservoirSize.toLong,
-                math.ceil(tot * fraction).toLong), tot)
-            } else math.min(reservoirSize.toLong, tot)
+        val targetRows = totals.map { r =>
+          val tot = r.getLong(1)
+          val tgt = math.min(math.max(reservoirSize.toLong,
+            math.ceil(tot * fraction).toLong), tot)
           val p = math.min(1.0, (tgt * preFilterFactor + 50.0) / tot)
           val threshold = (2.0 * p - 1.0) * Long.MaxValue.toDouble
-          // shard containing the threshold (64 = nothing filtered)
-          val tShard: Int =
-            if (tot <= tgt || p >= 1.0) 64
-            else math.max(0, math.min(63,
-              math.floor(threshold / (1L << shardBits).toDouble).toInt + 32))
-          var acc = 0L
-          byShard.foreach { case (b, cnt) =>
-            if (b <= tShard) offsetRows +=
-              org.apache.spark.sql.Row(kVal, b, acc, tot, tgt, threshold,
-                b == tShard)
-            acc += cnt
-          }
-        }
+          org.apache.spark.sql.Row(r.get(0), tot, tgt, threshold)
+        }.toSeq
         val spark = df.sparkSession
-        val offsetsSchema = org.apache.spark.sql.types.StructType(Seq(
+        val targetsSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(K + "c", keyType),
-          org.apache.spark.sql.types.StructField(B + "c",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("__off__",
-            org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField(TOT,
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("__graft_target__",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("__thr__",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("__partial__",
-            org.apache.spark.sql.types.BooleanType)))
-        val offsets = broadcast(spark.createDataFrame(
+            org.apache.spark.sql.types.DoubleType)))
+        val targets = broadcast(spark.createDataFrame(
           new java.util.ArrayList(scala.jdk.CollectionConverters
-            .SeqHasAsJava(offsetRows.toSeq).asJava), offsetsSchema))
-        // the inner join drops every shard above the threshold shard, and
-        // the residual hash-threshold prefilter applies ONLY to the partial
-        // (threshold-containing) shard: lower shards stay complete, so
-        // their full counts — which the offsets assume — are exactly the
-        // survivor counts, immune to the double-rounding edge of the
-        // threshold comparison
-        val joined = keyed.withColumn(B, shardCol)
-          .join(offsets, col(K) <=> col(K + "c") && col(B) === col(B + "c"),
-            "inner")
-          .filter(!col("__partial__") ||
-            col(TOT) <= col("__graft_target__") ||
+            .SeqHasAsJava(targetRows).asJava), targetsSchema))
+        // arithmetic shift of the signed hash: shard index is monotone in
+        // the signed order the rank sorts by
+        val shardCol = (shiftright(col(R1), shardBits) + lit(32)).cast("int")
+        // ONE full-width scan computes the content hash; the survivors
+        // (~factor×target per stratum) are materialized so the offsets
+        // branch and the rank pass read the same snapshot instead of
+        // re-scanning and re-hashing the whole input
+        val survivors0 = keyed.withColumn(B, shardCol)
+          .join(targets, col(K) <=> col(K + "c"), "inner")
+          .filter(col(TOT) <= col("__graft_target__") ||
             col(R1).cast("double") < col("__thr__"))
-        val ranked = joined
+          .drop(K + "c")
+        val (survivors, survivorsRdd) = org.apache.spark.sql.graft.Plans
+          .materializeWithRdd(spark, survivors0)
+        // exclusive per-(stratum, shard) offsets from SURVIVOR counts,
+        // cumulated inside the caller's action (≤64 rows per stratum in
+        // the window) and broadcast back — these equal the full-count
+        // offsets: a shard below the per-stratum threshold shard survives
+        // whole, and a shard above it has no survivors
+        val offsets = broadcast(
+          survivors.groupBy(col(K).as(K + "o"), col(B).as(B + "o"))
+            .agg(count(lit(1)).as("__cnt__"))
+            .withColumn("__off__", coalesce(
+              sum(col("__cnt__")).over(Window.partitionBy(col(K + "o"))
+                .orderBy(col(B + "o"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col(K + "o"), col(B + "o"), col("__off__")))
+        val ranked = survivors
+          .join(offsets, col(K) <=> col(K + "o") && col(B) === col(B + "o"),
+            "inner")
           .withColumn("__graft_rn__", row_number()
             .over(Window.partitionBy(col(K), col(B)).orderBy(col(R1))) +
             col("__off__"))
@@ -326,10 +322,13 @@ object StratifiedSampler {
         val kept = ranked.withColumn("__graft_kept__",
           count(lit(1)).over(Window.partitionBy(col(K))))
         val keyHash = pmod(hash(col(K)), lit(256)).cast("int")
-        return kept
+        val out = kept
           .withColumn(WeightColumn,
             PackWeightage(col("__graft_kept__"), col(TOT), keyHash))
           .select(dataCols :+ col(WeightColumn): _*)
+        org.apache.spark.sql.graft.Plans
+          .releaseAfterFirstUse(spark, survivorsRdd)
+        return out
       }
       // else: fall through to the classic plan (strata already saturate
       // the cluster; the finer counts pass is discarded)

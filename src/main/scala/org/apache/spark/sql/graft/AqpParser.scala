@@ -194,20 +194,69 @@ class AqpParser(delegate: ParserInterface,
               None, None, Some(bm.group(2)), inner)
           }
           val im = InnerWithErrorPattern.matcher(sqlText)
-          if (!im.find()) throw parseErr
-          val stripped = sqlText.substring(0, im.start) + sqlText.substring(im.end)
-          if (InnerWithErrorPattern.matcher(stripped).find()) {
-            throw new UnsupportedOperationException(
-              "At most one WITH ERROR clause is supported per query")
+          val found = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Int, Option[Double], Option[Double], Option[String])]
+          while (im.find()) {
+            found += ((im.start, im.end,
+              Option(im.group(1)).map(_.toDouble),
+              Option(im.group(2)).map(_.toDouble),
+              Option(im.group(3))))
           }
-          val inner = try delegate.parsePlan(stripped) catch {
-            case _: Exception => throw parseErr // not our clause — original error
+          if (found.isEmpty) throw parseErr
+          if (found.size == 1) {
+            val (s, e, err, conf, beh) = found.head
+            val stripped = sqlText.substring(0, s) + sqlText.substring(e)
+            val inner = try delegate.parsePlan(stripped) catch {
+              case _: Exception => throw parseErr // not our clause — original error
+            }
+            AqpParser.validatedErrorConfidence(err, conf, beh, inner)
+          } else {
+            // SIBLING clauses — reference CommonBugTest AQP-225/AQP-247: a
+            // join of independently aggregated derived tables, EACH over its
+            // own sample with its own contract. Every clause ends an aliased
+            // derived table, so each binds to its subquery scope by alias
+            // and the rewrite fires once per scope. (A clause NESTED under
+            // another contract is still rejected above — contracts compose
+            // side by side, not stacked.)
+            val withAlias = found.map { case (s, e, err, conf, beh) =>
+              (AqpParser.aliasAfterParen(sqlText, e), err, conf, beh)
+            }
+            if (withAlias.exists(_._1.isEmpty) ||
+                withAlias.map(_._1.get.toLowerCase).distinct.size != withAlias.size) {
+              throw new UnsupportedOperationException(
+                "Multiple WITH ERROR clauses are supported only when each " +
+                  "ends a distinctly aliased derived table " +
+                  "(… WITH ERROR …) alias")
+            }
+            val params = withAlias.map { case (a, err, conf, beh) =>
+              a.get.toLowerCase -> ((err, conf, beh))
+            }.toMap
+            val sb = new StringBuilder(sqlText)
+            found.reverseIterator.foreach { case (s, e, _, _, _) =>
+              sb.delete(s, e)
+            }
+            val inner = try delegate.parsePlan(sb.toString) catch {
+              case _: Exception => throw parseErr
+            }
+            val bound = scala.collection.mutable.Set.empty[String]
+            val wrapped = inner.transformUp {
+              case sa @ org.apache.spark.sql.catalyst.plans.logical
+                  .SubqueryAlias(id, child)
+                  if params.contains(id.name.toLowerCase) &&
+                    !bound.contains(id.name.toLowerCase) =>
+                bound += id.name.toLowerCase
+                val (err, conf, beh) = params(id.name.toLowerCase)
+                sa.copy(child =
+                  AqpParser.validatedErrorConfidence(err, conf, beh, child))
+            }
+            if (bound.size != params.size) {
+              throw new UnsupportedOperationException(
+                "Multiple WITH ERROR clauses are supported only when each " +
+                  "ends a distinctly aliased derived table " +
+                  "(… WITH ERROR …) alias")
+            }
+            wrapped
           }
-          AqpParser.validatedErrorConfidence(
-            Option(im.group(1)).map(_.toDouble),
-            Option(im.group(2)).map(_.toDouble),
-            Option(im.group(3)),
-            inner)
       }
     }
   }
@@ -333,6 +382,40 @@ object AqpParser {
     while (m.find()) b += (m.group(1).toLowerCase -> m.group(2))
     b.result()
   }
+
+  /** The derived-table alias following the `)` that terminates an inner
+   * WITH ERROR clause — `… WITH ERROR 0.9) [AS] t` → `t`. None when the
+   * clause is not immediately followed by a close-paren + identifier (then
+   * there is no alias to bind a scoped contract to). */
+  private[graft] def aliasAfterParen(text: String, from: Int): Option[String] = {
+    var i = from
+    while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    if (i >= text.length || text.charAt(i) != ')') return None
+    i += 1
+    while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    var j = i
+    while (j < text.length &&
+      (text.charAt(j).isLetterOrDigit || text.charAt(j) == '_')) j += 1
+    if (j == i) return None
+    val tok = text.substring(i, j)
+    if (tok.equalsIgnoreCase("as")) {
+      var k = j
+      while (k < text.length && text.charAt(k).isWhitespace) k += 1
+      var l = k
+      while (l < text.length &&
+        (text.charAt(l).isLetterOrDigit || text.charAt(l) == '_')) l += 1
+      if (l == k) None else Some(text.substring(k, l))
+    } else if (AqpParser.SqlKeywordsAfterParen.contains(tok.toUpperCase)) {
+      None // `) JOIN …` / `) ON …` — no alias
+    } else Some(tok)
+  }
+
+  /** Tokens that can legally follow a derived table's `)` without being its
+   * alias. */
+  private val SqlKeywordsAfterParen: Set[String] = Set(
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "WHERE",
+    "GROUP", "ORDER", "HAVING", "LIMIT", "UNION", "EXCEPT", "INTERSECT",
+    "WITH", "SELECT", "FROM", "NATURAL", "USING")
 }
 
 /** AQP DDL nodes are runnable commands (reference maps its DDL through

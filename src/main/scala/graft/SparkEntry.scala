@@ -284,14 +284,22 @@ object SparkEntry {
         .toDF("n_pq", "recall_ok", "subset_of_top100", "code_bytes_ok")
     }),
 
-    // Multimodal plumbing: text bytes as stand-in blobs → batched stub decode
-    // → typed metadata struct (byte-derived fields are oracle-checkable).
+    // Multimodal: REAL decode round-trip. Each document is rendered as an
+    // actual PNG (javax.imageio) whose dimensions derive from the text's
+    // UTF-8 byte length, then HeaderDecoder parses the container bytes to
+    // recover them — the oracle predicts the dimensions from the length
+    // alone, so a decoder that doesn't truly parse the PNG cannot match.
     "q15_multimodal" -> ((s, dir) => {
+      val mkPng = udf { (text: String) =>
+        val len = if (text == null) 0 else text.getBytes("UTF-8").length
+        graft.multimodal.Multimodal.SyntheticMedia.image(
+          "png", len % 64 + 1, len % 48 + 1, len.toLong)
+      }
       val bin = tbl(s, dir, "documents")
-        .withColumn("blob", col("text").cast("binary"))
+        .withColumn("blob", mkPng(col("text")))
       graft.multimodal.Multimodal.decodeMeta(bin, "blob")
         .select(col("doc_id"),
-          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.format").as("format"),
           col("media_meta.width").as("width"),
           col("media_meta.height").as("height"))
         .orderBy(col("doc_id"))
@@ -1275,9 +1283,9 @@ object SparkEntry {
 
     "q15_multimodal" ->
       """SELECT doc_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
+        |  'png' AS format,
+        |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q17_join_with_error" ->

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
  * travel as opaque `binary` columns with typed metadata structs; decode /
  * feature-extraction runs batched inside `mapPartitions`.
  *
- * The actual codec calls are STUBBED (this container ships no image/audio
- * libraries): [[StubDecoder]] derives deterministic fake properties from the
- * bytes. The Spark-side plumbing — schema, batch iteration shape,
- * partitioning, output struct — is real and is what a production decoder
- * would drop into (swap [[Decoder.decode]] with e.g. a JNI image library).
+ * Header metadata (format, dimensions, audio frame counts) is decoded FOR
+ * REAL by [[HeaderDecoder]] — pure byte-level parsing of PNG / JPEG / GIF /
+ * BMP / WAV container headers, no library needed. Full pixel/sample decode
+ * and neural feature extraction remain STUBBED ([[StubDecoder]],
+ * [[StubExtractor]] — this container ships no codec/NN libraries): the
+ * Spark-side plumbing — schema, batch iteration shape, partitioning, output
+ * struct — is real and is what a production decoder would drop into (swap
+ * [[Decoder.decode]] with e.g. a JNI image library).
  */
 object Multimodal {
 
@@ -57,11 +60,159 @@ object Multimodal {
   }
 
   /**
+   * Real header decoder: parses the container headers of the common media
+   * formats byte-for-byte (dimensions from PNG IHDR / JPEG SOF / GIF
+   * logical-screen / BMP info header; sample counts from WAV fmt+data
+   * chunks). No external codec library — the header layouts are public
+   * container specs. Unknown formats fall back to [[StubDecoder]]'s
+   * deterministic derivation so the operator stays total.
+   */
+  object HeaderDecoder extends Decoder {
+
+    private def beU32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    private def beU16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    private def leU32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    private def leU16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+    private def contentHash(bytes: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      h
+    }
+
+    private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+    override def decode(bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length.toLong
+      val hash = contentHash(bytes)
+      // PNG: 8-byte signature, then the IHDR chunk (always first) carries
+      // width/height as big-endian u32 at offsets 16 and 20.
+      if (bytes.length >= 24 && PngSig.indices.forall(i => bytes(i) == PngSig(i))) {
+        return MediaMeta(n, "png", beU32(bytes, 16).toInt, beU32(bytes, 20).toInt, 1, hash)
+      }
+      // JPEG: SOI then a marker stream; the frame header (SOF0..SOF15 minus
+      // DHT/JPG/DAC) carries height then width as big-endian u16.
+      if (bytes.length >= 4 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) {
+        var i = 2
+        while (i + 3 < bytes.length) {
+          if (bytes(i) != 0xFF.toByte) return MediaMeta(n, "jpeg", 0, 0, 1, hash)
+          while (i + 1 < bytes.length && bytes(i + 1) == 0xFF.toByte) i += 1 // fill bytes
+          val marker = bytes(i + 1) & 0xFF
+          if (marker == 0xD9 || (marker >= 0xD0 && marker <= 0xD7)) {
+            i += 2 // standalone marker, no segment length
+          } else {
+            if (i + 3 >= bytes.length) return MediaMeta(n, "jpeg", 0, 0, 1, hash)
+            val segLen = beU16(bytes, i + 2)
+            val isSof = marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+            if (isSof && i + 8 < bytes.length) {
+              return MediaMeta(n, "jpeg", beU16(bytes, i + 7), beU16(bytes, i + 5), 1, hash)
+            }
+            if (marker == 0xDA) return MediaMeta(n, "jpeg", 0, 0, 1, hash) // entropy data
+            i += 2 + segLen
+          }
+        }
+        return MediaMeta(n, "jpeg", 0, 0, 1, hash)
+      }
+      // GIF: "GIF87a"/"GIF89a", logical-screen width/height little-endian
+      // u16 at offsets 6/8.
+      if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8') {
+        return MediaMeta(n, "gif", leU16(bytes, 6), leU16(bytes, 8), 1, hash)
+      }
+      // BMP: "BM", BITMAPINFOHEADER width/height little-endian s32 at 18/22
+      // (height may be negative for top-down rows).
+      if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+        val w = leU32(bytes, 18).toInt
+        val h = math.abs(leU32(bytes, 22).toInt)
+        return MediaMeta(n, "bmp", w, h, 1, hash)
+      }
+      // WAV: RIFF/WAVE chunk walk — channels+bits from `fmt `, total sample
+      // frames from the `data` chunk size.
+      if (bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+        var channels = 0
+        var bitsPerSample = 0
+        var dataBytes = 0L
+        var i = 12
+        while (i + 8 <= bytes.length) {
+          val id = new String(bytes, i, 4, "US-ASCII")
+          val size = leU32(bytes, i + 4)
+          if (id == "fmt " && i + 8 + 16 <= bytes.length) {
+            channels = leU16(bytes, i + 10)
+            bitsPerSample = leU16(bytes, i + 22)
+          } else if (id == "data") {
+            dataBytes = size
+          }
+          i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+        val frameBytes = channels * (bitsPerSample / 8)
+        val frames = if (frameBytes > 0) (dataBytes / frameBytes).toInt else 0
+        return MediaMeta(n, "wav", 0, 0, frames, hash)
+      }
+      StubDecoder.decode(bytes)
+    }
+  }
+
+  /**
+   * Deterministic REAL media generator for tests and gate queries: renders
+   * an actual PNG/JPEG/BMP via `javax.imageio` (JDK-only, headless-safe for
+   * raster ops) with pixels seeded from `seed` — so a decoder must truly
+   * parse the container to recover the dimensions.
+   */
+  object SyntheticMedia {
+    def image(format: String, width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        math.max(width, 1), math.max(height, 1),
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = seed
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          img.setRGB(x, y, ((s >>> 40) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, baos)
+      baos.toByteArray
+    }
+
+    /** A minimal valid PCM WAV with the given shape (silence payload). */
+    def wav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+        frames: Int): Array[Byte] = {
+      val dataBytes = frames * channels * (bitsPerSample / 8)
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * bitsPerSample / 8)
+        .putShort((channels * bitsPerSample / 8).toShort)
+        .putShort(bitsPerSample.toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      bb.array()
+    }
+  }
+
+  /**
    * Batched decode: appends a `media_meta` struct column. Batches of
    * `batchSize` blobs are decoded together inside each partition (the shape
    * a vectorized/NN decoder needs), preserving row order.
    */
-  def decodeMeta(df: DataFrame, binCol: String, decoder: Decoder = StubDecoder,
+  def decodeMeta(df: DataFrame, binCol: String, decoder: Decoder = HeaderDecoder,
       batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("media_meta", mediaMetaType, nullable = true))

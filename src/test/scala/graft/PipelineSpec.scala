@@ -150,6 +150,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.select("resized.width").collect().forall(_.getInt(0) === 320))
   }
 
+  test("multimodal: HeaderDecoder parses real container headers") {
+    import Multimodal.{HeaderDecoder, SyntheticMedia}
+    // real encoders (javax.imageio) → real parse round-trip
+    for ((fmt, w, h) <- Seq(("png", 123, 45), ("jpg", 64, 200), ("bmp", 17, 31))) {
+      val bytes = SyntheticMedia.image(fmt, w, h, seed = 42L)
+      val m = HeaderDecoder.decode(bytes)
+      val wantFmt = if (fmt == "jpg") "jpeg" else fmt
+      assert(m.format === wantFmt, s"$fmt format")
+      assert(m.width === w, s"$fmt width")
+      assert(m.height === h, s"$fmt height")
+      assert(m.nBytes === bytes.length.toLong)
+    }
+    // WAV: frames = data bytes / (channels * bytes-per-sample)
+    val wav = SyntheticMedia.wav(channels = 2, sampleRate = 16000,
+      bitsPerSample = 16, frames = 777)
+    val wm = HeaderDecoder.decode(wav)
+    assert(wm.format === "wav")
+    assert(wm.nFrames === 777)
+    // GIF header (hand-built logical screen descriptor, little-endian dims)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x34, 0x12, 0x78, 0x56, 0, 0, 0, 0x3B)
+    val gm = HeaderDecoder.decode(gif)
+    assert(gm.format === "gif")
+    assert(gm.width === 0x1234)
+    assert(gm.height === 0x5678)
+    // unknown bytes fall back to the stub derivation (operator stays total)
+    val txt = "just some text".getBytes("UTF-8")
+    val tm = HeaderDecoder.decode(txt)
+    assert(tm === Multimodal.StubDecoder.decode(txt))
+  }
+
+  test("multimodal: decodeMeta recovers true dimensions from real PNG blobs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq((1L, 20, 10), (2L, 300, 7), (3L, 1, 1))
+    val df = rows.map { case (id, w, h) =>
+      (id, Multimodal.SyntheticMedia.image("png", w, h, id))
+    }.toDF("id", "blob")
+    val got = Multimodal.decodeMeta(df, "blob")
+      .select($"id", $"media_meta.format", $"media_meta.width", $"media_meta.height")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(got === rows.map { case (id, w, h) => (id, "png", w, h) }.toArray)
+  }
+
   test("multimodal: batched feature extraction feeds the ANN operators") {
     val bin = docs.limit(200).withColumn("blob", col("text").cast("binary"))
     val feats = Multimodal.extractFeatures(bin, "blob", batchSize = 13)

@@ -1,0 +1,149 @@
+package graft
+
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * TRUE multi-process concurrency over one shared persist path — separate
+ * JVMs, separate SparkSessions, only the filesystem in common (the repo's
+ * single-box analogue of the reference's dunit suites, e.g.
+ * `tests/dunit/.../AQPCatalogConsistencyDUnitTest.scala`). The in-process
+ * [[ConcurrentCatalogSpec]] races sessions inside ONE JVM; these scenarios
+ * pin what only a real process boundary can show:
+ *
+ *  1. lease-break of a lock held by a genuinely DEAD process (its `finally`
+ *     never ran — `Runtime.halt` mid-critical-section),
+ *  2. RELOAD→MERGE→PUBLISH appends from two separate JVMs with no lost
+ *     update, while a polling reader re-attaches torn-free, monotone
+ *     snapshots throughout.
+ */
+class CrossJvmConcurrencySpec extends AnyFunSuite {
+  import TestSpark._
+
+  // mirrors build.sbt's jdk17AddOpens — a child JVM creating a SparkSession
+  // outside spark-submit needs the same module opens
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private val javaBin = new java.io.File(
+    new java.io.File(System.getProperty("java.home"), "bin"), "java")
+    .getAbsolutePath
+
+  private def launch(args: String*): (Process, java.io.File) = {
+    val log = java.io.File.createTempFile("graft_xjvm_", ".log")
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx1500m", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.CrossJvmWorker") ++ args).toArray
+    val p = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(log)
+      .start()
+    (p, log)
+  }
+
+  private def freshSession(): (SparkSession, GraftSession) = {
+    val s = spark.newSession()
+    // temp views are session-scoped: every session needs the base view for
+    // TopK attach/creation to resolve
+    import s.implicits._
+    Seq("seed_x", "seed_y").toDF("event_type")
+      .createOrReplaceTempView("xjvm_base")
+    (s, GraftSession(s))
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("a lock held by a DEAD process is lease-broken; the append proceeds") {
+    val dir = tmpDir("graft_xjvm_l") + "/tk"
+    val (sA, gA) = freshSession()
+    import sA.implicits._
+    gA.sql("CREATE TOPK TABLE xjvm_dead ON xjvm_base OPTIONS(" +
+      s"key 'event_type', size '5', streamSummary 'true', " +
+      s"capacity '100000', path '$dir')")
+
+    val (p, log) = launch("hold-lock-and-die", dir)
+    assert(p.waitFor(180, TimeUnit.SECONDS),
+      s"lock-holder child did not exit; log: $log")
+    assert(p.exitValue() === 7, s"child crashed differently; log: $log")
+    val lock = new java.io.File(dir, "_graft.lock")
+    assert(lock.exists(),
+      "the dead holder's lock file must survive its crash (finally skipped)")
+
+    // short lease so the test doesn't sit out the 120 s default; the file's
+    // mtime is the dead child's acquisition time
+    sA.conf.set("spark.graft.pathLock.leaseMs", "2000")
+    try {
+      Thread.sleep(2500)
+      gA.appendToTopK("xjvm_dead", Seq.fill(60)("xjvm_m").toDF("event_type"))
+      assert(gA.queryFrequency("xjvm_dead", "xjvm_m").map(_._2) === Some(60L),
+        "the append must go through once the dead holder's lease is broken")
+    } finally sA.conf.unset("spark.graft.pathLock.leaseMs")
+
+    // and the breaker released properly: a second append needs no lease wait
+    val t0 = System.nanoTime()
+    gA.appendToTopK("xjvm_dead", Seq.fill(40)("xjvm_m").toDF("event_type"))
+    assert(gA.queryFrequency("xjvm_dead", "xjvm_m").map(_._2) === Some(100L))
+    assert((System.nanoTime() - t0) / 1e9 < 60.0, "no stale lock left behind")
+  }
+
+  test("appends from two separate JVMs serialize; polling attaches are torn-free") {
+    val dir = tmpDir("graft_xjvm_r") + "/tk"
+    val (sA, gA) = freshSession()
+    import sA.implicits._
+    gA.sql("CREATE TOPK TABLE xjvm_tk ON xjvm_base OPTIONS(" +
+      s"key 'event_type', size '5', streamSummary 'true', " +
+      s"capacity '100000', path '$dir')")
+
+    val (pa, logA) = launch("append-topk", dir, "xjvm_a", "12", "10")
+    val (pb, logB) = launch("append-topk", dir, "xjvm_b", "8", "10")
+
+    // poll fresh attaches while the children publish: every observed count
+    // is a whole number of batches (torn-free) and nondecreasing (each
+    // publish contains its predecessors)
+    var lastA, lastB = 0L
+    var polls = 0
+    val deadline = System.currentTimeMillis() + 240000
+    while ((pa.isAlive || pb.isAlive) && System.currentTimeMillis() < deadline) {
+      val (_, gP) = freshSession()
+      gP.sql("CREATE TOPK TABLE IF NOT EXISTS xjvm_poll ON xjvm_base OPTIONS(" +
+        s"key 'event_type', size '5', streamSummary 'true', " +
+        s"capacity '100000', path '$dir')")
+      val a = gP.queryFrequency("xjvm_poll", "xjvm_a").map(_._2).getOrElse(0L)
+      val b = gP.queryFrequency("xjvm_poll", "xjvm_b").map(_._2).getOrElse(0L)
+      assert(a % 10 === 0L, s"torn read of xjvm_a: $a")
+      assert(b % 10 === 0L, s"torn read of xjvm_b: $b")
+      assert(a >= lastA && b >= lastB,
+        s"snapshot went backwards: a $lastA->$a, b $lastB->$b")
+      lastA = a; lastB = b; polls += 1
+      Thread.sleep(300)
+    }
+    assert(pa.waitFor(60, TimeUnit.SECONDS) && pa.exitValue() === 0,
+      s"writer A failed; log: $logA")
+    assert(pb.waitFor(60, TimeUnit.SECONDS) && pb.exitValue() === 0,
+      s"writer B failed; log: $logB")
+    assert(polls > 0, "the poller must observe at least one live snapshot")
+
+    // final attach: no lost update across the process boundary, seeds intact
+    val (_, gD) = freshSession()
+    gD.sql("CREATE TOPK TABLE IF NOT EXISTS xjvm_done ON xjvm_base OPTIONS(" +
+      s"key 'event_type', size '5', streamSummary 'true', " +
+      s"capacity '100000', path '$dir')")
+    assert(gD.queryFrequency("xjvm_done", "xjvm_a").map(_._2) === Some(120L),
+      "JVM A's appends must all survive B's publishes")
+    assert(gD.queryFrequency("xjvm_done", "xjvm_b").map(_._2) === Some(80L),
+      "JVM B's appends must all survive A's publishes")
+    assert(gD.queryFrequency("xjvm_done", "seed_x").map(_._2) === Some(1L),
+      "base counts must be unchanged by cross-process appends")
+  }
+}

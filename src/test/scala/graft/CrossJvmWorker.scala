@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Child-process driver for [[CrossJvmConcurrencySpec]] — the repo's
+ * analogue of the reference's multi-JVM dunit harness
+ * (`tests/dunit/AQPCatalogConsistencyDUnitTest` family): each worker is a
+ * REAL separate JVM with its own SparkSession mutating a shared persist
+ * path, so cross-process lock acquisition, lease-break of a genuinely dead
+ * holder, and torn-snapshot retry are exercised without any in-process
+ * shortcuts.
+ *
+ * Modes:
+ *  - `hold-lock-and-die <dir>`: acquire the path lock, then `halt` so the
+ *    JVM dies WITHOUT running `finally` — the lock file survives, held by a
+ *    dead process (a crashed writer).
+ *  - `append-topk <dir> <marker> <batches> <perBatch>`: attach the TopK at
+ *    `<dir>` and append `<batches>` batches of `<perBatch>` rows of
+ *    `<marker>`, sleeping briefly between publishes so a polling reader
+ *    observes many intermediate snapshots.
+ */
+object CrossJvmWorker {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val dir = args(1)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-xjvm-worker")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val g = GraftSession(spark)
+    mode match {
+      case "hold-lock-and-die" =>
+        GraftSession.withPathLock(spark, dir) {
+          // crash while holding: halt skips finally, so the lock is never
+          // released — exactly a writer that died mid-publish
+          Runtime.getRuntime.halt(7)
+        }
+
+      case "append-topk" =>
+        val marker = args(2)
+        val batches = args(3).toInt
+        val perBatch = args(4).toInt
+        Seq("seed_x", "seed_y").toDF("event_type")
+          .createOrReplaceTempView("xjvm_base")
+        g.sql("CREATE TOPK TABLE IF NOT EXISTS xjvm_tk ON xjvm_base OPTIONS(" +
+          s"key 'event_type', size '5', streamSummary 'true', " +
+          s"capacity '100000', path '$dir')")
+        var i = 0
+        while (i < batches) {
+          g.appendToTopK("xjvm_tk", Seq.fill(perBatch)(marker).toDF("event_type"))
+          Thread.sleep(50)
+          i += 1
+        }
+        spark.stop()
+
+      case other =>
+        System.err.println(s"unknown mode: $other")
+        sys.exit(2)
+    }
+  }
+}

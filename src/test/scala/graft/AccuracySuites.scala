@@ -320,6 +320,75 @@ class JoinAccuracySpec extends AnyFunSuite with AccuracyHelpers {
   }
 }
 
+/**
+ * Calibration of the PARTIAL-ROUTING union (reference
+ * `PartialQueryRoutingTestSuite` + the accuracy harness): the one HAC shape
+ * with no coverage gate until now. Groups failing the error limit come back
+ * from the base EXACT (NULL bounds, zero errors); surviving sampled groups
+ * must still carry calibrated CIs — the union, not just the pure-sample
+ * path, is what a user reads. Swept under both estimators.
+ */
+class PartialRoutingAccuracySpec extends AnyFunSuite with AccuracyHelpers {
+  import TestSpark._
+
+  test("partial-routing union: rerouted groups exact, sampled groups' CIs cover truth (both estimators)") {
+    gs // registers li_acc
+    spark.sql("SELECT l_orderkey % 32 AS gk, l_extendedprice FROM li_acc")
+      .createOrReplaceTempView("li_part")
+    gs.sql("CREATE SAMPLE TABLE li_part_s ON li_part OPTIONS(" +
+      "qcs 'gk', fraction '0.08', strataReservoirSize '10')")
+    val truth = spark.sql(
+      "SELECT gk, sum(l_extendedprice) AS s FROM li_part GROUP BY gk")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    try {
+      for (estimator <- Seq("closedform", "bootstrap")) {
+        spark.conf.set("spark.sql.aqp.estimator", estimator)
+        var sawRerouted = false
+        var sawSampled = false
+        for (limit <- Seq(0.01, 0.08, 0.5)) {
+          val rows = gs.sql(
+            s"""SELECT gk, sum(l_extendedprice) AS s, absolute_error(s) AS ae,
+               |       lower_bound(s) AS lb, upper_bound(s) AS ub
+               |FROM li_part GROUP BY gk
+               |WITH ERROR $limit CONFIDENCE 0.95
+               |BEHAVIOR 'partial_run_on_base_table'""".stripMargin).collect()
+          assert(rows.map(_.getLong(0)).toSet === truth.keySet,
+            s"$estimator/$limit: the union must contain every group exactly once")
+          assert(rows.length === truth.size,
+            s"$estimator/$limit: no duplicated groups across the union")
+          // base-routed groups: NULL bounds + zero error + exact estimate
+          val (rerouted, sampled) = rows.partition(_.isNullAt(3))
+          rerouted.foreach { r =>
+            assert(math.abs(r.getDouble(1) - truth(r.getLong(0))) <= 1e-6,
+              s"$estimator/$limit: rerouted group ${r.getLong(0)} must be exact")
+            assert(r.getDouble(2) === 0.0,
+              s"$estimator/$limit: rerouted group carries zero error")
+          }
+          // surviving sampled groups: calibrated CI at 95% confidence; the
+          // content-hash-seeded sampler makes this replayable, not flaky
+          if (sampled.nonEmpty) {
+            sawSampled = true
+            val covered = sampled.count { r =>
+              r.getDouble(3) <= truth(r.getLong(0)) &&
+                truth(r.getLong(0)) <= r.getDouble(4)
+            }
+            assert(covered >= math.ceil(sampled.length * 0.8).toInt,
+              s"$estimator/$limit: CI covered only $covered/${sampled.length} " +
+                "surviving sampled groups")
+          }
+          if (rerouted.nonEmpty) sawRerouted = true
+        }
+        // the sweep must actually exercise BOTH sides of the union
+        assert(sawRerouted, s"$estimator: no limit produced a rerouted group")
+        assert(sawSampled, s"$estimator: no limit left a sampled group")
+      }
+    } finally {
+      spark.conf.set("spark.sql.aqp.estimator", "closedform")
+      gs.dropSampleTable("li_part_s")
+    }
+  }
+}
+
 /** Error functions over a sample READ BACK FROM DISK through the
  * DataSource API (reference `CFEEFunctionWithDatasourceAPITest` /
  * `BSAFunctionWithDatasourceAPITest`): the weight column alone makes the

@@ -110,13 +110,19 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (aggsLowestFirst.isEmpty) return stripStubs(child)
 
     // QCS-match quality of a candidate sample for a leaf-scoped query QCS
-    // (same ordering as GraftState.rank: exact > smallest superset (ties:
-    // fraction) > largest-overlap subset (ties: fraction) > any)
-    def score(i: graft.SampleInfo, q: Set[String]): (Int, Double, Double) = {
+    // (same ordering as GraftState.rank, mirroring the reference
+    // `QueryProcessingRules.scala:412-501`): tableQCS == GROUP BY columns
+    // alone wins outright (:427-431) > exact query-QCS (groupby+filter)
+    // match > superset by largest fraction alone — the "Largest sample
+    // size" selection rule, :462-478 — > minimum |queryQCS \ tableQCS|
+    // mismatch, where tables with EXTRA stratum columns still compete
+    // (:443-455), ties by fraction > any
+    def score(i: graft.SampleInfo, q: Set[String], g: Set[String]): (Int, Double, Double) = {
       val sq = i.qcs.map(_.toLowerCase).toSet
-      if (q.nonEmpty && sq == q) (3, 0.0, i.fraction)
-      else if (q.nonEmpty && q.subsetOf(sq)) (2, -sq.size.toDouble, i.fraction)
-      else if (sq.nonEmpty && sq.subsetOf(q))
+      if (g.nonEmpty && sq == g) (4, i.fraction, 0.0)
+      else if (q.nonEmpty && sq == q) (3, i.fraction, 0.0)
+      else if (q.nonEmpty && q.subsetOf(sq)) (2, i.fraction, 0.0)
+      else if (sq.intersect(q).nonEmpty)
         (1, sq.intersect(q).size.toDouble, i.fraction)
       else (0, 0.0, i.fraction)
     }
@@ -245,6 +251,12 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .filter(leafCols.contains)
           .map(_.name.toLowerCase).toSet
       }
+      // GROUP BY columns alone (the reference's groupby_qcs, tier :427-431)
+      def groupbyFor(leaf: LogicalPlan): Set[String] = {
+        val leafCols = leaf.outputSet
+        agg.groupingExpressions.flatMap(_.references.toSeq)
+          .filter(leafCols.contains).map(_.name.toLowerCase).toSet
+      }
       // Function-expression QCS entries (`qcs 'round(x / 10)'`) never match
       // by NAME — the name-based query QCS flattens grouping expressions to
       // their referenced attributes. Compare them as RESOLVED expressions:
@@ -266,14 +278,19 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             grouping.map(_.canonicalized).toSet
       }
       Some(allPairs.maxBy { case (leaf, i) =>
-        val base = score(i, qcsFor(leaf))
-        if (base._1 < 3 && exprExact(i, leaf)) (3, base._2, base._3) else base
+        val base = score(i, qcsFor(leaf), groupbyFor(leaf))
+        // expression-equality of the full grouping list with the stored
+        // function QCS IS a groupby-exact match (reference compares the
+        // grouping expressions against function QCS entries the same way)
+        if (base._1 < 4 && exprExact(i, leaf)) (4, i.fraction, 0.0) else base
       })
     }
 
     aggsLowestFirst.view.flatMap(a => candidateFor(a).map(c => (a, c)))
       .headOption match {
-      case None => stripStubs(child) // no registered sample: run on base
+      case None =>
+        state.lastChosenSample = None
+        stripStubs(child) // no registered sample: run on base
       case Some((agg, (targetLeaf, info))) =>
         // --- routing: unsupported aggregates run on the base table ---------
         // (reference `QueryRoutingRules.scala:41-103`)
@@ -287,7 +304,11 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => true
           })
         }
-        if (unsupported) return stripStubs(child)
+        if (unsupported) {
+          state.lastChosenSample = None
+          return stripStubs(child)
+        }
+        state.lastChosenSample = Some(info.name)
         rewriteWithSample(ec, child, agg, targetLeaf, info, error, confidence, behavior)
     }
   }

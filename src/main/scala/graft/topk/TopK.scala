@@ -28,7 +28,12 @@ final case class TopKOptions(
     seed: Int = 123,
     timeUnit: String = "auto",
     itemAggregation: Boolean = false,
-    maxDriverEntries: Long = 50000000L) {
+    maxDriverEntries: Long = 50000000L,
+    // batch-timed population (reference AQPStreamingSuite SNAP-463 family:
+    // `timeInterval '6000ms'` WITHOUT a timeSeriesColumn buckets each
+    // append by its arrival time relative to `epoch`)
+    epoch: Long = -1L,
+    batchTimed: Boolean = false) {
   def effectiveCapacity: Int = if (capacity > 0) capacity else math.max(size * 4, 400)
 
   /** Driver-held entries of one full interval sketch: counters for
@@ -38,6 +43,25 @@ final case class TopKOptions(
 }
 
 object TopKOptions {
+
+  /** Parse the reference's interval forms (`Utils.parseTimeInterval` — its
+   * DDL writes `timeInterval '6000ms'` / `'2s'`): a bare number is
+   * milliseconds; suffixes ms/s/sec/secs/m/min/mins/h scale. */
+  private[topk] def parseTimeInterval(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("ms")) (t.dropRight(2), 1L)
+      else if (t.endsWith("secs")) (t.dropRight(4), 1000L)
+      else if (t.endsWith("sec")) (t.dropRight(3), 1000L)
+      else if (t.endsWith("mins")) (t.dropRight(4), 60000L)
+      else if (t.endsWith("min")) (t.dropRight(3), 60000L)
+      else if (t.endsWith("s")) (t.dropRight(1), 1000L)
+      else if (t.endsWith("m")) (t.dropRight(1), 60000L)
+      else if (t.endsWith("h")) (t.dropRight(1), 3600000L)
+      else (t, 1L)
+    num.trim.toLong * mult
+  }
+
   /** Parse a `CREATE TOPK TABLE ... OPTIONS(...)` map. */
   def fromOptions(opts: Map[String, String]): TopKOptions = {
     val eps = opts.get("eps").map(_.toDouble)
@@ -48,11 +72,23 @@ object TopKOptions {
     val width = opts.get("width").map(_.toInt)
       .orElse(eps.map(e => math.ceil(math.E / e).toInt))
       .getOrElse(200)
+    val tsCol = opts.get("timeseriescolumn")
+    // the reference treats a timed TopK WITHOUT a time-series column as
+    // batch-timed: each append buckets at its arrival time relative to
+    // `epoch` (TopKWrapper.scala:105-116 + insert-time capture in
+    // sql/topk/TopKRelation.scala:105-112)
+    val batchTimed = tsCol.isEmpty &&
+      (opts.get("batchtimed").exists(_.toBoolean) ||
+        opts.contains("timeinterval") || opts.contains("epoch"))
     TopKOptions(
       key = opts.getOrElse("key",
         throw new IllegalArgumentException("TOPK table requires OPTIONS(key '...')")),
-      timeSeriesColumn = opts.get("timeseriescolumn"),
-      timeIntervalMs = opts.get("timeinterval").map(_.toLong).getOrElse(5000L),
+      timeSeriesColumn = tsCol,
+      timeIntervalMs = opts.get("timeinterval").map(parseTimeInterval)
+        .getOrElse(5000L),
+      epoch = opts.get("epoch")
+        .map(graft.GraftSession.parseTimestampMs(_, -1L)).getOrElse(-1L),
+      batchTimed = batchTimed,
       size = opts.get("size").map(_.toInt).getOrElse(100),
       depth = depth,
       width = width,
@@ -87,6 +123,12 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   val variant: String = if (opts.streamSummary) "summary" else "cms"
   val buckets =
     new TimeBucketedSketch(opts.maxInterval, () => mkSketch(), opts.itemAggregation)
+
+  /** Batch-timed bucketing origin: `opts.epoch` when declared, else the
+   * first append's arrival time (persisted with the snapshot so re-attached
+   * sessions keep the same interval numbering). */
+  @volatile private var epochBase: Long = opts.epoch
+  def establishedEpoch: Long = epochBase
 
   // ---------------------------------------------------------------------------
   // Interval spill store: when high key cardinality × many retained buckets
@@ -357,11 +399,21 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     if (opts.streamSummary) SummaryInterval(new StreamSummary(opts.effectiveCapacity))
     else CmsInterval(new TopKCms(opts.size, opts.depth, opts.width, opts.seed))
 
-  private def intervalOf(tsMillis: Long): Long = tsMillis / opts.timeIntervalMs
+  private def intervalOf(tsMillis: Long): Long =
+    if (opts.batchTimed)
+      Math.floorDiv(tsMillis - math.max(epochBase, 0L), opts.timeIntervalMs)
+    else tsMillis / opts.timeIntervalMs
 
   /** Distributed sketch build (one small shuffle of partial sketches), then
-   * driver-side merge into the time buckets. */
-  def append(df: DataFrame): Unit = mergePartials(df.sparkSession, buildPartials(df))
+   * driver-side merge into the time buckets. Batch-timed tables bucket the
+   * whole append at its arrival time. */
+  def append(df: DataFrame): Unit = append(df, System.currentTimeMillis())
+
+  /** [[append]] with an explicit batch time (reference `DataFrameWithTime`
+   * insert path — `sql/topk/TopKRelation.scala:105-112`); ignored unless
+   * the table is batch-timed. */
+  def append(df: DataFrame, batchTimeMs: Long): Unit =
+    mergePartialsAt(df.sparkSession, buildPartials(df), batchTimeMs)
 
   /** Phase 1 of an append — the DISTRIBUTED part: one per-interval sketch
    * per input partition, shuffled and combined to one bounded sketch per
@@ -407,9 +459,24 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * distributed job except a possible spill write); callers serializing
    * appends over a shared persist path hold the path lock around exactly
    * this phase plus the snapshot publish. */
-  def mergePartials(spark: SparkSession, partials: Seq[(Long, Array[Byte])]): Unit = {
+  def mergePartials(spark: SparkSession, partials: Seq[(Long, Array[Byte])]): Unit =
+    mergePartialsAt(spark, partials, System.currentTimeMillis())
+
+  /** [[mergePartials]] with the batch's arrival time: for a batch-timed
+   * table the partials (built at interval 0) are REBASED to the interval
+   * the batch time falls in — computed HERE, after a path-backed append has
+   * re-attached the latest snapshot, so the established epoch is the
+   * persisted one, not a stale pre-reload value. */
+  def mergePartialsAt(spark: SparkSession, partials: Seq[(Long, Array[Byte])],
+      batchTimeMs: Long): Unit = {
+    val shift =
+      if (!opts.batchTimed) 0L
+      else {
+        if (epochBase < 0L) epochBase = batchTimeMs // first append sets the origin
+        Math.floorDiv(batchTimeMs - epochBase, opts.timeIntervalMs)
+      }
     partials.foreach { case (iv, bytes) =>
-      buckets.addTo(iv, SketchAggregate.fromBytes(bytes))
+      buckets.addTo(iv + shift, SketchAggregate.fromBytes(bytes))
     }
     // Guard the driver's actual commitment, not the hypothetical worst case:
     // Space-Saving counters materialize only as keys arrive, so a big
@@ -436,9 +503,10 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
     val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
     val rows = mergedAll(startIv, endIv).map(_.topK(k)).getOrElse(Nil)
+    val base = if (opts.batchTimed) math.max(epochBase, 0L) else 0L
     val (covS, covE) = coveredAll(startIv, endIv)
       .map { case (s, e) =>
-        (s * opts.timeIntervalMs, (e + 1) * opts.timeIntervalMs - 1)
+        (s * opts.timeIntervalMs + base, (e + 1) * opts.timeIntervalMs - 1 + base)
       }
       .getOrElse((0L, 0L))
     (rows, covS, covE)

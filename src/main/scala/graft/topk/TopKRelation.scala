@@ -38,7 +38,10 @@ final class TopKRelation(st: TopKState, spark: SparkSession)
 
   private def asMs(v: Any): Long = v match {
     case n: java.lang.Number => n.longValue()
-    case other => other.toString.toLong
+    // timestamp-string bounds parse like the API's string window (the
+    // reference's relation receives its StartTime/EndTime predicates as
+    // strings — `sql/topk/TopKRelation.scala:60-74`)
+    case other => graft.GraftSession.parseTimestampMs(other.toString, 0L)
   }
 
   override def buildScan(requiredColumns: Array[String],

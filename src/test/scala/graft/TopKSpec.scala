@@ -58,6 +58,93 @@ class TopKSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("timestamp-string window API matches the epoch-ms API (SNAP-463 shape)") {
+    // reference AQPStreamingSuite queries
+    // queryApproxTSTopK(name, "yyyy-MM-dd HH:mm:ss.fff", ...) with
+    // null = open bound (SnappyContextAQPFunctions.scala:143-153)
+    gs.sql("CREATE TOPK TABLE tk_strts ON events OPTIONS(key 'user_id', " +
+      "streamSummary 'true', capacity '100000', size '5', " +
+      "timeSeriesColumn 'ts', timeInterval '3600000', maxInterval '20000', timeUnit 'ns')")
+    val bounds = spark.sql("SELECT min(ts), max(ts) FROM events").collect()(0)
+    val (t0, t1) = (bounds.getLong(0) / 1000000L, bounds.getLong(1) / 1000000L)
+    val mid = t0 + (t1 - t0) / 2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaEpoch = rows(gs.queryTopK("tk_strts", t0, mid, 5))
+    // same window as timestamp strings (JVM-timezone round-trip, like the
+    // reference's Utils.parseTimestamp)
+    val startStr = new java.sql.Timestamp(t0).toString
+    val midStr = new java.sql.Timestamp(mid).toString
+    assert(rows(gs.queryApproxTSTopK("tk_strts", startStr, midStr, 5)) === viaEpoch)
+    // epoch-ms digits inside a string parse too
+    assert(rows(gs.queryTopK("tk_strts", t0.toString, mid.toString, 5)) === viaEpoch)
+    // null / empty strings are open bounds: full-history query
+    val full = rows(gs.queryTopK("tk_strts", k = 5))
+    assert(rows(gs.queryApproxTSTopK("tk_strts", null, null, 5)) === full)
+    assert(rows(gs.queryTopK("tk_strts", "", "", 5)) === full)
+    // frequency API takes the same string window
+    val key = viaEpoch.head._1
+    assert(gs.queryFrequency("tk_strts", key, startStr, midStr) ===
+      gs.queryFrequency("tk_strts", key, t0, mid))
+    // date-only form parses (whole-day bound, JVM timezone)
+    val dayStr = new java.sql.Date(t0).toString
+    assert(rows(gs.queryTopK("tk_strts", dayStr, midStr, 5)).nonEmpty)
+  }
+
+  test("batch-timed topk: timeInterval without a ts column buckets by arrival (SNAP-463)") {
+    val s2 = spark
+    import s2.implicits._
+    Seq("seed").toDF("k").createOrReplaceTempView("tk_bt_base")
+    // reference DDL form: interval with unit suffix, no timeSeriesColumn —
+    // every append lands in the interval its batch TIME falls in,
+    // relative to the declared epoch
+    gs.sql("CREATE TOPK TABLE tk_bt ON tk_bt_base OPTIONS(key 'k', " +
+      "streamSummary 'true', capacity '1000', size '5', " +
+      "timeInterval '6000ms', epoch '0')")
+    gs.appendToTopK("tk_bt", Seq.fill(3)("a").toDF("k"), batchTimeMs = 10000L)
+    gs.appendToTopK("tk_bt", Seq.fill(2)("b").toDF("k"), batchTimeMs = 13000L)
+    gs.appendToTopK("tk_bt", Seq.fill(5)("a").toDF("k"), batchTimeMs = 25000L)
+    // window covering only interval 1 (6000-11999 ms): the first batch alone
+    val w1 = gs.queryTopK("tk_bt", 6000L, 11999L, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(w1 === Map("a" -> 3L))
+    // interval 2 alone: the second batch
+    val w2 = gs.queryTopK("tk_bt", 12000L, 17999L, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(w2 === Map("b" -> 2L))
+    // spanning window sums both "a" batches
+    assert(gs.queryFrequency("tk_bt", "a", 0L, 30000L).map(_._2) === Some(8L))
+    // -1/-1 is the reference's full-history form (includes the create scan)
+    val full = gs.queryApproxTSTopK("tk_bt", -1L, -1L, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(full === Map("a" -> 8L, "b" -> 2L, "seed" -> 1L))
+  }
+
+  test("batch-timed topk: established epoch survives a path re-attach") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tk_bt").toString + "/tk"
+    val s2 = spark
+    import s2.implicits._
+    Seq("seed").toDF("k").createOrReplaceTempView("tk_btp_base")
+    gs.sql("CREATE TOPK TABLE tk_btp ON tk_btp_base OPTIONS(key 'k', " +
+      "streamSummary 'true', capacity '1000', size '5', " +
+      s"timeInterval '10s', epoch '0', path '$dir')")
+    gs.appendToTopK("tk_btp", Seq.fill(4)("x").toDF("k"), batchTimeMs = 20000L)
+    gs.appendToTopK("tk_btp", Seq.fill(6)("x").toDF("k"), batchTimeMs = 45000L)
+    val mine = gs.queryFrequency("tk_btp", "x", 20000L, 29999L).map(_._2)
+    assert(mine === Some(4L))
+    // fresh session: IF NOT EXISTS re-attaches the snapshot; interval
+    // numbering (and so every windowed answer) must be identical
+    val sB = spark.newSession()
+    val gB = GraftSession(sB)
+    Seq("seed").toDF("k").createOrReplaceTempView("tk_btp_base")
+    gB.sql("CREATE TOPK TABLE IF NOT EXISTS tk_btp ON tk_btp_base OPTIONS(" +
+      s"key 'k', streamSummary 'true', capacity '1000', size '5', " +
+      s"timeInterval '10s', epoch '0', path '$dir')")
+    assert(gB.queryFrequency("tk_btp", "x", 20000L, 29999L).map(_._2) === Some(4L))
+    assert(gB.queryFrequency("tk_btp", "x", 40000L, 49999L).map(_._2) === Some(6L))
+    assert(gB.queryFrequency("tk_btp", "x", 0L, 60000L).map(_._2) === Some(10L))
+  }
+
   test("append accumulates into existing sketch") {
     gs.sql("CREATE TOPK TABLE tk_app ON events OPTIONS(key 'event_type', " +
       "streamSummary 'true', capacity '1000', size '5')")

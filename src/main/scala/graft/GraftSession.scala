@@ -48,18 +48,24 @@ final class GraftState {
   /** Micro-batch trigger interval (`STREAMING INIT <n> SECS`). */
   @volatile var streamingBatchMs: Long = 1000L
 
+  /** Sample chosen by the last AQP rewrite in this session (None when the
+   * query ran on base) — diagnostic hook for selection tests, the analogue
+   * of the reference's `AQPRules.setTestHookStoreAQPInfo`
+   * (`AQPRules.scala:48`). */
+  @volatile var lastChosenSample: Option[String] = None
+
   /** Samples registered on the given base table. */
   def samplesOn(baseName: String): Seq[SampleInfo] =
     samples.values.filter(_.baseName.equalsIgnoreCase(baseName)).toSeq
 
   /**
    * Best sample for a query QCS (grouping + filter columns), per the
-   * reference's ranking (`QueryProcessingRules.scala:412-501`):
-   * exact QCS match > smallest superset (ties: largest fraction) >
-   * largest-overlap subset (ties: largest fraction) > any (largest fraction).
+   * reference's ranking — see [[GraftState.rank]] for the full tiering
+   * (`QueryProcessingRules.scala:412-501`).
    */
-  def pickSample(baseName: String, queryQcs: Seq[String]): Option[SampleInfo] =
-    GraftState.rank(samplesOn(baseName), queryQcs)
+  def pickSample(baseName: String, queryQcs: Seq[String],
+      groupbyQcs: Seq[String] = Nil): Option[SampleInfo] =
+    GraftState.rank(samplesOn(baseName), queryQcs, groupbyQcs)
 }
 
 object GraftState {
@@ -73,26 +79,33 @@ object GraftState {
 
   /** QCS ranking over an arbitrary candidate pool (samples registered on
    * plan-equal bases all compete — different views over the same data are
-   * interchangeable). */
-  def rank(candidates: Seq[SampleInfo], queryQcs: Seq[String]): Option[SampleInfo] = {
+   * interchangeable). Mirrors the reference's tiering
+   * (`QueryProcessingRules.scala:412-501`): a table whose QCS equals the
+   * GROUP BY columns alone wins outright, then an exact query-QCS
+   * (groupby+filter) match, then supersets by largest fraction alone
+   * (:462-478 — no smallest-QCS preference), then minimum
+   * |queryQCS \ tableQCS| mismatch — tables with EXTRA stratum columns
+   * still compete in this tier (:443-455) — ties by fraction. */
+  def rank(candidates: Seq[SampleInfo], queryQcs: Seq[String],
+      groupbyQcs: Seq[String] = Nil): Option[SampleInfo] = {
     if (candidates.isEmpty) return None
     val q = queryQcs.map(_.toLowerCase).toSet
-
+    val g = groupbyQcs.map(_.toLowerCase).toSet
     def sampleQcs(s: SampleInfo) = s.qcs.map(_.toLowerCase).toSet
+
+    val gExact = candidates.filter(s => g.nonEmpty && sampleQcs(s) == g)
+    if (gExact.nonEmpty) return Some(gExact.maxBy(_.fraction))
 
     val exact = candidates.filter(s => sampleQcs(s) == q && q.nonEmpty)
     if (exact.nonEmpty) return Some(exact.maxBy(_.fraction))
 
     val supersets = candidates.filter(s => q.nonEmpty && q.subsetOf(sampleQcs(s)))
-    if (supersets.nonEmpty) {
-      val minSize = supersets.map(s => sampleQcs(s).size).min
-      return Some(supersets.filter(s => sampleQcs(s).size == minSize).maxBy(_.fraction))
-    }
+    if (supersets.nonEmpty) return Some(supersets.maxBy(_.fraction))
 
-    val subsets = candidates.filter(s => sampleQcs(s).subsetOf(q) && sampleQcs(s).nonEmpty)
-    if (subsets.nonEmpty) {
-      val maxOverlap = subsets.map(s => sampleQcs(s).intersect(q).size).max
-      return Some(subsets.filter(s => sampleQcs(s).intersect(q).size == maxOverlap)
+    val overlapping = candidates.filter(s => sampleQcs(s).intersect(q).nonEmpty)
+    if (overlapping.nonEmpty) {
+      val maxOverlap = overlapping.map(s => sampleQcs(s).intersect(q).size).max
+      return Some(overlapping.filter(s => sampleQcs(s).intersect(q).size == maxOverlap)
         .maxBy(_.fraction))
     }
 
@@ -382,16 +395,24 @@ class GraftSession(val spark: SparkSession) {
    * both land — the counts are a merge of both batches, not
    * last-writer-wins. Between appends a session's QUERIES read its own
    * (possibly stale) view; appending is what synchronizes. */
-  def appendToTopK(name: String, df: DataFrame): Unit = {
+  def appendToTopK(name: String, df: DataFrame): Unit =
+    appendToTopK(name, df, System.currentTimeMillis())
+
+  /** [[appendToTopK]] with an explicit batch time — what a batch-timed
+   * table buckets this append under (reference `DataFrameWithTime`);
+   * ignored for time-series-column and untimed tables. */
+  def appendToTopK(name: String, df: DataFrame, batchTimeMs: Long): Unit = {
     state.topkPaths.get(name.toLowerCase) match {
       case Some(p) =>
         val partials = topkState(name).buildPartials(df)
         GraftSession.withPathLock(spark, p) {
           val st = attachTopKTable(name, p)
-          st.mergePartials(spark, partials)
+          // rebase AFTER the reload so a batch-timed shift uses the
+          // persisted epoch, not a stale pre-attach value
+          st.mergePartialsAt(spark, partials, batchTimeMs)
           saveTopK(name, p)
         }
-      case None => topkState(name).append(df)
+      case None => topkState(name).append(df, batchTimeMs)
     }
   }
 
@@ -450,7 +471,21 @@ class GraftSession(val spark: SparkSession) {
     val o = st.opts
     props.setProperty("key", o.key)
     o.timeSeriesColumn.foreach(props.setProperty("timeseriescolumn", _))
-    props.setProperty("timeinterval", o.timeIntervalMs.toString)
+    // `timeinterval` only for TIMED tables: its mere presence without a
+    // time-series column marks a table batch-timed at option resolution
+    // (TopKOptions.fromOptions), so writing it for untimed tables would
+    // flip their semantics on re-attach
+    if (o.timeSeriesColumn.isDefined || o.batchTimed) {
+      props.setProperty("timeinterval", o.timeIntervalMs.toString)
+    }
+    if (o.batchTimed) {
+      props.setProperty("batchtimed", "true")
+      // the established origin keeps interval numbering stable across
+      // re-attaches (first-append time unless an epoch was declared)
+      if (st.establishedEpoch >= 0L) {
+        props.setProperty("epoch", st.establishedEpoch.toString)
+      }
+    }
     props.setProperty("size", o.size.toString)
     props.setProperty("depth", o.depth.toString)
     props.setProperty("width", o.width.toString)
@@ -473,9 +508,16 @@ class GraftSession(val spark: SparkSession) {
         java.util.UUID.randomUUID().toString.take(8))
     val metaOut = fs.create(metaTmp, true)
     try props.store(metaOut, "graft topk registry") finally metaOut.close()
-    if (fs.exists(metaPath)) fs.delete(metaPath, false)
-    require(fs.rename(metaTmp, metaPath),
-      s"could not publish TopK registry metadata $metaPath")
+    // ATOMIC replace: FileContext.rename(OVERWRITE) swaps the meta in one
+    // operation on local and HDFS filesystems. The previous delete→rename
+    // pair exposed a no-meta window — a concurrent reader (or a reloading
+    // appender in another process) catching it would see "no registry
+    // metadata" and could treat the store as empty, publishing without the
+    // other session's data (lost update)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(metaPath).toUri, conf)
+    fc.rename(fs.makeQualified(metaTmp), fs.makeQualified(metaPath),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // retire snapshots two or more versions old (current-1 is kept so a
     // reader holding the previous pointer can still finish its attach)
     fs.listStatus(dir).foreach { s =>
@@ -608,18 +650,43 @@ class GraftSession(val spark: SparkSession) {
       .createOrReplaceTempView(st.name)
 
   /** Query top-k keys between epoch-millisecond times (reference
-   * `queryTopK(name, start, end, k)`). */
+   * `queryTopK(name, start, end, k)`; `-1` on either side is an OPEN bound,
+   * as in the reference's `queryApproxTSTopK(name, -1, -1)` full-history
+   * form — `AQPStreamingSuite.scala:819`). */
   def queryTopK(name: String, startMs: Long = Long.MinValue,
       endMs: Long = Long.MaxValue, k: Int = -1): DataFrame = {
     val st = topkState(name)
-    st.queryTopK(spark, startMs, endMs, if (k > 0) k else st.opts.size)
+    val s = if (startMs == -1L) Long.MinValue else startMs
+    val e = if (endMs == -1L) Long.MaxValue else endMs
+    st.queryTopK(spark, s, e, if (k > 0) k else st.opts.size)
   }
+
+  /** Timestamp-string window (reference
+   * `SnappyContextAQPFunctions.queryTopK:143-153` — `null`/empty bound =
+   * open; accepts `yyyy-MM-dd HH:mm:ss[.fff]`, `yyyy-MM-dd`, or epoch ms). */
+  def queryTopK(name: String, startTime: String, endTime: String,
+      k: Int): DataFrame =
+    queryTopK(name, GraftSession.parseTimestampMs(startTime, Long.MinValue),
+      GraftSession.parseTimestampMs(endTime, Long.MaxValue), k)
+
+  def queryTopK(name: String, startTime: String, endTime: String): DataFrame =
+    queryTopK(name, startTime, endTime, -1)
 
   /** Reference-named alias for [[queryTopK]]
    * (`snappy.queryApproxTSTopK(name, start, end, k)`). */
   def queryApproxTSTopK(name: String, startMs: Long = Long.MinValue,
       endMs: Long = Long.MaxValue, k: Int = -1): DataFrame =
     queryTopK(name, startMs, endMs, k)
+
+  /** Timestamp-string alias (reference `AQPStreamingSuite` calls
+   * `queryApproxTSTopK(name, startTimeString, endTimeString)`). */
+  def queryApproxTSTopK(name: String, startTime: String,
+      endTime: String): DataFrame =
+    queryTopK(name, startTime, endTime, -1)
+
+  def queryApproxTSTopK(name: String, startTime: String, endTime: String,
+      k: Int): DataFrame =
+    queryTopK(name, startTime, endTime, k)
 
   private def topkState(name: String): graft.topk.TopKState =
     state.topks.get(name.toLowerCase) match {
@@ -633,6 +700,13 @@ class GraftSession(val spark: SparkSession) {
   def queryFrequency(name: String, key: Any, startMs: Long = Long.MinValue,
       endMs: Long = Long.MaxValue): Option[(Long, Long, Long)] =
     topkState(name).queryFrequency(key, startMs, endMs)
+
+  /** Timestamp-string window over [[queryFrequency]] (`null`/empty = open). */
+  def queryFrequency(name: String, key: Any, startTime: String,
+      endTime: String): Option[(Long, Long, Long)] =
+    queryFrequency(name, key,
+      GraftSession.parseTimestampMs(startTime, Long.MinValue),
+      GraftSession.parseTimestampMs(endTime, Long.MaxValue))
 
   /**
    * DataFrame-API approximate execution (reference entry point B —
@@ -789,11 +863,14 @@ object GraftSession {
    * Serialize mutations of a shared persist path (sample/TopK appends,
    * snapshot publishes) across sessions and JVMs: an exclusive lock file
    * (`_graft.lock`) created atomically (`FileSystem.create` with
-   * `overwrite = false` — atomic on HDFS and object-store committers),
-   * with a LEASE — a lock older than `spark.graft.pathLock.leaseMs`
-   * (default 120 s) is presumed abandoned by a crashed writer and broken
-   * by the next acquirer. Writers must finish inside the lease or risk a
-   * concurrent entry; acquisition gives up after two leases.
+   * `overwrite = false` — atomic on HDFS; on a LOCAL filesystem Hadoop's
+   * create(false) is check-then-act, so acquisition goes through
+   * `File.createNewFile` there, which is an atomic `open(O_CREAT|O_EXCL)`
+   * across processes on one host), with a LEASE — a lock older than
+   * `spark.graft.pathLock.leaseMs` (default 120 s) is presumed abandoned
+   * by a crashed writer and broken by the next acquirer. Writers must
+   * finish inside the lease or risk a concurrent entry; acquisition gives
+   * up after two leases.
    */
   def withPathLock[A](spark: SparkSession, path: String)(body: => A): A = {
     val conf = spark.sessionState.newHadoopConf()
@@ -801,14 +878,37 @@ object GraftSession {
     val lockPath = new org.apache.hadoop.fs.Path(dir, "_graft.lock")
     val fs = lockPath.getFileSystem(conf)
     fs.mkdirs(dir)
+    val localFile: Option[java.io.File] =
+      fs.makeQualified(lockPath).toUri match {
+        case u if u.getScheme == "file" => Some(new java.io.File(u.getPath))
+        case _ => None
+      }
+    def tryCreate(): Boolean = localFile match {
+      case Some(f) =>
+        // RawLocalFileSystem.create(overwrite=false) does exists()-then-
+        // create — two processes can BOTH succeed in the gap and the lock
+        // silently admits two writers (observed as a lost TopK append
+        // under load). createNewFile is a single atomic O_EXCL open.
+        if (!f.createNewFile()) false
+        else {
+          val out = new java.io.FileOutputStream(f)
+          try out.write(java.nio.ByteBuffer.allocate(8)
+            .putLong(System.currentTimeMillis()).array())
+          finally out.close()
+          true
+        }
+      case None =>
+        val out = fs.create(lockPath, false)
+        try out.writeLong(System.currentTimeMillis()) finally out.close()
+        true
+    }
     val leaseMs = spark.conf.get("spark.graft.pathLock.leaseMs", "120000").toLong
     val deadline = System.currentTimeMillis() + 2 * leaseMs
     var acquired = false
     while (!acquired) {
       try {
-        val out = fs.create(lockPath, false)
-        try out.writeLong(System.currentTimeMillis()) finally out.close()
-        acquired = true
+        if (tryCreate()) acquired = true
+        else throw new java.io.IOException("lock held")
       } catch {
         case _: java.io.IOException =>
           val age =
@@ -837,6 +937,26 @@ object GraftSession {
     try body finally fs.delete(lockPath, false)
   }
 
+  /**
+   * Parse the reference's timestamp-bound forms to epoch milliseconds
+   * (reference `Utils.parseTimestamp` as used by
+   * `SnappyContextAQPFunctions.scala:143-190`): `null`/empty → `dflt`
+   * (open bound); a pure number is epoch ms; otherwise
+   * `yyyy-MM-dd HH:mm:ss[.fff]` or `yyyy-MM-dd` in the JVM timezone.
+   */
+  private[graft] def parseTimestampMs(s: String, dflt: Long): Long =
+    if (s == null || s.trim.isEmpty) dflt
+    else {
+      val t = s.trim
+      try t.toLong catch {
+        case _: NumberFormatException =>
+          try java.sql.Timestamp.valueOf(t).getTime catch {
+            case _: IllegalArgumentException =>
+              java.sql.Date.valueOf(t).getTime
+          }
+      }
+    }
+
   /** True when `path` holds persisted TopK registry metadata. */
   def topkMetaExists(path: String,
       conf: org.apache.hadoop.conf.Configuration): Boolean = {
@@ -846,13 +966,27 @@ object GraftSession {
   }
 
   /** Persisted TopK registry metadata: (option map without `__`-internal
-   * keys, base-table name). For drift checks before a re-attach. */
+   * keys, base-table name). For drift checks before a re-attach. The meta
+   * replace is atomic on local/HDFS ([[GraftSession.saveTopK]]), but object
+   * stores may still expose a brief not-found window mid-publish — retry
+   * it here since drift checks run OUTSIDE [[attachTopKTable]]'s loop. */
   def readTopkMetaOptions(path: String,
       conf: org.apache.hadoop.conf.Configuration): (Map[String, String], String) = {
     val p = new org.apache.hadoop.fs.Path(path, TopkMetaFile)
     val props = new java.util.Properties()
-    val in = p.getFileSystem(conf).open(p)
-    try props.load(in) finally in.close()
+    var attempt = 0
+    var loaded = false
+    while (!loaded) {
+      attempt += 1
+      try {
+        val in = p.getFileSystem(conf).open(p)
+        try props.load(in) finally in.close()
+        loaded = true
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 5 =>
+          Thread.sleep(100)
+      }
+    }
     import scala.jdk.CollectionConverters._
     val opts = props.stringPropertyNames().asScala
       .filterNot(_.startsWith("__"))

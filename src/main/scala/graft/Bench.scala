@@ -105,11 +105,17 @@ object Bench {
         ",\"storage_mb\":" + (storageBytes() >> 20) + "}"
       name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3t(d: Double): Double = math.rint(d * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3t(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = r3t(results.map(_._2).sum)
     val diagJson = diag.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","diag":$diagJson}""")
+    // per-pass diagnostics go to stderr on their own line: the driver
+    // captures a bounded tail of stdout and parses the LAST JSON line —
+    // r7's single fat line (medians + diag) overflowed that window and
+    // truncated its own head, so BENCH_r07 recorded parsed:null
+    System.err.println(s"""{"bench_diag":$diagJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -795,9 +795,14 @@ object GraftSession {
     // make the slot part of the stratum key
     val timeQcs = opts.get("timeseriescolumn").map { ts =>
       val ivMs = opts.get("timeinterval").map(_.toLong).getOrElse(5000L)
-      opts.getOrElse("timeunit", "auto") match {
-        // nanos-as-long is integral by construction; integer `div` keeps the
-        // slot exact — double division loses ns precision above 2^53
+      val tsType = base.schema.find(_.name.equalsIgnoreCase(ts)).map(_.dataType)
+      // timestamp-typed columns carry their own unit and win over the
+      // declared timeUnit (graft.TimeCol, tz-independent); integral columns
+      // keep the declared-unit dispatch, with integer `div` so ns epochs
+      // above 2^53 don't lose slot precision to double division
+      if (tsType.exists(TimeCol.isTimeTyped)) {
+        TimeCol.slotSql(ts, tsType, "ms", ivMs)
+      } else opts.getOrElse("timeunit", "auto") match {
         case "ns" => s"($ts div ${ivMs * 1000000L})"
         case "s" => s"floor($ts * 1000 / $ivMs)"
         case "ms" => s"floor($ts / $ivMs)"

@@ -12,6 +12,15 @@ object SparkEntry {
   private[graft] def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The testdata `events.ts` column has shipped as BOTH parquet
+   * `timestamp[ns]` (loaded as long nanos under
+   * `spark.sql.legacy.parquet.nanosAsLong`) and `timestamp[us]` (loaded as
+   * TIMESTAMP_NTZ); the engine accepts either (graft.TimeCol), and the
+   * event-time queries dispatch on the ACTUAL loaded type so they run
+   * unchanged against both vintages. */
+  private def tsType(df: DataFrame): org.apache.spark.sql.types.DataType =
+    df.schema.find(_.name.equalsIgnoreCase("ts")).get.dataType
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_weighted_agg")(spark, "/root/testdata/sf0.001")
@@ -676,8 +685,9 @@ object SparkEntry {
     "q39_stream_windowed" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.types._
-      val ev = tbl(s, dir, "events")
-        .select(expr("timestamp_micros(cast(ts / 1000 as long))").as("ts"),
+      val raw = tbl(s, dir, "events")
+      val ev = raw
+        .select(expr(TimeCol.asInstantSql("ts", tsType(raw), "ns")).as("ts"),
           col("event_type"))
       // Replay through a file-source stream in two event-time-ordered batches
       // (never collects the table to the driver — only a 2-value bound
@@ -938,21 +948,30 @@ object SparkEntry {
     "q51_timeslot_aging" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val gs = GraftSession(s)
-      tbl(s, dir, "events").createOrReplaceTempView("events_q51")
+      val raw = tbl(s, dir, "events")
+      raw.createOrReplaceTempView("events_q51")
+      // the declared column type and the cut predicate follow the loaded
+      // ts type (timestamp_ntz for timestamp[us] parquet; long for the
+      // legacy nanos vintage) — cut is 2024-01-08T00:00:00Z either way
+      val tsT = tsType(raw)
+      val cutPred = tsT match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          "TIMESTAMP_NTZ '2024-01-08 00:00:00'"
+        case org.apache.spark.sql.types.TimestampType =>
+          "timestamp_micros(1704672000000000L)"
+        case _ => "1704672000000000000L"
+      }
       gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS events_q51_sample " +
-        "(event_id long, ts long, user_id long, event_type string, " +
+        s"(event_id long, ts ${tsT.sql}, user_id long, event_type string, " +
         "value double, props string) " +
         "OPTIONS(qcs 'event_type', timeSeriesColumn 'ts', " +
         "timeInterval '86400000', timeUnit 'ns', fraction '0.0', " +
         "strataReservoirSize '20')")
-      // 2024-01-08T00:00:00Z in nanos — replay the stream as two
-      // slot-aligned intervals
-      val cut = 1704672000000000000L
-      gs.sql(s"INSERT INTO events_q51_sample SELECT * FROM events_q51 WHERE ts < ${cut}L")
-      gs.sql(s"INSERT INTO events_q51_sample SELECT * FROM events_q51 WHERE ts >= ${cut}L")
+      gs.sql(s"INSERT INTO events_q51_sample SELECT * FROM events_q51 WHERE ts < $cutPred")
+      gs.sql(s"INSERT INTO events_q51_sample SELECT * FROM events_q51 WHERE ts >= $cutPred")
       s.table("events_q51_sample")
         .groupBy(col("event_type"),
-          expr("ts div 86400000000000").as("slot_day"))
+          expr(TimeCol.slotSql("ts", Some(tsT), "ns", 86400000L)).as("slot_day"))
         .agg(count(lit(1)).as("kept"),
           round(graft.functions.weighted_count(col("event_type")), 4).as("est_total"))
         .orderBy(col("event_type"), col("slot_day"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.SketchAggregate
 import org.apache.spark.sql.types._
 
+import graft.TimeCol
 import graft.sketch.{IntervalSketch, TimeBucketedSketch, CmsInterval, SummaryInterval, TopKCms, StreamSummary}
 
 /**
@@ -426,24 +427,16 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     val freqCol = opts.frequencyCol.map(col).getOrElse(lit(1L)).cast(LongType)
     val ivCol = opts.timeSeriesColumn match {
       case Some(ts) =>
+        // the ACTUAL column type wins over the declared timeUnit: a user
+        // declares `timeUnit 'ns'` for an integer-epoch encoding, but a
+        // timestamp-typed column (what parquet timestamp[us]/[ns] loads as)
+        // carries its own unit, matching the reference's dual long/Timestamp
+        // handling (`execution/TopKWrapper.scala:105-116`). graft.TimeCol
+        // keeps everything in integral `div` — ns epochs exceed 2^53, where
+        // double division quantizes to ~256 ns and mis-buckets events near
+        // an interval boundary (same rule as the sampler's time-slot strata).
         val tsType = df.schema.find(_.name.equalsIgnoreCase(ts)).map(_.dataType)
-        // integral `div` end-to-end for integer epochs: ns values exceed
-        // 2^53, where double division quantizes to ~256 ns and mis-buckets
-        // events near an interval boundary (same rule as the sampler's
-        // time-slot strata)
-        (opts.timeUnit, tsType) match {
-          case ("ns", _) =>
-            expr(s"CAST($ts AS BIGINT) div ${opts.timeIntervalMs * 1000000L}L")
-          case ("ms", _) =>
-            expr(s"CAST($ts AS BIGINT) div ${opts.timeIntervalMs}L")
-          case ("s", _) =>
-            expr(s"(CAST($ts AS BIGINT) * 1000L) div ${opts.timeIntervalMs}L")
-          case (_, Some(TimestampType)) =>
-            floor(col(ts).cast("double") * lit(1000.0) /
-              opts.timeIntervalMs.toDouble).cast(LongType)
-          case _ => // assume epoch millis
-            expr(s"CAST($ts AS BIGINT) div ${opts.timeIntervalMs}L")
-        }
+        expr(TimeCol.slotSql(ts, tsType, opts.timeUnit, opts.timeIntervalMs))
       case None => lit(0L)
     }
     val agg = SketchAggregate(keyCol, freqCol, variant, opts.size, opts.depth,

@@ -288,7 +288,7 @@ class JoinAccuracySpec extends AnyFunSuite with AccuracyHelpers {
   // closed-form CI must still frame the (filtered) truth slice by slice ---
   test("conditional count/sum: CI covers the truth across time-slice filters") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_acc")
+    eventsLongNs(spark).createOrReplaceTempView("ev_acc")
     gs.sql("CREATE SAMPLE TABLE ev_acc_s ON ev_acc " +
       "OPTIONS(qcs 'event_type', fraction '0.1')")
     try {

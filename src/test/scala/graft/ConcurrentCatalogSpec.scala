@@ -23,7 +23,7 @@ class ConcurrentCatalogSpec extends AnyFunSuite {
     val s = spark.newSession()
     // runtime conf mutations don't propagate into new sessions
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("events")
+    eventsLongNs(s).createOrReplaceTempView("events")
     s.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("lineitem")
     (s, GraftSession(s))
   }

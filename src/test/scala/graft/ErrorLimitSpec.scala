@@ -44,7 +44,7 @@ class ErrorLimitSpec extends AnyFunSuite {
   }
 
   test("time-series strata: CREATE SAMPLE TABLE with timeSeriesColumn") {
-    spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("events_el")
+    eventsLongNs(spark).createOrReplaceTempView("events_el")
     val gs = new GraftSession(spark)
     gs.sql("CREATE SAMPLE TABLE ev_sample ON events_el OPTIONS(" +
       "qcs 'event_type', timeSeriesColumn 'ts', timeInterval '86400000', " +

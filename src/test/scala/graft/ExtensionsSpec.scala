@@ -64,7 +64,7 @@ class ExtensionsSpec extends AnyFunSuite {
     SparkSession.setActiveSession(ext)
     try {
       ext.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      ext.read.parquet(s"${TestSpark.sf}/events.parquet")
+      TestSpark.eventsLongNs(ext, TestSpark.sf)
         .createOrReplaceTempView("ev_ext")
       val dir = java.nio.file.Files.createTempDirectory("graft_exttk_").toString + "/tk"
       ext.sql("CREATE TOPK TABLE tk_ext ON ev_ext OPTIONS(key 'event_type', " +

@@ -117,7 +117,7 @@ class LayoutInvarianceSpec extends AnyFunSuite {
   }
 
   test("TopK answers are layout-invariant, including through the spill store") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = eventsLongNs(spark)
     val byLayout = layouts(events).map { case (name, df) =>
       // small guard forces most buckets through the spill path; Space-Saving
       // below capacity is exact, so every layout must agree exactly

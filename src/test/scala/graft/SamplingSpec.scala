@@ -16,9 +16,25 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
-  // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long nanos
+  // events.parquet has shipped as BOTH timestamp[ns] (read as long nanos
+  // under this flag) and timestamp[us] (read as TIMESTAMP_NTZ, which the
+  // flag does not touch) — keep the flag for the ns vintage and normalize
+  // through eventsLongNs for specs that do integer epoch arithmetic
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   val sf: String = "/root/testdata/sf0.001"
+
+  /** events with `ts` normalized to LONG NANOS whatever the parquet
+   * vintage, so specs exercising integer-epoch arithmetic (the reference's
+   * long-typed time columns) stay valid; timestamp-typed ingestion has its
+   * own coverage in TimeColSpec/TopKSpec. */
+  def eventsLongNs(s: SparkSession, dir: String = sf): org.apache.spark.sql.DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case dt => raw.withColumn("ts",
+        expr(s"${TimeCol.epochMicrosSql("ts", Some(dt))} * 1000L"))
+    }
+  }
 }
 
 class SamplingSpec extends AnyFunSuite {

@@ -8,7 +8,7 @@ class TopKSpec extends AnyFunSuite {
 
   private lazy val gs: GraftSession = {
     val g = new GraftSession(spark)
-    spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("events")
+    eventsLongNs(spark).createOrReplaceTempView("events")
     g
   }
 

@@ -775,7 +775,7 @@ object SparkEntry {
       s.sql(
         """SELECT event_type, estimated_value, lower_bound
           |FROM q42_topk
-          |WHERE start_time >= 1704067200000 AND end_time <= 1705276799999
+          |WHERE start_time >= timestamp_millis(1704067200000) AND end_time <= timestamp_millis(1705276799999)
           |ORDER BY estimated_value DESC, event_type ASC""".stripMargin)
     }),
 

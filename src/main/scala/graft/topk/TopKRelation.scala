@@ -10,17 +10,28 @@ import org.apache.spark.sql.types._
  * reference's `TopKRelation.buildScan` `PrunedFilteredScan` (reference
  * `sql/topk/TopKRelation.scala:59-86`, schema `approximate/TopKUtil.scala:
  * 40-56`): `SELECT * FROM topkName WHERE start_time >= a AND end_time <= b`
- * prunes sketch intervals to [a, b] (epoch milliseconds) before the merge,
- * instead of merging the whole history.
+ * prunes sketch intervals to [a, b] before the merge, instead of merging
+ * the whole history.
+ *
+ * `start_time`/`end_time` are TIMESTAMP columns. The reference types its
+ * `StartTime`/`EndTime` as strings (`TopKUtil.scala:43-45`) so both
+ * timestamp-string predicates (`start_time = '2024-01-02 00:00:00'`, the
+ * SNAP-463 SQL shape) and numeric ones can reach its scan; under Spark's
+ * ANSI analyzer a string column breaks the numeric form (the attribute gets
+ * cast-wrapped and the filter never pushes down). A timestamp column keeps
+ * BOTH forms working: string literals coerce to timestamp literals, epoch
+ * numbers arrive via `timestamp_millis(...)`, and in each case the bare
+ * attribute pushes the bound into the sketch merge.
+ *
+ * Emitted rows echo the queried bound clamped to milliseconds, so the
+ * re-applied predicate above the scan (every filter is also re-checked by
+ * Spark — `unhandledFilters` returns all of them, making pruning purely a
+ * performance contract) accepts exactly the rows it asked for. Bounds with
+ * sub-millisecond precision are not supported (the sketch's interval
+ * resolution is milliseconds).
  *
  * The scan reads the live [[TopKState]], so appends are visible without
- * re-registering the view. Emitted `start_time`/`end_time` echo the queried
- * bounds (the actual covered bucket range when a bound is open), matching
- * the reference's convention of projecting the query window onto each row.
- *
- * Every filter is also re-applied by Spark above the scan
- * (`unhandledFilters` returns all of them), so pruning is purely a
- * performance contract — semantics never depend on it.
+ * re-registering the view.
  */
 final class TopKRelation(st: TopKState, spark: SparkSession)
     extends BaseRelation with PrunedFilteredScan {
@@ -31,13 +42,15 @@ final class TopKRelation(st: TopKState, spark: SparkSession)
     StructField(st.opts.key, st.keyType),
     StructField("estimated_value", LongType),
     StructField("lower_bound", LongType),
-    StructField("start_time", LongType),
-    StructField("end_time", LongType)))
+    StructField("start_time", TimestampType),
+    StructField("end_time", TimestampType)))
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
   private def asMs(v: Any): Long = v match {
     case n: java.lang.Number => n.longValue()
+    case t: java.sql.Timestamp => t.getTime
+    case i: java.time.Instant => i.toEpochMilli
     // timestamp-string bounds parse like the API's string window (the
     // reference's relation receives its StartTime/EndTime predicates as
     // strings — `sql/topk/TopKRelation.scala:60-74`)
@@ -58,8 +71,10 @@ final class TopKRelation(st: TopKState, spark: SparkSession)
       case _ => // key/other predicates: re-applied by Spark above the scan
     }
     val (rows, covStart, covEnd) = st.topKRows(startMs, endMs, st.opts.size)
-    val outStart = if (startMs == Long.MinValue) covStart else startMs
-    val outEnd = if (endMs == Long.MaxValue) covEnd else endMs
+    val outStart = new java.sql.Timestamp(
+      if (startMs == Long.MinValue) covStart else startMs)
+    val outEnd = new java.sql.Timestamp(
+      if (endMs == Long.MaxValue) covEnd else endMs)
     val out = rows.map { case (key, est, lb) =>
       Row.fromSeq(requiredColumns.toSeq.map {
         case c if c.equalsIgnoreCase(st.opts.key) => key

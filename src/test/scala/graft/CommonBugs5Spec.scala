@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -12,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
  * aggregates under `.alias(...)` — the SubqueryAlias the rewrite must see
  * through (SNAP-3236).
  */
-class CommonBugs5Spec extends AnyFunSuite {
+class CommonBugs5Spec extends AnyFunSuite with BeforeAndAfterAll {
   import TestSpark._
 
   private lazy val gs: GraftSession = {
@@ -24,6 +25,17 @@ class CommonBugs5Spec extends AnyFunSuite {
     g.sql("CREATE SAMPLE TABLE IF NOT EXISTS li_cb5_full ON li_cb5 OPTIONS(" +
       "qcs 'l_returnflag', fraction '1.0')")
     g
+  }
+
+  override def afterAll(): Unit = {
+    // registered samples match by canonicalized base plan, so without this
+    // drop they would leak into every later suite that queries the same
+    // lineitem parquet (same pattern as CommonBugs3/4Spec)
+    val g = new GraftSession(TestSpark.spark)
+    GraftState.of(TestSpark.spark).samples.keys
+      .filter(_.startsWith("li_cb5"))
+      .toSeq.foreach(g.dropSampleTable)
+    super.afterAll()
   }
 
   private val caseMnt =

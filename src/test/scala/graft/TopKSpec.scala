@@ -180,7 +180,7 @@ class TopKSpec extends AnyFunSuite {
         .collect()(0).getLong(0)
     val full = counts("")
     // EqualTo on both bounds (the reference's filter shape)
-    val firstDayEq = counts(s"WHERE start_time = $t0 AND end_time = $dayEnd")
+    val firstDayEq = counts(s"WHERE start_time = timestamp_millis($t0) AND end_time = timestamp_millis($dayEnd)")
     val exactFirstDay = spark.sql(
       s"SELECT count(*) FROM events WHERE floor(ts / 1000000 / $ivMs) = ${t0 / ivMs}")
       .collect()(0).getLong(0)
@@ -188,10 +188,10 @@ class TopKSpec extends AnyFunSuite {
     assert(firstDayEq < full)
     // strict inequalities prune the same bucket
     val firstDayStrict =
-      counts(s"WHERE start_time > ${t0 - 1} AND end_time < ${dayEnd + 1}")
+      counts(s"WHERE start_time > timestamp_millis(${t0 - 1}) AND end_time < timestamp_millis(${dayEnd + 1})")
     assert(firstDayStrict === firstDayEq)
     // range wider than the data ≡ unfiltered
-    assert(counts(s"WHERE start_time >= 0 AND end_time <= ${t1 + ivMs}") === full)
+    assert(counts(s"WHERE start_time >= timestamp_millis(0) AND end_time <= timestamp_millis(${t1 + ivMs})") === full)
   }
 
   test("SQL time-range pruning through the TopK scan (PrunedFilteredScan)") {
@@ -207,7 +207,7 @@ class TopKSpec extends AnyFunSuite {
     val endMs = (endIv + 1) * ivMs - 1
     val got = spark.sql(
       s"""SELECT user_id, estimated_value FROM tk_sqlwin
-         |WHERE start_time >= $t0 AND end_time <= $endMs
+         |WHERE start_time >= timestamp_millis($t0) AND end_time <= timestamp_millis($endMs)
          |ORDER BY estimated_value DESC, user_id ASC""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val want = spark.sql(
@@ -226,9 +226,12 @@ class TopKSpec extends AnyFunSuite {
     // start_time/end_time columns echo the queried bounds
     val echoed = spark.sql(
       s"""SELECT DISTINCT start_time, end_time FROM tk_sqlwin
-         |WHERE start_time >= $t0 AND end_time <= $endMs""".stripMargin).collect()
+         |WHERE start_time >= timestamp_millis($t0)
+         |  AND end_time <= timestamp_millis($endMs)""".stripMargin).collect()
     assert(echoed.length === 1)
-    assert(echoed(0).getLong(0) === t0 && echoed(0).getLong(1) === endMs)
+    // timestamp-typed echo columns clamp to the queried bounds
+    assert(echoed(0).getTimestamp(0).getTime === t0 &&
+      echoed(0).getTimestamp(1).getTime === endMs)
   }
 
   test("driver-state guard rejects actual held entries beyond the bound") {

@@ -353,7 +353,18 @@ class GraftSession(val spark: SparkSession) {
 
   /** Create + populate a TopK structure over a registered table. */
   def createTopK(name: String, baseName: String,
-      options: Map[String, String]): graft.topk.TopKState = {
+      options: Map[String, String]): graft.topk.TopKState =
+    createTopK(name, baseName, options, lockHeld = false)
+
+  /** [[createTopK]] for callers that already hold the path lock
+   * ([[GraftSession.withPathLock]] is a file lock — NOT reentrant): the
+   * CREATE TOPK TABLE command must decide attach-vs-create and publish
+   * under ONE lock acquisition, or a reader's existence check landing in a
+   * writer's meta-replace window re-creates the table and publishes a
+   * fresh-seed snapshot over the writers' state (observed as a shared-path
+   * poller's counts jumping backwards to creation-time values). */
+  def createTopK(name: String, baseName: String,
+      options: Map[String, String], lockHeld: Boolean): graft.topk.TopKState = {
     val opts = graft.topk.TopKOptions.fromOptions(options)
     val base = spark.table(baseName)
     val keyField = base.schema.find(_.name.equalsIgnoreCase(opts.key)).getOrElse(
@@ -379,7 +390,8 @@ class GraftSession(val spark: SparkSession) {
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .foreach { p =>
         state.topkPaths.put(name.toLowerCase, p)
-        GraftSession.withPathLock(spark, p)(saveTopK(name, p))
+        if (lockHeld) saveTopK(name, p)
+        else GraftSession.withPathLock(spark, p)(saveTopK(name, p))
       }
     st
   }

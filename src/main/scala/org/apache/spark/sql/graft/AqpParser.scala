@@ -496,9 +496,16 @@ case class CreateTopkTableNode(name: String, base: String,
       val path = options.collectFirst {
         case (k, v) if k.equalsIgnoreCase("path") => v
       }
-      val canAttach = ifNotExists && path.exists(p =>
+      def metaExists: Boolean = path.exists(p =>
         graft.GraftSession.topkMetaExists(p, spark.sessionState.newHadoopConf()))
-      if (canAttach) {
+      // optimistic, LOCK-FREE attach: re-attaching readers never contend
+      // with writers (attachTopKTable retries through publish windows).
+      // Only the CREATE fallback takes the path lock — and re-checks there,
+      // because an existence probe can land in a writer's meta-replace
+      // window and read "no meta": creating on that answer would publish a
+      // fresh-seed snapshot over every concurrent writer's data (the
+      // shared-path poller's counts snapping back to creation-time values).
+      def attachExisting(): Unit = {
         // re-attach only when the options the statement DECLARES agree with
         // the snapshot: silently ignoring a drifted size/capacity/key (or a
         // changed base) would resurrect a snapshot that misdescribes what
@@ -531,7 +538,17 @@ case class CreateTopkTableNode(name: String, base: String,
             s"CREATE TOPK TABLE IF NOT EXISTS $name ON $base: the snapshot " +
               s"at ${path.get} was built over '$storedBase'")
         gs.attachTopKTable(name, path.get)
-      } else gs.createTopK(name, base, options)
+        ()
+      }
+      if (ifNotExists && metaExists) attachExisting()
+      else path match {
+        case Some(p) =>
+          graft.GraftSession.withPathLock(spark, p) {
+            if (ifNotExists && metaExists) attachExisting()
+            else gs.createTopK(name, base, options, lockHeld = true)
+          }
+        case None => gs.createTopK(name, base, options)
+      }
     }
     Nil
   }

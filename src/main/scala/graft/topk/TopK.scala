@@ -162,6 +162,10 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   def spilledBucketCount: Int = spilledSpans.size
   def spillBatchCount: Int = spillFiles.size
 
+  /** Live spill batches per compaction level (diagnostics/tests). */
+  def spillLevelCounts: Map[Int, Int] =
+    spillFiles.toSeq.groupBy(levelOf).map { case (l, p) => l -> p.size }
+
   /** Where this table's buckets spill (None until the first spill of a
    * non-path table) — exposed so DROP can retire the store. */
   def spillDirOption: Option[String] = spillPath
@@ -315,40 +319,59 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     }
   }
 
-  /** Keep the spill store's file count bounded under sustained spilling:
-   * past the threshold, every batch is merged into one compacted batch and
-   * the originals are deleted — steady-state file count stays
-   * O(threshold) however many spill events a long-lived table accumulates.
-   * Each compaction rewrites the whole store, so total write volume is
-   * amortized O(events²/threshold); spill events are driver-guard
-   * crossings (rare relative to appends), and the store's total size is
-   * bounded by sketch bytes, not corpus bytes. Sessions that attached an
-   * OLDER snapshot of a shared path may hold references to deleted
-   * batches — their next append re-synchronizes through the snapshot
-   * under the path lock; a read in the window fails loudly (never
-   * silently wrong) and a fresh attach repairs it. */
-  private val compactThreshold = 16
-  private def maybeCompact(spark: SparkSession): Unit =
-    if (spillFiles.size > compactThreshold) {
-      val dir = spillPath.get
-      val compacted = s"$dir/batch-${java.util.UUID.randomUUID().toString.take(12)}"
-      val old = spillFiles.toSeq
-      spark.read.parquet(old: _*).coalesce(1)
-        .write.mode("overwrite").parquet(compacted)
-      spillFiles.clear()
-      spillFiles += compacted
-      if (deferDeletes) {
-        // the retained previous snapshot may still reference these batches —
-        // hold them until that snapshot is itself retired (collectRetired)
-        retiredBatches ++= old.map(p => (None: Option[Long], p))
-      } else {
-        val conf = spark.sessionState.newHadoopConf()
-        old.foreach { f =>
-          val hp = new org.apache.hadoop.fs.Path(f)
-          hp.getFileSystem(conf).delete(hp, true)
-        }
+  /** Keep the spill store's file count bounded under sustained spilling —
+   * LEVELLED: fresh spills land at level 0 (`batch-<uuid>`); when any level
+   * accumulates more than `compactThreshold` batches, THAT level's batches
+   * merge into one batch at level+1 (`batch-L<n>-<uuid>` — the level rides
+   * in the dir name, so it survives snapshots and re-attaches unchanged,
+   * and legacy un-levelled names parse as level 0). Each record is
+   * rewritten at most once per level promotion, so cumulative write volume
+   * is O(events·log_threshold(events)) — the previous whole-store rewrite
+   * was amortized O(events²/threshold), which a years-lived table on a
+   * shared filesystem would feel. Live file count stays
+   * O(threshold·levels); spillMerged still reads the flat recorded list.
+   * Sessions that attached an OLDER snapshot of a shared path may hold
+   * references to deleted batches — their next append re-synchronizes
+   * through the snapshot under the path lock; a read in the window fails
+   * loudly (never silently wrong) and a fresh attach repairs it. */
+  private[graft] var compactThreshold = 16 // var: tests shrink it to reach deep levels fast
+  private def levelOf(path: String): Int = {
+    val n = path.substring(path.lastIndexOf('/') + 1)
+    if (n.startsWith("batch-L")) {
+      val digits = n.drop("batch-L".length).takeWhile(_.isDigit)
+      if (digits.isEmpty) 0 else digits.toInt
+    } else 0
+  }
+  private def maybeCompact(spark: SparkSession): Unit = {
+    var merged = true
+    while (merged) {
+      merged = false
+      spillFiles.groupBy(levelOf).find(_._2.size > compactThreshold).foreach {
+        case (lvl, paths) =>
+          val dir = spillPath.get
+          val compacted = s"$dir/batch-L${lvl + 1}-" +
+            java.util.UUID.randomUUID().toString.take(12)
+          val old = paths.toSeq
+          spark.read.parquet(old: _*).coalesce(1)
+            .write.mode("overwrite").parquet(compacted)
+          spillFiles --= old
+          spillFiles += compacted
+          if (deferDeletes) {
+            // the retained previous snapshot may still reference these
+            // batches — hold them until that snapshot is itself retired
+            // (collectRetired)
+            retiredBatches ++= old.map(p => (None: Option[Long], p))
+          } else {
+            val conf = spark.sessionState.newHadoopConf()
+            old.foreach { f =>
+              val hp = new org.apache.hadoop.fs.Path(f)
+              hp.getFileSystem(conf).delete(hp, true)
+            }
+          }
+          merged = true // a promotion can tip the next level over
       }
     }
+  }
 
   private def spanOverlaps(startIv: Long, endIv: Long)(span: (Long, Long)): Boolean =
     span._1 <= endIv && (span._1 + span._2 - 1) >= startIv

@@ -51,6 +51,42 @@ class TopKSpillScaleSpec extends AnyFunSuite {
     tail.unionByName(heavy)
   }
 
+  test("levelled compaction: deep promotion keeps every level bounded, answers exact") {
+    // 40 spill events at threshold 3 drive promotions through L1 into L2 —
+    // pinning that write volume is O(N log N) level promotion, never the
+    // whole-store rewrite (which would re-copy old data on every 4th spill)
+    val days = 40
+    val opts = graft.topk.TopKOptions(key = "k",
+      timeSeriesColumn = Some("ts"), timeIntervalMs = dayMs,
+      size = 5, streamSummary = true, capacity = 512,
+      maxInterval = days + 10, timeUnit = "ms",
+      maxDriverEntries = 600) // each day ~501 distinct keys → every append spills
+    val st = new graft.topk.TopKState("spill_levels", opts,
+      org.apache.spark.sql.types.StringType)
+    st.compactThreshold = 3
+    import spark.implicits._
+    (0 until days).foreach { d =>
+      val tail = (0 until 500).map(j => (d.toLong * dayMs, s"t${d * 500 + j}"))
+      val heavy = Seq.fill(7)((d.toLong * dayMs, "hh"))
+      st.append((tail ++ heavy).toDF("ts", "k"))
+    }
+    val levels = st.spillLevelCounts
+    assert(levels.keys.max >= 2, s"expected promotion into L2+, got $levels")
+    assert(levels.values.forall(_ <= 3 + 1),
+      s"every level must stay bounded by the threshold, got $levels")
+    assert(st.queryFrequency("hh", Long.MinValue, Long.MaxValue) ===
+      Some((days * 7L, days * 7L, days * 7L)),
+      "heavy key must stay exact through multi-level compaction")
+    val r = st.queryFrequency("t5003", 10L * dayMs, 11L * dayMs - 1)
+    assert(r === Some((1L, 1L, 1L)),
+      s"tail key t5003 appears once in (promoted) interval 10, got $r")
+    st.spillDirOption.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   test("300 buckets x 10^5-key space spill past the guard: bounded driver, bounded files, exact answers") {
     val t0 = System.nanoTime()
     val opts = graft.topk.TopKOptions(key = "k",

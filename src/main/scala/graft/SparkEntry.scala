@@ -319,7 +319,16 @@ object SparkEntry {
           graft.multimodal.Multimodal.SyntheticMedia.image(
             "png", len % 64 + 1, len % 48 + 1, len.toLong)
         }
-        tbl(s, d, "documents")
+        // spread the fixture like a real blob corpus would be laid out: the
+        // source documents parquet can be one file, and inheriting its
+        // partitioning serializes the timed decode behind 1-2 tasks at
+        // 10x data — but a fixed fan-out to every core costs more in task
+        // scheduling than it buys at small sf, so partitions scale with
+        // rows (one per ~25k docs, capped at the core count)
+        val docs = tbl(s, d, "documents")
+        val parts = math.max(1L, math.min(
+          s.sparkContext.defaultParallelism.toLong, docs.count() / 25000L)).toInt
+        docs.repartition(parts)
           .select(col("doc_id"), mkPng(col("text")).as("blob"))
           .write.mode("overwrite").parquet(out)
         out

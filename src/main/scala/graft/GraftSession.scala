@@ -585,9 +585,8 @@ class GraftSession(val spark: SparkSession) {
       throw new IllegalArgumentException(
         s"No TopK registry metadata (${GraftSession.TopkMetaFile}) under $path")
     }
-    val props = new java.util.Properties()
-    val in = fs.open(metaPath)
-    try props.load(in) finally in.close()
+    val props = GraftSession.loadPropsTornFree(metaPath,
+      spark.sessionState.newHadoopConf())
     import scala.jdk.CollectionConverters._
     val optsMap = props.stringPropertyNames().asScala
       .filterNot(_.startsWith("__"))
@@ -860,9 +859,7 @@ object GraftSession {
     val p = new org.apache.hadoop.fs.Path(path, TopkMetaFile)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return None
-    val props = new java.util.Properties()
-    val in = fs.open(p)
-    try props.load(in) finally in.close()
+    val props = loadPropsTornFree(p, conf)
     Option(props.getProperty("__snapversion")).map(_.toLong)
   }
 
@@ -974,6 +971,48 @@ object GraftSession {
       }
     }
 
+  /**
+   * Load a Properties file tolerating the checksummed-local-FS rename
+   * window: Hadoop's ChecksumFs renames a file and its `.crc` sidecar as
+   * TWO operations, so a reader polling through a concurrent
+   * `rename(OVERWRITE)` publish can briefly see the new data paired with
+   * the old checksum (observed as a ChecksumException in the two-JVM
+   * suite). The DATA rename is atomic — the bytes are always one complete
+   * version — so a checksum mismatch here is a torn-sidecar signal, not
+   * corruption: retry briefly for the sidecar to land, then read the same
+   * bytes with verification off (fresh uncached FS instance; the shared
+   * cached one must not be mutated). HDFS/object stores have no sidecars
+   * and never take the fallback.
+   */
+  private[graft] def loadPropsTornFree(p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): java.util.Properties = {
+    val props = new java.util.Properties()
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val in = p.getFileSystem(conf).open(p)
+        try props.load(in) finally in.close()
+        return props
+      } catch {
+        case _: org.apache.hadoop.fs.ChecksumException if attempt < 4 =>
+          props.clear()
+          Thread.sleep(50)
+        case _: org.apache.hadoop.fs.ChecksumException =>
+          props.clear()
+          val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+            p.toUri, conf)
+          try {
+            fs.setVerifyChecksum(false)
+            val in = fs.open(p)
+            try props.load(in) finally in.close()
+          } finally fs.close()
+          return props
+      }
+    }
+    props // unreachable
+  }
+
   /** True when `path` holds persisted TopK registry metadata. */
   def topkMetaExists(path: String,
       conf: org.apache.hadoop.conf.Configuration): Boolean = {
@@ -990,16 +1029,12 @@ object GraftSession {
   def readTopkMetaOptions(path: String,
       conf: org.apache.hadoop.conf.Configuration): (Map[String, String], String) = {
     val p = new org.apache.hadoop.fs.Path(path, TopkMetaFile)
-    val props = new java.util.Properties()
+    var props: java.util.Properties = null
     var attempt = 0
-    var loaded = false
-    while (!loaded) {
+    while (props == null) {
       attempt += 1
-      try {
-        val in = p.getFileSystem(conf).open(p)
-        try props.load(in) finally in.close()
-        loaded = true
-      } catch {
+      try props = loadPropsTornFree(p, conf)
+      catch {
         case _: java.io.FileNotFoundException if attempt < 5 =>
           Thread.sleep(100)
       }
@@ -1027,10 +1062,21 @@ object GraftSession {
       props.setProperty("opt." + k.toLowerCase, v)
     }
     // the sample parquet itself goes through Hadoop FS, so the metadata must
-    // too — a java.io.File here would break OPTIONS(path 'hdfs://…'/'s3a://…')
+    // too — a java.io.File here would break OPTIONS(path 'hdfs://…'/'s3a://…').
+    // Published via tmp + rename(OVERWRITE) like the TopK meta: the append
+    // path rewrites this file while lock-free readers in other JVMs may be
+    // mid-attach, and an in-place create(overwrite) would expose a
+    // truncated-file window to them
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
-    val out = p.getFileSystem(conf).create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(path, MetaFile + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
     try props.store(out, "graft sample registry") finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(p).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def readSampleMeta(path: String,
@@ -1039,9 +1085,7 @@ object GraftSession {
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p) || !fs.getFileStatus(p).isFile) return None
-    val props = new java.util.Properties()
-    val in = fs.open(p)
-    try props.load(in) finally in.close()
+    val props = loadPropsTornFree(p, conf)
     Some((props.getProperty("baseName"),
       // same top-level split as option parsing: function-expression QCS
       // entries carry argument commas through the meta round-trip
@@ -1057,9 +1101,7 @@ object GraftSession {
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p) || !fs.getFileStatus(p).isFile) return Map.empty
-    val props = new java.util.Properties()
-    val in = fs.open(p)
-    try props.load(in) finally in.close()
+    val props = loadPropsTornFree(p, conf)
     import scala.jdk.CollectionConverters._
     props.stringPropertyNames().asScala
       .filter(_.startsWith("opt."))

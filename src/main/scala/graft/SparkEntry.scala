@@ -19,6 +19,38 @@ object SparkEntry {
   private val q15Blobs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q58/q59's media fixture parquet (gradient PNGs + square-wave WAVs whose
+   * pixel/PCM payloads are closed-form in the text length), one per
+   * (JVM, sf dir) for the same reason as [[q15Blobs]]: synthesis is harness
+   * work, the timed query measures only the engine's decode. */
+  private val q58Blobs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mediaFixture(s: SparkSession, dir: String): String =
+    q58Blobs.computeIfAbsent(dir, { d =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q58-blobs").resolve("blobs.parquet")
+        .toString
+      val mkPng = udf { (text: String) =>
+        val len = if (text == null) 0 else text.getBytes("UTF-8").length
+        graft.multimodal.Multimodal.SyntheticMedia.gradientImage(
+          "png", len % 64 + 1, len % 48 + 1, len % 256)
+      }
+      val mkWav = udf { (text: String) =>
+        val len = if (text == null) 0 else text.getBytes("UTF-8").length
+        graft.multimodal.Multimodal.SyntheticMedia.squareWav(
+          1, 16000, len % 400 + 50, len % 16000 + 100)
+      }
+      val docs = tbl(s, d, "documents")
+      val parts = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong, docs.count() / 25000L)).toInt
+      docs.repartition(parts)
+        .select(col("doc_id"), mkPng(col("text")).as("blob_png"),
+          mkWav(col("text")).as("blob_wav"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** The testdata `events.ts` column has shipped as BOTH parquet
    * `timestamp[ns]` (loaded as long nanos under
    * `spark.sql.legacy.parquet.nanosAsLong`) and `timestamp[us]` (loaded as
@@ -339,6 +371,39 @@ object SparkEntry {
           col("media_meta.format").as("format"),
           col("media_meta.width").as("width"),
           col("media_meta.height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL pixel decode end-to-end: each document's gradient PNG is decoded
+    // by the pure-JVM zlib+unfilter path (Multimodal.pixelStats) and reduced
+    // to pixel sums over the full raster and an 8x8 nearest-neighbor
+    // thumbnail. The oracle predicts both sums closed-form from the text
+    // length — a decoder that does not truly inflate and unfilter every
+    // scanline (or resample the true rows) cannot match.
+    "q58_pixel_stats" -> ((s, dir) => {
+      val bin = s.read.parquet(mediaFixture(s, dir))
+      graft.multimodal.Multimodal.pixelStats(bin, "blob_png", resizeTo = (8, 8))
+        .select(col("doc_id"),
+          col("pixel_stats.width").as("width"),
+          col("pixel_stats.height").as("height"),
+          col("pixel_stats.channels").as("channels"),
+          col("pixel_stats.pixel_sum").as("pixel_sum"),
+          col("pixel_stats.resized_sum").as("resized_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL PCM decode end-to-end: square-wave WAVs have RMS and peak exactly
+    // equal to their amplitude, and the decoded frame/rate/channel shape
+    // comes from the fmt chunk — all closed-form in the text length.
+    "q59_audio_stats" -> ((s, dir) => {
+      val bin = s.read.parquet(mediaFixture(s, dir))
+      graft.multimodal.Multimodal.audioStats(bin, "blob_wav")
+        .select(col("doc_id"),
+          col("audio_stats.channels").as("channels"),
+          col("audio_stats.sample_rate").as("sample_rate"),
+          col("audio_stats.frames").as("frames"),
+          round(col("audio_stats.rms") * 32768).cast("long").as("rms_amp"),
+          round(col("audio_stats.peak") * 32768).cast("long").as("peak_amp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1333,6 +1398,32 @@ object SparkEntry {
         |  'png' AS format,
         |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // gradient PNG: row y is gray value (y+base)%256 on all 3 channels, so
+    // pixel_sum = 3*w*sum_y((y+base)%256) with a single possible 256-wrap
+    // (base<256, h<=48), and the 8x8 thumbnail picks source row (y*h)//8
+    "q58_pixel_stats" ->
+      """SELECT doc_id,
+        |  CAST(len % 64 + 1 AS INT) AS width,
+        |  CAST(len % 48 + 1 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(3*(len % 64 + 1)*( (len%48+1)*(len%256) + (len%48+1)*(len%48)//2
+        |       - 256*GREATEST(0, (len%256) + (len%48+1) - 256) ) AS BIGINT) AS pixel_sum,
+        |  CAST(24*(SELECT SUM(((y*(len%48+1))//8 + (len%256)) % 256)
+        |       FROM generate_series(0,7) AS t(y)) AS BIGINT) AS resized_sum
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // square wave at amplitude a: every |sample| = a/32768 exactly, so RMS
+    // and peak both round back to a; frames/rate/channels from the fmt chunk
+    "q59_audio_stats" ->
+      """SELECT doc_id,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(16000 AS INT) AS sample_rate,
+        |  CAST(octet_length(encode(text)) % 400 + 50 AS INT) AS frames,
+        |  CAST(octet_length(encode(text)) % 16000 + 100 AS BIGINT) AS rms_amp,
+        |  CAST(octet_length(encode(text)) % 16000 + 100 AS BIGINT) AS peak_amp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q17_join_with_error" ->

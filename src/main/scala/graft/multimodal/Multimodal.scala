@@ -12,12 +12,12 @@ import org.apache.spark.sql.types._
  *
  * Header metadata (format, dimensions, audio frame counts) is decoded FOR
  * REAL by [[HeaderDecoder]] — pure byte-level parsing of PNG / JPEG / GIF /
- * BMP / WAV container headers, no library needed. Full pixel/sample decode
- * and neural feature extraction remain STUBBED ([[StubDecoder]],
- * [[StubExtractor]] — this container ships no codec/NN libraries): the
- * Spark-side plumbing — schema, batch iteration shape, partitioning, output
- * struct — is real and is what a production decoder would drop into (swap
- * [[Decoder.decode]] with e.g. a JNI image library).
+ * BMP / WAV container headers. Pixel and PCM payloads are ALSO decoded for
+ * real by [[PixelDecoder]] (pure-JVM PNG inflate+unfilter, BMP, GIF-LZW,
+ * WAV PCM; ImageIO fallback for JPEG) — see [[decodePixels]],
+ * [[pixelStats]], [[audioStats]], [[PixelStatExtractor]]. Only NEURAL
+ * feature extraction remains stubbed ([[StubExtractor]] — no NN runtime in
+ * this container); its batch contract is what an ONNX/JNI encoder needs.
  */
 object Multimodal {
 
@@ -189,6 +189,51 @@ object Multimodal {
       baos.toByteArray
     }
 
+    /** A PNG whose rows carry a known gradient — row `y` is the constant
+     * gray value `(y + base) % 256` on all three channels — so pixel sums
+     * are closed-form in the row index (the DuckDB oracle can state them)
+     * while the decoder still has to run the real zlib+unfilter path to
+     * recover them. */
+    def gradientImage(format: String, width: Int, height: Int, base: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        math.max(width, 1), math.max(height, 1),
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.getHeight) {
+        val v = (y + base) & 0xFF
+        val rgb = (v << 16) | (v << 8) | v
+        var x = 0
+        while (x < img.getWidth) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, baos)
+      baos.toByteArray
+    }
+
+    /** A 16-bit PCM square wave at amplitude `amp` (alternating +amp/-amp
+     * per frame): RMS and peak are exactly `amp`, closed-form for oracles. */
+    def squareWav(channels: Int, sampleRate: Int, frames: Int, amp: Int): Array[Byte] = {
+      val dataBytes = frames * channels * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * 2)
+        .putShort((channels * 2).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      var f = 0
+      while (f < frames) {
+        val v = (if ((f & 1) == 0) amp else -amp).toShort
+        var c = 0
+        while (c < channels) { bb.putShort(v); c += 1 }
+        f += 1
+      }
+      bb.array()
+    }
+
     /** A minimal valid PCM WAV with the given shape (silence payload). */
     def wav(channels: Int, sampleRate: Int, bitsPerSample: Int,
         frames: Int): Array[Byte] = {
@@ -311,4 +356,157 @@ object Multimodal {
         when(col(s"$metaCol.width") > 0,
           (col(s"$metaCol.height") * targetWidth / col(s"$metaCol.width")).cast("int"))
           .otherwise(lit(0)).as("height")))
+
+  // ------------------------------------------------------ real pixel path ----
+
+  /** Decoded-raster struct appended by [[decodePixels]]. */
+  val pixelsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+
+  /** REAL batched pixel decode ([[PixelDecoder]]): appends a `pixels` struct
+   * with the row-major interleaved raster. Narrow map, no shuffle; at 100 TB
+   * the decoded column is transient (consumed by the next fused stage), so
+   * prefer [[pixelStats]]/[[audioStats]] when only aggregates are needed. */
+  def decodePixels(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("pixels", pixelsType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    graft.core.Fanout(df).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val p = if (r.isNullAt(binIdx)) null
+            else PixelDecoder.decode(r.getAs[Array[Byte]](binIdx))
+          val out = if (p == null) null else Row(p.width, p.height, p.channels, p.data)
+          Row.fromSeq(r.toSeq :+ out)
+        }
+      }
+    }(enc)
+  }
+
+  /** Struct appended by [[pixelStats]]. */
+  val pixelStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false),
+    StructField("resized_sum", LongType, nullable = false)))
+
+  /** Fused decode → stats: decodes each blob and reduces it to scalar pixel
+   * statistics (plus the same sums over a nearest-neighbor `resizeTo`
+   * thumbnail) without materializing rasters into rows — the 100 TB shape
+   * for "score every image in the corpus". */
+  def pixelStats(df: DataFrame, binCol: String, resizeTo: (Int, Int) = (8, 8),
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("pixel_stats", pixelStatsType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val (tw, th) = resizeTo
+    val enc = RowEncoder.encoderFor(outSchema)
+    graft.core.Fanout(df).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val p = if (r.isNullAt(binIdx)) null
+            else PixelDecoder.decode(r.getAs[Array[Byte]](binIdx))
+          val out = if (p == null) null else {
+            var sum = 0L
+            var i = 0
+            while (i < p.data.length) { sum += p.data(i) & 0xFF; i += 1 }
+            val rp = PixelDecoder.resizeNearest(p, tw, th)
+            var rsum = 0L
+            i = 0
+            while (i < rp.data.length) { rsum += rp.data(i) & 0xFF; i += 1 }
+            Row(p.width, p.height, p.channels, sum, rsum)
+          }
+          Row.fromSeq(r.toSeq :+ out)
+        }
+      }
+    }(enc)
+  }
+
+  /** Struct appended by [[audioStats]]. */
+  val audioStatsType: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", DoubleType, nullable = false)))
+
+  /** Fused PCM decode → stats: RMS and peak over the normalized samples,
+   * plus the true frame/channel/rate shape from the `fmt ` chunk. */
+  def audioStats(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("audio_stats", audioStatsType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    graft.core.Fanout(df).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val a = if (r.isNullAt(binIdx)) null
+            else PixelDecoder.wav(r.getAs[Array[Byte]](binIdx))
+          val out = if (a == null) null else {
+            var sumSq = 0.0
+            var peak = 0.0
+            var i = 0
+            while (i < a.samples.length) {
+              val v = a.samples(i).toDouble
+              sumSq += v * v
+              val av = math.abs(v)
+              if (av > peak) peak = av
+              i += 1
+            }
+            val rms = if (a.samples.length == 0) 0.0
+              else math.sqrt(sumSq / a.samples.length)
+            Row(a.channels, a.sampleRate, a.frames, rms, peak)
+          }
+          Row.fromSeq(r.toSeq :+ out)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL pixel-statistic feature extractor: decodes each blob and emits
+   * [mean R, mean G, mean B, luma std] ++ a `bins`-bucket luma histogram
+   * (L1-normalized) — a deterministic, genuinely content-derived embedding
+   * (unlike [[StubExtractor]]'s hash), suitable for the ANN/dedup operators
+   * downstream. Non-image blobs embed as null. */
+  final class PixelStatExtractor(bins: Int = 8) extends FeatureExtractor {
+    override val dim: Int = 4 + bins
+    override def extract(batch: Array[Array[Byte]]): Array[Array[Float]] =
+      batch.map { bytes =>
+        val p = if (bytes == null) null else PixelDecoder.decode(bytes)
+        if (p == null || p.width * p.height == 0) null
+        else {
+          val n = p.width * p.height
+          val ch = p.channels
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var sumL = 0.0; var sumL2 = 0.0
+          val hist = new Array[Long](bins)
+          var i = 0
+          while (i < n) {
+            val o = i * ch
+            val r = p.data(o) & 0xFF
+            val g = if (ch >= 3) p.data(o + 1) & 0xFF else r
+            val b = if (ch >= 3) p.data(o + 2) & 0xFF else r
+            sr += r; sg += g; sb += b
+            val luma = 0.299 * r + 0.587 * g + 0.114 * b
+            sumL += luma; sumL2 += luma * luma
+            hist((luma * bins / 256.0).toInt.min(bins - 1)) += 1
+            i += 1
+          }
+          val meanL = sumL / n
+          val v = new Array[Float](dim)
+          v(0) = (sr.toDouble / n / 255.0).toFloat
+          v(1) = (sg.toDouble / n / 255.0).toFloat
+          v(2) = (sb.toDouble / n / 255.0).toFloat
+          v(3) = (math.sqrt(math.max(0.0, sumL2 / n - meanL * meanL)) / 255.0).toFloat
+          var k = 0
+          while (k < bins) { v(4 + k) = (hist(k).toDouble / n).toFloat; k += 1 }
+          v
+        }
+      }
+  }
 }

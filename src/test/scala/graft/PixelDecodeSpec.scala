@@ -1,0 +1,176 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{Multimodal, PixelDecoder}
+import graft.multimodal.PixelDecoder.Pixels
+
+/**
+ * Pins the pure-JVM pixel decoders against the JDK's own codecs: for every
+ * format javax.imageio can WRITE, the hand-rolled byte-level decoder must
+ * recover the identical raster that `ImageIO.read` does from the same bytes.
+ * (Reference scope: `snappy-aqp` has no media path at all — this family is
+ * part of the training-data-pipeline surface the rebuild adds on top.)
+ */
+class PixelDecodeSpec extends AnyFunSuite {
+
+  private def imageIoPixels(bytes: Array[Byte]): Pixels = PixelDecoder.viaImageIO(bytes)
+
+  private def assertSameRaster(got: Pixels, want: Pixels, ctx: String): Unit = {
+    assert(got != null, s"$ctx: pure decode returned null")
+    assert(got.width == want.width && got.height == want.height, ctx)
+    assert(got.channels == want.channels, s"$ctx: channels ${got.channels} vs ${want.channels}")
+    assert(java.util.Arrays.equals(got.data, want.data), s"$ctx: raster bytes differ")
+  }
+
+  test("PNG pure-byte decode (inflate + all filters) equals ImageIO pixel-for-pixel") {
+    for ((w, h, seed) <- Seq((1, 1, 7L), (13, 9, 42L), (64, 48, 99L), (200, 3, 5L))) {
+      val bytes = Multimodal.SyntheticMedia.image("png", w, h, seed)
+      val pure = PixelDecoder.png(bytes)
+      assertSameRaster(pure, imageIoPixels(bytes), s"png $w x $h")
+      assert(pure.width == w && pure.height == h && pure.channels == 3)
+    }
+  }
+
+  test("PNG gradient rows decode to the closed-form values the oracle predicts") {
+    val (w, h, base) = (17, 21, 250) // crosses the 256 wrap
+    val bytes = Multimodal.SyntheticMedia.gradientImage("png", w, h, base)
+    val p = PixelDecoder.decode(bytes)
+    assert(p.width == w && p.height == h)
+    var sum = 0L
+    p.data.foreach(b => sum += b & 0xFF)
+    val expect = 3L * w * (0 until h).map(y => (y + base) % 256).sum
+    assert(sum == expect)
+  }
+
+  test("BMP pure-byte decode (bottom-up padded rows, BGR) equals ImageIO") {
+    for ((w, h, seed) <- Seq((1, 1, 3L), (14, 10, 11L), (33, 7, 23L))) {
+      val bytes = Multimodal.SyntheticMedia.image("bmp", w, h, seed)
+      assertSameRaster(PixelDecoder.bmp(bytes), imageIoPixels(bytes), s"bmp $w x $h")
+    }
+  }
+
+  test("GIF pure-byte LZW decode equals ImageIO on the identical palette frame") {
+    for ((w, h, seed) <- Seq((8, 8, 1L), (40, 25, 77L))) {
+      val bytes = Multimodal.SyntheticMedia.image("gif", w, h, seed)
+      val want = imageIoPixels(bytes)
+      val got = PixelDecoder.gif(bytes)
+      assert(got != null, s"gif $w x $h: pure decode returned null")
+      assert(got.width == want.width && got.height == want.height)
+      // ImageIO may surface the palette frame with an alpha channel; compare RGB
+      val wantRgb = new Array[Byte](want.width * want.height * 3)
+      var i = 0
+      while (i < want.width * want.height) {
+        wantRgb(i * 3) = want.data(i * want.channels)
+        wantRgb(i * 3 + 1) = want.data(i * want.channels + 1)
+        wantRgb(i * 3 + 2) = want.data(i * want.channels + 2)
+        i += 1
+      }
+      assert(java.util.Arrays.equals(got.data, wantRgb), s"gif $w x $h raster differs")
+    }
+  }
+
+  test("GIF interlaced tiny-height frame: pure decode beats the JDK reader") {
+    // The JDK GIF WRITER emits this 100x2 frame interlaced; the JDK READER
+    // then mis-places the pass-4 row and returns a constant fill for row 1
+    // (observed on 17.0.20). Ground truth is therefore the original raster:
+    // 200 distinct pixels fit the 256-entry palette, so the encode is
+    // lossless and the pure decoder must reproduce the source exactly.
+    val (w, h, seed) = (100, 2, 13L)
+    val bytes = Multimodal.SyntheticMedia.image("gif", w, h, seed)
+    val got = PixelDecoder.gif(bytes)
+    assert(got != null && got.width == w && got.height == h)
+    var s = seed
+    for (y <- 0 until h; x <- 0 until w) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val rgb = ((s >>> 40) & 0xFFFFFF).toInt
+      val o = (y * w + x) * 3
+      assert((got.data(o) & 0xFF) == ((rgb >> 16) & 0xFF), s"r at ($x,$y)")
+      assert((got.data(o + 1) & 0xFF) == ((rgb >> 8) & 0xFF), s"g at ($x,$y)")
+      assert((got.data(o + 2) & 0xFF) == (rgb & 0xFF), s"b at ($x,$y)")
+    }
+  }
+
+  test("JPEG dispatches to the ImageIO fallback and yields the right shape") {
+    val bytes = Multimodal.SyntheticMedia.image("jpg", 32, 20, 5L)
+    val p = PixelDecoder.decode(bytes)
+    assert(p != null && p.width == 32 && p.height == 20 && p.channels == 3)
+    assert(p.data.length == 32 * 20 * 3)
+  }
+
+  test("WAV PCM decode recovers exact square-wave samples, rms and peak") {
+    val amp = 12000
+    val bytes = Multimodal.SyntheticMedia.squareWav(1, 16000, 101, amp)
+    val a = PixelDecoder.wav(bytes)
+    assert(a.channels == 1 && a.sampleRate == 16000 && a.frames == 101)
+    val expected = amp / 32768.0f
+    a.samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s == (if ((i & 1) == 0) expected else -expected), s"sample $i")
+    }
+    // 8-bit unsigned and stereo layouts
+    val b8 = Multimodal.SyntheticMedia.wav(2, 8000, 8, 40)
+    val a8 = PixelDecoder.wav(b8)
+    assert(a8.channels == 2 && a8.frames == 40 && a8.samples.forall(_ == -1.0f)) // silence = 0x00 → -128/128
+  }
+
+  test("nearest-neighbor resize maps source rows/cols exactly") {
+    // 4x4 quadrant image: resize to 2x2 must pick one pixel from each quadrant
+    val data = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = ((if (y < 2) 0 else 2) + (if (x < 2) 0 else 1)) * 60
+      val o = (y * 4 + x) * 3
+      data(o) = v.toByte; data(o + 1) = v.toByte; data(o + 2) = v.toByte
+    }
+    val r = PixelDecoder.resizeNearest(Pixels(4, 4, 3, data), 2, 2)
+    val vals = (0 until 4).map(i => r.data(i * 3) & 0xFF)
+    assert(vals == Seq(0, 60, 120, 180))
+  }
+
+  test("decodePixels / pixelStats / audioStats DataFrame ops (batched, null-safe)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = (0 until 7).map { i =>
+      val blob =
+        if (i == 6) null
+        else if (i % 2 == 0) Multimodal.SyntheticMedia.gradientImage("png", 10 + i, 5 + i, i * 40)
+        else Multimodal.SyntheticMedia.squareWav(1, 16000, 50 + i, 1000 * (i + 1))
+      (i.toLong, blob)
+    }
+    val df = rows.toDF("id", "blob")
+
+    val px = Multimodal.pixelStats(df, "blob").select("id", "pixel_stats.*")
+      .where($"pixel_stats".isNotNull).collect()
+    assert(px.length == 3)
+    px.foreach { r =>
+      val id = r.getLong(0).toInt
+      assert(r.getInt(1) == 10 + id && r.getInt(2) == 5 + id)
+      val expect = 3L * (10 + id) * (0 until (5 + id)).map(y => (y + id * 40) % 256).sum
+      assert(r.getLong(4) == expect, s"id $id pixel_sum")
+    }
+
+    val au = Multimodal.audioStats(df, "blob").select("id", "audio_stats.*")
+      .where($"audio_stats".isNotNull).collect()
+    assert(au.length == 3)
+    au.foreach { r =>
+      val id = r.getLong(0).toInt
+      assert(r.getInt(3) == 50 + id)
+      assert(math.round(r.getDouble(4) * 32768) == 1000 * (id + 1), s"id $id rms")
+    }
+
+    val full = Multimodal.decodePixels(df, "blob")
+      .select($"id", $"pixels.width", $"pixels.data").where($"pixels".isNotNull).collect()
+    assert(full.length == 3 && full.forall(r =>
+      r.getAs[Array[Byte]](2).length % (r.getInt(1) * 3) == 0))
+  }
+
+  test("PixelStatExtractor embeds image content, not bytes: same image, different files") {
+    val ex = new Multimodal.PixelStatExtractor(8)
+    // identical raster written as PNG and BMP must embed identically
+    val png = Multimodal.SyntheticMedia.gradientImage("png", 24, 16, 30)
+    val bmpB = Multimodal.SyntheticMedia.gradientImage("bmp", 24, 16, 30)
+    val Array(a, b) = ex.extract(Array(png, bmpB))
+    assert(a != null && b != null && a.sameElements(b))
+    assert(ex.extract(Array[Array[Byte]](null))(0) == null)
+    // histogram sums to ~1
+    assert(math.abs(a.drop(4).sum - 1.0f) < 1e-5)
+  }
+}

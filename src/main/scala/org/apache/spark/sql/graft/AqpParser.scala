@@ -271,9 +271,21 @@ class AqpParser(delegate: ParserInterface,
    * the statement. DML is excluded explicitly: at parse time INSERT (and
    * some CTAS forms) are ParsedStatements/InsertIntoStatement, NOT catalyst
    * Commands — wrapping them would silently persist approximate estimates
-   * into a real table. */
+   * into a real table.
+   *
+   * AQP-285 (`AQPConnectionPropertySetTest.scala:120-215`): the property is
+   * an on/OFF switch — `set spark.sql.aqp.error=-1` (any value outside
+   * (0,1)) DISABLES implicit AQP and queries return exact base results
+   * again; setting only `spark.sql.aqp.confidence` or
+   * `spark.sql.aqp.behavior` never enables it (only `error` gates). */
+  private def sessionErrorEnables(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.getOption("spark.sql.aqp.error").exists { v =>
+      try { val e = v.trim.toDouble; e > 0 && e < 1 }
+      catch { case _: NumberFormatException => false }
+    }
+
   private def maybeImplicitAqp(plan: LogicalPlan): LogicalPlan = session match {
-    case Some(s) if s.conf.getOption("spark.sql.aqp.error").isDefined &&
+    case Some(s) if sessionErrorEnables(s) &&
         !plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] &&
         !plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement] &&
         !plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement] &&

@@ -57,7 +57,14 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.get(key, dflt)
 
   private def rewrite(ec: ErrorConfidence): LogicalPlan = {
-    val error = ec.error.getOrElse(defaultD("spark.sql.aqp.error", "0.2").toDouble)
+    // the session property doubles as the implicit-AQP OFF switch (AQP-285:
+    // `set spark.sql.aqp.error=-1`); an explicit clause falling back to a
+    // disabled/out-of-range session value gets the stock default instead
+    val error = ec.error.getOrElse {
+      val e = try defaultD("spark.sql.aqp.error", "0.2").toDouble
+        catch { case _: NumberFormatException => 0.2 }
+      if (e > 0 && e < 1) e else 0.2
+    }
     val confidence = ec.confidence.getOrElse(
       defaultD("spark.sql.aqp.confidence", "0.95").toDouble)
     val behaviorStr = ec.behavior.getOrElse(defaultD("spark.sql.aqp.behavior", "do_nothing"))

@@ -135,6 +135,51 @@ class ConditionalAggSpec extends AnyFunSuite {
     } finally gs.dropSampleTable("li_implicit_s")
   }
 
+  test("AQP-285: error property is the on/OFF switch; confidence/behavior alone never enable") {
+    // reference `AQPConnectionPropertySetTest.scala:120-215`: queries run
+    // exact until `spark.sql.aqp.error` lands in (0,1); `set ...error=-1`
+    // turns implicit AQP back OFF; setting only confidence or behavior
+    // leaves queries exact
+    val gs = new GraftSession(spark)
+    li.createOrReplaceTempView("li_285")
+    gs.sql("CREATE SAMPLE TABLE li_285_s ON li_285 " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.3')")
+    def plain() = gs.sql(
+      "SELECT l_returnflag, sum(l_quantity) AS s FROM li_285 GROUP BY 1")
+    try {
+      assert(!org.apache.spark.sql.graft.AqpInfo.usesSample(plain()))
+      // confidence alone: still exact
+      spark.conf.set("spark.sql.aqp.confidence", "0.95")
+      assert(!org.apache.spark.sql.graft.AqpInfo.usesSample(plain()),
+        "confidence alone must not enable implicit AQP")
+      // behavior alone: still exact
+      spark.conf.set("spark.sql.aqp.behavior", "partial_run_on_base_table")
+      assert(!org.apache.spark.sql.graft.AqpInfo.usesSample(plain()),
+        "behavior alone must not enable implicit AQP")
+      // error in range: approximate
+      spark.conf.set("spark.sql.aqp.error", "0.5")
+      assert(org.apache.spark.sql.graft.AqpInfo.usesSample(plain()))
+      // the documented off-switch: error=-1 disables without unsetting
+      spark.conf.set("spark.sql.aqp.error", "-1")
+      assert(!org.apache.spark.sql.graft.AqpInfo.usesSample(plain()),
+        "error=-1 must disable implicit AQP")
+      // and an explicit clause with no number falls back to the stock
+      // default, not the disabled -1
+      val withClause = gs.sql(
+        "SELECT sum(l_quantity) AS s, absolute_error(s) AS ae FROM li_285 " +
+          "WITH ERROR").collect()(0)
+      assert(withClause.getDouble(1) >= 0.0)
+      // back on
+      spark.conf.set("spark.sql.aqp.error", "0.5")
+      assert(org.apache.spark.sql.graft.AqpInfo.usesSample(plain()))
+    } finally {
+      spark.conf.unset("spark.sql.aqp.error")
+      spark.conf.unset("spark.sql.aqp.confidence")
+      spark.conf.unset("spark.sql.aqp.behavior")
+      gs.dropSampleTable("li_285_s")
+    }
+  }
+
   test("AQP-154: direct sample count estimates the base count under implicit AQP") {
     // reconciles the reference's two direct-sample behaviors: with NO error
     // clause and no session property, error fns are inert over raw sample

@@ -143,7 +143,8 @@ object Multimodal {
         var bitsPerSample = 0
         var dataBytes = 0L
         var i = 12
-        while (i + 8 <= bytes.length) {
+        var walking = true
+        while (walking && i + 8 <= bytes.length) {
           val id = new String(bytes, i, 4, "US-ASCII")
           val size = leU32(bytes, i + 4)
           if (id == "fmt " && i + 8 + 16 <= bytes.length) {
@@ -152,7 +153,9 @@ object Multimodal {
           } else if (id == "data") {
             dataBytes = size
           }
-          i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+          // a corrupt u32 size past 2 GiB would wrap the cursor backwards
+          if (size > Int.MaxValue - 9L) walking = false
+          else i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
         }
         val frameBytes = channels * (bitsPerSample / 8)
         val frames = if (frameBytes > 0) (dataBytes / frameBytes).toInt else 0

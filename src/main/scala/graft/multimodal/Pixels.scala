@@ -73,12 +73,16 @@ object PixelDecoder {
       case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4
       case _ => return null
     }
+    // overflow-safe size check BEFORE any allocation: a corrupt IHDR can
+    // claim dimensions whose raster would exceed Int.MaxValue bytes
+    if (height.toLong * (1L + width.toLong * srcChannels) > Int.MaxValue) return null
     // gather PLTE + IDAT
     var palette: Array[Byte] = null
     var idatLen = 0
     var i = 8
     while (i + 8 <= b.length) {
       val len = beU32(b, i)
+      if (len < 0 || len > b.length - i - 12) return null // corrupt/truncated chunk
       val ctype = new String(b, i + 4, 4, "US-ASCII")
       if (ctype == "IDAT") idatLen += len
       i += 12 + len
@@ -187,8 +191,10 @@ object PixelDecoder {
     val compression = leU32(b, 30)
     if (width <= 0 || height == 0 || compression != 0 || (bpp != 24 && bpp != 32)) return null
     val srcPixBytes = bpp / 8
+    if (width.toLong * srcPixBytes + 3 > Int.MaxValue ||
+      width.toLong * height * 4 > Int.MaxValue) return null
     val rowStride = (width * srcPixBytes + 3) & ~3
-    if (dataOff.toLong + rowStride.toLong * height > b.length) return null
+    if (dataOff < 0 || dataOff.toLong + rowStride.toLong * height > b.length) return null
     val channels = if (bpp == 32) 4 else 3
     val out = new Array[Byte](width * height * channels)
     var y = 0
@@ -245,6 +251,7 @@ object PixelDecoder {
             i += 3 * n
           }
           if (pal == null || w <= 0 || h <= 0) return null
+          if (w.toLong * h * 3 > Int.MaxValue) return null
           val interlaced = (iflags & 0x40) != 0
           if (i >= b.length) return null
           val minCode = b(i) & 0xFF
@@ -416,9 +423,13 @@ object PixelDecoder {
         bits = leU16(b, i + 22)
       } else if (id == "data") {
         dataOff = i + 8
-        dataLen = math.min(size, b.length - dataOff)
+        dataLen = math.max(0, math.min(size, b.length - dataOff))
       }
-      i += 8 + size + (size & 1)
+      // a corrupt size that is negative (u32 past 2 GiB) or runs past the
+      // buffer ends the walk — keep whatever chunks parsed so far, the data
+      // length is already clamped to the real bytes
+      if (size < 0 || size > b.length - i - 8) i = b.length
+      else i += 8 + size + (size & 1)
     }
     if (dataOff < 0 || channels <= 0 || bits <= 0) return null
     val bytesPerSample = bits / 8

@@ -162,6 +162,43 @@ class PixelDecodeSpec extends AnyFunSuite {
       r.getAs[Array[Byte]](2).length % (r.getInt(1) * 3) == 0))
   }
 
+  test("random-shape round-trip property: pure PNG/BMP decode equals ImageIO") {
+    val rnd = new java.util.Random(2026)
+    for (_ <- 0 until 40) {
+      val w = 1 + rnd.nextInt(97)
+      val h = 1 + rnd.nextInt(53)
+      val seed = rnd.nextLong()
+      val png = Multimodal.SyntheticMedia.image("png", w, h, seed)
+      assertSameRaster(PixelDecoder.png(png), imageIoPixels(png), s"png $w x $h seed $seed")
+      val bmpB = Multimodal.SyntheticMedia.image("bmp", w, h, seed)
+      assertSameRaster(PixelDecoder.bmp(bmpB), imageIoPixels(bmpB), s"bmp $w x $h seed $seed")
+    }
+  }
+
+  test("corrupt and truncated blobs decode to null, never throw") {
+    val png = Multimodal.SyntheticMedia.image("png", 20, 10, 3L)
+    val wavB = Multimodal.SyntheticMedia.squareWav(1, 16000, 30, 500)
+    // truncations at every stage boundary
+    for (cut <- Seq(0, 4, 8, 16, 24, 33, png.length / 2, png.length - 5)) {
+      val t = java.util.Arrays.copyOf(png, cut)
+      assert(PixelDecoder.decode(t) == null || cut > 33, s"png cut $cut")
+      PixelDecoder.decode(t) // must not throw
+    }
+    // flipped bytes inside the IDAT zlib stream → inflate fails → null
+    val mangled = png.clone()
+    for (i <- 40 until math.min(60, mangled.length)) mangled(i) = (mangled(i) ^ 0x5A).toByte
+    PixelDecoder.decode(mangled) // must not throw (null or best-effort)
+    // absurd dimensions in the IHDR are rejected before allocation
+    val bigDims = png.clone()
+    bigDims(16) = 0x7F.toByte; bigDims(17) = 0xFF.toByte // width ~2^31
+    assert(PixelDecoder.decode(bigDims) == null)
+    for (cut <- Seq(0, 4, 12, 20, 43, wavB.length - 3)) {
+      PixelDecoder.wav(java.util.Arrays.copyOf(wavB, cut)) // must not throw
+    }
+    assert(PixelDecoder.decode(Array[Byte](1, 2, 3)) == null)
+    assert(PixelDecoder.decode(null) == null)
+  }
+
   test("PixelStatExtractor embeds image content, not bytes: same image, different files") {
     val ex = new Multimodal.PixelStatExtractor(8)
     // identical raster written as PNG and BMP must embed identically

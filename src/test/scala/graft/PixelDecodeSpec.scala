@@ -199,6 +199,32 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(PixelDecoder.decode(null) == null)
   }
 
+  test("format-invariant image dedup: PNG/BMP re-encodes of one image cluster together") {
+    // the real-decode payoff composed end-to-end: pixel-stat embeddings feed
+    // the embedding-dedup operator, so the same raster saved as PNG and BMP
+    // (byte-level completely different files) deduplicates by CONTENT
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = (0 until 12).flatMap { i =>
+      val fmt = if (i % 2 == 0) "png" else "bmp"
+      // 6 distinct rasters; each appears twice (PNG as id, BMP as id+100)
+      Seq((i.toLong, Multimodal.SyntheticMedia.image(fmt, 16 + i / 2, 12, (i / 2).toLong)))
+    }
+    // pair layout: ids (0,1) share raster 0, (2,3) share raster 1, ...
+    val df = rows.toDF("id", "blob")
+    val feats = Multimodal.extractFeatures(df, "blob",
+      extractor = new Multimodal.PixelStatExtractor(8))
+    val pairs = graft.ann.Ann.cosineDedupPairs(feats, idCol = "id",
+      vecCol = "features", threshold = 0.9999, numPlanes = 4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (k <- 0 until 6) {
+      val (a, b) = (2L * k, 2L * k + 1)
+      assert(pairs.contains((a, b)) || pairs.contains((b, a)),
+        s"cross-format duplicate pair ($a,$b) not found; got $pairs")
+    }
+  }
+
   test("PixelStatExtractor embeds image content, not bytes: same image, different files") {
     val ex = new Multimodal.PixelStatExtractor(8)
     // identical raster written as PNG and BMP must embed identically

@@ -134,6 +134,44 @@ object Multimodal {
         val h = math.abs(leU32(bytes, 22).toInt)
         return MediaMeta(n, "bmp", w, h, 1, hash)
       }
+      // MP4 (ISO base media): box walk — dimensions from the video trak's
+      // tkhd (16.16 fixed point), frame count from its stbl/stsz
+      // sample_count. Pure container metadata; codec payloads stay opaque.
+      if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+          bytes(6) == 'y' && bytes(7) == 'p') {
+        var w = 0
+        var h = 0
+        var frames = 0
+        // walk boxes, descending into the containers that lead to tkhd/stsz
+        def walk(from: Int, to: Int, depth: Int): Unit = {
+          var i = from
+          while (i + 8 <= to && depth < 8) {
+            val size = beU32(bytes, i)
+            if (size < 8 || size > to - i) return // corrupt/truncated box
+            val tpe = new String(bytes, i + 4, 4, "US-ASCII")
+            tpe match {
+              case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+                walk(i + 8, i + size.toInt, depth + 1)
+              case "tkhd" if i + 8 + 84 <= to =>
+                // v0 layout: ver/flags 4, times 8, id 4, rsvd 4, duration 4,
+                // rsvd 8, layer/group/volume/rsvd 8, matrix 36 → width@76
+                val ver = bytes(i + 8) & 0xFF
+                val woff = i + 8 + (if (ver == 1) 88 else 76)
+                if (woff + 8 <= to) {
+                  val tw = (beU32(bytes, woff) >> 16).toInt
+                  val th = (beU32(bytes, woff + 4) >> 16).toInt
+                  if (tw > 0 && th > 0) { w = tw; h = th } // the video track
+                }
+              case "stsz" if i + 8 + 12 <= to && w > 0 && frames == 0 =>
+                frames = beU32(bytes, i + 16).toInt
+              case _ =>
+            }
+            i += size.toInt
+          }
+        }
+        walk(0, bytes.length, 0)
+        return MediaMeta(n, "mp4", w, h, math.max(frames, 1), hash)
+      }
       // WAV: RIFF/WAVE chunk walk — channels+bits from `fmt `, total sample
       // frames from the `data` chunk size.
       if (bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
@@ -235,6 +273,46 @@ object Multimodal {
         f += 1
       }
       bb.array()
+    }
+
+    /** A minimal spec-compliant ISO-BMFF (MP4) container: ftyp + moov
+     * holding one video trak whose tkhd carries the dimensions (16.16
+     * fixed) and whose stbl/stsz carries the frame count (constant
+     * sample_size form, so no per-sample table), plus a stub mdat. The
+     * codec payload is opaque by design — this generates the container
+     * shape a metadata scan sees. */
+    def mp4(width: Int, height: Int, frames: Int): Array[Byte] = {
+      def be32(v: Int): Array[Byte] =
+        Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+          ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+        val body = payload.flatten.toArray
+        be32(8 + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+      }
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(512),
+        "isommp42".getBytes("US-ASCII"))
+      val mvhd = box("mvhd", new Array[Byte](12), be32(1000), be32(frames * 40),
+        be32(0x00010000), Array[Byte](1, 0), new Array[Byte](10),
+        be32(0x00010000), be32(0), be32(0), be32(0), be32(0x00010000), be32(0),
+        be32(0), be32(0), be32(0x40000000), new Array[Byte](24), be32(2))
+      val tkhd = box("tkhd",
+        new Array[Byte](4), // version 0 + flags
+        be32(0), be32(0), // times
+        be32(1), be32(0), // track id, reserved
+        be32(frames * 40), // duration
+        new Array[Byte](8), // reserved
+        new Array[Byte](8), // layer, alt group, volume, reserved
+        be32(0x00010000), be32(0), be32(0), be32(0), be32(0x00010000), be32(0),
+        be32(0), be32(0), be32(0x40000000), // identity matrix
+        be32(width << 16), be32(height << 16))
+      val stsz = box("stsz", new Array[Byte](4), be32(1024), be32(frames))
+      val stbl = box("stbl", stsz)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", minf)
+      val trak = box("trak", tkhd, mdia)
+      val moov = box("moov", mvhd, trak)
+      val mdat = box("mdat", Array[Byte](0, 0, 0, 0))
+      ftyp ++ moov ++ mdat
     }
 
     /** A minimal valid PCM WAV with the given shape (silence payload). */

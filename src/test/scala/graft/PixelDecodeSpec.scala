@@ -97,6 +97,25 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(p.data.length == 32 * 20 * 3)
   }
 
+  test("MP4 container metadata: dimensions from tkhd, frame count from stsz") {
+    val m = Multimodal.HeaderDecoder.decode(Multimodal.SyntheticMedia.mp4(640, 360, 250))
+    assert(m.format == "mp4" && m.width == 640 && m.height == 360 && m.nFrames == 250)
+    // truncations must not throw and must still identify the container
+    val full = Multimodal.SyntheticMedia.mp4(64, 48, 10)
+    for (cut <- Seq(12, 20, 40, full.length / 2, full.length - 3)) {
+      val t = Multimodal.HeaderDecoder.decode(java.util.Arrays.copyOf(full, cut))
+      assert(t.format == "mp4", s"cut $cut")
+    }
+    // frame-index sampling rides the real frame count
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, Multimodal.SyntheticMedia.mp4(320, 240, 30))).toDF("id", "blob")
+    val sampled = Multimodal.sampleFrameIndices(
+      Multimodal.decodeMeta(df, "blob"), "media_meta", stride = 10)
+      .select("frame_indices").collect()(0).getSeq[Int](0)
+    assert(sampled == Seq(0, 10, 20))
+  }
+
   test("WAV PCM decode recovers exact square-wave samples, rms and peak") {
     val amp = 12000
     val bytes = Multimodal.SyntheticMedia.squareWav(1, 16000, 101, amp)

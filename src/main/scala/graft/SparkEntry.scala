@@ -381,7 +381,10 @@ object SparkEntry {
     // length — a decoder that does not truly inflate and unfilter every
     // scanline (or resample the true rows) cannot match.
     "q58_pixel_stats" -> ((s, dir) => {
-      val bin = s.read.parquet(mediaFixture(s, dir))
+      // project BEFORE the decode op: mapPartitions is opaque to Catalyst,
+      // so column pruning can't reach the scan through it — without this
+      // the scan reads the unused WAV column too
+      val bin = s.read.parquet(mediaFixture(s, dir)).select("doc_id", "blob_png")
       graft.multimodal.Multimodal.pixelStats(bin, "blob_png", resizeTo = (8, 8))
         .select(col("doc_id"),
           col("pixel_stats.width").as("width"),
@@ -396,7 +399,7 @@ object SparkEntry {
     // equal to their amplitude, and the decoded frame/rate/channel shape
     // comes from the fmt chunk — all closed-form in the text length.
     "q59_audio_stats" -> ((s, dir) => {
-      val bin = s.read.parquet(mediaFixture(s, dir))
+      val bin = s.read.parquet(mediaFixture(s, dir)).select("doc_id", "blob_wav")
       graft.multimodal.Multimodal.audioStats(bin, "blob_wav")
         .select(col("doc_id"),
           col("audio_stats.channels").as("channels"),

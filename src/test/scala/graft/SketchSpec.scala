@@ -211,6 +211,37 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("exhaustive epoch x lookback sweep: merged estimate equals the covered-span sum") {
+    // reference `HokusaiIntervalTrackerSpec:63-140` shape: a single key with
+    // an arithmetic-progression count (interval t carries 7*(t+1)) queried
+    // for EVERY lookback n at EVERY epoch. A lone key never collides in the
+    // CMS and never evicts from the summary, so the merged estimate must
+    // equal the exact sum over the buckets the range actually covers
+    // (coveredRange widens into a dyadic block's full extent — the Hokusai
+    // resolution trade-off — and the sum must widen identically).
+    def apSum(from: Long, to: Long): Long = // sum of 7*(t+1) for t in [from,to]
+      (from to to).map(t => 7L * (t + 1)).sum
+    for (mk <- Seq[() => IntervalSketch](
+      () => CmsInterval(new TopKCms(10, 5, 256, 7)),
+      () => SummaryInterval(new StreamSummary(50)))) {
+      val tb = new TimeBucketedSketch(4, mk)
+      for (t <- 0L until 60L) {
+        val s = mk()
+        s match {
+          case CmsInterval(c) => c.add("k", 7L * (t + 1))
+          case SummaryInterval(ss) => ss.add("k", 7L * (t + 1))
+        }
+        tb.addTo(t, s)
+        for (n <- 1L to (t + 1)) {
+          val (lo, hi) = tb.coveredRange(t - n + 1, t).get
+          val est = tb.mergedRange(t - n + 1, t).get.estimate("k")._2
+          assert(est === apSum(lo, hi),
+            s"epoch $t lookback $n: est $est != exact sum over covered [$lo,$hi]")
+        }
+      }
+    }
+  }
+
   test("long horizon: 200 epochs fold into O(maxInterval + log T) dyadic buckets") {
     // reference `HokusaiIntervalTrackerSpec`-style horizon test: structure
     // and estimate guarantees must survive hundreds of epoch shifts, not

@@ -104,6 +104,8 @@ object Multimodal {
         while (i + 3 < bytes.length) {
           if (bytes(i) != 0xFF.toByte) return MediaMeta(n, "jpeg", 0, 0, 1, hash)
           while (i + 1 < bytes.length && bytes(i + 1) == 0xFF.toByte) i += 1 // fill bytes
+          // a blob ending in a run of 0xFF padding leaves no marker byte
+          if (i + 1 >= bytes.length) return MediaMeta(n, "jpeg", 0, 0, 1, hash)
           val marker = bytes(i + 1) & 0xFF
           if (marker == 0xD9 || (marker >= 0xD0 && marker <= 0xD7)) {
             i += 2 // standalone marker, no segment length
@@ -135,41 +137,78 @@ object Multimodal {
         return MediaMeta(n, "bmp", w, h, 1, hash)
       }
       // MP4 (ISO base media): box walk — dimensions from the video trak's
-      // tkhd (16.16 fixed point), frame count from its stbl/stsz
+      // tkhd (16.16 fixed point), frame count from THAT trak's stbl/stsz
       // sample_count. Pure container metadata; codec payloads stay opaque.
       if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
           bytes(6) == 'y' && bytes(7) == 'p') {
+        // (contentStart, contentEnd) of a box at `i`, honoring the spec's
+        // size==1 (64-bit largesize follows the type) and size==0 (box runs
+        // to the end of its container) forms; None on a corrupt size
+        def boxBounds(i: Int, to: Int): Option[(Int, Int)] = {
+          val size = beU32(bytes, i)
+          if (size == 0L) Some((i + 8, to))
+          else if (size == 1L && i + 16 <= to) {
+            val large = (beU32(bytes, i + 8) << 32) | beU32(bytes, i + 12)
+            if (large < 16 || large > to - i) None else Some((i + 16, i + large.toInt))
+          }
+          else if (size < 8 || size > to - i) None
+          else Some((i + 8, i + size.toInt))
+        }
+        // first direct child of [from,to) with the given type → its bounds
+        def child(from: Int, to: Int, tpe: String): Option[(Int, Int)] = {
+          var i = from
+          while (i + 8 <= to) {
+            boxBounds(i, to) match {
+              case None => return None
+              case Some((cs, ce)) =>
+                if (new String(bytes, i + 4, 4, "US-ASCII") == tpe) return Some((cs, ce))
+                i = ce
+            }
+          }
+          None
+        }
+        def chain(from: Int, to: Int, path: String*): Option[(Int, Int)] =
+          path.foldLeft(Option((from, to))) { (acc, tpe) =>
+            acc.flatMap { case (f, t) => child(f, t, tpe) }
+          }
         var w = 0
         var h = 0
         var frames = 0
-        // walk boxes, descending into the containers that lead to tkhd/stsz
-        def walk(from: Int, to: Int, depth: Int): Unit = {
-          var i = from
-          while (i + 8 <= to && depth < 8) {
-            val size = beU32(bytes, i)
-            if (size < 8 || size > to - i) return // corrupt/truncated box
-            val tpe = new String(bytes, i + 4, 4, "US-ASCII")
-            tpe match {
-              case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-                walk(i + 8, i + size.toInt, depth + 1)
-              case "tkhd" if i + 8 + 84 <= to =>
-                // v0 layout: ver/flags 4, times 8, id 4, rsvd 4, duration 4,
-                // rsvd 8, layer/group/volume/rsvd 8, matrix 36 → width@76
-                val ver = bytes(i + 8) & 0xFF
-                val woff = i + 8 + (if (ver == 1) 88 else 76)
-                if (woff + 8 <= to) {
-                  val tw = (beU32(bytes, woff) >> 16).toInt
-                  val th = (beU32(bytes, woff + 4) >> 16).toInt
-                  if (tw > 0 && th > 0) { w = tw; h = th } // the video track
+        child(0, bytes.length, "moov").foreach { case (ms, me) =>
+          // iterate traks; the video track is the one whose tkhd has
+          // nonzero dimensions, and the frame count must come from the
+          // SAME trak (an audio trak's stsz holds audio sample counts)
+          var i = ms
+          var done = false
+          while (!done && i + 8 <= me) {
+            boxBounds(i, me) match {
+              case None => done = true
+              case Some((cs, ce)) =>
+                if (new String(bytes, i + 4, 4, "US-ASCII") == "trak") {
+                  child(cs, ce, "tkhd").foreach { case (ts, te) =>
+                    // v0 content: ver/flags 4, times 8, id 4, rsvd 4,
+                    // duration 4, rsvd 8, layer/group/volume/rsvd 8,
+                    // matrix 36 → width at content offset 76 (v1: 88);
+                    // bounds against the tkhd box's OWN end
+                    val ver = bytes(ts) & 0xFF
+                    val woff = ts + (if (ver == 1) 88 else 76)
+                    if (woff + 8 <= te) {
+                      val tw = (beU32(bytes, woff) >> 16).toInt
+                      val th = (beU32(bytes, woff + 4) >> 16).toInt
+                      if (tw > 0 && th > 0 && w == 0) {
+                        w = tw; h = th
+                        chain(cs, ce, "mdia", "minf", "stbl", "stsz")
+                          .foreach { case (ss, se) =>
+                            if (ss + 12 <= se) frames = beU32(bytes, ss + 8).toInt
+                          }
+                      }
+                    }
+                  }
                 }
-              case "stsz" if i + 8 + 12 <= to && w > 0 && frames == 0 =>
-                frames = beU32(bytes, i + 16).toInt
-              case _ =>
+                i = ce
             }
-            i += size.toInt
           }
         }
-        walk(0, bytes.length, 0)
         return MediaMeta(n, "mp4", w, h, math.max(frames, 1), hash)
       }
       // WAV: RIFF/WAVE chunk walk — channels+bits from `fmt `, total sample
@@ -191,8 +230,10 @@ object Multimodal {
           } else if (id == "data") {
             dataBytes = size
           }
-          // a corrupt u32 size past 2 GiB would wrap the cursor backwards
-          if (size > Int.MaxValue - 9L) walking = false
+          // a corrupt size that is negative-as-int or runs past the buffer
+          // would wrap the cursor (then read at a negative offset) — end
+          // the walk and keep the chunks parsed so far
+          if (size > bytes.length - i - 8L) walking = false
           else i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
         }
         val frameBytes = channels * (bitsPerSample / 8)

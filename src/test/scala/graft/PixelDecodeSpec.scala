@@ -116,6 +116,62 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(sampled == Seq(0, 10, 20))
   }
 
+  test("header-decoder crash regressions: FF-padded JPEG, 2GiB WAV chunk, MP4 edge boxes") {
+    import Multimodal.HeaderDecoder
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8 + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    }
+    // JPEG whose tail is 0xFF padding: marker byte missing after fill loop
+    val jpegPad = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    assert(HeaderDecoder.decode(jpegPad).format == "jpeg") // must not throw
+    // RIFF/WAVE whose first chunk claims ~2 GiB: cursor must not wrap
+    val wavHuge = ("RIFF".getBytes("US-ASCII") ++ be32(36).reverse ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array[Byte](0xF4.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F.toByte) ++
+      new Array[Byte](24))
+    assert(HeaderDecoder.decode(wavHuge).format == "wav") // must not throw
+    // MP4 with a size==1 (64-bit largesize) mdat BEFORE moov: metadata must
+    // still be found past it
+    val tkhd = box("tkhd", new Array[Byte](4), be32(0), be32(0), be32(1), be32(0),
+      be32(0), new Array[Byte](8), new Array[Byte](8),
+      be32(0x00010000), be32(0), be32(0), be32(0), be32(0x00010000), be32(0),
+      be32(0), be32(0), be32(0x40000000), be32(320 << 16), be32(240 << 16))
+    val stsz = box("stsz", new Array[Byte](4), be32(1024), be32(42))
+    val videoTrak = box("trak", tkhd, box("mdia", box("minf", box("stbl", stsz))))
+    val mdatBody = new Array[Byte](16)
+    val mdatLarge = be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      be32(0) ++ be32(16 + mdatBody.length) ++ mdatBody
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(512))
+    val withLarge = ftyp ++ mdatLarge ++ box("moov", videoTrak)
+    val mL = HeaderDecoder.decode(withLarge)
+    assert(mL.format == "mp4" && mL.width == 320 && mL.height == 240 && mL.nFrames == 42)
+    // audio trak's stsz must NOT be adopted as the video frame count when
+    // the video trak has no stsz
+    val videoNoStsz = box("trak", tkhd, box("mdia", box("minf", box("stbl"))))
+    val audioTkhd = box("tkhd", new Array[Byte](4), be32(0), be32(0), be32(2), be32(0),
+      be32(0), new Array[Byte](8), new Array[Byte](8),
+      be32(0x00010000), be32(0), be32(0), be32(0), be32(0x00010000), be32(0),
+      be32(0), be32(0), be32(0x40000000), be32(0), be32(0)) // 0x0 dims = audio
+    val audioTrak = box("trak", audioTkhd,
+      box("mdia", box("minf", box("stbl", box("stsz", new Array[Byte](4),
+        be32(4), be32(480000))))))
+    val mixed = ftyp ++ box("moov", videoNoStsz, audioTrak)
+    val mM = HeaderDecoder.decode(mixed)
+    assert(mM.width == 320 && mM.nFrames == 1,
+      s"audio stsz leaked into video frames: ${mM.nFrames}")
+    // a short (truncated-payload) tkhd must not read sibling boxes' bytes
+    val shortTkhd = box("tkhd", new Array[Byte](8))
+    val junkSibling = box("free", Array.fill[Byte](96)(0x7F))
+    val corrupt = ftyp ++ box("moov", box("trak", shortTkhd, junkSibling))
+    val mC = HeaderDecoder.decode(corrupt)
+    assert(mC.width == 0 && mC.height == 0, s"short tkhd read sibling bytes: ${mC.width}")
+  }
+
   test("WAV PCM decode recovers exact square-wave samples, rms and peak") {
     val amp = 12000
     val bytes = Multimodal.SyntheticMedia.squareWav(1, 16000, 101, amp)

@@ -73,9 +73,11 @@ object PixelDecoder {
       case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4
       case _ => return null
     }
-    // overflow-safe size check BEFORE any allocation: a corrupt IHDR can
-    // claim dimensions whose raster would exceed Int.MaxValue bytes
+    // overflow-safe size checks BEFORE any allocation: a corrupt IHDR can
+    // claim dimensions whose raster (or whose palette-expanded RGB OUTPUT,
+    // 3 bytes/pixel vs 1 in the filtered stream) exceeds Int.MaxValue bytes
     if (height.toLong * (1L + width.toLong * srcChannels) > Int.MaxValue) return null
+    if (width.toLong * height * math.max(srcChannels, 3) > Int.MaxValue) return null
     // gather PLTE + IDAT
     var palette: Array[Byte] = null
     var idatLen = 0
@@ -108,7 +110,10 @@ object PixelDecoder {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // zero progress with room left means the stream is truncated, wants
+        // a preset dictionary (FDICT — never valid in PNG), or is otherwise
+        // stuck; looping again would spin forever on the same state
+        if (n == 0) return null
         got += n
       }
       if (got < raw.length) return null
@@ -185,6 +190,7 @@ object PixelDecoder {
     if (hdrSize < 40) return null
     val width = leU32(b, 18)
     val rawH = leU32(b, 22)
+    if (rawH == Int.MinValue) return null // abs() would return MinValue itself
     val height = math.abs(rawH)
     val topDown = rawH < 0
     val bpp = leU16(b, 28)
@@ -195,7 +201,11 @@ object PixelDecoder {
       width.toLong * height * 4 > Int.MaxValue) return null
     val rowStride = (width * srcPixBytes + 3) & ~3
     if (dataOff < 0 || dataOff.toLong + rowStride.toLong * height > b.length) return null
-    val channels = if (bpp == 32) 4 else 3
+    // in BI_RGB the 32-bit form's 4th byte is RESERVED (must-be-zero), not
+    // alpha — emit opaque 3-channel RGB like ImageIO does, so the direct
+    // and fallback paths embed identically (true alpha needs the V4/V5
+    // header's masks, out of scope)
+    val channels = 3
     val out = new Array[Byte](width * height * channels)
     var y = 0
     while (y < height) {
@@ -204,8 +214,7 @@ object PixelDecoder {
       while (x < width) {
         val s = srcRow + x * srcPixBytes
         val d = (y * width + x) * channels
-        out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s) // BGR→RGB
-        if (channels == 4) out(d + 3) = b(s + 3)
+        out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s) // BGR(X)→RGB
         x += 1
       }
       y += 1
@@ -220,8 +229,8 @@ object PixelDecoder {
    * a training-data thumbnail path wants). */
   def gif(b: Array[Byte]): Pixels = {
     if (b.length < 13) return null
-    val screenW = leU16(b, 6)
-    val screenH = leU16(b, 8)
+    // (logical-screen dimensions at offsets 6/8 are ignored: the frame's
+    // own descriptor dimensions are what the decode reports)
     val flags = b(10) & 0xFF
     var i = 13
     var globalPal: Array[Byte] = null
@@ -256,15 +265,21 @@ object PixelDecoder {
           if (i >= b.length) return null
           val minCode = b(i) & 0xFF
           i += 1
-          // concatenate the data sub-blocks
+          // concatenate the data sub-blocks; a truncated final sub-block
+          // (length byte promising more than the buffer holds) contributes
+          // only its available bytes — decoding then fails cleanly on the
+          // short LZW stream instead of reading past the array
           var total = 0
           var j = i
-          while (j < b.length && (b(j) & 0xFF) != 0) { total += b(j) & 0xFF; j += 1 + (b(j) & 0xFF) }
+          while (j < b.length && (b(j) & 0xFF) != 0) {
+            val n = math.min(b(j) & 0xFF, b.length - j - 1)
+            total += n; j += 1 + n
+          }
           val lzw = new Array[Byte](total)
           var off = 0
           j = i
           while (j < b.length && (b(j) & 0xFF) != 0) {
-            val n = b(j) & 0xFF
+            val n = math.min(b(j) & 0xFF, b.length - j - 1)
             System.arraycopy(b, j + 1, lzw, off, n); off += n; j += 1 + n
           }
           val indices = lzwDecode(lzw, minCode, w * h)
@@ -379,6 +394,7 @@ object PixelDecoder {
     val h = img.getHeight
     val hasAlpha = img.getColorModel.hasAlpha
     val channels = if (hasAlpha) 4 else 3
+    if (w <= 0 || h <= 0 || w.toLong * h * channels > Int.MaxValue) return null
     val out = new Array[Byte](w * h * channels)
     val row = new Array[Int](w)
     var y = 0

@@ -300,6 +300,51 @@ class PixelDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("pixel-decoder crash regressions: FDICT zlib, overflow dims, truncated GIF, 32-bit BMP") {
+    // PNG whose zlib stream demands a preset dictionary (FDICT set, valid
+    // FCHECK): inflate makes zero progress forever unless the loop bails
+    val png = Multimodal.SyntheticMedia.image("png", 12, 8, 5L)
+    var idat = -1
+    for (i <- 0 until png.length - 4 if idat < 0)
+      if (png(i) == 'I' && png(i + 1) == 'D' && png(i + 2) == 'A' && png(i + 3) == 'T') idat = i
+    val fdict = png.clone()
+    fdict(idat + 4) = 0x78; fdict(idat + 5) = 0x3F // CMF/FLG with FDICT, FCHECK valid
+    assert(PixelDecoder.png(fdict) == null) // must return, not hang
+    // palette PNG claiming width 2^30 x 1: the 3-byte/pixel OUTPUT overflows
+    // Int even though the 1-byte/pixel filtered stream does not
+    val hdr = new Array[Byte](33)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).copyToArray(hdr)
+    hdr(11) = 13 // IHDR length
+    "IHDR".getBytes("US-ASCII").copyToArray(hdr, 12)
+    hdr(16) = 0x40 // width = 2^30 big-endian
+    hdr(23) = 1 // height = 1
+    hdr(24) = 8 // bit depth
+    hdr(25) = 3 // palette color type
+    assert(PixelDecoder.png(hdr) == null) // must not allocate/overflow
+    // GIF truncated mid-sub-block: length byte promises more than remains
+    val gif = Multimodal.SyntheticMedia.image("gif", 30, 20, 9L)
+    for (cut <- Seq(gif.length - 3, gif.length / 2, gif.length / 2 + 7)) {
+      PixelDecoder.gif(java.util.Arrays.copyOf(gif, cut)) // must not throw
+    }
+    // BMP with height = Int.MinValue (abs() is a no-op on it)
+    val bmp = Multimodal.SyntheticMedia.image("bmp", 4, 4, 1L)
+    val evil = bmp.clone()
+    evil(22) = 0; evil(23) = 0; evil(24) = 0; evil(25) = 0x80.toByte
+    assert(PixelDecoder.bmp(evil) == null)
+    // 32-bit BI_RGB: 4th byte is reserved, not alpha → opaque 3-channel RGB
+    val px = Array[Byte](
+      10, 20, 30, 0, 40, 50, 60, 0) // two BGRX pixels, reserved byte zero
+    val bb = java.nio.ByteBuffer.allocate(54 + px.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + px.length).putInt(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(1).putShort(1).putShort(32).putInt(0)
+      .putInt(px.length).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put(px)
+    val p32 = PixelDecoder.bmp(bb.array())
+    assert(p32 != null && p32.channels == 3 && p32.width == 2 && p32.height == 1)
+    assert((p32.data(0) & 0xFF) == 30 && (p32.data(1) & 0xFF) == 20 && (p32.data(2) & 0xFF) == 10)
+  }
+
   test("PixelStatExtractor embeds image content, not bytes: same image, different files") {
     val ex = new Multimodal.PixelStatExtractor(8)
     // identical raster written as PNG and BMP must embed identically

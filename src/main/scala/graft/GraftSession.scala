@@ -453,9 +453,14 @@ class GraftSession(val spark: SparkSession) {
     val tmpPath = new org.apache.hadoop.fs.Path(dir,
       s"${GraftSession.TopkSnapPrefix}$version.tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
+    // capture spill view + bucket bytes under ONE lock hold: a streaming
+    // sink appending between the two reads would snapshot a spill index
+    // inconsistent with the bucket state
+    val ((files, spans), bin) = st.stateLock.synchronized {
+      (st.spillView, st.buckets.snapshotBytes)
+    }
     val out = new java.io.DataOutputStream(fs.create(tmpPath, true))
     try {
-      val (files, spans) = st.spillView
       // qualify BOTH sides before stripping: listStatus-derived batch paths
       // come back scheme-qualified (file:/..., hdfs://nn/...) while the
       // table path is usually raw — a plain startsWith would store the
@@ -471,7 +476,6 @@ class GraftSession(val spark: SparkSession) {
       }
       out.writeInt(spans.size)
       spans.foreach { case (s, l) => out.writeLong(s); out.writeLong(l) }
-      val bin = st.buckets.snapshotBytes
       out.writeInt(bin.length)
       out.write(bin)
     } finally out.close()
@@ -514,6 +518,16 @@ class GraftSession(val spark: SparkSession) {
     props.setProperty("__base",
       state.topkBases.getOrElse(name.toLowerCase, ""))
     props.setProperty("__snapversion", version.toString)
+    // stamp this publish's retirees and PERSIST the survivors: the next
+    // append re-attaches a fresh state, so an in-memory-only list would be
+    // forgotten and compacted-away batch dirs would leak forever. Deletion
+    // of the released entries happens after the meta replace below.
+    val releasedBatches = st.collectRetired(version)
+    val survivors = st.retiredView
+    if (survivors.nonEmpty) {
+      props.setProperty("__retired",
+        survivors.map { case (v, p) => s"$v|$p" }.mkString("\n"))
+    }
     val metaPath = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkMetaFile)
     val metaTmp = new org.apache.hadoop.fs.Path(dir,
       GraftSession.TopkMetaFile + ".tmp-" +
@@ -547,8 +561,9 @@ class GraftSession(val spark: SparkSession) {
     // compacted-away batches become deletable one publish AFTER the
     // snapshot that stopped referencing them — mirroring the snapshot GC's
     // keep-one-back policy, so a reader attaching the retained version-1
-    // still finds every file it references
-    st.collectRetired(version).foreach { f =>
+    // still finds every file it references (collected above, before the
+    // meta write, so the survivors persisted with this publish)
+    releasedBatches.foreach { f =>
       val hp = new org.apache.hadoop.fs.Path(f)
       if (fs.exists(hp)) fs.delete(hp, true)
     }
@@ -624,8 +639,14 @@ class GraftSession(val spark: SparkSession) {
             snapIn.readFully(b)
             (fl, sp, b)
           } finally snapIn.close()
-        st.buckets.restoreFrom(bin)
+        st.stateLock.synchronized { st.buckets.restoreFrom(bin) }
         st.restoreSpillView(spark, spillDir.toString, files, spans)
+        Option(props.getProperty("__retired")).foreach { enc =>
+          st.restoreRetired(enc.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+            val sep = line.indexOf('|')
+            (line.take(sep).toLong, line.drop(sep + 1))
+          })
+        }
       case None =>
         // legacy two-file layout: _topk.bin + directory-listed spill store
         val binPath = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkBinFile)
@@ -635,7 +656,7 @@ class GraftSession(val spark: SparkSession) {
             val len = fs.getFileStatus(binPath).getLen.toInt
             val b = new Array[Byte](len); binIn.readFully(b); b
           } finally binIn.close()
-        st.buckets.restoreFrom(bytes)
+        st.stateLock.synchronized { st.buckets.restoreFrom(bytes) }
         if (fs.exists(spillDir)) st.attachSpill(spark, spillDir.toString)
         else st.setSpillBase(spillDir.toString)
     }

@@ -70,14 +70,14 @@ object TimeCol {
    */
   def asInstantSql(col: String, dt: DataType, unit: String = "ns"): String =
     dt match {
-      case TimestampNTZType => s"timestamp_micros(timestampdiff(" +
-        s"MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $col))"
+      // already an instant; wrapping in timestamp_micros(unix_micros(..))
+      // would be the identity
       case TimestampType => col
-      case DateType => s"timestamp_micros(unix_date($col) * 86400000000L)"
-      case _ => unit match {
-        case "ns" => s"timestamp_micros(CAST($col AS BIGINT) div 1000L)"
-        case "s" => s"timestamp_micros(CAST($col AS BIGINT) * 1000000L)"
-        case _ => s"timestamp_micros(CAST($col AS BIGINT) * 1000L)"
-      }
+      // every other case is exactly "micros → instant": one dispatch lives
+      // in epochMicrosSql so a new type/unit can't drift between the two.
+      // NOTE the integral default differs deliberately: slot bucketing
+      // sites historically carried ms epochs, streaming callers ns — both
+      // always pass `unit` explicitly (callers audited; keep doing so).
+      case _ => s"timestamp_micros(${epochMicrosSql(col, Some(dt), unit)})"
     }
 }

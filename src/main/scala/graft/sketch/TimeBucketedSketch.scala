@@ -195,8 +195,18 @@ final class TimeBucketedSketch(
     recent ++ old
   }
 
-  def mergedRange(startInterval: Long, endInterval: Long): Option[IntervalSketch] =
-    range(startInterval, endInterval).reduceOption((a, b) => mk().mergeWith(a).mergeWith(b))
+  /** Merged sketches over the range. Always folds into a FRESH sketch —
+   * `mergeWith` mutates its receiver, and the single-element case of a
+   * plain reduce would hand the caller the stored bucket itself, which a
+   * subsequent merge (e.g. with spilled buckets) would then corrupt. */
+  /** Merged sketches over the range. Always folds into a FRESH sketch —
+   * `mergeWith` mutates its receiver, and the single-element case of a
+   * plain reduce would hand the caller the stored bucket itself, which a
+   * subsequent merge (e.g. with spilled buckets) would then corrupt. */
+  def mergedRange(startInterval: Long, endInterval: Long): Option[IntervalSketch] = {
+    val rs = range(startInterval, endInterval)
+    if (rs.isEmpty) None else Some(rs.foldLeft(mk())(_.mergeWith(_)))
+  }
 
   /** Actual [min, max] interval span (inclusive) of the buckets overlapping
    * [startInterval, endInterval] — coarse history blocks contribute their

@@ -63,8 +63,13 @@ object TopKOptions {
     num.trim.toLong * mult
   }
 
-  /** Parse a `CREATE TOPK TABLE ... OPTIONS(...)` map. */
-  def fromOptions(opts: Map[String, String]): TopKOptions = {
+  /** Parse a `CREATE TOPK TABLE ... OPTIONS(...)` map. Keys are matched
+   * case-insensitively: SQL DDL arrives lowercased by the parser, but
+   * programmatic callers (`topkSink`, `createApproxTSTopK`) pass camelCase
+   * maps (`timeSeriesColumn`, `timeInterval`) — exact-lowercase lookups
+   * silently dropped those options, producing an untimed table. */
+  def fromOptions(rawOpts: Map[String, String]): TopKOptions = {
+    val opts = rawOpts.map { case (k, v) => k.toLowerCase -> v }
     val eps = opts.get("eps").map(_.toDouble)
     val conf = opts.get("confidence").map(_.toDouble)
     val depth = opts.get("depth").map(_.toInt)
@@ -124,6 +129,16 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   val variant: String = if (opts.streamSummary) "summary" else "cms"
   val buckets =
     new TimeBucketedSketch(opts.maxInterval, () => mkSketch(), opts.itemAggregation)
+
+  /** Guards every access to the mutable driver-side state (`buckets`, the
+   * spill view, the retirement list): a streaming sink appends from the
+   * micro-batch thread while a live-view SQL scan ([[TopKRelation]]) reads
+   * the same TreeMaps from a query thread — unsynchronized, the reader sees
+   * structural modification mid-iteration. External code touching
+   * `buckets` directly (snapshot/restore in the save/attach paths) must
+   * hold this lock too. Coarse by design: driver-side sketches are small,
+   * and correctness beats the microseconds a finer scheme would save. */
+  private[graft] val stateLock = new Object
 
   /** Batch-timed bucketing origin: `opts.epoch` when declared, else the
    * first append's arrival time (persisted with the snapshot so re-attached
@@ -187,10 +202,24 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   private val retiredBatches =
     scala.collection.mutable.ArrayBuffer.empty[(Option[Long], String)]
 
+  /** Surviving stamped retirees, for persisting into the registry meta:
+   * without this the deferred-delete list would live only in this session's
+   * memory, and the next append's fresh re-attach would forget it — every
+   * compacted-away batch dir on a shared path would leak forever. */
+  def retiredView: Seq[(Long, String)] = stateLock.synchronized {
+    retiredBatches.toSeq.collect { case (Some(v), p) => (v, p) }
+  }
+
+  /** Restore the persisted deferred-delete list on re-attach. */
+  def restoreRetired(entries: Seq[(Long, String)]): Unit = stateLock.synchronized {
+    retiredBatches.clear()
+    retiredBatches ++= entries.map { case (v, p) => (Some(v), p) }
+  }
+
   /** Stamp unstamped retirees with this publish's version and return the
    * ones whose superseding snapshot is now itself superseded (stamped
    * version < current) — safe to delete ([[graft.GraftSession.saveTopK]]). */
-  def collectRetired(version: Long): Seq[String] = {
+  def collectRetired(version: Long): Seq[String] = stateLock.synchronized {
     val (del, keep) = retiredBatches.toSeq.partition {
       case (Some(v), _) => v < version
       case (None, _) => false
@@ -206,13 +235,14 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   /** This session's spill view — batch dirs + span index — recorded into
    * the persisted snapshot so a re-attach restores exactly the save-time
    * state ([[graft.GraftSession.saveTopK]]). */
-  def spillView: (Seq[String], Seq[(Long, Long)]) =
+  def spillView: (Seq[String], Seq[(Long, Long)]) = stateLock.synchronized {
     (spillFiles.toSeq, spilledSpans.toSeq)
+  }
 
   /** Restore the spill view a snapshot recorded (fresh-session re-attach
    * of a path-backed table). */
   def restoreSpillView(spark: SparkSession, dir: String,
-      files: Seq[String], spans: Seq[(Long, Long)]): Unit = {
+      files: Seq[String], spans: Seq[(Long, Long)]): Unit = stateLock.synchronized {
     sparkRef = spark
     spillPath = Some(dir)
     deferDeletes = true
@@ -224,7 +254,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * stores): adopt every batch currently present. Only safe when no other
    * session is writing the path — the snapshot-recorded view is the
    * consistent path. */
-  def attachSpill(spark: SparkSession, dir: String): Unit = {
+  def attachSpill(spark: SparkSession, dir: String): Unit = stateLock.synchronized {
     sparkRef = spark
     spillPath = Some(dir)
     spilledSpans.clear(); spillFiles.clear()
@@ -399,13 +429,25 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     Some(rdd.reduce(_.mergeWith(_)))
   }
 
-  /** Driver-resident + spilled buckets merged over the range. */
-  private def mergedAll(startIv: Long, endIv: Long): Option[IntervalSketch] =
-    (buckets.mergedRange(startIv, endIv).toSeq ++
-      spillMerged(startIv, endIv).toSeq).reduceOption(_.mergeWith(_))
+  /** Driver-resident + spilled buckets merged over the range. Folds into a
+   * FRESH sketch: `mergeWith` mutates its receiver (CMS adds in place), so
+   * reducing with a stored bucket as the receiver would fold the spilled
+   * counts into the live bucket — estimates then grow on every repeated
+   * query and the corrupted bucket is what the next snapshot persists. */
+  private def mergedAll(startIv: Long, endIv: Long): Option[IntervalSketch] = {
+    // empty/inverted window: interval math below would still overlap coarse
+    // history blocks and spilled spans (their extent test is symmetric), so
+    // bail before any merge
+    if (startIv > endIv) return None
+    val parts = buckets.mergedRange(startIv, endIv).toSeq ++
+      spillMerged(startIv, endIv).toSeq
+    if (parts.isEmpty) None
+    else Some(parts.foldLeft(mkSketch())(_.mergeWith(_)))
+  }
 
   /** [[TimeBucketedSketch.coveredRange]] extended with spilled spans. */
   private def coveredAll(startIv: Long, endIv: Long): Option[(Long, Long)] = {
+    if (startIv > endIv) return None
     val resident = buckets.coveredRange(startIv, endIv)
     val spilled = spilledSpans.filter(spanOverlaps(startIv, endIv))
     if (spilled.isEmpty) resident
@@ -465,6 +507,10 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     val agg = SketchAggregate(keyCol, freqCol, variant, opts.size, opts.depth,
       opts.width, opts.effectiveCapacity, opts.seed)
     df.select(ivCol.as("__iv__"), keyCol, freqCol.as("__freq__"))
+      // a NULL time value yields a NULL interval — skip those rows like the
+      // aggregate skips NULL keys, instead of NPE-ing the whole append on
+      // the null-keyed group
+      .filter(col("__iv__").isNotNull)
       .groupBy(col("__iv__")).agg(agg.as("__sk__"))
       .collect()
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
@@ -484,7 +530,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * re-attached the latest snapshot, so the established epoch is the
    * persisted one, not a stale pre-reload value. */
   def mergePartialsAt(spark: SparkSession, partials: Seq[(Long, Array[Byte])],
-      batchTimeMs: Long): Unit = {
+      batchTimeMs: Long): Unit = stateLock.synchronized {
     val shift =
       if (!opts.batchTimed) 0L
       else {
@@ -506,16 +552,18 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   }
 
   /** Point frequency estimate of a key over a time range. */
-  def queryFrequency(key: Any, startMs: Long, endMs: Long): Option[(Long, Long, Long)] = {
-    val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
-    val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
-    mergedAll(startIv, endIv).map(_.estimate(key))
-  }
+  def queryFrequency(key: Any, startMs: Long, endMs: Long): Option[(Long, Long, Long)] =
+    stateLock.synchronized {
+      val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
+      val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
+      mergedAll(startIv, endIv).map(_.estimate(key))
+    }
 
   /** Top-k rows of the merged [startMs, endMs] range plus the actual
    * covered bucket span in epoch ms (for the SQL scan's
    * `start_time`/`end_time` columns — [[TopKRelation]]). */
-  def topKRows(startMs: Long, endMs: Long, k: Int): (Seq[(Any, Long, Long)], Long, Long) = {
+  def topKRows(startMs: Long, endMs: Long, k: Int): (Seq[(Any, Long, Long)], Long, Long) =
+    stateLock.synchronized {
     val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
     val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
     val rows = mergedAll(startIv, endIv).map(_.topK(k)).getOrElse(Nil)

@@ -477,7 +477,80 @@ class TopKSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === perApp.map { case (k, v) => k -> v * 21 },
       "counts must be exact through compaction with deferred deletion")
+    // NO ORPHANS: the append path re-attaches a FRESH state every time, so
+    // the deferral list must ride the registry meta (`__retired`) — without
+    // that, every compacted-away batch dir whose stamped entry died with
+    // the previous state leaks as a dir no retained snapshot references
+    val latest = GraftState.of(spark).topks("tk_compact")
+      .asInstanceOf[graft.topk.TopKState]
+    val referenced = snapshotRefs().flatMap(_._2)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val pending = latest.retiredView
+      .map { case (_, p) => new org.apache.hadoop.fs.Path(p).getName }.toSet
+    val orphans = fs.listStatus(spillDir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch-"))
+      .filterNot(n => referenced.contains(n) || pending.contains(n))
+    assert(orphans.isEmpty,
+      s"unreferenced spill batch dirs leaked past the deferral: $orphans")
     gs.sql("DROP TOPK TABLE tk_compact")
+  }
+
+  test("repeated queries of a spill-active CMS table return identical estimates") {
+    // merge folds must never use a stored bucket as the receiver: CMS merge
+    // adds in place, so a resident bucket corrupted by one query would make
+    // every subsequent query report larger counts
+    gs.sql("CREATE TOPK TABLE tk_stable ON events OPTIONS(key 'event_type', " +
+      "size '5', depth '5', width '256', timeSeriesColumn 'ts', " +
+      "timeInterval '86400000', maxInterval '100', timeUnit 'ns', " +
+      "maxDriverEntries '1400')")
+    val st = GraftState.of(spark).topks("tk_stable")
+      .asInstanceOf[graft.topk.TopKState]
+    assert(st.spilledBucketCount > 0, "setup must spill (resident + spilled merge)")
+    def snap(): Map[String, Long] = gs.queryTopK("tk_stable", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = snap()
+    (1 to 3).foreach { i =>
+      assert(snap() === first, s"estimates drifted on repeated query #$i")
+    }
+    // and the point-frequency path shares the merge plumbing
+    val key = first.keys.head
+    val f1 = gs.queryFrequency("tk_stable", key)
+    assert(gs.queryFrequency("tk_stable", key) === f1)
+    gs.sql("DROP TOPK TABLE tk_stable")
+  }
+
+  test("append tolerates NULL time values; inverted windows answer empty") {
+    import spark.implicits._
+    gs.sql("CREATE TOPK TABLE tk_nullts ON events OPTIONS(key 'event_type', " +
+      "streamSummary 'true', capacity '64', size '5', " +
+      "timeSeriesColumn 'ts', timeInterval '86400000', timeUnit 'ns', " +
+      "maxInterval '100')")
+    val before = gs.queryTopK("tk_nullts", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one real row + one NULL-ts row: the null row is skipped (same policy
+    // as null keys), not an NPE aborting the append
+    val extra = Seq(("click", Some(1704067200000000000L)), ("click", None))
+      .toDF("event_type", "ts")
+    gs.appendToTopK("tk_nullts", extra)
+    val after = gs.queryTopK("tk_nullts", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("click") === before("click") + 1)
+    // start bound past the end bound: provably empty, even though coarse
+    // folded buckets overlap any inverted range symmetrically
+    assert(gs.queryTopK("tk_nullts",
+      1704672000000L, 1704067200000L, 5).collect().isEmpty)
+    assert(gs.queryFrequency("tk_nullts", "click",
+      1704672000000L, 1704067200000L).isEmpty)
+    gs.sql("DROP TOPK TABLE tk_nullts")
+  }
+
+  test("programmatic camelCase option keys resolve (topkSink spelling)") {
+    val o = graft.topk.TopKOptions.fromOptions(Map(
+      "key" -> "k", "timeSeriesColumn" -> "ts", "timeInterval" -> "5s",
+      "streamSummary" -> "true", "maxDriverEntries" -> "99"))
+    assert(o.timeSeriesColumn === Some("ts"))
+    assert(o.timeIntervalMs === 5000L)
+    assert(o.streamSummary && o.maxDriverEntries === 99L)
   }
 
   test("IF NOT EXISTS re-attach rejects drifted options; DROP retires the snapshot") {

@@ -1174,6 +1174,18 @@ object SparkEntry {
           round(col("kept") / sum(col("kept")).over(
             org.apache.spark.sql.expressions.Window.partitionBy()), 6))
         .orderBy(col("lang"))
+    }),
+
+    // Per-key quota capping: at most 10 docs per source, the 10 with the
+    // smallest doc_id — the "cap every domain at N pages" operator. The
+    // bounded-heap aggregate shuffles ≤10 ids per source per map task
+    // however hot the source; DuckDB restates the winners with a window
+    // rank, so membership hash-matches exactly.
+    "q60_cap_per_key" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.pipeline.Pipeline.capPerKey(docs, col("source"), col("doc_id"), 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1757,5 +1769,12 @@ object SparkEntry {
         |       AS INT) AS n_ip,
         |  CAST((length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7
         |       AS INT) AS n_phone
-        |FROM red ORDER BY doc_id LIMIT 30""".stripMargin)
+        |FROM red ORDER BY doc_id LIMIT 30""".stripMargin,
+
+    "q60_cap_per_key" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin)
 }

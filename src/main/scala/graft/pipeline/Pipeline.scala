@@ -384,4 +384,40 @@ object Pipeline {
       .withColumn("seq_offset", col("token_offset") % seqTokens)
       .drop(C)
   }
+
+  /**
+   * Per-key quota capping: keep at most `n` rows per `key`, the `n` with
+   * the smallest `ord` (an integral column unique within its key — a
+   * document id, a content hash). The web-pipeline staple "cap every
+   * domain at N pages" that keeps one hot domain from dominating a corpus.
+   *
+   * Scale shape, in two skew-immune phases:
+   *  1. `groupBy(key).agg(bounded_min_n(ord, n))` — the custom aggregate's
+   *     partial buffers are BOUNDED at n longs per key per map task
+   *     ([[org.apache.spark.sql.graft.BoundedMinN]]), so a key with a
+   *     billion rows shuffles n values, where `collect_list` would OOM the
+   *     partial and a `row_number()` window would shuffle and sort every
+   *     payload row of the hot key into one task;
+   *  2. a LEFT SEMI join of the input against the exploded (key, ord)
+   *     winners — at most n·|keys| narrow rows. AQE broadcasts it when
+   *     small; at scale it hash-joins on the near-unique (key, ord) pair,
+   *     which no single hot key can skew.
+   *
+   * Rows with a NULL `ord` are never kept (they cannot be ranked); NULL
+   * keys form their own capped group, matching `groupBy` semantics.
+   */
+  def capPerKey(df: DataFrame, key: Column, ord: Column, n: Int): DataFrame = {
+    require(n > 0, s"capPerKey needs a positive cap, got $n")
+    import org.apache.spark.sql.graft.{BoundedMinN, Exprs}
+    val ordLong = ord.cast("long")
+    val keepCol = Exprs.column(
+      BoundedMinN(Exprs.expression(ordLong), n).toAggregateExpression())
+    val winners = df.groupBy(key.as("__graft_k__"))
+      .agg(keepCol.as("__graft_keep__"))
+      .select(col("__graft_k__"),
+        explode(col("__graft_keep__")).as("__graft_o__"))
+    df.join(winners,
+      key <=> col("__graft_k__") && ordLong === col("__graft_o__"),
+      "left_semi")
+  }
 }

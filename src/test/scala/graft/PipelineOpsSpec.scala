@@ -267,4 +267,45 @@ class PipelineOpsSpec extends AnyFunSuite {
       expectedOffset += tok
     }
   }
+
+  test("capPerKey: equals the window-rank winners; counts bounded; null handling") {
+    import spark.implicits._
+    val capped = Pipeline.capPerKey(docs, col("source"), col("doc_id"), 7)
+    // membership equals the row_number() restatement exactly
+    val expected = docs
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 7).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // every key at or under the cap; schema unchanged
+    capped.groupBy("source").count().collect()
+      .foreach(r => assert(r.getLong(1) <= 7, s"${r.getString(0)} over cap"))
+    assert(capped.schema === docs.schema)
+
+    // a hot key bigger than the cap, a key smaller than it, a NULL key
+    // group, and NULL ords (never kept)
+    val skewed = (1 to 100).map(i => (Option("hot"), Option(i.toLong))) ++
+      Seq((Option("cold"), Option(500L)), (None, Option(1L)),
+        (None, Option(2L)), (Option("hot"), Option.empty[Long]))
+    val sdf = skewed.toDF("k", "v")
+    val out = Pipeline.capPerKey(sdf, col("k"), col("v"), 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(out === Set((Some("hot"), 1L), (Some("hot"), 2L), (Some("hot"), 3L),
+      (Some("cold"), 500L), (None, 1L), (None, 2L)))
+  }
+
+  test("capPerKey: bounded aggregate survives duplicate ord values within a key") {
+    import spark.implicits._
+    // the contract requires ord unique within key; under violation the
+    // behavior is still well-defined and bounded: the heap's n smallest
+    // VALUES (with multiplicity) decide, every row matching a winner value
+    // survives — here winners=[1,1], so both v=1 rows and nothing else
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L))
+      .toDF("k", "v")
+    val kept = Pipeline.capPerKey(df, col("k"), col("v"), 2)
+      .collect().map(_.getLong(1)).sorted
+    assert(kept.toSeq === Seq(1L, 1L))
+  }
 }

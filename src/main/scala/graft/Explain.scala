@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: print the formatted physical plan of named gate
+  * queries without executing them (pass query names; no args = list).
+  * `runMain graft.Explain q60_cap_per_key` — the fast loop for checking
+  * pushdown/pruning/codegen/shuffle shape while iterating on an operator. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.isEmpty) {
+      println(SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+      return
+    }
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { name =>
+      println(s"===== $name =====")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"unknown query: $name")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -161,4 +161,28 @@ class PropertySpec extends AnyFunSuite {
       assert(tk2.topK(10) === tk.topK(10))
     }
   }
+
+  test("MinNBuffer: any split/merge order equals brute-force n smallest") {
+    import org.apache.spark.sql.graft.MinNBuffer
+    val valGen = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    val nGen = Gen.chooseNum(1, 12)
+    forAll(Gen.listOfN(80, valGen), nGen) { (values, n) =>
+      val truth = values.sorted.take(n)
+      // single buffer
+      val one = new MinNBuffer(n)
+      values.foreach(one.offer)
+      assert(one.sortedValues.toSeq === truth)
+      // arbitrary 3-way split, merged pairwise in both associations
+      val (a, rest) = values.splitAt(values.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      def buf(vs: Seq[Long]): MinNBuffer = {
+        val m = new MinNBuffer(n); vs.foreach(m.offer); m
+      }
+      val left = buf(a); left.mergeFrom(buf(b)); left.mergeFrom(buf(c))
+      val bc = buf(b); bc.mergeFrom(buf(c))
+      val right = buf(a); right.mergeFrom(bc)
+      assert(left.sortedValues.toSeq === truth)
+      assert(right.sortedValues.toSeq === truth)
+    }
+  }
 }

@@ -405,13 +405,18 @@ object Pipeline {
    *
    * Rows with a NULL `ord` are never kept (they cannot be ranked); NULL
    * keys form their own capped group, matching `groupBy` semantics.
+   * `smallest = false` keeps the n LARGEST `ord` instead — the
+   * quality-score form ("keep each domain's n best-scoring pages", with
+   * the score quantized to a long); a flag rather than caller-side
+   * negation, which would corrupt `Long.MinValue`.
    */
-  def capPerKey(df: DataFrame, key: Column, ord: Column, n: Int): DataFrame = {
+  def capPerKey(df: DataFrame, key: Column, ord: Column, n: Int,
+      smallest: Boolean = true): DataFrame = {
     require(n > 0, s"capPerKey needs a positive cap, got $n")
     import org.apache.spark.sql.graft.{BoundedMinN, Exprs}
     val ordLong = ord.cast("long")
     val keepCol = Exprs.column(
-      BoundedMinN(Exprs.expression(ordLong), n).toAggregateExpression())
+      BoundedMinN(Exprs.expression(ordLong), n, smallest).toAggregateExpression())
     val winners = df.groupBy(key.as("__graft_k__"))
       .agg(keepCol.as("__graft_keep__"))
       .select(col("__graft_k__"),

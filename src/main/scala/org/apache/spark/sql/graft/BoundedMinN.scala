@@ -9,13 +9,21 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /**
- * Bounded n-smallest buffer: a binary max-heap over the n smallest values
- * offered so far (the root is the largest retained value, so a new smaller
- * value evicts it in O(log n)).
+ * Bounded n-extreme buffer: a binary heap over the n smallest (default) or
+ * n largest values offered so far. For `smallest` it is a MAX-heap — the
+ * root is the largest retained value, so a new smaller value evicts it in
+ * O(log n); for largest the comparisons flip (a dedicated flag, NOT value
+ * negation, which would corrupt `Long.MinValue`).
  */
-final class MinNBuffer(val n: Int) extends Serializable {
+final class MinNBuffer(val n: Int, val smallest: Boolean = true)
+    extends Serializable {
   val heap = new Array[Long](n)
   var size = 0
+
+  // true when `a` should sit ABOVE `b` in the heap (closer to the root =
+  // first to evict)
+  @inline private def outranks(a: Long, b: Long): Boolean =
+    if (smallest) a > b else a < b
 
   def offer(v: Long): Unit = {
     if (size < n) {
@@ -23,12 +31,12 @@ final class MinNBuffer(val n: Int) extends Serializable {
       size += 1
       // sift up
       var i = size - 1
-      while (i > 0 && heap((i - 1) / 2) < heap(i)) {
+      while (i > 0 && outranks(heap(i), heap((i - 1) / 2))) {
         val p = (i - 1) / 2
         val t = heap(p); heap(p) = heap(i); heap(i) = t
         i = p
       }
-    } else if (n > 0 && v < heap(0)) {
+    } else if (n > 0 && outranks(heap(0), v)) {
       heap(0) = v
       // sift down
       var i = 0
@@ -37,8 +45,8 @@ final class MinNBuffer(val n: Int) extends Serializable {
         val l = 2 * i + 1
         val r = 2 * i + 2
         var m = i
-        if (l < size && heap(l) > heap(m)) m = l
-        if (r < size && heap(r) > heap(m)) m = r
+        if (l < size && outranks(heap(l), heap(m))) m = l
+        if (r < size && outranks(heap(r), heap(m))) m = r
         if (m == i) done = true
         else {
           val t = heap(m); heap(m) = heap(i); heap(i) = t
@@ -61,8 +69,8 @@ final class MinNBuffer(val n: Int) extends Serializable {
 }
 
 /**
- * `bounded_min_n(ord, n)` — the n smallest `ord` values per group, as a
- * sorted `array<bigint>`.
+ * `bounded_min_n(ord, n)` — the n smallest (or, with `smallest = false`,
+ * largest) `ord` values per group, as a sorted `array<bigint>`.
  *
  * The scale property is the BOUND: each map task's partial buffer holds at
  * most n longs per group, so hot keys (one web domain with billions of
@@ -76,6 +84,7 @@ final class MinNBuffer(val n: Int) extends Serializable {
 case class BoundedMinN(
     ord: Expression,
     n: Int,
+    smallest: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MinNBuffer] {
@@ -86,7 +95,7 @@ case class BoundedMinN(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def createAggregationBuffer(): MinNBuffer = new MinNBuffer(n)
+  override def createAggregationBuffer(): MinNBuffer = new MinNBuffer(n, smallest)
 
   override def update(buffer: MinNBuffer, input: InternalRow): MinNBuffer = {
     val v = ord.eval(input)
@@ -114,9 +123,9 @@ case class BoundedMinN(
     val bb = ByteBuffer.wrap(bytes)
     val bufN = bb.getInt
     val size = bb.getInt
-    val out = new MinNBuffer(bufN)
+    val out = new MinNBuffer(bufN, smallest)
     var i = 0
-    // stored values are already the n smallest of their partial — replay
+    // stored values are already the n extremes of their partial — replay
     // through offer to restore the heap property
     while (i < size) { out.offer(bb.getLong); i += 1 }
     out
@@ -130,5 +139,6 @@ case class BoundedMinN(
       newChildren: IndexedSeq[Expression]): BoundedMinN =
     copy(ord = newChildren(0))
 
-  override def prettyName: String = "bounded_min_n"
+  override def prettyName: String =
+    if (smallest) "bounded_min_n" else "bounded_max_n"
 }

@@ -308,4 +308,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).sorted
     assert(kept.toSeq === Seq(1L, 1L))
   }
+
+  test("capPerKey smallest=false keeps the n largest, incl. Long extremes") {
+    import spark.implicits._
+    val df = Seq(("a", Long.MinValue), ("a", -5L), ("a", 0L), ("a", 7L),
+      ("a", Long.MaxValue), ("b", Long.MinValue)).toDF("k", "v")
+    val top = Pipeline.capPerKey(df, col("k"), col("v"), 2, smallest = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top === Set(("a", 7L), ("a", Long.MaxValue), ("b", Long.MinValue)))
+    val bottom = Pipeline.capPerKey(df, col("k"), col("v"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(bottom === Set(("a", Long.MinValue), ("a", -5L), ("b", Long.MinValue)))
+  }
 }

@@ -162,27 +162,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("MinNBuffer: any split/merge order equals brute-force n smallest") {
+  test("MinNBuffer: any split/merge order equals brute-force n extremes") {
     import org.apache.spark.sql.graft.MinNBuffer
     val valGen = Gen.chooseNum(Long.MinValue, Long.MaxValue)
     val nGen = Gen.chooseNum(1, 12)
     forAll(Gen.listOfN(80, valGen), nGen) { (values, n) =>
-      val truth = values.sorted.take(n)
-      // single buffer
-      val one = new MinNBuffer(n)
-      values.foreach(one.offer)
-      assert(one.sortedValues.toSeq === truth)
-      // arbitrary 3-way split, merged pairwise in both associations
-      val (a, rest) = values.splitAt(values.size / 3)
-      val (b, c) = rest.splitAt(rest.size / 2)
-      def buf(vs: Seq[Long]): MinNBuffer = {
-        val m = new MinNBuffer(n); vs.foreach(m.offer); m
+      for (smallest <- Seq(true, false)) {
+        val truth =
+          if (smallest) values.sorted.take(n)
+          else values.sorted.takeRight(n)
+        // single buffer
+        val one = new MinNBuffer(n, smallest)
+        values.foreach(one.offer)
+        assert(one.sortedValues.toSeq === truth)
+        // arbitrary 3-way split, merged pairwise in both associations
+        val (a, rest) = values.splitAt(values.size / 3)
+        val (b, c) = rest.splitAt(rest.size / 2)
+        def buf(vs: Seq[Long]): MinNBuffer = {
+          val m = new MinNBuffer(n, smallest); vs.foreach(m.offer); m
+        }
+        val left = buf(a); left.mergeFrom(buf(b)); left.mergeFrom(buf(c))
+        val bc = buf(b); bc.mergeFrom(buf(c))
+        val right = buf(a); right.mergeFrom(bc)
+        assert(left.sortedValues.toSeq === truth)
+        assert(right.sortedValues.toSeq === truth)
       }
-      val left = buf(a); left.mergeFrom(buf(b)); left.mergeFrom(buf(c))
-      val bc = buf(b); bc.mergeFrom(buf(c))
-      val right = buf(a); right.mergeFrom(bc)
-      assert(left.sortedValues.toSeq === truth)
-      assert(right.sortedValues.toSeq === truth)
     }
   }
 }

@@ -72,6 +72,7 @@ object Bench {
     def storageBytes(): Long = sc.getRDDStorageInfo.map(_.memSize).sum
     def cachedRdds(): Int = sc.getPersistentRDDs.size
     val diag = new scala.collection.mutable.ArrayBuffer[String]
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
     val results = selected.map { case (name, fn) =>
       val times = new scala.collection.mutable.ArrayBuffer[Double]
       val gcs = new scala.collection.mutable.ArrayBuffer[Long]
@@ -99,16 +100,14 @@ object Bench {
       val median =
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-      def r3(d: Double): Double = math.rint(d * 1000) / 1000
       diag += "\"" + name + "\":{\"passes\":[" + times.map(r3).mkString(",") +
         "],\"gc_ms\":[" + gcs.mkString(",") + "],\"cached_rdds\":" + cachedRdds() +
         ",\"storage_mb\":" + (storageBytes() >> 20) + "}"
       name -> median
     }
-    def r3t(d: Double): Double = math.rint(d * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3t(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = r3t(results.map(_._2).sum)
+    val total = r3(results.map(_._2).sum)
     val diagJson = diag.mkString("{", ",", "}")
     // per-pass diagnostics go to stderr on their own line: the driver
     // captures a bounded tail of stdout and parses the LAST JSON line —

@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-audit tool: print the formatted physical plan of named gate
-  * queries without executing them (pass query names; no args = list).
-  * `runMain graft.Explain q60_cap_per_key` — the fast loop for checking
-  * pushdown/pruning/codegen/shuffle shape while iterating on an operator. */
+  * queries without running their ACTIONS (pass query names; no args =
+  * list). `runMain graft.Explain q60_cap_per_key` — the fast loop for
+  * checking pushdown/pruning/codegen/shuffle shape while iterating on an
+  * operator. Caveat: queries whose CONSTRUCTION runs jobs still pay that
+  * cost — the media queries (q15/q58/q59) synthesize their blob fixture
+  * before a plan exists, and TopK/sample DDL-backed queries build their
+  * structures; only the final query's execution is skipped. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -365,7 +365,8 @@ class GraftSession(val spark: SparkSession) {
    * poller's counts jumping backwards to creation-time values). */
   def createTopK(name: String, baseName: String,
       options: Map[String, String], lockHeld: Boolean): graft.topk.TopKState = {
-    val opts = graft.topk.TopKOptions.fromOptions(options)
+    val opts = graft.topk.TopKOptions.fromOptions(options,
+      GraftSession.sessionZone(spark))
     val base = spark.table(baseName)
     val keyField = base.schema.find(_.name.equalsIgnoreCase(opts.key)).getOrElse(
       throw new IllegalArgumentException(
@@ -606,7 +607,8 @@ class GraftSession(val spark: SparkSession) {
     val optsMap = props.stringPropertyNames().asScala
       .filterNot(_.startsWith("__"))
       .map(k => k -> props.getProperty(k)).toMap
-    val opts = graft.topk.TopKOptions.fromOptions(optsMap)
+    val opts = graft.topk.TopKOptions.fromOptions(optsMap,
+      GraftSession.sessionZone(spark))
     val keyType =
       if (props.getProperty("__keytype") == "string")
         org.apache.spark.sql.types.StringType
@@ -673,9 +675,12 @@ class GraftSession(val spark: SparkSession) {
 
   /** TopK structures are queryable as tables (`SELECT * FROM topkName` —
    * reference `TopKRelation.buildScan`, `sql/topk/TopKRelation.scala:59-86`)
-   * through a `PrunedFilteredScan` relation: `WHERE start_time >= a AND
-   * end_time <= b` (epoch ms) prunes sketch intervals before the merge, and
-   * the view always reflects the live sketch state. */
+   * through a `PrunedFilteredScan` relation: `start_time`/`end_time` are
+   * TIMESTAMP columns, so windows are `WHERE start_time >= '2024-01-02
+   * 00:00:00'` (string coerces in the session zone) or `>= timestamp_millis
+   * (<epoch ms>)` — both prune sketch intervals before the merge, and the
+   * view always reflects the live sketch state. Bare epoch-number
+   * comparisons do NOT coerce under the ANSI analyzer. */
   private def refreshTopkView(st: graft.topk.TopKState): Unit =
     org.apache.spark.sql.graft.Plans
       .relationDf(spark, new graft.topk.TopKRelation(st, spark))
@@ -698,8 +703,11 @@ class GraftSession(val spark: SparkSession) {
    * open; accepts `yyyy-MM-dd HH:mm:ss[.fff]`, `yyyy-MM-dd`, or epoch ms). */
   def queryTopK(name: String, startTime: String, endTime: String,
       k: Int): DataFrame =
-    queryTopK(name, GraftSession.parseTimestampMs(startTime, Long.MinValue),
-      GraftSession.parseTimestampMs(endTime, Long.MaxValue), k)
+    queryTopK(name,
+      GraftSession.parseTimestampMs(startTime, Long.MinValue,
+        GraftSession.sessionZone(spark)),
+      GraftSession.parseTimestampMs(endTime, Long.MaxValue,
+        GraftSession.sessionZone(spark)), k)
 
   def queryTopK(name: String, startTime: String, endTime: String): DataFrame =
     queryTopK(name, startTime, endTime, -1)
@@ -737,8 +745,10 @@ class GraftSession(val spark: SparkSession) {
   def queryFrequency(name: String, key: Any, startTime: String,
       endTime: String): Option[(Long, Long, Long)] =
     queryFrequency(name, key,
-      GraftSession.parseTimestampMs(startTime, Long.MinValue),
-      GraftSession.parseTimestampMs(endTime, Long.MaxValue))
+      GraftSession.parseTimestampMs(startTime, Long.MinValue,
+        GraftSession.sessionZone(spark)),
+      GraftSession.parseTimestampMs(endTime, Long.MaxValue,
+        GraftSession.sessionZone(spark)))
 
   /**
    * DataFrame-API approximate execution (reference entry point B —
@@ -972,23 +982,52 @@ object GraftSession {
     try body finally fs.delete(lockPath, false)
   }
 
+  /** The Spark session's local time zone, for wall-time string resolution. */
+  private[graft] def sessionZone(spark: SparkSession): java.time.ZoneId =
+    java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+
+  private val WallTimeFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+    .optionalEnd()
+    .toFormatter
+
   /**
    * Parse the reference's timestamp-bound forms to epoch milliseconds
    * (reference `Utils.parseTimestamp` as used by
    * `SnappyContextAQPFunctions.scala:143-190`): `null`/empty → `dflt`
    * (open bound); a pure number is epoch ms; otherwise
-   * `yyyy-MM-dd HH:mm:ss[.fff]` or `yyyy-MM-dd` in the JVM timezone.
+   * `yyyy-MM-dd HH:mm:ss[.fff]` or `yyyy-MM-dd` resolved in `zone`.
+   *
+   * Callers pass the SPARK SESSION time zone: the SQL analyzer coerces a
+   * timestamp-string literal in the session zone before it reaches
+   * [[graft.topk.TopKRelation]], so the string API must resolve in the
+   * SAME zone or `queryApproxTSTopK(name, "2024-01-02 00:00:00", ...)`
+   * and `WHERE start_time = '2024-01-02 00:00:00'` silently diverge by
+   * the JVM-default-vs-session offset (the SNAP-463 equivalence contract).
    */
-  private[graft] def parseTimestampMs(s: String, dflt: Long): Long =
+  private[graft] def parseTimestampMs(s: String, dflt: Long,
+      zone: java.time.ZoneId): Long =
     if (s == null || s.trim.isEmpty) dflt
     else {
       val t = s.trim
       try t.toLong catch {
         case _: NumberFormatException =>
-          try java.sql.Timestamp.valueOf(t).getTime catch {
-            case _: IllegalArgumentException =>
-              java.sql.Date.valueOf(t).getTime
-          }
+          // parse the WALL time zone-free, then resolve in `zone`
+          // (java.sql.Timestamp.valueOf would bind it to the JVM default)
+          val ldt =
+            try java.time.LocalDateTime.parse(t, WallTimeFmt)
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                try java.sql.Date.valueOf(t).toLocalDate.atStartOfDay()
+                catch {
+                  case _: IllegalArgumentException =>
+                    // legacy tolerance (single-digit month/day fields)
+                    java.sql.Timestamp.valueOf(t).toLocalDateTime
+                }
+            }
+          ldt.atZone(zone).toInstant.toEpochMilli
       }
     }
 

@@ -185,7 +185,11 @@ object Multimodal {
               case None => done = true
               case Some((cs, ce)) =>
                 if (new String(bytes, i + 4, 4, "US-ASCII") == "trak") {
-                  child(cs, ce, "tkhd").foreach { case (ts, te) =>
+                  // ts < te also guards the version-byte read: a header-only
+                  // tkhd (size 8) ending at the buffer's edge has ts == te
+                  // == bytes.length, and bytes(ts) would index past the end
+                  child(cs, ce, "tkhd").filter(b => b._1 < b._2)
+                      .foreach { case (ts, te) =>
                     // v0 content: ver/flags 4, times 8, id 4, rsvd 4,
                     // duration 4, rsvd 8, layer/group/volume/rsvd 8,
                     // matrix 36 → width at content offset 76 (v1: 88);
@@ -492,19 +496,20 @@ object Multimodal {
    * with the row-major interleaved raster. Narrow map, no shuffle; at 100 TB
    * the decoded column is transient (consumed by the next fused stage), so
    * prefer [[pixelStats]]/[[audioStats]] when only aggregates are needed. */
-  def decodePixels(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+  def decodePixels(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("pixels", pixelsType, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = RowEncoder.encoderFor(outSchema)
+    // strictly per-row streaming (the decoder is per-blob): a grouped()
+    // stage here would only buffer decoded rasters -- MBs apiece -- with
+    // no batch-amortized work to pay for it
     graft.core.Fanout(df).mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val p = if (r.isNullAt(binIdx)) null
-            else PixelDecoder.decode(r.getAs[Array[Byte]](binIdx))
-          val out = if (p == null) null else Row(p.width, p.height, p.channels, p.data)
-          Row.fromSeq(r.toSeq :+ out)
-        }
+      it.map { r =>
+        val p = if (r.isNullAt(binIdx)) null
+          else PixelDecoder.decode(r.getAs[Array[Byte]](binIdx))
+        val out = if (p == null) null else Row(p.width, p.height, p.channels, p.data)
+        Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)
   }
@@ -521,16 +526,15 @@ object Multimodal {
    * statistics (plus the same sums over a nearest-neighbor `resizeTo`
    * thumbnail) without materializing rasters into rows — the 100 TB shape
    * for "score every image in the corpus". */
-  def pixelStats(df: DataFrame, binCol: String, resizeTo: (Int, Int) = (8, 8),
-      batchSize: Int = 64): DataFrame = {
+  def pixelStats(df: DataFrame, binCol: String,
+      resizeTo: (Int, Int) = (8, 8)): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("pixel_stats", pixelStatsType, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
     val (tw, th) = resizeTo
     val enc = RowEncoder.encoderFor(outSchema)
     graft.core.Fanout(df).mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
+      it.map { r =>
           val p = if (r.isNullAt(binIdx)) null
             else PixelDecoder.decode(r.getAs[Array[Byte]](binIdx))
           val out = if (p == null) null else {
@@ -542,9 +546,8 @@ object Multimodal {
             i = 0
             while (i < rp.data.length) { rsum += rp.data(i) & 0xFF; i += 1 }
             Row(p.width, p.height, p.channels, sum, rsum)
-          }
-          Row.fromSeq(r.toSeq :+ out)
         }
+        Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)
   }
@@ -559,14 +562,13 @@ object Multimodal {
 
   /** Fused PCM decode → stats: RMS and peak over the normalized samples,
    * plus the true frame/channel/rate shape from the `fmt ` chunk. */
-  def audioStats(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+  def audioStats(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("audio_stats", audioStatsType, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = RowEncoder.encoderFor(outSchema)
     graft.core.Fanout(df).mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
+      it.map { r =>
           val a = if (r.isNullAt(binIdx)) null
             else PixelDecoder.wav(r.getAs[Array[Byte]](binIdx))
           val out = if (a == null) null else {
@@ -583,9 +585,8 @@ object Multimodal {
             val rms = if (a.samples.length == 0) 0.0
               else math.sqrt(sumSq / a.samples.length)
             Row(a.channels, a.sampleRate, a.frames, rms, peak)
-          }
-          Row.fromSeq(r.toSeq :+ out)
         }
+        Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)
   }

@@ -199,10 +199,6 @@ final class TimeBucketedSketch(
    * `mergeWith` mutates its receiver, and the single-element case of a
    * plain reduce would hand the caller the stored bucket itself, which a
    * subsequent merge (e.g. with spilled buckets) would then corrupt. */
-  /** Merged sketches over the range. Always folds into a FRESH sketch —
-   * `mergeWith` mutates its receiver, and the single-element case of a
-   * plain reduce would hand the caller the stored bucket itself, which a
-   * subsequent merge (e.g. with spilled buckets) would then corrupt. */
   def mergedRange(startInterval: Long, endInterval: Long): Option[IntervalSketch] = {
     val rs = range(startInterval, endInterval)
     if (rs.isEmpty) None else Some(rs.foldLeft(mk())(_.mergeWith(_)))

@@ -68,7 +68,8 @@ object TopKOptions {
    * programmatic callers (`topkSink`, `createApproxTSTopK`) pass camelCase
    * maps (`timeSeriesColumn`, `timeInterval`) — exact-lowercase lookups
    * silently dropped those options, producing an untimed table. */
-  def fromOptions(rawOpts: Map[String, String]): TopKOptions = {
+  def fromOptions(rawOpts: Map[String, String],
+      zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): TopKOptions = {
     val opts = rawOpts.map { case (k, v) => k.toLowerCase -> v }
     val eps = opts.get("eps").map(_.toDouble)
     val conf = opts.get("confidence").map(_.toDouble)
@@ -93,7 +94,7 @@ object TopKOptions {
       timeIntervalMs = opts.get("timeinterval").map(parseTimeInterval)
         .getOrElse(5000L),
       epoch = opts.get("epoch")
-        .map(graft.GraftSession.parseTimestampMs(_, -1L)).getOrElse(-1L),
+        .map(graft.GraftSession.parseTimestampMs(_, -1L, zone)).getOrElse(-1L),
       batchTimed = batchTimed,
       size = opts.get("size").map(_.toInt).getOrElse(100),
       depth = depth,
@@ -173,6 +174,19 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   private val spilledSpans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
   /** Batch directories composing this session's view of the spill store. */
   private val spillFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** Buckets removed from the tree whose spill batch is still being
+   * written: in NEITHER `buckets` nor the spill view, so [[rangeSnapshot]]
+   * folds them in explicitly — a query landing in the write window must
+   * not undercount. Invariant: a spill runs inside the append that
+   * triggered it (and, for path-backed tables, inside that append's path
+   * lock), so the publish path's (spillView, snapshotBytes) capture never
+   * observes a non-empty parking lot from another thread. */
+  private val pendingSpill =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Long, IntervalSketch)]
+  /** Single-spiller guard: with the spill write outside `stateLock`, two
+   * concurrent appends could otherwise both cross the entry guard and
+   * double-spill overlapping bucket sets. */
+  private var spillRunning = false
 
   def spilledBucketCount: Int = spilledSpans.size
   def spillBatchCount: Int = spillFiles.size
@@ -306,47 +320,77 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * they go first; the newest interval always stays resident (appends merge
    * into it, and one sketch fits by the constructor check).
    *
-   * The batch parquet is written BEFORE any bucket leaves the driver maps:
-   * a failed write must lose nothing (previously the counts of the
-   * already-removed buckets vanished with the exception). Removal goes
-   * through [[TimeBucketedSketch.removeInterval]], which also clears the
+   * Runs with `stateLock` taken only for the driver-map phases, never
+   * across the parquet write (which is a cluster job — holding the lock
+   * there would block every query's [[rangeSnapshot]] for the write's
+   * duration). Phase 1 removes the chosen buckets from the tree and PARKS
+   * them in `pendingSpill` — queries fold parked buckets in, so the write
+   * window never undercounts, while concurrent late appends re-materialize
+   * fresh buckets instead of mutating a mid-write copy. Phase 2 writes the
+   * batch lock-free; a failed write restores the parked buckets (merging
+   * into any freshly re-materialized ones), so nothing is lost. Phase 3
+   * publishes the batch into the spill view. Removal goes through
+   * [[TimeBucketedSketch.removeInterval]], which also clears the
    * interval's fold count — a late-arriving re-materialized bucket starts
    * full-width and must not skip its expected width folds. */
   private def spillOldest(spark: SparkSession): Unit = {
-    val movedHist =
-      scala.collection.mutable.ArrayBuffer.empty[((Long, Long), IntervalSketch)]
-    val movedIv =
-      scala.collection.mutable.ArrayBuffer.empty[(Long, IntervalSketch)]
-    var entries = buckets.entryCount
-    val histIt = buckets.history.iterator
-    val ivIt =
-      if (buckets.intervals.isEmpty) Iterator.empty
-      else buckets.intervals.init.iterator // newest interval stays resident
-    while (entries > opts.maxDriverEntries && (histIt.hasNext || ivIt.hasNext)) {
-      if (histIt.hasNext) {
-        val (span, s) = histIt.next()
-        movedHist += ((span, s)); entries -= s.entryCount
-      } else {
-        val (iv, s) = ivIt.next()
-        movedIv += ((iv, s)); entries -= s.entryCount
+    // phase 1 (lock): choose, remove, park
+    val moved = stateLock.synchronized {
+      val picked =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, IntervalSketch)]
+      var entries = buckets.entryCount
+      val histIt = buckets.history.iterator
+      val ivIt =
+        if (buckets.intervals.isEmpty) Iterator.empty
+        else buckets.intervals.init.iterator // newest interval stays resident
+      while (entries > opts.maxDriverEntries && (histIt.hasNext || ivIt.hasNext)) {
+        if (histIt.hasNext) {
+          val ((hs, hl), s) = histIt.next()
+          picked += ((hs, hl, s)); entries -= s.entryCount
+        } else {
+          val (iv, s) = ivIt.next()
+          picked += ((iv, 1L, s)); entries -= s.entryCount
+        }
       }
+      picked.foreach { case (s, l, _) =>
+        if (l == 1L) buckets.removeInterval(s) else buckets.removeHistory((s, l))
+      }
+      pendingSpill ++= picked
+      picked.toSeq
     }
-    val moved =
-      movedHist.map { case ((hs, hl), s) => (hs, hl, IntervalSketch.toBytes(s)) } ++
-        movedIv.map { case (iv, s) => (iv, 1L, IntervalSketch.toBytes(s)) }
-    if (moved.nonEmpty) {
-      val dir = ensureSpillDir(spark)
-      val batch = s"$dir/batch-${java.util.UUID.randomUUID().toString.take(12)}"
+    if (moved.isEmpty) return
+    // phase 2 (no lock): serialize + write. Parked sketches are out of the
+    // tree, so nothing mutates them here (appends build fresh buckets;
+    // query folds only read them).
+    val rows = moved.map { case (s, l, sk) => (s, l, IntervalSketch.toBytes(sk)) }
+    val dir = ensureSpillDir(spark)
+    val batch = s"$dir/batch-${java.util.UUID.randomUUID().toString.take(12)}"
+    try {
       import spark.implicits._
-      spark.createDataset(moved.toSeq).toDF("start", "len", "bytes")
+      spark.createDataset(rows).toDF("start", "len", "bytes")
         .coalesce(1).write.mode("overwrite").parquet(batch)
-      // write succeeded — only now drop the moved buckets from the driver
-      movedHist.foreach { case (span, _) => buckets.removeHistory(span) }
-      movedIv.foreach { case (iv, _) => buckets.removeInterval(iv) }
+    } catch {
+      case e: Throwable =>
+        stateLock.synchronized {
+          pendingSpill --= moved
+          moved.foreach { case (s, l, sk) =>
+            if (l == 1L) buckets.addTo(s, sk)
+            else buckets.history.get((s, l)) match {
+              case Some(existing) =>
+                buckets.history.update((s, l), existing.mergeWith(sk))
+              case None => buckets.history.update((s, l), sk)
+            }
+          }
+        }
+        throw e
+    }
+    // phase 3 (lock): publish the batch into the spill view
+    stateLock.synchronized {
+      pendingSpill --= moved
       spilledSpans ++= moved.map(m => (m._1, m._2))
       spillFiles += batch
-      maybeCompact(spark)
     }
+    maybeCompact(spark)
   }
 
   /** Keep the spill store's file count bounded under sustained spilling —
@@ -376,29 +420,47 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     var merged = true
     while (merged) {
       merged = false
-      spillFiles.groupBy(levelOf).find(_._2.size > compactThreshold).foreach {
-        case (lvl, paths) =>
-          val dir = spillPath.get
-          val compacted = s"$dir/batch-L${lvl + 1}-" +
-            java.util.UUID.randomUUID().toString.take(12)
-          val old = paths.toSeq
-          spark.read.parquet(old: _*).coalesce(1)
-            .write.mode("overwrite").parquet(compacted)
-          spillFiles --= old
-          spillFiles += compacted
-          if (deferDeletes) {
-            // the retained previous snapshot may still reference these
-            // batches — hold them until that snapshot is itself retired
-            // (collectRetired)
-            retiredBatches ++= old.map(p => (None: Option[Long], p))
-          } else {
-            val conf = spark.sessionState.newHadoopConf()
+      // plan under the lock; run the rewrite job and deletes OUTSIDE it
+      // (same rule as spillOldest: no cluster I/O while queries' snapshots
+      // wait on stateLock)
+      val plan = stateLock.synchronized {
+        spillFiles.groupBy(levelOf).find(_._2.size > compactThreshold)
+          .map { case (lvl, paths) => (lvl, paths.toSeq, spillPath.get) }
+      }
+      plan.foreach { case (lvl, old, dir) =>
+        val compacted = s"$dir/batch-L${lvl + 1}-" +
+          java.util.UUID.randomUUID().toString.take(12)
+        spark.read.parquet(old: _*).coalesce(1)
+          .write.mode("overwrite").parquet(compacted)
+        val swapped = stateLock.synchronized {
+          // a concurrent re-attach (appendToTopK's snapshot resync) may
+          // have replaced the whole view mid-rewrite — publish only if
+          // every input batch is still live, else abandon the rewrite
+          if (old.forall(spillFiles.contains)) {
+            spillFiles --= old
+            spillFiles += compacted
+            if (deferDeletes) {
+              // the retained previous snapshot may still reference these
+              // batches — hold them until that snapshot is itself retired
+              // (collectRetired)
+              retiredBatches ++= old.map(p => (None: Option[Long], p))
+            }
+            true
+          } else false
+        }
+        val conf = spark.sessionState.newHadoopConf()
+        if (swapped) {
+          if (!deferDeletes) {
             old.foreach { f =>
               val hp = new org.apache.hadoop.fs.Path(f)
               hp.getFileSystem(conf).delete(hp, true)
             }
           }
           merged = true // a promotion can tip the next level over
+        } else {
+          val hp = new org.apache.hadoop.fs.Path(compacted)
+          hp.getFileSystem(conf).delete(hp, true)
+        }
       }
     }
   }
@@ -406,15 +468,17 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   private def spanOverlaps(startIv: Long, endIv: Long)(span: (Long, Long)): Boolean =
     span._1 <= endIv && (span._1 + span._2 - 1) >= startIv
 
-  /** Executor-side merge of the spilled buckets overlapping the range:
-   * filtered parquet scan → per-partition merge → one bounded partial per
-   * task folded on the driver. Reads ONLY this session's recorded batch
-   * list — see the spill-store comment above for why a directory listing
-   * would double-count on a shared path. */
-  private def spillMerged(startIv: Long, endIv: Long): Option[IntervalSketch] = {
-    if (!spilledSpans.exists(spanOverlaps(startIv, endIv))) return None
+  /** Executor-side merge of the spilled buckets overlapping the range,
+   * over an explicit SNAPSHOT of the spill view (so it runs with no lock
+   * held — see [[rangeSnapshot]]): filtered parquet scan → per-partition
+   * merge → one bounded partial per task folded on the driver. Reads ONLY
+   * this session's recorded batch list — see the spill-store comment above
+   * for why a directory listing would double-count on a shared path. */
+  private def spillMerged(files: Seq[String], spans: Seq[(Long, Long)],
+      startIv: Long, endIv: Long): Option[IntervalSketch] = {
+    if (!spans.exists(spanOverlaps(startIv, endIv))) return None
     val spark = sparkOrActive
-    val df = spark.read.parquet(spillFiles.toSeq: _*)
+    val df = spark.read.parquet(files: _*)
     val startCond =
       if (endIv == Long.MaxValue) lit(true) else col("start") <= lit(endIv)
     val endCond =
@@ -429,36 +493,58 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     Some(rdd.reduce(_.mergeWith(_)))
   }
 
-  /** Driver-resident + spilled buckets merged over the range. Folds into a
-   * FRESH sketch: `mergeWith` mutates its receiver (CMS adds in place), so
-   * reducing with a stored bucket as the receiver would fold the spilled
-   * counts into the live bucket — estimates then grow on every repeated
-   * query and the corrupted bucket is what the next snapshot persists. */
-  private def mergedAll(startIv: Long, endIv: Long): Option[IntervalSketch] = {
+  /** One-lock-acquisition snapshot for a range query: the driver-resident
+   * buckets (plus any mid-spill parked buckets) folded into a PRIVATE
+   * sketch, an immutable copy of the spill view, and the resident covered
+   * span. The expensive executor-side spill merge then runs on the
+   * snapshot OUTSIDE the lock — holding `stateLock` across a cluster job
+   * (the pre-round-8 shape) serialized streaming appends behind every
+   * query's I/O. Folding into a fresh sketch also keeps the old
+   * `mergedAll` guarantee: `mergeWith` mutates its receiver (CMS adds in
+   * place), so handing out a stored bucket would let a later merge corrupt
+   * live state. */
+  private def rangeSnapshot(startIv: Long, endIv: Long): (Option[IntervalSketch],
+      Seq[String], Seq[(Long, Long)], Option[(Long, Long)]) =
+    stateLock.synchronized {
+      val pendingParts = pendingSpill.toSeq
+        .filter(p => spanOverlaps(startIv, endIv)((p._1, p._2)))
+      val parts = buckets.mergedRange(startIv, endIv).toSeq ++
+        pendingParts.map(_._3)
+      val resident =
+        if (parts.isEmpty) None
+        else Some(parts.foldLeft(mkSketch())(_.mergeWith(_)))
+      val covResident = buckets.coveredRange(startIv, endIv)
+      val covAll = (covResident.toSeq ++
+        pendingParts.map(p => (p._1, p._1 + p._2 - 1))) match {
+        case Nil => None
+        case cs => Some((cs.map(_._1).min, cs.map(_._2).max))
+      }
+      (resident, spillFiles.toSeq, spilledSpans.toSeq, covAll)
+    }
+
+  /** Merged sketch + covered span over [startIv, endIv], from ONE atomic
+   * state snapshot (rows and coverage always describe the same state). */
+  private def mergedAndCovered(startIv: Long,
+      endIv: Long): (Option[IntervalSketch], Option[(Long, Long)]) = {
     // empty/inverted window: interval math below would still overlap coarse
     // history blocks and spilled spans (their extent test is symmetric), so
     // bail before any merge
-    if (startIv > endIv) return None
-    val parts = buckets.mergedRange(startIv, endIv).toSeq ++
-      spillMerged(startIv, endIv).toSeq
-    if (parts.isEmpty) None
-    else Some(parts.foldLeft(mkSketch())(_.mergeWith(_)))
-  }
-
-  /** [[TimeBucketedSketch.coveredRange]] extended with spilled spans. */
-  private def coveredAll(startIv: Long, endIv: Long): Option[(Long, Long)] = {
-    if (startIv > endIv) return None
-    val resident = buckets.coveredRange(startIv, endIv)
-    val spilled = spilledSpans.filter(spanOverlaps(startIv, endIv))
-    if (spilled.isEmpty) resident
-    else {
-      val sMin = spilled.map(_._1).min
-      val sMax = spilled.map(s => s._1 + s._2 - 1).max
-      Some(resident match {
-        case Some((rs, re)) => (math.min(rs, sMin), math.max(re, sMax))
-        case None => (sMin, sMax)
-      })
+    if (startIv > endIv) return (None, None)
+    val (resident, files, spans, covResident) = rangeSnapshot(startIv, endIv)
+    val spilled = spillMerged(files, spans, startIv, endIv) // cluster job, no lock
+    val merged = (resident.toSeq ++ spilled.toSeq) match {
+      case Nil => None
+      // resident is already private, so folding into it is safe — and the
+      // spilled partial came off the wire, never a stored bucket
+      case parts => Some(parts.reduce(_.mergeWith(_)))
     }
+    val overl = spans.filter(spanOverlaps(startIv, endIv))
+    val covered = (covResident.toSeq ++
+      overl.map(s => (s._1, s._1 + s._2 - 1))) match {
+      case Nil => None
+      case cs => Some((cs.map(_._1).min, cs.map(_._2).max))
+    }
+    (merged, covered)
   }
 
   private def mkSketch(): IntervalSketch =
@@ -530,45 +616,58 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * re-attached the latest snapshot, so the established epoch is the
    * persisted one, not a stale pre-reload value. */
   def mergePartialsAt(spark: SparkSession, partials: Seq[(Long, Array[Byte])],
-      batchTimeMs: Long): Unit = stateLock.synchronized {
-    val shift =
-      if (!opts.batchTimed) 0L
-      else {
-        if (epochBase < 0L) epochBase = batchTimeMs // first append sets the origin
-        Math.floorDiv(batchTimeMs - epochBase, opts.timeIntervalMs)
+      batchTimeMs: Long): Unit = {
+    val doSpill = stateLock.synchronized {
+      val shift =
+        if (!opts.batchTimed) 0L
+        else {
+          if (epochBase < 0L) epochBase = batchTimeMs // first append sets the origin
+          Math.floorDiv(batchTimeMs - epochBase, opts.timeIntervalMs)
+        }
+      partials.foreach { case (iv, bytes) =>
+        buckets.addTo(iv + shift, SketchAggregate.fromBytes(bytes))
       }
-    partials.foreach { case (iv, bytes) =>
-      buckets.addTo(iv + shift, SketchAggregate.fromBytes(bytes))
+      // Guard the driver's actual commitment, not the hypothetical worst
+      // case: Space-Saving counters materialize only as keys arrive, so a
+      // big `capacity` over few distinct keys is fine, while high
+      // cardinality × many retained intervals is the silent driver-OOM
+      // shape. Over the guard, the oldest buckets spill to the parquet
+      // interval store and queries merge them back on executors; only
+      // late-arriving data for a spilled interval re-materializes a
+      // (mergeable) driver bucket. The spill itself runs OUTSIDE the lock
+      // (it writes parquet); a concurrent append skips it and re-checks on
+      // its own next batch.
+      sparkRef = spark
+      if (buckets.entryCount > opts.maxDriverEntries && !spillRunning) {
+        spillRunning = true
+        true
+      } else false
     }
-    // Guard the driver's actual commitment, not the hypothetical worst case:
-    // Space-Saving counters materialize only as keys arrive, so a big
-    // `capacity` over few distinct keys is fine, while high cardinality ×
-    // many retained intervals is the silent driver-OOM shape. Over the
-    // guard, the oldest buckets spill to the parquet interval store and
-    // queries merge them back on executors; only late-arriving data for a
-    // spilled interval re-materializes a (mergeable) driver bucket.
-    sparkRef = spark
-    if (buckets.entryCount > opts.maxDriverEntries) spillOldest(spark)
+    if (doSpill) {
+      try spillOldest(spark)
+      finally stateLock.synchronized { spillRunning = false }
+    }
   }
 
-  /** Point frequency estimate of a key over a time range. */
-  def queryFrequency(key: Any, startMs: Long, endMs: Long): Option[(Long, Long, Long)] =
-    stateLock.synchronized {
-      val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
-      val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
-      mergedAll(startIv, endIv).map(_.estimate(key))
-    }
+  /** Point frequency estimate of a key over a time range. Lock-light: one
+   * [[rangeSnapshot]] acquisition; the spill merge job runs lock-free. */
+  def queryFrequency(key: Any, startMs: Long, endMs: Long): Option[(Long, Long, Long)] = {
+    val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
+    val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
+    mergedAndCovered(startIv, endIv)._1.map(_.estimate(key))
+  }
 
   /** Top-k rows of the merged [startMs, endMs] range plus the actual
    * covered bucket span in epoch ms (for the SQL scan's
-   * `start_time`/`end_time` columns — [[TopKRelation]]). */
-  def topKRows(startMs: Long, endMs: Long, k: Int): (Seq[(Any, Long, Long)], Long, Long) =
-    stateLock.synchronized {
+   * `start_time`/`end_time` columns — [[TopKRelation]]). Rows and coverage
+   * come from one atomic snapshot; the spill merge job runs lock-free. */
+  def topKRows(startMs: Long, endMs: Long, k: Int): (Seq[(Any, Long, Long)], Long, Long) = {
     val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
     val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
-    val rows = mergedAll(startIv, endIv).map(_.topK(k)).getOrElse(Nil)
+    val (merged, covered) = mergedAndCovered(startIv, endIv)
+    val rows = merged.map(_.topK(k)).getOrElse(Nil)
     val base = if (opts.batchTimed) math.max(epochBase, 0L) else 0L
-    val (covS, covE) = coveredAll(startIv, endIv)
+    val (covS, covE) = covered
       .map { case (s, e) =>
         (s * opts.timeIntervalMs + base, (e + 1) * opts.timeIntervalMs - 1 + base)
       }

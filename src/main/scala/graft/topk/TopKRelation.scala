@@ -53,8 +53,10 @@ final class TopKRelation(st: TopKState, spark: SparkSession)
     case i: java.time.Instant => i.toEpochMilli
     // timestamp-string bounds parse like the API's string window (the
     // reference's relation receives its StartTime/EndTime predicates as
-    // strings — `sql/topk/TopKRelation.scala:60-74`)
-    case other => graft.GraftSession.parseTimestampMs(other.toString, 0L)
+    // strings — `sql/topk/TopKRelation.scala:60-74`), in the SESSION zone
+    // so both query forms resolve the same instant
+    case other => graft.GraftSession.parseTimestampMs(other.toString, 0L,
+      graft.GraftSession.sessionZone(spark))
   }
 
   override def buildScan(requiredColumns: Array[String],

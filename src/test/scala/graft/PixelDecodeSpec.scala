@@ -170,6 +170,12 @@ class PixelDecodeSpec extends AnyFunSuite {
     val corrupt = ftyp ++ box("moov", box("trak", shortTkhd, junkSibling))
     val mC = HeaderDecoder.decode(corrupt)
     assert(mC.width == 0 && mC.height == 0, s"short tkhd read sibling bytes: ${mC.width}")
+    // header-ONLY tkhd (zero payload) as the very last bytes of the blob:
+    // its content bounds are ts == te == bytes.length, and the version-byte
+    // read must be guarded, not crash with ArrayIndexOutOfBounds
+    val emptyTkhdAtEnd = ftyp ++ box("moov", box("trak", box("tkhd")))
+    val mE = HeaderDecoder.decode(emptyTkhdAtEnd)
+    assert(mE.format == "mp4" && mE.width == 0 && mE.height == 0)
   }
 
   test("WAV PCM decode recovers exact square-wave samples, rms and peak") {

@@ -120,4 +120,24 @@ class TimeColSpec extends AnyFunSuite {
       assert(got === expect, s"variant $name")
     }
   }
+
+  test("parseTimestampMs resolves wall strings in the GIVEN zone, not the JVM's") {
+    import java.time.ZoneId
+    val utc = ZoneId.of("UTC")
+    val ny = ZoneId.of("America/New_York")
+    // the SQL analyzer coerces '2024-01-02 00:00:00' in the SESSION zone;
+    // the string API must agree (SNAP-463 equivalence) — so the zone is an
+    // explicit argument and the JVM default never participates
+    assert(GraftSession.parseTimestampMs("2024-01-02 00:00:00", 0L, utc) ===
+      1704153600000L)
+    assert(GraftSession.parseTimestampMs("2024-01-02 00:00:00", 0L, ny) ===
+      1704153600000L + 5L * 3600 * 1000)
+    // fractional seconds and date-only forms
+    assert(GraftSession.parseTimestampMs("2024-01-02 00:00:00.250", 0L, utc) ===
+      1704153600250L)
+    assert(GraftSession.parseTimestampMs("2024-01-02", 0L, utc) === 1704153600000L)
+    // pure numbers are epoch ms in any zone; empty = default
+    assert(GraftSession.parseTimestampMs("123456", 0L, ny) === 123456L)
+    assert(GraftSession.parseTimestampMs("", 7L, ny) === 7L)
+  }
 }

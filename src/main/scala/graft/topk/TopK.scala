@@ -188,6 +188,41 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * double-spill overlapping bucket sets. */
   private var spillRunning = false
 
+  // With query-time spill reads running lock-free on a snapshot of the
+  // batch list, compaction must not delete a superseded batch while a
+  // reader's job still references it (found by TopKConcurrentSpillSpec:
+  // FILE_NOT_EXIST mid-scan). Each snapshot registers under the CURRENT
+  // view epoch; every spillFiles swap bumps the epoch and parks the
+  // replaced batches with the new epoch; a parked batch is deleted only
+  // once every in-flight reader's epoch has reached it. Path-backed
+  // stores route through the snapshot-retirement list instead
+  // (deferDeletes), whose two-publish grace dwarfs any query.
+  private var viewEpoch = 0L // guarded by stateLock
+  private val readerIdGen = new java.util.concurrent.atomic.AtomicLong
+  private val readerEpochs =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]
+  private val pendingDeletes =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+
+  /** Delete parked batches no in-flight reader can still reference. */
+  private def reclaimDeletable(spark: SparkSession): Unit = {
+    val deletable = stateLock.synchronized {
+      import scala.jdk.CollectionConverters._
+      val minReader = readerEpochs.values.asScala
+        .map(_.longValue).minOption.getOrElse(Long.MaxValue)
+      val (del, keep) = pendingDeletes.toSeq.partition(_._1 <= minReader)
+      pendingDeletes.clear(); pendingDeletes ++= keep
+      del.flatMap(_._2)
+    }
+    if (deletable.nonEmpty) {
+      val conf = spark.sessionState.newHadoopConf()
+      deletable.foreach { f =>
+        val hp = new org.apache.hadoop.fs.Path(f)
+        hp.getFileSystem(conf).delete(hp, true)
+      }
+    }
+  }
+
   def spilledBucketCount: Int = spilledSpans.size
   def spillBatchCount: Int = spillFiles.size
 
@@ -439,27 +474,26 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
           if (old.forall(spillFiles.contains)) {
             spillFiles --= old
             spillFiles += compacted
+            viewEpoch += 1
             if (deferDeletes) {
               // the retained previous snapshot may still reference these
               // batches — hold them until that snapshot is itself retired
               // (collectRetired)
               retiredBatches ++= old.map(p => (None: Option[Long], p))
+            } else {
+              // park for the reader-epoch reclaim: an in-flight query's
+              // lock-free spill read may still hold the pre-swap list
+              pendingDeletes += ((viewEpoch, old))
             }
             true
           } else false
         }
-        val conf = spark.sessionState.newHadoopConf()
         if (swapped) {
-          if (!deferDeletes) {
-            old.foreach { f =>
-              val hp = new org.apache.hadoop.fs.Path(f)
-              hp.getFileSystem(conf).delete(hp, true)
-            }
-          }
+          reclaimDeletable(spark)
           merged = true // a promotion can tip the next level over
         } else {
           val hp = new org.apache.hadoop.fs.Path(compacted)
-          hp.getFileSystem(conf).delete(hp, true)
+          hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
         }
       }
     }
@@ -504,7 +538,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * place), so handing out a stored bucket would let a later merge corrupt
    * live state. */
   private def rangeSnapshot(startIv: Long, endIv: Long): (Option[IntervalSketch],
-      Seq[String], Seq[(Long, Long)], Option[(Long, Long)]) =
+      Seq[String], Seq[(Long, Long)], Option[(Long, Long)], Long) =
     stateLock.synchronized {
       val pendingParts = pendingSpill.toSeq
         .filter(p => spanOverlaps(startIv, endIv)((p._1, p._2)))
@@ -519,7 +553,12 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
         case Nil => None
         case cs => Some((cs.map(_._1).min, cs.map(_._2).max))
       }
-      (resident, spillFiles.toSeq, spilledSpans.toSeq, covAll)
+      // register this reader's epoch INSIDE the same acquisition — a swap
+      // between snapshot and registration could otherwise reclaim a batch
+      // this snapshot references
+      val readerId = readerIdGen.incrementAndGet()
+      readerEpochs.put(readerId, viewEpoch)
+      (resident, spillFiles.toSeq, spilledSpans.toSeq, covAll, readerId)
     }
 
   /** Merged sketch + covered span over [startIv, endIv], from ONE atomic
@@ -530,8 +569,11 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     // history blocks and spilled spans (their extent test is symmetric), so
     // bail before any merge
     if (startIv > endIv) return (None, None)
-    val (resident, files, spans, covResident) = rangeSnapshot(startIv, endIv)
-    val spilled = spillMerged(files, spans, startIv, endIv) // cluster job, no lock
+    val (resident, files, spans, covResident, readerId) =
+      rangeSnapshot(startIv, endIv)
+    val spilled =
+      try spillMerged(files, spans, startIv, endIv) // cluster job, no lock
+      finally readerEpochs.remove(readerId)
     val merged = (resident.toSeq ++ spilled.toSeq) match {
       case Nil => None
       // resident is already private, so folding into it is safe — and the

@@ -982,8 +982,10 @@ object GraftSession {
     try body finally fs.delete(lockPath, false)
   }
 
-  /** The Spark session's local time zone, for wall-time string resolution. */
-  private[graft] def sessionZone(spark: SparkSession): java.time.ZoneId =
+  /** The Spark session's local time zone, for wall-time string resolution
+   * (public: the parser extension in `org.apache.spark.sql.graft` resolves
+   * DDL epoch strings with it too). */
+  def sessionZone(spark: SparkSession): java.time.ZoneId =
     java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
 
   private val WallTimeFmt = new java.time.format.DateTimeFormatterBuilder()

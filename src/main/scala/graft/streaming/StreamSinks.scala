@@ -32,7 +32,8 @@ object StreamSinks {
       options: Map[String, String] = Map.empty,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
     if (!gs.state.topks.contains(topkName.toLowerCase)) {
-      val opts = graft.topk.TopKOptions.fromOptions(options)
+      val opts = graft.topk.TopKOptions.fromOptions(options,
+        graft.GraftSession.sessionZone(gs.spark))
       val keyField = stream.schema.find(_.name.equalsIgnoreCase(opts.key)).getOrElse(
         throw new IllegalArgumentException(s"key column ${opts.key} missing from stream"))
       val keyType = keyField.dataType match {

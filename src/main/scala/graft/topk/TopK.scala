@@ -68,8 +68,12 @@ object TopKOptions {
    * programmatic callers (`topkSink`, `createApproxTSTopK`) pass camelCase
    * maps (`timeSeriesColumn`, `timeInterval`) — exact-lowercase lookups
    * silently dropped those options, producing an untimed table. */
+  // zone is REQUIRED (no systemDefault fallback): every caller must resolve
+  // wall-clock `epoch` strings in the Spark session zone, or the same DDL
+  // produces different interval numbering depending on which code path
+  // created the table
   def fromOptions(rawOpts: Map[String, String],
-      zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): TopKOptions = {
+      zone: java.time.ZoneId): TopKOptions = {
     val opts = rawOpts.map { case (k, v) => k.toLowerCase -> v }
     val eps = opts.get("eps").map(_.toDouble)
     val conf = opts.get("confidence").map(_.toDouble)
@@ -174,6 +178,15 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   private val spilledSpans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
   /** Batch directories composing this session's view of the spill store. */
   private val spillFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** A bucket removed from the tree whose spill batch is still being
+   * written. `isHistory` records WHICH map it came from: a dyadic history
+   * block can have length 1 (`compactTime` stores `((oldest, 1L), sk)`),
+   * so dispatching removal/restore on `len == 1` alone would touch the
+   * wrong map — the bucket would stay resident AND be spilled, doubling
+   * every estimate over its span. */
+  private final case class ParkedBucket(start: Long, len: Long,
+      isHistory: Boolean, sketch: IntervalSketch)
+
   /** Buckets removed from the tree whose spill batch is still being
    * written: in NEITHER `buckets` nor the spill view, so [[rangeSnapshot]]
    * folds them in explicitly — a query landing in the write window must
@@ -182,7 +195,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * lock), so the publish path's (spillView, snapshotBytes) capture never
    * observes a non-empty parking lot from another thread. */
   private val pendingSpill =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, Long, IntervalSketch)]
+    scala.collection.mutable.ArrayBuffer.empty[ParkedBucket]
   /** Single-spiller guard: with the spill write outside `stateLock`, two
    * concurrent appends could otherwise both cross the entry guard and
    * double-spill overlapping bucket sets. */
@@ -232,7 +245,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
 
   /** Where this table's buckets spill (None until the first spill of a
    * non-path table) — exposed so DROP can retire the store. */
-  def spillDirOption: Option[String] = spillPath
+  def spillDirOption: Option[String] = stateLock.synchronized { spillPath }
 
   /** Root directory for spilled buckets (set to `<path>/_graft_topk_spill`
    * for path-backed tables BEFORE the first append; a local temp directory
@@ -338,16 +351,21 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       throw new IllegalStateException(
         s"TopK table '$name' has spilled buckets but no active SparkSession"))
 
+  // synchronized: called from spillOldest's lock-free phase 2, and the
+  // first spill's `spillPath = Some(d)` must be visible to concurrent
+  // readers of spillDirOption (DROP) / restoreSpillView under the JMM
   private def ensureSpillDir(spark: SparkSession): String =
-    spillPath.getOrElse {
-      // not path-backed: spill under the warehouse dir — a SHARED filesystem
-      // on a real cluster (a driver-local temp dir would be invisible to
-      // executors reading the parquet back)
-      val wh = spark.sessionState.conf.warehousePath.stripSuffix("/")
-      val d = s"$wh/${graft.GraftSession.TopkSpillDir}/$name-" +
-        java.util.UUID.randomUUID().toString.take(8)
-      spillPath = Some(d)
-      d
+    stateLock.synchronized {
+      spillPath.getOrElse {
+        // not path-backed: spill under the warehouse dir — a SHARED
+        // filesystem on a real cluster (a driver-local temp dir would be
+        // invisible to executors reading the parquet back)
+        val wh = spark.sessionState.conf.warehousePath.stripSuffix("/")
+        val d = s"$wh/${graft.GraftSession.TopkSpillDir}/$name-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        spillPath = Some(d)
+        d
+      }
     }
 
   /** Move oldest buckets to the spill store until the driver is back under
@@ -371,8 +389,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
   private def spillOldest(spark: SparkSession): Unit = {
     // phase 1 (lock): choose, remove, park
     val moved = stateLock.synchronized {
-      val picked =
-        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, IntervalSketch)]
+      val picked = scala.collection.mutable.ArrayBuffer.empty[ParkedBucket]
       var entries = buckets.entryCount
       val histIt = buckets.history.iterator
       val ivIt =
@@ -381,14 +398,17 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       while (entries > opts.maxDriverEntries && (histIt.hasNext || ivIt.hasNext)) {
         if (histIt.hasNext) {
           val ((hs, hl), s) = histIt.next()
-          picked += ((hs, hl, s)); entries -= s.entryCount
+          picked += ParkedBucket(hs, hl, isHistory = true, s)
+          entries -= s.entryCount
         } else {
           val (iv, s) = ivIt.next()
-          picked += ((iv, 1L, s)); entries -= s.entryCount
+          picked += ParkedBucket(iv, 1L, isHistory = false, s)
+          entries -= s.entryCount
         }
       }
-      picked.foreach { case (s, l, _) =>
-        if (l == 1L) buckets.removeInterval(s) else buckets.removeHistory((s, l))
+      picked.foreach { p =>
+        if (p.isHistory) buckets.removeHistory((p.start, p.len))
+        else buckets.removeInterval(p.start)
       }
       pendingSpill ++= picked
       picked.toSeq
@@ -397,7 +417,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     // phase 2 (no lock): serialize + write. Parked sketches are out of the
     // tree, so nothing mutates them here (appends build fresh buckets;
     // query folds only read them).
-    val rows = moved.map { case (s, l, sk) => (s, l, IntervalSketch.toBytes(sk)) }
+    val rows = moved.map(p => (p.start, p.len, IntervalSketch.toBytes(p.sketch)))
     val dir = ensureSpillDir(spark)
     val batch = s"$dir/batch-${java.util.UUID.randomUUID().toString.take(12)}"
     try {
@@ -408,12 +428,12 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       case e: Throwable =>
         stateLock.synchronized {
           pendingSpill --= moved
-          moved.foreach { case (s, l, sk) =>
-            if (l == 1L) buckets.addTo(s, sk)
-            else buckets.history.get((s, l)) match {
+          moved.foreach { p =>
+            if (!p.isHistory) buckets.addTo(p.start, p.sketch)
+            else buckets.history.get((p.start, p.len)) match {
               case Some(existing) =>
-                buckets.history.update((s, l), existing.mergeWith(sk))
-              case None => buckets.history.update((s, l), sk)
+                buckets.history.update((p.start, p.len), existing.mergeWith(p.sketch))
+              case None => buckets.history.update((p.start, p.len), p.sketch)
             }
           }
         }
@@ -422,7 +442,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     // phase 3 (lock): publish the batch into the spill view
     stateLock.synchronized {
       pendingSpill --= moved
-      spilledSpans ++= moved.map(m => (m._1, m._2))
+      spilledSpans ++= moved.map(p => (p.start, p.len))
       spillFiles += batch
     }
     maybeCompact(spark)
@@ -537,19 +557,39 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * `mergedAll` guarantee: `mergeWith` mutates its receiver (CMS adds in
    * place), so handing out a stored bucket would let a later merge corrupt
    * live state. */
-  private def rangeSnapshot(startIv: Long, endIv: Long): (Option[IntervalSketch],
-      Seq[String], Seq[(Long, Long)], Option[(Long, Long)], Long) =
+  /** One-lock-acquisition query snapshot. Takes epoch-MS bounds and maps
+   * them to intervals INSIDE the lock: `intervalOf` reads `epochBase`,
+   * which a batch-timed table's FIRST append establishes — computed
+   * outside, a racing query could map its window against the pre-append
+   * epoch while observing post-append buckets and miss everything.
+   * `localCov` covers resident + parked buckets; the spilled-span union
+   * happens once, in [[mergedAndCovered]]. */
+  private final case class RangeSnapshot(
+      startIv: Long, endIv: Long, epochBaseMs: Long,
+      resident: Option[IntervalSketch],
+      files: Seq[String], spans: Seq[(Long, Long)],
+      localCov: Option[(Long, Long)], readerId: Long)
+
+  private def rangeSnapshot(startMs: Long, endMs: Long): RangeSnapshot =
     stateLock.synchronized {
+      val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
+      val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
+      val base = if (opts.batchTimed) math.max(epochBase, 0L) else 0L
+      if (startIv > endIv) {
+        // inverted/empty window: don't walk the bucket maps (SortedMap.range
+        // rejects from > until) and don't register a reader — the caller
+        // bails before any spill read
+        return RangeSnapshot(startIv, endIv, base, None, Nil, Nil, None, -1L)
+      }
       val pendingParts = pendingSpill.toSeq
-        .filter(p => spanOverlaps(startIv, endIv)((p._1, p._2)))
+        .filter(p => spanOverlaps(startIv, endIv)((p.start, p.len)))
       val parts = buckets.mergedRange(startIv, endIv).toSeq ++
-        pendingParts.map(_._3)
+        pendingParts.map(_.sketch)
       val resident =
         if (parts.isEmpty) None
         else Some(parts.foldLeft(mkSketch())(_.mergeWith(_)))
-      val covResident = buckets.coveredRange(startIv, endIv)
-      val covAll = (covResident.toSeq ++
-        pendingParts.map(p => (p._1, p._1 + p._2 - 1))) match {
+      val localCov = (buckets.coveredRange(startIv, endIv).toSeq ++
+        pendingParts.map(p => (p.start, p.start + p.len - 1))) match {
         case Nil => None
         case cs => Some((cs.map(_._1).min, cs.map(_._2).max))
       }
@@ -558,35 +598,44 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       // this snapshot references
       val readerId = readerIdGen.incrementAndGet()
       readerEpochs.put(readerId, viewEpoch)
-      (resident, spillFiles.toSeq, spilledSpans.toSeq, covAll, readerId)
+      RangeSnapshot(startIv, endIv, base, resident,
+        spillFiles.toSeq, spilledSpans.toSeq, localCov, readerId)
     }
 
-  /** Merged sketch + covered span over [startIv, endIv], from ONE atomic
-   * state snapshot (rows and coverage always describe the same state). */
-  private def mergedAndCovered(startIv: Long,
-      endIv: Long): (Option[IntervalSketch], Option[(Long, Long)]) = {
+  /** Merged sketch + covered span + epoch base over [startMs, endMs], from
+   * ONE atomic state snapshot (rows and coverage always describe the same
+   * state). The executor-side spill merge runs lock-free on the snapshot. */
+  private def mergedAndCovered(startMs: Long,
+      endMs: Long): (Option[IntervalSketch], Option[(Long, Long)], Long) = {
+    val snap = rangeSnapshot(startMs, endMs)
+    import snap.{startIv, endIv}
     // empty/inverted window: interval math below would still overlap coarse
     // history blocks and spilled spans (their extent test is symmetric), so
     // bail before any merge
-    if (startIv > endIv) return (None, None)
-    val (resident, files, spans, covResident, readerId) =
-      rangeSnapshot(startIv, endIv)
+    if (startIv > endIv) return (None, None, snap.epochBaseMs)
     val spilled =
-      try spillMerged(files, spans, startIv, endIv) // cluster job, no lock
-      finally readerEpochs.remove(readerId)
-    val merged = (resident.toSeq ++ spilled.toSeq) match {
+      try spillMerged(snap.files, snap.spans, startIv, endIv) // cluster job, no lock
+      finally {
+        readerEpochs.remove(snap.readerId)
+        // a reader finishing may be the last thing holding parked deletes
+        // back — reclaim here too, or batches retired during the final
+        // compaction of a quiescing table would leak until DROP
+        try reclaimDeletable(sparkOrActive)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+    val merged = (snap.resident.toSeq ++ spilled.toSeq) match {
       case Nil => None
       // resident is already private, so folding into it is safe — and the
       // spilled partial came off the wire, never a stored bucket
       case parts => Some(parts.reduce(_.mergeWith(_)))
     }
-    val overl = spans.filter(spanOverlaps(startIv, endIv))
-    val covered = (covResident.toSeq ++
+    val overl = snap.spans.filter(spanOverlaps(startIv, endIv))
+    val covered = (snap.localCov.toSeq ++
       overl.map(s => (s._1, s._1 + s._2 - 1))) match {
       case Nil => None
       case cs => Some((cs.map(_._1).min, cs.map(_._2).max))
     }
-    (merged, covered)
+    (merged, covered, snap.epochBaseMs)
   }
 
   private def mkSketch(): IntervalSketch =
@@ -693,22 +742,17 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
 
   /** Point frequency estimate of a key over a time range. Lock-light: one
    * [[rangeSnapshot]] acquisition; the spill merge job runs lock-free. */
-  def queryFrequency(key: Any, startMs: Long, endMs: Long): Option[(Long, Long, Long)] = {
-    val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
-    val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
-    mergedAndCovered(startIv, endIv)._1.map(_.estimate(key))
-  }
+  def queryFrequency(key: Any, startMs: Long, endMs: Long): Option[(Long, Long, Long)] =
+    mergedAndCovered(startMs, endMs)._1.map(_.estimate(key))
 
   /** Top-k rows of the merged [startMs, endMs] range plus the actual
    * covered bucket span in epoch ms (for the SQL scan's
-   * `start_time`/`end_time` columns — [[TopKRelation]]). Rows and coverage
-   * come from one atomic snapshot; the spill merge job runs lock-free. */
+   * `start_time`/`end_time` columns — [[TopKRelation]]). Rows, coverage,
+   * and the epoch base come from one atomic snapshot; the spill merge job
+   * runs lock-free. */
   def topKRows(startMs: Long, endMs: Long, k: Int): (Seq[(Any, Long, Long)], Long, Long) = {
-    val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
-    val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
-    val (merged, covered) = mergedAndCovered(startIv, endIv)
+    val (merged, covered, base) = mergedAndCovered(startMs, endMs)
     val rows = merged.map(_.topK(k)).getOrElse(Nil)
-    val base = if (opts.batchTimed) math.max(epochBase, 0L) else 0L
     val (covS, covE) = covered
       .map { case (s, e) =>
         (s * opts.timeIntervalMs + base, (e + 1) * opts.timeIntervalMs - 1 + base)

@@ -537,9 +537,10 @@ case class CreateTopkTableNode(name: String, base: String,
         val storedForResolve = storedOpts --
           (if (declared.contains("eps")) Seq("width") else Nil) --
           (if (declared.contains("confidence")) Seq("depth") else Nil)
+        val zone = graft.GraftSession.sessionZone(spark)
         val declaredResolved =
-          graft.topk.TopKOptions.fromOptions(storedForResolve ++ declared)
-        val storedResolved = graft.topk.TopKOptions.fromOptions(storedOpts)
+          graft.topk.TopKOptions.fromOptions(storedForResolve ++ declared, zone)
+        val storedResolved = graft.topk.TopKOptions.fromOptions(storedOpts, zone)
         require(declaredResolved == storedResolved,
           s"CREATE TOPK TABLE IF NOT EXISTS $name: declared options resolve " +
             s"to $declaredResolved but the snapshot at ${path.get} was " +

@@ -547,7 +547,8 @@ class TopKSpec extends AnyFunSuite {
   test("programmatic camelCase option keys resolve (topkSink spelling)") {
     val o = graft.topk.TopKOptions.fromOptions(Map(
       "key" -> "k", "timeSeriesColumn" -> "ts", "timeInterval" -> "5s",
-      "streamSummary" -> "true", "maxDriverEntries" -> "99"))
+      "streamSummary" -> "true", "maxDriverEntries" -> "99"),
+      java.time.ZoneId.of("UTC"))
     assert(o.timeSeriesColumn === Some("ts"))
     assert(o.timeIntervalMs === 5000L)
     assert(o.streamSummary && o.maxDriverEntries === 99L)

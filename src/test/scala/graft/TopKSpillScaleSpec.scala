@@ -87,6 +87,72 @@ class TopKSpillScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dyadic HISTORY blocks spill without double-counting (incl. length-1 blocks)") {
+    // maxInterval 4 over 12 day-intervals folds the older 8 into dyadic
+    // history blocks — lengths 1, 2, 4 all occur as the binary counter
+    // rolls. A tiny guard then forces those HISTORY blocks (not intervals)
+    // through the spill path. Regression for the parked-bucket dispatch
+    // bug: removing a length-1 history block via removeInterval left it
+    // resident AND spilled — every estimate over its span then doubled.
+    val opts = graft.topk.TopKOptions(key = "k",
+      timeSeriesColumn = Some("ts"), timeIntervalMs = dayMs,
+      size = 5, streamSummary = true, capacity = 64,
+      maxInterval = 4, timeUnit = "ms",
+      maxDriverEntries = 100)
+    val st = new graft.topk.TopKState("spill_history", opts,
+      org.apache.spark.sql.types.StringType)
+    import spark.implicits._
+    val days = 12
+    (0 until days).foreach { d =>
+      val tail = (0 until 10).map(j => (d.toLong * dayMs, s"ht${d * 10 + j}"))
+      val heavy = Seq.fill(3)((d.toLong * dayMs, "hh"))
+      st.append((tail ++ heavy).toDF("ts", "k"))
+    }
+    assert(st.spilledBucketCount > 0, "history blocks must actually spill")
+    val full = st.queryFrequency("hh", Long.MinValue, Long.MaxValue)
+    assert(full === Some((days * 3L, days * 3L, days * 3L)),
+      s"heavy key must be exact (a resident+spilled duplicate doubles it): $full")
+    // a tail key in the oldest (spilled-history) region stays exactly 1
+    // when queried over its own day: the overlapping history block's union
+    // (4 days x 11 keys) fits the capacity, so the merge is exact. (The
+    // FULL range merges ~121 distinct keys into capacity 64 — Space-Saving
+    // eviction territory, deliberately not asserted for tail keys.)
+    val r = st.queryFrequency("ht5", 0L, dayMs - 1)
+    assert(r === Some((1L, 1L, 1L)), s"tail key in spilled history, got $r")
+    // repeat: merged results are stable (no fold into live state)
+    assert(st.queryFrequency("hh", Long.MinValue, Long.MaxValue) === full)
+    st.spillDirOption.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
+    // LENGTH-1 history block specifically: 13 distinct keys per day, guard
+    // 60 — entries cross the guard exactly at day 4 (65), the SAME append
+    // whose compaction folds day 0 into history ((0,1)). The spill picker
+    // therefore takes a LENGTH-1 HISTORY block (history precedes
+    // intervals). Mis-dispatching its removal (removeInterval on a history
+    // span is a no-op) leaves it resident AND spilled — day-0 doubles.
+    val opts1 = opts.copy(capacity = 16, maxDriverEntries = 60)
+    val st1 = new graft.topk.TopKState("spill_history_len1", opts1,
+      org.apache.spark.sql.types.StringType)
+    (0 until 5).foreach { d =>
+      val tail = (0 until 12).map(j => (d.toLong * dayMs, s"g${d * 12 + j}"))
+      val heavy = Seq.fill(3)((d.toLong * dayMs, "hh"))
+      st1.append((tail ++ heavy).toDF("ts", "k"))
+    }
+    assert(st1.spilledBucketCount > 0, "the length-1 history block must spill")
+    assert(st1.queryFrequency("hh", Long.MinValue, Long.MaxValue) ===
+      Some((15L, 15L, 15L)),
+      "a resident+spilled duplicate of the length-1 block doubles day 0")
+    assert(st1.queryFrequency("g2", 0L, dayMs - 1) === Some((1L, 1L, 1L)))
+    st1.spillDirOption.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   test("300 buckets x 10^5-key space spill past the guard: bounded driver, bounded files, exact answers") {
     val t0 = System.nanoTime()
     val opts = graft.topk.TopKOptions(key = "k",

@@ -513,6 +513,7 @@ class GraftSession(val spark: SparkSession) {
     props.setProperty("seed", o.seed.toString)
     props.setProperty("timeunit", o.timeUnit)
     props.setProperty("itemaggregation", o.itemAggregation.toString)
+    props.setProperty("timeanditemaggregation", o.timeAndItemAggregation.toString)
     props.setProperty("maxdriverentries", o.maxDriverEntries.toString)
     props.setProperty("__keytype",
       if (st.keyType == org.apache.spark.sql.types.StringType) "string" else "long")

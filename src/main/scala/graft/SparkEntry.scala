@@ -875,6 +875,31 @@ object SparkEntry {
           |ORDER BY estimated_value DESC, event_type ASC""".stripMargin)
     }),
 
+    // --- §2.7 combined time+item Hokusai aggregation (reference
+    // `Hokusai.scala:436-692` TimeAndItemAggregation + n̂): aged intervals
+    // keep shrinking-width sketches AND feed full-width dyadic history;
+    // the ragged old window below exercises the per-interval clipping and
+    // whole-block answers. Ample width ⇒ exact ⇒ oracle-comparable.
+    "q61_topk_time_and_item" -> ((s, dir) => {
+      // timeUnit only applies if ts loads as an integral column (the old
+      // nanos vintage); a timestamp-typed column dispatches on its type
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gs = GraftSession(s)
+      tbl(s, dir, "events").createOrReplaceTempView("events_q61")
+      gs.sql("CREATE TOPK TABLE IF NOT EXISTS q61_topk ON events_q61 OPTIONS(" +
+        "key 'event_type', width '4096', depth '5', size '5', " +
+        "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '4', " +
+        "timeUnit 'ns', timeAndItemAggregation 'true')")
+      // estimated_value is exact at this width; lower_bound is est −
+      // ceil(ε·N) per covered part — deterministic but not expressible as
+      // a clean oracle, so the gate pins the estimates
+      s.sql(
+        """SELECT event_type, estimated_value
+          |FROM q61_topk
+          |WHERE start_time >= timestamp_millis(1704153600000) AND end_time <= timestamp_millis(1704931199999)
+          |ORDER BY estimated_value DESC, event_type ASC""".stripMargin)
+    }),
+
     // --- §3 subquery fencing: the scalar subquery's aggregate stays exact
     // on the base table while the outer aggregate rides the sample (full
     // fraction ⇒ exact with zero error) — reference SubQueryRoutingTestSuite.
@@ -1659,6 +1684,13 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS estimated_value, COUNT(*) AS lower_bound
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY event_type
+        |ORDER BY estimated_value DESC, event_type ASC LIMIT 5""".stripMargin,
+
+    "q61_topk_time_and_item" ->
+      """SELECT event_type, COUNT(*) AS estimated_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-11'
         |GROUP BY event_type
         |ORDER BY estimated_value DESC, event_type ASC LIMIT 5""".stripMargin,
 

@@ -53,6 +53,13 @@ final class CountMinSketch(
     total += count
   }
 
+  /** Raw cell for `key` in `row` — the Hokusai n̂ refinement works on
+   * matching cells across sketches of the same hash family (reference
+   * `Hokusai.scala:638-692` `queryBySummingEntityAggregates`/`calcNCarat`).
+   * `bucket` is `hash mod width`, so cells correspond across widths related
+   * by power-of-two folds. */
+  private[sketch] def cell(row: Int, key: Any): Long = table(row)(bucket(key, row))
+
   def estimateCount(key: Any): Long = {
     var min = Long.MaxValue
     var r = 0

@@ -94,12 +94,26 @@ final case class SummaryInterval(s: StreamSummary) extends IntervalSketch {
  *    ε doubles per fold; the CMS overestimate-only guarantee survives every
  *    fold, and the widened bounds are reported automatically because
  *    `Approximate` slack is computed from the folded width.
+ *  - **Time AND item aggregation** (`timeAndItem = true` — reference
+ *    `TimeAndItemAggregation:436`, the paper's combined structure): every
+ *    interval is kept with item-mode shrinking widths, AND a full-width
+ *    dyadic history is maintained over aged intervals (each interval's
+ *    full-width content snapshots into the dyadic carry at its first fold;
+ *    later data for that interval merges into both). Range queries then
+ *    answer dyadic-aligned spans from the accurate full-width blocks and
+ *    only the ragged edges from compressed intervals, and point estimates
+ *    on compressed intervals can be REFINED with the paper's n̂ estimator
+ *    ([[refinedEstimate]] — reference `Hokusai.scala:638-692`
+ *    `calcNCarat`): distribute the covering block's accurate count over
+ *    member intervals proportionally to their (noisy) compressed cells,
+ *    row by row, taking the min. CMS family only.
  */
 final class TimeBucketedSketch(
     val maxInterval: Int,
     val mk: () => IntervalSketch,
     val itemAggregation: Boolean = false,
-    val minWidth: Int = 64) extends Serializable {
+    val minWidth: Int = 64,
+    val timeAndItem: Boolean = false) extends Serializable {
 
   // full-resolution recent intervals
   val intervals: mutable.SortedMap[Long, IntervalSketch] = mutable.SortedMap.empty
@@ -128,6 +142,15 @@ final class TimeBucketedSketch(
     history.remove(span)
 
   def addTo(interval: Long, sketch: IntervalSketch): Unit = {
+    // combined mode: an interval past its snapshot point also feeds its
+    // covering full-width history block, so block ⊇ interval data holds
+    // for refinement and whole-block range answers (the fresh batch is
+    // full width, matching the block — no fold on this path)
+    if (timeAndItem && folds.getOrElse(interval, 0) > 0) {
+      coveringBlock(interval).foreach { case (span, blk) =>
+        history.update(span, blk.mergeWith(sketch))
+      }
+    }
     intervals.get(interval) match {
       // mergeWith aligns widths, so fresh full-width data folds into an
       // already-compressed aged interval correctly
@@ -137,8 +160,17 @@ final class TimeBucketedSketch(
     compact()
   }
 
+  /** Resident dyadic block whose span contains `iv`, if any. Blocks are
+   * disjoint (the carry merges, never overlaps), so at most one matches. */
+  private def coveringBlock(iv: Long): Option[((Long, Long), IntervalSketch)] =
+    history.find { case ((hs, hl), _) => hs <= iv && iv < hs + hl }
+
+  /** Member intervals (resident) of a history block span. */
+  private def blockMembers(hs: Long, hl: Long): Seq[Long] =
+    intervals.range(hs, hs + hl).keys.toSeq
+
   private def compact(): Unit =
-    if (itemAggregation) compactItems() else compactTime()
+    if (itemAggregation || timeAndItem) compactItems() else compactTime()
 
   private def compactItems(): Unit = {
     if (intervals.isEmpty) return
@@ -151,6 +183,13 @@ final class TimeBucketedSketch(
         var cur = folds.getOrElse(iv, 0)
         var s = sk
         var changed = false
+        if (timeAndItem && cur == 0 && target > 0 && s.compressible(minWidth)) {
+          // combined mode: capture the interval's full-width content into
+          // the dyadic history BEFORE the first lossy fold (deep copy via
+          // the wire form — the carry mutates its receiver)
+          carryIntoHistory((iv, 1L),
+            IntervalSketch.fromBytes(IntervalSketch.toBytes(s)))
+        }
         while (cur < target && s.compressible(minWidth)) {
           s = s.compressed; cur += 1; changed = true
         }
@@ -163,36 +202,66 @@ final class TimeBucketedSketch(
     }
   }
 
+  /** Dyadic carry: merge equal-length ADJACENT history blocks until no
+   * further merge applies, then store. Shared by time-mode eviction and
+   * the combined mode's pre-fold snapshots. */
+  private def carryIntoHistory(span: (Long, Long), sk: IntervalSketch): Unit = {
+    var entry: ((Long, Long), IntervalSketch) = (span, sk)
+    var done = false
+    while (!done) {
+      val ((start, len), s) = entry
+      history.find { case ((hs, hl), _) => hl == len && hs + hl == start } match {
+        case Some(((hs, hl), hsk)) =>
+          history.remove((hs, hl))
+          entry = ((hs, len * 2), hsk.mergeWith(s))
+        case None => done = true
+      }
+    }
+    history.update(entry._1, entry._2)
+  }
+
   private def compactTime(): Unit = {
     while (intervals.size > maxInterval) {
       val (oldest, sk) = intervals.head
       intervals.remove(oldest)
-      var entry: ((Long, Long), IntervalSketch) = ((oldest, 1L), sk)
-      // dyadic carry: merge equal-length adjacent history blocks
-      var done = false
-      while (!done) {
-        val ((start, len), s) = entry
-        history.find { case ((hs, hl), _) => hl == len && hs + hl == start } match {
-          case Some(((hs, hl), hsk)) =>
-            history.remove((hs, hl))
-            entry = ((hs, len * 2), hsk.mergeWith(s))
-          case None => done = true
-        }
-      }
-      history.update(entry._1, entry._2)
+      carryIntoHistory((oldest, 1L), sk)
     }
   }
 
   /** Sketches overlapping [startInterval, endInterval] (inclusive). Coarse
    * history blocks are included when they overlap the range — the Hokusai
-   * resolution trade-off for old data. */
+   * resolution trade-off for old data.
+   *
+   * Combined mode picks each span's MOST ACCURATE single representation
+   * (reference `Hokusai.scala:476-525` `queryBetweenIntervals`): a block
+   * fully inside the range answers for its whole span at full width (its
+   * member intervals are skipped — block ⊇ members would double-count); a
+   * block only partially overlapping is represented by its member
+   * intervals inside the range (compressed, but correctly clipped). A
+   * partially-overlapping block with NO resident members (failed-spill
+   * restore corner) falls back to coarse whole-block inclusion — over-
+   * covering, never undercounting. */
   def range(startInterval: Long, endInterval: Long): Seq[IntervalSketch] = {
     val until = if (endInterval == Long.MaxValue) endInterval else endInterval + 1
-    val recent = intervals.range(startInterval, until).values.toSeq
-    val old = history.collect {
-      case ((hs, hl), s) if hs <= endInterval && (hs + hl - 1) >= startInterval => s
-    }.toSeq
-    recent ++ old
+    if (!timeAndItem) {
+      val recent = intervals.range(startInterval, until).values.toSeq
+      val old = history.collect {
+        case ((hs, hl), s) if hs <= endInterval && (hs + hl - 1) >= startInterval => s
+      }.toSeq
+      recent ++ old
+    } else {
+      val (whole, partial) = history.toSeq
+        .filter { case ((hs, hl), _) => hs <= endInterval && hs + hl - 1 >= startInterval }
+        .partition { case ((hs, hl), _) => hs >= startInterval && hs + hl - 1 <= endInterval }
+      val coveredByWhole = whole.map(_._1)
+      val orphanPartials = partial.collect {
+        case ((hs, hl), s) if blockMembers(hs, hl).isEmpty => s
+      }
+      val ivs = intervals.range(startInterval, until).collect {
+        case (iv, s) if !coveredByWhole.exists { case (hs, hl) => hs <= iv && iv < hs + hl } => s
+      }.toSeq
+      whole.map(_._2) ++ orphanPartials ++ ivs
+    }
   }
 
   /** Merged sketches over the range. Always folds into a FRESH sketch —
@@ -216,6 +285,82 @@ final class TimeBucketedSketch(
     val mins = rec ++ old.map(_._1)
     val maxs = rec ++ old.map { case (hs, hl) => hs + hl - 1 }
     if (mins.isEmpty) None else Some((mins.min, maxs.max))
+  }
+
+  /** Point estimate of `key` over [startInterval, endInterval] using the
+   * combined structure's n̂ refinement (reference `Hokusai.scala:638-692`
+   * `calcNCarat`; the paper's Algorithm 3). Whole-block spans answer from
+   * the full-width block; each ragged-edge compressed interval's noisy
+   * estimate ñ is kept when it stands clear of the CMS noise floor
+   * (ñ = 0 or ñ > ⌈ε·N⌉) and otherwise refined to
+   * n̂ = min over rows of  m_B[cell] · A_t[cell] / Σ_{s∈B} A_s[cell]
+   * — the block's accurate mass distributed over members in proportion to
+   * their compressed cells — clamped to ñ (the row-min overestimate bound
+   * true ≤ ñ survives, so `upper` stays ñ). Returns (lower, est, upper)
+   * summed over the covered span; None when nothing overlaps or the
+   * family is not CMS. Combined mode only. */
+  def refinedEstimate(startInterval: Long, endInterval: Long,
+      key: Any): Option[(Long, Long, Long)] = {
+    require(timeAndItem, "refinedEstimate requires timeAndItem mode")
+    val until = if (endInterval == Long.MaxValue) endInterval else endInterval + 1
+    val overlapping = history.toSeq.filter { case ((hs, hl), _) =>
+      hs <= endInterval && hs + hl - 1 >= startInterval
+    }
+    val (whole, partial) = overlapping.partition { case ((hs, hl), _) =>
+      hs >= startInterval && hs + hl - 1 <= endInterval
+    }
+    val coveredByWhole = whole.map(_._1)
+    var lower = 0L; var est = 0L; var upper = 0L; var any = false
+    def addTriple(t: (Long, Long, Long)): Unit = {
+      lower += t._1; est += t._2; upper += t._3; any = true
+    }
+    def cmsOf(s: IntervalSketch): Option[TopKCms] = s match {
+      case CmsInterval(c) => Some(c)
+      case _ => None
+    }
+    whole.foreach { case (_, s) => addTriple(s.estimate(key)); }
+    partial.foreach { case ((hs, hl), s) =>
+      if (blockMembers(hs, hl).isEmpty) addTriple(s.estimate(key))
+    }
+    intervals.range(startInterval, until).foreach { case (iv, s) =>
+      val inWhole = coveredByWhole.exists { case (hs, hl) => hs <= iv && iv < hs + hl }
+      if (!inWhole) {
+        val folded = folds.getOrElse(iv, 0) > 0
+        val refined = if (!folded) None else for {
+          at <- cmsOf(s)
+          (span, blkSketch) <- coveringBlock(iv)
+          blk <- cmsOf(blkSketch)
+        } yield {
+          val nTilda = at.cms.estimateCount(key)
+          val slack = math.ceil(at.cms.eps * at.cms.total).toLong
+          if (nTilda == 0L || nTilda > slack) s.estimate(key)
+          else {
+            val members = blockMembers(span._1, span._2)
+              .flatMap(m => intervals.get(m)).flatMap(cmsOf)
+            var res = Long.MaxValue
+            var row = 0
+            val depth = at.cms.depth
+            while (row < depth && res > 0L) {
+              var denom = 0L
+              members.foreach(m => denom += m.cms.cell(row, key))
+              if (denom == 0L) res = 0L
+              else {
+                // double ratio: the operands are cell counts whose exact
+                // product can overflow Long at large totals
+                val v = (blk.cms.cell(row, key) *
+                  (at.cms.cell(row, key).toDouble / denom)).toLong
+                if (v < res) res = v
+              }
+              row += 1
+            }
+            val nHat = math.min(if (res == Long.MaxValue) 0L else res, nTilda)
+            (math.max(0L, nHat - slack), nHat, nTilda)
+          }
+        }
+        addTriple(refined.getOrElse(s.estimate(key)))
+      }
+    }
+    if (any) Some((lower, est, upper)) else None
   }
 
   /** Replace this sketch's entire bucket state from a snapshot (the
@@ -250,6 +395,9 @@ final class TimeBucketedSketch(
     }
     out.writeInt(folds.size)
     folds.foreach { case (iv, f) => out.writeLong(iv); out.writeInt(f) }
+    // combined-mode flag rides at the tail so pre-combined-mode snapshots
+    // (no trailing byte) still parse — the reader defaults it to false
+    out.writeBoolean(timeAndItem)
     out.flush()
     bos.toByteArray
   }
@@ -265,18 +413,26 @@ object TimeBucketedSketch {
     val itemAggregation = in.readBoolean()
     val minWidth = in.readInt()
     val proto = readBlob()
-    val t = new TimeBucketedSketch(maxInterval,
-      () => IntervalSketch.fromBytes(proto), itemAggregation, minWidth)
+    val ivs = scala.collection.mutable.ArrayBuffer.empty[(Long, IntervalSketch)]
     (0 until in.readInt()).foreach { _ =>
-      val iv = in.readLong(); t.intervals.update(iv, IntervalSketch.fromBytes(readBlob()))
+      val iv = in.readLong(); ivs += ((iv, IntervalSketch.fromBytes(readBlob())))
     }
+    val hist = scala.collection.mutable.ArrayBuffer.empty[((Long, Long), IntervalSketch)]
     (0 until in.readInt()).foreach { _ =>
       val hs = in.readLong(); val hl = in.readLong()
-      t.history.update((hs, hl), IntervalSketch.fromBytes(readBlob()))
+      hist += (((hs, hl), IntervalSketch.fromBytes(readBlob())))
     }
+    val fs = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
     (0 until in.readInt()).foreach { _ =>
-      val iv = in.readLong(); t.folds.update(iv, in.readInt())
+      val iv = in.readLong(); fs += ((iv, in.readInt()))
     }
+    val timeAndItem =
+      try in.readBoolean() catch { case _: java.io.EOFException => false }
+    val t = new TimeBucketedSketch(maxInterval,
+      () => IntervalSketch.fromBytes(proto), itemAggregation, minWidth, timeAndItem)
+    t.intervals ++= ivs
+    t.history ++= hist
+    t.folds ++= fs
     t
   }
 }

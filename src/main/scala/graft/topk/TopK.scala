@@ -29,6 +29,10 @@ final case class TopKOptions(
     seed: Int = 123,
     timeUnit: String = "auto",
     itemAggregation: Boolean = false,
+    // combined time+item aggregation (reference Hokusai
+    // `TimeAndItemAggregation:436` + the n̂ refinement `calcNCarat:666`):
+    // full-width dyadic history + shrinking per-interval sketches
+    timeAndItemAggregation: Boolean = false,
     maxDriverEntries: Long = 50000000L,
     // batch-timed population (reference AQPStreamingSuite SNAP-463 family:
     // `timeInterval '6000ms'` WITHOUT a timeSeriesColumn buckets each
@@ -110,6 +114,8 @@ object TopKOptions {
       seed = opts.get("seed").map(_.toInt).getOrElse(123),
       timeUnit = opts.getOrElse("timeunit", "auto"),
       itemAggregation = opts.get("itemaggregation").exists(_.toBoolean),
+      timeAndItemAggregation =
+        opts.get("timeanditemaggregation").exists(_.toBoolean),
       maxDriverEntries = opts.get("maxdriverentries").map(_.toLong)
         .getOrElse(50000000L))
   }
@@ -131,9 +137,15 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       "Lower capacity/width, raise OPTIONS(maxDriverEntries ...), or use " +
       "graft.streaming.StreamOps.windowedTopK for unbounded cardinality.")
 
+  require(!(opts.timeAndItemAggregation && opts.streamSummary),
+    s"TopK table '$name': timeAndItemAggregation is a CMS-family structure " +
+      "(the n̂ refinement works on matching CMS cells); it cannot combine " +
+      "with streamSummary 'true'.")
+
   val variant: String = if (opts.streamSummary) "summary" else "cms"
   val buckets =
-    new TimeBucketedSketch(opts.maxInterval, () => mkSketch(), opts.itemAggregation)
+    new TimeBucketedSketch(opts.maxInterval, () => mkSketch(),
+      opts.itemAggregation, timeAndItem = opts.timeAndItemAggregation)
 
   /** Guards every access to the mutable driver-side state (`buckets`, the
    * spill view, the retirement list): a streaming sink appends from the
@@ -390,6 +402,13 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     // phase 1 (lock): choose, remove, park
     val moved = stateLock.synchronized {
       val picked = scala.collection.mutable.ArrayBuffer.empty[ParkedBucket]
+      // combined mode: a spilled history block takes its member intervals
+      // with it — the block is a full-width superset of the members' data
+      // (snapshot at first fold + shared late merges), so the members are
+      // DROPPED, not spilled (spilling them alongside the block would
+      // double-count the span; keeping them resident frees nothing and
+      // double-counts too). Only their n̂ refinement detail is lost.
+      val memberDrops = scala.collection.mutable.ArrayBuffer.empty[Long]
       var entries = buckets.entryCount
       val histIt = buckets.history.iterator
       val ivIt =
@@ -400,16 +419,28 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
           val ((hs, hl), s) = histIt.next()
           picked += ParkedBucket(hs, hl, isHistory = true, s)
           entries -= s.entryCount
+          if (opts.timeAndItemAggregation) {
+            buckets.intervals.range(hs, hs + hl).foreach { case (iv, ms) =>
+              memberDrops += iv
+              entries -= ms.entryCount
+            }
+          }
         } else {
           val (iv, s) = ivIt.next()
-          picked += ParkedBucket(iv, 1L, isHistory = false, s)
-          entries -= s.entryCount
+          // combined mode: members of picked blocks are dropped, never
+          // spilled as their own len-1 spans (all blocks are picked before
+          // ivIt runs, so remaining intervals are unsnapshotted and safe)
+          if (!memberDrops.contains(iv)) {
+            picked += ParkedBucket(iv, 1L, isHistory = false, s)
+            entries -= s.entryCount
+          }
         }
       }
       picked.foreach { p =>
         if (p.isHistory) buckets.removeHistory((p.start, p.len))
         else buckets.removeInterval(p.start)
       }
+      memberDrops.foreach(buckets.removeInterval(_))
       pendingSpill ++= picked
       picked.toSeq
     }
@@ -568,9 +599,20 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       startIv: Long, endIv: Long, epochBaseMs: Long,
       resident: Option[IntervalSketch],
       files: Seq[String], spans: Seq[(Long, Long)],
-      localCov: Option[(Long, Long)], readerId: Long)
+      localCov: Option[(Long, Long)], readerId: Long,
+      refinedKey: Option[(Long, Long, Long)] = None,
+      refinedRows: Option[Seq[(Any, Long, Long)]] = None)
 
-  private def rangeSnapshot(startMs: Long, endMs: Long): RangeSnapshot =
+  /** `refineKey`/`refineTopK` request the combined-mode n̂ answers
+   * ([[TimeBucketedSketch.refinedEstimate]]) computed INSIDE the same
+   * acquisition. Refinement applies only while the queried span is fully
+   * driver-resident (no spilled or parked overlap): spilled spans lost
+   * their per-interval detail, and mixing a refined resident part with a
+   * merged spill part from a different instant would break the snapshot's
+   * one-state guarantee. Once spill overlaps, answers fall back to the
+   * (always-correct) merged path. */
+  private def rangeSnapshot(startMs: Long, endMs: Long,
+      refineKey: Option[Any] = None, refineTopK: Int = -1): RangeSnapshot =
     stateLock.synchronized {
       val startIv = if (startMs == Long.MinValue) Long.MinValue else intervalOf(startMs)
       val endIv = if (endMs == Long.MaxValue) Long.MaxValue else intervalOf(endMs)
@@ -593,21 +635,41 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
         case Nil => None
         case cs => Some((cs.map(_._1).min, cs.map(_._2).max))
       }
+      val canRefine = opts.timeAndItemAggregation &&
+        pendingParts.isEmpty && !spilledSpans.exists(spanOverlaps(startIv, endIv))
+      val refinedKeyTriple =
+        if (!canRefine) None
+        else refineKey.flatMap(k => buckets.refinedEstimate(startIv, endIv, k))
+      val refinedRows =
+        if (!canRefine || refineTopK <= 0) None
+        else resident.collect { case CmsInterval(c) =>
+          c.candidates.toSeq
+            .flatMap { key =>
+              buckets.refinedEstimate(startIv, endIv, key)
+                .map { case (lo, est, _) => (key, est, lo) }
+            }
+            .sortBy { case (key, est, _) => (-est, graft.sketch.keySortable(key)) }
+            .take(refineTopK)
+        }
       // register this reader's epoch INSIDE the same acquisition — a swap
       // between snapshot and registration could otherwise reclaim a batch
       // this snapshot references
       val readerId = readerIdGen.incrementAndGet()
       readerEpochs.put(readerId, viewEpoch)
       RangeSnapshot(startIv, endIv, base, resident,
-        spillFiles.toSeq, spilledSpans.toSeq, localCov, readerId)
+        spillFiles.toSeq, spilledSpans.toSeq, localCov, readerId,
+        refinedKeyTriple, refinedRows)
     }
 
   /** Merged sketch + covered span + epoch base over [startMs, endMs], from
    * ONE atomic state snapshot (rows and coverage always describe the same
    * state). The executor-side spill merge runs lock-free on the snapshot. */
   private def mergedAndCovered(startMs: Long,
-      endMs: Long): (Option[IntervalSketch], Option[(Long, Long)], Long) = {
-    val snap = rangeSnapshot(startMs, endMs)
+      endMs: Long): (Option[IntervalSketch], Option[(Long, Long)], Long) =
+    mergedAndCoveredFrom(rangeSnapshot(startMs, endMs))
+
+  private def mergedAndCoveredFrom(
+      snap: RangeSnapshot): (Option[IntervalSketch], Option[(Long, Long)], Long) = {
     import snap.{startIv, endIv}
     // empty/inverted window: interval math below would still overlap coarse
     // history blocks and spilled spans (their extent test is symmetric), so
@@ -740,10 +802,26 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     }
   }
 
+  /** Release a snapshot's reader registration without a spill read (the
+   * refined paths answer straight from the snapshot). */
+  private def releaseReader(snap: RangeSnapshot): Unit =
+    if (snap.readerId >= 0L) {
+      readerEpochs.remove(snap.readerId)
+      try reclaimDeletable(sparkOrActive)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+
   /** Point frequency estimate of a key over a time range. Lock-light: one
-   * [[rangeSnapshot]] acquisition; the spill merge job runs lock-free. */
-  def queryFrequency(key: Any, startMs: Long, endMs: Long): Option[(Long, Long, Long)] =
-    mergedAndCovered(startMs, endMs)._1.map(_.estimate(key))
+   * [[rangeSnapshot]] acquisition; the spill merge job runs lock-free.
+   * Combined-mode tables answer with the n̂-refined estimate while the
+   * span is fully resident. */
+  def queryFrequency(key: Any, startMs: Long, endMs: Long): Option[(Long, Long, Long)] = {
+    val snap = rangeSnapshot(startMs, endMs, refineKey = Some(key))
+    snap.refinedKey match {
+      case some @ Some(_) => releaseReader(snap); some
+      case None => mergedAndCoveredFrom(snap)._1.map(_.estimate(key))
+    }
+  }
 
   /** Top-k rows of the merged [startMs, endMs] range plus the actual
    * covered bucket span in epoch ms (for the SQL scan's
@@ -751,8 +829,17 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * and the epoch base come from one atomic snapshot; the spill merge job
    * runs lock-free. */
   def topKRows(startMs: Long, endMs: Long, k: Int): (Seq[(Any, Long, Long)], Long, Long) = {
-    val (merged, covered, base) = mergedAndCovered(startMs, endMs)
-    val rows = merged.map(_.topK(k)).getOrElse(Nil)
+    val snap = rangeSnapshot(startMs, endMs, refineTopK = k)
+    val (rows, covered, base) = snap.refinedRows match {
+      case Some(refined) =>
+        // combined-mode resident answer: candidate set from the merged
+        // resident sketch, every estimate n̂-refined per interval
+        releaseReader(snap)
+        (refined, snap.localCov, snap.epochBaseMs)
+      case None =>
+        val (merged, cov, b) = mergedAndCoveredFrom(snap)
+        (merged.map(_.topK(k)).getOrElse(Nil), cov, b)
+    }
     val (covS, covE) = covered
       .map { case (s, e) =>
         (s * opts.timeIntervalMs + base, (e + 1) * opts.timeIntervalMs - 1 + base)

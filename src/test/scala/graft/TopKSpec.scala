@@ -595,4 +595,72 @@ class TopKSpec extends AnyFunSuite {
     assert(rebuilt === before, "rebuild after DROP must replay the base once")
     gs.sql("DROP TOPK TABLE tk_drift")
   }
+
+  test("combined time+item aggregation: exact windows, correct mode, summary rejected") {
+    gs.sql("CREATE TOPK TABLE tk_both ON events OPTIONS(key 'event_type', " +
+      "width '2000', depth '5', size '5', timeSeriesColumn 'ts', " +
+      "timeInterval '86400000', maxInterval '4', timeUnit 'ns', " +
+      "timeAndItemAggregation 'true')")
+    val st = GraftState.of(spark).topks("tk_both").asInstanceOf[graft.topk.TopKState]
+    assert(st.buckets.timeAndItem)
+    assert(st.buckets.history.nonEmpty, "aged intervals must snapshot into blocks")
+    // ample width + few keys: full-range AND old-window queries stay exact
+    val expected = spark.table("events").groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = gs.queryTopK("tk_both", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // an old daily window (inside the dyadic history span)
+    val dayMs = 86400000L
+    val w0 = 1704067200000L
+    val windowed = gs.queryTopK("tk_both", w0, w0 + 5 * dayMs - 1, 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val windowedExact = spark.table("events")
+      .filter(col("ts") >= lit(w0 * 1000000L) &&
+        col("ts") < lit((w0 + 5 * dayMs) * 1000000L))
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(windowed === windowedExact,
+      "combined-mode ragged window must clip per interval, not over-cover")
+    gs.sql("DROP TOPK TABLE tk_both")
+    // the n̂ structure is CMS-family — Space-Saving has no matching cells
+    val e = intercept[IllegalArgumentException] {
+      gs.sql("CREATE TOPK TABLE tk_bad ON events OPTIONS(key 'event_type', " +
+        "streamSummary 'true', capacity '100', timeAndItemAggregation 'true')")
+    }
+    assert(e.getMessage.contains("timeAndItemAggregation"))
+  }
+
+  test("combined mode: block spill drops member detail but keeps counts; survives re-attach") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkb_").toString + "/tk"
+    // one CMS interval = 2*512+5 = 1029 entries; 30 daily intervals plus
+    // full-width history blocks blow far past 4000, forcing block spills
+    // (which take their member intervals with them — counts must not
+    // double through the block+member overlap)
+    gs.sql("CREATE TOPK TABLE tk_bspill ON events OPTIONS(key 'event_type', " +
+      "width '512', depth '2', size '5', timeSeriesColumn 'ts', " +
+      "timeInterval '86400000', maxInterval '100', timeUnit 'ns', " +
+      s"timeAndItemAggregation 'true', maxDriverEntries '4000', path '$dir')")
+    val st = GraftState.of(spark).topks("tk_bspill").asInstanceOf[graft.topk.TopKState]
+    assert(st.spilledBucketCount > 0, "the guard must have forced a spill")
+    assert(st.buckets.entryCount <= 4000,
+      s"driver still holds ${st.buckets.entryCount} counters")
+    val expected = spark.table("events").groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = gs.queryTopK("tk_bspill", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected, "block spill must neither lose nor double counts")
+    // restart: snapshot + meta carry the combined mode through re-attach
+    GraftState.of(spark).topks.remove("tk_bspill")
+    GraftState.of(spark).topkPaths.remove("tk_bspill")
+    spark.catalog.dropTempView("tk_bspill")
+    gs.attachTopKTable("tk_bspill", dir)
+    val st2 = GraftState.of(spark).topks("tk_bspill").asInstanceOf[graft.topk.TopKState]
+    assert(st2.opts.timeAndItemAggregation && st2.buckets.timeAndItem,
+      "re-attach must restore the combined mode")
+    val reattached = gs.queryTopK("tk_bspill", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reattached === expected)
+    gs.sql("DROP TOPK TABLE tk_bspill")
+  }
 }

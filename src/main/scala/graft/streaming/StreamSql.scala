@@ -65,6 +65,21 @@ object StreamSql {
   }
 
   def dropStreamTable(gs: GraftSession, name: String, ifExists: Boolean): Unit = {
+    // dependent-object protection (reference `AQPStreamingSuite.scala:745-756`:
+    // "tweetstable cannot be dropped because of dependent objects"): a TopK
+    // or sample fed from this stream would silently stop populating — the
+    // dependents must be dropped first
+    if (gs.state.streams.contains(name.toLowerCase)) {
+      val topkDeps = gs.state.topkBases.collect {
+        case (tk, base) if base.equalsIgnoreCase(name) => tk
+      }.toSeq
+      val sampleDeps = gs.state.samples.values
+        .filter(_.baseName.equalsIgnoreCase(name)).map(_.name).toSeq
+      val deps = (topkDeps ++ sampleDeps).sorted
+      if (deps.nonEmpty) throw new IllegalArgumentException(
+        s"stream table $name cannot be dropped because of dependent objects: " +
+          s"${deps.mkString(", ")}. Drop the dependents first.")
+    }
     gs.state.activeStreams.remove(name.toLowerCase).foreach(_.stop())
     gs.state.streams.remove(name.toLowerCase) match {
       case Some(_) => gs.spark.catalog.dropTempView(name)

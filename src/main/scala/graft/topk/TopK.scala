@@ -743,9 +743,13 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
         expr(TimeCol.slotSql(ts, tsType, opts.timeUnit, opts.timeIntervalMs))
       case None => lit(0L)
     }
-    val agg = SketchAggregate(keyCol, freqCol, variant, opts.size, opts.depth,
-      opts.width, opts.effectiveCapacity, opts.seed)
-    df.select(ivCol.as("__iv__"), keyCol, freqCol.as("__freq__"))
+    // aggregate over the PROJECTED names: referencing the raw frequency
+    // column after the rename below left `col(frequencyCol)` unresolvable
+    // (only surfaced with an explicit frequencyCol — the default lit(1)
+    // needs no resolution)
+    val agg = SketchAggregate(col("__key__"), col("__freq__"), variant,
+      opts.size, opts.depth, opts.width, opts.effectiveCapacity, opts.seed)
+    df.select(ivCol.as("__iv__"), keyCol.as("__key__"), freqCol.as("__freq__"))
       // a NULL time value yields a NULL interval — skip those rows like the
       // aggregate skips NULL keys, instead of NPE-ing the whole append on
       // the null-keyed group

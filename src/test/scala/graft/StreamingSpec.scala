@@ -392,6 +392,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("SNAP-249 shape: frequencyCol-weighted stream TopK; DROP of the stream is fenced") {
+    // reference `AQPStreamingSuite.scala:297-343` (frequencyCol 'retweets'
+    // on a stream-fed TopK) + :745-756 (the stream table "cannot be
+    // dropped because of dependent objects")
+    val gs = new GraftSession(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_freq_stream").toString
+    (1L to 200L).map(i => (s"tag${i % 6}", (i % 10) + 1L))
+      .toDF("hashtag", "retweets")
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/in")
+    gs.sql("STREAMING INIT 0 MS")
+    gs.sql("CREATE STREAM TABLE tweet_stream (hashtag string, retweets long) " +
+      s"USING parquet OPTIONS(path '$srcDir/in', historypath '$srcDir/hist')")
+    gs.sql("CREATE TOPK TABLE tweet_topk ON tweet_stream OPTIONS(" +
+      "key 'hashtag', frequencyCol 'retweets', streamSummary 'true', " +
+      "capacity '100000', size '6')")
+    gs.sql("STREAMING START")
+    try {
+      gs.state.activeStreams("tweet_stream").processAllAvailable()
+      // frequency-weighted counts: each row contributes its retweets
+      val want = spark.table("tweet_stream")
+        .groupBy(col("hashtag")).agg(sum(col("retweets")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy { case (k, c) => (-c, k) }.toSeq
+      val got = gs.queryTopK("tweet_topk", k = 6).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === want, "frequencyCol must weight stream ingestion")
+      // the stream table cannot be dropped while the TopK depends on it
+      val e = intercept[IllegalArgumentException] {
+        gs.sql("DROP STREAM TABLE tweet_stream")
+      }
+      assert(e.getMessage.contains("dependent objects"))
+      assert(e.getMessage.contains("tweet_topk"))
+      assert(gs.state.streams.contains("tweet_stream"),
+        "failed DROP must leave the stream table registered")
+      // a dependent SAMPLE fences the drop too
+      gs.sql("CREATE SAMPLE TABLE tweet_sample ON tweet_stream OPTIONS(" +
+        "qcs 'hashtag', fraction '1.0')")
+      val e2 = intercept[IllegalArgumentException] {
+        gs.sql("DROP STREAM TABLE tweet_stream")
+      }
+      assert(e2.getMessage.contains("tweet_sample"))
+      // dropping the dependents unlocks the stream table
+      gs.sql("DROP TOPK TABLE tweet_topk")
+      gs.sql("DROP SAMPLE TABLE tweet_sample")
+      gs.sql("DROP STREAM TABLE tweet_stream")
+      assert(!gs.state.streams.contains("tweet_stream"))
+    } finally {
+      gs.sql("STREAMING STOP")
+      gs.sql("DROP SAMPLE TABLE IF EXISTS tweet_sample")
+      gs.sql("DROP TOPK TABLE IF EXISTS tweet_topk")
+      gs.sql("DROP STREAM TABLE IF EXISTS tweet_stream")
+    }
+  }
+
   test("STREAMING INIT parses interval forms and gates the trigger") {
     val gs = new GraftSession(spark)
     gs.sql("STREAMING INIT 2 SECS")

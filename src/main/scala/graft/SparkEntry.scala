@@ -176,6 +176,7 @@ object SparkEntry {
       gs.sql("CREATE TOPK TABLE IF NOT EXISTS q07_topk ON events_q07 OPTIONS(key 'user_id', " +
         "streamSummary 'true', capacity '1000000', size '10')")
       gs.queryTopK("q07_topk", k = 10)
+        .select("user_id", "estimated_value", "lower_bound")
     }),
 
     // Time-bucketed TopK (Hokusai-style interval retention): 1-day intervals,
@@ -188,6 +189,7 @@ object SparkEntry {
         "streamSummary 'true', capacity '1000000', size '5', " +
         "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '100', timeUnit 'ns')")
       gs.queryTopK("q08_topk", 1704067200000L, 1705276799999L, 5)
+        .select("event_type", "estimated_value", "lower_bound")
     }),
 
     // TopK whose retained buckets exceed the driver guard: 30 daily
@@ -204,6 +206,7 @@ object SparkEntry {
         "timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '100', " +
         "timeUnit 'ns', maxDriverEntries '16')")
       gs.queryTopK("q57_topk", k = 5)
+        .select("event_type", "estimated_value", "lower_bound")
     }),
 
     // --- training-data pipeline operators ------------------------------------

@@ -601,7 +601,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       files: Seq[String], spans: Seq[(Long, Long)],
       localCov: Option[(Long, Long)], readerId: Long,
       refinedKey: Option[(Long, Long, Long)] = None,
-      refinedRows: Option[Seq[(Any, Long, Long)]] = None)
+      refinedRows: Option[Seq[(Any, Long, Long, Long)]] = None)
 
   /** `refineKey`/`refineTopK` request the combined-mode n̂ answers
    * ([[TimeBucketedSketch.refinedEstimate]]) computed INSIDE the same
@@ -646,9 +646,9 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
           c.candidates.toSeq
             .flatMap { key =>
               buckets.refinedEstimate(startIv, endIv, key)
-                .map { case (lo, est, _) => (key, est, lo) }
+                .map { case (lo, est, up) => (key, est, lo, up) }
             }
-            .sortBy { case (key, est, _) => (-est, graft.sketch.keySortable(key)) }
+            .sortBy { case (key, est, _, _) => (-est, graft.sketch.keySortable(key)) }
             .take(refineTopK)
         }
       // register this reader's epoch INSIDE the same acquisition — a swap
@@ -832,17 +832,22 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * `start_time`/`end_time` columns — [[TopKRelation]]). Rows, coverage,
    * and the epoch base come from one atomic snapshot; the spill merge job
    * runs lock-free. */
-  def topKRows(startMs: Long, endMs: Long, k: Int): (Seq[(Any, Long, Long)], Long, Long) = {
+  def topKRows(startMs: Long, endMs: Long,
+      k: Int): (Seq[(Any, Long, Long, Long)], Long, Long) = {
     val snap = rangeSnapshot(startMs, endMs, refineTopK = k)
     val (rows, covered, base) = snap.refinedRows match {
       case Some(refined) =>
         // combined-mode resident answer: candidate set from the merged
-        // resident sketch, every estimate n̂-refined per interval
+        // resident sketch, every estimate n̂-refined per interval (upper
+        // is the unrefined compressed overestimate — genuinely above est)
         releaseReader(snap)
         (refined, snap.localCov, snap.epochBaseMs)
       case None =>
         val (merged, cov, b) = mergedAndCoveredFrom(snap)
-        (merged.map(_.topK(k)).getOrElse(Nil), cov, b)
+        // both families' point estimate IS the upper bound (CMS
+        // overestimate-only; Space-Saving count >= true)
+        (merged.map(_.topK(k).map { case (key, est, lo) => (key, est, lo, est) })
+          .getOrElse(Nil), cov, b)
     }
     val (covS, covE) = covered
       .map { case (s, e) =>
@@ -852,16 +857,35 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     (rows, covS, covE)
   }
 
-  /** Top-k between epoch times (ms), inclusive; Long.MinValue/MaxValue = open. */
+  /** Sketch-family confidence that the true count lies within the bounds:
+   * CMS 1 − e^−depth; Space-Saving counts are deterministic bounds. */
+  def boundsConfidence: Double =
+    if (opts.streamSummary) 1.0 else 1.0 - math.exp(-opts.depth)
+
+  /** Top-k between epoch times (ms), inclusive; Long.MinValue/MaxValue = open.
+   * `error_bounds_info` flattens the reference's ApproximateType UDT
+   * (`approximate/TopKUtil.scala:40-56`, `execution/ApproximateType.scala`)
+   * into a plain struct — ANSI- and codegen-friendly, same information. */
   def queryTopK(spark: SparkSession, startMs: Long, endMs: Long, k: Int): DataFrame = {
-    val rows = topKRows(startMs, endMs, k)._1.map { case (key, est, lower) =>
-      Row(key, est, lower)
+    val conf = boundsConfidence
+    val rows = topKRows(startMs, endMs, k)._1.map { case (key, est, lower, upper) =>
+      Row(key, est, lower, Row(lower, est, upper, conf))
     }
     val schema = StructType(Seq(
       StructField(opts.key, keyType),
       StructField("estimated_value", LongType),
-      StructField("lower_bound", LongType)))
+      StructField("lower_bound", LongType),
+      StructField("error_bounds_info", TopKState.ErrorBoundsType)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
+}
+
+object TopKState {
+  /** Flattened ApproximateType: (lower_bound, estimate, max, confidence). */
+  val ErrorBoundsType: StructType = StructType(Seq(
+    StructField("lower_bound", LongType, nullable = false),
+    StructField("estimate", LongType, nullable = false),
+    StructField("max", LongType, nullable = false),
+    StructField("confidence", DoubleType, nullable = false)))
 }

@@ -42,6 +42,9 @@ final class TopKRelation(st: TopKState, spark: SparkSession)
     StructField(st.opts.key, st.keyType),
     StructField("estimated_value", LongType),
     StructField("lower_bound", LongType),
+    // the reference's ApproximateType UDT (CMS `ErrorBoundsInfo`) /
+    // DeltaError (Space-Saving), flattened to one plain struct
+    StructField("error_bounds_info", TopKState.ErrorBoundsType),
     StructField("start_time", TimestampType),
     StructField("end_time", TimestampType)))
 
@@ -77,11 +80,13 @@ final class TopKRelation(st: TopKState, spark: SparkSession)
       if (startMs == Long.MinValue) covStart else startMs)
     val outEnd = new java.sql.Timestamp(
       if (endMs == Long.MaxValue) covEnd else endMs)
-    val out = rows.map { case (key, est, lb) =>
+    val conf = st.boundsConfidence
+    val out = rows.map { case (key, est, lb, up) =>
       Row.fromSeq(requiredColumns.toSeq.map {
         case c if c.equalsIgnoreCase(st.opts.key) => key
         case "estimated_value" => est
         case "lower_bound" => lb
+        case "error_bounds_info" => Row(lb, est, up, conf)
         case "start_time" => outStart
         case "end_time" => outEnd
         case other => throw new IllegalArgumentException(s"unknown column $other")

@@ -129,7 +129,7 @@ class LayoutInvarianceSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StringType)
       st.append(df)
       val res = st.topKRows(Long.MinValue, Long.MaxValue, 5)._1
-        .map { case (k, est, lb) =>
+        .map { case (k, est, lb, _) =>
           k.toString -> Seq(est.toDouble, lb.toDouble)
         }.toMap
       st.spillDirOption.foreach { d =>

@@ -596,6 +596,38 @@ class TopKSpec extends AnyFunSuite {
     gs.sql("DROP TOPK TABLE tk_drift")
   }
 
+  test("error_bounds_info struct: flattened ApproximateType on API and SQL scan") {
+    // reference exposes CMS `ErrorBoundsInfo` as an ApproximateType UDT and
+    // Space-Saving `DeltaError` (`approximate/TopKUtil.scala:40-56`); here
+    // both flatten to one (lower_bound, estimate, max, confidence) struct
+    gs.sql("CREATE TOPK TABLE tk_ebi ON events OPTIONS(key 'event_type', " +
+      "width '2000', depth '7', size '5')")
+    val viaApi = gs.queryTopK("tk_ebi", k = 5).collect()
+    viaApi.foreach { r =>
+      val ebi = r.getStruct(3)
+      assert(ebi.getLong(0) === r.getLong(2), "struct lower == flat lower")
+      assert(ebi.getLong(1) === r.getLong(1), "struct estimate == flat estimate")
+      assert(ebi.getLong(2) >= ebi.getLong(1), "max >= estimate")
+      assert(math.abs(ebi.getDouble(3) - (1.0 - math.exp(-7))) < 1e-12)
+    }
+    val viaSql = gs.sql(
+      """SELECT event_type, error_bounds_info.estimate, error_bounds_info.confidence
+        |FROM tk_ebi ORDER BY 2 DESC""".stripMargin).collect()
+    assert(viaSql.map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      viaApi.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    gs.sql("DROP TOPK TABLE tk_ebi")
+    // Space-Saving: deterministic bounds, confidence 1.0; exact regime has
+    // zero delta (lower == estimate == max)
+    gs.sql("CREATE TOPK TABLE tk_ebi_ss ON events OPTIONS(key 'event_type', " +
+      "streamSummary 'true', capacity '100000', size '5')")
+    gs.queryTopK("tk_ebi_ss", k = 5).collect().foreach { r =>
+      val ebi = r.getStruct(3)
+      assert(ebi.getLong(0) === ebi.getLong(1) && ebi.getLong(1) === ebi.getLong(2))
+      assert(ebi.getDouble(3) === 1.0)
+    }
+    gs.sql("DROP TOPK TABLE tk_ebi_ss")
+  }
+
   test("combined time+item aggregation: exact windows, correct mode, summary rejected") {
     gs.sql("CREATE TOPK TABLE tk_both ON events OPTIONS(key 'event_type', " +
       "width '2000', depth '5', size '5', timeSeriesColumn 'ts', " +

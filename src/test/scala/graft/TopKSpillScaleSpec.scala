@@ -188,7 +188,7 @@ class TopKSpillScaleSpec extends AnyFunSuite {
     val (top, _, _) = st.topKRows(Long.MinValue, Long.MaxValue, 5)
     assert(top.map(_._1) === (heavies - 1 to heavies - 5 by -1).map(i => s"h$i"),
       s"full-range top-5 must be the five heaviest keys, got $top")
-    top.zipWithIndex.foreach { case ((k, est, lower), i) =>
+    top.zipWithIndex.foreach { case ((k, est, lower, _), i) =>
       val expected = intervals.toLong * (10 + heavies - 1 - i)
       assert(est === expected && lower === expected,
         s"top-k count for $k must be exact (est=$est lower=$lower)")

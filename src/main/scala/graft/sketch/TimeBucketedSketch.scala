@@ -186,9 +186,18 @@ final class TimeBucketedSketch(
         if (timeAndItem && cur == 0 && target > 0 && s.compressible(minWidth)) {
           // combined mode: capture the interval's full-width content into
           // the dyadic history BEFORE the first lossy fold (deep copy via
-          // the wire form — the carry mutates its receiver)
-          carryIntoHistory((iv, 1L),
-            IntervalSketch.fromBytes(IntervalSketch.toBytes(s)))
+          // the wire form — the carry mutates its receiver). A block
+          // already covering iv (this is a RE-materialized member, e.g.
+          // after a failed-spill restore) absorbs the copy instead of a
+          // new carry — overlapping blocks would break the whole-block /
+          // member-represented selection rule (a len-1 block inside a
+          // bigger one steals the interval from the bigger block's
+          // member representation and drops its mass on ragged windows)
+          val copy = IntervalSketch.fromBytes(IntervalSketch.toBytes(s))
+          coveringBlock(iv) match {
+            case Some((span, blk)) => history.update(span, blk.mergeWith(copy))
+            case None => carryIntoHistory((iv, 1L), copy)
+          }
         }
         while (cur < target && s.compressible(minWidth)) {
           s = s.compressed; cur += 1; changed = true
@@ -250,17 +259,83 @@ final class TimeBucketedSketch(
       }.toSeq
       recent ++ old
     } else {
-      val (whole, partial) = history.toSeq
-        .filter { case ((hs, hl), _) => hs <= endInterval && hs + hl - 1 >= startInterval }
-        .partition { case ((hs, hl), _) => hs >= startInterval && hs + hl - 1 <= endInterval }
-      val coveredByWhole = whole.map(_._1)
-      val orphanPartials = partial.collect {
-        case ((hs, hl), s) if blockMembers(hs, hl).isEmpty => s
+      val sel = selectBuckets(startInterval, endInterval)
+      sel.whole.map(_._2) ++ sel.orphanPartials ++ sel.uncovered.map(_._2)
+    }
+  }
+
+  /** Combined-mode bucket selection for [start, end] — the ONE definition
+   * both [[range]] and [[refinedEstimate]] answer from, so the merged and
+   * refined paths can never diverge on which buckets represent a span:
+   * whole blocks answer their span (members skipped), partially-
+   * overlapping blocks are represented by their member intervals clipped
+   * to the range, and a partial block with NO resident members
+   * (failed-spill-restore corner) is included coarsely — over-covering,
+   * never undercounting. */
+  private final case class BucketSelection(
+      whole: Seq[((Long, Long), IntervalSketch)],
+      orphanPartials: Seq[IntervalSketch],
+      uncovered: Seq[(Long, IntervalSketch)])
+
+  private def selectBuckets(startInterval: Long, endInterval: Long): BucketSelection = {
+    val until = if (endInterval == Long.MaxValue) endInterval else endInterval + 1
+    val (whole, partial) = history.toSeq
+      .filter { case ((hs, hl), _) => hs <= endInterval && hs + hl - 1 >= startInterval }
+      .partition { case ((hs, hl), _) => hs >= startInterval && hs + hl - 1 <= endInterval }
+    val coveredByWhole = whole.map(_._1)
+    val orphanPartials = partial.collect {
+      case ((hs, hl), s) if blockMembers(hs, hl).isEmpty => s
+    }
+    val ivs = intervals.range(startInterval, until).toSeq.filter { case (iv, _) =>
+      !coveredByWhole.exists { case (hs, hl) => hs <= iv && iv < hs + hl }
+    }
+    BucketSelection(whole, orphanPartials, ivs)
+  }
+
+  /** Fold count applied to an interval so far (0 = still full width). */
+  private[graft] def foldOf(iv: Long): Int = folds.getOrElse(iv, 0)
+
+  /** Reinstate a history block removed for a spill that then failed.
+   * Any block that formed meanwhile and overlaps the restored span (a
+   * re-materialized member snapshotted while this block was parked — its
+   * data is DISJOINT from the parked block's) is absorbed into one block
+   * over the union span: overlapping resident blocks would break the
+   * whole-block / member-represented selection rule. Union spans may be
+   * non-dyadic — the selection logic never assumes dyadic lengths. */
+  private[graft] def restoreHistoryBlock(span: (Long, Long), s: IntervalSketch): Unit = {
+    var start = span._1
+    var len = span._2
+    var sk = s
+    var done = false
+    while (!done) {
+      history.find { case ((hs, hl), _) =>
+        hs <= start + len - 1 && hs + hl - 1 >= start
+      } match {
+        case Some(((hs, hl), ex)) =>
+          history.remove((hs, hl))
+          sk = sk.mergeWith(ex)
+          val ns = math.min(start, hs)
+          val ne = math.max(start + len, hs + hl)
+          start = ns; len = ne - ns
+        case None => done = true
       }
-      val ivs = intervals.range(startInterval, until).collect {
-        case (iv, s) if !coveredByWhole.exists { case (hs, hl) => hs <= iv && iv < hs + hl } => s
-      }.toSeq
-      whole.map(_._2) ++ orphanPartials ++ ivs
+    }
+    history.update((start, len), sk)
+  }
+
+  /** Reinstate an interval removed for a spill that then failed, merging
+   * into any bucket a concurrent append re-materialized meanwhile. The
+   * stored fold count becomes the max of the two — mergeWith aligned the
+   * widths to the narrower side, and under-reporting the fold would make
+   * compactItems skip expected compression steps. */
+  private[graft] def restoreInterval(iv: Long, s: IntervalSketch, fold: Int): Unit = {
+    intervals.get(iv) match {
+      case Some(existing) =>
+        intervals.update(iv, existing.mergeWith(s))
+        folds.update(iv, math.max(fold, folds.getOrElse(iv, 0)))
+      case None =>
+        intervals.update(iv, s)
+        if (fold > 0) folds.update(iv, fold)
     }
   }
 
@@ -300,43 +375,50 @@ final class TimeBucketedSketch(
    * summed over the covered span; None when nothing overlaps or the
    * family is not CMS. Combined mode only. */
   def refinedEstimate(startInterval: Long, endInterval: Long,
-      key: Any): Option[(Long, Long, Long)] = {
+      key: Any): Option[(Long, Long, Long)] =
+    refinedEstimates(startInterval, endInterval, Seq(key)).headOption.flatten
+
+  /** [[refinedEstimate]] for MANY keys against ONE bucket selection and
+   * ONE precomputed interval→block partition — the per-candidate cost of
+   * a refined top-k listing is then the n̂ math alone, not a repeated
+   * linear `history` scan per interval per key. Returns one Option per
+   * key, in input order. */
+  def refinedEstimates(startInterval: Long, endInterval: Long,
+      keys: Seq[Any]): Seq[Option[(Long, Long, Long)]] = {
     require(timeAndItem, "refinedEstimate requires timeAndItem mode")
-    val until = if (endInterval == Long.MaxValue) endInterval else endInterval + 1
-    val overlapping = history.toSeq.filter { case ((hs, hl), _) =>
-      hs <= endInterval && hs + hl - 1 >= startInterval
-    }
-    val (whole, partial) = overlapping.partition { case ((hs, hl), _) =>
-      hs >= startInterval && hs + hl - 1 <= endInterval
-    }
-    val coveredByWhole = whole.map(_._1)
-    var lower = 0L; var est = 0L; var upper = 0L; var any = false
-    def addTriple(t: (Long, Long, Long)): Unit = {
-      lower += t._1; est += t._2; upper += t._3; any = true
-    }
+    val sel = selectBuckets(startInterval, endInterval)
     def cmsOf(s: IntervalSketch): Option[TopKCms] = s match {
       case CmsInterval(c) => Some(c)
       case _ => None
     }
-    whole.foreach { case (_, s) => addTriple(s.estimate(key)); }
-    partial.foreach { case ((hs, hl), s) =>
-      if (blockMembers(hs, hl).isEmpty) addTriple(s.estimate(key))
-    }
-    intervals.range(startInterval, until).foreach { case (iv, s) =>
-      val inWhole = coveredByWhole.exists { case (hs, hl) => hs <= iv && iv < hs + hl }
-      if (!inWhole) {
-        val folded = folds.getOrElse(iv, 0) > 0
-        val refined = if (!folded) None else for {
+    // one pass: interval → (covering block, its resident member sketches)
+    val blockOf: Map[Long, (Option[TopKCms], Seq[TopKCms])] =
+      sel.uncovered.iterator.map { case (iv, _) =>
+        iv -> (coveringBlock(iv) match {
+          case Some((span, blkSketch)) =>
+            (cmsOf(blkSketch),
+              blockMembers(span._1, span._2)
+                .flatMap(m => intervals.get(m)).flatMap(cmsOf(_)))
+          case None => (None, Nil)
+        })
+      }.toMap
+    keys.map { key =>
+      var lower = 0L; var est = 0L; var upper = 0L; var any = false
+      def addTriple(t: (Long, Long, Long)): Unit = {
+        lower += t._1; est += t._2; upper += t._3; any = true
+      }
+      sel.whole.foreach { case (_, s) => addTriple(s.estimate(key)) }
+      sel.orphanPartials.foreach(s => addTriple(s.estimate(key)))
+      sel.uncovered.foreach { case (iv, s) =>
+        val refined = if (folds.getOrElse(iv, 0) == 0) None else for {
           at <- cmsOf(s)
-          (span, blkSketch) <- coveringBlock(iv)
-          blk <- cmsOf(blkSketch)
+          blk <- blockOf(iv)._1
         } yield {
           val nTilda = at.cms.estimateCount(key)
           val slack = math.ceil(at.cms.eps * at.cms.total).toLong
           if (nTilda == 0L || nTilda > slack) s.estimate(key)
           else {
-            val members = blockMembers(span._1, span._2)
-              .flatMap(m => intervals.get(m)).flatMap(cmsOf)
+            val members = blockOf(iv)._2
             var res = Long.MaxValue
             var row = 0
             val depth = at.cms.depth
@@ -359,8 +441,31 @@ final class TimeBucketedSketch(
         }
         addTriple(refined.getOrElse(s.estimate(key)))
       }
+      if (any) Some((lower, est, upper)) else None
     }
-    if (any) Some((lower, est, upper)) else None
+  }
+
+  /** Upper bound on the n̂ cell reads ONE key costs over [start, end] —
+   * the lock-hold budget check for refined top-k listings. A contiguous
+   * range has at most two partially-overlapping blocks (the ragged
+   * edges); their member walks dominate, so the bound is
+   * Σ over uncovered folded intervals of (covering block's member count),
+   * times a nominal depth. */
+  private[graft] def refinementCostPerKey(startInterval: Long, endInterval: Long): Long = {
+    val sel = selectBuckets(startInterval, endInterval)
+    val memberCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    var cost = 0L
+    sel.uncovered.foreach { case (iv, _) =>
+      if (folds.getOrElse(iv, 0) > 0) {
+        coveringBlock(iv) match {
+          case Some((span, _)) =>
+            cost += memberCount.getOrElseUpdate(span,
+              blockMembers(span._1, span._2).size.toLong)
+          case None => cost += 1L
+        }
+      } else cost += 1L
+    }
+    cost * 8L
   }
 
   /** Replace this sketch's entire bucket state from a snapshot (the

@@ -400,7 +400,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * full-width and must not skip its expected width folds. */
   private def spillOldest(spark: SparkSession): Unit = {
     // phase 1 (lock): choose, remove, park
-    val moved = stateLock.synchronized {
+    val (moved, memberParks) = stateLock.synchronized {
       val picked = scala.collection.mutable.ArrayBuffer.empty[ParkedBucket]
       // combined mode: a spilled history block takes its member intervals
       // with it — the block is a full-width superset of the members' data
@@ -408,7 +408,12 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       // DROPPED, not spilled (spilling them alongside the block would
       // double-count the span; keeping them resident frees nothing and
       // double-counts too). Only their n̂ refinement detail is lost.
-      val memberDrops = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // They are PARKED (sketch + fold count) until the write commits:
+      // a failed write restores them with the block, or the partial-block
+      // member-representation rule would undercount the span once any
+      // member re-materialized from late data.
+      val memberDrops = scala.collection.mutable.HashSet.empty[Long]
+      val parks = scala.collection.mutable.ArrayBuffer.empty[(Long, IntervalSketch, Int)]
       var entries = buckets.entryCount
       val histIt = buckets.history.iterator
       val ivIt =
@@ -421,8 +426,10 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
           entries -= s.entryCount
           if (opts.timeAndItemAggregation) {
             buckets.intervals.range(hs, hs + hl).foreach { case (iv, ms) =>
-              memberDrops += iv
-              entries -= ms.entryCount
+              if (memberDrops.add(iv)) {
+                parks += ((iv, ms, buckets.foldOf(iv)))
+                entries -= ms.entryCount
+              }
             }
           }
         } else {
@@ -442,7 +449,7 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
       }
       memberDrops.foreach(buckets.removeInterval(_))
       pendingSpill ++= picked
-      picked.toSeq
+      (picked.toSeq, parks.toSeq)
     }
     if (moved.isEmpty) return
     // phase 2 (no lock): serialize + write. Parked sketches are out of the
@@ -461,11 +468,16 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
           pendingSpill --= moved
           moved.foreach { p =>
             if (!p.isHistory) buckets.addTo(p.start, p.sketch)
-            else buckets.history.get((p.start, p.len)) match {
-              case Some(existing) =>
-                buckets.history.update((p.start, p.len), existing.mergeWith(p.sketch))
-              case None => buckets.history.update((p.start, p.len), p.sketch)
-            }
+            // absorbs any block that formed over the span meanwhile —
+            // overlapping resident blocks would break range selection
+            else buckets.restoreHistoryBlock((p.start, p.len), p.sketch)
+          }
+          // combined mode: reinstate the dropped members with the blocks —
+          // a restored block whose members are missing would be mis-read
+          // as member-represented once late data re-materialized any of
+          // them, undercounting the span
+          memberParks.foreach { case (iv, s, fold) =>
+            buckets.restoreInterval(iv, s, fold)
           }
         }
         throw e
@@ -642,14 +654,21 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
         else refineKey.flatMap(k => buckets.refinedEstimate(startIv, endIv, k))
       val refinedRows =
         if (!canRefine || refineTopK <= 0) None
-        else resident.collect { case CmsInterval(c) =>
-          c.candidates.toSeq
-            .flatMap { key =>
-              buckets.refinedEstimate(startIv, endIv, key)
-                .map { case (lo, est, up) => (key, est, lo, up) }
-            }
-            .sortBy { case (key, est, _, _) => (-est, graft.sketch.keySortable(key)) }
-            .take(refineTopK)
+        else resident match {
+          case Some(CmsInterval(c)) =>
+            val cands = c.candidates.toSeq
+            // lock-hold budget: the refined listing runs inside stateLock
+            // (the structure mutates under appends), so cap its work —
+            // past the cap answer from the merged path instead, which is
+            // always correct, just unrefined
+            val cost = cands.size.toLong *
+              buckets.refinementCostPerKey(startIv, endIv)
+            if (cost > TopKState.RefineListingBudget) None
+            else Some(cands.zip(buckets.refinedEstimates(startIv, endIv, cands))
+              .collect { case (key, Some((lo, est, up))) => (key, est, lo, up) }
+              .sortBy { case (key, est, _, _) => (-est, graft.sketch.keySortable(key)) }
+              .take(refineTopK))
+          case _ => None
         }
       // register this reader's epoch INSIDE the same acquisition — a swap
       // between snapshot and registration could otherwise reclaim a batch
@@ -888,4 +907,9 @@ object TopKState {
     StructField("estimate", LongType, nullable = false),
     StructField("max", LongType, nullable = false),
     StructField("confidence", DoubleType, nullable = false)))
+
+  /** Max estimated cell reads a refined top-k listing may spend under
+   * stateLock (~couple of ms of driver arithmetic) before answering from
+   * the merged path instead. */
+  val RefineListingBudget: Long = 2000000L
 }

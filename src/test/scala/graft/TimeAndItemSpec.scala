@@ -155,6 +155,65 @@ class TimeAndItemSpec extends AnyFunSuite {
     assert(back.intervals.keySet === legacy.intervals.keySet)
   }
 
+  test("restoreInterval reinstates a parked member through a re-materialization") {
+    // the failed-spill restore path: a block's members are removed for the
+    // spill, a concurrent append re-materializes one with late data, then
+    // the write fails and the member is restored — the union must hold and
+    // the fold count must not under-report (or compactItems would skip
+    // expected compression steps and the width-ratio bookkeeping drifts)
+    val tb = new TimeBucketedSketch(4, mkCms(), timeAndItem = true, minWidth = 64)
+    (0L until 20L).foreach(iv => feed(tb, iv, Seq("k" -> 10L)))
+    val victim = 5L
+    val fold = tb.foldOf(victim)
+    assert(fold > 0, "victim must already be snapshotted/compressed")
+    val parked = tb.removeInterval(victim).get
+    assert(tb.foldOf(victim) === 0, "removal clears the fold count")
+    // concurrent late append re-materializes the interval (full width)
+    feed(tb, victim, Seq("late" -> 7L))
+    tb.restoreInterval(victim, parked, fold)
+    assert(tb.foldOf(victim) === fold)
+    val (_, kEst, _) = tb.refinedEstimate(victim, victim, "k").get
+    val (_, lateEst, _) = tb.refinedEstimate(victim, victim, "late").get
+    // NOTE the covering block also saw both contributions (snapshot + the
+    // late addTo merge), so whole-range answers stay exact as well
+    assert(kEst >= 10L && lateEst >= 7L, s"union lost data: k=$kEst late=$lateEst")
+    assert(tb.mergedRange(0L, 19L).get.estimate("k")._2 === 200L)
+    assert(tb.mergedRange(0L, 19L).get.estimate("late")._2 === 7L)
+  }
+
+  test("restoreHistoryBlock absorbs blocks that formed over its span meanwhile") {
+    // worst failed-spill corner: block (and members) removed for the
+    // spill; DURING the write two members re-materialize from late data
+    // and snapshot into new blocks inside the old span; the write then
+    // fails and the old block is restored — resident blocks must never
+    // overlap afterward, and no mass may be lost or doubled
+    val tb = new TimeBucketedSketch(4, mkCms(), timeAndItem = true, minWidth = 64)
+    (0L until 20L).foreach(iv => feed(tb, iv, Seq("k" -> 10L)))
+    val (span, blockSketch) = tb.history.toSeq.maxBy(_._1._2) // widest block
+    val members = (span._1 until span._1 + span._2).toSeq
+    val parked = tb.removeHistory(span).get
+    members.foreach(tb.removeInterval(_))
+    // two members re-materialize and age into fresh snapshots
+    feed(tb, members.head, Seq("late" -> 3L))
+    feed(tb, members(1), Seq("late" -> 4L))
+    // (their first fold may or may not have fired yet — force aging by
+    // feeding the newest interval, which triggers compactItems)
+    feed(tb, 19L, Seq("k" -> 0L))
+    tb.restoreHistoryBlock(span, parked)
+    // invariant: no two resident blocks overlap
+    val spans = tb.history.keys.toSeq
+    for (a <- spans; b <- spans if a != b) {
+      assert(a._1 + a._2 - 1 < b._1 || b._1 + b._2 - 1 < a._1,
+        s"overlapping blocks $a and $b")
+    }
+    // counts: k mass preserved (members were dropped, block holds their
+    // pre-removal data; the extra feed added 0), late mass = 3 + 4
+    assert(tb.mergedRange(0L, 19L).get.estimate("k")._2 === 200L)
+    assert(tb.mergedRange(0L, 19L).get.estimate("late")._2 === 7L)
+    val (_, lateRefined, _) = tb.refinedEstimate(0L, 19L, "late").get
+    assert(lateRefined === 7L)
+  }
+
   test("late data lands in both the interval and its covering block") {
     val tb = new TimeBucketedSketch(4, mkCms(), timeAndItem = true, minWidth = 64)
     (0L until 20L).foreach(iv => feed(tb, iv, Seq("k" -> 10L)))

@@ -121,4 +121,69 @@ class TopKConcurrentSpillSpec extends AnyFunSuite {
       Some((1L, 1L, 1L)))
     cleanup(st)
   }
+
+  test("combined mode: readers through block spills (member drops) never undercount") {
+    // the timeAndItem spill path is the trickiest: a picked block takes
+    // its member intervals with it (dropped, not spilled), queries mid-
+    // window fold the parked block, and the refined fast path must bail
+    // to the merged path the moment spill overlaps the range. CMS with
+    // few distinct keys at width 256 ⇒ every estimate exact, so the
+    // invariants are equalities.
+    import spark.implicits._
+    val opts = graft.topk.TopKOptions(key = "k",
+      timeSeriesColumn = Some("ts"), timeIntervalMs = dayMs,
+      size = 5, depth = 2, width = 256, maxInterval = 4,
+      timeAndItemAggregation = true, timeUnit = "ms", maxDriverEntries = 1200)
+    val st = new graft.topk.TopKState("conc_spill_tai", opts,
+      org.apache.spark.sql.types.StringType)
+    val days = 18
+    val perDayHeavy = 7L
+    val published = new AtomicLong(0)
+    val failure = new AtomicReference[Throwable](null)
+    val writer = new Thread(() => {
+      try {
+        (0 until days).foreach { d =>
+          val tail = (0 until 3).map(j => (d.toLong * dayMs, s"d$d-$j"))
+          val heavy = Seq.fill(perDayHeavy.toInt)((d.toLong * dayMs, "hh"))
+          st.append((tail ++ heavy).toDF("ts", "k"))
+          published.incrementAndGet()
+        }
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    }, "tai-writer")
+    val readers = (1 to 2).map { i =>
+      new Thread(() => {
+        try {
+          while (published.get() < days && failure.get() == null) {
+            val before = published.get()
+            // point estimates and the (possibly refined) top-k listing
+            st.queryFrequency("hh", Long.MinValue, Long.MaxValue).foreach {
+              case (lower, est, upper) =>
+                assert(est >= before * perDayHeavy,
+                  s"undercount: est $est < ${before * perDayHeavy}")
+                assert(lower <= est && est <= upper, "bounds ordered")
+            }
+            val rows = st.topKRows(Long.MinValue, Long.MaxValue, 5)._1
+            rows.find(_._1 == "hh").foreach { case (_, est, _, _) =>
+              assert(est >= before * perDayHeavy,
+                s"top-k undercount: $est < ${before * perDayHeavy}")
+            }
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      }, s"tai-reader-$i")
+    }
+    writer.start(); readers.foreach(_.start())
+    writer.join(180000); readers.foreach(_.join(30000))
+    if (failure.get() != null) throw failure.get()
+    assert(published.get() === days.toLong)
+    assert(st.queryFrequency("hh", Long.MinValue, Long.MaxValue).get._2 ===
+      days * perDayHeavy, "final estimate exact through block spills")
+    // every per-day key survives with its exact count
+    (0 until days).foreach { d =>
+      assert(st.queryFrequency(s"d$d-0",
+        d.toLong * dayMs, (d + 1).toLong * dayMs - 1).get._2 === 1L,
+        s"day-$d key lost through member drops")
+    }
+    assert(st.spilledBucketCount > 0, "test must actually drive the spill path")
+    cleanup(st)
+  }
 }

@@ -64,6 +64,14 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  private def freshTimedSession(): (SparkSession, GraftSession) = {
+    val s = spark.newSession()
+    import s.implicits._
+    Seq((0L, "seed_x"), (0L, "seed_y")).toDF("ts", "event_type")
+      .createOrReplaceTempView("xjvm_base_t")
+    (s, GraftSession(s))
+  }
+
   test("a lock held by a DEAD process is lease-broken; the append proceeds") {
     val dir = tmpDir("graft_xjvm_l") + "/tk"
     val (sA, gA) = freshSession()
@@ -145,5 +153,65 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
       "JVM B's appends must all survive A's publishes")
     assert(gD.queryFrequency("xjvm_done", "seed_x").map(_._2) === Some(1L),
       "base counts must be unchanged by cross-process appends")
+  }
+
+  test("combined-mode snapshots (blocks + spill store) survive two-JVM appends") {
+    // the timeAndItemAggregation structure rides the persisted snapshot:
+    // per-interval shrinking sketches, full-width dyadic history blocks,
+    // the trailing mode flag, and — once the small driver guard trips —
+    // the spill store, all RELOAD→MERGE→PUBLISHed by two separate JVMs
+    // appending to DISJOINT day ranges
+    val dir = tmpDir("graft_xjvm_t") + "/tk"
+    val (_, gA) = freshTimedSession()
+    gA.sql("CREATE TOPK TABLE xjvm_tk_t ON xjvm_base_t OPTIONS(" +
+      s"key 'event_type', size '5', depth '2', width '256', " +
+      s"timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '4', " +
+      s"timeAndItemAggregation 'true', timeUnit 'ms', " +
+      s"maxDriverEntries '1500', path '$dir')")
+
+    val (pa, logA) = launch("append-topk-timed", dir, "xjvm_a", "10", "10", "0")
+    val (pb, logB) = launch("append-topk-timed", dir, "xjvm_b", "10", "10", "100")
+
+    var lastA, lastB = 0L
+    var polls = 0
+    val deadline = System.currentTimeMillis() + 240000
+    while ((pa.isAlive || pb.isAlive) && System.currentTimeMillis() < deadline) {
+      val (sP, gP) = freshTimedSession()
+      gP.sql("CREATE TOPK TABLE IF NOT EXISTS xjvm_poll_t ON xjvm_base_t OPTIONS(" +
+        s"path '$dir')")
+      val a = gP.queryFrequency("xjvm_poll_t", "xjvm_a").map(_._2).getOrElse(0L)
+      val b = gP.queryFrequency("xjvm_poll_t", "xjvm_b").map(_._2).getOrElse(0L)
+      assert(a % 10 === 0L, s"torn read of xjvm_a: $a")
+      assert(b % 10 === 0L, s"torn read of xjvm_b: $b")
+      assert(a >= lastA && b >= lastB,
+        s"snapshot went backwards: a $lastA->$a, b $lastB->$b")
+      lastA = a; lastB = b; polls += 1
+      GraftState.of(sP).topks.remove("xjvm_poll_t")
+      GraftState.of(sP).topkPaths.remove("xjvm_poll_t")
+      Thread.sleep(300)
+    }
+    assert(pa.waitFor(60, TimeUnit.SECONDS) && pa.exitValue() === 0,
+      s"writer A failed; log: $logA")
+    assert(pb.waitFor(60, TimeUnit.SECONDS) && pb.exitValue() === 0,
+      s"writer B failed; log: $logB")
+    assert(polls > 0, "the poller must observe at least one live snapshot")
+
+    val (sD, gD) = freshTimedSession()
+    gD.sql(s"CREATE TOPK TABLE IF NOT EXISTS xjvm_done_t ON xjvm_base_t " +
+      s"OPTIONS(path '$dir')")
+    val st = GraftState.of(sD).topks("xjvm_done_t")
+      .asInstanceOf[graft.topk.TopKState]
+    assert(st.opts.timeAndItemAggregation && st.buckets.timeAndItem,
+      "the combined mode must survive the cross-process meta round-trip")
+    assert(gD.queryFrequency("xjvm_done_t", "xjvm_a").map(_._2) === Some(100L),
+      "JVM A's timed appends must all survive B's publishes")
+    assert(gD.queryFrequency("xjvm_done_t", "xjvm_b").map(_._2) === Some(100L),
+      "JVM B's timed appends must all survive A's publishes")
+    // windowed: one day from each writer's disjoint range stays exact
+    val dayMs = 86400000L
+    assert(gD.queryFrequency("xjvm_done_t", "xjvm_a",
+      3L * dayMs, 4L * dayMs - 1).map(_._2) === Some(10L))
+    assert(gD.queryFrequency("xjvm_done_t", "xjvm_b",
+      103L * dayMs, 104L * dayMs - 1).map(_._2) === Some(10L))
   }
 }

@@ -59,6 +59,34 @@ object CrossJvmWorker {
         }
         spark.stop()
 
+      case "append-topk-timed" =>
+        // combined-mode cross-process appends: each batch lands in its own
+        // daily interval, so the shared snapshot carries per-interval
+        // sketches AND full-width dyadic history blocks (plus spilled
+        // batches once the driver guard trips) through every
+        // RELOAD→MERGE→PUBLISH cycle
+        val marker = args(2)
+        val batches = args(3).toInt
+        val perBatch = args(4).toInt
+        val dayOffset = args(5).toInt
+        val dayMs = 86400000L
+        Seq((0L, "seed_x"), (0L, "seed_y")).toDF("ts", "event_type")
+          .createOrReplaceTempView("xjvm_base_t")
+        g.sql("CREATE TOPK TABLE IF NOT EXISTS xjvm_tk_t ON xjvm_base_t OPTIONS(" +
+          s"key 'event_type', size '5', depth '2', width '256', " +
+          s"timeSeriesColumn 'ts', timeInterval '86400000', maxInterval '4', " +
+          s"timeAndItemAggregation 'true', timeUnit 'ms', " +
+          s"maxDriverEntries '1500', path '$dir')")
+        var j = 0
+        while (j < batches) {
+          val ts = (dayOffset + j).toLong * dayMs
+          g.appendToTopK("xjvm_tk_t",
+            Seq.fill(perBatch)((ts, marker)).toDF("ts", "event_type"))
+          Thread.sleep(50)
+          j += 1
+        }
+        spark.stop()
+
       case other =>
         System.err.println(s"unknown mode: $other")
         sys.exit(2)

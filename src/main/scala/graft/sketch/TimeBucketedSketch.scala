@@ -145,10 +145,16 @@ final class TimeBucketedSketch(
     // combined mode: an interval past its snapshot point also feeds its
     // covering full-width history block, so block ⊇ interval data holds
     // for refinement and whole-block range answers (the fresh batch is
-    // full width, matching the block — no fold on this path)
+    // full width, matching the block — no fold on this path). With no
+    // covering block resident (the covering block is parked mid-spill),
+    // the data carries into a NEW len-1 block instead — "data entering a
+    // folded interval always lands in some block" is the invariant whole-
+    // block answers rely on; a later restore absorbs the overlap.
     if (timeAndItem && folds.getOrElse(interval, 0) > 0) {
-      coveringBlock(interval).foreach { case (span, blk) =>
-        history.update(span, blk.mergeWith(sketch))
+      coveringBlock(interval) match {
+        case Some((span, blk)) => history.update(span, blk.mergeWith(sketch))
+        case None => carryIntoHistory((interval, 1L),
+          IntervalSketch.fromBytes(IntervalSketch.toBytes(sketch)))
       }
     }
     intervals.get(interval) match {
@@ -213,7 +219,14 @@ final class TimeBucketedSketch(
 
   /** Dyadic carry: merge equal-length ADJACENT history blocks until no
    * further merge applies, then store. Shared by time-mode eviction and
-   * the combined mode's pre-fold snapshots. */
+   * the combined mode's pre-fold snapshots.
+   *
+   * The final store MERGES with any existing same-span block instead of
+   * overwriting it: late-arriving data re-materializes an already-evicted
+   * interval, and when that bucket is evicted in turn the carry lands on
+   * the span the original eviction already occupies — a plain update
+   * silently dropped the original block's counts (found by
+   * [[SketchFuzzSpec]]; monotone-append tests never hit it). */
   private def carryIntoHistory(span: (Long, Long), sk: IntervalSketch): Unit = {
     var entry: ((Long, Long), IntervalSketch) = (span, sk)
     var done = false
@@ -226,7 +239,11 @@ final class TimeBucketedSketch(
         case None => done = true
       }
     }
-    history.update(entry._1, entry._2)
+    history.get(entry._1) match {
+      case Some(existing) =>
+        history.update(entry._1, existing.mergeWith(entry._2))
+      case None => history.update(entry._1, entry._2)
+    }
   }
 
   private def compactTime(): Unit = {
@@ -331,8 +348,22 @@ final class TimeBucketedSketch(
   private[graft] def restoreInterval(iv: Long, s: IntervalSketch, fold: Int): Unit = {
     intervals.get(iv) match {
       case Some(existing) =>
+        val exFold = folds.getOrElse(iv, 0)
+        // a bucket re-materialized while parked (fold was cleared) never
+        // fed any history block — the addTo hook requires fold > 0 — and
+        // restoring fold > 0 below would suppress its first-fold snapshot
+        // forever, so feed it to the covering block NOW while still full
+        // width. An exFold > 0 bucket already snapshotted; merging again
+        // would double-count.
+        if (timeAndItem && fold > 0 && exFold == 0) {
+          val copy = IntervalSketch.fromBytes(IntervalSketch.toBytes(existing))
+          coveringBlock(iv) match {
+            case Some((span, blk)) => history.update(span, blk.mergeWith(copy))
+            case None => carryIntoHistory((iv, 1L), copy)
+          }
+        }
         intervals.update(iv, existing.mergeWith(s))
-        folds.update(iv, math.max(fold, folds.getOrElse(iv, 0)))
+        folds.update(iv, math.max(fold, exFold))
       case None =>
         intervals.update(iv, s)
         if (fold > 0) folds.update(iv, fold)

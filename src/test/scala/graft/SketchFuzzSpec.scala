@@ -35,13 +35,19 @@ class SketchFuzzSpec extends AnyFunSuite {
       new TimeBucketedSketch(4, () => mk(), itemAggregation = true, minWidth = 256)
     case "combined" =>
       new TimeBucketedSketch(4, () => mk(), minWidth = 256, timeAndItem = true)
+    // Space-Saving family through the same carry/restore machinery —
+    // ample capacity ⇒ exact, so the full-range identity still pins
+    // data preservation (the carry-overwrite loss applied to it equally)
+    case "time-summary" =>
+      new TimeBucketedSketch(4,
+        () => SummaryInterval(new StreamSummary(512)): IntervalSketch)
   }
 
   private def truthIn(model: mutable.Map[(Long, String), Long],
       a: Long, b: Long, key: String): Long =
     model.iterator.collect { case ((iv, k), n) if k == key && iv >= a && iv <= b => n }.sum
 
-  for (mode <- Seq("time", "item", "combined"); seed <- 1 to 4)
+  for (mode <- Seq("time", "item", "combined", "time-summary"); seed <- 1 to 4)
   test(s"stateful fuzz: $mode mode, seed $seed") {
     val rnd = new scala.util.Random(seed * 37 + mode.hashCode)
     var tb = newSketch(mode)
@@ -53,14 +59,23 @@ class SketchFuzzSpec extends AnyFunSuite {
       val iv =
         if (newest > 2 && rnd.nextInt(4) == 0) rnd.nextLong(newest)
         else { newest += (if (rnd.nextInt(3) == 0) 2 else 1); newest }
-      val s = new TopKCms(10, 5, 2048, 7)
-      (1 to 1 + rnd.nextInt(3)).foreach { _ =>
+      val counts = (1 to 1 + rnd.nextInt(3)).map { _ =>
         val k = Keys(rnd.nextInt(Keys.size))
         val n = 1L + rnd.nextInt(9)
-        s.add(k, n)
         model((iv, k)) = model.getOrElse((iv, k), 0L) + n
+        k -> n
       }
-      tb.addTo(iv, CmsInterval(s))
+      val sk: IntervalSketch =
+        if (mode == "time-summary") {
+          val s = new StreamSummary(512)
+          counts.foreach { case (k, n) => s.add(k, n) }
+          SummaryInterval(s)
+        } else {
+          val s = new TopKCms(10, 5, 2048, 7)
+          counts.foreach { case (k, n) => s.add(k, n) }
+          CmsInterval(s)
+        }
+      tb.addTo(iv, sk)
     }
 
     def parkRestoreInterval(): Unit = {

@@ -713,9 +713,38 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             s"__graft_relerr_${i}__")()
         }
         val projected = Project(visible ++ hidden, coreTree)
-        val keyIndices = agg.groupingExpressions.collect { case a: Attribute =>
-          visible.indexWhere(_.exprId == a.exprId)
-        }.filter(_ >= 0)
+        // Map every grouping expression to its position in the VISIBLE
+        // output, following alias chains (`SELECT l_linestatus AS g ...
+        // GROUP BY l_linestatus` outputs a fresh exprId for g — a bare
+        // exprId match missed it and silently degraded partial routing to
+        // a full reroute). ALL-OR-NOTHING: a partially resolved key set
+        // (e.g. GROUP BY col, expr where only col maps to an output
+        // column) must NOT partial-route — a semi-join on a key SUBSET
+        // pulls exact rows for every passing group that shares the subset
+        // values with a failing one, duplicating those groups in the
+        // union. Unresolvable ⇒ empty ⇒ HacExec full-reroutes.
+        val aliasEdges: Map[ExprId, ExprId] = coreTree.collect {
+          case p: Project =>
+            p.projectList.collect { case al @ Alias(a: Attribute, _) =>
+              al.exprId -> a.exprId }
+          case ag: Aggregate =>
+            ag.aggregateExpressions.collect { case al @ Alias(a: Attribute, _) =>
+              al.exprId -> a.exprId }
+        }.flatten.toMap
+        @scala.annotation.tailrec
+        def chaseAlias(id: ExprId, seen: Set[ExprId]): ExprId =
+          aliasEdges.get(id) match {
+            case Some(next) if !seen(next) => chaseAlias(next, seen + id)
+            case _ => id
+          }
+        val resolved = agg.groupingExpressions.map {
+          case ga: Attribute =>
+            visible.indexWhere(v => v.exprId == ga.exprId ||
+              chaseAlias(v.exprId, Set.empty) == ga.exprId)
+          case _ => -1
+        }
+        val keyIndices =
+          if (resolved.nonEmpty && resolved.forall(_ >= 0)) resolved else Seq.empty
         rewrap(HacEnforcement(projected, stripStubs(coreChild), behavior, error,
           hidden.size, keyIndices, sortOrder))
     }

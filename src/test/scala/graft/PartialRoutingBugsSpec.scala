@@ -296,4 +296,49 @@ class PartialRoutingBugsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === exact.toSeq,
       "a semi-join aggregate must run exactly — the fencing routes to base")
   }
+
+  test("aliased group column keeps partial routing; mixed column+expression keys never duplicate groups") {
+    // aliasing the group column gives its output a fresh exprId — key
+    // resolution must chase the alias, or partial routing silently
+    // degrades to a full reroute and passing groups lose their estimates
+    val dn = gs.sql(
+      """SELECT l_linestatus AS gg, sum(l_extendedprice) AS x, relative_error(x) AS re
+        |FROM li_pr GROUP BY l_linestatus
+        |WITH ERROR 0.5 BEHAVIOR 'do_nothing'""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val res = dn.map(_._3).sorted
+    assume(res.distinct.size >= 2, "need distinct per-group errors to split")
+    val limit = (res(0) + res(1)) / 2 // exactly one group under the limit
+    val passing = dn.filter(_._3 <= limit).map(t => t._1 -> t._2).toMap
+    val part = gs.sql(
+      s"""SELECT l_linestatus AS gg, sum(l_extendedprice) AS x, relative_error(x) AS re
+         |FROM li_pr GROUP BY l_linestatus
+         |WITH ERROR $limit BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(part.map(_._1).distinct.length === part.length, "duplicate groups")
+    passing.foreach { case (k, v) =>
+      val got = part.find(_._1 == k).get._2
+      assert(math.abs(got - v) <= 1e-6 * math.abs(v),
+        s"passing group $k lost its sample estimate under an aliased key: $got != $v")
+    }
+
+    // mixed keys: only the bare column resolves to an output position; a
+    // subset semi-join would pull exact rows for PASSING groups sharing
+    // the column value with a failing one and duplicate them in the union
+    // — resolution is all-or-nothing, so this must answer with one row
+    // per group whatever route it takes, values framed by their bounds
+    val mixed = gs.sql(
+      s"""SELECT l_linestatus, (l_linenumber % 2) AS par, sum(l_extendedprice) AS x,
+         |relative_error(x) AS re
+         |FROM li_pr GROUP BY l_linestatus, (l_linenumber % 2)
+         |WITH ERROR $limit BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+      .collect().map(r => ((r.getString(0), r.get(1)), r.getDouble(2)))
+    assert(mixed.map(_._1).distinct.length === mixed.length,
+      s"mixed-key partial routing duplicated groups: ${mixed.map(_._1).mkString(",")}")
+    val exactMixed = gs.sql(
+      """SELECT l_linestatus, (l_linenumber % 2) AS par, sum(l_extendedprice) AS x
+        |FROM li_pr GROUP BY l_linestatus, (l_linenumber % 2)""".stripMargin)
+      .collect().map(r => ((r.getString(0), r.get(1)), r.getDouble(2))).toMap
+    assert(mixed.map(_._1).toSet === exactMixed.keySet)
+  }
 }

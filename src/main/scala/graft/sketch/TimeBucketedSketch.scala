@@ -407,33 +407,50 @@ final class TimeBucketedSketch(
    * family is not CMS. Combined mode only. */
   def refinedEstimate(startInterval: Long, endInterval: Long,
       key: Any): Option[(Long, Long, Long)] =
-    refinedEstimates(startInterval, endInterval, Seq(key)).headOption.flatten
+    refinedEstimates(startInterval, endInterval, Seq(key)).get.headOption.flatten
 
   /** [[refinedEstimate]] for MANY keys against ONE bucket selection and
-   * ONE precomputed interval→block partition — the per-candidate cost of
-   * a refined top-k listing is then the n̂ math alone, not a repeated
-   * linear `history` scan per interval per key. Returns one Option per
-   * key, in input order. */
-  def refinedEstimates(startInterval: Long, endInterval: Long,
-      keys: Seq[Any]): Seq[Option[(Long, Long, Long)]] = {
+   * ONE span-memoized interval→block partition — the per-candidate cost
+   * of a refined top-k listing is then the n̂ math alone, not a repeated
+   * linear `history` scan per interval per key. `maxCellReads` is the
+   * caller's work budget (the listing runs under the TopK state lock):
+   * the cost estimate uses each bucket's ACTUAL depth, and an over-budget
+   * call returns None WITHOUT computing — the caller answers from the
+   * always-correct merged path instead. Returns one Option per key, in
+   * input order. */
+  def refinedEstimates(startInterval: Long, endInterval: Long, keys: Seq[Any],
+      maxCellReads: Long = Long.MaxValue): Option[Seq[Option[(Long, Long, Long)]]] = {
     require(timeAndItem, "refinedEstimate requires timeAndItem mode")
     val sel = selectBuckets(startInterval, endInterval)
     def cmsOf(s: IntervalSketch): Option[TopKCms] = s match {
       case CmsInterval(c) => Some(c)
       case _ => None
     }
-    // one pass: interval → (covering block, its resident member sketches)
-    val blockOf: Map[Long, (Option[TopKCms], Seq[TopKCms])] =
+    // span-memoized covering info, built ONCE per call (not per interval,
+    // not per key): span → (block sketch, resident member sketches)
+    val spanCache =
+      mutable.Map.empty[(Long, Long), (Option[TopKCms], Seq[TopKCms])]
+    def spanInfo(span: (Long, Long)): (Option[TopKCms], Seq[TopKCms]) =
+      spanCache.getOrElseUpdate(span, {
+        (history.get(span).flatMap(cmsOf),
+          blockMembers(span._1, span._2)
+            .flatMap(m => intervals.get(m)).flatMap(cmsOf(_)))
+      })
+    val blockSpanOf: Map[Long, Option[(Long, Long)]] =
       sel.uncovered.iterator.map { case (iv, _) =>
-        iv -> (coveringBlock(iv) match {
-          case Some((span, blkSketch)) =>
-            (cmsOf(blkSketch),
-              blockMembers(span._1, span._2)
-                .flatMap(m => intervals.get(m)).flatMap(cmsOf(_)))
-          case None => (None, Nil)
-        })
+        iv -> coveringBlock(iv).map(_._1)
       }.toMap
-    keys.map { key =>
+    var costPerKey = 0L
+    sel.uncovered.foreach { case (iv, s) =>
+      if (folds.getOrElse(iv, 0) > 0) {
+        val d = cmsOf(s).map(_.cms.depth).getOrElse(8).toLong
+        val m = blockSpanOf(iv).map(sp => spanInfo(sp)._2.size).getOrElse(0).toLong
+        costPerKey += d * (m + 2L)
+      } else costPerKey += 2L
+    }
+    costPerKey += (sel.whole.size + sel.orphanPartials.size) * 8L
+    if (keys.nonEmpty && costPerKey > maxCellReads / keys.size) return None
+    Some(keys.map { key =>
       var lower = 0L; var est = 0L; var upper = 0L; var any = false
       def addTriple(t: (Long, Long, Long)): Unit = {
         lower += t._1; est += t._2; upper += t._3; any = true
@@ -443,13 +460,14 @@ final class TimeBucketedSketch(
       sel.uncovered.foreach { case (iv, s) =>
         val refined = if (folds.getOrElse(iv, 0) == 0) None else for {
           at <- cmsOf(s)
-          blk <- blockOf(iv)._1
+          span <- blockSpanOf(iv)
+          blk <- spanInfo(span)._1
         } yield {
           val nTilda = at.cms.estimateCount(key)
           val slack = math.ceil(at.cms.eps * at.cms.total).toLong
           if (nTilda == 0L || nTilda > slack) s.estimate(key)
           else {
-            val members = blockOf(iv)._2
+            val members = spanInfo(span)._2
             var res = Long.MaxValue
             var row = 0
             val depth = at.cms.depth
@@ -473,30 +491,7 @@ final class TimeBucketedSketch(
         addTriple(refined.getOrElse(s.estimate(key)))
       }
       if (any) Some((lower, est, upper)) else None
-    }
-  }
-
-  /** Upper bound on the n̂ cell reads ONE key costs over [start, end] —
-   * the lock-hold budget check for refined top-k listings. A contiguous
-   * range has at most two partially-overlapping blocks (the ragged
-   * edges); their member walks dominate, so the bound is
-   * Σ over uncovered folded intervals of (covering block's member count),
-   * times a nominal depth. */
-  private[graft] def refinementCostPerKey(startInterval: Long, endInterval: Long): Long = {
-    val sel = selectBuckets(startInterval, endInterval)
-    val memberCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
-    var cost = 0L
-    sel.uncovered.foreach { case (iv, _) =>
-      if (folds.getOrElse(iv, 0) > 0) {
-        coveringBlock(iv) match {
-          case Some((span, _)) =>
-            cost += memberCount.getOrElseUpdate(span,
-              blockMembers(span._1, span._2).size.toLong)
-          case None => cost += 1L
-        }
-      } else cost += 1L
-    }
-    cost * 8L
+    })
   }
 
   /** Replace this sketch's entire bucket state from a snapshot (the

@@ -658,16 +658,17 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
           case Some(CmsInterval(c)) =>
             val cands = c.candidates.toSeq
             // lock-hold budget: the refined listing runs inside stateLock
-            // (the structure mutates under appends), so cap its work —
-            // past the cap answer from the merged path instead, which is
-            // always correct, just unrefined
-            val cost = cands.size.toLong *
-              buckets.refinementCostPerKey(startIv, endIv)
-            if (cost > TopKState.RefineListingBudget) None
-            else Some(cands.zip(buckets.refinedEstimates(startIv, endIv, cands))
-              .collect { case (key, Some((lo, est, up))) => (key, est, lo, up) }
-              .sortBy { case (key, est, _, _) => (-est, graft.sketch.keySortable(key)) }
-              .take(refineTopK))
+            // (the structure mutates under appends), so the sketch caps
+            // its own work using actual per-bucket depths and one shared
+            // selection/partition pass — past the cap it answers None and
+            // the merged path (always correct, just unrefined) serves
+            buckets.refinedEstimates(startIv, endIv, cands,
+              maxCellReads = TopKState.RefineListingBudget)
+              .map(_.zip(cands)
+                .collect { case (Some((lo, est, up)), key) => (key, est, lo, up) }
+                .sortBy { case (key, est, _, _) =>
+                  (-est, graft.sketch.keySortable(key)) }
+                .take(refineTopK))
           case _ => None
         }
       // register this reader's epoch INSIDE the same acquisition — a swap

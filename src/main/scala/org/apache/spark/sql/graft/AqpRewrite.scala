@@ -731,20 +731,36 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             ag.aggregateExpressions.collect { case al @ Alias(a: Attribute, _) =>
               al.exprId -> a.exprId }
         }.flatten.toMap
-        @scala.annotation.tailrec
-        def chaseAlias(id: ExprId, seen: Set[ExprId]): ExprId =
-          aliasEdges.get(id) match {
-            case Some(next) if !seen(next) => chaseAlias(next, seen + id)
-            case _ => id
+        // membership along the WHOLE chain, not just its terminus: the
+        // grouping key may itself be an alias from a lower Project
+        // (SELECT g AS h ... FROM (SELECT c AS g ...) GROUP BY g — h's
+        // chain is h→g→c and the key is the INTERMEDIATE g)
+        def chainContains(start: ExprId, target: ExprId): Boolean = {
+          var cur = start
+          var seen = Set.empty[ExprId]
+          while (true) {
+            if (cur == target) return true
+            aliasEdges.get(cur) match {
+              case Some(next) if !seen(next) => seen += cur; cur = next
+              case _ => return false
+            }
           }
+          false
+        }
         val resolved = agg.groupingExpressions.map {
           case ga: Attribute =>
-            visible.indexWhere(v => v.exprId == ga.exprId ||
-              chaseAlias(v.exprId, Set.empty) == ga.exprId)
+            visible.indexWhere(v => chainContains(v.exprId, ga.exprId))
           case _ => -1
         }
+        // HacExec's fallback semi-join and union are NAME-based: a key
+        // whose output name is duplicated in the select list would raise
+        // AMBIGUOUS_REFERENCE there — treat it as unresolvable (full
+        // reroute answers correctly)
+        val namesUnique = resolved.forall(i =>
+          i < 0 || visible.count(_.name == visible(i).name) == 1)
         val keyIndices =
-          if (resolved.nonEmpty && resolved.forall(_ >= 0)) resolved else Seq.empty
+          if (resolved.nonEmpty && resolved.forall(_ >= 0) && namesUnique) resolved
+          else Seq.empty
         rewrap(HacEnforcement(projected, stripStubs(coreChild), behavior, error,
           hidden.size, keyIndices, sortOrder))
     }

@@ -322,6 +322,32 @@ class PartialRoutingBugsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"passing group $k lost its sample estimate under an aliased key: $got != $v")
     }
 
+    // nested alias chain: the grouping key is itself an alias from a
+    // lower Project (chain x→g→l_linestatus, key is the INTERMEDIATE g) —
+    // partial routing must still keep passing groups' estimates
+    val nested = gs.sql(
+      s"""SELECT g AS x2, sum(p) AS x, relative_error(x) AS re
+         |FROM (SELECT l_linestatus AS g, l_extendedprice AS p FROM li_pr)
+         |GROUP BY g
+         |WITH ERROR $limit BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    passing.foreach { case (k, v) =>
+      val got = nested.find(_._1 == k).get._2
+      assert(math.abs(got - v) <= 1e-6 * math.abs(v),
+        s"passing group $k lost its estimate under a NESTED alias chain")
+    }
+
+    // duplicate output names: HacExec's fallback semi-join and union are
+    // name-based, so a duplicated key name must fall back to a full
+    // reroute instead of throwing AMBIGUOUS_REFERENCE
+    val dup = gs.sql(
+      s"""SELECT l_linestatus AS n, sum(l_extendedprice) AS n
+         |FROM li_pr GROUP BY l_linestatus
+         |WITH ERROR $limit BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+      .collect()
+    assert(dup.length === dn.length,
+      "duplicate-name partial query must answer (full reroute), not throw")
+
     // mixed keys: only the bare column resolves to an output position; a
     // subset semi-join would pull exact rows for PASSING groups sharing
     // the column value with a failing one and duplicate them in the union

@@ -134,6 +134,46 @@ class TimeAndItemSpec extends AnyFunSuite {
     }
   }
 
+  test("reference interpolation-accuracy shape: till-last-N queries within 25%") {
+    // reference `HokusaiIntervalTrackerSpec:400-452` scaled down: key j
+    // carries count j every epoch, so the exact till-last-N frequency is
+    // j·N; a sketch too narrow for the key space (300 keys / width 512,
+    // folding to 64) answers every (epoch, lookback, key) probe within
+    // the reference's 25% band — the n̂ refinement and the whole-block
+    // answers are what keep compressed history usable at this width
+    // the reference provisions ~10 cells per key (2^20 width for 100k
+    // keys); matching that regime here: 100 keys, width 2048 folding no
+    // further than 512 ⇒ ≥5 cells/key at the coarsest
+    val width = 2048
+    val keys = 100
+    val tb = new TimeBucketedSketch(4, mkCms(width), timeAndItem = true, minWidth = 512)
+    val rndKey = new scala.util.Random(41)
+    var worst = 0.0
+    (1 to 20).foreach { epoch =>
+      val s = new TopKCms(10, 5, width, 7)
+      (1 to keys).foreach(j => s.add(s"k$j", j.toLong))
+      tb.addTo(epoch.toLong, CmsInterval(s))
+      (1 to 10).foreach { _ =>
+        val n = 1 + rndKey.nextInt(epoch)
+        val j = 1 + rndKey.nextInt(keys)
+        val exact = j.toLong * n
+        // percentage bands need material counts (the reference's random
+        // keys carry large AP sums); tiny exacts are covered by the
+        // absolute ε·N slack, not a relative band
+        if (exact >= 50L) {
+        val (_, est, _) =
+          tb.refinedEstimate(epoch.toLong - n + 1, epoch.toLong, s"k$j").get
+        val errPct = math.abs(est - exact) * 100.0 / exact
+        worst = math.max(worst, errPct)
+        assert(errPct <= 25.0,
+          s"epoch $epoch lookback $n key k$j: est $est vs exact $exact " +
+            f"($errPct%.1f%% > 25%%)")
+        }
+      }
+    }
+    assert(worst > 0.0, "the shape must actually exercise collision noise")
+  }
+
   test("snapshot round-trips the combined mode byte-for-byte") {
     val tb = new TimeBucketedSketch(4, mkCms(128), timeAndItem = true, minWidth = 16)
     (0L until 25L).foreach(iv => feed(tb, iv, Seq("k" -> (iv + 1), s"x$iv" -> 3L), 128))

@@ -17,9 +17,14 @@ object Explain {
       println(SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
       return
     }
+    // Honor the bench harness's parallelism knob: size-conditional plans
+    // (candidate-join broadcast hints, unigram adaptive tiering) can pick a
+    // different physical shape at 4 cores than at the bench's 32 — auditing
+    // the wrong shape hides the plan that actually runs.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

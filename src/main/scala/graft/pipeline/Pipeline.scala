@@ -387,21 +387,30 @@ object Pipeline {
 
   /**
    * Per-key quota capping: keep at most `n` rows per `key`, the `n` with
-   * the smallest `ord` (an integral column unique within its key — a
-   * document id, a content hash). The web-pipeline staple "cap every
-   * domain at N pages" that keeps one hot domain from dominating a corpus.
+   * the smallest `ord` (an integral column — a document id, a quantized
+   * quality score). The web-pipeline staple "cap every domain at N pages"
+   * that keeps one hot domain from dominating a corpus.
+   *
+   * Ties on `ord` are SAFE: each row gets a deterministic tiebreak (a
+   * 64-bit hash of its full content), ranking is lexicographic on
+   * (ord, tiebreak), and the membership join matches on both — so a mass
+   * of equal quality scores still caps at exactly n. The one remaining
+   * ambiguity is bit-identical duplicate ROWS (same key, same ord, same
+   * everything): copies of a winning row are indistinguishable by value
+   * and all survive. Run exact dedup first if full rows can repeat.
    *
    * Scale shape, in two skew-immune phases:
-   *  1. `groupBy(key).agg(bounded_min_n(ord, n))` — the custom aggregate's
-   *     partial buffers are BOUNDED at n longs per key per map task
+   *  1. `groupBy(key).agg(bounded_min_n(ord, tb, n))` — the custom
+   *     aggregate's partial buffers are BOUNDED at n (ord, tiebreak)
+   *     pairs per key per map task
    *     ([[org.apache.spark.sql.graft.BoundedMinN]]), so a key with a
-   *     billion rows shuffles n values, where `collect_list` would OOM the
+   *     billion rows shuffles n pairs, where `collect_list` would OOM the
    *     partial and a `row_number()` window would shuffle and sort every
    *     payload row of the hot key into one task;
-   *  2. a LEFT SEMI join of the input against the exploded (key, ord)
-   *     winners — at most n·|keys| narrow rows. AQE broadcasts it when
-   *     small; at scale it hash-joins on the near-unique (key, ord) pair,
-   *     which no single hot key can skew.
+   *  2. a LEFT SEMI join of the input against the exploded
+   *     (key, ord, tiebreak) winners — at most n·|keys| narrow rows. AQE
+   *     broadcasts it when small; at scale it hash-joins on the
+   *     near-unique triple, which no single hot key can skew.
    *
    * Rows with a NULL `ord` are never kept (they cannot be ranked); NULL
    * keys form their own capped group, matching `groupBy` semantics.
@@ -414,15 +423,27 @@ object Pipeline {
       smallest: Boolean = true): DataFrame = {
     require(n > 0, s"capPerKey needs a positive cap, got $n")
     import org.apache.spark.sql.graft.{BoundedMinN, Exprs}
+    // deterministic per-row tiebreak: hash every input column, so equal
+    // ord values rank in a stable content-derived order (layout- and
+    // partitioning-independent). Computed ONCE on the input and reused on
+    // both sides of the membership join.
+    val TB = "__graft_tb__"
+    val withTb = df.withColumn(TB, xxhash64(df.columns.map(col): _*))
     val ordLong = ord.cast("long")
     val keepCol = Exprs.column(
-      BoundedMinN(Exprs.expression(ordLong), n, smallest).toAggregateExpression())
-    val winners = df.groupBy(key.as("__graft_k__"))
+      BoundedMinN(Exprs.expression(ordLong), Exprs.expression(col(TB)),
+        n, smallest).toAggregateExpression())
+    val winners = withTb.groupBy(key.as("__graft_k__"))
       .agg(keepCol.as("__graft_keep__"))
       .select(col("__graft_k__"),
-        explode(col("__graft_keep__")).as("__graft_o__"))
-    df.join(winners,
-      key <=> col("__graft_k__") && ordLong === col("__graft_o__"),
+        explode(col("__graft_keep__")).as("__graft_w__"))
+      .select(col("__graft_k__"),
+        col("__graft_w__.o").as("__graft_o__"),
+        col("__graft_w__.t").as("__graft_t__"))
+    withTb.join(winners,
+      key <=> col("__graft_k__") && ordLong === col("__graft_o__") &&
+        col(TB) === col("__graft_t__"),
       "left_semi")
+      .drop(TB)
   }
 }

@@ -68,4 +68,55 @@ class PipelineFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  for (seed <- 1 to 3)
+  test(s"capPerKey ties-heavy fuzz vs brute force, seed $seed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7100 + seed)
+    (1 to 4).foreach { scenarioNo =>
+      val n = 1 + rnd.nextInt(250)
+      // heavily tied ords (few distinct score values over many rows), hot
+      // and cold keys, NULL keys and NULL ords; rows distinct via id
+      val distinctOrds = 1 + rnd.nextInt(4)
+      val rows = (1 to n).map { i =>
+        val k = if (rnd.nextInt(10) == 0) None
+          else Some("k" + rnd.nextInt(1 + rnd.nextInt(4)))
+        val v = if (rnd.nextInt(15) == 0) None
+          else Some(rnd.nextInt(distinctOrds).toLong)
+        (i.toLong, k, v)
+      }
+      val cap = 1 + rnd.nextInt(6)
+      val smallest = rnd.nextBoolean()
+      val parts = 1 + rnd.nextInt(7)
+      val df = rows.toDF("id", "k", "v").repartition(parts)
+
+      val kept = Pipeline.capPerKey(df, col("k"), col("v"), cap, smallest)
+        .collect().map(_.getLong(0)).toSet
+
+      // brute force over the SAME tiebreak the operator derives (hash of
+      // every input column, input column order)
+      val hashed = df
+        .withColumn("tb", xxhash64(df.columns.map(col): _*))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+      val expect = hashed.filter(_._3.isDefined)
+        .groupBy(_._2)
+        .flatMap { case (_, grp) =>
+          val sorted = grp.sortWith { (a, b) =>
+            val (va, vb) = (a._3.get, b._3.get)
+            if (va != vb) { if (smallest) va < vb else va > vb }
+            else a._4 < b._4
+          }
+          sorted.take(cap).map(_._1).toSeq
+        }.toSet
+      assert(kept === expect,
+        s"seed=$seed#$scenarioNo n=$n cap=$cap smallest=$smallest")
+      // the headline property: never over the cap, even under mass ties
+      val counts = hashed.filter(h => kept(h._1)).groupBy(_._2)
+      counts.foreach { case (k, g) =>
+        assert(g.length <= cap, s"key $k over cap: ${g.length} > $cap")
+      }
+    }
+  }
 }

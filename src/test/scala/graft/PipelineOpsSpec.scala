@@ -296,17 +296,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       (Some("cold"), 500L), (None, 1L), (None, 2L)))
   }
 
-  test("capPerKey: bounded aggregate survives duplicate ord values within a key") {
+  test("capPerKey: tied ord values cap at exactly n (content-hash tiebreak)") {
     import spark.implicits._
-    // the contract requires ord unique within key; under violation the
-    // behavior is still well-defined and bounded: the heap's n smallest
-    // VALUES (with multiplicity) decide, every row matching a winner value
-    // survives — here winners=[1,1], so both v=1 rows and nothing else
+    // every row distinct in content but tied on ord — the quality-score
+    // shape (a mass of score-0 documents). The content-hash tiebreak must
+    // rank them deterministically: exactly n survive, and re-running (or
+    // reshuffling) keeps the SAME n.
+    val df = (1 to 50).map(i => ("a", 0L, s"doc$i")).toDF("k", "v", "payload")
+    val kept1 = Pipeline.capPerKey(df, col("k"), col("v"), 3)
+      .collect().map(_.getString(2)).sorted.toSeq
+    assert(kept1.size === 3)
+    val kept2 = Pipeline.capPerKey(df.repartition(7), col("k"), col("v"), 3)
+      .collect().map(_.getString(2)).sorted.toSeq
+    assert(kept2 === kept1, "selection must be layout-independent")
+    // mixed ties: strictly-better ord always wins over the tiebreak
+    val mixed = Seq(("a", 1L, "x"), ("a", 5L, "t1"), ("a", 5L, "t2"),
+      ("a", 5L, "t3"), ("a", 9L, "z")).toDF("k", "v", "p")
+    val got = Pipeline.capPerKey(mixed, col("k"), col("v"), 3)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(got.length === 3)
+    assert(got.count(_._1 == 1L) === 1, "ord=1 must always survive")
+    assert(got.count(_._1 == 5L) === 2, "exactly two of the tied ord=5 rows")
+  }
+
+  test("capPerKey: bit-identical duplicate rows are the documented residual") {
+    import spark.implicits._
+    // copies of a winning row are indistinguishable by value: all survive
+    // (the doc says run exact dedup first). Distinct-row membership is
+    // still bounded at n.
     val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L))
       .toDF("k", "v")
     val kept = Pipeline.capPerKey(df, col("k"), col("v"), 2)
-      .collect().map(_.getLong(1)).sorted
-    assert(kept.toSeq === Seq(1L, 1L))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    // the duplicated (a, 1) row contributes its (ord, tb) pair twice and
+    // the heap retains pairs WITH multiplicity, so both slots hold (1, h1)
+    // and both copies survive the membership join — count stays at n here,
+    // though >n copies of one winner row would all survive
+    assert(kept === Seq(1L, 1L))
   }
 
   test("capPerKey smallest=false keeps the n largest, incl. Long extremes") {

@@ -162,30 +162,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("MinNBuffer: any split/merge order equals brute-force n extremes") {
+  test("MinNBuffer: any split/merge order equals brute-force n extreme pairs") {
     import org.apache.spark.sql.graft.MinNBuffer
-    val valGen = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    // tie-heavy ords (small domain) with full-range extremes mixed in, plus
+    // random tiebreaks — the pair ordering is the whole point
+    val ordGen = Gen.frequency(
+      3 -> Gen.chooseNum(-3L, 3L),
+      1 -> Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    val pairGen = Gen.zip(ordGen, Gen.chooseNum(Long.MinValue, Long.MaxValue))
     val nGen = Gen.chooseNum(1, 12)
-    forAll(Gen.listOfN(80, valGen), nGen) { (values, n) =>
+    forAll(Gen.listOfN(80, pairGen), nGen) { (values, n) =>
       for (smallest <- Seq(true, false)) {
-        val truth =
-          if (smallest) values.sorted.take(n)
-          else values.sorted.takeRight(n)
+        // better = smaller (or larger) ord; ties by SMALLER tb either way
+        val ranked = values.sortWith { (a, b) =>
+          if (a._1 != b._1) { if (smallest) a._1 < b._1 else a._1 > b._1 }
+          else a._2 < b._2
+        }
+        // output ordering is ascending (ord, tb) regardless of mode
+        val truth = ranked.take(n).sorted
         // single buffer
         val one = new MinNBuffer(n, smallest)
-        values.foreach(one.offer)
-        assert(one.sortedValues.toSeq === truth)
+        values.foreach { case (o, t) => one.offer(o, t) }
+        assert(one.sortedPairs.toSeq === truth)
         // arbitrary 3-way split, merged pairwise in both associations
         val (a, rest) = values.splitAt(values.size / 3)
         val (b, c) = rest.splitAt(rest.size / 2)
-        def buf(vs: Seq[Long]): MinNBuffer = {
-          val m = new MinNBuffer(n, smallest); vs.foreach(m.offer); m
+        def buf(vs: Seq[(Long, Long)]): MinNBuffer = {
+          val m = new MinNBuffer(n, smallest)
+          vs.foreach { case (o, t) => m.offer(o, t) }
+          m
         }
         val left = buf(a); left.mergeFrom(buf(b)); left.mergeFrom(buf(c))
         val bc = buf(b); bc.mergeFrom(buf(c))
         val right = buf(a); right.mergeFrom(bc)
-        assert(left.sortedValues.toSeq === truth)
-        assert(right.sortedValues.toSeq === truth)
+        assert(left.sortedPairs.toSeq === truth)
+        assert(right.sortedPairs.toSeq === truth)
       }
     }
   }

@@ -277,7 +277,8 @@ final class TimeBucketedSketch(
       recent ++ old
     } else {
       val sel = selectBuckets(startInterval, endInterval)
-      sel.whole.map(_._2) ++ sel.orphanPartials ++ sel.uncovered.map(_._2)
+      sel.whole.map(_._2) ++ sel.orphanPartials.map(_._2) ++
+        sel.uncovered.map(_._2)
     }
   }
 
@@ -291,7 +292,7 @@ final class TimeBucketedSketch(
    * never undercounting. */
   private final case class BucketSelection(
       whole: Seq[((Long, Long), IntervalSketch)],
-      orphanPartials: Seq[IntervalSketch],
+      orphanPartials: Seq[((Long, Long), IntervalSketch)],
       uncovered: Seq[(Long, IntervalSketch)])
 
   private def selectBuckets(startInterval: Long, endInterval: Long): BucketSelection = {
@@ -301,7 +302,7 @@ final class TimeBucketedSketch(
       .partition { case ((hs, hl), _) => hs >= startInterval && hs + hl - 1 <= endInterval }
     val coveredByWhole = whole.map(_._1)
     val orphanPartials = partial.collect {
-      case ((hs, hl), s) if blockMembers(hs, hl).isEmpty => s
+      case (span @ (hs, hl), s) if blockMembers(hs, hl).isEmpty => (span, s)
     }
     val ivs = intervals.range(startInterval, until).toSeq.filter { case (iv, _) =>
       !coveredByWhole.exists { case (hs, hl) => hs <= iv && iv < hs + hl }
@@ -381,16 +382,29 @@ final class TimeBucketedSketch(
 
   /** Actual [min, max] interval span (inclusive) of the buckets overlapping
    * [startInterval, endInterval] — coarse history blocks contribute their
-   * full extent (the Hokusai resolution trade-off for old data). */
+   * full extent (the Hokusai resolution trade-off for old data). In
+   * combined mode the span is computed from [[selectBuckets]] — the same
+   * selection the answers come from — so a partially-overlapping block
+   * that is REPRESENTED by its member intervals clipped to the range
+   * contributes only those members, not its full extent; claiming the
+   * full extent would report coverage for data the clipped answer
+   * deliberately excludes. Whole blocks and orphan partials (answered
+   * coarsely, over-covering) still contribute their full extent. */
   def coveredRange(startInterval: Long, endInterval: Long): Option[(Long, Long)] = {
-    val until = if (endInterval == Long.MaxValue) endInterval else endInterval + 1
-    val rec = intervals.range(startInterval, until).keys.toSeq
-    val old = history.keys.toSeq.filter { case (hs, hl) =>
-      hs <= endInterval && hs + hl - 1 >= startInterval
+    val spans: Seq[(Long, Long)] = if (timeAndItem) {
+      val sel = selectBuckets(startInterval, endInterval)
+      sel.whole.map { case ((hs, hl), _) => (hs, hs + hl - 1) } ++
+        sel.orphanPartials.map { case ((hs, hl), _) => (hs, hs + hl - 1) } ++
+        sel.uncovered.map { case (iv, _) => (iv, iv) }
+    } else {
+      val until = if (endInterval == Long.MaxValue) endInterval else endInterval + 1
+      intervals.range(startInterval, until).keys.toSeq.map(iv => (iv, iv)) ++
+        history.keys.toSeq
+          .filter { case (hs, hl) => hs <= endInterval && hs + hl - 1 >= startInterval }
+          .map { case (hs, hl) => (hs, hs + hl - 1) }
     }
-    val mins = rec ++ old.map(_._1)
-    val maxs = rec ++ old.map { case (hs, hl) => hs + hl - 1 }
-    if (mins.isEmpty) None else Some((mins.min, maxs.max))
+    if (spans.isEmpty) None
+    else Some((spans.map(_._1).min, spans.map(_._2).max))
   }
 
   /** Point estimate of `key` over [startInterval, endInterval] using the
@@ -405,9 +419,10 @@ final class TimeBucketedSketch(
    * true ≤ ñ survives, so `upper` stays ñ). Returns (lower, est, upper)
    * summed over the covered span; None when nothing overlaps or the
    * family is not CMS. Combined mode only. */
-  def refinedEstimate(startInterval: Long, endInterval: Long,
-      key: Any): Option[(Long, Long, Long)] =
-    refinedEstimates(startInterval, endInterval, Seq(key)).get.headOption.flatten
+  def refinedEstimate(startInterval: Long, endInterval: Long, key: Any,
+      maxCellReads: Long = Long.MaxValue): Option[(Long, Long, Long)] =
+    refinedEstimates(startInterval, endInterval, Seq(key), maxCellReads)
+      .flatMap(_.headOption.flatten)
 
   /** [[refinedEstimate]] for MANY keys against ONE bucket selection and
    * ONE span-memoized interval→block partition — the per-candidate cost
@@ -456,7 +471,7 @@ final class TimeBucketedSketch(
         lower += t._1; est += t._2; upper += t._3; any = true
       }
       sel.whole.foreach { case (_, s) => addTriple(s.estimate(key)) }
-      sel.orphanPartials.foreach(s => addTriple(s.estimate(key)))
+      sel.orphanPartials.foreach { case (_, s) => addTriple(s.estimate(key)) }
       sel.uncovered.foreach { case (iv, s) =>
         val refined = if (folds.getOrElse(iv, 0) == 0) None else for {
           at <- cmsOf(s)

@@ -651,7 +651,14 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
         pendingParts.isEmpty && !spilledSpans.exists(spanOverlaps(startIv, endIv))
       val refinedKeyTriple =
         if (!canRefine) None
-        else refineKey.flatMap(k => buckets.refinedEstimate(startIv, endIv, k))
+        // same lock-hold budget as the listing: a window cutting through a
+        // large dyadic block makes the single-key n̂ loop cost
+        // ~depth × members² (each uncovered member sums cells over every
+        // resident member of its covering block) — near maxDriverEntries
+        // that is ~1e9 cell reads under stateLock, stalling all appends.
+        // Over budget → None → queryFrequency's merged-path fallback.
+        else refineKey.flatMap(k => buckets.refinedEstimate(startIv, endIv, k,
+          maxCellReads = TopKState.RefineListingBudget))
       val refinedRows =
         if (!canRefine || refineTopK <= 0) None
         else resident match {

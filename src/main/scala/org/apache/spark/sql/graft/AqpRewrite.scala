@@ -755,9 +755,12 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // HacExec's fallback semi-join and union are NAME-based: a key
         // whose output name is duplicated in the select list would raise
         // AMBIGUOUS_REFERENCE there — treat it as unresolvable (full
-        // reroute answers correctly)
+        // reroute answers correctly). Compare with the session's resolver:
+        // under default case-INsensitive analysis `a AS G, b AS g` is a
+        // duplicate to the semi-join even though the names differ by case.
+        val resolver = spark.sessionState.analyzer.resolver
         val namesUnique = resolved.forall(i =>
-          i < 0 || visible.count(_.name == visible(i).name) == 1)
+          i < 0 || visible.count(v => resolver(v.name, visible(i).name)) == 1)
         val keyIndices =
           if (resolved.nonEmpty && resolved.forall(_ >= 0) && namesUnique) resolved
           else Seq.empty

@@ -348,6 +348,18 @@ class PartialRoutingBugsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dup.length === dn.length,
       "duplicate-name partial query must answer (full reroute), not throw")
 
+    // case-colliding output names: Spark's default resolver is
+    // case-INsensitive, so `a AS N, sum(..) AS n` is just as ambiguous to
+    // the name-based semi-join as an exact duplicate — the uniqueness
+    // check must use the session resolver, not == on the names
+    val caseDup = gs.sql(
+      s"""SELECT l_linestatus AS N, sum(l_extendedprice) AS n
+         |FROM li_pr GROUP BY l_linestatus
+         |WITH ERROR $limit BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+      .collect()
+    assert(caseDup.length === dn.length,
+      "case-colliding-name partial query must answer (full reroute), not throw")
+
     // mixed keys: only the bare column resolves to an output position; a
     // subset semi-join would pull exact rows for PASSING groups sharing
     // the column value with a failing one and duplicate them in the union

@@ -268,4 +268,33 @@ class TimeAndItemSpec extends AnyFunSuite {
     // and the ORIGINAL data did not double count through the late merge
     assert(tb.mergedRange(0L, 19L).get.estimate("k")._2 === 200L)
   }
+
+  test("combined-mode coveredRange matches the clipped selection, not block extents") {
+    val tb = new TimeBucketedSketch(4, mkCms(), timeAndItem = true, minWidth = 64)
+    (0L until 20L).foreach(iv => feed(tb, iv, Seq("k" -> 1L)))
+    // a history block starting at 0 exists and is longer than the query
+    val blk = tb.history.keys.find(_._1 == 0L).get
+    assume(blk._2 >= 8L, s"expected a block spanning past interval 5, got $blk")
+    // query [2,5] cuts through that block: the answer comes from member
+    // intervals clipped to the range, so coverage must be exactly [2,5] —
+    // the block's full extent would claim data the answer excludes
+    assert(tb.coveredRange(2L, 5L) === Some((2L, 5L)))
+    // open-ended query: the partial block at the left edge contributes its
+    // clipped members, whole blocks and the live tail their full spans
+    val open = tb.coveredRange(2L, Long.MaxValue).get
+    assert(open._1 === 2L && open._2 === 19L)
+    // fully-contained block answers whole: coverage is its full extent
+    assert(tb.coveredRange(0L, blk._1 + blk._2 - 1) ===
+      Some((0L, blk._1 + blk._2 - 1)))
+  }
+
+  test("refinedEstimate honors a work budget and degrades to None, not a throw") {
+    val tb = new TimeBucketedSketch(4, mkCms(), timeAndItem = true, minWidth = 64)
+    (0L until 20L).foreach(iv => feed(tb, iv, Seq("k" -> 3L)))
+    // default budget: answers
+    assert(tb.refinedEstimate(0L, 19L, "k").isDefined)
+    // zero budget: every selection costs something — must answer None
+    // (the TopK layer then serves the merged path), never throw
+    assert(tb.refinedEstimate(0L, 19L, "k", maxCellReads = 0L) === None)
+  }
 }

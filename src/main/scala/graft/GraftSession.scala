@@ -193,7 +193,7 @@ class GraftSession(val spark: SparkSession) {
       persistPath: Option[String] = None): DataFrame = {
     val base = spark.table(baseName)
     val sampled = StratifiedSampler.sample(base, qcs.map(expr), fraction,
-      reservoirSize, seed, preFilter = true, preFilterFactor = 2.0)
+      reservoirSize, seed, preFilter = true, preFilterFactor = 2.0, rankCols = Nil)
     registerSample(name, baseName, base, sampled, qcs, fraction, reservoirSize,
       persistPath)
   }
@@ -259,7 +259,7 @@ class GraftSession(val spark: SparkSession) {
       throw new IllegalArgumentException(s"No sample table named $rawName"))
     val info = state.samples(name)
     val sampled = StratifiedSampler.sample(df, info.qcs.map(expr), info.fraction,
-      info.reservoirSize, seed, preFilter = true, preFilterFactor = 2.0)
+      info.reservoirSize, seed, preFilter = true, preFilterFactor = 2.0, rankCols = Nil)
     val merged = info.persistPath match {
       case Some(path) =>
         // concurrent appends from two sessions serialize on the path lock —
@@ -865,7 +865,7 @@ object GraftSession {
           reservoirSize = reservoirSize, seed = seed)
       case None =>
         StratifiedSampler.sample(base, qcs.map(expr), fraction, reservoirSize,
-          seed, preFilter = true, preFilterFactor = 2.0)
+          seed, preFilter = true, preFilterFactor = 2.0, rankCols = Nil)
     }
     (sampled, qcs, fraction, reservoirSize)
   }

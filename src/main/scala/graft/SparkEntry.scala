@@ -86,7 +86,12 @@ object SparkEntry {
     // (reference demands |kept − fraction·N| ≤ 2, SamplingAccuracySuite):
     // kept = max(reservoir, ceil(fraction·stratumTotal)).
     "q02_sample_counts" -> ((s, dir) => {
-      val sampled = StratifiedSampler.sample(tbl(s, dir, "lineitem"),
+      // rankCols: lineitem's distinguishing key — the rank hash then reads
+      // 4 ints instead of the full row, and column pruning reaches the
+      // parquet scan (this query needs only the QCS + key columns)
+      val sampled = StratifiedSampler.sample(
+        tbl(s, dir, "lineitem").select("l_returnflag", "l_orderkey",
+          "l_linenumber", "l_partkey", "l_suppkey"),
         qcs = Seq("l_returnflag"), fraction = 0.1, reservoirSize = 10)
       sampled.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("sampled_rows"))

@@ -63,9 +63,24 @@ object StratifiedSampler {
   private val R1 = "__graft_rank__"
   private val TOT = "__graft_total__"
 
+  /** Above this per-stratum target, the Bernoulli prefilter cushion drops
+    * from `factor × target` to `target + max(5% of target, 50)`: the
+    * selected multiset is the `target` smallest hashes either way (the
+    * prefilter only has to keep a SUPERSET of them), and at large targets
+    * the count of sub-threshold hashes concentrates so tightly around its
+    * mean (Chernoff: P[short by 5% at 10k+ expected] < e^-12, and it falls
+    * exponentially from there) that a 2x cushion just doubles the volume
+    * the rank pass materializes and sorts. Small strata keep the full
+    * factor — there the cushion is what absorbs real variance. */
+  private val CushionSwitch = 10000L
+
+  private def cushioned(tgt: Long, factor: Double): Double =
+    if (tgt >= CushionSwitch) tgt + math.max(math.ceil(tgt * 0.05), 50.0)
+    else tgt * factor
+
   def sample(df: DataFrame, opts: Options): DataFrame =
     sample(df, opts.qcs.map(expr), opts.fraction, opts.reservoirSize, opts.seed,
-      opts.preFilter, opts.preFilterFactor)
+      opts.preFilter, opts.preFilterFactor, rankCols = Nil)
 
   /** Convenience: qcs by column name / SQL expression strings. */
   def sample(
@@ -73,9 +88,10 @@ object StratifiedSampler {
       qcs: Seq[String],
       fraction: Double = 0.0,
       reservoirSize: Int = 50,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L,
+      rankCols: Seq[String] = Nil): DataFrame =
     sample(df, qcs.map(expr), fraction, reservoirSize, seed,
-      preFilter = true, preFilterFactor = 2.0)
+      preFilter = true, preFilterFactor = 2.0, rankCols = rankCols.map(col(_)))
 
   /**
    * Error-limit sampling (reference `StratifiedSamplerErrorLimit.scala:33-45`,
@@ -149,6 +165,18 @@ object StratifiedSampler {
    * @param qcs stratum-key expressions (may be arbitrary projections, e.g.
    *            `hour(pickup_datetime)` — reference
    *            `sampling/ColumnFormatSamplingRelation.scala:170-229`)
+   * @param rankCols columns the content-seeded rank hash reads. Default
+   *            (empty) hashes EVERY column — always safe. Callers that
+   *            know a row-distinguishing key (a primary key, an id) should
+   *            pass it: the rank then forces only those columns into the
+   *            scan's read schema, so a wide fact table samples off a
+   *            narrow key scan instead of decoding every column of every
+   *            row — at 100 TB the difference between hashing 3 ints and
+   *            hashing a kilobyte of strings per row. CONTRACT: the
+   *            columns must distinguish rows; if two rows collide on them,
+   *            the winner among the tied ranks is layout-dependent and the
+   *            sampled multiset loses its layout-independence guarantee
+   *            (identical full rows remain interchangeable either way).
    */
   def sample(
       df: DataFrame,
@@ -157,7 +185,10 @@ object StratifiedSampler {
       reservoirSize: Int,
       seed: Long,
       preFilter: Boolean,
-      preFilterFactor: Double): DataFrame = {
+      preFilterFactor: Double,
+      // no default here: a second defaulted overload of `sample` is a
+      // compile error; the string-qcs convenience overload carries it
+      rankCols: Seq[Column]): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
     require(reservoirSize > 0 || fraction > 0, "need reservoirSize > 0 or fraction > 0")
 
@@ -184,10 +215,13 @@ object StratifiedSampler {
     // cross-row collisions, the same determinism class as the reference
     // (which pins partition counts in tests because its per-partition RNG
     // order is config-dependent). A second independent hash would double the
-    // dominant scan-side compute for no material gain.
+    // dominant scan-side compute for no material gain. With `rankCols` the
+    // hash reads only the caller's row-key columns — column pruning then
+    // reaches the scan for queries that don't touch the other columns.
+    val hashInput = if (rankCols.isEmpty) dataCols else rankCols
     val keyed = df
       .withColumn(K, key)
-      .withColumn(R1, xxhash64(struct(dataCols: _*), lit(seed)))
+      .withColumn(R1, xxhash64(struct(hashInput: _*), lit(seed)))
 
     def targetOf(total: Column): Column =
       if (fraction > 0.0) {
@@ -267,7 +301,7 @@ object StratifiedSampler {
           val tot = r.getLong(1)
           val tgt = math.min(math.max(reservoirSize.toLong,
             math.ceil(tot * fraction).toLong), tot)
-          val p = math.min(1.0, (tgt * preFilterFactor + 50.0) / tot)
+          val p = math.min(1.0, (cushioned(tgt, preFilterFactor) + 50.0) / tot)
           val threshold = (2.0 * p - 1.0) * Long.MaxValue.toDouble
           org.apache.spark.sql.Row(r.get(0), tot, tgt, threshold)
         }.toSeq
@@ -341,7 +375,10 @@ object StratifiedSampler {
         val joined = keyed.join(broadcast(counts.withColumnRenamed(K, K + "c")),
           col(K) <=> col(K + "c"), "inner").drop(K + "c")
         val tgt = targetOf(col(TOT))
-        val p = least(lit(1.0), (tgt * lit(preFilterFactor) + lit(50.0)) / col(TOT))
+        val cushionedTgt = when(tgt >= lit(CushionSwitch),
+          tgt + greatest(ceil(tgt * lit(0.05)), lit(50.0)))
+          .otherwise(tgt * lit(preFilterFactor))
+        val p = least(lit(1.0), (cushionedTgt + lit(50.0)) / col(TOT))
         // xxhash64 is uniform over the full signed-long range:
         // P(h < (2p−1)·MaxLong) = p; p == 1 keeps everything
         val threshold = (lit(2.0) * p - lit(1.0)) * lit(Long.MaxValue.toDouble)

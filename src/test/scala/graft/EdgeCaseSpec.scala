@@ -423,7 +423,7 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.sampling.StratifiedSampler
       .sample(spark.table("li_ec"), Seq(org.apache.spark.sql.functions.col("l_returnflag")),
         fraction = 0.3, reservoirSize = 50, seed = 42L,
-        preFilter = true, preFilterFactor = 2.0)
+        preFilter = true, preFilterFactor = 2.0, rankCols = Nil)
       .write.parquet(dir)
     spark.read.parquet(dir).createOrReplaceTempView("li_raw_weighted")
     try {

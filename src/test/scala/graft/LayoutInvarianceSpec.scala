@@ -49,7 +49,7 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     val kept = layouts(li).map { case (name, df) =>
       name -> StratifiedSampler.sample(df, Seq(col("l_returnflag")),
           fraction = 0.1, reservoirSize = 50, seed = 42L,
-          preFilter = true, preFilterFactor = 2.0)
+          preFilter = true, preFilterFactor = 2.0, rankCols = Nil)
         .collect().map(_.toSeq.mkString("|")).sorted.toSeq
     }
     val (refName, ref) = kept.head

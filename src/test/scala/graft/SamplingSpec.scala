@@ -150,6 +150,51 @@ class SamplingSpec extends AnyFunSuite {
       s"sharded plan must partition the rank window by (stratum, shard):\n$plan")
   }
 
+  test("rankCols: pruned rank hash keeps counts exact, layout-independent, narrow scan") {
+    import spark.implicits._
+    // a synthetic frame with a genuine row key: id distinguishes rows
+    val base = (1 to 3000).map { i =>
+      (i.toLong, s"g${i % 5}", i * 1.5, "payload" * 20 + i)
+    }.toDF("id", "grp", "meas", "blob")
+    def multiset(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      StratifiedSampler.sample(df, Seq("grp"), fraction = 0.1,
+        reservoirSize = 10, rankCols = Seq("id"))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val a = multiset(base.repartition(3))
+    val b = multiset(base.repartition(11, col("grp")))
+    assert(a === b, "key-ranked sample must be layout-independent")
+    // counts equal the full-hash path's (targets are content-independent)
+    val full = StratifiedSampler.sample(base, Seq("grp"), fraction = 0.1,
+      reservoirSize = 10)
+    val fullCounts = full.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keyCounts = StratifiedSampler.sample(base, Seq("grp"), fraction = 0.1,
+      reservoirSize = 10, rankCols = Seq("id"))
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keyCounts === fullCounts)
+
+    // the scale property: on a parquet source, a query that only touches
+    // the QCS and key columns must NOT read the wide payload column — the
+    // full-row hash forces it into ReadSchema, rankCols keeps it out
+    val dir = java.nio.file.Files.createTempDirectory("graft_rankcols").toString
+    base.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    def readSchema(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("\n")
+        .filter(_.contains("ReadSchema")).mkString("\n")
+    val narrow = StratifiedSampler.sample(pq, Seq("grp"), fraction = 0.1,
+      reservoirSize = 10, rankCols = Seq("id"))
+      .groupBy("grp").count()
+    val narrowSchema = readSchema(narrow)
+    assert(!narrowSchema.contains("blob"),
+      s"rankCols scan must prune the payload column:\n$narrowSchema")
+    val wide = StratifiedSampler.sample(pq, Seq("grp"), fraction = 0.1,
+      reservoirSize = 10).groupBy("grp").count()
+    assert(readSchema(wide).contains("blob"),
+      "control: the full-row hash forces the payload into the scan")
+  }
+
   test("randomized sweep: kept counts and weight sums exact for any config") {
     // SURVEY §5: reservoir size bounds + weight sum ≈ N as properties.
     // Deterministic config sweep over fractions × reservoirs × QCS choices.

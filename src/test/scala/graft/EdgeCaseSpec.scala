@@ -451,6 +451,66 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.catalog.dropTempView("li_raw_weighted")
   }
 
+  test("AQP-211 literal scenario: ungrouped count/sum/avg on a copied sample table") {
+    // the reference's exact Bug-AQP211 sequence (ClosedFormBugTest.scala:51):
+    // copy a sample's rows INCLUDING the weight column into a plain table,
+    // then run ungrouped count(*)/sum/avg WITH an error function on the
+    // copy — estimates must equal the Horvitz-Thompson values the weights
+    // encode, count lands on the base total, sum/avg report positive error
+    gs
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqp211b").toString + "/s"
+    graft.sampling.StratifiedSampler
+      .sample(spark.table("li_ec"), Seq(org.apache.spark.sql.functions.col("l_returnflag")),
+        fraction = 0.3, reservoirSize = 50, seed = 42L,
+        preFilter = true, preFilterFactor = 2.0, rankCols = Nil)
+      .write.parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("li_copy_w")
+    try {
+      import graft.functions._
+      import org.apache.spark.sql.functions.{col, sum}
+      def num(r: org.apache.spark.sql.Row, i: Int): Double = r.get(i) match {
+        case l: java.lang.Long => l.toDouble
+        case d: java.lang.Double => d
+        case x => fail(s"non-numeric cell $x")
+      }
+      // manual HT values from the copy's own rows + decoded weights
+      val w = sample_weight(col(weightColumn))
+      val Array(htCount, htSum) = spark.table("li_copy_w")
+        .agg(sum(w), sum(col("l_quantity") * w)).collect()(0)
+        .toSeq.map(_.asInstanceOf[Double]).toArray
+      val baseCount = spark.table("li_ec").count().toDouble
+
+      val r1 = gs.sql(
+        "SELECT count(*) AS x, absolute_error(x) FROM li_copy_w WITH ERROR 0.9")
+        .collect()(0)
+      assert(math.abs(num(r1, 0) - htCount) < 2, s"count ${num(r1, 0)} vs $htCount")
+      assert(math.abs(num(r1, 0) - baseCount) < 2,
+        "the weighted count must land on the base total")
+
+      val r2 = gs.sql(
+        "SELECT sum(l_quantity) AS x, absolute_error(x) FROM li_copy_w WITH ERROR 0.9")
+        .collect()(0)
+      assert(math.abs(num(r2, 0) - htSum) <= 1e-6 * math.abs(htSum))
+      assert(r2.getDouble(1) > 0.0, "sum on a 30% sample must report error")
+
+      val r3 = gs.sql(
+        "SELECT avg(l_quantity) AS x, absolute_error(x) FROM li_copy_w WITH ERROR 0.9")
+        .collect()(0)
+      assert(math.abs(num(r3, 0) - htSum / htCount) <= 1e-6 * (htSum / htCount))
+      assert(r3.getDouble(1) > 0.0, "avg on a 30% sample must report error")
+
+      // DOCUMENTED DELTA from the reference: it forces BOOTSTRAP here
+      // because its closed-form stats require a stratum to be seen whole
+      // by one aggregator, and a copied table loses that guarantee. Our
+      // struct aggregate keys per-stratum moments by the weight's embedded
+      // key hash, so strata recombine correctly across any partition
+      // layout and closed form stays valid (SURVEY §4's aggregate design).
+      val df = gs.sql(
+        "SELECT sum(l_quantity) AS x, absolute_error(x) FROM li_copy_w WITH ERROR 0.9")
+      assert(org.apache.spark.sql.graft.AqpInfo.analysisOf(df) === "closedform")
+    } finally spark.catalog.dropTempView("li_copy_w")
+  }
+
   test("mixed aggregates in one query equal each aggregate queried alone") {
     // reference 'Test sample table query on mixed aggregates with group by':
     // sharing one sample scan across sum/avg/count must not change any of

@@ -4,9 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // '*' (all cores) is valid for local[...] but not for
+    // shuffle.partitions — resolve it before applying to both
+    val parts =
+      if (cpus.forall(_.isDigit)) cpus
+      else Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       // respect the 64 MB advisory target when AQE coalesces post-shuffle
       // partitions instead of preserving parallelism: multi-stage queries
       // over small-to-mid shuffles otherwise run `cpus` near-empty reduce

@@ -22,9 +22,14 @@ object Explain {
     // different physical shape at 4 cores than at the bench's 32 — auditing
     // the wrong shape hides the plan that actually runs.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // '*' (all cores) is valid for local[...] but not for
+    // shuffle.partitions — resolve it before applying to both
+    val parts =
+      if (cpus.forall(_.isDigit)) cpus
+      else Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

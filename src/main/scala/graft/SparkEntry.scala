@@ -86,13 +86,15 @@ object SparkEntry {
     // (reference demands |kept − fraction·N| ≤ 2, SamplingAccuracySuite):
     // kept = max(reservoir, ceil(fraction·stratumTotal)).
     "q02_sample_counts" -> ((s, dir) => {
-      // rankCols: lineitem's distinguishing key — the rank hash then reads
-      // 4 ints instead of the full row, and column pruning reaches the
-      // parquet scan (this query needs only the QCS + key columns)
+      // the projection keeps the scan at the 5 columns this query needs;
+      // rankCols additionally pins the rank hash to the 4-int row key, so
+      // widening the projection later can't change the sampled multiset
+      // or re-widen the hash
       val sampled = StratifiedSampler.sample(
         tbl(s, dir, "lineitem").select("l_returnflag", "l_orderkey",
           "l_linenumber", "l_partkey", "l_suppkey"),
-        qcs = Seq("l_returnflag"), fraction = 0.1, reservoirSize = 10)
+        qcs = Seq("l_returnflag"), fraction = 0.1, reservoirSize = 10,
+        rankCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
       sampled.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("sampled_rows"))
         .orderBy(col("l_returnflag"))

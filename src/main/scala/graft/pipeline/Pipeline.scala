@@ -419,16 +419,34 @@ object Pipeline {
    * the score quantized to a long); a flag rather than caller-side
    * negation, which would corrupt `Long.MinValue`.
    */
+  /**
+   * @param tiebreak optional caller-supplied tiebreak column (a row id, a
+   *            content hash already in the table). The default hashes
+   *            EVERY column — always safe, but it forces the full row
+   *            width into the winners aggregate's scan and computes the
+   *            hash on both sides of the membership join; on a wide
+   *            corpus table, passing the row key keeps phase 1 narrow
+   *            (the same trade as the sampler's `rankCols`).
+   */
   def capPerKey(df: DataFrame, key: Column, ord: Column, n: Int,
-      smallest: Boolean = true): DataFrame = {
+      smallest: Boolean = true, tiebreak: Option[Column] = None): DataFrame = {
     require(n > 0, s"capPerKey needs a positive cap, got $n")
     import org.apache.spark.sql.graft.{BoundedMinN, Exprs}
-    // deterministic per-row tiebreak: hash every input column, so equal
-    // ord values rank in a stable content-derived order (layout- and
-    // partitioning-independent). Computed ONCE on the input and reused on
-    // both sides of the membership join.
     val TB = "__graft_tb__"
-    val withTb = df.withColumn(TB, xxhash64(df.columns.map(col): _*))
+    require(!df.columns.contains(TB),
+      s"capPerKey reserves the column name $TB; rename the input column")
+    // deterministic per-row tiebreak: by default, hash every input column
+    // so equal ord values rank in a stable content-derived order (layout-
+    // and partitioning-independent). Columns are referenced by their plan
+    // ATTRIBUTES, not by name, so dotted or duplicate column names can't
+    // mis-resolve. xxhash64 skips NULL children (the seed passes through
+    // unchanged), so rows differing only in WHICH columns are null would
+    // collide — the isNull flags (never null themselves) pin each
+    // column's presence into the hash chain.
+    val attrs = df.queryExecution.analyzed.output.map(Exprs.column)
+    val tbCol = tiebreak.getOrElse(
+      xxhash64((attrs ++ attrs.map(_.isNull)): _*))
+    val withTb = df.withColumn(TB, tbCol.cast("long"))
     val ordLong = ord.cast("long")
     val keepCol = Exprs.column(
       BoundedMinN(Exprs.expression(ordLong), Exprs.expression(col(TB)),

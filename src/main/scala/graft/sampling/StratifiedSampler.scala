@@ -74,9 +74,11 @@ object StratifiedSampler {
     * factor — there the cushion is what absorbs real variance. */
   private val CushionSwitch = 10000L
 
+  /** Full prefilter numerator (target + cushion), the ONE definition both
+    * the driver-side and column-side threshold formulas use. */
   private def cushioned(tgt: Long, factor: Double): Double =
     if (tgt >= CushionSwitch) tgt + math.max(math.ceil(tgt * 0.05), 50.0)
-    else tgt * factor
+    else tgt * factor + 50.0
 
   def sample(df: DataFrame, opts: Options): DataFrame =
     sample(df, opts.qcs.map(expr), opts.fraction, opts.reservoirSize, opts.seed,
@@ -301,7 +303,7 @@ object StratifiedSampler {
           val tot = r.getLong(1)
           val tgt = math.min(math.max(reservoirSize.toLong,
             math.ceil(tot * fraction).toLong), tot)
-          val p = math.min(1.0, (cushioned(tgt, preFilterFactor) + 50.0) / tot)
+          val p = math.min(1.0, cushioned(tgt, preFilterFactor) / tot)
           val threshold = (2.0 * p - 1.0) * Long.MaxValue.toDouble
           org.apache.spark.sql.Row(r.get(0), tot, tgt, threshold)
         }.toSeq
@@ -375,10 +377,11 @@ object StratifiedSampler {
         val joined = keyed.join(broadcast(counts.withColumnRenamed(K, K + "c")),
           col(K) <=> col(K + "c"), "inner").drop(K + "c")
         val tgt = targetOf(col(TOT))
+        // column mirror of cushioned() — keep the two bit-identical
         val cushionedTgt = when(tgt >= lit(CushionSwitch),
           tgt + greatest(ceil(tgt * lit(0.05)), lit(50.0)))
-          .otherwise(tgt * lit(preFilterFactor))
-        val p = least(lit(1.0), (cushionedTgt + lit(50.0)) / col(TOT))
+          .otherwise(tgt * lit(preFilterFactor) + lit(50.0))
+        val p = least(lit(1.0), cushionedTgt / col(TOT))
         // xxhash64 is uniform over the full signed-long range:
         // P(h < (2p−1)·MaxLong) = p; p == 1 keeps everything
         val threshold = (lit(2.0) * p - lit(1.0)) * lit(Long.MaxValue.toDouble)

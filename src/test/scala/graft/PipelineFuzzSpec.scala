@@ -94,9 +94,10 @@ class PipelineFuzzSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
 
       // brute force over the SAME tiebreak the operator derives (hash of
-      // every input column, input column order)
+      // every input column then every column's isNull flag, input order)
       val hashed = df
-        .withColumn("tb", xxhash64(df.columns.map(col): _*))
+        .withColumn("tb", xxhash64((df.columns.map(col) ++
+          df.columns.map(c => col(c).isNull)): _*))
         .collect()
         .map(r => (r.getLong(0), Option(r.getString(1)),
           if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))

@@ -319,6 +319,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.count(_._1 == 5L) === 2, "exactly two of the tied ord=5 rows")
   }
 
+  test("capPerKey: rows differing only in null pattern cap at exactly n") {
+    import spark.implicits._
+    // xxhash64 skips NULL children, so without the isNull flags these two
+    // rows would share a tiebreak and both survive a cap of 1
+    val df = Seq(("d", 5L, Option.empty[String], Option("x")),
+      ("d", 5L, Option("x"), Option.empty[String])).toDF("k", "v", "a", "b")
+    val kept = Pipeline.capPerKey(df, col("k"), col("v"), 1).collect()
+    assert(kept.length === 1, "null-pattern twins must not both survive")
+    // caller-supplied tiebreak: deterministic, narrow, and decisive —
+    // boolean casts to 0/1, so the null-a row (1) loses to the other (0)
+    val tb = Pipeline.capPerKey(df, col("k"), col("v"), 1,
+      tiebreak = Some(col("a").isNull.cast("long")))
+    assert(tb.collect().map(r => r.isNullAt(2)).toSeq === Seq(false))
+    // reserved name guard
+    val bad = df.withColumn("__graft_tb__", lit(1L))
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.capPerKey(bad, col("k"), col("v"), 1)
+    }
+    assert(ex.getMessage.contains("__graft_tb__"))
+  }
+
   test("capPerKey: bit-identical duplicate rows are the documented residual") {
     import spark.implicits._
     // copies of a winning row are indistinguishable by value: all survive

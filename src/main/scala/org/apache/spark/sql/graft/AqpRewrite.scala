@@ -685,11 +685,19 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // wrap in the enforcement node (driver/physical post-pass —
         // reference `AQPRules.scala:115-519`).
         //
-        // ORDER BY / LIMIT are peeled off the top and re-applied ABOVE the
-        // enforcement node: enforcement must see EVERY group — a pre-union
-        // LIMIT would pick group keys by their sampled estimates and a
-        // limited fallback would drop failing keys, so `top-k with partial
-        // routing` could return fewer than k (or wrong) groups.
+        // For the ROUTING behaviors, ORDER BY / LIMIT are peeled off the
+        // top and re-applied ABOVE the enforcement node: enforcement must
+        // see EVERY group — a pre-union LIMIT would pick group keys by
+        // their sampled estimates and a limited fallback would drop
+        // failing keys, so `top-k with partial routing` could return fewer
+        // than k (or wrong) groups. STRICT is the opposite: the check
+        // wraps the WHOLE tree, limit included, so only rows the query
+        // actually returns are enforced — the reference's lazy per-row
+        // ApproxColumn evaluation never touches limited-out groups
+        // (AbstractAQPDataFrameAPIPart1Test "group by queries with limit
+        // not throwing exception if the relative error for valid rows is
+        // within limit"), and a failing group outside the top-k must not
+        // fail the query.
         def peel(p: LogicalPlan)
             : (LogicalPlan, Seq[SortOrder], LogicalPlan => LogicalPlan) = p match {
           case g: GlobalLimit => g.child match {
@@ -703,7 +711,9 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             (s.child, s.order, inner => s.withNewChildren(Seq(inner)))
           case other => (other, Nil, identity)
         }
-        val (coreTree, sortOrder, rewrap) = peel(tree)
+        val (coreTree, sortOrder, rewrap) =
+          if (behavior == HacBehavior.Strict) (tree, Nil, identity[LogicalPlan] _)
+          else peel(tree)
         val (coreChild, _, _) = peel(child)
         val hidden = cfAggs.values.toSeq.zipWithIndex.map { case (a, i) =>
           // empty-group guard: a NULL struct (zero input rows) reads as

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Unevaluable, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -56,3 +57,33 @@ object ErrorEstimateStub {
  * requested limit (reference `closedform/closedFormError.scala` —
  * `ErrorLimitExceededException`). */
 class ErrorLimitExceededException(msg: String) extends RuntimeException(msg)
+
+/** BEHAVIOR 'strict' as a boolean filter predicate: true when the row's
+ * relative error is within the limit, throws [[ErrorLimitExceededException]]
+ * when it is not. Placed in a `Filter` ABOVE the query's sort/limit, so only
+ * rows the query actually RETURNS are enforced — the reference's per-row
+ * ApproxColumn evaluation likewise never touches limited-out groups
+ * (`AbstractAQPDataFrameAPIPart1Test` "group by queries with limit not
+ * throwing exception ..."). Declared non-deterministic so the optimizer
+ * cannot relocate the check through the sort/limit it must stay above. */
+case class StrictErrorCheck(relErr: Expression, limit: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def child: Expression = relErr
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = relErr.eval(input)
+    // NULL relative error = empty group / omitted cell — nothing to enforce
+    if (v != null && v.asInstanceOf[Double] > limit) {
+      throw new ErrorLimitExceededException(
+        s"relative error ${v.asInstanceOf[Double]} exceeds limit $limit " +
+          "(BEHAVIOR 'strict')")
+    }
+    true
+  }
+  override protected def withNewChildInternal(newChild: Expression): StrictErrorCheck =
+    copy(relErr = newChild)
+  override def prettyName: String = "strict_error_check"
+}

@@ -690,14 +690,17 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // see EVERY group — a pre-union LIMIT would pick group keys by
         // their sampled estimates and a limited fallback would drop
         // failing keys, so `top-k with partial routing` could return fewer
-        // than k (or wrong) groups. STRICT is the opposite: the check
-        // wraps the WHOLE tree, limit included, so only rows the query
+        // than k (or wrong) groups. STRICT is the opposite: the check sits
+        // ABOVE the whole tree, limit included, so only rows the query
         // actually returns are enforced — the reference's lazy per-row
         // ApproxColumn evaluation never touches limited-out groups
         // (AbstractAQPDataFrameAPIPart1Test "group by queries with limit
         // not throwing exception if the relative error for valid rows is
         // within limit"), and a failing group outside the top-k must not
-        // fail the query.
+        // fail the query. It needs no enforcement exec node at all: a
+        // Filter whose (non-deterministic, so never relocated) predicate
+        // throws on a failing row — declarative, and never an operator
+        // consuming another operator's transient row memory.
         def peel(p: LogicalPlan)
             : (LogicalPlan, Seq[SortOrder], LogicalPlan => LogicalPlan) = p match {
           case g: GlobalLimit => g.child match {
@@ -711,9 +714,19 @@ case class AqpRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             (s.child, s.order, inner => s.withNewChildren(Seq(inner)))
           case other => (other, Nil, identity)
         }
-        val (coreTree, sortOrder, rewrap) =
-          if (behavior == HacBehavior.Strict) (tree, Nil, identity[LogicalPlan] _)
-          else peel(tree)
+        if (behavior == HacBehavior.Strict) {
+          val checks = cfAggs.values.toSeq.map { a =>
+            // empty-group guard: a NULL struct (zero input rows) reads as
+            // a NULL relative error — nothing to enforce, the row passes
+            StrictErrorCheck(
+              GetStructField(a.toAttribute, 4, Some("relative_error")), error)
+          }
+          val pred =
+            if (checks.isEmpty) Literal(true)
+            else checks.map(_.asInstanceOf[Expression]).reduce(And)
+          return Project(visible, Filter(pred, tree))
+        }
+        val (coreTree, sortOrder, rewrap) = peel(tree)
         val (coreChild, _, _) = peel(child)
         val hidden = cfAggs.values.toSeq.zipWithIndex.map { case (a, i) =>
           // empty-group guard: a NULL struct (zero input rows) reads as

@@ -83,21 +83,10 @@ case class HacExec(
 
     behavior match {
       case HacBehavior.Strict =>
-        child.execute().mapPartitions { iter =>
-          val proj = UnsafeProjection.create(visible, childOutput)
-          iter.map { row =>
-            var i = total - nHid
-            while (i < total) {
-              if (!row.isNullAt(i) && row.getDouble(i) > limit) {
-                throw new ErrorLimitExceededException(
-                  s"relative error ${row.getDouble(i)} exceeds limit $limit " +
-                    "(BEHAVIOR 'strict')")
-              }
-              i += 1
-            }
-            proj(row)
-          }
-        }
+        // strict is a declarative StrictErrorCheck Filter above the query's
+        // sort/limit (AqpRewrite) — it never reaches this node
+        throw new IllegalStateException(
+          "BEHAVIOR 'strict' is enforced by StrictErrorCheck, not HacExec")
 
       case HacBehavior.RerouteToBase | HacBehavior.PartialRouting =>
         // Distributed failure detection. The reference collects every

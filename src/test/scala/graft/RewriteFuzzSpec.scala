@@ -308,4 +308,95 @@ class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("30 random shapes: the DataFrame-API path answers identically to SQL") {
+    // the two entry points build different trees (parser + clause rewrite
+    // vs implicits + placeholder) that must converge on the SAME rewritten
+    // plan — the strict-above-limit divergence was exactly this seam.
+    // Same sample, same estimator ⇒ bit-identical answers (or the same
+    // throw) on every generated shape.
+    import org.apache.spark.sql.functions._
+    import graft.aqp.functions
+    import graft.implicits._
+    gs
+    gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS li_fz_s3 ON li_fz " +
+      "OPTIONS(qcs 'l_returnflag', fraction '0.3')")
+    val li = spark.table("li_fz")
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 30).foreach { i =>
+      val groups = rnd.shuffle(grpCols).take(1 + rnd.nextInt(2))
+      val nAgg = 1 + rnd.nextInt(2)
+      val aggSqls = scala.collection.mutable.ArrayBuffer.empty[String]
+      val aggCols = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
+      (0 until nAgg).foreach { j =>
+        val c = numCols(rnd.nextInt(numCols.length))
+        rnd.nextInt(3) match {
+          case 0 => aggSqls += s"sum($c) AS a$j"; aggCols += sum(col(c)).alias(s"a$j")
+          case 1 => aggSqls += s"avg($c) AS a$j"; aggCols += avg(col(c)).alias(s"a$j")
+          case 2 => aggSqls += s"count(*) AS a$j"; aggCols += count(lit(1)).alias(s"a$j")
+        }
+        rnd.nextInt(3) match {
+          case 0 =>
+            aggSqls += s"absolute_error(a$j) AS e$j"
+            aggCols += functions.absolute_error(s"a$j").alias(s"e$j")
+          case 1 =>
+            aggSqls += s"relative_error(a$j) AS e$j"
+            aggCols += functions.relative_error(s"a$j").alias(s"e$j")
+          case 2 =>
+            aggSqls += s"upper_bound(a$j) AS e$j"
+            aggCols += functions.upper_bound(s"a$j").alias(s"e$j")
+        }
+      }
+      val orderSpec = rnd.nextInt(3) match {
+        case 0 => None
+        case 1 => Some((groups.head, col(groups.head)))
+        case 2 => Some(("a0", col("a0")))
+      }
+      val limitN = if (orderSpec.nonEmpty && rnd.nextBoolean()) Some(1 + rnd.nextInt(3)) else None
+      val behavior = Seq("do_nothing", "local_omit", "run_on_full_table",
+        "strict")(rnd.nextInt(4))
+      val err = Seq(0.9, 0.5, 0.05, 0.001)(rnd.nextInt(4))
+
+      val sql =
+        s"SELECT ${groups.mkString(", ")}, ${aggSqls.mkString(", ")} FROM li_fz " +
+          s"GROUP BY ${groups.mkString(", ")}" +
+          orderSpec.map(o => s" ORDER BY ${o._1}").getOrElse("") +
+          limitN.map(n => s" LIMIT $n").getOrElse("") +
+          s" WITH ERROR $err CONFIDENCE 0.95 BEHAVIOR '$behavior'"
+      var df = li.groupBy(groups.map(col): _*).agg(aggCols.head, aggCols.tail.toSeq: _*)
+      orderSpec.foreach { o => df = df.orderBy(o._2) }
+      limitN.foreach { n => df = df.limit(n) }
+
+      def runToOutcome(f: => Array[org.apache.spark.sql.Row]): Either[String, Seq[Seq[Any]]] =
+        try {
+          // normalize to sorted value rows (unordered shapes have no
+          // deterministic row order)
+          Right(f.map(_.toSeq).toSeq.sortBy(_.mkString("|")))
+        } catch {
+          case e: Throwable =>
+            val s = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+            assert(s.contains("ErrorLimitExceeded"),
+              s"query $i unexpected failure: $sql\n$e")
+            Left("limit_exceeded")
+        }
+      val sqlOut = runToOutcome(gs.sql(sql).collect())
+      val dfOut = runToOutcome(df.withError(err, 0.95, behavior).collect())
+      (sqlOut, dfOut) match {
+        case (Right(a), Right(b)) =>
+          assert(a.length === b.length, s"query $i row count: $sql")
+          a.zip(b).foreach { case (ra, rb) =>
+            ra.zip(rb).foreach {
+              case (x: Double, y: Double) =>
+                assert((x.isNaN && y.isNaN) ||
+                  math.abs(x - y) <= math.max(1e-9, math.abs(y) * 1e-12),
+                  s"query $i: $x vs $y\n$sql")
+              case (x, y) => assert(x === y, s"query $i: $x vs $y\n$sql")
+            }
+          }
+        case (a, b) =>
+          assert(a === b, s"query $i outcomes diverge (sql=$a df=$b): $sql")
+      }
+    }
+    new GraftSession(spark).dropSampleTable("li_fz_s3")
+  }
 }

@@ -42,17 +42,15 @@ class CommonBugs8Spec extends AnyFunSuite with BeforeAndAfterAll {
     super.afterAll()
   }
 
-  /** per-group relative errors under do_nothing, plus a limit value that
-    * passes exactly one group */
-  private lazy val (doNothingRows, splitLimit): (Array[(String, Double, Double)], Double) = {
+  /** an error limit that exactly one group's relative error passes */
+  private lazy val splitLimit: Double = {
     gs
-    val dn = gs.sql(
+    val res = gs.sql(
       """SELECT l_returnflag, sum(l_quantity) AS s, relative_error(s) AS re
         |FROM li_cb8 GROUP BY 1 WITH ERROR 0.9""".stripMargin)
-      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
-    val res = dn.map(_._3).sorted
+      .collect().map(_.getDouble(2)).sorted
     assume(res.distinct.length >= 2, "need distinct per-group errors")
-    (dn, (res(0) + res(1)) / 2)
+    (res(0) + res(1)) / 2
   }
 
   test("AQP-130: ORDER BY a relative_error alias sorts by the error values") {

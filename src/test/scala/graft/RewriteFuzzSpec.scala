@@ -319,10 +319,32 @@ class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.aqp.functions
     import graft.implicits._
     gs
-    gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS li_fz_s3 ON li_fz " +
+    // a SEPARATE base over its own files: li_fz's full-fraction sample
+    // would always outrank a 0.3 sample (same tier, larger fraction),
+    // running every shape at exactly-zero error — and sample matching is
+    // by plan, so a mere second VIEW over the same parquet still matches
+    // it. A physically distinct copy makes li_fz2_s3 the only candidate.
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_dfsql").toString + "/li"
+    spark.read.parquet(s"$sf/lineitem.parquet").write.parquet(cpDir)
+    spark.read.parquet(cpDir).createOrReplaceTempView("li_fz2")
+    gs.sql("CREATE SAMPLE TABLE IF NOT EXISTS li_fz2_s3 ON li_fz2 " +
       "OPTIONS(qcs 'l_returnflag', fraction '0.3')")
-    val li = spark.table("li_fz")
+    val li = spark.table("li_fz2")
     val rnd = new scala.util.Random(20260814L)
+    var sawNonzeroError = false
+    def runToOutcome(label: String)(
+        f: => Array[org.apache.spark.sql.Row]): Either[String, Seq[Seq[Any]]] =
+      try {
+        // normalize to sorted value rows (unordered shapes have no
+        // deterministic row order)
+        Right(f.map(_.toSeq).toSeq.sortBy(_.mkString("|")))
+      } catch {
+        case e: Throwable =>
+          val s = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+          assert(s.contains("ErrorLimitExceeded"),
+            s"$label unexpected failure: $e")
+          Left("limit_exceeded")
+      }
     (0 until 30).foreach { i =>
       val groups = rnd.shuffle(grpCols).take(1 + rnd.nextInt(2))
       val nAgg = 1 + rnd.nextInt(2)
@@ -347,40 +369,34 @@ class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             aggCols += functions.upper_bound(s"a$j").alias(s"e$j")
         }
       }
-      val orderSpec = rnd.nextInt(3) match {
-        case 0 => None
-        case 1 => Some((groups.head, col(groups.head)))
-        case 2 => Some(("a0", col("a0")))
-      }
+      // TOTAL orderings only (all group columns, possibly after a0): a
+      // partial sort with a LIMIT cutting inside a tie would make the two
+      // paths legitimately return different tie rows (same hazard
+      // genQuery's ORDER BY documents)
+      val orderSpec: Option[(String, Seq[org.apache.spark.sql.Column])] =
+        rnd.nextInt(3) match {
+          case 0 => None
+          case 1 => Some((groups.mkString(", "), groups.map(col)))
+          case 2 => Some((("a0" +: groups).mkString(", "),
+            col("a0") +: groups.map(col)))
+        }
       val limitN = if (orderSpec.nonEmpty && rnd.nextBoolean()) Some(1 + rnd.nextInt(3)) else None
       val behavior = Seq("do_nothing", "local_omit", "run_on_full_table",
         "strict")(rnd.nextInt(4))
       val err = Seq(0.9, 0.5, 0.05, 0.001)(rnd.nextInt(4))
 
       val sql =
-        s"SELECT ${groups.mkString(", ")}, ${aggSqls.mkString(", ")} FROM li_fz " +
+        s"SELECT ${groups.mkString(", ")}, ${aggSqls.mkString(", ")} FROM li_fz2 " +
           s"GROUP BY ${groups.mkString(", ")}" +
           orderSpec.map(o => s" ORDER BY ${o._1}").getOrElse("") +
           limitN.map(n => s" LIMIT $n").getOrElse("") +
           s" WITH ERROR $err CONFIDENCE 0.95 BEHAVIOR '$behavior'"
       var df = li.groupBy(groups.map(col): _*).agg(aggCols.head, aggCols.tail.toSeq: _*)
-      orderSpec.foreach { o => df = df.orderBy(o._2) }
+      orderSpec.foreach { o => df = df.orderBy(o._2: _*) }
       limitN.foreach { n => df = df.limit(n) }
 
-      def runToOutcome(f: => Array[org.apache.spark.sql.Row]): Either[String, Seq[Seq[Any]]] =
-        try {
-          // normalize to sorted value rows (unordered shapes have no
-          // deterministic row order)
-          Right(f.map(_.toSeq).toSeq.sortBy(_.mkString("|")))
-        } catch {
-          case e: Throwable =>
-            val s = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
-            assert(s.contains("ErrorLimitExceeded"),
-              s"query $i unexpected failure: $sql\n$e")
-            Left("limit_exceeded")
-        }
-      val sqlOut = runToOutcome(gs.sql(sql).collect())
-      val dfOut = runToOutcome(df.withError(err, 0.95, behavior).collect())
+      val sqlOut = runToOutcome(s"query $i sql=$sql")(gs.sql(sql).collect())
+      val dfOut = runToOutcome(s"query $i df")(df.withError(err, 0.95, behavior).collect())
       (sqlOut, dfOut) match {
         case (Right(a), Right(b)) =>
           assert(a.length === b.length, s"query $i row count: $sql")
@@ -393,10 +409,39 @@ class RewriteFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
               case (x, y) => assert(x === y, s"query $i: $x vs $y\n$sql")
             }
           }
+          // error cells sit at groups.size + 2j + 1 (each aggregate is
+          // followed by its error function)
+          (0 until nAgg).foreach { j =>
+            val idx = groups.size + 2 * j + 1
+            if (a.exists(_(idx) match {
+              case d: Double => d != 0.0 && !d.isNaN
+              case _ => false
+            })) sawNonzeroError = true
+          }
         case (a, b) =>
           assert(a === b, s"query $i outcomes diverge (sql=$a df=$b): $sql")
       }
     }
-    new GraftSession(spark).dropSampleTable("li_fz_s3")
+    // effectiveness guard: at fraction 0.3 the sweep must actually visit
+    // nonzero errors — an all-exact run (e.g. a full-fraction sample
+    // silently outranking ours again) would pass every comparison while
+    // testing nothing
+    assert(sawNonzeroError, "sweep never saw a nonzero error — wrong sample?")
+    // deterministic coda (the random budgets rarely land below the ~0.3%
+    // relative errors a 30% sample produces): an impossible strict budget
+    // must throw the SAME outcome on both paths
+    val strictSql = runToOutcome("strict coda sql")(gs.sql(
+      "SELECT l_returnflag, sum(l_quantity) AS a0, relative_error(a0) AS e0 " +
+        "FROM li_fz2 GROUP BY l_returnflag " +
+        "WITH ERROR 0.0000001 CONFIDENCE 0.95 BEHAVIOR 'strict'").collect())
+    val strictDf = runToOutcome("strict coda df")(
+      li.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).alias("a0"),
+          functions.relative_error("a0").alias("e0"))
+        .withError(0.0000001, 0.95, "strict").collect())
+    assert(strictSql === Left("limit_exceeded") && strictDf === Left("limit_exceeded"),
+      s"both entry points must throw on an impossible strict budget: " +
+        s"sql=$strictSql df=$strictDf")
+    new GraftSession(spark).dropSampleTable("li_fz2_s3")
   }
 }

@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
  * REAL by [[HeaderDecoder]] — pure byte-level parsing of PNG / JPEG / GIF /
  * BMP / WAV container headers. Pixel and PCM payloads are ALSO decoded for
  * real by [[PixelDecoder]] (pure-JVM PNG inflate+unfilter, BMP, GIF-LZW,
- * WAV PCM; ImageIO fallback for JPEG) — see [[decodePixels]],
+ * WAV PCM, baseline-JPEG Huffman+DCT; ImageIO only for exotic corners) —
+ * see [[decodePixels]],
  * [[pixelStats]], [[audioStats]], [[PixelStatExtractor]]. Only NEURAL
  * feature extraction remains stubbed ([[StubExtractor]] — no NN runtime in
  * this container); its batch contract is what an ONNX/JNI encoder needs.

@@ -4,9 +4,11 @@ import java.util.zip.Inflater
 
 /**
  * Real pixel/sample decode for the multimodal column path — pure-JVM
- * byte-level decoders for the containers whose codecs need nothing beyond
- * `java.util.zip` (PNG's zlib stream, BMP's raw rows, GIF's LZW, WAV's PCM),
- * with a `javax.imageio` fallback for entropy-coded formats (JPEG).
+ * byte-level decoders for every supported container: PNG's zlib stream,
+ * BMP's raw rows, GIF's LZW, WAV's PCM, and baseline JPEG's Huffman+DCT
+ * pipeline ([[Jpeg]]). `javax.imageio` remains only as the fallback for
+ * the rare unsupported corners (progressive/arithmetic/CMYK JPEG,
+ * exotic PNG bit depths).
  *
  * This upgrades the reference-scope "decode is stubbed" position
  * (`Multimodal.StubDecoder`): header metadata AND pixel payloads are now
@@ -51,7 +53,13 @@ object PixelDecoder {
       val p = gif(bytes)
       return if (p != null) p else viaImageIO(bytes)
     }
-    if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) return viaImageIO(bytes)
+    if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) {
+      // baseline sequential decodes pure-JVM ([[Jpeg]]); progressive /
+      // arithmetic / CMYK fall back to ImageIO like other formats'
+      // unsupported corners
+      val p = Jpeg.decode(bytes)
+      return if (p != null) p else viaImageIO(bytes)
+    }
     null
   }
 

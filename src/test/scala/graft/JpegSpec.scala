@@ -1,0 +1,192 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{Jpeg, PixelDecoder}
+
+/**
+ * Pure-JVM baseline JPEG decoder vs the JDK's own codec AND vs the
+ * pre-encode raster. JPEG decoding is not bit-exact across
+ * implementations — T.81 bounds IDCT error rather than fixing it, and the
+ * JDK reader uses triangle chroma upsampling where we use nearest, which
+ * on a steep gradient legitimately differs by ~half the chroma step
+ * between adjacent subsampled samples — so ImageIO comparisons branch
+ * their tolerance on the stream's ACTUAL sampling factors (sniffed from
+ * SOF), and absolute correctness is pinned against the original raster
+ * on smooth content where JPEG loss is small. ImageIO's gray path is NOT
+ * usable as a reference: `getRGB` on TYPE_BYTE_GRAY runs the linear-gray
+ * → sRGB color transform, distorting raw sample values — gray compares
+ * go against the raster directly.
+ */
+class JpegSpec extends AnyFunSuite {
+
+  private def encode(img: BufferedImage, quality: Float): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  private def gradient(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / math.max(1, w - 1)
+      val g = (y * 255) / math.max(1, h - 1)
+      val b = ((x + y) * 255) / math.max(1, w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  /** first component's h<<4|v from the SOF0 segment (0x11 = no chroma
+    * subsampling; 0x22 = 4:2:0) */
+  private def sofSampling(bytes: Array[Byte]): Int = {
+    var i = 2
+    while (i + 3 < bytes.length) {
+      val m = bytes(i + 1) & 0xFF
+      if (bytes(i) == 0xFF.toByte && (m == 0xC0 || m == 0xC1))
+        return bytes(i + 4 + 7) & 0xFF
+      if (bytes(i) == 0xFF.toByte && m != 0xD8 && !(m >= 0xD0 && m <= 0xD7))
+        i += 2 + (((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF))
+      else i += 2
+    }
+    -1
+  }
+
+  /** (max, mean) per-sample abs diff of our decode vs ImageIO's (RGB) */
+  private def diffVsImageIO(bytes: Array[Byte]): (Int, Double) = {
+    val mine = Jpeg.decode(bytes)
+    assert(mine != null, "baseline stream must decode pure-JVM")
+    val ref = PixelDecoder.viaImageIO(bytes)
+    assert(mine.width === ref.width && mine.height === ref.height)
+    var maxD = 0
+    var sum = 0L
+    var n = 0
+    for (y <- 0 until ref.height; x <- 0 until ref.width; c <- 0 until 3) {
+      val m =
+        if (mine.channels == 1) mine.data(y * mine.width + x) & 0xFF
+        else mine.data((y * mine.width + x) * mine.channels + c) & 0xFF
+      val r = ref.data((y * ref.width + x) * ref.channels + c) & 0xFF
+      val d = math.abs(m - r)
+      if (d > maxD) maxD = d
+      sum += d
+      n += 1
+    }
+    (maxD, sum.toDouble / n)
+  }
+
+  /** (max, mean) per-sample abs diff of our decode vs the ORIGINAL raster */
+  private def diffVsOriginal(bytes: Array[Byte], img: BufferedImage): (Int, Double) = {
+    val mine = Jpeg.decode(bytes)
+    assert(mine != null && mine.width === img.getWidth && mine.height === img.getHeight)
+    var maxD = 0
+    var sum = 0L
+    var n = 0
+    for (y <- 0 until mine.height; x <- 0 until mine.width; c <- 0 until 3) {
+      val m = mine.data((y * mine.width + x) * mine.channels +
+        (if (mine.channels == 1) 0 else c)) & 0xFF
+      val o = (img.getRGB(x, y) >> ((2 - c) * 8)) & 0xFF
+      val d = math.abs(m - o)
+      if (d > maxD) maxD = d
+      sum += d
+      n += 1
+    }
+    (maxD, sum.toDouble / n)
+  }
+
+  test("gradient: matches ImageIO within sampling-aware bounds, original within loss") {
+    for (q <- Seq(0.97f, 0.8f, 0.5f)) {
+      val img = gradient(64, 48)
+      val bytes = encode(img, q)
+      val fac = sofSampling(bytes)
+      val (maxD, meanD) = diffVsImageIO(bytes)
+      // 4:4:4: only IDCT/rounding differences; subsampled: + nearest-vs-
+      // triangle upsampling, bounded by ~half the chroma step per chroma
+      // sample on this gradient (255 * 2 / 64 ≈ 8 chroma units → ~14 RGB)
+      val (maxTol, meanTol) = if (fac == 0x11) (3, 1.0) else (16, 2.5)
+      assert(maxD <= maxTol, s"q=$q fac=$fac max per-sample diff $maxD")
+      assert(meanD <= meanTol, s"q=$q fac=$fac mean per-sample diff $meanD")
+      // absolute pin: smooth content at q>=0.5 stays close to the source
+      val (maxO, meanO) = diffVsOriginal(bytes, img)
+      assert(maxO <= 24 && meanO <= 4.0,
+        s"q=$q decode strays from the original: max $maxO mean $meanO")
+    }
+  }
+
+  test("uniform color decodes to (almost) exactly that color") {
+    val img = new BufferedImage(40, 24, BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(180, 90, 40))
+    g2.fillRect(0, 0, 40, 24)
+    g2.dispose()
+    val p = Jpeg.decode(encode(img, 0.9f))
+    assert(p != null && p.channels === 3 && p.width === 40 && p.height === 24)
+    for (i <- 0 until p.width * p.height) {
+      assert(math.abs((p.data(i * 3) & 0xFF) - 180) <= 3, "R")
+      assert(math.abs((p.data(i * 3 + 1) & 0xFF) - 90) <= 3, "G")
+      assert(math.abs((p.data(i * 3 + 2) & 0xFF) - 40) <= 3, "B")
+    }
+  }
+
+  test("grayscale JPEG decodes raw samples to one channel") {
+    // write the RASTER directly: setRGB/getRGB on TYPE_BYTE_GRAY apply the
+    // gray<->sRGB color transform and would distort the reference values
+    val img = new BufferedImage(33, 17, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until 17; x <- 0 until 33)
+      raster.setSample(x, y, 0, (x * 255) / 32)
+    val bytes = encode(img, 0.95f)
+    val p = Jpeg.decode(bytes)
+    assert(p != null && p.channels === 1 && p.width === 33 && p.height === 17)
+    var maxD = 0
+    for (y <- 0 until 17; x <- 0 until 33) {
+      val d = math.abs((p.data(y * 33 + x) & 0xFF) - (x * 255) / 32)
+      if (d > maxD) maxD = d
+    }
+    assert(maxD <= 6, s"gray max diff vs source raster $maxD")
+  }
+
+  test("non-baseline and non-JPEG inputs return null (fallback contract)") {
+    assert(Jpeg.decode(null) === null)
+    assert(Jpeg.decode(Array[Byte](1, 2, 3, 4)) === null)
+    // truncated baseline stream: must not throw, must not loop
+    val bytes = encode(gradient(16, 16), 0.9f)
+    assert(Jpeg.decode(java.util.Arrays.copyOf(bytes, 10)) === null)
+    // PixelDecoder dispatch still answers (pure-JVM or fallback)
+    assert(PixelDecoder.decode(bytes) != null)
+  }
+
+  test("odd dimensions (partial edge MCUs) decode with exact dims") {
+    for ((w, h) <- Seq((1, 1), (7, 5), (17, 9), (9, 17))) {
+      val img = gradient(w, h)
+      val bytes = encode(img, 0.8f)
+      val p = Jpeg.decode(bytes)
+      assert(p != null && p.width === w && p.height === h, s"dims ${w}x$h")
+      // tiny steep gradients maximize nearest-vs-triangle divergence, so a
+      // direct decoder-vs-decoder bound conflates policy with bugs; the
+      // honest check is that our decode approximates the SOURCE no worse
+      // than the JDK's does (both decode the same lossy bytes)
+      val ref = PixelDecoder.viaImageIO(bytes)
+      var mineSum = 0L
+      var refSum = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val o = (img.getRGB(x, y) >> ((2 - c) * 8)) & 0xFF
+        mineSum += math.abs((p.data((y * w + x) * 3 + c) & 0xFF) - o)
+        refSum += math.abs((ref.data((y * w + x) * ref.channels + c) & 0xFF) - o)
+      }
+      val n = w * h * 3
+      assert(mineSum.toDouble / n <= refSum.toDouble / n + 4.0,
+        s"${w}x$h: our decode strays further from the source than ImageIO " +
+          s"(${mineSum.toDouble / n} vs ${refSum.toDouble / n})")
+    }
+  }
+}

@@ -149,9 +149,12 @@ object Jpeg {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var adobeTransform = -1
     var pos = 2
     while (pos + 3 < b.length) {
       if (b(pos) != 0xFF.toByte) return null
+      // fill bytes: any number of 0xFF may pad before a marker (B.1.1.2)
+      while (pos + 2 < b.length && b(pos + 1) == 0xFF.toByte) pos += 1
       val marker = b(pos + 1) & 0xFF
       if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { pos += 2 }
       else if (marker == 0xD9) return null // EOI before any scan
@@ -204,8 +207,15 @@ object Jpeg {
             }
           case 0xDD =>
             restartInterval = u16(b, seg)
+          case 0xEE => // APP14 (Adobe): transform 0 = components are RGB
+            if (len >= 14 && b(seg) == 'A' && b(seg + 1) == 'd' &&
+              b(seg + 2) == 'o' && b(seg + 3) == 'b' && b(seg + 4) == 'e')
+              adobeTransform = b(seg + 11) & 0xFF
           case 0xDA => // SOS — start the one (sequential) scan
             if (comps == null || width <= 0 || height <= 0) return null
+            // Adobe transform=0 stores raw RGB — our YCbCr matrix would
+            // scramble it; let ImageIO (which honors APP14) handle it
+            if (comps.length == 3 && adobeTransform == 0) return null
             val ns = b(seg) & 0xFF
             if (ns != comps.length) return null
             // MCU interleave follows the SCAN's component order; color
@@ -235,17 +245,36 @@ object Jpeg {
       quant: Array[Array[Int]],
       dcHuff: Array[Huff], acHuff: Array[Huff],
       width: Int, height: Int, restartInterval: Int): Pixels = {
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
+    // a ONE-component scan is non-interleaved per T.81 A.2: one data unit
+    // per MCU on a ceil(w/8) x ceil(h/8) grid, whatever sampling factors
+    // the frame header declares (they only govern multi-component
+    // interleave) — honoring the declared 2x2 here would decode 4x the
+    // blocks the stream holds and return silent garbage
+    val single = comps.length == 1
+    def hOf(c: Component): Int = if (single) 1 else c.h
+    def vOf(c: Component): Int = if (single) 1 else c.v
+    val hMax = comps.map(hOf).max
+    val vMax = comps.map(vOf).max
+    // the color conversion below samples Y at full resolution: a legal-
+    // but-exotic stream with chroma sampled ABOVE luma goes to ImageIO
+    if (!single && (hOf(comps(0)) != hMax || vOf(comps(0)) != vMax)) return null
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // validate BEFORE allocating, and bound the total allocation: a
+    // handful of crafted header bytes must not drive multi-GB plane
+    // allocations (an OutOfMemoryError would kill the task instead of
+    // falling back)
+    var totalBytes = width.toLong * height * 3
     comps.foreach { c =>
-      c.planeW = mcusX * c.h * 8
-      c.planeH = mcusY * c.v * 8
-      if (c.planeW.toLong * c.planeH > Int.MaxValue) return null
-      c.plane = new Array[Byte](c.planeW * c.planeH)
       if (quant(c.tq) == null || dcHuff(c.dcTab) == null ||
         acHuff(c.acTab) == null) return null
+      totalBytes += mcusX.toLong * hOf(c) * 8 * mcusY * vOf(c) * 8
+    }
+    if (totalBytes > (1L << 30)) return null
+    comps.foreach { c =>
+      c.planeW = mcusX * hOf(c) * 8
+      c.planeH = mcusY * vOf(c) * 8
+      c.plane = new Array[Byte](c.planeW * c.planeH)
     }
     val br = new BitReader(b, scanStart)
     val coef = new Array[Int](64)
@@ -267,9 +296,9 @@ object Jpeg {
         val dh = dcHuff(c.dcTab)
         val ah = acHuff(c.acTab)
         var by = 0
-        while (by < c.v) {
+        while (by < vOf(c)) {
           var bx = 0
-          while (bx < c.h) {
+          while (bx < hOf(c)) {
             // ---- Huffman block decode (T.81 F.2.2) ----
             java.util.Arrays.fill(coef, 0)
             val t = dh.decode(br)
@@ -317,8 +346,8 @@ object Jpeg {
               x += 1
             }
             // ---- level shift + clamp into the component plane ----
-            val ox = (mx * c.h + bx) * 8
-            val oy = (my * c.v + by) * 8
+            val ox = (mx * hOf(c) + bx) * 8
+            val oy = (my * vOf(c) + by) * 8
             var yy = 0
             while (yy < 8) {
               val rowBase = (oy + yy) * c.planeW + ox

@@ -165,6 +165,96 @@ class JpegSpec extends AnyFunSuite {
     assert(PixelDecoder.decode(bytes) != null)
   }
 
+  private def findMarker(b: Array[Byte], marker: Int): Int = {
+    var i = 2
+    while (i + 3 < b.length) {
+      val m = b(i + 1) & 0xFF
+      if (b(i) == 0xFF.toByte && m == marker) return i
+      if (b(i) == 0xFF.toByte && m != 0xD8 && !(m >= 0xD0 && m <= 0xD7))
+        i += 2 + (((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF))
+      else i += 2
+    }
+    -1
+  }
+
+  test("grayscale scan is non-interleaved whatever the declared sampling factors") {
+    // T.81 A.2: a one-component scan has one data unit per MCU; the frame
+    // header's factors only govern multi-component interleave. A declared
+    // 2x2 on a gray frame is semantically inert — patched bytes must
+    // decode IDENTICALLY to the original, not to 4x-geometry garbage
+    val img = new BufferedImage(33, 17, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until 17; x <- 0 until 33)
+      raster.setSample(x, y, 0, (x * 255) / 32)
+    val bytes = encode(img, 0.95f)
+    val sof = findMarker(bytes, 0xC0)
+    assert(sof > 0 && (bytes(sof + 4 + 7) & 0xFF) == 0x11)
+    val p0 = Jpeg.decode(bytes)
+    val patched = bytes.clone()
+    patched(sof + 4 + 7) = 0x22.toByte
+    val p1 = Jpeg.decode(patched)
+    assert(p1 != null && p1.width === 33 && p1.height === 17)
+    assert(java.util.Arrays.equals(p0.data, p1.data),
+      "declared gray sampling factors must not change the decode")
+  }
+
+  test("restart markers (DRI) decode within the usual tolerance") {
+    val img = gradient(48, 32)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+    val meta = w.getDefaultImageMetadata(spec, p)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+    val seq = tree.getElementsByTagName("markerSequence").item(0)
+    val dri = new javax.imageio.metadata.IIOMetadataNode("dri")
+    dri.setAttribute("interval", "2")
+    seq.insertBefore(dri, seq.getFirstChild)
+    meta.setFromTree(fmt, tree)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, meta), p)
+    ios.close(); w.dispose()
+    val bytes = bos.toByteArray
+    assert(findMarker(bytes, 0xDD) > 0, "stream must actually carry a DRI segment")
+    assert(bytes.sliding(2).exists(s => s(0) == 0xFF.toByte &&
+      (s(1) & 0xFF) >= 0xD0 && (s(1) & 0xFF) <= 0xD7),
+      "stream must actually carry RSTn markers")
+    val (maxD, meanD) = diffVsImageIO(bytes)
+    val tol = if (sofSampling(bytes) == 0x11) 4 else 16
+    assert(maxD <= tol && meanD <= 2.5,
+      s"restart stream diverges: max $maxD mean $meanD")
+  }
+
+  test("fill bytes before a marker stay on the pure-JVM path") {
+    val bytes = encode(gradient(16, 16), 0.9f)
+    val sos = findMarker(bytes, 0xDA)
+    assert(sos > 0)
+    val padded = new Array[Byte](bytes.length + 1)
+    System.arraycopy(bytes, 0, padded, 0, sos)
+    padded(sos) = 0xFF.toByte // legal fill byte before the SOS marker
+    System.arraycopy(bytes, sos, padded, sos + 1, bytes.length - sos)
+    val p0 = Jpeg.decode(bytes)
+    val p1 = Jpeg.decode(padded)
+    assert(p1 != null, "fill byte must not knock the stream to the fallback")
+    assert(java.util.Arrays.equals(p0.data, p1.data))
+  }
+
+  test("crafted huge-dimension headers reject fast instead of allocating") {
+    val bytes = encode(gradient(16, 16), 0.9f)
+    val sof = findMarker(bytes, 0xC0)
+    val patched = bytes.clone()
+    // height/width -> 46000x46000: would be ~6 GB of planes
+    patched(sof + 5) = 0xB3.toByte; patched(sof + 6) = 0xB0.toByte
+    patched(sof + 7) = 0xB3.toByte; patched(sof + 8) = 0xB0.toByte
+    val t0 = System.nanoTime()
+    assert(Jpeg.decode(patched) === null)
+    assert((System.nanoTime() - t0) / 1e9 < 2.0, "must reject before decoding")
+  }
+
   test("odd dimensions (partial edge MCUs) decode with exact dims") {
     for ((w, h) <- Seq((1, 1), (7, 5), (17, 9), (9, 17))) {
       val img = gradient(w, h)

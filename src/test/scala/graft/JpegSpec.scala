@@ -255,6 +255,32 @@ class JpegSpec extends AnyFunSuite {
     assert((System.nanoTime() - t0) / 1e9 < 2.0, "must reject before decoding")
   }
 
+  test("noise fuzz: random rasters at random sizes/qualities decode sanely") {
+    // white noise maximizes AC energy — long Huffman codes, ZRL runs, EOB
+    // at every position. Structure must be exact; color fidelity is
+    // compared against the JDK decoding the same bytes, branched on the
+    // sampling mode (subsampled noise maximizes nearest-vs-triangle
+    // divergence, so only the mean is bounded there).
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 8).foreach { i =>
+      val w = 1 + rnd.nextInt(70)
+      val h = 1 + rnd.nextInt(70)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF)
+      val q = 0.3f + rnd.nextFloat() * 0.65f
+      val bytes = encode(img, q)
+      val mine = Jpeg.decode(bytes)
+      assert(mine != null && mine.width === w && mine.height === h,
+        s"fuzz $i ${w}x$h q=$q")
+      val (maxD, meanD) = diffVsImageIO(bytes)
+      if (sofSampling(bytes) == 0x11) {
+        assert(maxD <= 4, s"fuzz $i ${w}x$h q=$q 4:4:4 max diff $maxD")
+      } else {
+        assert(meanD <= 16.0, s"fuzz $i ${w}x$h q=$q subsampled mean diff $meanD")
+      }
+    }
+  }
+
   test("odd dimensions (partial edge MCUs) decode with exact dims") {
     for ((w, h) <- Seq((1, 1), (7, 5), (17, 9), (9, 17))) {
       val img = gradient(w, h)

@@ -201,6 +201,30 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(df.count() === 3)
   }
 
+  test("strict check stays a Filter ABOVE the sort/limit through optimization") {
+    // the returned-rows-only semantics (and the SortExec memory-safety
+    // story) depend on the optimizer NOT relocating the non-deterministic
+    // StrictErrorCheck filter below the sort or limit it must guard
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Sort, GlobalLimit}
+    val df = gs.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s, relative_error(s) AS re
+        |FROM li_ps GROUP BY 1 ORDER BY re ASC LIMIT 2
+        |WITH ERROR 0.9 BEHAVIOR 'strict'""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    val checkFilters = optimized.collect {
+      case f: Filter if f.condition.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.StrictErrorCheck]) => f
+    }
+    assert(checkFilters.size === 1, s"expected one strict filter:\n$optimized")
+    val under = checkFilters.head.child
+    assert(under.exists(_.isInstanceOf[GlobalLimit]) &&
+      under.exists(_.isInstanceOf[Sort]),
+      s"sort and limit must sit BELOW the strict filter:\n$optimized")
+    // and no enforcement exec node appears for strict
+    assert(!df.queryExecution.executedPlan.toString.contains("Hac"),
+      "strict must not plan a Hac enforcement node")
+  }
+
   test("AqpInfo reports the analysis type (AssertAQPAnalysis parity)") {
     import org.apache.spark.sql.graft.AqpInfo
     val base = "SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS ae " +

@@ -117,13 +117,22 @@ object Jpeg {
       if (n == 0) 0
       else if (v < (1 << (n - 1))) v - (1 << n) + 1
       else v
-    /** Byte-align and consume an expected RSTn marker. */
-    def restart(): Unit = {
+    /** Byte-align and consume an expected RSTn marker. The modulo-8
+     * sequence number is CHECKED (E.1.4 cycles D0..D7): a dropped or
+     * duplicated restart marker would otherwise resync to the wrong
+     * interval and decode misaligned MCUs as plausible-looking garbage —
+     * throwing instead routes the stream to the ImageIO fallback. */
+    def restart(expected: Int): Unit = {
       cnt = 0
       // skip any fill bytes up to the marker
       while (pos + 1 < b.length && !((b(pos) & 0xFF) == 0xFF &&
         ((b(pos + 1) & 0xFF) >= 0xD0 && (b(pos + 1) & 0xFF) <= 0xD7))) pos += 1
-      if (pos + 1 < b.length) pos += 2
+      if (pos + 1 < b.length) {
+        val n = (b(pos + 1) & 0xFF) - 0xD0
+        if (n != expected) throw new IllegalStateException(
+          s"restart marker out of sequence: expected RST$expected, got RST$n")
+        pos += 2
+      }
     }
   }
 
@@ -284,7 +293,7 @@ object Jpeg {
     val totalMcus = mcusX * mcusY
     while (mcu < totalMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        br.restart()
+        br.restart((mcu / restartInterval - 1) & 7)
         comps.foreach(_.pred = 0)
       }
       val mx = mcu % mcusX

@@ -442,11 +442,24 @@ object Pipeline {
     // mis-resolve. xxhash64 skips NULL children (the seed passes through
     // unchanged), so rows differing only in WHICH columns are null would
     // collide — the isNull flags (never null themselves) pin each
-    // column's presence into the hash chain.
-    val attrs = df.queryExecution.analyzed.output.map(Exprs.column)
+    // column's presence into the hash chain. Map-typed columns are
+    // excluded (xxhash64 rejects MapType — its entry order is undefined);
+    // their presence flags still participate, and callers who need map
+    // CONTENT in the tiebreak pass one explicitly.
+    val analyzed = df.queryExecution.analyzed.output
+    val hashable = analyzed.filterNot(a => Exprs.containsMap(a.dataType))
+    val attrs = hashable.map(Exprs.column) ++
+      analyzed.map(a => Exprs.column(a).isNull)
     val tbCol = tiebreak.getOrElse(
-      xxhash64((attrs ++ attrs.map(_.isNull)): _*))
-    val withTb = df.withColumn(TB, tbCol.cast("long"))
+      if (attrs.isEmpty) lit(0L) else xxhash64(attrs: _*))
+    // both phases must share one NULL convention: BoundedMinN ranks a null
+    // tiebreak as 0, but the membership join's `=== __graft_t__` is
+    // null-rejecting — a caller-supplied tiebreak whose cast('long') is
+    // NULL (a hex-string content hash, say) would win aggregate slots yet
+    // never match the join. TRY cast + coalesce pins {NULL, malformed}→0
+    // on both sides (under ANSI a plain cast would instead kill the job on
+    // the first odd value).
+    val withTb = df.withColumn(TB, coalesce(Exprs.tryCastLong(tbCol), lit(0L)))
     val ordLong = ord.cast("long")
     val keepCol = Exprs.column(
       BoundedMinN(Exprs.expression(ordLong), Exprs.expression(col(TB)),

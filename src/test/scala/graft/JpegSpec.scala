@@ -198,8 +198,7 @@ class JpegSpec extends AnyFunSuite {
       "declared gray sampling factors must not change the decode")
   }
 
-  test("restart markers (DRI) decode within the usual tolerance") {
-    val img = gradient(48, 32)
+  private def encodeWithDri(img: BufferedImage, interval: Int): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -210,7 +209,7 @@ class JpegSpec extends AnyFunSuite {
     val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
     val seq = tree.getElementsByTagName("markerSequence").item(0)
     val dri = new javax.imageio.metadata.IIOMetadataNode("dri")
-    dri.setAttribute("interval", "2")
+    dri.setAttribute("interval", interval.toString)
     seq.insertBefore(dri, seq.getFirstChild)
     meta.setFromTree(fmt, tree)
     val bos = new ByteArrayOutputStream()
@@ -218,7 +217,11 @@ class JpegSpec extends AnyFunSuite {
     w.setOutput(ios)
     w.write(null, new javax.imageio.IIOImage(img, null, meta), p)
     ios.close(); w.dispose()
-    val bytes = bos.toByteArray
+    bos.toByteArray
+  }
+
+  test("restart markers (DRI) decode within the usual tolerance") {
+    val bytes = encodeWithDri(gradient(48, 32), 2)
     assert(findMarker(bytes, 0xDD) > 0, "stream must actually carry a DRI segment")
     assert(bytes.sliding(2).exists(s => s(0) == 0xFF.toByte &&
       (s(1) & 0xFF) >= 0xD0 && (s(1) & 0xFF) <= 0xD7),
@@ -227,6 +230,31 @@ class JpegSpec extends AnyFunSuite {
     val tol = if (sofSampling(bytes) == 0x11) 4 else 16
     assert(maxD <= tol && meanD <= 2.5,
       s"restart stream diverges: max $maxD mean $meanD")
+  }
+
+  test("out-of-sequence restart marker falls back instead of decoding garbage") {
+    // E.1.4: RSTn sequence numbers cycle D0..D7. A dropped or duplicated
+    // marker (here simulated by renumbering one) means the decoder's MCU
+    // counter and the stream's interval boundary disagree — the pure-JVM
+    // path must REFUSE (return null, routing to ImageIO) rather than
+    // resync blindly and emit plausible-looking misaligned blocks.
+    val bytes = encodeWithDri(gradient(48, 32), 2)
+    val sos = findMarker(bytes, 0xDA)
+    assert(sos > 0)
+    var i = sos
+    var rst = -1
+    while (rst < 0 && i + 1 < bytes.length) {
+      if (bytes(i) == 0xFF.toByte &&
+        (bytes(i + 1) & 0xFF) >= 0xD0 && (bytes(i + 1) & 0xFF) <= 0xD7) rst = i
+      i += 1
+    }
+    assert(rst > 0, "stream must actually carry RSTn markers")
+    val corrupted = bytes.clone()
+    val n = corrupted(rst + 1) & 0x07
+    corrupted(rst + 1) = (0xD0 + ((n + 3) & 7)).toByte // still a valid RSTn, wrong seq
+    assert(Jpeg.decode(bytes) != null, "uncorrupted stream must decode")
+    assert(Jpeg.decode(corrupted) == null,
+      "renumbered restart marker must fall back, not decode misaligned MCUs")
   }
 
   test("fill bytes before a marker stay on the pure-JVM path") {

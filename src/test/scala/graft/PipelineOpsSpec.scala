@@ -340,6 +340,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("__graft_tb__"))
   }
 
+  test("capPerKey: NULL-casting caller tiebreak still returns n rows per key") {
+    import spark.implicits._
+    // a tiebreak whose cast('long') is NULL (a hex-string content hash,
+    // say) is ranked 0 inside BoundedMinN; the membership join must share
+    // that NULL→0 convention or such rows win aggregate slots yet never
+    // match the (null-rejecting) equality — keys would silently return
+    // fewer than n rows, possibly zero
+    val df = Seq(("a", 1L, "ff01"), ("a", 2L, "ab"), ("a", 3L, "0c"),
+      ("b", 9L, "deadbeef")).toDF("k", "v", "hex")
+    val kept = Pipeline.capPerKey(df, col("k"), col("v"), 2,
+      tiebreak = Some(col("hex"))) // cast('long') of hex strings = NULL
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept === Set(("a", 1L), ("a", 2L), ("b", 9L)))
+    // and a MIX of null and non-null casts ranks nulls as 0 consistently:
+    // with cap 1 and equal ord, the null-cast row (0) beats the 7
+    val mix = Seq(("c", 5L, "xx"), ("c", 5L, "7")).toDF("k", "v", "t")
+    val one = Pipeline.capPerKey(mix, col("k"), col("v"), 1,
+      tiebreak = Some(col("t"))).collect()
+    assert(one.length === 1 && one(0).getString(2) === "xx")
+  }
+
+  test("capPerKey: map-typed columns don't break the default tiebreak") {
+    import spark.implicits._
+    // xxhash64 rejects MapType (allowHashOnMapType=false): the default
+    // hash-everything tiebreak must exclude map columns (their isNull
+    // flags still participate) instead of throwing AnalysisException
+    val df = Seq(("a", 1L, Map("x" -> 1)), ("a", 2L, Map("y" -> 2)),
+      ("a", 3L, Map.empty[String, Int])).toDF("k", "v", "m")
+    val kept = Pipeline.capPerKey(df, col("k"), col("v"), 2)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(kept === Seq(1L, 2L))
+    // ties still cap at n when the non-map columns disambiguate
+    val tied = Seq(("a", 5L, "p", Map("x" -> 1)), ("a", 5L, "q", Map("x" -> 1)),
+      ("a", 5L, "r", Map("x" -> 1))).toDF("k", "v", "s", "m")
+    assert(Pipeline.capPerKey(tied, col("k"), col("v"), 2).count() === 2L)
+  }
+
   test("capPerKey: bit-identical duplicate rows are the documented residual") {
     import spark.implicits._
     // copies of a winning row are indistinguishable by value: all survive

@@ -223,6 +223,23 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // and no enforcement exec node appears for strict
     assert(!df.queryExecution.executedPlan.toString.contains("Hac"),
       "strict must not plan a Hac enforcement node")
+    // belt and braces for the PHYSICAL plan too: the logical position pin
+    // above rests on deterministic=false suppressing relocation — assert
+    // the executed plan also evaluates the check above the collect-limit
+    // machinery (ORDER BY + LIMIT plans as TakeOrderedAndProject /
+    // CollectLimit), so a future Spark upgrade relaxing non-deterministic
+    // filter handling fails HERE rather than silently re-enforcing
+    // below-limit groups
+    // (string-order check: the executed plan is an AdaptiveSparkPlanExec
+    // wrapper whose inner plan `collect` does not traverse; in the rendered
+    // tree "above" = printed first)
+    val physical = df.queryExecution.executedPlan.toString
+    val filterAt = physical.indexOf("strict_error_check")
+    val limitAt = math.max(physical.indexOf("TakeOrderedAndProject"),
+      physical.indexOf("CollectLimit"))
+    assert(filterAt >= 0, s"no physical strict filter:\n$physical")
+    assert(limitAt > filterAt,
+      s"physical limit must sit BELOW the strict filter:\n$physical")
   }
 
   test("AqpInfo reports the analysis type (AssertAQPAnalysis parity)") {

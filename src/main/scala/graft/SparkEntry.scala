@@ -470,12 +470,12 @@ object SparkEntry {
       val withCopies = docs.unionByName(
         docs.orderBy(col("doc_id")).limit(20)
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      val cands = graft.dedup.Dedup.lshCandidatePairIds(withCopies, "doc_id", "text")
-      val txt = withCopies.select(col("doc_id"), col("text"))
-      cands
-        .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
-        .join(txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
-        .filter(graft.dedup.Dedup.ngramJaccard(col("ta"), col("tb"), n = 3) >= 0.999999)
+      // the bounded verify path: equal-content pairs accept via the 8-byte
+      // hash compare (no per-pair gram recompute), grams compute once per
+      // doc for the rest, and the per-id cap (64 ≫ any cluster here, so
+      // exact) bounds verification under pathological duplication
+      graft.dedup.Dedup.jaccardPairs(withCopies, "doc_id", "text",
+        threshold = 0.999999, n = 3, maxPairsPerId = 64)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -275,4 +275,115 @@ object Dedup {
     val union = size(array_union(ga, gb)).cast("double")
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
+
+  /**
+   * End-to-end near-dup pairs: LSH candidates verified by the exact n-gram
+   * Jaccard, with the verification stage BOUNDED — the scale path for the
+   * "LSH then verify" pattern, replacing the naive per-pair recompute
+   * (join full texts onto every candidate pair and hash each text once per
+   * pair it appears in — O(pairs × doclen), superlinear whenever candidate
+   * volume outgrows the corpus, e.g. on a heavily duplicated crawl).
+   *
+   * Returns (`id_a` < `id_b`, `jaccard`); a pair is emitted iff its EXACT
+   * n-gram Jaccard ≥ `threshold` (no estimate ever decides acceptance).
+   * Three cost bounds:
+   *
+   *  1. **Equal-content fast path.** Candidate sides join a narrow
+   *     (id, xxhash64(content)) frame; pairs with equal content hashes are
+   *     Jaccard 1 by definition and emit without ANY gram work — on a
+   *     duplicated corpus that is almost every candidate pair, and it
+   *     reduces the verify stage to 8-byte compares (exact up to the same
+   *     2⁻⁶⁴ collision odds [[ngramJaccard]] already accepts).
+   *  2. **Grams once per doc, not per pair.** Only docs appearing in a
+   *     surviving non-equal pair get their gram set computed (semi-join
+   *     before the gram projection), each exactly once — O(corpus) worst
+   *     case, never O(pairs).
+   *  3. **Optional per-id candidate cap** (`maxPairsPerId` > 0): each id
+   *     keeps at most that many candidate partners per side (smallest
+   *     partner id first, via the bounded-heap rank of
+   *     [[graft.pipeline.Pipeline.capPerKey]] — no skew-prone window
+   *     sort). The stated recall contract: a doc in a cluster larger than
+   *     the cap reports only its nearest-by-id partners, so WITNESS pairs
+   *     are dropped — but an exact-duplicate cluster is a candidate
+   *     CLIQUE, and each member's link to its immediate id-predecessor
+   *     survives both caps, so the consecutive-id chain keeps every
+   *     cluster connected under [[connectedComponents]] at any cap ≥ 1.
+   *     0 = uncapped.
+   */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      threshold: Double,
+      n: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleK: Int = 5,
+      maxPairsPerId: Int = 0): DataFrame = {
+    val cands0 = lshCandidatePairIds(df, idCol, contentCol, numHashes, bands, shingleK)
+    val cands = if (maxPairsPerId <= 0) cands0 else {
+      // join-free capping: a pair IS (key, partner), so the bounded-heap
+      // winners are the capped pair set directly — capPerKey's membership
+      // join would re-execute the whole LSH candidate DAG once per phase
+      // (measured 4x the query at sf0.1); this is one aggregation per side
+      // over narrow pairs, partial buffers bounded at maxPairsPerId longs
+      // per key per map task
+      capPairSide(capPairSide(cands0, "id_a", "id_b", maxPairsPerId),
+        "id_b", "id_a", maxPairsPerId)
+    }
+    val meta = df.select(col(idCol).as("id"), xxhash64(col(contentCol)).as("ch"))
+    // materialize the narrow (id_a, id_b, ch_a, ch_b) pair frame ONCE: the
+    // eq/rest/gram branches below consume it 4+ times, and without a
+    // snapshot each branch re-executes the LSH candidate DAG (exchange
+    // reuse only dedupes the shuffles, not the join stages above them —
+    // measured 3x the query at sf0.1). Pairs are orders of magnitude
+    // smaller than the corpus; released right after the caller's first
+    // consuming action, same hygiene as [[connectedComponents]].
+    val spark = df.sparkSession
+    val (paired, pairedRdd) =
+      org.apache.spark.sql.graft.Plans.materializeWithRdd(spark, cands
+        .join(meta.select(col("id").as("id_a"), col("ch").as("ch_a")), "id_a")
+        .join(meta.select(col("id").as("id_b"), col("ch").as("ch_b")), "id_b"))
+    org.apache.spark.sql.graft.Plans.releaseAfterFirstUse(spark, pairedRdd)
+    val eq = paired.filter(col("ch_a") === col("ch_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val rest = paired.filter(col("ch_a") =!= col("ch_b"))
+      .select(col("id_a"), col("id_b"))
+    val restIds = rest
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // semi-join BEFORE the gram projection: grams are computed only for
+    // docs that actually appear in a non-equal surviving pair
+    val grams = df.select(col(idCol).as("id"), col(contentCol).as("__graft_c__"))
+      .join(restIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        org.apache.spark.sql.graft.WordNgramHashes(col("__graft_c__"), n).as("g"))
+    // WordNgramHashes emits DISTINCT gram hashes and at least one gram for
+    // any non-null text, so |A∪B| = |A|+|B|−|A∩B| ≥ 1 — no 0/0 guard needed
+    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("double")
+    val union = (size(col("g_a")) + size(col("g_b"))).cast("double") - inter
+    val verified = rest
+      .join(grams.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
+      .select(col("id_a"), col("id_b"), (inter / union).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    eq.unionByName(verified)
+  }
+
+  /** Keep each `key`'s `n` smallest `partner` values: one bounded-heap
+   * aggregation, winners exploded straight back into pairs (a pair is
+   * fully determined by (key, partner), so no membership join). Restores
+   * the partner column's original type after the long-typed heap. */
+  private def capPairSide(pairs: DataFrame, key: String, partner: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{BoundedMinN, Exprs}
+    val partnerType = pairs.schema(partner).dataType
+    val p = col(partner).cast("long")
+    val keep = Exprs.column(BoundedMinN(Exprs.expression(p),
+      Exprs.expression(p), n, smallest = true).toAggregateExpression())
+    pairs.groupBy(col(key)).agg(keep.as("__graft_keep__"))
+      .select(col(key), explode(col("__graft_keep__")).as("__graft_w__"))
+      .select(col(key), col("__graft_w__.o").cast(partnerType).as(partner))
+      .select(col("id_a"), col("id_b"))
+  }
 }

@@ -82,6 +82,100 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(1) === 0.0)
   }
 
+  test("jaccardPairs equals the per-pair brute force on the same candidates") {
+    // differential: the bounded operator (equal-hash fast path + once-per-doc
+    // grams) must decide every candidate pair exactly as the naive per-pair
+    // ngramJaccard does
+    val threshold = 0.5
+    val brute = {
+      val cands = Dedup.lshCandidatePairIds(withDups, "doc_id", "text")
+      val txt = withDups.select(col("doc_id"), col("text"))
+      cands
+        .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
+        .join(txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
+        .filter(Dedup.ngramJaccard(col("ta"), col("tb"), n = 3) >= threshold)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = Dedup.jaccardPairs(withDups, "doc_id", "text", threshold, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+    // and the planted exact copies all report jaccard exactly 1.0
+    val ones = Dedup.jaccardPairs(withDups, "doc_id", "text", 0.999999, n = 3)
+      .collect()
+    val expected = docs.orderBy("doc_id").limit(10).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(ones.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    assert(ones.forall(_.getDouble(2) === 1.0))
+  }
+
+  test("jaccardPairs: near-threshold pairs decide by the EXACT metric") {
+    import spark.implicits._
+    // adversarial band around the threshold: non-equal texts whose gram
+    // overlap straddles it — these MUST go through the full verify (the
+    // equal-hash fast path cannot fire: the raw texts differ) and the
+    // decision must match the exact per-pair metric on both sides of the
+    // line. 10 shared tokens + k unique per side gives distinct 3-gram
+    // counts with jaccard strictly between 0 and 1.
+    val shared = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared alpha beta"),   // vs 2: jaccard ≈ 0.935, above 0.8
+      (2L, s"$shared alpha gamma"),
+      (3L, s"$shared p q r s t u v w x y z"), // vs 1/2: ≈ 0.683, below 0.8
+      (4L, s"$shared alpha beta"),   // exact copy of 1 (fast path)
+      (5L, "totally disjoint text about nothing shared at all with anything")
+    ).toDF("doc_id", "text")
+    val threshold = 0.8
+    // verify against brute force over ALL pairs (no LSH recall caveat: every
+    // pair here shares most grams except doc 5, which must not appear)
+    val all = df.as("a").join(df.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.ngramJaccard(col("a.text"), col("b.text"), n = 3).as("j"))
+    val want = all.filter(col("j") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.contains((1L, 2L)) && want.contains((1L, 4L)),
+      s"fixture must plant above-threshold pairs, got $want")
+    assert(all.filter(col("j") < threshold && col("j") > 0).count() > 0,
+      "fixture must plant a below-threshold nonzero-overlap pair")
+    // high-similarity fixture: 8-row bands make LSH recall certain here
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", threshold, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // exact jaccard values survive the operator (not the estimate)
+    val j12 = Dedup.jaccardPairs(df, "doc_id", "text", threshold, n = 3)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .collect()(0).getDouble(2)
+    val bruteJ12 = all.filter(col("id_a") === 1L && col("id_b") === 2L)
+      .collect()(0).getDouble(2)
+    assert(j12 === bruteJ12 && j12 > threshold && j12 < 1.0)
+  }
+
+  test("jaccardPairs: per-id cap bounds pairs but keeps clusters connected") {
+    import spark.implicits._
+    // one 12-member exact-dup clique + 3 singletons; cap 2 per side
+    val text = "identical content repeated across every member of the cluster body"
+    val members = (1L to 12L).map(i => (i, text))
+    val single = Seq((100L, "first unrelated singleton document text"),
+      (101L, "second unrelated singleton document body"),
+      (102L, "third unrelated singleton content words"))
+    val df = (members ++ single).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", 0.999999,
+      n = 3, maxPairsPerId = 2)
+    val pairs = capped.select(col("id_a"), col("id_b"))
+    val cnt = pairs.count()
+    assert(cnt < 66, s"cap must drop witness pairs from the 12-clique: $cnt")
+    // every id keeps at most 2 partners per SIDE
+    val maxPerA = pairs.groupBy("id_a").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerA <= 2)
+    // but connectivity survives: consecutive-id chains keep one component
+    val cc = Dedup.connectedComponents(pairs, df, "doc_id")
+    val clusters = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).map(clusters).toSet === Set(1L),
+      "capped clique must still collapse to one cluster")
+    assert(Seq(100L, 101L, 102L).map(clusters).toSet === Set(100L, 101L, 102L))
+  }
+
   test("brute-force knn: self is top-1 with cosine 1") {
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0).toArray

@@ -910,6 +910,33 @@ object SparkEntry {
           |ORDER BY estimated_value DESC, event_type ASC""".stripMargin)
     }),
 
+    // Perceptual DCT embedding end-to-end (the NN-extractor-shaped path,
+    // deterministic pure JVM): 24 docs get noise images whose CONTENT is
+    // doc_id%6-seeded but whose BYTES differ — even ids encode PNG, odd BMP.
+    // DctFeatureExtractor must embed same-content blobs identically across
+    // containers (decode → resize → luma → 2D DCT is format-blind) and
+    // different content far apart, so the ANN cosine-pair operator recovers
+    // exactly the same-seed pairs — which the oracle states as modular
+    // arithmetic on doc_id. A byte-hash stub extractor cannot match: PNG
+    // and BMP bytes of the same raster hash to unrelated vectors.
+    "q62_dct_embedding" -> ((s, dir) => {
+      val mkBlob = udf { (id: Long) =>
+        graft.multimodal.Multimodal.SyntheticMedia.image(
+          if (id % 2 == 0) "png" else "bmp", 48, 48, id % 6)
+      }
+      val bin = tbl(s, dir, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(24)
+        .withColumn("blob", mkBlob(col("doc_id")))
+      val feats = graft.multimodal.Multimodal.extractFeatures(
+        bin, "blob", new graft.multimodal.Multimodal.DctFeatureExtractor(32, 8))
+        .select(col("doc_id"), col("features"))
+      graft.ann.Ann.cosineDedupPairs(feats, "doc_id", "features",
+          threshold = 0.99)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // --- §3 subquery fencing: the scalar subquery's aggregate stays exact
     // on the base table while the outer aggregate rides the sample (full
     // fraction ⇒ exact with zero error) — reference SubQueryRoutingTestSuite.
@@ -1703,6 +1730,12 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-11'
         |GROUP BY event_type
         |ORDER BY estimated_value DESC, event_type ASC LIMIT 5""".stripMargin,
+
+    "q62_dct_embedding" ->
+      """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS cos
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id % 6 = b.doc_id % 6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q41_subquery_error" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS s,

@@ -298,6 +298,16 @@ object Dedup {
    *     surviving non-equal pair get their gram set computed (semi-join
    *     before the gram projection), each exactly once — O(corpus) worst
    *     case, never O(pairs).
+   *  2b. **One representative per id.** Output pairs are DISTINCT
+   *     (id_a, id_b): ids are document keys, and a key that (illegally)
+   *     appears on multiple rows resolves to its max-content-hash row in
+   *     BOTH phases — the pair frame collapses to one (ch_a, ch_b) per
+   *     pair right after the narrow pair join (a shuffle over pairs, not
+   *     corpus), and the gram stage picks the same representative before
+   *     hashing. Without this, a key-duplicated corpus (a replicated
+   *     crawl partition, a bad upstream join) fans the pair→gram joins
+   *     out quadratically in the duplication factor — measured 10× the
+   *     whole query on a 10×-replicated benchmark corpus.
    *  3. **Optional per-id candidate cap** (`maxPairsPerId` > 0): each id
    *     keeps at most that many candidate partners per side (smallest
    *     partner id first, via the bounded-heap rank of
@@ -343,7 +353,12 @@ object Dedup {
     val (paired, pairedRdd) =
       org.apache.spark.sql.graft.Plans.materializeWithRdd(spark, cands
         .join(meta.select(col("id").as("id_a"), col("ch").as("ch_a")), "id_a")
-        .join(meta.select(col("id").as("id_b"), col("ch").as("ch_b")), "id_b"))
+        .join(meta.select(col("id").as("id_b"), col("ch").as("ch_b")), "id_b")
+        // collapse duplicate-id fan-out to the max-hash representative per
+        // pair (doc bound 2b) — on a unique-id corpus this is a no-op
+        // aggregation over the already-narrow pair frame
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("ch_a")).as("ch_a"), max(col("ch_b")).as("ch_b")))
     org.apache.spark.sql.graft.Plans.releaseAfterFirstUse(spark, pairedRdd)
     val eq = paired.filter(col("ch_a") === col("ch_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
@@ -356,6 +371,13 @@ object Dedup {
     // docs that actually appear in a non-equal surviving pair
     val grams = df.select(col(idCol).as("id"), col(contentCol).as("__graft_c__"))
       .join(restIds, Seq("id"), "left_semi")
+      // same representative convention as the pair frame (doc bound 2b):
+      // ONE gram row per id, picked by max content hash, so the verify
+      // joins below cannot fan out — the groupBy runs on the post-semi-join
+      // set (≤ 2·|rest pairs| docs), never the corpus
+      .groupBy(col("id"))
+      .agg(max_by(col("__graft_c__"), xxhash64(col("__graft_c__")))
+        .as("__graft_c__"))
       .select(col("id"),
         org.apache.spark.sql.graft.WordNgramHashes(col("__graft_c__"), n).as("g"))
     // WordNgramHashes emits DISTINCT gram hashes and at least one gram for

@@ -633,4 +633,105 @@ object Multimodal {
         }
       }
   }
+
+  /**
+   * Perceptual DCT featurizer — the engine's REAL "neural-extractor-shaped"
+   * embedding (the pHash family: resize → luma → 2D DCT-II → keep the
+   * `keep`×`keep` low-frequency block, drop DC, unit-normalize). Fully
+   * deterministic pure JVM, and genuinely PERCEPTUAL where [[StubExtractor]]
+   * is a byte hash: the same raster encoded as PNG vs BMP embeds
+   * identically, a rescaled or lightly-noised copy embeds nearby, and
+   * different content embeds far — so cosine similarity over these vectors
+   * drives the downstream ANN/dedup operators the way a learned image
+   * embedding would. An actual NN encoder (ONNX/JNI, absent in this
+   * container) drops in behind the same [[FeatureExtractor]] batch
+   * contract.
+   *
+   * Cost per blob: decode + nearest resize to `size`² + separable DCT
+   * (2·size³ mults ≈ 65k at size=32) — decode-dominated, rides the same
+   * batched `mapPartitions` pass as every other extractor; no shuffle.
+   */
+  final class DctFeatureExtractor(size: Int = 32, keep: Int = 8)
+      extends FeatureExtractor {
+    require(keep > 0 && keep <= size, s"keep=$keep must be in [1, $size]")
+    override val dim: Int = keep * keep - 1
+    // DCT-II basis, row u of length `size`: cos((2x+1)·u·π / (2·size))
+    @transient private lazy val basis: Array[Array[Double]] = {
+      val t = Array.ofDim[Double](size, size)
+      var u = 0
+      while (u < size) {
+        var x = 0
+        while (x < size) {
+          t(u)(x) = math.cos((2 * x + 1) * u * math.Pi / (2.0 * size))
+          x += 1
+        }
+        u += 1
+      }
+      t
+    }
+    override def extract(batch: Array[Array[Byte]]): Array[Array[Float]] =
+      batch.map { bytes =>
+        val p0 = if (bytes == null) null else PixelDecoder.decode(bytes)
+        if (p0 == null || p0.width * p0.height == 0) null
+        else {
+          val p = PixelDecoder.resizeNearest(p0, size, size)
+          val luma = new Array[Double](size * size)
+          val ch = p.channels
+          var i = 0
+          while (i < size * size) {
+            val o = i * ch
+            val r = p.data(o) & 0xFF
+            val g = if (ch >= 3) p.data(o + 1) & 0xFF else r
+            val b = if (ch >= 3) p.data(o + 2) & 0xFF else r
+            luma(i) = 0.299 * r + 0.587 * g + 0.114 * b
+            i += 1
+          }
+          // separable 2D DCT-II, low-frequency block only: rows first
+          // (all `size` columns, `keep` output rows), then columns
+          val rows = Array.ofDim[Double](keep, size)
+          var u = 0
+          while (u < keep) {
+            var x = 0
+            while (x < size) {
+              var s = 0.0
+              var y2 = 0
+              while (y2 < size) { s += luma(y2 * size + x) * basis(u)(y2); y2 += 1 }
+              rows(u)(x) = s
+              x += 1
+            }
+            u += 1
+          }
+          val v = new Array[Float](dim)
+          var norm = 0.0
+          u = 0
+          var k = 0
+          while (u < keep) {
+            var w = 0
+            while (w < keep) {
+              if (u != 0 || w != 0) { // drop DC: brightness offsets vanish
+                var s = 0.0
+                var x = 0
+                while (x < size) { s += rows(u)(x) * basis(w)(x); x += 1 }
+                v(k) = s.toFloat
+                norm += s * s
+                k += 1
+              }
+              w += 1
+            }
+            u += 1
+          }
+          // a flat image (all-equal luma) has zero AC energy — embed as the
+          // zero vector rather than dividing by ~0 and amplifying rounding
+          // noise into a random direction
+          if (norm > 1e-6) {
+            val inv = (1.0 / math.sqrt(norm)).toFloat
+            k = 0
+            while (k < dim) { v(k) *= inv; k += 1 }
+          } else {
+            java.util.Arrays.fill(v, 0.0f)
+          }
+          v
+        }
+      }
+  }
 }

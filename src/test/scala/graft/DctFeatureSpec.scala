@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{DctFeatureExtractor, SyntheticMedia}
+
+/** The perceptual DCT featurizer (pHash family): the properties that make
+ * it a real embedding rather than a byte hash — container invariance,
+ * resize robustness, noise robustness, separation of unlike content — plus
+ * the Spark plumbing into the ANN cosine operators (mirrors q62). */
+class DctFeatureSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val ex = new DctFeatureExtractor(32, 8)
+
+  private def feats(blobs: Array[Byte]*): Array[Array[Float]] =
+    ex.extract(blobs.toArray)
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s // inputs are unit-normalized by the extractor
+  }
+
+  test("dim, unit norm, and determinism") {
+    assert(ex.dim === 63)
+    val blob = SyntheticMedia.image("png", 40, 40, seed = 3L)
+    val Array(a, b) = feats(blob, blob)
+    assert(a.length === 63)
+    assert(a.toSeq === b.toSeq)
+    val norm = math.sqrt(a.map(v => v.toDouble * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-4)
+  }
+
+  test("container invariance: PNG and BMP of the same raster embed identically") {
+    // same seeded raster through two different lossless encoders — a byte
+    // hash diverges completely; the decode-first featurizer must not
+    val png = SyntheticMedia.image("png", 48, 48, seed = 5L)
+    val bmp = SyntheticMedia.image("bmp", 48, 48, seed = 5L)
+    assert(!java.util.Arrays.equals(png, bmp))
+    val Array(a, b) = feats(png, bmp)
+    assert(cosine(a, b) > 0.9999)
+  }
+
+  test("resize robustness: the same linear ramp at 2x resolution embeds on the same axis") {
+    // gradientImage rows are a linear ramp in y; after DC drop, unit
+    // normalization cancels the slope, so 64x64 and 32x32 renditions of
+    // the ramp must embed nearly identically despite sharing no bytes
+    val small = SyntheticMedia.gradientImage("png", 32, 32, base = 10)
+    val big = SyntheticMedia.gradientImage("png", 64, 64, base = 10)
+    val Array(a, b) = feats(small, big)
+    assert(cosine(a, b) > 0.99, s"got ${cosine(a, b)}")
+  }
+
+  test("noise robustness: a few flipped pixels keep the embedding nearby") {
+    val img = new java.awt.image.BufferedImage(48, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = 99L
+    for (y <- 0 until 48; x <- 0 until 48) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      img.setRGB(x, y, ((s >>> 40) & 0xFFFFFF).toInt)
+    }
+    def encode(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", baos)
+      baos.toByteArray
+    }
+    val clean = encode(img)
+    for (k <- 0 until 12) img.setRGB(k * 3 % 48, k * 7 % 48, 0xFFFFFF)
+    val noised = encode(img)
+    val Array(a, b) = feats(clean, noised)
+    val c = cosine(a, b)
+    assert(c > 0.9 && c < 1.0, s"got $c")
+  }
+
+  test("unlike content embeds far; flat content embeds as the zero vector") {
+    val Array(a, b) = feats(
+      SyntheticMedia.image("png", 48, 48, seed = 1L),
+      SyntheticMedia.image("png", 48, 48, seed = 2L))
+    assert(math.abs(cosine(a, b)) < 0.5, s"got ${cosine(a, b)}")
+    // flat gray: zero AC energy must yield the zero vector, never NaN
+    val flat = feats(SyntheticMedia.gradientImage("png", 1, 40, base = 7)).head
+    // width-1 ramp still has vertical AC; a truly flat image is constant rows
+    val flatImg = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) flatImg.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flatImg, "png", baos)
+    val z = feats(baos.toByteArray).head
+    assert(z.forall(_ === 0.0f))
+    assert(flat.forall(v => !v.isNaN))
+    assert(ex.extract(Array[Array[Byte]](null)).head === null)
+  }
+
+  test("spark plumbing: extractFeatures + ANN cosine pairs recover content groups") {
+    import spark.implicits._
+    // the q62 shape at spec scale: 12 ids, content keyed by id % 3, bytes
+    // differing by container — the cosine-pair operator must emit exactly
+    // the same-content pairs
+    val ids = (0L until 12L).toDF("doc_id")
+    val mkBlob = udf { (id: Long) =>
+      SyntheticMedia.image(if (id % 2 == 0) "png" else "bmp", 48, 48, id % 3)
+    }
+    val bin = ids.withColumn("blob", mkBlob(col("doc_id")))
+    val f = Multimodal.extractFeatures(bin, "blob", new DctFeatureExtractor(32, 8))
+      .select(col("doc_id"), col("features"))
+    val got = graft.ann.Ann.cosineDedupPairs(f, "doc_id", "features", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- 0L until 12L; b <- 0L until 12L
+      if a < b && a % 3 == b % 3
+    } yield (a, b)).toSet
+    assert(got === want)
+  }
+}

@@ -151,6 +151,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(j12 === bruteJ12 && j12 > threshold && j12 < 1.0)
   }
 
+  test("jaccardPairs: duplicate-id corpus collapses to distinct representative pairs") {
+    import spark.implicits._
+    // ids are document keys; a key-duplicated corpus (10x-replicated crawl
+    // partition) must produce the SAME distinct pair set as the unique-id
+    // corpus, not a quadratic fan-out of duplicate rows — pinned after a
+    // 10x-replicated bench fixture measured the verify joins at 10x the
+    // whole query
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different words about other topics entirely here"),
+      (4L, "completely different words about other topics entirely here")
+    ).toDF("doc_id", "text")
+    val replicated = (1 to 10).map(_ => base).reduce(_ unionByName _)
+    val wantPairs = Dedup.jaccardPairs(base, "doc_id", "text", 0.999999, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val got = Dedup.jaccardPairs(replicated, "doc_id", "text", 0.999999, n = 3).collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotPairs.length === gotPairs.distinct.length,
+      "duplicate ids must not duplicate output pairs")
+    assert(gotPairs.sorted.toSeq === wantPairs.toSeq)
+    assert(got.forall(_.getDouble(2) === 1.0))
+  }
+
   test("jaccardPairs: per-id cap bounds pairs but keeps clusters connected") {
     import spark.implicits._
     // one 12-member exact-dup clique + 3 singletons; cap 2 per side

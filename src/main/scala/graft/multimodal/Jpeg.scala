@@ -1,15 +1,17 @@
 package graft.multimodal
 
 /**
- * Pure-JVM baseline JPEG decoder (ITU-T T.81 baseline sequential DCT,
- * Huffman entropy coding) — the last image format that rode the
- * `javax.imageio` fallback. Covers the overwhelming majority of real
- * corpora: SOF0/SOF1 frames, 8-bit samples, 1 (grayscale) or 3 (YCbCr)
- * components at any of the standard sampling factors (4:4:4, 4:2:2,
- * 4:2:0, 4:1:1), restart markers, 8- and 16-bit quantization tables.
- * Anything else — progressive (SOF2), arithmetic coding, 12-bit,
- * CMYK/4-component — returns null and [[PixelDecoder.decode]] falls back
- * to ImageIO, exactly like the other decoders' unsupported corners.
+ * Pure-JVM JPEG decoder (ITU-T T.81, Huffman entropy coding) — the last
+ * image format that rode the `javax.imageio` fallback. Covers the
+ * overwhelming majority of real corpora: SOF0/SOF1 baseline/extended
+ * sequential frames AND (r10) SOF2 progressive frames — spectral
+ * selection, successive approximation, EOB runs, AC refinement per T.81
+ * G.2 — with 8-bit samples, 1 (grayscale) or 3 (YCbCr) components at any
+ * of the standard sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1), restart
+ * markers, 8- and 16-bit quantization tables. Anything else — arithmetic
+ * coding, 12-bit, lossless/differential, CMYK/4-component — returns null
+ * and [[PixelDecoder.decode]] falls back to ImageIO, exactly like the
+ * other decoders' unsupported corners.
  *
  * Decode pipeline per the public spec: marker walk → per-MCU Huffman
  * block decode (DECODE/RECEIVE/EXTEND of T.81 F.2.2) → dequantize in
@@ -28,7 +30,12 @@ object Jpeg {
 
   def decode(bytes: Array[Byte]): Pixels =
     try decode0(bytes)
-    catch { case _: Exception => null }
+    catch { case e: Exception =>
+      // malformed/unsupported stream → fallback; the property surfaces the
+      // throw site when debugging a decode that silently falls back
+      if (System.getProperty("graft.jpeg.debug") != null) e.printStackTrace()
+      null
+    }
 
   // zigzag index -> natural (row-major) index
   private val Zigzag: Array[Int] = Array(
@@ -159,20 +166,32 @@ object Jpeg {
     var height = 0
     var restartInterval = 0
     var adobeTransform = -1
+    var progressive = false
+    var prog: ProgState = null
     var pos = 2
-    while (pos + 3 < b.length) {
+    // pos+1: EOI is a bare 2-byte marker and (progressive) must be SEEN —
+    // it is what triggers the final IDCT pass
+    while (pos + 1 < b.length) {
       if (b(pos) != 0xFF.toByte) return null
       // fill bytes: any number of 0xFF may pad before a marker (B.1.1.2)
       while (pos + 2 < b.length && b(pos + 1) == 0xFF.toByte) pos += 1
       val marker = b(pos + 1) & 0xFF
       if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { pos += 2 }
-      else if (marker == 0xD9) return null // EOI before any scan
+      else if (marker == 0xD9) {
+        // EOI: a progressive frame finishes here — dequantize the
+        // accumulated coefficients and run the shared IDCT/color tail
+        return if (progressive && prog != null)
+          finishProgressive(prog, comps, quant, width, height) else null
+      }
       else {
+        if (pos + 3 >= b.length) return null // truncated segment header
         val len = u16(b, pos + 2)
         val seg = pos + 4
+        var nextPos = pos + 4 + len - 2
         marker match {
-          case 0xC0 | 0xC1 => // baseline / extended sequential (huffman)
+          case 0xC0 | 0xC1 | 0xC2 => // baseline / ext. sequential / progressive
             if ((b(seg) & 0xFF) != 8) return null // 12-bit not supported
+            progressive = marker == 0xC2
             height = u16(b, seg + 1)
             width = u16(b, seg + 3)
             val n = b(seg + 5) & 0xFF
@@ -184,9 +203,9 @@ object Jpeg {
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4))
               return null
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
-            return null // progressive/lossless/arithmetic -> ImageIO
+            return null // lossless/arithmetic/differential -> ImageIO
           case 0xC4 => // DHT — possibly several tables in one segment
             var o = seg
             while (o < seg + len - 2) {
@@ -220,15 +239,16 @@ object Jpeg {
             if (len >= 14 && b(seg) == 'A' && b(seg + 1) == 'd' &&
               b(seg + 2) == 'o' && b(seg + 3) == 'b' && b(seg + 4) == 'e')
               adobeTransform = b(seg + 11) & 0xFF
-          case 0xDA => // SOS — start the one (sequential) scan
+          case 0xDA => // SOS
             if (comps == null || width <= 0 || height <= 0) return null
             // Adobe transform=0 stores raw RGB — our YCbCr matrix would
             // scramble it; let ImageIO (which honors APP14) handle it
             if (comps.length == 3 && adobeTransform == 0) return null
             val ns = b(seg) & 0xFF
-            if (ns != comps.length) return null
+            if (!progressive && ns != comps.length) return null
+            if (ns < 1 || ns > comps.length) return null
             // MCU interleave follows the SCAN's component order; color
-            // conversion below uses the FRAME order (Y first)
+            // conversion uses the FRAME order (Y first)
             val scanOrder = new Array[Component](ns)
             var i = 0
             while (i < ns) {
@@ -239,11 +259,23 @@ object Jpeg {
               scanOrder(i) = c
               i += 1
             }
-            return decodeScan(b, pos + 4 + len - 2, comps, scanOrder, quant,
-              dcHuff, acHuff, width, height, restartInterval)
+            if (!progressive) {
+              return decodeScan(b, pos + 4 + len - 2, comps, scanOrder, quant,
+                dcHuff, acHuff, width, height, restartInterval)
+            }
+            // progressive: one of many scans — accumulate coefficients and
+            // keep walking markers from wherever its entropy data ends
+            if (prog == null) prog = ProgState.allocate(comps, width, height)
+            if (prog == null) return null // exotic sampling / absurd dims
+            val ss = b(seg + 1 + 2 * ns) & 0xFF
+            val se = b(seg + 2 + 2 * ns) & 0xFF
+            val ahAl = b(seg + 3 + 2 * ns) & 0xFF
+            nextPos = decodeProgressiveScan(b, pos + 4 + len - 2, prog,
+              comps, scanOrder, dcHuff, acHuff,
+              ss, se, ahAl >> 4, ahAl & 0x0F, restartInterval)
           case _ => // APPn / COM / others: skip
         }
-        pos += 4 + len - 2
+        pos = nextPos
       }
     }
     null
@@ -378,7 +410,311 @@ object Jpeg {
       mcu += 1
     }
 
-    // ---- upsample + color convert ----
+    toPixels(comps, width, height, hMax, vMax)
+  }
+
+  /**
+   * Accumulated coefficient state for a progressive (SOF2) frame: per
+   * component, one int per coefficient over the MCU-padded block grid,
+   * natural (row-major) order within each 64-coefficient block. Scans add
+   * successive spectral bands and approximation bits into this; the IDCT
+   * runs once, at EOI. For a single-component frame every scan is
+   * non-interleaved (T.81 A.2), so the grid ignores declared sampling
+   * factors — same rule the baseline path applies.
+   */
+  private final class ProgState(
+      val coefs: Array[Array[Int]],
+      val bw: Array[Int], val bh: Array[Int], // padded blocks per row/col
+      val realBW: Array[Int], val realBH: Array[Int], // non-interleaved grid
+      val effH: Array[Int], val effV: Array[Int],
+      val mcusX: Int, val mcusY: Int, val hMax: Int, val vMax: Int)
+
+  private object ProgState {
+    def allocate(comps: Array[Component], width: Int, height: Int): ProgState = {
+      val single = comps.length == 1
+      val effH = comps.map(c => if (single) 1 else c.h)
+      val effV = comps.map(c => if (single) 1 else c.v)
+      val hMax = effH.max
+      val vMax = effV.max
+      // same exotic-stream fence as baseline: chroma sampled above luma
+      // would break the full-resolution-Y color tail
+      if (!single && (effH(0) != hMax || effV(0) != vMax)) return null
+      val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      // bound BEFORE allocating (coefficients are 4 bytes apiece, padded
+      // grid): crafted headers must fall back, not OOM the task
+      var totalBytes = width.toLong * height * 3
+      var i = 0
+      while (i < comps.length) {
+        totalBytes += mcusX.toLong * effH(i) * 8 * mcusY * effV(i) * 8 * 5
+        i += 1
+      }
+      if (totalBytes > (1L << 30)) return null
+      val bw = Array.tabulate(comps.length)(i => mcusX * effH(i))
+      val bh = Array.tabulate(comps.length)(i => mcusY * effV(i))
+      val realBW = Array.tabulate(comps.length) { i =>
+        ((width * effH(i) + hMax - 1) / hMax + 7) / 8
+      }
+      val realBH = Array.tabulate(comps.length) { i =>
+        ((height * effV(i) + vMax - 1) / vMax + 7) / 8
+      }
+      val coefs = Array.tabulate(comps.length)(i => new Array[Int](bw(i) * bh(i) * 64))
+      new ProgState(coefs, bw, bh, realBW, realBH, effH, effV,
+        mcusX, mcusY, hMax, vMax)
+    }
+  }
+
+  /**
+   * One progressive scan (T.81 G.2): DC first/refinement (interleaved or
+   * not), AC first with EOB runs, AC refinement with correction bits.
+   * Returns the byte offset of the next marker after the scan's entropy
+   * data so the caller's marker walk continues.
+   */
+  private def decodeProgressiveScan(b: Array[Byte], start: Int,
+      prog: ProgState, comps: Array[Component], scanOrder: Array[Component],
+      dcHuff: Array[Huff], acHuff: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int): Int = {
+    val ns = scanOrder.length
+    if (ss == 0) { if (se != 0) throw new IllegalStateException("bad DC band") }
+    else if (ns != 1 || ss > se || se > 63) {
+      throw new IllegalStateException("bad AC scan header")
+    }
+    val br = new BitReader(b, start)
+    var eobrun = 0
+    val pred = new Array[Int](ns)
+    var unit = 0 // restart counting: MCUs (interleaved) or blocks
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.restart((unit / restartInterval - 1) & 7)
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+
+    def dcDecode(coef: Array[Int], off: Int, si: Int): Unit =
+      if (ah == 0) {
+        val t = dcHuff(scanOrder(si).dcTab).decode(br)
+        pred(si) += br.extend(br.receive(t), t)
+        coef(off) = pred(si) << al
+      } else if (br.bit() == 1) {
+        coef(off) |= (1 << al)
+      }
+
+    if (ss == 0 && ns > 1) {
+      // interleaved DC scan over the padded MCU grid
+      var mcu = 0
+      val total = prog.mcusX * prog.mcusY
+      while (mcu < total) {
+        maybeRestart()
+        val mx = mcu % prog.mcusX
+        val my = mcu / prog.mcusX
+        var si = 0
+        while (si < ns) {
+          val c = scanOrder(si)
+          val ci = comps.indexWhere(_ eq c)
+          var by = 0
+          while (by < prog.effV(ci)) {
+            var bx = 0
+            while (bx < prog.effH(ci)) {
+              val blk = (my * prog.effV(ci) + by) * prog.bw(ci) +
+                (mx * prog.effH(ci) + bx)
+              dcDecode(prog.coefs(ci), blk * 64, si)
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        unit += 1; mcu += 1
+      }
+    } else {
+      // non-interleaved scan (single component): REAL block grid only —
+      // padding blocks are not coded (T.81 A.2.2)
+      val c = scanOrder(0)
+      val ci = comps.indexWhere(_ eq c)
+      val coefs = prog.coefs(ci)
+      val ac = if (ss > 0) acHuff(c.acTab) else null
+      var row = 0
+      while (row < prog.realBH(ci)) {
+        var colI = 0
+        while (colI < prog.realBW(ci)) {
+          maybeRestart()
+          val off = (row * prog.bw(ci) + colI) * 64
+          if (ss == 0) {
+            dcDecode(coefs, off, 0)
+          } else if (ah == 0) {
+            // ---- AC first pass (G.2.2): EOB runs span whole blocks ----
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val rs = ac.decode(br)
+                val r = rs >> 4
+                val s = rs & 0x0F
+                if (s == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.receive(r)
+                    k = 64
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  if (k > se) throw new IllegalStateException("AC band overrun")
+                  coefs(off + Zigzag(k)) = br.extend(br.receive(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // ---- AC refinement (G.1.2.3): one correction bit for every
+            // already-nonzero coefficient visited; new ±1s placed after
+            // skipping `r` zero-history positions ----
+            val one = 1 << al
+            def correct(idx: Int): Unit =
+              if (br.bit() == 1 && (coefs(idx) & one) == 0) {
+                coefs(idx) += (if (coefs(idx) >= 0) one else -one)
+              }
+            if (eobrun > 0) {
+              eobrun -= 1
+              var k = ss
+              while (k <= se) {
+                val idx = off + Zigzag(k)
+                if (coefs(idx) != 0) correct(idx)
+                k += 1
+              }
+            } else {
+              var k = ss
+              while (k <= se) {
+                val rs = ac.decode(br)
+                var r = rs >> 4
+                val s = rs & 0x0F
+                var newval = 0
+                if (s == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.receive(r)
+                    // correction bits through the rest of the band, then done
+                    while (k <= se) {
+                      val idx = off + Zigzag(k)
+                      if (coefs(idx) != 0) correct(idx)
+                      k += 1
+                    }
+                  }
+                  // r == 15: skip 16 zero-history coefficients below
+                } else {
+                  if (s != 1) throw new IllegalStateException("bad AC refine size")
+                  newval = if (br.bit() == 1) one else -one
+                }
+                if (k <= se) {
+                  var placed = false
+                  while (k <= se && !placed) {
+                    val idx = off + Zigzag(k)
+                    if (coefs(idx) != 0) correct(idx)
+                    else {
+                      if (r == 0) {
+                        if (newval != 0) coefs(idx) = newval
+                        placed = true
+                      } else r -= 1
+                    }
+                    k += 1
+                  }
+                }
+              }
+            }
+          }
+          unit += 1; colI += 1
+        }
+        row += 1
+      }
+    }
+    // hand the marker walk the next real marker after this scan's data
+    var p = br.pos
+    while (p + 1 < b.length && !((b(p) & 0xFF) == 0xFF && {
+      val m = b(p + 1) & 0xFF
+      m != 0x00 && m != 0xFF && !(m >= 0xD0 && m <= 0xD7)
+    })) p += 1
+    p
+  }
+
+  /** Dequantize the accumulated progressive coefficients, IDCT every padded
+   * block into component planes, and run the shared color tail. */
+  private def finishProgressive(prog: ProgState, comps: Array[Component],
+      quant: Array[Array[Int]], width: Int, height: Int): Pixels = {
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val block = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      if (quant(c.tq) == null) return null
+      val qt = quant(c.tq)
+      c.planeW = prog.bw(ci) * 8
+      c.planeH = prog.bh(ci) * 8
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+      val src = prog.coefs(ci)
+      var row = 0
+      while (row < prog.bh(ci)) {
+        var colI = 0
+        while (colI < prog.bw(ci)) {
+          val off = (row * prog.bw(ci) + colI) * 64
+          var k = 0
+          while (k < 64) {
+            val n = Zigzag(k)
+            coef(n) = src(off + n) * qt(k)
+            k += 1
+          }
+          // separable IDCT — same shape as the baseline path
+          var x = 0
+          while (x < 8) {
+            var v = 0
+            while (v < 8) {
+              var s2 = 0.0
+              var u = 0
+              while (u < 8) { s2 += Cos(x)(u) * coef(u * 8 + v); u += 1 }
+              tmp(x * 8 + v) = s2
+              v += 1
+            }
+            x += 1
+          }
+          x = 0
+          while (x < 8) {
+            var y = 0
+            while (y < 8) {
+              var s2 = 0.0
+              var v = 0
+              while (v < 8) { s2 += tmp(x * 8 + v) * Cos(y)(v); v += 1 }
+              block(x * 8 + y) = s2
+              y += 1
+            }
+            x += 1
+          }
+          val ox = colI * 8
+          val oy = row * 8
+          var yy = 0
+          while (yy < 8) {
+            val rowBase = (oy + yy) * c.planeW + ox
+            var xx = 0
+            while (xx < 8) {
+              val v2 = math.rint(block(yy * 8 + xx) + 128.0).toInt
+              c.plane(rowBase + xx) =
+                (if (v2 < 0) 0 else if (v2 > 255) 255 else v2).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          colI += 1
+        }
+        row += 1
+      }
+      ci += 1
+    }
+    toPixels(comps, width, height, prog.hMax, prog.vMax)
+  }
+
+  /** Shared tail for both frame types: crop the MCU-padded planes, nearest
+   * chroma upsample, JFIF YCbCr→RGB. */
+  private def toPixels(comps: Array[Component], width: Int, height: Int,
+      hMax: Int, vMax: Int): Pixels = {
     if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Byte](width * height)

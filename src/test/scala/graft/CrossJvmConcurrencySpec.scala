@@ -155,6 +155,112 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
       "base counts must be unchanged by cross-process appends")
   }
 
+  test("interleaved batch-timed combined appends from two JVMs match the exact model") {
+    // the r9 blind spot: every cross-process append test so far was
+    // MONOTONE and DISJOINT per writer (the single-writer shape that hid
+    // the dyadic-carry bug for seven rounds). Here both JVMs append the
+    // SAME keys into one OVERLAPPING interval range, non-monotonically
+    // (late re-appends into intervals the other writer has aged, pre-epoch
+    // negatives), batch-timed with an explicit declared epoch, while the
+    // driver guard forces spills — and the final snapshot must carry
+    // exactly the summed mass of both deterministic plans.
+    val dir = tmpDir("graft_xjvm_f") + "/tk"
+    val sA = spark.newSession()
+    import sA.implicits._
+    Seq.empty[String].toDF("event_type").createOrReplaceTempView("xjvm_base_f")
+    val gA = GraftSession(sA)
+    gA.sql("CREATE TOPK TABLE xjvm_tk_f ON xjvm_base_f OPTIONS(" +
+      s"key 'event_type', size '4', depth '5', width '2048', " +
+      s"timeInterval '1000', maxInterval '4', epoch '0', " +
+      s"timeAndItemAggregation 'true', timeUnit 'ms', " +
+      s"maxDriverEntries '60000', path '$dir')")
+
+    val ivMs = 1000L
+    val ivRange = 24
+    val batches = 15
+    val flagA = java.io.File.createTempFile("graft_xjvm_spill_a", ".flag")
+    val flagB = java.io.File.createTempFile("graft_xjvm_spill_b", ".flag")
+    flagA.delete(); flagB.delete()
+    val (pa, logA) = launch("append-topk-fuzz", dir, "1101",
+      batches.toString, ivRange.toString, ivMs.toString, flagA.getAbsolutePath)
+    val (pb, logB) = launch("append-topk-fuzz", dir, "2202",
+      batches.toString, ivRange.toString, ivMs.toString, flagB.getAbsolutePath)
+
+    // mid-flight: per-key totals only ever grow (mass is only added)
+    val lastSeen = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val deadline = System.currentTimeMillis() + 240000
+    while ((pa.isAlive || pb.isAlive) && System.currentTimeMillis() < deadline) {
+      val sP = spark.newSession()
+      locally { import sP.implicits._
+        Seq.empty[String].toDF("event_type")
+          .createOrReplaceTempView("xjvm_base_f") }
+      val gP = GraftSession(sP)
+      gP.sql(s"CREATE TOPK TABLE IF NOT EXISTS xjvm_poll_f ON xjvm_base_f " +
+        s"OPTIONS(path '$dir')")
+      CrossJvmWorker.FuzzKeys.foreach { k =>
+        val est = gP.queryFrequency("xjvm_poll_f", k).map(_._2).getOrElse(0L)
+        assert(est >= lastSeen(k), s"snapshot went backwards for $k")
+        lastSeen(k) = est
+      }
+      GraftState.of(sP).topks.remove("xjvm_poll_f")
+      GraftState.of(sP).topkPaths.remove("xjvm_poll_f")
+      Thread.sleep(300)
+    }
+    assert(pa.waitFor(60, TimeUnit.SECONDS) && pa.exitValue() === 0,
+      s"writer A failed; log: $logA")
+    assert(pb.waitFor(60, TimeUnit.SECONDS) && pb.exitValue() === 0,
+      s"writer B failed; log: $logB")
+    assert(flagA.exists() || flagB.exists(),
+      "neither writer ever spilled — lower the driver guard")
+
+    // exact model: replay both writers' deterministic plans and sum
+    val model = scala.collection.mutable.Map.empty[(Long, String), Long]
+      .withDefaultValue(0L)
+    Seq(1101L, 2202L).foreach { seed =>
+      CrossJvmWorker.fuzzPlan(seed, batches, ivRange, ivMs).foreach {
+        case (bt, counts) =>
+          val iv = Math.floorDiv(bt, ivMs)
+          counts.foreach { case (k, n) => model((iv, k)) += n.toLong }
+      }
+    }
+    def truth(iv0: Long, iv1: Long, k: String): Long =
+      model.iterator.collect { case ((iv, kk), n)
+        if kk == k && iv >= iv0 && iv <= iv1 => n }.sum
+
+    val sD = spark.newSession()
+    locally { import sD.implicits._
+      Seq.empty[String].toDF("event_type")
+        .createOrReplaceTempView("xjvm_base_f") }
+    val gD = GraftSession(sD)
+    gD.sql(s"CREATE TOPK TABLE IF NOT EXISTS xjvm_done_f ON xjvm_base_f " +
+      s"OPTIONS(path '$dir')")
+    // full-range identity: no interleaving may lose or double mass
+    CrossJvmWorker.FuzzKeys.foreach { k =>
+      val total = truth(Long.MinValue, Long.MaxValue, k)
+      gD.queryFrequency("xjvm_done_f", k) match {
+        case Some((lo, est, up)) =>
+          assert(est === total, s"full-range $k: $est != $total")
+          assert(lo <= total && total <= up, s"full-range bounds $k")
+        case None => assert(total === 0L, s"$k: None with model mass $total")
+      }
+    }
+    // windowed: truth within bounds for a sweep of windows (spilled run,
+    // so bounds — exactness is the single-JVM fuzz's job)
+    for (a <- -2L until ivRange.toLong by 3; len <- Seq(0L, 2L, 7L)) {
+      val (t0, t1) = (a * ivMs, (a + len + 1) * ivMs - 1)
+      CrossJvmWorker.FuzzKeys.foreach { k =>
+        val tr = truth(a, a + len, k)
+        gD.queryFrequency("xjvm_done_f", k, t0, t1) match {
+          case Some((lo, est, up)) =>
+            assert(tr <= up, s"window [$a,+$len] $k: truth $tr above $up")
+            assert(lo <= est && est <= up, s"window [$a,+$len] $k bound order")
+          case None => assert(tr === 0L, s"window [$a,+$len] $k: None, mass $tr")
+        }
+      }
+    }
+  }
+
   test("combined-mode snapshots (blocks + spill store) survive two-JVM appends") {
     // the timeAndItemAggregation structure rides the persisted snapshot:
     // per-interval shrinking sketches, full-width dyadic history blocks,

@@ -21,6 +21,31 @@ import org.apache.spark.sql.SparkSession
  *    observes many intermediate snapshots.
  */
 object CrossJvmWorker {
+
+  /** Shared fuzz keys for `append-topk-fuzz` — BOTH writers append the same
+   * keys, so every (key, interval) cell accumulates mass from two processes
+   * through interleaved RELOAD→MERGE→PUBLISH cycles. */
+  val FuzzKeys: Vector[String] = Vector("alpha", "beta", "gamma", "delta")
+
+  /** Deterministic append plan for `append-topk-fuzz`: the worker executes
+   * it, the spec replays the SAME function to build the exact model — no
+   * RNG-consumption drift between the two sides. Interval picks cover the
+   * whole shared range non-monotonically (late re-appends into intervals
+   * the other writer may have aged out) and include pre-epoch negatives. */
+  def fuzzPlan(seed: Long, batches: Int, ivRange: Int,
+      ivMs: Long): Seq[(Long, Map[String, Int])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until batches).map { _ =>
+      val iv = rnd.nextInt(ivRange + 2) - 2 // [-2, ivRange): some pre-epoch
+      val batchTime = iv * ivMs + rnd.nextLong(ivMs)
+      val counts0 = FuzzKeys.map(k => k -> rnd.nextInt(4)).toMap
+      // keep batches non-empty so every plan step really publishes
+      val counts = if (counts0.valuesIterator.sum > 0) counts0
+        else counts0.updated(FuzzKeys(rnd.nextInt(FuzzKeys.size)), 1)
+      (batchTime, counts.filter(_._2 > 0))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args(0)
     val dir = args(1)
@@ -84,6 +109,32 @@ object CrossJvmWorker {
             Seq.fill(perBatch)((ts, marker)).toDF("ts", "event_type"))
           Thread.sleep(50)
           j += 1
+        }
+        spark.stop()
+
+      case "append-topk-fuzz" =>
+        // batch-timed combined-mode fuzz appends: execute the deterministic
+        // plan against the shared path — every append is a full
+        // RELOAD→MERGE→PUBLISH under the path lock, interleaving with the
+        // other writer's cycles at the filesystem. Touch the flag file if
+        // this writer's state ever spilled, so the spec can require the
+        // spill store actually participated in the cross-process merge.
+        val seed = args(2).toLong
+        val batches = args(3).toInt
+        val ivRange = args(4).toInt
+        val ivMs = args(5).toLong
+        val spillFlag = new java.io.File(args(6))
+        Seq.empty[String].toDF("event_type")
+          .createOrReplaceTempView("xjvm_base_f")
+        g.sql(s"CREATE TOPK TABLE IF NOT EXISTS xjvm_tk_f ON xjvm_base_f " +
+          s"OPTIONS(path '$dir')")
+        fuzzPlan(seed, batches, ivRange, ivMs).foreach { case (bt, counts) =>
+          val rows = counts.toSeq.flatMap { case (k, n) => Seq.fill(n)(k) }
+          g.appendToTopK("xjvm_tk_f", rows.toDF("event_type"), bt)
+          val st = GraftState.of(spark).topks("xjvm_tk_f")
+            .asInstanceOf[graft.topk.TopKState]
+          if (st.spillLevelCounts.nonEmpty) spillFlag.createNewFile()
+          Thread.sleep(20)
         }
         spark.stop()
 

@@ -53,7 +53,7 @@ class JpegSpec extends AnyFunSuite {
     var i = 2
     while (i + 3 < bytes.length) {
       val m = bytes(i + 1) & 0xFF
-      if (bytes(i) == 0xFF.toByte && (m == 0xC0 || m == 0xC1))
+      if (bytes(i) == 0xFF.toByte && (m == 0xC0 || m == 0xC1 || m == 0xC2))
         return bytes(i + 4 + 7) & 0xFF
       if (bytes(i) == 0xFF.toByte && m != 0xD8 && !(m >= 0xD0 && m <= 0xD7))
         i += 2 + (((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF))
@@ -198,11 +198,14 @@ class JpegSpec extends AnyFunSuite {
       "declared gray sampling factors must not change the decode")
   }
 
-  private def encodeWithDri(img: BufferedImage, interval: Int): Array[Byte] = {
+  private def encodeWithDri(img: BufferedImage, interval: Int,
+      progressive: Boolean = false): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(0.9f)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
     val meta = w.getDefaultImageMetadata(spec, p)
     val fmt = "javax_imageio_jpeg_image_1.0"
@@ -306,6 +309,144 @@ class JpegSpec extends AnyFunSuite {
       } else {
         assert(meanD <= 16.0, s"fuzz $i ${w}x$h q=$q subsampled mean diff $meanD")
       }
+    }
+  }
+
+  // ---------------------------------------------------- progressive (SOF2) ----
+
+  private def encodeProgressive(img: BufferedImage, quality: Float): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  /** (ss, se, ah, al) of every SOS in the stream — proves which progressive
+   * features (spectral bands, successive approximation, refinements) a
+   * fixture actually exercises. Entropy data is walked byte-wise (it only
+   * ever contains stuffed FF00 and RSTn); marker segments skip by length. */
+  private def scanHeaders(b: Array[Byte]): Seq[(Int, Int, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int)]()
+    var i = 2
+    while (i + 3 < b.length) {
+      val m = b(i + 1) & 0xFF
+      val isMarker = b(i) == 0xFF.toByte && m != 0x00 && m != 0xFF &&
+        m != 0xD8 && !(m >= 0xD0 && m <= 0xD7)
+      if (isMarker && m == 0xD9) i = b.length
+      else if (isMarker && m == 0xDA) {
+        val seg = i + 4
+        val ns = b(seg) & 0xFF
+        out += ((b(seg + 1 + 2 * ns) & 0xFF, b(seg + 2 + 2 * ns) & 0xFF,
+          (b(seg + 3 + 2 * ns) & 0xFF) >> 4, b(seg + 3 + 2 * ns) & 0x0F))
+        i = seg + 4 + 2 * ns // into entropy data; byte-walk to next marker
+      } else if (isMarker) {
+        i += 2 + (((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF))
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  test("progressive gradient: SOF2 decodes pure-JVM within the usual bounds") {
+    for (q <- Seq(0.97f, 0.8f, 0.5f)) {
+      val img = gradient(64, 48)
+      val bytes = encodeProgressive(img, q)
+      assert(findMarker(bytes, 0xC2) > 0, "writer must emit SOF2")
+      val scans = scanHeaders(bytes)
+      assert(scans.length >= 3, s"progressive stream should be multi-scan: $scans")
+      assert(scans.exists(s => s._1 > 0), s"no AC scan found: $scans")
+      assert(scans.exists(s => s._3 > 0),
+        s"fixture never exercises refinement scans (Ah>0): $scans")
+      val fac = sofSampling(bytes)
+      val (maxD, meanD) = diffVsImageIO(bytes)
+      val (maxTol, meanTol) = if (fac == 0x11) (3, 1.0) else (16, 2.5)
+      assert(maxD <= maxTol, s"q=$q fac=$fac max per-sample diff $maxD")
+      assert(meanD <= meanTol, s"q=$q fac=$fac mean per-sample diff $meanD")
+      val (maxO, meanO) = diffVsOriginal(bytes, img)
+      assert(maxO <= 24 && meanO <= 4.0,
+        s"q=$q progressive decode strays from the original: max $maxO mean $meanO")
+    }
+  }
+
+  test("progressive grayscale decodes raw samples to one channel") {
+    val img = new BufferedImage(33, 17, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until 17; x <- 0 until 33)
+      raster.setSample(x, y, 0, (x * 255) / 32)
+    val bytes = encodeProgressive(img, 0.95f)
+    assert(findMarker(bytes, 0xC2) > 0)
+    val p = Jpeg.decode(bytes)
+    assert(p != null && p.channels === 1 && p.width === 33 && p.height === 17)
+    var maxD = 0
+    for (y <- 0 until 17; x <- 0 until 33) {
+      val d = math.abs((p.data(y * 33 + x) & 0xFF) - (x * 255) / 32)
+      if (d > maxD) maxD = d
+    }
+    assert(maxD <= 6, s"progressive gray max diff vs source raster $maxD")
+  }
+
+  test("progressive noise fuzz: random rasters decode sanely") {
+    // noise maximizes AC scan work: EOB runs of every length, ZRL in both
+    // first and refinement passes, long correction-bit stretches
+    val rnd = new scala.util.Random(41001L)
+    (1 to 8).foreach { i =>
+      val w = 1 + rnd.nextInt(70)
+      val h = 1 + rnd.nextInt(70)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF)
+      val q = 0.3f + rnd.nextFloat() * 0.65f
+      val bytes = encodeProgressive(img, q)
+      assert(findMarker(bytes, 0xC2) > 0, s"fuzz $i not progressive")
+      val mine = Jpeg.decode(bytes)
+      assert(mine != null && mine.width === w && mine.height === h,
+        s"fuzz $i ${w}x$h q=$q")
+      val (maxD, meanD) = diffVsImageIO(bytes)
+      if (sofSampling(bytes) == 0x11) {
+        assert(maxD <= 4, s"fuzz $i ${w}x$h q=$q 4:4:4 max diff $maxD")
+      } else {
+        assert(meanD <= 16.0, s"fuzz $i ${w}x$h q=$q subsampled mean diff $meanD")
+      }
+    }
+  }
+
+  test("progressive with restart markers decodes; truncation returns null or partial") {
+    val bytes = encodeWithDri(gradient(48, 32), 2, progressive = true)
+    assert(findMarker(bytes, 0xC2) > 0 && findMarker(bytes, 0xDD) > 0)
+    if (bytes.sliding(2).exists(s => s(0) == 0xFF.toByte &&
+      (s(1) & 0xFF) >= 0xD0 && (s(1) & 0xFF) <= 0xD7)) {
+      val (maxD, meanD) = diffVsImageIO(bytes)
+      val tol = if (sofSampling(bytes) == 0x11) 4 else 16
+      assert(maxD <= tol && meanD <= 2.5,
+        s"progressive restart stream diverges: max $maxD mean $meanD")
+    }
+    // truncated mid-stream: must terminate without throwing or looping
+    assert(Jpeg.decode(java.util.Arrays.copyOf(bytes, bytes.length / 3)) === null)
+  }
+
+  test("progressive odd dimensions decode with exact dims") {
+    for ((w, h) <- Seq((1, 1), (7, 5), (17, 9), (9, 17))) {
+      val img = gradient(w, h)
+      val bytes = encodeProgressive(img, 0.8f)
+      assert(findMarker(bytes, 0xC2) > 0)
+      val p = Jpeg.decode(bytes)
+      assert(p != null && p.width === w && p.height === h, s"dims ${w}x$h")
+      val ref = PixelDecoder.viaImageIO(bytes)
+      var mineSum = 0L
+      var refSum = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val o = (img.getRGB(x, y) >> ((2 - c) * 8)) & 0xFF
+        mineSum += math.abs((p.data((y * w + x) * 3 + c) & 0xFF) - o)
+        refSum += math.abs((ref.data((y * w + x) * ref.channels + c) & 0xFF) - o)
+      }
+      val n = w * h * 3
+      assert(mineSum.toDouble / n <= refSum.toDouble / n + 4.0,
+        s"${w}x$h progressive strays further from source than ImageIO")
     }
   }
 

@@ -368,6 +368,31 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         cos.queryExecution.optimizedPlan.treeString)
   }
 
+  test("jaccardPairs verify stage: snapshot pair frame + semi-joined gram stage") {
+    // the bounded-verify contract (r10): the eq/rest/gram branches all read
+    // ONE materialized pair snapshot — AQE or a plan change that re-executes
+    // the LSH candidate DAG per branch measured 3x the query; and gram sets
+    // compute only for docs semi-joined against surviving non-equal pairs,
+    // never the whole corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.8, maxPairsPerId = 64)
+    val physical = pairs.queryExecution.executedPlan.toString
+    assert(physical.contains("Scan ExistingRDD"),
+      s"pair frame is not a materialized snapshot:\n$physical")
+    assert(!physical.contains("band#"),
+      s"LSH banded join re-executed above the pair snapshot:\n$physical")
+    assert(physical.contains("LeftSemi"),
+      s"gram stage must be gated by a semi-join on surviving pair ids:\n$physical")
+    // corpus scans visible above the snapshot: the two gram sides only
+    // (exchange reuse may fold them to one + a reuse marker)
+    val corpusScans = physical.split("\n")
+      .count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(corpusScans <= 2,
+      s"verify stage re-scans the corpus $corpusScans times:\n$physical")
+    assert(!physical.contains("CartesianProduct"))
+  }
+
   test("unigramLogProb scores the head tier through a broadcast join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // emulate at-scale planning: with auto-broadcast off (a 100 TB corpus's

@@ -912,17 +912,21 @@ object SparkEntry {
 
     // Perceptual DCT embedding end-to-end (the NN-extractor-shaped path,
     // deterministic pure JVM): 24 docs get noise images whose CONTENT is
-    // doc_id%6-seeded but whose BYTES differ — even ids encode PNG, odd BMP.
-    // DctFeatureExtractor must embed same-content blobs identically across
-    // containers (decode → resize → luma → 2D DCT is format-blind) and
-    // different content far apart, so the ANN cosine-pair operator recovers
-    // exactly the same-seed pairs — which the oracle states as modular
-    // arithmetic on doc_id. A byte-hash stub extractor cannot match: PNG
-    // and BMP bytes of the same raster hash to unrelated vectors.
+    // doc_id%6-seeded but whose BYTES differ — the container alternates
+    // PNG/BMP by (doc_id/6)%2, which is INDEPENDENT of the content seed
+    // (an id%2 split would be determined by id%6 and give every matched
+    // pair the same container — review find), so every content group mixes
+    // both encodings. DctFeatureExtractor must embed same-content blobs
+    // identically across containers (decode → resize → luma → 2D DCT is
+    // format-blind) and different content far apart, so the ANN
+    // cosine-pair operator recovers exactly the same-seed pairs — which
+    // the oracle states as modular arithmetic on doc_id. A byte-hash stub
+    // extractor cannot match: PNG and BMP bytes of the same raster hash
+    // to unrelated vectors.
     "q62_dct_embedding" -> ((s, dir) => {
       val mkBlob = udf { (id: Long) =>
         graft.multimodal.Multimodal.SyntheticMedia.image(
-          if (id % 2 == 0) "png" else "bmp", 48, 48, id % 6)
+          if ((id / 6) % 2 == 0) "png" else "bmp", 48, 48, id % 6)
       }
       val bin = tbl(s, dir, "documents").select(col("doc_id"))
         .orderBy(col("doc_id")).limit(24)

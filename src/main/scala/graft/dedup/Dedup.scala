@@ -308,17 +308,22 @@ object Dedup {
    *     crawl partition, a bad upstream join) fans the pair→gram joins
    *     out quadratically in the duplication factor — measured 10× the
    *     whole query on a 10×-replicated benchmark corpus.
-   *  3. **Optional per-id candidate cap** (`maxPairsPerId` > 0): each id
-   *     keeps at most that many candidate partners per side (smallest
-   *     partner id first, via the bounded-heap rank of
-   *     [[graft.pipeline.Pipeline.capPerKey]] — no skew-prone window
-   *     sort). The stated recall contract: a doc in a cluster larger than
-   *     the cap reports only its nearest-by-id partners, so WITNESS pairs
-   *     are dropped — but an exact-duplicate cluster is a candidate
-   *     CLIQUE, and each member's link to its immediate id-predecessor
-   *     survives both caps, so the consecutive-id chain keeps every
-   *     cluster connected under [[connectedComponents]] at any cap ≥ 1.
-   *     0 = uncapped.
+   *  3. **Optional per-id candidate cap** (`maxPairsPerId` > 0, integral
+   *     id column required): each id keeps at most that many candidate
+   *     partners per side via a bounded heap (no skew-prone window sort),
+   *     ranked (equal-content-first, then smallest partner id). Ranking
+   *     equal-hash pairs ABOVE unverified near-dup candidates is what
+   *     makes the connectivity guarantee unconditional: a sub-threshold
+   *     LSH false positive can never evict an exact duplicate's pair from
+   *     a cap slot (it ranks strictly below every eq pair), an exact-dup
+   *     cluster is an eq-pair candidate CLIQUE, and each member's link to
+   *     its immediate id-predecessor survives both side caps — so the
+   *     consecutive-id chain keeps every exact-dup cluster connected under
+   *     [[connectedComponents]] at any cap ≥ 1. NEAR-dup (non-equal)
+   *     pairs have the weaker contract: a doc with more candidates than
+   *     the cap reports only its highest-ranked partners, so recall of
+   *     near-threshold pairs degrades on ids with pathological candidate
+   *     fan-in. 0 = uncapped.
    */
   def jaccardPairs(
       df: DataFrame,
@@ -330,19 +335,42 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 5,
       maxPairsPerId: Int = 0): DataFrame = {
+    if (maxPairsPerId > 0) {
+      // the cap's join-free winners encoding stores the partner id in a
+      // long heap slot and reconstructs the pair from it — only lossless
+      // for integral ids. A plain cast here would silently drop (NULL) or
+      // corrupt ("007" -> 7) string ids instead of failing loudly.
+      val dt = df.schema(idCol).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.LongType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.ShortType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.ByteType],
+        s"maxPairsPerId requires an integral id column; $idCol is $dt " +
+          "(hash string ids to a long id first, or pass maxPairsPerId = 0)")
+    }
     val cands0 = lshCandidatePairIds(df, idCol, contentCol, numHashes, bands, shingleK)
-    val cands = if (maxPairsPerId <= 0) cands0 else {
+    val meta = df.select(col(idCol).as("id"), xxhash64(col(contentCol)).as("ch"))
+    // attach content hashes BEFORE capping: the cap ranks equal-content
+    // pairs first (doc bound 3), and the eq/rest split below reuses the
+    // same flag. Collapse duplicate-id fan-out to the max-hash
+    // representative per pair (doc bound 2b) in the same aggregation —
+    // on a unique-id corpus it is a no-op over the already-narrow frame.
+    val withEq = cands0
+      .join(meta.select(col("id").as("id_a"), col("ch").as("ch_a")), "id_a")
+      .join(meta.select(col("id").as("id_b"), col("ch").as("ch_b")), "id_b")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((max(col("ch_a")) === max(col("ch_b"))).as("__graft_eq__"))
+    val cands = if (maxPairsPerId <= 0) withEq else {
       // join-free capping: a pair IS (key, partner), so the bounded-heap
       // winners are the capped pair set directly — capPerKey's membership
       // join would re-execute the whole LSH candidate DAG once per phase
       // (measured 4x the query at sf0.1); this is one aggregation per side
-      // over narrow pairs, partial buffers bounded at maxPairsPerId longs
-      // per key per map task
-      capPairSide(capPairSide(cands0, "id_a", "id_b", maxPairsPerId),
+      // over narrow pairs, partial buffers bounded at 2·maxPairsPerId
+      // longs per key per map task
+      capPairSide(capPairSide(withEq, "id_a", "id_b", maxPairsPerId),
         "id_b", "id_a", maxPairsPerId)
     }
-    val meta = df.select(col(idCol).as("id"), xxhash64(col(contentCol)).as("ch"))
-    // materialize the narrow (id_a, id_b, ch_a, ch_b) pair frame ONCE: the
+    // materialize the narrow (id_a, id_b, eq) pair frame ONCE: the
     // eq/rest/gram branches below consume it 4+ times, and without a
     // snapshot each branch re-executes the LSH candidate DAG (exchange
     // reuse only dedupes the shuffles, not the join stages above them —
@@ -351,19 +379,12 @@ object Dedup {
     // consuming action, same hygiene as [[connectedComponents]].
     val spark = df.sparkSession
     val (paired, pairedRdd) =
-      org.apache.spark.sql.graft.Plans.materializeWithRdd(spark, cands
-        .join(meta.select(col("id").as("id_a"), col("ch").as("ch_a")), "id_a")
-        .join(meta.select(col("id").as("id_b"), col("ch").as("ch_b")), "id_b")
-        // collapse duplicate-id fan-out to the max-hash representative per
-        // pair (doc bound 2b) — on a unique-id corpus this is a no-op
-        // aggregation over the already-narrow pair frame
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(max(col("ch_a")).as("ch_a"), max(col("ch_b")).as("ch_b")))
+      org.apache.spark.sql.graft.Plans.materializeWithRdd(spark, cands)
     org.apache.spark.sql.graft.Plans.releaseAfterFirstUse(spark, pairedRdd)
-    val eq = paired.filter(col("ch_a") === col("ch_b"))
+    val eq = paired.filter(col("__graft_eq__"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    val rest = paired.filter(col("ch_a") =!= col("ch_b"))
+    val rest = paired.filter(!col("__graft_eq__"))
       .select(col("id_a"), col("id_b"))
     val restIds = rest
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
@@ -392,20 +413,27 @@ object Dedup {
     eq.unionByName(verified)
   }
 
-  /** Keep each `key`'s `n` smallest `partner` values: one bounded-heap
-   * aggregation, winners exploded straight back into pairs (a pair is
-   * fully determined by (key, partner), so no membership join). Restores
-   * the partner column's original type after the long-typed heap. */
+  /** Keep each `key`'s `n` best `(eq-first, smallest partner)` pairs: one
+   * bounded-heap aggregation over (ord = eq?0:1, tb = partner id) with the
+   * winners exploded straight back into pairs (a pair is fully determined
+   * by (key, partner), so no membership join). Ranking equal-content pairs
+   * above unverified candidates is what keeps exact-dup cliques connected
+   * at any cap (doc bound 3 of [[jaccardPairs]]). The partner rides the
+   * heap's tiebreak slot, so the id column must be integral (validated by
+   * the caller); the eq flag is reconstructed from the winning ord. */
   private def capPairSide(pairs: DataFrame, key: String, partner: String,
       n: Int): DataFrame = {
     import org.apache.spark.sql.graft.{BoundedMinN, Exprs}
     val partnerType = pairs.schema(partner).dataType
-    val p = col(partner).cast("long")
-    val keep = Exprs.column(BoundedMinN(Exprs.expression(p),
-      Exprs.expression(p), n, smallest = true).toAggregateExpression())
+    val ord = when(col("__graft_eq__"), lit(0L)).otherwise(lit(1L))
+    val keep = Exprs.column(BoundedMinN(Exprs.expression(ord),
+      Exprs.expression(col(partner).cast("long")), n,
+      smallest = true).toAggregateExpression())
     pairs.groupBy(col(key)).agg(keep.as("__graft_keep__"))
       .select(col(key), explode(col("__graft_keep__")).as("__graft_w__"))
-      .select(col(key), col("__graft_w__.o").cast(partnerType).as(partner))
-      .select(col("id_a"), col("id_b"))
+      .select(col(key),
+        col("__graft_w__.t").cast(partnerType).as(partner),
+        (col("__graft_w__.o") === 0L).as("__graft_eq__"))
+      .select(col("id_a"), col("id_b"), col("__graft_eq__"))
   }
 }

@@ -155,6 +155,52 @@ object Jpeg {
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
 
+  /** Dequantized 8×8 block (natural order) → separable IDCT → +128 level
+   * shift → clamped into `plane` at (ox, oy). One shared kernel for the
+   * baseline and progressive paths — the numerically sensitive piece must
+   * not fork. `tmp`/`block` are caller-owned scratch (allocation-free hot
+   * loop). */
+  private def idctBlockInto(coef: Array[Int], tmp: Array[Double],
+      block: Array[Double], plane: Array[Byte], planeW: Int,
+      ox: Int, oy: Int): Unit = {
+    var x = 0
+    while (x < 8) {
+      var v = 0
+      while (v < 8) {
+        var s2 = 0.0
+        var u = 0
+        while (u < 8) { s2 += Cos(x)(u) * coef(u * 8 + v); u += 1 }
+        tmp(x * 8 + v) = s2
+        v += 1
+      }
+      x += 1
+    }
+    x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s2 = 0.0
+        var v = 0
+        while (v < 8) { s2 += tmp(x * 8 + v) * Cos(y)(v); v += 1 }
+        block(x * 8 + y) = s2
+        y += 1
+      }
+      x += 1
+    }
+    var yy = 0
+    while (yy < 8) {
+      val rowBase = (oy + yy) * planeW + ox
+      var xx = 0
+      while (xx < 8) {
+        val v2 = math.rint(block(yy * 8 + xx) + 128.0).toInt
+        plane(rowBase + xx) =
+          (if (v2 < 0) 0 else if (v2 > 255) 255 else v2).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
   private def decode0(b: Array[Byte]): Pixels = {
     if (b == null || b.length < 4 ||
       b(0) != 0xFF.toByte || b(1) != 0xD8.toByte) return null
@@ -361,46 +407,9 @@ object Jpeg {
                 k += 1
               }
             }
-            // ---- separable IDCT: tmp = Cos * F, block = tmp * Cos^T ----
-            var x = 0
-            while (x < 8) {
-              var v = 0
-              while (v < 8) {
-                var s2 = 0.0
-                var u = 0
-                while (u < 8) { s2 += Cos(x)(u) * coef(u * 8 + v); u += 1 }
-                tmp(x * 8 + v) = s2
-                v += 1
-              }
-              x += 1
-            }
-            x = 0
-            while (x < 8) {
-              var y = 0
-              while (y < 8) {
-                var s2 = 0.0
-                var v = 0
-                while (v < 8) { s2 += tmp(x * 8 + v) * Cos(y)(v); v += 1 }
-                block(x * 8 + y) = s2
-                y += 1
-              }
-              x += 1
-            }
-            // ---- level shift + clamp into the component plane ----
-            val ox = (mx * hOf(c) + bx) * 8
-            val oy = (my * vOf(c) + by) * 8
-            var yy = 0
-            while (yy < 8) {
-              val rowBase = (oy + yy) * c.planeW + ox
-              var xx = 0
-              while (xx < 8) {
-                val v2 = math.rint(block(yy * 8 + xx) + 128.0).toInt
-                c.plane(rowBase + xx) =
-                  (if (v2 < 0) 0 else if (v2 > 255) 255 else v2).toByte
-                xx += 1
-              }
-              yy += 1
-            }
+            // ---- IDCT + level shift + clamp into the component plane ----
+            idctBlockInto(coef, tmp, block, c.plane, c.planeW,
+              (mx * hOf(c) + bx) * 8, (my * vOf(c) + by) * 8)
             bx += 1
           }
           by += 1
@@ -663,45 +672,7 @@ object Jpeg {
             coef(n) = src(off + n) * qt(k)
             k += 1
           }
-          // separable IDCT — same shape as the baseline path
-          var x = 0
-          while (x < 8) {
-            var v = 0
-            while (v < 8) {
-              var s2 = 0.0
-              var u = 0
-              while (u < 8) { s2 += Cos(x)(u) * coef(u * 8 + v); u += 1 }
-              tmp(x * 8 + v) = s2
-              v += 1
-            }
-            x += 1
-          }
-          x = 0
-          while (x < 8) {
-            var y = 0
-            while (y < 8) {
-              var s2 = 0.0
-              var v = 0
-              while (v < 8) { s2 += tmp(x * 8 + v) * Cos(y)(v); v += 1 }
-              block(x * 8 + y) = s2
-              y += 1
-            }
-            x += 1
-          }
-          val ox = colI * 8
-          val oy = row * 8
-          var yy = 0
-          while (yy < 8) {
-            val rowBase = (oy + yy) * c.planeW + ox
-            var xx = 0
-            while (xx < 8) {
-              val v2 = math.rint(block(yy * 8 + xx) + 128.0).toInt
-              c.plane(rowBase + xx) =
-                (if (v2 < 0) 0 else if (v2 > 255) 255 else v2).toByte
-              xx += 1
-            }
-            yy += 1
-          }
+          idctBlockInto(coef, tmp, block, c.plane, c.planeW, colI * 8, row * 8)
           colI += 1
         }
         row += 1

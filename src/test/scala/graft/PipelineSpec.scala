@@ -175,6 +175,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(2) === 1.0))
   }
 
+  test("jaccardPairs: sub-threshold candidates cannot evict an exact duplicate from cap slots") {
+    import spark.implicits._
+    // docs 1 and 10 are exact copies; docs 2-5 are NEAR-dups of 1 (they
+    // share LSH buckets but fail the exact threshold) with ids BETWEEN the
+    // copies — under a smallest-partner-id-only cap rank, cap=1 kept the
+    // unverifiable (1,2) candidate and silently dropped the true (1,10)
+    // pair (review find). The eq-first rank must keep (1,10) at any cap.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = (Seq((1L, base), (10L, base)) ++
+      (2L to 5L).map(i => (i, base.dropRight(6) + s" zz$i"))).toDF("doc_id", "text")
+    val cands = Dedup.lshCandidatePairIds(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.exists(p => p._1 == 1L && p._2 >= 2L && p._2 <= 5L),
+      s"fixture must plant sub-threshold candidates on id 1's side: $cands")
+    assert(cands.contains((1L, 10L)), s"true pair must be a candidate: $cands")
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", 0.999999,
+      n = 3, maxPairsPerId = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L)),
+      "the exact pair must survive the cap whatever near-dup candidates exist")
+    // and a non-integral id column fails loudly when capped (the heap's
+    // winners encoding cannot reconstruct string pairs)
+    val sdf = df.withColumn("doc_id", concat(lit("d"), col("doc_id")))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(sdf, "doc_id", "text", 0.9, maxPairsPerId = 4)
+    }
+    assert(err.getMessage.contains("integral id column"))
+  }
+
   test("jaccardPairs: per-id cap bounds pairs but keeps clusters connected") {
     import spark.implicits._
     // one 12-member exact-dup clique + 3 singletons; cap 2 per side

@@ -811,6 +811,12 @@ object SparkEntry {
       // full staging write are harness work, and re-paying them every bench
       // pass times the fixture, not the streaming engine. Each pass streams
       // from a fresh inDir populated by hard links into the shared staging.
+      // CACHE CONTRACT: keyed by sf-dir path, so a harness that REWRITES
+      // <dir>/events.parquet in-place and re-invokes this gate in the same
+      // JVM would replay stale staging — unlike the q15/q58 blob caches
+      // (derived deterministically from a fixed table) this memoizes a
+      // materialization of the raw input. The testdata dirs are immutable
+      // in every harness that exists; clear q39Stage if that changes.
       val stage = q39Stage.computeIfAbsent(dir, { _ =>
         val bounds = ev.agg(
           expr("percentile_approx(cast(ts as long), 0.5)").as("mid"),
@@ -831,9 +837,13 @@ object SparkEntry {
         root
       })
       val inDir = java.nio.file.Files.createTempDirectory("graft_q39_in_")
-      def releaseBatch(b: Int): Unit =
-        java.nio.file.Files.list(
-          java.nio.file.Paths.get(s"$stage/raw/__b__=$b")).forEach { p =>
+      def releaseBatch(b: Int): Unit = {
+        val part = java.nio.file.Paths.get(s"$stage/raw/__b__=$b")
+        // a degenerate fixture (every event at one timestamp) writes no
+        // ts<mid half — an absent partition is an empty batch, not an error
+        if (!java.nio.file.Files.isDirectory(part)) return
+        val listing = java.nio.file.Files.list(part)
+        try listing.forEach { p =>
           if (p.getFileName.toString.endsWith(".parquet")) {
             val dst = inDir.resolve(s"b${b}_${p.getFileName}")
             try java.nio.file.Files.createLink(dst, p)
@@ -842,7 +852,8 @@ object SparkEntry {
               java.nio.file.Files.copy(p, dst)
             }
           }
-        }
+        } finally listing.close()
+      }
       val schema = StructType(Seq(StructField("ts", TimestampType),
         StructField("event_type", StringType)))
       val stream = s.readStream.schema(schema).parquet(inDir.toString)
@@ -1254,16 +1265,22 @@ object SparkEntry {
         docs, col("lang"), col("doc_id"),
         Map("en" -> 0.30, "de" -> 0.175, "es" -> 0.175,
           "fr" -> 0.175, "zh" -> 0.175))
-      // total via a broadcast single-row aggregate, not a global window:
-      // an empty-partition WindowExec moves everything to one task (and
-      // warns so in every driver log) — harmless over 5 language rows,
-      // but the join form is warning-free and stays safe if the key
-      // domain ever isn't tiny
-      val counts = mixed.groupBy(col("lang")).agg(count(lit(1)).as("kept"))
-      counts
-        .join(broadcast(counts.agg(sum(col("kept")).as("__graft_tot__"))))
-        .withColumn("share", round(col("kept") / col("__graft_tot__"), 6))
-        .select(col("lang"), col("kept"), col("share"))
+      // share denominator via a global window over the AGGREGATED frame:
+      // the window's input is the ≤5-row post-aggregation result, so the
+      // empty-partition WindowExec (and its single-task warning) touches 5
+      // rows, not the corpus. The warning-free alternative — joining
+      // counts with broadcast(counts.agg(sum)) — was tried and REVERTED:
+      // its STATIC plan scans and mix-filters documents twice (the
+      // self-referencing join's branches don't match under ReuseExchange
+      // canonicalization), and only runtime AQE stage reuse saves it. The
+      // two forms time identically at sf0.1/sf1 (0.42/0.54 s both,
+      // ONLY-mode medians), so prefer the shape whose single scan is
+      // structural, not an optimizer courtesy; at a key domain too large
+      // for a 5-row window, total via a persisted counts frame instead.
+      mixed.groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+        .withColumn("share",
+          round(col("kept") / sum(col("kept")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 6))
         .orderBy(col("lang"))
     }),
 

@@ -875,7 +875,19 @@ object SparkEntry {
         q.processAllAvailable()
         releaseBatch(2)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // the memory sink holds the result; the per-pass link dir is dead
+        // once the query stops — without this a bench loop accumulates one
+        // inDir per pass for the JVM lifetime (full parquet COPIES on
+        // filesystems where createLink fell back)
+        try {
+          val walk = java.nio.file.Files.walk(inDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: java.io.IOException => () } // best-effort cleanup
+      }
       s.table("q39_sink")
         .filter(col("event_type") =!= "__sentinel__")
         .select(col("window_start").cast("long").as("window_start_s"),

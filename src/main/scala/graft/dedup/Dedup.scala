@@ -348,8 +348,17 @@ object Dedup {
         s"maxPairsPerId requires an integral id column; $idCol is $dt " +
           "(hash string ids to a long id first, or pass maxPairsPerId = 0)")
     }
-    val cands0 = lshCandidatePairIds(df, idCol, contentCol, numHashes, bands, shingleK)
-    val meta = df.select(col(idCol).as("id"), xxhash64(col(contentCol)).as("ch"))
+    // NULL content never participates: xxhash64 skips null children (the
+    // seed passes through), so without this filter every null-content doc
+    // would share one content hash AND one minhash-band bucket — the eq
+    // fast path below would then report all null-content pairs as exact
+    // duplicates (jaccard 1.0) where the n-gram verify they bypass
+    // evaluates NULL and drops them. The contract is the gram verify's:
+    // a doc with no content has no n-grams and duplicates nothing.
+    val docs = df.filter(col(contentCol).isNotNull)
+    val cands0 =
+      lshCandidatePairIds(docs, idCol, contentCol, numHashes, bands, shingleK)
+    val meta = docs.select(col(idCol).as("id"), xxhash64(col(contentCol)).as("ch"))
     // attach content hashes BEFORE capping: the cap ranks equal-content
     // pairs first (doc bound 3), and the eq/rest split below reuses the
     // same flag. Collapse duplicate-id fan-out to the max-hash
@@ -390,7 +399,7 @@ object Dedup {
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     // semi-join BEFORE the gram projection: grams are computed only for
     // docs that actually appear in a non-equal surviving pair
-    val grams = df.select(col(idCol).as("id"), col(contentCol).as("__graft_c__"))
+    val grams = docs.select(col(idCol).as("id"), col(contentCol).as("__graft_c__"))
       .join(restIds, Seq("id"), "left_semi")
       // same representative convention as the pair frame (doc bound 2b):
       // ONE gram row per id, picked by max content hash, so the verify

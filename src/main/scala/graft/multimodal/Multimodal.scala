@@ -720,15 +720,29 @@ object Multimodal {
             }
             u += 1
           }
-          // a flat image (all-equal luma) has zero AC energy — embed as the
-          // zero vector rather than dividing by ~0 and amplifying rounding
-          // noise into a random direction
+          // a flat image (all-equal luma) has zero AC energy. The zero
+          // vector would be the noise-safe embed, but cosine of two zero
+          // vectors is 0 — byte-identical solid-color images would then
+          // NEVER pair in cosineDedupPairs, silently zeroing dedup recall
+          // on flat media. Instead embed a deterministic one-hot unit
+          // vector whose position is the quantized mean luma: same-raster
+          // flats embed identically (cosine 1), different-brightness flats
+          // are orthogonal (they are different rasters), and no rounding
+          // noise is amplified. Flats on a quantization boundary may split
+          // bins — brightness is the only signal a flat image has left.
           if (norm > 1e-6) {
             val inv = (1.0 / math.sqrt(norm)).toFloat
             k = 0
             while (k < dim) { v(k) *= inv; k += 1 }
           } else {
             java.util.Arrays.fill(v, 0.0f)
+            var sum = 0.0
+            var i = 0
+            while (i < luma.length) { sum += luma(i); i += 1 }
+            val mean = sum / luma.length // luma is 0..255
+            val bin = math.min(dim - 1, math.max(0,
+              (mean * dim / 256.0).toInt))
+            v(bin) = 1.0f
           }
           v
         }

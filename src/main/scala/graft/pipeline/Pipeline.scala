@@ -450,16 +450,23 @@ object Pipeline {
     val hashable = analyzed.filterNot(a => Exprs.containsMap(a.dataType))
     val attrs = hashable.map(Exprs.column) ++
       analyzed.map(a => Exprs.column(a).isNull)
-    val tbCol = tiebreak.getOrElse(
-      if (attrs.isEmpty) lit(0L) else xxhash64(attrs: _*))
-    // both phases must share one NULL convention: BoundedMinN ranks a null
-    // tiebreak as 0, but the membership join's `=== __graft_t__` is
-    // null-rejecting — a caller-supplied tiebreak whose cast('long') is
-    // NULL (a hex-string content hash, say) would win aggregate slots yet
-    // never match the join. TRY cast + coalesce pins {NULL, malformed}→0
-    // on both sides (under ANSI a plain cast would instead kill the job on
-    // the first odd value).
-    val withTb = df.withColumn(TB, coalesce(Exprs.tryCastLong(tbCol), lit(0L)))
+    val defaultTb = if (attrs.isEmpty) lit(0L) else xxhash64(attrs: _*)
+    // both phases must share one tiebreak convention, and that convention
+    // must keep ties DISTINGUISHABLE: BoundedMinN ranks a null tiebreak as
+    // 0, but the membership join's `=== __graft_t__` is null-rejecting — a
+    // caller-supplied tiebreak whose cast('long') is NULL (a hex-string
+    // content hash, say) would win aggregate slots yet never match the
+    // join. Pinning {NULL, malformed}→a CONSTANT is no better: every
+    // equal-ord row then carries the same (ord, tb) pair, the join matches
+    // all of them, and the operator returns MORE than n rows per key. So
+    // rows whose caller tiebreak doesn't cast fall back to the default
+    // content hash — deterministic, distinct for non-identical rows, and
+    // identical in both phases (the TRY cast avoids ANSI killing the job
+    // on the first odd value).
+    val tbCol = tiebreak
+      .map(t => coalesce(Exprs.tryCastLong(t), defaultTb))
+      .getOrElse(defaultTb)
+    val withTb = df.withColumn(TB, coalesce(tbCol, lit(0L)))
     val ordLong = ord.cast("long")
     val keepCol = Exprs.column(
       BoundedMinN(Exprs.expression(ordLong), Exprs.expression(col(TB)),

@@ -75,22 +75,35 @@ class DctFeatureSpec extends AnyFunSuite {
     assert(c > 0.9 && c < 1.0, s"got $c")
   }
 
-  test("unlike content embeds far; flat content embeds as the zero vector") {
+  test("unlike content embeds far; flat content embeds one-hot by luma") {
     val Array(a, b) = feats(
       SyntheticMedia.image("png", 48, 48, seed = 1L),
       SyntheticMedia.image("png", 48, 48, seed = 2L))
     assert(math.abs(cosine(a, b)) < 0.5, s"got ${cosine(a, b)}")
-    // flat gray: zero AC energy must yield the zero vector, never NaN
     val flat = feats(SyntheticMedia.gradientImage("png", 1, 40, base = 7)).head
-    // width-1 ramp still has vertical AC; a truly flat image is constant rows
-    val flatImg = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 16; x <- 0 until 16) flatImg.setRGB(x, y, 0x808080)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(flatImg, "png", baos)
-    val z = feats(baos.toByteArray).head
-    assert(z.forall(_ === 0.0f))
     assert(flat.forall(v => !v.isNaN))
+    // width-1 ramp still has vertical AC; a truly flat image is constant rows
+    def flatPng(rgb: Int, side: Int = 16): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until side; x <- 0 until side) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // zero AC energy: NOT the zero vector (cosine of zero vectors is 0,
+    // which would make byte-identical solid-color images undiscoverable by
+    // cosineDedupPairs) — a one-hot unit vector positioned by mean luma
+    val z = feats(flatPng(0x808080)).head
+    assert(z.count(_ === 1.0f) === 1 && z.count(_ === 0.0f) === z.length - 1,
+      s"flat must embed one-hot, got ${z.toSeq}")
+    // same-raster flats (different size, same color) embed identically...
+    val z2 = feats(flatPng(0x808080, side = 32)).head
+    assert(cosine(z, z2) > 0.999, "equal-color flats must pair as dups")
+    // ...and clearly-different-brightness flats are orthogonal
+    val dark = feats(flatPng(0x101010)).head
+    assert(math.abs(cosine(z, dark)) < 1e-6,
+      "different-brightness flats are different rasters")
     assert(ex.extract(Array[Array[Byte]](null)).head === null)
   }
 

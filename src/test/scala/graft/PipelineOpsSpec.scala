@@ -340,25 +340,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("__graft_tb__"))
   }
 
-  test("capPerKey: NULL-casting caller tiebreak still returns n rows per key") {
+  test("capPerKey: NULL-casting caller tiebreak still returns EXACTLY n") {
     import spark.implicits._
     // a tiebreak whose cast('long') is NULL (a hex-string content hash,
-    // say) is ranked 0 inside BoundedMinN; the membership join must share
-    // that NULL→0 convention or such rows win aggregate slots yet never
-    // match the (null-rejecting) equality — keys would silently return
-    // fewer than n rows, possibly zero
+    // say) must neither under-return (rows win aggregate slots but the
+    // null-rejecting membership join never matches them) nor over-return
+    // (pinning every NULL cast to one CONSTANT makes equal-ord rows carry
+    // identical (ord, tb) pairs — the join then matches ALL of them and a
+    // cap of n returns more than n). The landed convention: rows whose
+    // caller tiebreak doesn't cast fall back to the default content hash,
+    // which is deterministic, distinct for non-identical rows, and shared
+    // by both phases.
     val df = Seq(("a", 1L, "ff01"), ("a", 2L, "ab"), ("a", 3L, "0c"),
       ("b", 9L, "deadbeef")).toDF("k", "v", "hex")
     val kept = Pipeline.capPerKey(df, col("k"), col("v"), 2,
       tiebreak = Some(col("hex"))) // cast('long') of hex strings = NULL
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(kept === Set(("a", 1L), ("a", 2L), ("b", 9L)))
-    // and a MIX of null and non-null casts ranks nulls as 0 consistently:
-    // with cap 1 and equal ord, the null-cast row (0) beats the 7
-    val mix = Seq(("c", 5L, "xx"), ("c", 5L, "7")).toDF("k", "v", "t")
-    val one = Pipeline.capPerKey(mix, col("k"), col("v"), 1,
-      tiebreak = Some(col("t"))).collect()
-    assert(one.length === 1 && one(0).getString(2) === "xx")
+    // over-cap regression: equal ord, cap 2, THREE distinct hex tiebreaks
+    // — under the old NULL→constant-0 convention all three matched the
+    // winners join and the "cap" returned 3
+    val tied = Seq(("c", 5L, "xx"), ("c", 5L, "yy"), ("c", 5L, "zz"))
+      .toDF("k", "v", "hex")
+    val capped = Pipeline.capPerKey(tied, col("k"), col("v"), 2,
+      tiebreak = Some(col("hex"))).collect()
+    assert(capped.length === 2, s"cap 2 must return 2, got ${capped.length}")
+    // the fallback is deterministic: the same input keeps the same rows
+    val again = Pipeline.capPerKey(tied, col("k"), col("v"), 2,
+      tiebreak = Some(col("hex"))).collect()
+    assert(capped.map(_.getString(2)).sorted.toSeq ===
+      again.map(_.getString(2)).sorted.toSeq)
+    // a MIX of null and non-null casts still caps at exactly n per key
+    val mix = Seq(("d", 5L, "xx"), ("d", 5L, "7")).toDF("k", "v", "t")
+    assert(Pipeline.capPerKey(mix, col("k"), col("v"), 1,
+      tiebreak = Some(col("t"))).count() === 1L)
   }
 
   test("capPerKey: map-typed columns don't break the default tiebreak") {

@@ -175,6 +175,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(2) === 1.0))
   }
 
+  test("jaccardPairs: NULL content duplicates nothing") {
+    import spark.implicits._
+    // xxhash64 skips null children, so without an input guard every
+    // null-content doc shares one content hash AND one minhash-band
+    // bucket: the eq fast path would report all null pairs as exact
+    // duplicates (jaccard 1.0) — and connectedComponents would then merge
+    // every null-content doc into one cluster. The contract is the n-gram
+    // verify's: no content, no n-grams, no duplicates.
+    val df = Seq(
+      (1L, Option("alpha beta gamma delta epsilon zeta eta theta")),
+      (2L, Option("alpha beta gamma delta epsilon zeta eta theta")),
+      (3L, Option.empty[String]),
+      (4L, Option.empty[String]),
+      (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", 0.5, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)),
+      s"null-content docs must not pair, got $got")
+    // and the capped path shares the guard
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", 0.5, n = 3,
+      maxPairsPerId = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+  }
+
   test("jaccardPairs: sub-threshold candidates cannot evict an exact duplicate from cap slots") {
     import spark.implicits._
     // docs 1 and 10 are exact copies; docs 2-5 are NEAR-dups of 1 (they

@@ -120,4 +120,53 @@ class PipelineFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  for (seed <- 1 to 3)
+  test(s"capPerKey caller-tiebreak fuzz (null/malformed casts), seed $seed") {
+    import spark.implicits._
+    // the convention under fuzz: a caller tiebreak whose cast('long') is
+    // NULL falls back to the default content hash — rows must stay
+    // DISTINGUISHABLE (a constant fallback made equal-ord rows all match
+    // the winners join: a cap of 2 returned 3)
+    val rnd = new scala.util.Random(8200 + seed)
+    (1 to 4).foreach { scenarioNo =>
+      val n = 1 + rnd.nextInt(200)
+      val distinctOrds = 1 + rnd.nextInt(3) // ties-heavy on purpose
+      val rows = (1 to n).map { i =>
+        val k = "k" + rnd.nextInt(1 + rnd.nextInt(4))
+        val v = rnd.nextInt(distinctOrds).toLong
+        // tiebreak: castable digits, malformed alpha, or NULL
+        val t = rnd.nextInt(3) match {
+          case 0 => Some(rnd.nextInt(50).toString)
+          case 1 => Some("x" + rnd.nextInt(50))
+          case _ => None
+        }
+        (i.toLong, k, v, t)
+      }
+      val cap = 1 + rnd.nextInt(4)
+      val parts = 1 + rnd.nextInt(7)
+      val df = rows.toDF("id", "k", "v", "t").repartition(parts)
+
+      val kept = Pipeline.capPerKey(df, col("k"), col("v"), cap,
+        tiebreak = Some(col("t"))).collect().map(_.getLong(0)).toSet
+
+      // brute force over the SAME effective tiebreak: try_cast else the
+      // default hash (all columns then all isNull flags, input order)
+      val eff = df
+        .withColumn("eff", coalesce(expr("try_cast(t as long)"),
+          xxhash64((df.columns.map(col) ++
+            df.columns.map(c => col(c).isNull)): _*)))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+      val expect = eff.groupBy(_._2).flatMap { case (_, grp) =>
+        grp.sortWith { (a, b) =>
+          if (a._3 != b._3) a._3 < b._3 else a._4 < b._4
+        }.take(cap).map(_._1).toSeq
+      }.toSet
+      assert(kept === expect, s"seed=$seed#$scenarioNo n=$n cap=$cap")
+      eff.filter(e => kept(e._1)).groupBy(_._2).foreach { case (k, g) =>
+        assert(g.length <= cap, s"key $k over cap: ${g.length} > $cap")
+      }
+    }
+  }
 }

@@ -279,7 +279,10 @@ object Ann {
    * cosine threshold (the embedding analogue of MinHash dedup). */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 12, seed: Long = 7L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    // null embeddings never pair (null bucket rows drop out of the
+    // candidate join) — but the dim probe must not trip over one either
+    val dim = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, numPlanes, seed)
     // No cache (an operator-internal persist leaks storage past the query).
     // The candidate join is (size-conditionally, [[graft.core.CandidateJoin]])

@@ -27,10 +27,22 @@ object Dedup {
    * `contentCol` value. Two-phase min-id + semi-join rather than a window
    * rank: the groupBy is map-side combined so a pathologically duplicated
    * value (one text repeated 10⁹ times at corpus scale) never concentrates
-   * its rows on a single task the way `Window.partitionBy(hash)` would. */
+   * its rows on a single task the way `Window.partitionBy(hash)` would.
+   *
+   * Identity is a 128-bit double hash (two independently seeded xxhash64),
+   * not the content itself — the shuffle moves 16 bytes per distinct value,
+   * never document payloads. A SINGLE 64-bit hash is not enough at corpus
+   * scale: the birthday bound makes a false merge (two distinct documents
+   * sharing one hash, the younger silently dropped) likely from ~10⁹ docs;
+   * at 128 bits it stays negligible past 10¹⁵. NULL content follows SQL
+   * GROUP BY semantics — all null-content rows form one group and only the
+   * min-id row survives (deliberately different from the NEAR-dup
+   * operators, which drop null content: a jaccard-1.0 claim needs n-grams
+   * to back it, exact grouping does not). */
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     val keepers = df
-      .groupBy(xxhash64(col(contentCol)).as("__graft_h__"))
+      .groupBy(xxhash64(col(contentCol)).as("__graft_h1__"),
+        xxhash64(col(contentCol), lit(0x9e3779b9L)).as("__graft_h2__"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     df.join(keepers, Seq(idCol), "left_semi")
@@ -94,8 +106,15 @@ object Dedup {
 
   private def lshSignatures(df: DataFrame, idCol: String, contentCol: String,
       numHashes: Int, shingleK: Int): DataFrame =
-    graft.core.Fanout(df).select(col(idCol).as("id"),
-      minhashSignature(col(contentCol), numHashes, shingleK).as("sig"))
+    // NULL content is excluded at the source: its signature is null, but
+    // xxhash64(slice(null), band) in the banding stage skips the null child
+    // and hashes the band index alone — every null-content doc would land
+    // in the SAME bucket of every band. That is both wrong (the oracle
+    // semantics: null joins/matches nothing) and, at corpus scale, a
+    // quadratic hot bucket: 10⁶ null docs = 10¹² candidate pairs.
+    graft.core.Fanout(df.filter(col(contentCol).isNotNull))
+      .select(col(idCol).as("id"),
+        minhashSignature(col(contentCol), numHashes, shingleK).as("sig"))
 
   /** The narrow banding join. No cache: an operator-internal persist leaks
    * executor storage past the query (the handle never escapes). Instead the

@@ -198,6 +198,17 @@ class PipelineSpec extends AnyFunSuite {
     val capped = Dedup.jaccardPairs(df, "doc_id", "text", 0.5, n = 3,
       maxPairsPerId = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped === Set((1L, 2L)))
+    // the guard lives at the shared signature source, so EVERY LSH consumer
+    // inherits it: without it null docs share one bucket per band — wrong
+    // (null matches nothing) and a quadratic hot bucket at corpus scale
+    val cands = Dedup.lshCandidatePairIds(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands === Set((1L, 2L)), s"null docs must produce no candidates: $cands")
+    // EXACT dedup deliberately differs (SQL GROUP BY semantics, matching
+    // the q10 oracle): all null-content rows form one group, min id kept
+    val ex = Dedup.exact(df, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ex === Set(1L, 3L), s"exact keeps min id per group incl. nulls: $ex")
   }
 
   test("jaccardPairs: sub-threshold candidates cannot evict an exact duplicate from cap slots") {

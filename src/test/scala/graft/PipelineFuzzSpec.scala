@@ -169,4 +169,83 @@ class PipelineFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  for (seed <- 1 to 2)
+  test(s"jaccardPairs random-corpus soundness/completeness fuzz, seed $seed") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // two LSH-independent properties, checked against single-threaded
+    // brute force over random corpora with nulls, duplicate ids, exact
+    // copies, and vocab-limited near-dups:
+    //  SOUNDNESS   — every emitted pair's true n-gram Jaccard ≥ threshold
+    //                (unconditional: the verify stage decides by the exact
+    //                metric whatever the LSH candidates were)
+    //  COMPLETENESS— every exact-duplicate id pair is emitted (equal
+    //                content ⇒ equal signature ⇒ shares every band bucket;
+    //                null content duplicates nothing)
+    val rnd = new scala.util.Random(9300 + seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(): String =
+      (1 to 6 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    (1 to 2).foreach { scenarioNo =>
+      val base = (1 to 20 + rnd.nextInt(25)).map { i =>
+        val t = if (rnd.nextInt(12) == 0) None else Some(doc())
+        (i.toLong, t)
+      }
+      // plant exact copies (same text, new ids), NEAR-dups (one token
+      // mutated — lands close to any threshold so soundness decides real
+      // borderline pairs, not just trivially-disjoint ones), and
+      // duplicate-id rows
+      val copies = base.filter(_._2.isDefined).take(5)
+        .map { case (i, t) => (i + 1000L, t) }
+      val nearDups = base.filter(_._2.isDefined).slice(5, 10)
+        .map { case (i, t) =>
+          val toks = t.get.split(" ")
+          toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size))
+          (i + 2000L, Some(toks.mkString(" ")))
+        }
+      val dupIds = base.take(3) // identical rows under the same id
+      val rows = base ++ copies ++ nearDups ++ dupIds
+      val df = rows.toDF("doc_id", "text")
+        .repartition(1 + rnd.nextInt(5))
+      val threshold = 0.4 + rnd.nextDouble() * 0.4
+      val got = Dedup.jaccardPairs(df, "doc_id", "text", threshold, n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+      // single-threaded WORD-3-gram jaccard — the exact metric contract of
+      // Dedup.ngramJaccard (whitespace-split lowercase tokens; fewer than n
+      // tokens degenerate to one whole-text gram)
+      def grams(t: String): Set[String] = {
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+        if (toks.size < 3) Set(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val content = rows.groupBy(_._1).map { case (id, g) =>
+        id -> g.flatMap(_._2).headOption // representative text per id
+      }
+      def truth(a: Long, b: Long): Option[Double] = for {
+        ta <- content(a); tb <- content(b)
+        ga = grams(ta); gb = grams(tb)
+      } yield (ga intersect gb).size.toDouble / (ga union gb).size.toDouble
+
+      got.foreach { case (a, b, j) =>
+        val t = truth(a, b)
+        assert(t.isDefined, s"pair ($a,$b) has null content")
+        assert(t.get >= threshold - 1e-9,
+          s"UNSOUND: ($a,$b) emitted j=$j but true=${t.get} < $threshold")
+      }
+      val gotPairs = got.map(p => (p._1, p._2)).toSet
+      val ids = content.keys.toSeq.sorted
+      for (a <- ids; b <- ids if a < b) {
+        val exact = (content(a), content(b)) match {
+          case (Some(x), Some(y)) => x == y
+          case _ => false
+        }
+        if (exact) assert(gotPairs((a, b)),
+          s"INCOMPLETE: exact-dup pair ($a,$b) missing (seed=$seed#$scenarioNo)")
+      }
+    }
+  }
 }

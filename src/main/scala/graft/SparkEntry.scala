@@ -886,7 +886,10 @@ object SparkEntry {
           try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
           finally walk.close()
-        } catch { case _: java.io.IOException => () } // best-effort cleanup
+        } catch { // best-effort cleanup: walk iteration surfaces I/O
+          // errors as UncheckedIOException — neither may mask the result
+          case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+        }
       }
       s.table("q39_sink")
         .filter(col("event_type") =!= "__sentinel__")

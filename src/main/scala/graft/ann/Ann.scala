@@ -280,10 +280,14 @@ object Ann {
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 12, seed: Long = 7L): DataFrame = {
     // null embeddings never pair (null bucket rows drop out of the
-    // candidate join) — but the dim probe must not trip over one either
-    val dim = df.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(dim, numPlanes, seed)
+    // candidate join) — the dim probe must not trip over one either, and
+    // an all-null (or empty) input resolves to the natural empty pair set
+    val dimOpt = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty)
+      return df.limit(0).select(col(idCol).as("id_a"),
+        col(idCol).as("id_b"), lit(0.0).as("cosine"))
+    val planes = hyperplanes(dimOpt.get, numPlanes, seed)
     // No cache (an operator-internal persist leaks storage past the query).
     // The candidate join is (size-conditionally, [[graft.core.CandidateJoin]])
     // forced to a shuffle join over NARROW (bucket, id) rows — both sides'

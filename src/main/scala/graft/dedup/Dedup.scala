@@ -34,7 +34,12 @@ object Dedup {
    * never document payloads. A SINGLE 64-bit hash is not enough at corpus
    * scale: the birthday bound makes a false merge (two distinct documents
    * sharing one hash, the younger silently dropped) likely from ~10⁹ docs;
-   * at 128 bits it stays negligible past 10¹⁵. NULL content follows SQL
+   * at 128 bits it stays negligible past 10¹⁵. The reseeding literal must
+   * come FIRST: xxhash64 seed-CHAINS its children (hash(child2, seed =
+   * hash(child1, 42))), so `xxhash64(content, lit)` would make the second
+   * hash a pure function of the first — zero added protection. Leading
+   * with the literal turns it into the effective seed for the content
+   * hash. NULL content follows SQL
    * GROUP BY semantics — all null-content rows form one group and only the
    * min-id row survives (deliberately different from the NEAR-dup
    * operators, which drop null content: a jaccard-1.0 claim needs n-grams
@@ -42,7 +47,7 @@ object Dedup {
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     val keepers = df
       .groupBy(xxhash64(col(contentCol)).as("__graft_h1__"),
-        xxhash64(col(contentCol), lit(0x9e3779b9L)).as("__graft_h2__"))
+        xxhash64(lit(0x9e3779b9L), col(contentCol)).as("__graft_h2__"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     df.join(keepers, Seq(idCol), "left_semi")

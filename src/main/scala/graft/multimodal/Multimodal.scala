@@ -654,7 +654,15 @@ object Multimodal {
   final class DctFeatureExtractor(size: Int = 32, keep: Int = 8)
       extends FeatureExtractor {
     require(keep > 0 && keep <= size, s"keep=$keep must be in [1, $size]")
-    override val dim: Int = keep * keep - 1
+    // keep²-1 AC coefficients + 2 reserved dims for flat (zero-AC) images.
+    // Textured images always carry 0 in the reserved dims, flat images are
+    // non-zero ONLY there — the two populations are exactly orthogonal, so
+    // a flat frame can never alias a textured image whose AC energy
+    // happens to concentrate in one kept coefficient (a smooth horizontal
+    // ramp puts ~0.99 of its normalized energy in coefficient (0,1) — on
+    // a shared simplex that would cosine-match a near-black flat's
+    // one-hot above any practical dedup threshold).
+    override val dim: Int = keep * keep + 1
     // DCT-II basis, row u of length `size`: cos((2x+1)·u·π / (2·size))
     @transient private lazy val basis: Array[Array[Double]] = {
       val t = Array.ofDim[Double](size, size)
@@ -724,25 +732,25 @@ object Multimodal {
           // vector would be the noise-safe embed, but cosine of two zero
           // vectors is 0 — byte-identical solid-color images would then
           // NEVER pair in cosineDedupPairs, silently zeroing dedup recall
-          // on flat media. Instead embed a deterministic one-hot unit
-          // vector whose position is the quantized mean luma: same-raster
-          // flats embed identically (cosine 1), different-brightness flats
-          // are orthogonal (they are different rasters), and no rounding
-          // noise is amplified. Flats on a quantization boundary may split
-          // bins — brightness is the only signal a flat image has left.
+          // on flat media. Instead flats live entirely in the two RESERVED
+          // dims (always 0 for textured images — exactly orthogonal, see
+          // `dim`), as the unit vector (cos θ, sin θ) with θ = mean-luma
+          // angle in [0, π/2]: same-brightness flats embed identically
+          // (cosine 1), nearby brightness embeds nearby, black vs white
+          // flats are orthogonal — continuous, no quantization boundary,
+          // and no rounding noise amplified.
           if (norm > 1e-6) {
             val inv = (1.0 / math.sqrt(norm)).toFloat
             k = 0
-            while (k < dim) { v(k) *= inv; k += 1 }
+            while (k < dim - 2) { v(k) *= inv; k += 1 }
           } else {
             java.util.Arrays.fill(v, 0.0f)
             var sum = 0.0
             var i = 0
             while (i < luma.length) { sum += luma(i); i += 1 }
-            val mean = sum / luma.length // luma is 0..255
-            val bin = math.min(dim - 1, math.max(0,
-              (mean * dim / 256.0).toInt))
-            v(bin) = 1.0f
+            val theta = (sum / luma.length) / 255.0 * (math.Pi / 2)
+            v(dim - 2) = math.cos(theta).toFloat
+            v(dim - 1) = math.sin(theta).toFloat
           }
           v
         }

@@ -394,10 +394,16 @@ object Pipeline {
    * Ties on `ord` are SAFE: each row gets a deterministic tiebreak (a
    * 64-bit hash of its full content), ranking is lexicographic on
    * (ord, tiebreak), and the membership join matches on both — so a mass
-   * of equal quality scores still caps at exactly n. The one remaining
-   * ambiguity is bit-identical duplicate ROWS (same key, same ord, same
-   * everything): copies of a winning row are indistinguishable by value
-   * and all survive. Run exact dedup first if full rows can repeat.
+   * of equal quality scores still caps at exactly n. The contract is
+   * EQUIVALENCE-CLASS capping: rows sharing a (key, ord, tiebreak) triple
+   * are indistinguishable by value, and if such a class holds a winning
+   * slot, ALL of its rows return. Under the default tiebreak the only
+   * ambiguous class is bit-identical duplicate ROWS (run exact dedup
+   * first if full rows can repeat); a CALLER-supplied tiebreak widens the
+   * class to whatever it cannot distinguish — duplicate tiebreak values
+   * among equal-ord rows (say, a content hash over rows that repeat) can
+   * return more than n rows per key. Pass a per-row-unique tiebreak (a
+   * row id) when the exact-n guarantee matters more than the narrow scan.
    *
    * Scale shape, in two skew-immune phases:
    *  1. `groupBy(key).agg(bounded_min_n(ord, tb, n))` — the custom

@@ -25,10 +25,11 @@ class DctFeatureSpec extends AnyFunSuite {
   }
 
   test("dim, unit norm, and determinism") {
-    assert(ex.dim === 63)
+    assert(ex.dim === 65) // 63 AC coefficients + 2 reserved flat dims
     val blob = SyntheticMedia.image("png", 40, 40, seed = 3L)
     val Array(a, b) = feats(blob, blob)
-    assert(a.length === 63)
+    assert(a.length === 65)
+    assert(a.takeRight(2).forall(_ === 0f), "textured: reserved dims zero")
     assert(a.toSeq === b.toSeq)
     val norm = math.sqrt(a.map(v => v.toDouble * v).sum)
     assert(math.abs(norm - 1.0) < 1e-4)
@@ -93,17 +94,37 @@ class DctFeatureSpec extends AnyFunSuite {
     }
     // zero AC energy: NOT the zero vector (cosine of zero vectors is 0,
     // which would make byte-identical solid-color images undiscoverable by
-    // cosineDedupPairs) — a one-hot unit vector positioned by mean luma
+    // cosineDedupPairs) — flats live in the two RESERVED dims as
+    // (cos θ, sin θ) of the mean-luma angle, orthogonal by construction to
+    // every textured image (which carries 0 there)
     val z = feats(flatPng(0x808080)).head
-    assert(z.count(_ === 1.0f) === 1 && z.count(_ === 0.0f) === z.length - 1,
-      s"flat must embed one-hot, got ${z.toSeq}")
+    assert(z.takeRight(2).forall(_ > 0f) && z.dropRight(2).forall(_ === 0f),
+      s"flat must embed in the reserved dims only, got ${z.toSeq}")
+    assert(math.abs(z.map(x => x * x).sum - 1f) < 1e-4, "unit norm")
     // same-raster flats (different size, same color) embed identically...
     val z2 = feats(flatPng(0x808080, side = 32)).head
     assert(cosine(z, z2) > 0.999, "equal-color flats must pair as dups")
-    // ...and clearly-different-brightness flats are orthogonal
+    // ...clearly-different-brightness flats land far below any dedup
+    // threshold (Δluma 112 → Δθ ≈ 0.69 rad → cosine ≈ 0.77)...
     val dark = feats(flatPng(0x101010)).head
-    assert(math.abs(cosine(z, dark)) < 1e-6,
-      "different-brightness flats are different rasters")
+    assert(cosine(z, dark) < 0.85,
+      s"different-brightness flats must not pair: ${cosine(z, dark)}")
+    // ...and the review's aliasing scenario cannot recur: a smooth
+    // horizontal ramp concentrates ~0.99 of its AC energy in ONE kept
+    // coefficient — on a shared simplex it cosine-matched a near-black
+    // flat above the 0.99 dedup threshold; in the reserved-dims encoding
+    // the two are exactly orthogonal
+    val rampImg = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val l = x * 255 / 63; rampImg.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    val rbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rampImg, "png", rbaos)
+    val ramp = feats(rbaos.toByteArray).head
+    val nearBlack = feats(flatPng(0x030303)).head
+    assert(math.abs(cosine(nearBlack, ramp)) < 1e-6,
+      s"flat vs ramp must be orthogonal: ${cosine(nearBlack, ramp)}")
     assert(ex.extract(Array[Array[Byte]](null)).head === null)
   }
 

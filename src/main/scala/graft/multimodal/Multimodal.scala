@@ -685,13 +685,18 @@ object Multimodal {
           val p = PixelDecoder.resizeNearest(p0, size, size)
           val luma = new Array[Double](size * size)
           val ch = p.channels
+          var lumaMin = Double.MaxValue
+          var lumaMax = Double.MinValue
           var i = 0
           while (i < size * size) {
             val o = i * ch
             val r = p.data(o) & 0xFF
             val g = if (ch >= 3) p.data(o + 1) & 0xFF else r
             val b = if (ch >= 3) p.data(o + 2) & 0xFF else r
-            luma(i) = 0.299 * r + 0.587 * g + 0.114 * b
+            val l = 0.299 * r + 0.587 * g + 0.114 * b
+            luma(i) = l
+            if (l < lumaMin) lumaMin = l
+            if (l > lumaMax) lumaMax = l
             i += 1
           }
           // separable 2D DCT-II, low-frequency block only: rows first
@@ -728,18 +733,25 @@ object Multimodal {
             }
             u += 1
           }
-          // a flat image (all-equal luma) has zero AC energy. The zero
-          // vector would be the noise-safe embed, but cosine of two zero
-          // vectors is 0 — byte-identical solid-color images would then
-          // NEVER pair in cosineDedupPairs, silently zeroing dedup recall
-          // on flat media. Instead flats live entirely in the two RESERVED
-          // dims (always 0 for textured images — exactly orthogonal, see
-          // `dim`), as the unit vector (cos θ, sin θ) with θ = mean-luma
-          // angle in [0, π/2]: same-brightness flats embed identically
-          // (cosine 1), nearby brightness embeds nearby, black vs white
-          // flats are orthogonal — continuous, no quantization boundary,
-          // and no rounding noise amplified.
-          if (norm > 1e-6) {
+          // a PERCEPTUALLY flat image (resized luma peak-to-peak ≤ 2 — a
+          // solid color, or one with sub-visible noise like a recompression
+          // artifact; the norm guard is a backstop against dividing by ~0)
+          // has no usable AC signal. The zero vector would be the
+          // noise-safe embed, but cosine of two zero vectors is 0 —
+          // byte-identical solid-color images would then NEVER pair in
+          // cosineDedupPairs, silently zeroing dedup recall on flat media;
+          // normalizing the residual noise instead would embed a flat and
+          // its lightly-noised copy in RANDOM directions (the pre-existing
+          // cliff: amplitude ~1e-6 noise decided the whole direction). So
+          // flats live entirely in the two RESERVED dims (always 0 for
+          // textured images — exactly orthogonal, see `dim`) as the unit
+          // vector (cos θ, sin θ) with θ = mean-luma angle over [0, π]:
+          // same-brightness flats embed identically (cosine 1), a flat and
+          // its sub-visible-noise copy embed together (θ moves by ≤2/255·π),
+          // black vs white are antipodal, and at a 0.99 dedup threshold
+          // flats pair iff within ~11 luma levels — continuous, no
+          // quantization boundary, no noise amplification.
+          if (lumaMax - lumaMin > 2.0 && norm > 1e-6) {
             val inv = (1.0 / math.sqrt(norm)).toFloat
             k = 0
             while (k < dim - 2) { v(k) *= inv; k += 1 }
@@ -748,7 +760,7 @@ object Multimodal {
             var sum = 0.0
             var i = 0
             while (i < luma.length) { sum += luma(i); i += 1 }
-            val theta = (sum / luma.length) / 255.0 * (math.Pi / 2)
+            val theta = (sum / luma.length) / 255.0 * math.Pi
             v(dim - 2) = math.cos(theta).toFloat
             v(dim - 1) = math.sin(theta).toFloat
           }

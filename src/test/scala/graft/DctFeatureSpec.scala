@@ -76,7 +76,7 @@ class DctFeatureSpec extends AnyFunSuite {
     assert(c > 0.9 && c < 1.0, s"got $c")
   }
 
-  test("unlike content embeds far; flat content embeds one-hot by luma") {
+  test("unlike content embeds far; flat content embeds by luma angle") {
     val Array(a, b) = feats(
       SyntheticMedia.image("png", 48, 48, seed = 1L),
       SyntheticMedia.image("png", 48, 48, seed = 2L))
@@ -98,17 +98,38 @@ class DctFeatureSpec extends AnyFunSuite {
     // (cos θ, sin θ) of the mean-luma angle, orthogonal by construction to
     // every textured image (which carries 0 there)
     val z = feats(flatPng(0x808080)).head
-    assert(z.takeRight(2).forall(_ > 0f) && z.dropRight(2).forall(_ === 0f),
+    // cos θ may be negative (θ spans [0, π]); sin θ > 0 for any non-extreme
+    // brightness, and every AC dim must be exactly zero
+    assert(z.last > 0f && z.dropRight(2).forall(_ === 0f),
       s"flat must embed in the reserved dims only, got ${z.toSeq}")
     assert(math.abs(z.map(x => x * x).sum - 1f) < 1e-4, "unit norm")
     // same-raster flats (different size, same color) embed identically...
     val z2 = feats(flatPng(0x808080, side = 32)).head
     assert(cosine(z, z2) > 0.999, "equal-color flats must pair as dups")
     // ...clearly-different-brightness flats land far below any dedup
-    // threshold (Δluma 112 → Δθ ≈ 0.69 rad → cosine ≈ 0.77)...
+    // threshold (θ spans [0, π]: Δluma 112 → Δθ ≈ 1.38 rad → cosine ≈ 0.2)...
     val dark = feats(flatPng(0x101010)).head
-    assert(cosine(z, dark) < 0.85,
+    assert(cosine(z, dark) < 0.5,
       s"different-brightness flats must not pair: ${cosine(z, dark)}")
+    // ...VISIBLY different grays stay under the 0.99 dedup threshold
+    // (Δluma 22 → Δθ ≈ 0.27 → cosine ≈ 0.96; the [0, π/2] mapping had
+    // them at 0.991 — review find)...
+    val dark2 = feats(flatPng(0x262626)).head
+    assert(cosine(dark, dark2) < 0.99,
+      s"16-vs-38 luma flats must not pair at 0.99: ${cosine(dark, dark2)}")
+    // ...and a flat plus a SUB-VISIBLE noise copy (one pixel one luma
+    // level off — a recompression artifact) takes the same flat path and
+    // pairs at any threshold, instead of normalizing the noise into a
+    // random orthogonal direction (the pre-existing norm cliff)
+    val noisyImg = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) noisyImg.setRGB(x, y, 0x808080)
+    noisyImg.setRGB(7, 7, 0x818181)
+    val nbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(noisyImg, "png", nbaos)
+    val noisy = feats(nbaos.toByteArray).head
+    assert(cosine(z, noisy) > 0.9999,
+      s"flat vs sub-visible-noise copy must pair: ${cosine(z, noisy)}")
     // ...and the review's aliasing scenario cannot recur: a smooth
     // horizontal ramp concentrates ~0.99 of its AC energy in ONE kept
     // coefficient — on a shared simplex it cosine-matched a near-black

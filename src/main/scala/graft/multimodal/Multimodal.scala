@@ -699,71 +699,88 @@ object Multimodal {
             if (l > lumaMax) lumaMax = l
             i += 1
           }
-          // separable 2D DCT-II, low-frequency block only: rows first
-          // (all `size` columns, `keep` output rows), then columns
-          val rows = Array.ofDim[Double](keep, size)
-          var u = 0
-          while (u < keep) {
-            var x = 0
-            while (x < size) {
-              var s = 0.0
-              var y2 = 0
-              while (y2 < size) { s += luma(y2 * size + x) * basis(u)(y2); y2 += 1 }
-              rows(u)(x) = s
-              x += 1
-            }
-            u += 1
-          }
+          // FLAT ANCHOR + CONTINUOUS BLEND. The zero vector would be the
+          // noise-safe embed for a flat (all-equal-luma) image, but cosine
+          // of two zero vectors is 0 — byte-identical solid-color images
+          // would then NEVER pair in cosineDedupPairs. Normalizing the
+          // residual AC noise instead embeds a flat and its lightly-noised
+          // copy in RANDOM directions (amplitude ~1e-6 noise deciding the
+          // whole direction). And any HARD routing threshold between the
+          // two paths just moves that cliff (review-probed twice: a ptp≤2
+          // rule made one-pixel δ3 noise orthogonal to its flat original).
+          // So the embedding is a continuous blend:
+          //
+          //   v = √w · (unit AC block)  ⊕  √(1−w) · (cos θ, sin θ)
+          //
+          // with θ the mean-luma angle over [0, π] (reserved dims — see
+          // `dim`) and w = min(1, ‖AC‖²/T²), T = size²/5: a CONTENT-energy
+          // gate, not a pixel-range gate, because the kept low-frequency
+          // block separates what a range test cannot — localized noise has
+          // tiny kept-block energy (one-pixel δ3 at size 32: ‖AC‖ ≈ 13 →
+          // w ≈ 0.004, cosine ≈ 0.998 to its clean flat) while visible
+          // low-frequency structure of the same pixel range (wide Δ2
+          // banding, ‖AC‖ in the hundreds) saturates to w = 1. Flats:
+          // pure anchor, same brightness ⇒ cosine 1, Δluma 11 ⇒ ~0.99,
+          // black vs white antipodal. Textured (w = 1): reserved dims
+          // exactly 0, orthogonal to every flat. Near-flat: cosine to the
+          // clean flat degrades smoothly as √(1−w) — no cliff anywhere.
+          // (Period-2 Δ2 dithering aliases to the flat anchor — correct
+          // for a pHash: the kept 8×8 block cannot see it, and at viewing
+          // distance neither can a person.)
           val v = new Array[Float](dim)
-          var norm = 0.0
-          u = 0
-          var k = 0
-          while (u < keep) {
-            var w = 0
-            while (w < keep) {
-              if (u != 0 || w != 0) { // drop DC: brightness offsets vanish
+          var sum = 0.0
+          i = 0
+          while (i < luma.length) { sum += luma(i); i += 1 }
+          val theta = (sum / luma.length) / 255.0 * math.Pi
+          var w01 = 0.0
+          if (lumaMax > lumaMin) {
+            // separable 2D DCT-II, low-frequency block only: rows first
+            // (all `size` columns, `keep` output rows), then columns.
+            // Skipped entirely for exact flats (ptp 0 ⇒ every AC
+            // coefficient is identically 0) — the common solid-color case
+            // pays the luma scan only.
+            val rows = Array.ofDim[Double](keep, size)
+            var u = 0
+            while (u < keep) {
+              var x = 0
+              while (x < size) {
                 var s = 0.0
-                var x = 0
-                while (x < size) { s += rows(u)(x) * basis(w)(x); x += 1 }
-                v(k) = s.toFloat
-                norm += s * s
-                k += 1
+                var y2 = 0
+                while (y2 < size) { s += luma(y2 * size + x) * basis(u)(y2); y2 += 1 }
+                rows(u)(x) = s
+                x += 1
               }
-              w += 1
+              u += 1
             }
-            u += 1
+            var norm = 0.0
+            u = 0
+            var k = 0
+            while (u < keep) {
+              var w = 0
+              while (w < keep) {
+                if (u != 0 || w != 0) { // drop DC: brightness offsets vanish
+                  var s = 0.0
+                  var x = 0
+                  while (x < size) { s += rows(u)(x) * basis(w)(x); x += 1 }
+                  v(k) = s.toFloat
+                  norm += s * s
+                  k += 1
+                }
+                w += 1
+              }
+              u += 1
+            }
+            val t = size.toDouble * size / 5.0
+            w01 = if (norm > 1e-12) math.min(1.0, norm / (t * t)) else 0.0
+            if (w01 > 0) {
+              val scale = (math.sqrt(w01 / norm)).toFloat
+              k = 0
+              while (k < dim - 2) { v(k) *= scale; k += 1 }
+            } else java.util.Arrays.fill(v, 0, dim - 2, 0.0f)
           }
-          // a PERCEPTUALLY flat image (resized luma peak-to-peak ≤ 2 — a
-          // solid color, or one with sub-visible noise like a recompression
-          // artifact; the norm guard is a backstop against dividing by ~0)
-          // has no usable AC signal. The zero vector would be the
-          // noise-safe embed, but cosine of two zero vectors is 0 —
-          // byte-identical solid-color images would then NEVER pair in
-          // cosineDedupPairs, silently zeroing dedup recall on flat media;
-          // normalizing the residual noise instead would embed a flat and
-          // its lightly-noised copy in RANDOM directions (the pre-existing
-          // cliff: amplitude ~1e-6 noise decided the whole direction). So
-          // flats live entirely in the two RESERVED dims (always 0 for
-          // textured images — exactly orthogonal, see `dim`) as the unit
-          // vector (cos θ, sin θ) with θ = mean-luma angle over [0, π]:
-          // same-brightness flats embed identically (cosine 1), a flat and
-          // its sub-visible-noise copy embed together (θ moves by ≤2/255·π),
-          // black vs white are antipodal, and at a 0.99 dedup threshold
-          // flats pair iff within ~11 luma levels — continuous, no
-          // quantization boundary, no noise amplification.
-          if (lumaMax - lumaMin > 2.0 && norm > 1e-6) {
-            val inv = (1.0 / math.sqrt(norm)).toFloat
-            k = 0
-            while (k < dim - 2) { v(k) *= inv; k += 1 }
-          } else {
-            java.util.Arrays.fill(v, 0.0f)
-            var sum = 0.0
-            var i = 0
-            while (i < luma.length) { sum += luma(i); i += 1 }
-            val theta = (sum / luma.length) / 255.0 * math.Pi
-            v(dim - 2) = math.cos(theta).toFloat
-            v(dim - 1) = math.sin(theta).toFloat
-          }
+          val anchor = math.sqrt(1.0 - w01)
+          v(dim - 2) = (anchor * math.cos(theta)).toFloat
+          v(dim - 1) = (anchor * math.sin(theta)).toFloat
           v
         }
       }

@@ -84,10 +84,12 @@ class DctFeatureSpec extends AnyFunSuite {
     val flat = feats(SyntheticMedia.gradientImage("png", 1, 40, base = 7)).head
     assert(flat.forall(v => !v.isNaN))
     // width-1 ramp still has vertical AC; a truly flat image is constant rows
-    def flatPng(rgb: Int, side: Int = 16): Array[Byte] = {
+    def flatPng(rgb: Int, side: Int = 16,
+        noisePixel: Option[Int] = None): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(side, side,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       for (y <- 0 until side; x <- 0 until side) img.setRGB(x, y, rgb)
+      noisePixel.foreach(p => img.setRGB(side / 2, side / 2, p))
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", baos)
       baos.toByteArray
@@ -121,14 +123,12 @@ class DctFeatureSpec extends AnyFunSuite {
     // level off — a recompression artifact) takes the same flat path and
     // pairs at any threshold, instead of normalizing the noise into a
     // random orthogonal direction (the pre-existing norm cliff)
-    val noisyImg = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 16; x <- 0 until 16) noisyImg.setRGB(x, y, 0x808080)
-    noisyImg.setRGB(7, 7, 0x818181)
-    val nbaos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(noisyImg, "png", nbaos)
-    val noisy = feats(nbaos.toByteArray).head
-    assert(cosine(z, noisy) > 0.9999,
+    val noisy = feats(flatPng(0x808080, noisePixel = Some(0x818181))).head
+    // the blend keeps sub-visible noise within the 0.99 dedup threshold
+    // of its clean flat (w ≈ ‖AC‖²/(size²/5)² stays ≲ 0.006 for a few
+    // pixel-levels of localized energy) — a HARD flat/textured routing
+    // threshold would make some noise amplitude embed orthogonally
+    assert(cosine(z, noisy) > 0.99,
       s"flat vs sub-visible-noise copy must pair: ${cosine(z, noisy)}")
     // ...and the review's aliasing scenario cannot recur: a smooth
     // horizontal ramp concentrates ~0.99 of its AC energy in ONE kept

@@ -313,18 +313,20 @@ object Dedup {
    * Three cost bounds:
    *
    *  1. **Equal-content fast path.** Candidate sides join a narrow
-   *     (id, xxhash64(content)) frame; pairs with equal content hashes are
+   *     (id, 128-bit content key) frame — the same double-xxhash64
+   *     identity [[exact]] uses, so both identity paths share one
+   *     collision budget (negligible past 10¹⁵ docs, vs birthday-likely
+   *     from ~10⁹ on a single 64-bit hash); pairs with equal keys are
    *     Jaccard 1 by definition and emit without ANY gram work — on a
    *     duplicated corpus that is almost every candidate pair, and it
-   *     reduces the verify stage to 8-byte compares (exact up to the same
-   *     2⁻⁶⁴ collision odds [[ngramJaccard]] already accepts).
+   *     reduces the verify stage to 16-byte compares.
    *  2. **Grams once per doc, not per pair.** Only docs appearing in a
    *     surviving non-equal pair get their gram set computed (semi-join
    *     before the gram projection), each exactly once — O(corpus) worst
    *     case, never O(pairs).
    *  2b. **One representative per id.** Output pairs are DISTINCT
    *     (id_a, id_b): ids are document keys, and a key that (illegally)
-   *     appears on multiple rows resolves to its max-content-hash row in
+   *     appears on multiple rows resolves to its max-content-key row in
    *     BOTH phases — the pair frame collapses to one (ch_a, ch_b) per
    *     pair right after the narrow pair join (a shuffle over pairs, not
    *     corpus), and the gram stage picks the same representative before
@@ -332,22 +334,39 @@ object Dedup {
    *     crawl partition, a bad upstream join) fans the pair→gram joins
    *     out quadratically in the duplication factor — measured 10× the
    *     whole query on a 10×-replicated benchmark corpus.
-   *  3. **Optional per-id candidate cap** (`maxPairsPerId` > 0, integral
-   *     id column required): each id keeps at most that many candidate
-   *     partners per side via a bounded heap (no skew-prone window sort),
-   *     ranked (equal-content-first, then smallest partner id). Ranking
-   *     equal-hash pairs ABOVE unverified near-dup candidates is what
-   *     makes the connectivity guarantee unconditional: a sub-threshold
-   *     LSH false positive can never evict an exact duplicate's pair from
-   *     a cap slot (it ranks strictly below every eq pair), an exact-dup
-   *     cluster is an eq-pair candidate CLIQUE, and each member's link to
-   *     its immediate id-predecessor survives both side caps — so the
-   *     consecutive-id chain keeps every exact-dup cluster connected under
+   *  3. **Per-id candidate cap** (`maxPairsPerId`, DEFAULT 64): each id
+   *     keeps at most that many candidate partners per side via a bounded
+   *     heap (no skew-prone window sort), ranked (equal-content-first,
+   *     then smallest partner id). Ranking equal-hash pairs ABOVE
+   *     unverified near-dup candidates is what makes the connectivity
+   *     guarantee unconditional: a sub-threshold LSH false positive can
+   *     never evict an exact duplicate's pair from a cap slot (it ranks
+   *     strictly below every eq pair), an exact-dup cluster is an eq-pair
+   *     candidate CLIQUE, and each member's link to its immediate
+   *     id-predecessor survives both side caps — so the consecutive-id
+   *     chain keeps every exact-dup cluster connected under
    *     [[connectedComponents]] at any cap ≥ 1. NEAR-dup (non-equal)
    *     pairs have the weaker contract: a doc with more candidates than
    *     the cap reports only its highest-ranked partners, so recall of
    *     near-threshold pairs degrades on ids with pathological candidate
-   *     fan-in. 0 = uncapped.
+   *     fan-in. The cap is ON BY DEFAULT because the uncapped verify is
+   *     the exact superlinear shape this operator exists to avoid — a
+   *     boilerplate-heavy crawl routinely gives single ids 10⁴+ candidates,
+   *     and 64 partners per side is far beyond any real near-dup degree
+   *     while keeping the candidate shuffle O(cap × corpus). Pass 0 to
+   *     opt out explicitly (exact recall on near-threshold pairs, unbounded
+   *     candidate volume). Non-integral id columns are hashed to longs
+   *     internally (xxhash64) for the heap's winners encoding and mapped
+   *     back to the original ids on output; a 64-bit id collision (2⁻⁶⁴
+   *     per pair — the same odds the eq fast path already accepts) merges
+   *     the colliding ids' documents under one key for candidate purposes.
+   *     NULL ids never pair (inner-join semantics, same as the integral
+   *     path).
+   *
+   * The returned frame re-executes its (materialized-once, then released)
+   * candidate DAG on every consuming action after the first — consume it
+   * once, or persist it yourself before branching (same contract as
+   * [[connectedComponents]]).
    */
   def jaccardPairs(
       df: DataFrame,
@@ -358,19 +377,45 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 16,
       shingleK: Int = 5,
-      maxPairsPerId: Int = 0): DataFrame = {
+      maxPairsPerId: Int = 64): DataFrame = {
     if (maxPairsPerId > 0) {
       // the cap's join-free winners encoding stores the partner id in a
       // long heap slot and reconstructs the pair from it — only lossless
-      // for integral ids. A plain cast here would silently drop (NULL) or
-      // corrupt ("007" -> 7) string ids instead of failing loudly.
+      // for integral ids. Non-integral ids are hashed to longs up front
+      // and mapped back on output (a plain cast would silently drop NULL
+      // or corrupt "007" -> 7); integral ids skip all of that.
       val dt = df.schema(idCol).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.LongType] ||
+      val integral = dt.isInstanceOf[org.apache.spark.sql.types.LongType] ||
         dt.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
         dt.isInstanceOf[org.apache.spark.sql.types.ShortType] ||
-        dt.isInstanceOf[org.apache.spark.sql.types.ByteType],
-        s"maxPairsPerId requires an integral id column; $idCol is $dt " +
-          "(hash string ids to a long id first, or pass maxPairsPerId = 0)")
+        dt.isInstanceOf[org.apache.spark.sql.types.ByteType]
+      if (!integral) {
+        // NULL ids are dropped to match the integral path, where every
+        // inner join on the id column already excludes them — without the
+        // filter xxhash64(NULL) is a seed-only CONSTANT and all null-id
+        // docs would merge under one key. The hashed run recurses into the
+        // integral branch; the map-back join restores original ids and
+        // re-canonicalizes (id_a < id_b) in the ORIGINAL type's ordering
+        // (hash order is not id order). A 64-bit collision between two
+        // distinct ids (2⁻⁶⁴ per pair) merges them for candidate purposes
+        // and fans the map-back join out across the colliding ids —
+        // documented, same budget as the eq fast path.
+        val hid = "__graft_hid__"
+        val base = df.filter(col(idCol).isNotNull)
+          .select(col(idCol), col(contentCol))
+        val hashed = base.select(xxhash64(col(idCol)).as(hid), col(contentCol))
+        val inner = jaccardPairs(hashed, hid, contentCol, threshold,
+          n, numHashes, bands, shingleK, maxPairsPerId)
+        val mapping = base.select(xxhash64(col(idCol)).as(hid), col(idCol))
+          .distinct()
+        return inner
+          .join(mapping.select(col(hid).as("id_a"), col(idCol).as("__graft_oa__")), "id_a")
+          .join(mapping.select(col(hid).as("id_b"), col(idCol).as("__graft_ob__")), "id_b")
+          .select(
+            least(col("__graft_oa__"), col("__graft_ob__")).as("id_a"),
+            greatest(col("__graft_oa__"), col("__graft_ob__")).as("id_b"),
+            col("jaccard"))
+      }
     }
     // NULL content never participates: xxhash64 skips null children (the
     // seed passes through), so without this filter every null-content doc
@@ -382,7 +427,16 @@ object Dedup {
     val docs = df.filter(col(contentCol).isNotNull)
     val cands0 =
       lshCandidatePairIds(docs, idCol, contentCol, numHashes, bands, shingleK)
-    val meta = docs.select(col(idCol).as("id"), xxhash64(col(contentCol)).as("ch"))
+    // the content identity is the SAME 128-bit double hash [[exact]] uses
+    // (reseeding literal FIRST — see exact's seed-chaining note), not a
+    // single xxhash64: the eq fast path emits jaccard 1.0 on this identity
+    // alone, and at corpus scale a lone 64-bit hash makes a false "exact
+    // duplicate" a birthday certainty from ~10⁹ docs. Struct comparison
+    // and struct max keep the rest of the plan unchanged.
+    val contentKey = struct(
+      xxhash64(col(contentCol)).as("h1"),
+      xxhash64(lit(0x9e3779b9L), col(contentCol)).as("h2"))
+    val meta = docs.select(col(idCol).as("id"), contentKey.as("ch"))
     // attach content hashes BEFORE capping: the cap ranks equal-content
     // pairs first (doc bound 3), and the eq/rest split below reuses the
     // same flag. Collapse duplicate-id fan-out to the max-hash
@@ -426,11 +480,16 @@ object Dedup {
     val grams = docs.select(col(idCol).as("id"), col(contentCol).as("__graft_c__"))
       .join(restIds, Seq("id"), "left_semi")
       // same representative convention as the pair frame (doc bound 2b):
-      // ONE gram row per id, picked by max content hash, so the verify
-      // joins below cannot fan out — the groupBy runs on the post-semi-join
-      // set (≤ 2·|rest pairs| docs), never the corpus
+      // ONE gram row per id, picked by max 128-bit content key (the SAME
+      // struct ordering the pair frame's max(ch) uses — a different key
+      // here could verify a different row than the one the eq flag was
+      // computed from), so the verify joins below cannot fan out — the
+      // groupBy runs on the post-semi-join set (≤ 2·|rest pairs| docs),
+      // never the corpus
       .groupBy(col("id"))
-      .agg(max_by(col("__graft_c__"), xxhash64(col("__graft_c__")))
+      .agg(max_by(col("__graft_c__"),
+        struct(xxhash64(col("__graft_c__")),
+          xxhash64(lit(0x9e3779b9L), col("__graft_c__"))))
         .as("__graft_c__"))
       .select(col("id"),
         org.apache.spark.sql.graft.WordNgramHashes(col("__graft_c__"), n).as("g"))

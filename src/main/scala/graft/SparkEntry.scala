@@ -27,11 +27,38 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q39's staged stream-replay parquet (two event-time halves + sentinel),
-   * one per (JVM, sf dir), for the same reason as [[q15Blobs]]: staging is
-   * harness work; each pass hard-links the staged files into a fresh
-   * stream input dir so the timed query measures only the replay. */
+   * one per (JVM, sf dir, events-fingerprint), for the same reason as
+   * [[q15Blobs]]: staging is harness work; each pass hard-links the staged
+   * files into a fresh stream input dir so the timed query measures only
+   * the replay. Unlike the blob caches (derived deterministically from a
+   * fixed table) this memoizes a materialization of the RAW input, so the
+   * key carries a cheap (size, mtime) fingerprint of events.parquet — a
+   * harness that rewrites the table in place and re-invokes the gate in
+   * the same JVM gets fresh staging automatically. */
   private val q39Stage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Total size + max mtime over a parquet file or directory of part
+   * files — one directory listing, no data read. */
+  private def parquetFingerprint(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    try {
+      if (java.nio.file.Files.isDirectory(p)) {
+        var size = 0L
+        var mtime = 0L
+        val listing = java.nio.file.Files.list(p)
+        try listing.forEach { f =>
+          size += java.nio.file.Files.size(f)
+          mtime = math.max(mtime,
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        } finally listing.close()
+        s"$size:$mtime"
+      } else {
+        s"${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      }
+    } catch { case _: java.io.IOException => "unreadable" }
+  }
 
   private def mediaFixture(s: SparkSession, dir: String): String =
     q58Blobs.computeIfAbsent(dir, { d =>
@@ -811,13 +838,13 @@ object SparkEntry {
       // full staging write are harness work, and re-paying them every bench
       // pass times the fixture, not the streaming engine. Each pass streams
       // from a fresh inDir populated by hard links into the shared staging.
-      // CACHE CONTRACT: keyed by sf-dir path, so a harness that REWRITES
-      // <dir>/events.parquet in-place and re-invokes this gate in the same
-      // JVM would replay stale staging — unlike the q15/q58 blob caches
-      // (derived deterministically from a fixed table) this memoizes a
-      // materialization of the raw input. The testdata dirs are immutable
-      // in every harness that exists; clear q39Stage if that changes.
-      val stage = q39Stage.computeIfAbsent(dir, { _ =>
+      // CACHE KEY: (sf-dir, size+mtime fingerprint of events.parquet) — an
+      // in-place rewrite of the table invalidates automatically, at the
+      // cost of one directory listing per invocation. Superseded stagings
+      // for the same dir are simply orphaned temp dirs (harness-lifetime,
+      // OS-cleaned); no JVM ever re-reads them.
+      val stage = q39Stage.computeIfAbsent(
+        s"$dir|${parquetFingerprint(s"$dir/events.parquet")}", { _ =>
         val bounds = ev.agg(
           expr("percentile_approx(cast(ts as long), 0.5)").as("mid"),
           max(col("ts").cast("long")).as("mx")).collect()(0)

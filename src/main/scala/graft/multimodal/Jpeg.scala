@@ -227,7 +227,7 @@ object Jpeg {
         // EOI: a progressive frame finishes here — dequantize the
         // accumulated coefficients and run the shared IDCT/color tail
         return if (progressive && prog != null)
-          finishProgressive(prog, comps, quant, width, height) else null
+          finishProgressive(prog, comps, width, height) else null
       }
       else {
         if (pos + 3 >= b.length) return null // truncated segment header
@@ -313,6 +313,16 @@ object Jpeg {
             // keep walking markers from wherever its entropy data ends
             if (prog == null) prog = ProgState.allocate(comps, width, height)
             if (prog == null) return null // exotic sampling / absurd dims
+            // latch each component's quant table at its FIRST scan (see
+            // ProgState.qtSnap) — later DQT markers define tables for
+            // later-starting components only, never rewrite history
+            var qi = 0
+            while (qi < scanOrder.length) {
+              val ci = comps.indexWhere(_ eq scanOrder(qi))
+              if (prog.qtSnap(ci) == null && quant(scanOrder(qi).tq) != null)
+                prog.qtSnap(ci) = quant(scanOrder(qi).tq).clone()
+              qi += 1
+            }
             val ss = b(seg + 1 + 2 * ns) & 0xFF
             val se = b(seg + 2 + 2 * ns) & 0xFF
             val ahAl = b(seg + 3 + 2 * ns) & 0xFF
@@ -436,7 +446,14 @@ object Jpeg {
       val bw: Array[Int], val bh: Array[Int], // padded blocks per row/col
       val realBW: Array[Int], val realBH: Array[Int], // non-interleaved grid
       val effH: Array[Int], val effV: Array[Int],
-      val mcusX: Int, val mcusY: Int, val hMax: Int, val vMax: Int)
+      val mcusX: Int, val mcusY: Int, val hMax: Int, val vMax: Int) {
+    // per-component quant table, LATCHED at the component's first scan
+    // (libjpeg's latch_quant_tables): dequantizing from the EOI-time DQT
+    // state would let a legal-but-rare mid-frame DQT redefinition
+    // retroactively change already-decoded scans — silently wrong pixels
+    // where libjpeg uses the table each scan was actually coded against
+    val qtSnap: Array[Array[Int]] = new Array[Array[Int]](coefs.length)
+  }
 
   private object ProgState {
     def allocate(comps: Array[Component], width: Int, height: Int): ProgState = {
@@ -645,18 +662,21 @@ object Jpeg {
     p
   }
 
-  /** Dequantize the accumulated progressive coefficients, IDCT every padded
-   * block into component planes, and run the shared color tail. */
+  /** Dequantize the accumulated progressive coefficients (against each
+   * component's first-scan-latched table, ProgState.qtSnap), IDCT every
+   * padded block into component planes, and run the shared color tail. */
   private def finishProgressive(prog: ProgState, comps: Array[Component],
-      quant: Array[Array[Int]], width: Int, height: Int): Pixels = {
+      width: Int, height: Int): Pixels = {
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
     val block = new Array[Double](64)
     var ci = 0
     while (ci < comps.length) {
       val c = comps(ci)
-      if (quant(c.tq) == null) return null
-      val qt = quant(c.tq)
+      // null = the component never appeared in any scan, or its table was
+      // undefined at its first scan — undecodable, fall back
+      if (prog.qtSnap(ci) == null) return null
+      val qt = prog.qtSnap(ci)
       c.planeW = prog.bw(ci) * 8
       c.planeH = prog.bh(ci) * 8
       c.plane = new Array[Byte](c.planeW * c.planeH)

@@ -415,6 +415,33 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive mid-frame DQT redefinition cannot rewrite decoded scans") {
+    // T.81 allows DQT between scans; libjpeg latches each component's
+    // quant table at that component's FIRST scan, so a later redefinition
+    // only affects later-STARTING components — never already-coded data.
+    // Dequantizing from the EOI-time DQT state instead silently rescales
+    // every block. Pin the latch by splicing a hostile table-0
+    // redefinition just before EOI: the output must be bit-identical to
+    // the unspliced stream.
+    val bytes = encodeProgressive(gradient(40, 24), 0.85f)
+    assert(findMarker(bytes, 0xC2) > 0)
+    val want = Jpeg.decode(bytes)
+    assert(want != null)
+    // FFDB, len 67, PqTq=0x00 (8-bit, table 0), 64 entries of 255 — an
+    // extreme table so any EOI-time dequantize visibly corrupts pixels
+    val dqt = Array[Byte](0xFF.toByte, 0xDB.toByte, 0x00, 0x43, 0x00) ++
+      Array.fill[Byte](64)(0xFF.toByte)
+    val eoi = bytes.length - 2
+    assert(bytes(eoi) == 0xFF.toByte && (bytes(eoi + 1) & 0xFF) == 0xD9)
+    val spliced = bytes.take(eoi) ++ dqt ++ bytes.drop(eoi)
+    val got = Jpeg.decode(spliced)
+    assert(got != null, "DQT-before-EOI is legal; must still decode")
+    assert(got.width === want.width && got.height === want.height &&
+      got.channels === want.channels)
+    assert(java.util.Arrays.equals(got.data, want.data),
+      "a post-scan DQT redefinition must be inert for decoded components")
+  }
+
   test("progressive with restart markers decodes; truncation returns null or partial") {
     val bytes = encodeWithDri(gradient(48, 32), 2, progressive = true)
     assert(findMarker(bytes, 0xC2) > 0 && findMarker(bytes, 0xDD) > 0)

@@ -1,7 +1,68 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** The bench's contention adjudication, factored out of the main so the
+ * detection math is unit-testable (and fuzzable against a real CPU-hog
+ * sibling, BenchAdjudicateSpec). BENCH_r10 recorded a 105 s total — 3x its
+ * own steady state — because the harness box was contended during the run;
+ * the parsed summary line carried no signal to distinguish "slow plan"
+ * from "busy box", so a contaminated number entered the round record
+ * unlabeled. The bench now (a) records the 1-minute loadavg at start and
+ * end, (b) compares each query's median against the last same-repo record
+ * (BENCH_local.json, or SPARK_GRAFT_BENCH_REF), and (c) re-runs any
+ * suspect — median > `factor`x its reference AND > `floor` seconds above
+ * it — once after a settle, reporting min(original, re-run): contention
+ * only ever inflates, so the smaller median is strictly the better
+ * estimate of plan cost. The suspect list and both numbers ride the
+ * summary line, so a contended record arrives labeled. */
+object BenchAdjudicate {
+  /** 1-minute load average, or -1 where /proc is unavailable. */
+  def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
+  /** Queries whose median exceeds `factor`x the reference AND sits more
+   * than `floor` seconds above it (the absolute floor keeps 0.05s->0.2s
+   * jitter on tiny queries from tripping the flag). A query with no
+   * reference entry can't be adjudicated and is never suspect. */
+  def suspects(medians: Seq[(String, Double)], ref: Map[String, Double],
+      factor: Double = 3.0, floor: Double = 0.3): Seq[String] =
+    medians.collect {
+      case (name, m) if ref.get(name).exists(r => m > factor * r && m - r > floor) =>
+        name
+    }
+
+  /** `{"queries":{...},"head":"..."}` fields of a prior bench summary —
+   * a 60-line hand parser would be a liability; Jackson ships with Spark. */
+  def readRef(path: String): (Map[String, Double], Option[String]) =
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val qs = Option(node.get("queries")).map { q =>
+        val it = q.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }.getOrElse(Map.empty[String, Double])
+      (qs, Option(node.get("head")).map(_.asText()).filter(_.nonEmpty))
+    } catch { case _: Exception => (Map.empty, None) }
+
+  /** Current git HEAD, for labeling records and validating the reference
+   * (a 3x delta against a DIFFERENT head may be a real plan change). */
+  def gitHead(dir: String): Option[String] =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .directory(new java.io.File(dir)).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) Some(out) else None
+    } catch { case _: Exception => None }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
+    val load0 = BenchAdjudicate.loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // '*' (all cores) is valid for local[...] but not for
@@ -110,17 +171,68 @@ object Bench {
         ",\"storage_mb\":" + (storageBytes() >> 20) + "}"
       name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // --- contention adjudication (see [[BenchAdjudicate]]): compare each
+    // median against the committed same-repo record, re-run suspects after
+    // a settle, and label the summary so a contended run can never enter a
+    // round record unmarked again
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_local.json")
+    val (ref, refHead) = BenchAdjudicate.readRef(refPath)
+    val head = BenchAdjudicate.gitHead(".")
+    val suspectNames = BenchAdjudicate.suspects(results, ref)
+    val rerun: Map[String, Double] = if (suspectNames.isEmpty) Map.empty else {
+      val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "5000").toLong
+      System.err.println(s"BENCH SUSPECTS ${suspectNames.mkString(",")}: " +
+        s"re-running after ${settleMs}ms settle")
+      Thread.sleep(settleMs)
+      val byName = selected.toMap
+      suspectNames.map { n =>
+        val times = new scala.collection.mutable.ArrayBuffer[Double]
+        (1 to passes).foreach { _ =>
+          val t0 = System.nanoTime()
+          try { byName(n)(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH RERUN FAILED $n: ${e.getMessage}")
+          }
+          org.apache.spark.sql.graft.Plans.flushListenerBus(spark)
+          times += (System.nanoTime() - t0) / 1e9
+        }
+        val sorted = times.sorted
+        n -> (if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0)
+      }.toMap
+    }
+    // contention only ever inflates, so min(original, re-run) is strictly
+    // the better estimate of plan cost; both numbers stay visible in the
+    // suspect field so the correction is auditable
+    val finalResults = results.map { case (n, m) =>
+      n -> rerun.get(n).fold(m)(math.min(m, _))
+    }
+    val suspectJson = suspectNames.map { n =>
+      "\"" + n + "\":{\"median\":" + r3(results.toMap.apply(n)) +
+        ",\"rerun\":" + r3(rerun(n)) + ",\"ref\":" + r3(ref(n)) + "}"
+    }.mkString("{", ",", "}")
+    val refHeadMatch = (head, refHead) match {
+      case (Some(a), Some(b)) => (a == b).toString
+      case _ => "null"
+    }
+    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    val total = r3(finalResults.map(_._2).sum)
     val diagJson = diag.mkString("{", ",", "}")
     // per-pass diagnostics go to stderr on their own line: the driver
     // captures a bounded tail of stdout and parses the LAST JSON line —
     // r7's single fat line (medians + diag) overflowed that window and
     // truncated its own head, so BENCH_r07 recorded parsed:null
     System.err.println(s"""{"bench_diag":$diagJson}""")
+    val load1 = BenchAdjudicate.loadAvg()
+    def r2(d: Double): Double = math.rint(d * 100) / 100
+    // the adjudication fields stay compact (suspects are normally empty)
+    // so the one-line summary survives the driver's bounded tail capture
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","head":${head.fold("null")("\"" + _ + "\"")},""" +
+        s""""load_avg":[${r2(load0)},${r2(load1)}],""" +
+        s""""ref_head_match":$refHeadMatch,"suspect":$suspectJson}"""
     // Belt and braces for the driver's parse: the same JSON line goes to
     // stdout (last line, unprefixed via build.sbt's StdoutOutput strategy)
     // AND to a file the driver (or a human) can read without any stdout

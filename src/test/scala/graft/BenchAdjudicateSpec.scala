@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's contention adjudication (BENCH_r10 entered the round record
+ * at 3x its steady state because the box was shared during the run and the
+ * summary line carried no signal). The detection math is pure and pinned
+ * directly; the end-to-end property — a CPU-hog SIBLING PROCESS inflates a
+ * fixed workload past the suspect threshold against an uncontended
+ * reference — runs against real `sh` spin loops. */
+class BenchAdjudicateSpec extends AnyFunSuite {
+
+  test("suspects: >factor AND >floor above the reference, only with a reference") {
+    val ref = Map("q1" -> 1.0, "q2" -> 0.05, "q3" -> 5.0)
+    val medians = Seq(
+      "q1" -> 3.5, // 3.5x ref, 2.5s above -> suspect
+      "q2" -> 0.2, // 4x ref but only 0.15s above the floor -> jitter, not suspect
+      "q3" -> 9.0, // 1.8x ref -> below factor, not suspect
+      "q4" -> 60.0) // no reference entry -> cannot adjudicate
+    assert(BenchAdjudicate.suspects(medians, ref) === Seq("q1"))
+    // the floor is a parameter: drop it and the tiny query trips too
+    assert(BenchAdjudicate.suspects(medians, ref, floor = 0.1) ===
+      Seq("q1", "q2"))
+    // empty reference (first run in a repo) -> nothing is ever suspect
+    assert(BenchAdjudicate.suspects(medians, Map.empty) === Seq.empty)
+  }
+
+  test("readRef parses a bench summary line's queries and head") {
+    val f = java.nio.file.Files.createTempFile("bench_ref", ".json")
+    java.nio.file.Files.write(f,
+      ("""{"metric":"total","value":35.9,"unit":"sec,","queries":""" +
+        """{"q1":1.25,"q2":0.5},"sf":"/x","head":"""" + ("ab12" * 10) +
+        """"}""").getBytes("UTF-8"))
+    val (qs, head) = BenchAdjudicate.readRef(f.toString)
+    assert(qs === Map("q1" -> 1.25, "q2" -> 0.5))
+    assert(head === Some("ab12" * 10))
+    // absent file / malformed JSON degrade to no-reference, never throw
+    assert(BenchAdjudicate.readRef("/nonexistent/x.json") === (Map.empty, None))
+    java.nio.file.Files.write(f, "not json".getBytes("UTF-8"))
+    assert(BenchAdjudicate.readRef(f.toString) === (Map.empty, None))
+    java.nio.file.Files.delete(f)
+  }
+
+  test("gitHead resolves in this repo; loadAvg reads on this platform") {
+    val h = BenchAdjudicate.gitHead(".")
+    assert(h.exists(_.matches("[0-9a-f]{40}")), s"head: $h")
+    assert(BenchAdjudicate.loadAvg() >= 0.0, "loadavg should read on linux")
+  }
+
+  test("a CPU-hog sibling process trips the suspect flag") {
+    // fixed work (not fixed time): wall clock then reflects the CPU share
+    // the scheduler gives this thread, exactly what box contention steals
+    def spin(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val iters = 400000000L
+      val t0 = System.nanoTime()
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      if (x == 42L) println("") // keep the loop alive past the JIT
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median5(): Double = {
+      val t = (1 to 5).map(_ => spin()).sorted
+      t(2)
+    }
+    spin() // JIT warm
+    val refT = median5()
+    assert(refT > 0.01, s"workload too small to measure: $refT")
+    val cores = Runtime.getRuntime.availableProcessors()
+    // 6 spin processes per core: the worker's fair share drops to ~1/7,
+    // comfortably past the 3x suspect factor even under scheduler noise
+    val hogs = (1 to cores * 6).map { _ =>
+      new ProcessBuilder("sh", "-c", "while : ; do : ; done").start()
+    }
+    val hotT =
+      try {
+        Thread.sleep(300) // let the scheduler absorb the hogs
+        median5()
+      } finally hogs.foreach(_.destroyForcibly())
+    val ref = Map("spin" -> refT)
+    val flagged = BenchAdjudicate.suspects(Seq("spin" -> hotT), ref,
+      factor = 3.0, floor = math.min(0.3, refT))
+    assert(flagged === Seq("spin"),
+      s"hog must inflate past 3x: uncontended $refT s, contended $hotT s")
+  }
+}

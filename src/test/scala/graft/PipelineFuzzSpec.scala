@@ -255,4 +255,69 @@ class PipelineFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("LSH banding under adversarial bucket skew: boilerplate corpus stays bounded") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // boilerplate-heavy web corpora put a LARGE fraction of documents into
+    // the same band buckets: when most character shingles are shared, the
+    // per-band minima come from the shared text and whole bands collide
+    // corpus-wide. The fixture makes that worst case concrete — one long
+    // shared boilerplate block with a short unique tail per doc — then
+    // checks the three properties that keep the operator alive at scale:
+    //   1. the fixture IS adversarial (candidate volume is quadratic-ish);
+    //   2. the capped operator's output is ≤ 2·cap·docs regardless;
+    //   3. planted exact duplicates all survive the cap (eq-first rank);
+    //   4. the candidate self-join is a SHUFFLE join in the forced-at-scale
+    //      config — the shape AQE's skew handling can split; a broadcast
+    //      or cartesian would concentrate the hot bucket on single tasks.
+    val rnd = new scala.util.Random(777001L)
+    val boiler = (1 to 60).map(_ => "boilerplate" + rnd.nextInt(10)).mkString(" ")
+    val nDocs = 400
+    val base = (1L to nDocs.toLong).map(i => (i, s"$boiler unique tail $i"))
+    // 20 planted exact-dup pairs: copies of docs 1..20 at ids 10001..10020
+    val copies = base.take(20).map { case (i, t) => (i + 10000L, t) }
+    val df = (base ++ copies).toDF("doc_id", "text").repartition(8)
+    val docs = nDocs + 20
+
+    // (1) adversarial check: the uncapped candidate stage really explodes
+    // (≥ 20 partners per doc on average — far beyond any benign corpus)
+    val candCount = Dedup.lshCandidatePairIds(df, "doc_id", "text").count()
+    assert(candCount > docs.toLong * 20,
+      s"fixture must create a hot-bucket explosion, got only $candCount")
+
+    // (2)+(3): the capped operator stays bounded and keeps every planted pair
+    val cap = 8
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 0.999999,
+      n = 3, maxPairsPerId = cap)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length <= 2 * cap * docs,
+      s"capped output must stay <= 2*cap*docs, got ${got.length}")
+    val perSide = got.groupBy(_._1).values.map(_.length).max
+    assert(perSide <= cap, s"per-id side cap violated: $perSide > $cap")
+    val gotSet = got.toSet
+    (1L to 20L).foreach { i =>
+      assert(gotSet((i, i + 10000L)),
+        s"planted exact-dup pair ($i,${i + 10000L}) evicted by LSH noise")
+    }
+
+    // (4) plan shape in the at-scale config: shuffle join, never broadcast/
+    // cartesian — two hinted exchanges AQE skew-split can act on
+    val prev = spark.conf.getOption("spark.graft.candidateJoin.shuffleHash")
+    spark.conf.set("spark.graft.candidateJoin.shuffleHash", "on")
+    try {
+      val cands = Dedup.lshCandidatePairIds(df, "doc_id", "text")
+      val plan = cands.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), "cartesian in candidate join")
+      assert(!plan.contains("BroadcastHashJoin"),
+        "hot-bucket self-join must not broadcast in the at-scale config")
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+        s"expected a shuffle join:\n$plan")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.candidateJoin.shuffleHash", v)
+        case None => spark.conf.unset("spark.graft.candidateJoin.shuffleHash")
+      }
+    }
+  }
 }

@@ -429,6 +429,107 @@ class GraftSession(val spark: SparkSession) {
     }
   }
 
+  /** Streaming-populator variant of [[appendToTopK]]: EXACTLY-ONCE across
+   * JVM crash/resume for path-backed tables. foreachBatch replays the
+   * in-flight batch when a JVM dies between dependent population and the
+   * source checkpoint's offset commit; this append checks the structure's
+   * per-stream applied-batch watermark (persisted atomically with the
+   * counts — [[saveTopK]]) under the path lock and skips already-applied
+   * batch ids. In-memory tables keep the watermark in-process (their state
+   * does not survive a crash, so replay cannot double-count by
+   * construction; the check still fences STOP→START replays in one JVM). */
+  def appendToTopKForBatch(name: String, df: DataFrame, batchTimeMs: Long,
+      streamName: String, batchId: Long): Unit = {
+    state.topkPaths.get(name.toLowerCase) match {
+      case Some(p) =>
+        val partials = topkState(name).buildPartials(df)
+        GraftSession.withPathLock(spark, p) {
+          val st = attachTopKTable(name, p)
+          if (batchId > st.appliedStreamBatch(streamName)) {
+            st.mergePartialsAt(spark, partials, batchTimeMs)
+            st.setAppliedStreamBatch(streamName, batchId)
+            saveTopK(name, p)
+          }
+        }
+      case None =>
+        val st = topkState(name)
+        if (batchId > st.appliedStreamBatch(streamName)) {
+          st.append(df, batchTimeMs)
+          st.setAppliedStreamBatch(streamName, batchId)
+        }
+    }
+  }
+
+  /** Streaming-populator variant of [[appendToSample]]: EXACTLY-ONCE across
+   * JVM crash/resume for path-backed samples. The replay fence is the
+   * `__streambatch.<stream>` watermark in the sample's registry metadata;
+   * the batch's data files are published under a DETERMINISTIC per-batch
+   * name prefix so a replay of a half-published batch (crash between the
+   * file renames and the meta publish) deletes its own leftovers and
+   * republishes instead of appending a second copy — the sequence
+   * (delete-by-prefix → stage → rename into place → meta watermark, all
+   * under the path lock) converges to exactly one copy of the batch no
+   * matter where a previous attempt died. */
+  def appendToSampleForBatch(rawName: String, df: DataFrame,
+      streamName: String, batchId: Long, seed: Long = 43L): DataFrame = {
+    val name = state.resolveSample(rawName).getOrElse(
+      throw new IllegalArgumentException(s"No sample table named $rawName"))
+    val info = state.samples(name)
+    info.persistPath match {
+      case Some(path) =>
+        val conf = spark.sessionState.newHadoopConf()
+        val wmKey = s"__streambatch.${streamName.toLowerCase}"
+        GraftSession.withPathLock(spark, path) {
+          val applied = GraftSession.readSampleMetaProp(path, wmKey, conf)
+            .map(_.toLong).getOrElse(-1L)
+          if (batchId > applied) {
+            val sampled = StratifiedSampler.sample(df, info.qcs.map(expr),
+              info.fraction, info.reservoirSize, seed, preFilter = true,
+              preFilterFactor = 2.0, rankCols = Nil)
+            val dir = new org.apache.hadoop.fs.Path(path)
+            val fs = dir.getFileSystem(conf)
+            val safe = streamName.toLowerCase.replaceAll("[^a-z0-9]", "_")
+            val prefix = s"stream-$safe-b$batchId-"
+            val staging = new org.apache.hadoop.fs.Path(dir,
+              s".staging-$safe-b$batchId")
+            // leftovers of a crashed prior attempt at THIS batch
+            if (fs.exists(dir)) fs.listStatus(dir).foreach { s0 =>
+              val n = s0.getPath.getName
+              if (n.startsWith(prefix) || n == staging.getName) {
+                fs.delete(s0.getPath, true)
+              }
+            }
+            // stage (dot-prefixed: hidden from parquet readers), then move
+            // each complete part file into place under the batch prefix
+            sampled.write.mode("overwrite").parquet(staging.toString)
+            var k = 0
+            fs.listStatus(staging).foreach { s0 =>
+              if (s0.getPath.getName.endsWith(".parquet")) {
+                val dst = new org.apache.hadoop.fs.Path(dir,
+                  s"$prefix$k.parquet")
+                require(fs.rename(s0.getPath, dst),
+                  s"could not publish sample batch file $dst")
+                k += 1
+              }
+            }
+            fs.delete(staging, true)
+            GraftSession.updateSampleMetaProp(path, wmKey,
+              batchId.toString, conf)
+          }
+        }
+        spark.catalog.refreshByPath(path)
+        val merged = spark.read.parquet(path)
+        merged.createOrReplaceTempView(name)
+        state.samples.put(name, info.copy(sampleDf = merged))
+        merged
+      case None =>
+        // no persistent state to protect: a crash loses the sample with
+        // the watermark, and a single-JVM STOP→START resumes from committed
+        // offsets (no replay) — plain append is already exactly-once here
+        appendToSample(rawName, df, seed)
+    }
+  }
+
   /** Persist a TopK structure's options + full sketch snapshot under
    * `path` (Hadoop FS — works for hdfs:// and s3a:// paths like the
    * sample persist path).
@@ -529,6 +630,13 @@ class GraftSession(val spark: SparkSession) {
     if (survivors.nonEmpty) {
       props.setProperty("__retired",
         survivors.map { case (v, p) => s"$v|$p" }.mkString("\n"))
+    }
+    // per-stream applied-batch watermarks ride the same atomic meta publish
+    // as the counts they fence (streaming exactly-once — TopKState docs)
+    val streamBatches = st.streamBatchView
+    if (streamBatches.nonEmpty) {
+      props.setProperty("__streambatch",
+        streamBatches.map { case (s, b) => s"$s|$b" }.mkString("\n"))
     }
     val metaPath = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkMetaFile)
     val metaTmp = new org.apache.hadoop.fs.Path(dir,
@@ -662,6 +770,13 @@ class GraftSession(val spark: SparkSession) {
         st.stateLock.synchronized { st.buckets.restoreFrom(bytes) }
         if (fs.exists(spillDir)) st.attachSpill(spark, spillDir.toString)
         else st.setSpillBase(spillDir.toString)
+    }
+    Option(props.getProperty("__streambatch")).foreach { enc =>
+      st.restoreStreamBatches(enc.split('\n').toSeq.filter(_.nonEmpty).map {
+        line =>
+          val sep = line.lastIndexOf('|')
+          (line.take(sep), line.drop(sep + 1).toLong)
+      })
     }
     st.setSpillBase(spillDir.toString)
     state.topks.put(name.toLowerCase, st)
@@ -1134,6 +1249,36 @@ object GraftSession {
     val tmp = new org.apache.hadoop.fs.Path(path, MetaFile + ".tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
     val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try props.store(out, "graft sample registry") finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(p).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** One property from a sample's registry metadata (e.g. the per-stream
+   * `__streambatch.<name>` applied-batch watermark). */
+  private[graft] def readSampleMetaProp(path: String, key: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isFile) return None
+    Option(loadPropsTornFree(p, conf).getProperty(key))
+  }
+
+  /** Read-modify-write of one registry-metadata property, republished via
+   * the same atomic tmp+rename(OVERWRITE) as [[writeSampleMeta]]. The
+   * CALLER holds the path lock — the read-modify-write is only safe
+   * serialized against other writers. */
+  private[graft] def updateSampleMetaProp(path: String, key: String,
+      value: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(conf)
+    val props = loadPropsTornFree(p, conf)
+    props.setProperty(key, value)
+    val tmp = new org.apache.hadoop.fs.Path(path, MetaFile + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     try props.store(out, "graft sample registry") finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(

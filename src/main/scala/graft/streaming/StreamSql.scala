@@ -135,17 +135,34 @@ object StreamSql {
       .start()
   }
 
-  /** One micro-batch: history append + dependent sample/TopK population. */
+  /** One micro-batch: history append + dependent sample/TopK population.
+   *
+   * EXACTLY-ONCE across crash/resume: foreachBatch is at-least-once (a JVM
+   * killed between this method and the source checkpoint's offset commit
+   * replays the batch in the resumed query), so every persistent effect
+   * here is idempotent per batch id —
+   *  - the history write OVERWRITES a per-batch subdirectory instead of
+   *    appending to a shared one (a replay rewrites the same directory);
+   *  - path-backed samples/TopKs go through the ForBatch appends, which
+   *    fence on a per-stream applied-batch watermark persisted atomically
+   *    with the structure's own state ([[GraftSession.appendToTopKForBatch]],
+   *    [[GraftSession.appendToSampleForBatch]]). */
   private def populate(gs: GraftSession, d: StreamTableDef, batch: DataFrame,
       batchId: Long, historyPath: String): Unit = {
     val spark = gs.spark
-    batch.write.mode("append").parquet(historyPath)
+    batch.write.mode("overwrite")
+      .parquet(s"$historyPath/__graft_batch=$batchId")
     spark.catalog.refreshByPath(historyPath)
+    // project the inferred __graft_batch partition column back out: the
+    // stream view's schema is the declared one
     val hist = spark.read.parquet(historyPath)
+      .select(d.schema.fieldNames.toSeq.map(
+        org.apache.spark.sql.functions.col): _*)
     hist.createOrReplaceTempView(d.name)
     val histPlan = hist.queryExecution.analyzed
     gs.state.samplesOn(d.name).foreach { s =>
-      gs.appendToSample(s.name, batch, seed = 43L + batchId)
+      gs.appendToSampleForBatch(s.name, batch, d.name, batchId,
+        seed = 43L + batchId)
       // re-point the routing plan at the refreshed history view so batch
       // queries over the stream table keep matching this sample
       gs.state.samples.get(s.name).foreach { cur =>
@@ -153,7 +170,10 @@ object StreamSql {
       }
     }
     gs.state.topkBases.foreach { case (tk, base) =>
-      if (base.equalsIgnoreCase(d.name)) gs.appendToTopK(tk, batch)
+      if (base.equalsIgnoreCase(d.name)) {
+        gs.appendToTopKForBatch(tk, batch, System.currentTimeMillis(),
+          d.name, batchId)
+      }
     }
   }
 }

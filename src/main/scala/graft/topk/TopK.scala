@@ -290,6 +290,36 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     retiredBatches ++= entries.map { case (v, p) => (Some(v), p) }
   }
 
+  // ---------------------------------------------------------------------------
+  // Streaming exactly-once: highest applied micro-batch id per feeding
+  // stream. foreachBatch is at-least-once — a JVM killed between dependent
+  // population and the source checkpoint's offset commit REPLAYS the batch
+  // in the resumed query — so the stream populator records the watermark
+  // INSIDE the same published snapshot that carries the merged counts
+  // (GraftSession.saveTopK persists it; attach restores it): the counts a
+  // reader can observe and the watermark that fences replays swap together
+  // atomically, and a replayed batch is skipped instead of double-counted.
+  private val streamBatches = scala.collection.mutable.Map.empty[String, Long]
+
+  def appliedStreamBatch(stream: String): Long = stateLock.synchronized {
+    streamBatches.getOrElse(stream.toLowerCase, -1L)
+  }
+
+  def setAppliedStreamBatch(stream: String, batchId: Long): Unit =
+    stateLock.synchronized {
+      val k = stream.toLowerCase
+      streamBatches.put(k, math.max(batchId, streamBatches.getOrElse(k, -1L)))
+    }
+
+  def streamBatchView: Seq[(String, Long)] =
+    stateLock.synchronized(streamBatches.toSeq.sorted)
+
+  def restoreStreamBatches(entries: Seq[(String, Long)]): Unit =
+    stateLock.synchronized {
+      streamBatches.clear()
+      streamBatches ++= entries
+    }
+
   /** Stamp unstamped retirees with this publish's version and return the
    * ones whose superseding snapshot is now itself superseded (stamped
    * version < current) — safe to delete ([[graft.GraftSession.saveTopK]]). */

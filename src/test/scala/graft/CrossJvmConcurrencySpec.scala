@@ -320,4 +320,90 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
     assert(gD.queryFrequency("xjvm_done_t", "xjvm_b",
       103L * dayMs, 104L * dayMs - 1).map(_._2) === Some(10L))
   }
+
+  test("streaming crash-resume: SIGKILLed populator resumes exactly-once") {
+    // The streaming analogue of the APPEND-interleaving fuzz: a populator
+    // JVM is SIGKILLed at random points — mid micro-batch, between
+    // dependent population and the checkpoint's offset commit, mid
+    // snapshot publish, while holding a path lock — then a FRESH JVM
+    // resumes the same stream. foreachBatch is at-least-once, so without
+    // the per-stream batch watermarks (persisted atomically with each
+    // structure's own state) every kill-after-populate would double-feed
+    // the replayed batch. The exact model is the input multiset: history,
+    // the fraction-1.0 sample, and the StreamSummary TopK must each hold
+    // every input row EXACTLY once at quiescence — no re-ingest, no loss.
+    val root = tmpDir("graft_xjvm_sr")
+    new java.io.File(root, "in").mkdirs()
+    val rnd = new scala.util.Random(424242L)
+    val keys = CrossJvmWorker.FuzzKeys
+    val s = spark.newSession()
+    import s.implicits._
+    var total = 0L
+    val model = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    (0 until 12).foreach { b =>
+      val rows = keys.flatMap { k =>
+        val n = 1 + rnd.nextInt(5)
+        model(k) += n; total += n
+        Seq.fill(n)(k)
+      }
+      // one flat parquet FILE per micro-batch (maxFilesPerTrigger=1):
+      // stage a single-part write, then move the part file into the
+      // source dir under a stable name
+      val stage = java.nio.file.Files.createTempDirectory("graft_sr_stage")
+      rows.toDF("event_type").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(root, "in", f"batch_$b%02d.parquet"))
+    }
+
+    val doneFlag = new java.io.File(root, "done")
+    var kills = 0
+    var attempts = 0
+    while (!doneFlag.exists() && attempts < 10) {
+      attempts += 1
+      val (p, log) = launch("stream-populate", root, total.toString,
+        doneFlag.getAbsolutePath)
+      if (kills < 3) {
+        // SIGKILL at a random point mid-ingest: past stream start, inside
+        // the batch cadence — destroyForcibly skips every shutdown hook,
+        // finally block and lock release, like a crashed executor host
+        Thread.sleep(3000 + rnd.nextInt(4000))
+        if (!doneFlag.exists()) {
+          p.destroyForcibly()
+          p.waitFor(30, TimeUnit.SECONDS)
+          kills += 1
+        } else {
+          assert(p.waitFor(60, TimeUnit.SECONDS) && p.exitValue() === 0,
+            s"worker failed after completion; log: $log")
+        }
+      } else {
+        assert(p.waitFor(240, TimeUnit.SECONDS),
+          s"resumed worker stalled; log: $log")
+        assert(p.exitValue() === 0, s"resumed worker failed; log: $log")
+      }
+    }
+    assert(kills >= 3, s"the fuzz must actually kill mid-ingest ($kills kills)")
+    assert(doneFlag.exists(), "populator never reached quiescence")
+
+    // exact model, all three persistent surfaces
+    val sf = spark.newSession()
+    def countsOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hist = countsOf(sf.read.parquet(s"$root/history"))
+    assert(hist === model.toMap,
+      s"history must hold every row exactly once: $hist vs $model")
+    val sample = countsOf(sf.read.parquet(s"$root/sample"))
+    assert(sample === model.toMap,
+      s"fraction-1.0 sample must hold every row exactly once: $sample vs $model")
+    val gf = GraftSession(sf)
+    gf.attachTopKTable("xjvm_sr_check", s"$root/topk")
+    keys.foreach { k =>
+      assert(gf.queryFrequency("xjvm_sr_check", k).map(_._2) === Some(model(k)),
+        s"TopK count for $k must match the exact model")
+    }
+  }
 }

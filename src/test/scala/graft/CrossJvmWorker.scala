@@ -138,6 +138,54 @@ object CrossJvmWorker {
         }
         spark.stop()
 
+      case "stream-populate" =>
+        // crash-resume streaming populator: declare a file-source stream
+        // plus PATH-BACKED sample and TopK dependents under <dir>, start
+        // the populator, and run until every input row has landed in both
+        // dependents — then touch the done flag, STREAMING STOP and exit 0.
+        // The spec SIGKILLs this JVM at random points (mid-batch, between
+        // dependent population and the checkpoint's offset commit, mid
+        // snapshot publish — wherever the kill lands) and relaunches it;
+        // exactly-once population across those crash/resume cycles is the
+        // property under test. Short lock lease so a resumed JVM breaks the
+        // dead predecessor's path lock quickly instead of sitting out the
+        // 120 s default.
+        val expected = args(2).toLong
+        val doneFlag = new java.io.File(args(3))
+        spark.conf.set("spark.graft.pathLock.leaseMs", "3000")
+        g.sql("CREATE STREAM TABLE IF NOT EXISTS xjvm_stream " +
+          "(event_type STRING) USING parquet OPTIONS(" +
+          s"path '$dir/in', historypath '$dir/history', " +
+          "maxFilesPerTrigger '1')")
+        g.sql("CREATE SAMPLE TABLE IF NOT EXISTS xjvm_ss ON xjvm_stream " +
+          s"OPTIONS(qcs 'event_type', fraction '1.0', path '$dir/sample')")
+        g.sql("CREATE TOPK TABLE IF NOT EXISTS xjvm_st ON xjvm_stream " +
+          "OPTIONS(key 'event_type', size '5', streamSummary 'true', " +
+          s"capacity '100000', path '$dir/topk')")
+        g.sql("STREAMING INIT 100 MS")
+        g.sql("STREAMING START")
+        val deadline = System.currentTimeMillis() + 150000
+        var done = false
+        while (!done && System.currentTimeMillis() < deadline) {
+          Thread.sleep(150)
+          val sampleRows =
+            try spark.read.parquet(s"$dir/sample").count()
+            catch { case _: Exception => -1L }
+          val topkTotal =
+            try FuzzKeys.map(k =>
+              g.queryFrequency("xjvm_st", k).map(_._2).getOrElse(0L)).sum
+            catch { case _: Exception => -1L }
+          done = sampleRows == expected && topkTotal == expected
+        }
+        if (done) {
+          g.sql("STREAMING STOP")
+          doneFlag.createNewFile()
+          spark.stop()
+        } else {
+          System.err.println("stream-populate: deadline without completion")
+          sys.exit(3)
+        }
+
       case other =>
         System.err.println(s"unknown mode: $other")
         sys.exit(2)

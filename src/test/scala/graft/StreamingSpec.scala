@@ -446,6 +446,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ForBatch appends fence replayed batch ids per stream (exactly-once)") {
+    // foreachBatch is at-least-once: a crash between dependent population
+    // and the checkpoint's offset commit replays the batch on resume. The
+    // ForBatch appends must apply each (stream, batchId) at most once —
+    // deterministic pin of the fence the crash-resume fuzz exercises
+    // randomly (CrossJvmConcurrencySpec).
+    val gs = new GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    Seq("k1", "k2").toDF("event_type").createOrReplaceTempView("fb_base")
+    gs.sql("CREATE SAMPLE TABLE fb_sample ON fb_base OPTIONS(" +
+      s"qcs 'event_type', fraction '1.0', path '$root/sample')")
+    gs.sql("CREATE TOPK TABLE fb_topk ON fb_base OPTIONS(" +
+      "key 'event_type', streamSummary 'true', capacity '10000', " +
+      s"size '3', path '$root/topk')")
+    val createRows = spark.read.parquet(s"$root/sample").count()
+
+    val batch = Seq.fill(10)("k1").toDF("event_type")
+    // first application lands, REPLAY of the same batch id is skipped
+    gs.appendToSampleForBatch("fb_sample", batch, "fb_stream", 0L)
+    gs.appendToSampleForBatch("fb_sample", batch, "fb_stream", 0L)
+    gs.appendToTopKForBatch("fb_topk", batch, 1000L, "fb_stream", 0L)
+    gs.appendToTopKForBatch("fb_topk", batch, 1000L, "fb_stream", 0L)
+    assert(spark.read.parquet(s"$root/sample").count() === createRows + 10,
+      "a replayed sample batch must not double-append")
+    assert(gs.queryFrequency("fb_topk", "k1").map(_._2) === Some(11L),
+      "a replayed TopK batch must not double-count") // 1 from create + 10
+    // a NEW batch id advances; an OLD one (late replay) is still fenced
+    gs.appendToSampleForBatch("fb_sample", batch, "fb_stream", 1L)
+    gs.appendToTopKForBatch("fb_topk", batch, 2000L, "fb_stream", 1L)
+    gs.appendToSampleForBatch("fb_sample", batch, "fb_stream", 0L)
+    gs.appendToTopKForBatch("fb_topk", batch, 1000L, "fb_stream", 0L)
+    assert(spark.read.parquet(s"$root/sample").count() === createRows + 20)
+    assert(gs.queryFrequency("fb_topk", "k1").map(_._2) === Some(21L))
+    // a DIFFERENT stream feeding the same structure has its own watermark
+    gs.appendToTopKForBatch("fb_topk", batch, 3000L, "fb_other", 0L)
+    assert(gs.queryFrequency("fb_topk", "k1").map(_._2) === Some(31L))
+    // and the fences survive a fresh attach (persisted with the state):
+    // a resumed JVM replaying the last committed batch must skip it
+    val s2 = spark.newSession()
+    val g2 = GraftSession(s2)
+    import s2.implicits._
+    Seq("k1", "k2").toDF("event_type").createOrReplaceTempView("fb_base")
+    g2.attachTopKTable("fb_topk2", s"$root/topk")
+    g2.appendToTopKForBatch("fb_topk2", batch, 1000L, "fb_stream", 1L)
+    assert(g2.queryFrequency("fb_topk2", "k1").map(_._2) === Some(31L),
+      "the TopK watermark must survive the snapshot round-trip")
+    g2.attachSampleTable("fb_sample2", s"$root/sample")
+    g2.appendToSampleForBatch("fb_sample2", batch, "fb_stream", 1L)
+    assert(s2.read.parquet(s"$root/sample").count() === createRows + 20,
+      "the sample watermark must survive the meta round-trip")
+  }
+
   test("STREAMING INIT parses interval forms and gates the trigger") {
     val gs = new GraftSession(spark)
     gs.sql("STREAMING INIT 2 SECS")

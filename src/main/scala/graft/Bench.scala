@@ -33,9 +33,10 @@ object BenchAdjudicate {
         name
     }
 
-  /** `{"queries":{...},"head":"..."}` fields of a prior bench summary —
-   * a 60-line hand parser would be a liability; Jackson ships with Spark. */
-  def readRef(path: String): (Map[String, Double], Option[String]) =
+  /** `{"queries":{...},"head":"...","sf":"..."}` fields of a prior bench
+   * summary — a 60-line hand parser would be a liability; Jackson ships
+   * with Spark. */
+  def readRef(path: String): (Map[String, Double], Option[String], Option[String]) =
     try {
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
@@ -45,8 +46,9 @@ object BenchAdjudicate {
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
         b.result()
       }.getOrElse(Map.empty[String, Double])
-      (qs, Option(node.get("head")).map(_.asText()).filter(_.nonEmpty))
-    } catch { case _: Exception => (Map.empty, None) }
+      (qs, Option(node.get("head")).map(_.asText()).filter(_.nonEmpty),
+        Option(node.get("sf")).map(_.asText()).filter(_.nonEmpty))
+    } catch { case _: Exception => (Map.empty, None, None) }
 
   /** Current git HEAD, for labeling records and validating the reference
    * (a 3x delta against a DIFFERENT head may be a real plan change). */
@@ -176,7 +178,11 @@ object Bench {
     // a settle, and label the summary so a contended run can never enter a
     // round record unmarked again
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_local.json")
-    val (ref, refHead) = BenchAdjudicate.readRef(refPath)
+    val (ref0, refHead, refSf) = BenchAdjudicate.readRef(refPath)
+    // a reference recorded at a DIFFERENT scale factor cannot adjudicate
+    // this run (a 10x-data run is legitimately >3x the sf0.1 record) —
+    // drop it rather than flag every scaled-up query suspect
+    val ref = if (refSf.forall(_ == sfDir)) ref0 else Map.empty[String, Double]
     val head = BenchAdjudicate.gitHead(".")
     val suspectNames = BenchAdjudicate.suspects(results, ref)
     val rerun: Map[String, Double] = if (suspectNames.isEmpty) Map.empty else {

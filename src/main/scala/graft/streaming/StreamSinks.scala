@@ -58,33 +58,59 @@ object StreamSinks {
    * a parquet-backed sample table registered in the session catalog —
    * streaming equivalent of `CREATE SAMPLE TABLE s ON stream`
    * (`AQPStreamingSuite.scala:63-123`).
+   *
+   * Appends go through [[graft.GraftSession.appendToSampleForBatch]]: each
+   * batch publishes under the path lock with a per-query replay fence.
+   * Pass `checkpointLocation` to make the sink EXACTLY-ONCE across
+   * crash/resume (the fence key is then stable, so a resumed query skips
+   * batch ids its predecessor already published); without one a restart is
+   * a NEW query whose batch ids restart at 0 over a possibly different
+   * file grouping — a stable key would silently DROP its early batches, so
+   * the fence key is unique per `start()` and restarts re-ingest (the
+   * previous behavior, now explicit).
    */
   def sampleSink(gs: GraftSession, sampleName: String, baseName: String,
       stream: DataFrame, qcs: Seq[String], fraction: Double = 0.0,
       reservoirSize: Int = 50, path: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      checkpointLocation: Option[String] = None): StreamingQuery = {
     val spark = gs.spark
-    val q = stream.writeStream
-      .outputMode("append")
-      .trigger(trigger)
+    val streamKey =
+      if (checkpointLocation.isDefined) s"sink:$sampleName"
+      else s"sink:$sampleName:${java.util.UUID.randomUUID().toString.take(8)}"
+    val writer0 = stream.writeStream.outputMode("append").trigger(trigger)
+    val writer = checkpointLocation
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val sampled = StratifiedSampler.sample(batch, qcs, fraction, reservoirSize,
+          if (!gs.state.samples.contains(sampleName)) {
+            // first sight in this session: create the path registry if the
+            // store is brand new (under the lock — a concurrent sink to the
+            // same path must not watch the meta appear mid-publish) and
+            // register the sample so the ForBatch append can fence
+            graft.GraftSession.withPathLock(spark, path) {
+              val conf = spark.sessionState.newHadoopConf()
+              if (graft.GraftSession.readSampleMeta(path, conf).isEmpty) {
+                graft.GraftSession.writeSampleMeta(path, baseName, qcs,
+                  fraction, reservoirSize, conf)
+              }
+            }
+            val existing =
+              try spark.read.parquet(path)
+              catch { case _: Exception => batch.limit(0) } // empty store
+            gs.state.samples.put(sampleName, graft.SampleInfo(
+              sampleName, baseName,
+              // the registered "base" plan for query routing is whatever the
+              // caller registered under baseName (batch view of the stream)
+              spark.table(baseName).queryExecution.analyzed,
+              existing, qcs, fraction, reservoirSize, Some(path)))
+          }
+          gs.appendToSampleForBatch(sampleName, batch, streamKey, batchId,
             seed = 42L + batchId)
-          sampled.write.mode("append").parquet(path)
-          spark.catalog.refreshByPath(path)
-          val sampleDf = spark.read.parquet(path)
-          sampleDf.createOrReplaceTempView(sampleName)
-          gs.state.samples.put(sampleName, graft.SampleInfo(
-            sampleName, baseName,
-            // the registered "base" plan for query routing is whatever the
-            // caller registered under baseName (batch view of the stream)
-            spark.table(baseName).queryExecution.analyzed,
-            sampleDf, qcs, fraction, reservoirSize))
         }
         ()
       }
       .start()
-    q
   }
 }

@@ -64,6 +64,48 @@ class StreamingSpec extends AnyFunSuite {
     gs.dropSampleTable("stream_sample")
   }
 
+  test("sampleSink with a checkpoint resumes exactly-once; without one restarts re-ingest") {
+    import org.apache.spark.sql.types._
+    val gs = new GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sink_eo").toString
+    new java.io.File(s"$root/in").mkdirs()
+    def addFile(n: Int, from: Long, count: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_sink_stage")
+      (from until from + count).map(i => (i, "g")).toDF("id", "grp")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(root, "in", f"f$n%02d.parquet"))
+    }
+    (0 until 4).foreach(i => addFile(i, i * 10L, 10L))
+    (1L to 40L).map(i => (i, "g")).toDF("id", "grp")
+      .createOrReplaceTempView("sink_eo_base")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType)))
+    def start() = StreamSinks.sampleSink(gs,
+      "sink_eo_sample", "sink_eo_base",
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in"),
+      qcs = Seq("grp"), fraction = 1.0, path = s"$root/sample",
+      checkpointLocation = Some(s"$root/ckpt"))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$root/sample").count() === 40L)
+    // resume from the checkpoint in a NEW query: committed batches are not
+    // re-ingested (source offsets) and the fence key is stable, so only
+    // the two new files land — every input row exactly once
+    (4 until 6).foreach(i => addFile(i, 100L + i * 10L, 10L))
+    gs.state.samples.remove("sink_eo_sample") // fresh-session registration path
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(s"$root/sample")
+    assert(rows.count() === 60L, "resume must add only the new files' rows")
+    assert(rows.select("id").distinct().count() === 60L,
+      "no row may be ingested twice across the resume")
+    gs.dropSampleTable("sink_eo_sample")
+  }
+
   test("windowedTopK: watermarked windowed sketch agg, fully distributed") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]

@@ -27,27 +27,61 @@ object StreamSinks {
 
   /** Attach a TopK structure (created via `createTopK` or here) as a sink of
    * a streaming DataFrame. Each micro-batch runs the distributed sketch
-   * aggregation and merges interval sketches into the driver-held state. */
+   * aggregation and merges interval sketches into the driver-held state.
+   *
+   * `OPTIONS(path ...)` makes the structure DURABLE: a brand-new store
+   * publishes its snapshot on creation, an existing one is re-attached
+   * (resume semantics), and appends run the fenced
+   * [[graft.GraftSession.appendToTopKForBatch]]. As with [[sampleSink]],
+   * pass `checkpointLocation` for exactly-once across crash/resume — the
+   * replay-fence key is stable only when the source offsets are durable;
+   * without a checkpoint the key is unique per `start()` so a restarted
+   * query (whose batch ids restart at 0 over a possibly different file
+   * grouping) re-ingests instead of silently dropping early batches. */
   def topkSink(gs: GraftSession, topkName: String, stream: DataFrame,
       options: Map[String, String] = Map.empty,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
-    if (!gs.state.topks.contains(topkName.toLowerCase)) {
-      val opts = graft.topk.TopKOptions.fromOptions(options,
-        graft.GraftSession.sessionZone(gs.spark))
-      val keyField = stream.schema.find(_.name.equalsIgnoreCase(opts.key)).getOrElse(
-        throw new IllegalArgumentException(s"key column ${opts.key} missing from stream"))
-      val keyType = keyField.dataType match {
-        case org.apache.spark.sql.types.StringType => org.apache.spark.sql.types.StringType
-        case _ => org.apache.spark.sql.types.LongType
-      }
-      gs.state.topks.put(topkName.toLowerCase,
-        new graft.topk.TopKState(topkName, opts, keyType))
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val spark = gs.spark
+    val path = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
     }
-    stream.writeStream
-      .outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        gs.appendToTopK(topkName, batch)
+    if (!gs.state.topks.contains(topkName.toLowerCase)) {
+      val conf = spark.sessionState.newHadoopConf()
+      if (path.exists(p => graft.GraftSession.topkMetaExists(p, conf))) {
+        // resume: re-attach the persisted snapshot (options drift is
+        // checked by the DDL path; the sink trusts the stored options)
+        gs.attachTopKTable(topkName, path.get)
+      } else {
+        val opts = graft.topk.TopKOptions.fromOptions(options,
+          graft.GraftSession.sessionZone(spark))
+        val keyField = stream.schema.find(_.name.equalsIgnoreCase(opts.key)).getOrElse(
+          throw new IllegalArgumentException(s"key column ${opts.key} missing from stream"))
+        val keyType = keyField.dataType match {
+          case org.apache.spark.sql.types.StringType => org.apache.spark.sql.types.StringType
+          case _ => org.apache.spark.sql.types.LongType
+        }
+        val st = new graft.topk.TopKState(topkName, opts, keyType)
+        gs.state.topks.put(topkName.toLowerCase, st)
+        path.foreach { p =>
+          st.setSpillBase(s"$p/${graft.GraftSession.TopkSpillDir}")
+          gs.state.topkPaths.put(topkName.toLowerCase, p)
+          // publish the empty snapshot so later sessions (and the fenced
+          // appends' RELOAD) find registry metadata
+          graft.GraftSession.withPathLock(spark, p)(gs.saveTopK(topkName, p))
+        }
+      }
+    }
+    val streamKey =
+      if (checkpointLocation.isDefined) s"sink:$topkName"
+      else s"sink:$topkName:${java.util.UUID.randomUUID().toString.take(8)}"
+    val writer0 = stream.writeStream.outputMode("append").trigger(trigger)
+    val writer = checkpointLocation
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gs.appendToTopKForBatch(topkName, batch,
+          System.currentTimeMillis(), streamKey, batchId)
       }
       .start()
   }

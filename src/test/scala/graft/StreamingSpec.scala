@@ -106,6 +106,43 @@ class StreamingSpec extends AnyFunSuite {
     gs.dropSampleTable("sink_eo_sample")
   }
 
+  test("topkSink with path + checkpoint resumes exactly-once into the snapshot") {
+    import org.apache.spark.sql.types._
+    val gs = new GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_tks_eo").toString
+    new java.io.File(s"$root/in").mkdirs()
+    def addFile(n: Int, key: String, count: Int): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_tks_stage")
+      Seq.fill(count)(key).toDF("event_type")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(root, "in", f"f$n%02d.parquet"))
+    }
+    (0 until 3).foreach(i => addFile(i, "alpha", 10))
+    val schema = StructType(Seq(StructField("event_type", StringType)))
+    def start() = StreamSinks.topkSink(gs, "tks_eo",
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in"),
+      Map("key" -> "event_type", "streamsummary" -> "true",
+        "capacity" -> "10000", "size" -> "3", "path" -> s"$root/topk"),
+      checkpointLocation = Some(s"$root/ckpt"))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(gs.queryFrequency("tks_eo", "alpha").map(_._2) === Some(30L))
+    // resume in a fresh-session registration: the persisted snapshot is
+    // re-attached, committed batches are not re-ingested, and only the new
+    // file lands — counts are exact across the restart
+    addFile(3, "alpha", 7)
+    GraftState.of(spark).topks.remove("tks_eo")
+    GraftState.of(spark).topkPaths.remove("tks_eo")
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(gs.queryFrequency("tks_eo", "alpha").map(_._2) === Some(37L),
+      "resume must add exactly the new file's rows")
+  }
+
   test("windowedTopK: watermarked windowed sketch agg, fully distributed") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]

@@ -48,6 +48,15 @@ final class GraftState {
   /** Micro-batch trigger interval (`STREAMING INIT <n> SECS`). */
   @volatile var streamingBatchMs: Long = 1000L
 
+  /** (sample, stream) → highest applied micro-batch id for IN-MEMORY
+   * samples: a same-JVM STOP→START replays the last uncommitted batch
+   * (stop() interrupts between populate and the checkpoint's offset
+   * commit), and without this fence the replay double-appends. Path-backed
+   * samples persist their watermark in the registry meta instead
+   * ([[GraftSession.appendToSampleForBatch]]); in-memory TopKs keep theirs
+   * inside [[graft.topk.TopKState]]. */
+  val streamSampleBatches: TrieMap[(String, String), Long] = TrieMap.empty
+
   /** Sample chosen by the last AQP rewrite in this session (None when the
    * query ran on base) — diagnostic hook for selection tests, the analogue
    * of the reference's `AQPRules.setTestHookStoreAQPInfo`
@@ -523,10 +532,15 @@ class GraftSession(val spark: SparkSession) {
         state.samples.put(name, info.copy(sampleDf = merged))
         merged
       case None =>
-        // no persistent state to protect: a crash loses the sample with
-        // the watermark, and a single-JVM STOP→START resumes from committed
-        // offsets (no replay) — plain append is already exactly-once here
-        appendToSample(rawName, df, seed)
+        // in-memory sample: a crash loses the sample with the watermark
+        // (nothing to protect), but a same-JVM STOP→START replays the last
+        // uncommitted batch — fence it with the session-level watermark
+        val key = (name.toLowerCase, streamName.toLowerCase)
+        if (batchId > state.streamSampleBatches.getOrElse(key, -1L)) {
+          val out = appendToSample(rawName, df, seed)
+          state.streamSampleBatches.put(key, batchId)
+          out
+        } else info.sampleDf
     }
   }
 

@@ -367,10 +367,19 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
       val (p, log) = launch("stream-populate", root, total.toString,
         doneFlag.getAbsolutePath)
       if (kills < 3) {
-        // SIGKILL at a random point mid-ingest: past stream start, inside
-        // the batch cadence — destroyForcibly skips every shutdown hook,
-        // finally block and lock release, like a crashed executor host
-        Thread.sleep(3000 + rnd.nextInt(4000))
+        // SIGKILL at a random point genuinely MID-INGEST: wait for the
+        // first populated batch to appear (a fixed early delay would
+        // mostly kill JVM/Spark startup, which exercises nothing), then
+        // kill inside the batch cadence — destroyForcibly skips every
+        // shutdown hook, finally block and lock release, like a crashed
+        // executor host
+        val firstBatch = new java.io.File(s"$root/history/__graft_batch=0")
+        val w0 = System.currentTimeMillis()
+        while (!firstBatch.exists() && !doneFlag.exists() &&
+          System.currentTimeMillis() - w0 < 60000 && p.isAlive) {
+          Thread.sleep(150)
+        }
+        Thread.sleep(rnd.nextInt(4000))
         if (!doneFlag.exists()) {
           p.destroyForcibly()
           p.waitFor(30, TimeUnit.SECONDS)

@@ -575,6 +575,18 @@ class StreamingSpec extends AnyFunSuite {
     g2.appendToSampleForBatch("fb_sample2", batch, "fb_stream", 1L)
     assert(s2.read.parquet(s"$root/sample").count() === createRows + 20,
       "the sample watermark must survive the meta round-trip")
+    // IN-MEMORY samples fence too (session-level watermark): a same-JVM
+    // STOP->START replays the last uncommitted batch and must not
+    // double-append
+    gs.sql("CREATE SAMPLE TABLE fb_mem ON fb_base OPTIONS(" +
+      "qcs 'event_type', fraction '1.0')")
+    val mem0 = spark.table("fb_mem").count()
+    gs.appendToSampleForBatch("fb_mem", batch, "fb_stream", 0L)
+    gs.appendToSampleForBatch("fb_mem", batch, "fb_stream", 0L)
+    assert(spark.table("fb_mem").count() === mem0 + 10,
+      "a replayed in-memory sample batch must not double-append")
+    gs.appendToSampleForBatch("fb_mem", batch, "fb_stream", 1L)
+    assert(spark.table("fb_mem").count() === mem0 + 20)
   }
 
   test("STREAMING INIT parses interval forms and gates the trigger") {

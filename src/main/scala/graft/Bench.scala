@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
  * the parsed summary line carried no signal to distinguish "slow plan"
  * from "busy box", so a contaminated number entered the round record
  * unlabeled. The bench now (a) records the 1-minute loadavg at start and
- * end, (b) compares each query's median against the last same-repo record
- * (BENCH_local.json, or SPARK_GRAFT_BENCH_REF), and (c) re-runs any
+ * end, (b) compares each query's median against the git-tracked idle-box
+ * reference (BENCH_ref.json, or SPARK_GRAFT_BENCH_REF), and (c) re-runs any
  * suspect — median > `factor`x its reference AND > `floor` seconds above
  * it — once after a settle, reporting min(original, re-run): contention
  * only ever inflates, so the smaller median is strictly the better
@@ -49,6 +49,42 @@ object BenchAdjudicate {
       (qs, Option(node.get("head")).map(_.asText()).filter(_.nonEmpty),
         Option(node.get("sf")).map(_.asText()).filter(_.nonEmpty))
     } catch { case _: Exception => (Map.empty, None, None) }
+
+  /** Whether this run may be promoted to the adjudication reference.
+   * Round 11's lesson: the reference and the default output were the SAME
+   * file, so a contended-but-completed run (driver load-3.2) silently
+   * replaced the idle-box record, and because suspects are detected
+   * RELATIVE to the reference (3x), an inflated reference hides the next
+   * real regression. Promotion now requires every cleanliness signal:
+   *  - not a subset run (`SPARK_GRAFT_BENCH_ONLY` would shrink the ref's
+   *    query map and strip adjudication from the omitted queries);
+   *  - zero suspects (no query tripped the contention detector);
+   *  - start loadavg at or under `maxLoad` (the END loadavg is useless
+   *    here — the bench's own 32 threads push it past 3 on an idle box;
+   *    the idle-box r11 run started at 0.77, the contended one at 3.2);
+   *  - the existing reference's scale factor, if any, matches this run's
+   *    (an sf1 run must not clobber the sf0.1 reference the driver
+   *    adjudicates against — delete the ref file to change its sf).
+   * A box with no loadavg (load0 < 0) falls back to the suspect signal
+   * alone rather than freezing the reference forever. */
+  def promote(load0: Double, suspects: Seq[String], runSf: String,
+      refSf: Option[String], subset: Boolean,
+      maxLoad: Double = 1.5): Boolean =
+    !subset && suspects.isEmpty && (load0 < 0 || load0 <= maxLoad) &&
+      refSf.forall(_ == runSf)
+
+  /** Ratio of this run's total to the reference's total over the SHARED
+   * query set — the round-over-round drift number as a field instead of a
+   * judge computation. Restricting both sums to the intersection keeps a
+   * newly added query from reading as regression. None when nothing is
+   * shared (first run, sf mismatch) or the ref total is degenerate. */
+  def vsRefTotal(medians: Seq[(String, Double)],
+      ref: Map[String, Double]): Option[Double] = {
+    val shared = medians.filter { case (n, _) => ref.contains(n) }
+    val refSum = shared.map { case (n, _) => ref(n) }.sum
+    if (shared.isEmpty || refSum <= 0) None
+    else Some(shared.map(_._2).sum / refSum)
+  }
 
   /** Current git HEAD, for labeling records and validating the reference
    * (a 3x delta against a DIFFERENT head may be a real plan change). */
@@ -177,7 +213,10 @@ object Bench {
     // median against the committed same-repo record, re-run suspects after
     // a settle, and label the summary so a contended run can never enter a
     // round record unmarked again
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_local.json")
+    // the reference is a SEPARATE, git-tracked file from the run record:
+    // BENCH_ref.json only ever changes by explicit promotion below, so a
+    // contended run can never poison the next round's adjudication
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_ref.json")
     val (ref0, refHead, refSf) = BenchAdjudicate.readRef(refPath)
     // a reference recorded at a DIFFERENT scale factor cannot adjudicate
     // this run (a 10x-data run is legitimately >3x the sf0.1 record) —
@@ -232,27 +271,39 @@ object Bench {
     System.err.println(s"""{"bench_diag":$diagJson}""")
     val load1 = BenchAdjudicate.loadAvg()
     def r2(d: Double): Double = math.rint(d * 100) / 100
+    val vsRef = BenchAdjudicate.vsRefTotal(finalResults, ref)
+    val promoted = BenchAdjudicate.promote(load0, suspectNames, sfDir, refSf,
+      subset = only.nonEmpty,
+      maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROMOTE_LOAD", "1.5").toDouble)
     // the adjudication fields stay compact (suspects are normally empty)
     // so the one-line summary survives the driver's bounded tail capture
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","head":${head.fold("null")("\"" + _ + "\"")},""" +
         s""""load_avg":[${r2(load0)},${r2(load1)}],""" +
-        s""""ref_head_match":$refHeadMatch,"suspect":$suspectJson}"""
+        s""""ref_head_match":$refHeadMatch,""" +
+        s""""vs_ref_total":${vsRef.fold("null")(v => r3(v).toString)},""" +
+        s""""promoted_ref":$promoted,"suspect":$suspectJson}"""
+    def writeLine(path: String): Unit =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path),
+          (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"BENCH FILE WRITE FAILED $path: ${e.getMessage}")
+      }
     // Belt and braces for the driver's parse: the same JSON line goes to
     // stdout (last line, unprefixed via build.sbt's StdoutOutput strategy)
     // AND to a file the driver (or a human) can read without any stdout
     // capture at all. Three rounds of BENCH_r{N} recorded parsed:null from
     // tail-capture/prefix issues — the file is the capture-proof channel.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outPath),
-        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch {
-      case e: Exception =>
-        System.err.println(s"BENCH FILE WRITE FAILED $outPath: ${e.getMessage}")
-    }
+    writeLine(outPath)
+    // only a CLEAN run replaces the adjudication reference (see
+    // [[BenchAdjudicate.promote]]); contended runs keep their record in
+    // outPath but leave the idle-box baseline untouched
+    if (promoted && refPath != outPath) writeLine(refPath)
     println(summary)
     spark.stop()
   }

@@ -43,6 +43,41 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("promote: only a clean, full, same-sf run may replace the reference") {
+    val sf = "/root/testdata/sf0.1"
+    // the r11 incident, replayed: the driver's run completed with start
+    // loadavg 3.2 — it must NOT replace the idle-box record even though it
+    // adjudicated its own suspect correctly
+    assert(!BenchAdjudicate.promote(3.2, Seq.empty, sf, Some(sf), subset = false))
+    // a run that tripped the contention detector is not clean, however low
+    // the loadavg reads (suspects are the direct per-query evidence)
+    assert(!BenchAdjudicate.promote(0.1, Seq("q36"), sf, Some(sf), subset = false))
+    // a subset run (SPARK_GRAFT_BENCH_ONLY) would shrink the ref's query map
+    assert(!BenchAdjudicate.promote(0.1, Seq.empty, sf, Some(sf), subset = true))
+    // an sf1 run must not clobber the sf0.1 reference the driver uses
+    assert(!BenchAdjudicate.promote(0.1, Seq.empty, "/tmp/sf1", Some(sf),
+      subset = false))
+    // the clean idle-box run promotes; so does the first run in a repo
+    // (no ref sf on record) and a box with no readable loadavg
+    assert(BenchAdjudicate.promote(0.77, Seq.empty, sf, Some(sf), subset = false))
+    assert(BenchAdjudicate.promote(0.77, Seq.empty, sf, None, subset = false))
+    assert(BenchAdjudicate.promote(-1.0, Seq.empty, sf, Some(sf), subset = false))
+    // threshold is a parameter
+    assert(BenchAdjudicate.promote(3.2, Seq.empty, sf, Some(sf), subset = false,
+      maxLoad = 4.0))
+  }
+
+  test("vsRefTotal: ratio over the shared query set only") {
+    val ref = Map("q1" -> 1.0, "q2" -> 2.0, "q9" -> 100.0)
+    // q9 missing from the run and q3 missing from the ref — neither biases
+    val got = BenchAdjudicate.vsRefTotal(
+      Seq("q1" -> 1.5, "q2" -> 3.0, "q3" -> 50.0), ref)
+    assert(got.exists(v => math.abs(v - 1.5) < 1e-9), s"got $got")
+    assert(BenchAdjudicate.vsRefTotal(Seq("qX" -> 1.0), ref).isEmpty)
+    assert(BenchAdjudicate.vsRefTotal(Seq.empty, ref).isEmpty)
+    assert(BenchAdjudicate.vsRefTotal(Seq("q1" -> 1.0), Map("q1" -> 0.0)).isEmpty)
+  }
+
   test("gitHead resolves in this repo; loadAvg reads on this platform") {
     val h = BenchAdjudicate.gitHead(".")
     assert(h.exists(_.matches("[0-9a-f]{40}")), s"head: $h")
@@ -87,5 +122,10 @@ class BenchAdjudicateSpec extends AnyFunSuite {
       factor = 3.0, floor = math.min(0.3, refT))
     assert(flagged === Seq("spin"),
       s"hog must inflate past 3x: uncontended $refT s, contended $hotT s")
+    // and a run that flagged a suspect never promotes itself to the
+    // reference — the hogged run completes, its record is written, but the
+    // idle-box baseline survives for the next run to adjudicate against
+    assert(!BenchAdjudicate.promote(0.0, flagged, "/x", Some("/x"),
+      subset = false))
   }
 }

@@ -313,6 +313,13 @@ class GraftSession(val spark: SparkSession) {
     state.resolveSample(name).flatMap(state.samples.remove).foreach { info =>
       info.sampleDf.unpersist()
       spark.catalog.dropTempView(info.name)
+      // clear the in-memory replay fences keyed by this sample: a
+      // same-name sample recreated over a FRESH streaming query (whose
+      // batch ids restart at 0) must not inherit the old watermark and
+      // silently drop its early batches
+      val key = info.name.toLowerCase
+      state.streamSampleBatches.keys
+        .filter(_._1 == key).foreach(state.streamSampleBatches.remove)
     }
   }
 
@@ -478,7 +485,18 @@ class GraftSession(val spark: SparkSession) {
    * republishes instead of appending a second copy — the sequence
    * (delete-by-prefix → stage → rename into place → meta watermark, all
    * under the path lock) converges to exactly one copy of the batch no
-   * matter where a previous attempt died. */
+   * matter where a previous attempt died.
+   *
+   * READER VISIBILITY during a crashed batch's recovery republication:
+   * plain `spark.read.parquet(path)` readers don't take the path lock, so
+   * a read overlapping the delete→rename window may transiently MISS the
+   * recovering batch's rows, or fail outright when a listed file vanishes
+   * mid-read. It can never observe duplicates or a torn batch (files are
+   * only ever renamed complete, and the delete precedes the republish).
+   * This window exists only while recovering a crash; steady-state appends
+   * only ever ADD files. Readers needing stronger guarantees should read
+   * under [[GraftSession.withPathLock]] — pinned by
+   * CrossJvmConcurrencySpec's reader-during-recovery case. */
   def appendToSampleForBatch(rawName: String, df: DataFrame,
       streamName: String, batchId: Long, seed: Long = 43L): DataFrame = {
     val name = state.resolveSample(rawName).getOrElse(
@@ -497,14 +515,35 @@ class GraftSession(val spark: SparkSession) {
               preFilterFactor = 2.0, rankCols = Nil)
             val dir = new org.apache.hadoop.fs.Path(path)
             val fs = dir.getFileSystem(conf)
-            val safe = streamName.toLowerCase.replaceAll("[^a-z0-9]", "_")
+            // the sanitized name alone is NOT collision-free ('a.b' and
+            // 'a_b' both sanitize to a_b, and the leftover-deletion pass
+            // for one stream's replayed batch would delete the other's
+            // published files for the same batch id) — a hash of the RAW
+            // key disambiguates while the sanitized name keeps the files
+            // human-attributable. MurmurHash3 is deterministic across
+            // JVMs, which the crash-replay delete-by-prefix requires.
+            // the 'h' marker keeps the hash segment from ever reading as a
+            // legacy "-b<batchId>-" segment (hex has no 'h'), so the legacy
+            // leftover pass below can never match a new-format name
+            val raw = streamName.toLowerCase
+            val safe = raw.replaceAll("[^a-z0-9]", "_") + "-h" +
+              java.lang.Integer.toHexString(
+                scala.util.hashing.MurmurHash3.stringHash(raw))
             val prefix = s"stream-$safe-b$batchId-"
             val staging = new org.apache.hadoop.fs.Path(dir,
               s".staging-$safe-b$batchId")
+            // pre-hash file name format, so a store carrying leftovers of
+            // a publish that crashed BEFORE this upgrade still converges
+            // (deleting it carries exactly the risk the old code had, on
+            // exactly the files the old code wrote — no new exposure)
+            val legacySafe = raw.replaceAll("[^a-z0-9]", "_")
+            val legacyPrefix = s"stream-$legacySafe-b$batchId-"
+            val legacyStaging = s".staging-$legacySafe-b$batchId"
             // leftovers of a crashed prior attempt at THIS batch
             if (fs.exists(dir)) fs.listStatus(dir).foreach { s0 =>
               val n = s0.getPath.getName
-              if (n.startsWith(prefix) || n == staging.getName) {
+              if (n.startsWith(prefix) || n == staging.getName ||
+                  n.startsWith(legacyPrefix) || n == legacyStaging) {
                 fs.delete(s0.getPath, true)
               }
             }
@@ -858,7 +897,7 @@ class GraftSession(val spark: SparkSession) {
       k: Int): DataFrame =
     queryTopK(name, startTime, endTime, k)
 
-  private def topkState(name: String): graft.topk.TopKState =
+  private[graft] def topkState(name: String): graft.topk.TopKState =
     state.topks.get(name.toLowerCase) match {
       case Some(st: graft.topk.TopKState) => st
       case _ => throw new IllegalArgumentException(s"No TopK structure named $name")

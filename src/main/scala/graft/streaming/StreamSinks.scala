@@ -25,6 +25,27 @@ import graft.sampling.StratifiedSampler
  */
 object StreamSinks {
 
+  /** Replay-fence key for a sink's ForBatch appends. With a checkpoint the
+   * key must be (a) STABLE across restarts — the source offsets are
+   * durable, so a resumed query's batch ids continue and the fence must
+   * recognize them — and (b) UNIQUE per sink: two checkpointed sinks
+   * feeding the SAME structure (two streams, one sample/TopK) each have
+   * their own batch-id sequence, and a shared key would let stream A's
+   * batch 3 fence out stream B's batch 3 — silent data loss. The
+   * checkpoint location is the one identity with both properties.
+   * Without a checkpoint a restart is a NEW query whose batch ids restart
+   * at 0 over a possibly different file grouping, so the key is unique per
+   * `start()` and restarts re-ingest (explicitly, not silently drop). */
+  private def sinkFenceKey(structName: String,
+      checkpointLocation: Option[String]): String =
+    checkpointLocation match {
+      case Some(c) => s"sink:$structName:h" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(c))
+      case None =>
+        s"sink:$structName:${java.util.UUID.randomUUID().toString.take(8)}"
+    }
+
   /** Attach a TopK structure (created via `createTopK` or here) as a sink of
    * a streaming DataFrame. Each micro-batch runs the distributed sketch
    * aggregation and merges interval sketches into the driver-held state.
@@ -46,7 +67,35 @@ object StreamSinks {
     val path = options.collectFirst {
       case (k, v) if k.equalsIgnoreCase("path") => v
     }
-    if (!gs.state.topks.contains(topkName.toLowerCase)) {
+    if (gs.state.topks.contains(topkName.toLowerCase)) {
+      // the structure already lives in this session (e.g. createTopK
+      // without a path): a caller-supplied path must not be SILENTLY
+      // dropped — the appends below would take the non-durable in-memory
+      // branch despite the caller requesting durability. Same registered
+      // path: no-op. No registered path + fresh store: persist and
+      // register it now (same publish createTopK's path branch does).
+      // Anything else is drift — refuse loudly.
+      path.foreach { p =>
+        gs.state.topkPaths.get(topkName.toLowerCase) match {
+          case Some(existing) if existing == p => // already durable here
+          case Some(existing) => throw new IllegalArgumentException(
+            s"TopK $topkName is already persisted at $existing; " +
+              s"cannot re-home it to $p via topkSink")
+          case None =>
+            val conf = spark.sessionState.newHadoopConf()
+            if (graft.GraftSession.topkMetaExists(p, conf)) {
+              throw new IllegalArgumentException(
+                s"TopK $topkName exists in-memory but $p already holds a " +
+                  "persisted TopK store; attach it in a fresh name or drop " +
+                  "one of the two — merging them implicitly would be lossy")
+            }
+            val st = gs.topkState(topkName)
+            st.setSpillBase(s"$p/${graft.GraftSession.TopkSpillDir}")
+            gs.state.topkPaths.put(topkName.toLowerCase, p)
+            graft.GraftSession.withPathLock(spark, p)(gs.saveTopK(topkName, p))
+        }
+      }
+    } else {
       val conf = spark.sessionState.newHadoopConf()
       if (path.exists(p => graft.GraftSession.topkMetaExists(p, conf))) {
         // resume: re-attach the persisted snapshot (options drift is
@@ -72,9 +121,7 @@ object StreamSinks {
         }
       }
     }
-    val streamKey =
-      if (checkpointLocation.isDefined) s"sink:$topkName"
-      else s"sink:$topkName:${java.util.UUID.randomUUID().toString.take(8)}"
+    val streamKey = sinkFenceKey(topkName, checkpointLocation)
     val writer0 = stream.writeStream.outputMode("append").trigger(trigger)
     val writer = checkpointLocation
       .fold(writer0)(c => writer0.option("checkpointLocation", c))
@@ -109,9 +156,7 @@ object StreamSinks {
       trigger: Trigger = Trigger.ProcessingTime(0L),
       checkpointLocation: Option[String] = None): StreamingQuery = {
     val spark = gs.spark
-    val streamKey =
-      if (checkpointLocation.isDefined) s"sink:$sampleName"
-      else s"sink:$sampleName:${java.util.UUID.randomUUID().toString.take(8)}"
+    val streamKey = sinkFenceKey(sampleName, checkpointLocation)
     val writer0 = stream.writeStream.outputMode("append").trigger(trigger)
     val writer = checkpointLocation
       .fold(writer0)(c => writer0.option("checkpointLocation", c))
@@ -122,12 +167,30 @@ object StreamSinks {
             // first sight in this session: create the path registry if the
             // store is brand new (under the lock — a concurrent sink to the
             // same path must not watch the meta appear mid-publish) and
-            // register the sample so the ForBatch append can fence
+            // register the sample so the ForBatch append can fence. A
+            // RESUME over an existing store must sample under the STORED
+            // parameters' contract: appending batches sampled under
+            // drifted qcs/fraction into the same store would silently mix
+            // two sampling designs, so drift is an error (same check the
+            // DDL re-attach path applies to TopK options).
             graft.GraftSession.withPathLock(spark, path) {
               val conf = spark.sessionState.newHadoopConf()
-              if (graft.GraftSession.readSampleMeta(path, conf).isEmpty) {
-                graft.GraftSession.writeSampleMeta(path, baseName, qcs,
-                  fraction, reservoirSize, conf)
+              graft.GraftSession.readSampleMeta(path, conf) match {
+                case None =>
+                  graft.GraftSession.writeSampleMeta(path, baseName, qcs,
+                    fraction, reservoirSize, conf)
+                case Some((_, storedQcs, storedFrac, storedRes)) =>
+                  val drift = new scala.collection.mutable.ArrayBuffer[String]
+                  if (storedQcs.map(_.toLowerCase) != qcs.map(_.toLowerCase))
+                    drift += s"qcs ${qcs.mkString(",")} vs stored ${storedQcs.mkString(",")}"
+                  if (storedFrac != fraction)
+                    drift += s"fraction $fraction vs stored $storedFrac"
+                  if (storedRes != reservoirSize)
+                    drift += s"reservoirSize $reservoirSize vs stored $storedRes"
+                  if (drift.nonEmpty) throw new IllegalArgumentException(
+                    s"sampleSink($sampleName) resume over $path with drifted " +
+                      s"options: ${drift.mkString("; ")}. Match the stored " +
+                      "values or use a fresh path.")
               }
             }
             val existing =

@@ -415,4 +415,157 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
         s"TopK count for $k must match the exact model")
     }
   }
+
+  test("two streams into ONE sample + ONE TopK survive interleaved kills exactly-once") {
+    // the r11 fuzz drove a single stream; the watermark design is
+    // PER-STREAM (appliedStreamBatch(streamName) / __streambatch.<stream>),
+    // and this is the shape that breaks if the fences ever share a key:
+    // both sinks have their own batch-id sequence, so stream A's batch N
+    // must never fence out stream B's batch N. Inputs are static; at
+    // quiescence the sample and the TopK must hold the exact UNION
+    // multiset of both input dirs across ≥3 SIGKILL/resume cycles.
+    val root = tmpDir("graft_xjvm_two")
+    new java.io.File(root, "in_a").mkdirs()
+    new java.io.File(root, "in_b").mkdirs()
+    val rnd = new scala.util.Random(77177L)
+    val s = spark.newSession()
+    import s.implicits._
+    val model = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    def writeBatches(sub: String, prefix: String, batches: Int): Unit =
+      (0 until batches).foreach { b =>
+        val rows = (0 until 4).flatMap { i =>
+          val k = s"${prefix}_k$i"
+          val n = 1 + rnd.nextInt(5)
+          model(k) += n
+          Seq.fill(n)(k)
+        }
+        val stage = java.nio.file.Files.createTempDirectory("graft_two_stage")
+        rows.toDF("event_type").coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = new java.io.File(stage.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(root, sub, f"batch_$b%02d.parquet"))
+      }
+    writeBatches("in_a", "two_a", 8)
+    writeBatches("in_b", "two_b", 8)
+
+    def publishedSampleFiles(): Int = {
+      val d = new java.io.File(root, "sample")
+      if (!d.isDirectory) 0
+      else d.listFiles().count(_.getName.startsWith("stream-"))
+    }
+    val doneFlag = new java.io.File(root, "done")
+    var kills = 0
+    var attempts = 0
+    while (!doneFlag.exists() && attempts < 10) {
+      attempts += 1
+      val (p, log) = launch("stream-populate-two", root,
+        doneFlag.getAbsolutePath)
+      if (kills < 3) {
+        // kill only once THIS launch has visibly published sample files
+        // beyond its start point — a fixed delay would mostly kill Spark
+        // startup and exercise nothing
+        val base = publishedSampleFiles()
+        val w0 = System.currentTimeMillis()
+        while (publishedSampleFiles() <= base && !doneFlag.exists() &&
+          System.currentTimeMillis() - w0 < 90000 && p.isAlive) {
+          Thread.sleep(150)
+        }
+        Thread.sleep(rnd.nextInt(3000))
+        if (!doneFlag.exists()) {
+          p.destroyForcibly()
+          p.waitFor(30, TimeUnit.SECONDS)
+          kills += 1
+        } else {
+          assert(p.waitFor(60, TimeUnit.SECONDS) && p.exitValue() === 0,
+            s"worker failed after completion; log: $log")
+        }
+      } else {
+        assert(p.waitFor(240, TimeUnit.SECONDS),
+          s"resumed worker stalled; log: $log")
+        assert(p.exitValue() === 0, s"resumed worker failed; log: $log")
+      }
+    }
+    assert(kills >= 3, s"the fuzz must actually kill mid-ingest ($kills kills)")
+    assert(doneFlag.exists(), "populator never reached quiescence")
+
+    val sf = spark.newSession()
+    val sample = sf.read.parquet(s"$root/sample")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sample === model.toMap,
+      s"sample must hold both streams' rows exactly once: $sample vs $model")
+    val gf = GraftSession(sf)
+    gf.attachTopKTable("xjvm_two_check", s"$root/topk")
+    model.foreach { case (k, n) =>
+      assert(gf.queryFrequency("xjvm_two_check", k).map(_._2) === Some(n),
+        s"TopK count for $k must match the union model")
+    }
+  }
+
+  test("a reader overlapping a crashed batch's recovery republication never sees duplicates") {
+    // appendToSampleForBatch's recovery (delete-by-prefix → stage → rename
+    // → meta watermark) is atomic for WRITERS via the path lock; plain
+    // parquet readers don't take it. The pinned contract: a reader racing
+    // the republication may transiently MISS the recovering batch's rows
+    // (between the prefix delete and the renames) or fail the read outright
+    // (a listed file vanished) — it must NEVER observe duplicated rows or a
+    // count that isn't a consistent prefix of published batches.
+    val gs = new GraftSession(spark)
+    import spark.implicits._
+    val root = tmpDir("graft_reader_rec")
+    Seq("rr_seed").toDF("event_type").createOrReplaceTempView("rr_base")
+    gs.sql("CREATE SAMPLE TABLE rr_sample ON rr_base OPTIONS(" +
+      s"qcs 'event_type', fraction '1.0', path '$root/sample')")
+    val createRows = spark.read.parquet(s"$root/sample").count()
+    val b0 = Seq.fill(40)("rr_b0").toDF("event_type")
+    val b1 = Seq.fill(25)("rr_b1").toDF("event_type")
+    gs.appendToSampleForBatch("rr_sample", b0, "rr_stream", 0L)
+    gs.appendToSampleForBatch("rr_sample", b1, "rr_stream", 1L)
+    val full = createRows + 40 + 25
+    val conf = spark.sessionState.newHadoopConf()
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var observedMiss = false
+    val reader = new Thread(() => {
+      val rs = spark.newSession()
+      while (!stop.get()) {
+        try {
+          rs.catalog.refreshByPath(s"$root/sample")
+          val n = rs.read.parquet(s"$root/sample").count()
+          // allowed states: full store, or the recovering batch-0 absent
+          if (n == full - 40) observedMiss = true
+          else if (n != full) bad.add(s"inconsistent count $n (full $full)")
+          if (n > full) bad.add(s"DUPLICATED rows: $n > $full")
+        } catch { case _: Exception => () } // transient read failure: allowed
+      }
+    })
+    reader.start()
+    try {
+      // repeatedly re-enter the crash-recovery path for batch 0: roll the
+      // watermark back (what a crash between the renames and the meta
+      // publish leaves behind) and let the fenced append republish while
+      // the reader races it
+      (0 until 25).foreach { _ =>
+        GraftSession.updateSampleMetaProp(s"$root/sample",
+          "__streambatch.rr_stream", "-1", conf)
+        gs.appendToSampleForBatch("rr_sample", b0, "rr_stream", 0L)
+      }
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(bad.isEmpty, s"reader anomalies: ${bad.toArray.mkString("; ")}")
+    // recovery converges: exactly one copy of every batch at quiescence
+    spark.catalog.refreshByPath(s"$root/sample")
+    import org.apache.spark.sql.functions.col
+    val finalRows = spark.read.parquet(s"$root/sample")
+    assert(finalRows.count() === full)
+    assert(finalRows.filter(col("event_type") === "rr_b0").count() === 40)
+    assert(finalRows.filter(col("event_type") === "rr_b1").count() === 25)
+    gs.sql("DROP SAMPLE TABLE rr_sample")
+  }
 }

@@ -186,6 +186,60 @@ object CrossJvmWorker {
           sys.exit(3)
         }
 
+      case "stream-populate-two" =>
+        // TWO independent checkpointed streams feeding ONE sample and ONE
+        // TopK (the shape the per-stream watermark design exists for): each
+        // sink has its own batch-id sequence, so the replay fences must be
+        // keyed per sink — a shared key would let stream A's batch N fence
+        // out stream B's batch N. The spec SIGKILLs this JVM mid-ingest and
+        // relaunches; at quiescence both structures must hold the exact
+        // UNION multiset of both input dirs.
+        val doneFlag = new java.io.File(args(2))
+        spark.conf.set("spark.graft.pathLock.leaseMs", "3000")
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("event_type", StringType)))
+        Seq("seed_x").toDF("event_type").createOrReplaceTempView("xjvm2_base")
+        // static inputs: the exact model is just the batch-read union
+        val model = spark.read.parquet(s"$dir/in_a", s"$dir/in_b")
+          .groupBy("event_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val expected = model.values.sum
+        def src(sub: String) = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/$sub")
+        val topkOpts = Map("key" -> "event_type", "streamsummary" -> "true",
+          "capacity" -> "100000", "size" -> "16", "path" -> s"$dir/topk")
+        graft.streaming.StreamSinks.sampleSink(g, "xjvm2_sample", "xjvm2_base",
+          src("in_a"), qcs = Seq("event_type"), fraction = 1.0,
+          path = s"$dir/sample", checkpointLocation = Some(s"$dir/ckpt_sa"))
+        graft.streaming.StreamSinks.sampleSink(g, "xjvm2_sample", "xjvm2_base",
+          src("in_b"), qcs = Seq("event_type"), fraction = 1.0,
+          path = s"$dir/sample", checkpointLocation = Some(s"$dir/ckpt_sb"))
+        graft.streaming.StreamSinks.topkSink(g, "xjvm2_topk", src("in_a"),
+          topkOpts, checkpointLocation = Some(s"$dir/ckpt_ta"))
+        graft.streaming.StreamSinks.topkSink(g, "xjvm2_topk", src("in_b"),
+          topkOpts, checkpointLocation = Some(s"$dir/ckpt_tb"))
+        val deadline2 = System.currentTimeMillis() + 150000
+        var done2 = false
+        while (!done2 && System.currentTimeMillis() < deadline2) {
+          Thread.sleep(150)
+          val sampleRows =
+            try spark.read.parquet(s"$dir/sample").count()
+            catch { case _: Exception => -1L }
+          val topkOk =
+            try model.forall { case (k, n) =>
+              g.queryFrequency("xjvm2_topk", k).map(_._2).contains(n)
+            } catch { case _: Exception => false }
+          done2 = sampleRows == expected && topkOk
+        }
+        if (done2) {
+          spark.streams.active.foreach(_.stop())
+          doneFlag.createNewFile()
+          spark.stop()
+        } else {
+          System.err.println("stream-populate-two: deadline without completion")
+          sys.exit(3)
+        }
+
       case other =>
         System.err.println(s"unknown mode: $other")
         sys.exit(2)

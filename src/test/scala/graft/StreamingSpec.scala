@@ -589,6 +589,178 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("fb_mem").count() === mem0 + 20)
   }
 
+  test("a pre-upgrade flat history migrates into __graft_batch=-1 on START") {
+    // the exactly-once layout stores history as per-batch partition dirs;
+    // a history written by the old flat-append layout (reachable because
+    // the checkpoint is persistent across upgrades) would make partition
+    // discovery fail with conflicting-directory-structures and kill the
+    // populator — START must migrate the root-level files first
+    val gs = new GraftSession(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy_hist").toString
+    val histDir = s"$dir/hist"
+    new java.io.File(histDir).mkdirs()
+    // simulate the legacy layout: bare part files at the history root
+    val stage = java.nio.file.Files.createTempDirectory("graft_legacy_stage")
+    (1L to 30L).map(i => (i, "legacy", i.toDouble))
+      .toDF("user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(histDir, s"part-legacy-$i.parquet"))
+      }
+    (31L to 50L).map(i => (i, "fresh", i.toDouble))
+      .toDF("user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    gs.sql("STREAMING INIT 0 MS")
+    gs.sql("CREATE STREAM TABLE ev_legacy (user_id long, event_type string, value double) " +
+      s"USING parquet OPTIONS(path '$dir/in', historypath '$histDir')")
+    gs.sql("STREAMING START")
+    try {
+      gs.state.activeStreams("ev_legacy").processAllAvailable()
+      // legacy rows and the new batch coexist in one partitioned layout
+      assert(spark.table("ev_legacy").count() === 50,
+        "legacy flat history rows must survive the migration")
+      assert(new java.io.File(s"$histDir/__graft_batch=-1").isDirectory,
+        "legacy files must move into the -1 batch dir")
+      assert(spark.table("ev_legacy")
+        .filter(col("event_type") === "legacy").count() === 30)
+    } finally {
+      gs.sql("STREAMING STOP")
+      gs.sql("DROP STREAM TABLE IF EXISTS ev_legacy")
+    }
+  }
+
+  test("dropping a sample (or its stream) clears the in-memory replay fence") {
+    // a same-name sample recreated over a FRESH query (batch ids restart at
+    // 0) must not inherit the dropped sample's watermark and silently drop
+    // its early batches
+    val gs = new GraftSession(spark)
+    Seq("k1", "k2").toDF("event_type").createOrReplaceTempView("fence_base")
+    val batch = Seq.fill(10)("k1").toDF("event_type")
+    gs.sql("CREATE SAMPLE TABLE fence_mem ON fence_base OPTIONS(" +
+      "qcs 'event_type', fraction '1.0')")
+    gs.appendToSampleForBatch("fence_mem", batch, "fence_stream", 5L)
+    gs.sql("DROP SAMPLE TABLE fence_mem")
+    gs.sql("CREATE SAMPLE TABLE fence_mem ON fence_base OPTIONS(" +
+      "qcs 'event_type', fraction '1.0')")
+    val base = spark.table("fence_mem").count()
+    gs.appendToSampleForBatch("fence_mem", batch, "fence_stream", 0L)
+    assert(spark.table("fence_mem").count() === base + 10,
+      "recreated sample must accept batch 0 of its new query")
+    gs.sql("DROP SAMPLE TABLE fence_mem")
+    // stream drop clears fences keyed by the stream name too
+    gs.state.streamSampleBatches.put(("s_any", "fence_stream2"), 7L)
+    gs.sql("CREATE STREAM TABLE fence_stream2 (event_type string) USING parquet " +
+      s"OPTIONS(path '${java.nio.file.Files.createTempDirectory("graft_fs2")}')")
+    gs.sql("DROP STREAM TABLE fence_stream2")
+    assert(!gs.state.streamSampleBatches.contains(("s_any", "fence_stream2")),
+      "stream drop must clear its replay fences")
+  }
+
+  test("two streams whose sanitized names collide publish into one sample safely") {
+    // 'a.b' and 'a_b' both sanitize to a_b: before the hash disambiguator,
+    // one stream's replayed batch deleted the OTHER stream's published
+    // files for the same batch id
+    val gs = new GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_collide").toString
+    Seq("k1").toDF("event_type").createOrReplaceTempView("collide_base")
+    gs.sql("CREATE SAMPLE TABLE collide_sample ON collide_base OPTIONS(" +
+      s"qcs 'event_type', fraction '1.0', path '$root/sample')")
+    val createRows = spark.read.parquet(s"$root/sample").count()
+    val b1 = Seq.fill(10)("s1").toDF("event_type")
+    val b2 = Seq.fill(7)("s2").toDF("event_type")
+    gs.appendToSampleForBatch("collide_sample", b1, "a.b", 0L)
+    // a REPLAY of the colliding stream's batch 0 (its watermark is
+    // independent) must not delete a.b's published files
+    gs.appendToSampleForBatch("collide_sample", b2, "a_b", 0L)
+    gs.appendToSampleForBatch("collide_sample", b2, "a_b", 0L)
+    val rows = spark.read.parquet(s"$root/sample")
+    assert(rows.count() === createRows + 17,
+      "colliding sanitized stream names must not delete each other's batches")
+    assert(rows.filter(col("event_type") === "s1").count() === 10)
+    assert(rows.filter(col("event_type") === "s2").count() === 7)
+    gs.sql("DROP SAMPLE TABLE collide_sample")
+  }
+
+  test("topkSink with path on an existing in-memory TopK persists it (no silent drop)") {
+    implicit val sqlCtx = spark.sqlContext
+    val gs = new GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_tks_home").toString
+    Seq("alpha", "alpha", "beta").toDF("event_type")
+      .createOrReplaceTempView("tks_home_base")
+    gs.createTopK("tks_home", "tks_home_base",
+      Map("key" -> "event_type", "streamsummary" -> "true",
+        "capacity" -> "10000", "size" -> "3")) // NO path: in-memory
+    val mem = MemoryStream[String]
+    val stream = mem.toDF().toDF("event_type")
+    val q = StreamSinks.topkSink(gs, "tks_home", stream,
+      Map("key" -> "event_type", "streamsummary" -> "true",
+        "capacity" -> "10000", "size" -> "3", "path" -> s"$root/topk"))
+    try {
+      mem.addData("alpha", "gamma")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(gs.queryFrequency("tks_home", "alpha").map(_._2) === Some(3L))
+    // the store is genuinely durable: a fresh session re-attaches it
+    val s2 = spark.newSession()
+    val g2 = GraftSession(s2)
+    g2.attachTopKTable("tks_home2", s"$root/topk")
+    assert(g2.queryFrequency("tks_home2", "alpha").map(_._2) === Some(3L),
+      "path given to topkSink must make the existing TopK durable")
+    // drift is refused loudly, not silently dropped
+    val e = intercept[IllegalArgumentException] {
+      StreamSinks.topkSink(gs, "tks_home", stream,
+        Map("key" -> "event_type", "path" -> s"$root/elsewhere"))
+    }
+    assert(e.getMessage.contains("re-home"))
+    // an in-memory TopK cannot be pointed at a path that already holds a store
+    gs.createTopK("tks_other", "tks_home_base",
+      Map("key" -> "event_type", "streamsummary" -> "true",
+        "capacity" -> "10000", "size" -> "3"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamSinks.topkSink(gs, "tks_other", stream,
+        Map("key" -> "event_type", "path" -> s"$root/topk"))
+    }
+    assert(e2.getMessage.contains("already holds"))
+  }
+
+  test("sampleSink resume with drifted options is an error, not silent mixing") {
+    import org.apache.spark.sql.types._
+    val gs = new GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sink_drift").toString
+    new java.io.File(s"$root/in").mkdirs()
+    (1L to 20L).map(i => (i, "g")).toDF("id", "grp")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    (1L to 20L).map(i => (i, "g")).toDF("id", "grp")
+      .createOrReplaceTempView("drift_base")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType)))
+    def start(fraction: Double) = StreamSinks.sampleSink(gs,
+      "drift_sample", "drift_base",
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      qcs = Seq("grp"), fraction = fraction, path = s"$root/sample",
+      checkpointLocation = Some(s"$root/ckpt"))
+    val q1 = start(1.0)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$root/sample").count() === 20L)
+    // resume with a different fraction: batches sampled under a drifted
+    // design must not mix into the same store
+    gs.state.samples.remove("drift_sample")
+    (21L to 30L).map(i => (i, "g")).toDF("id", "grp")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    val q2 = start(0.5)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("drifted")),
+      s"want a drifted-options error, got: ${chain(e)}")
+    gs.state.samples.remove("drift_sample")
+  }
+
   test("STREAMING INIT parses interval forms and gates the trigger") {
     val gs = new GraftSession(spark)
     gs.sql("STREAMING INIT 2 SECS")

@@ -300,12 +300,41 @@ object Ann {
    * candidate pairs x dup², measured 4.2 s on a 100x-duplicated 20M-row
    * corpus) — exact-dedup a corpus that may carry duplicate keys first.
    * A pre-fetch representative collapse was measured and rejected; see the
-   * note at the fetch join. */
+   * note at the fetch join.
+   *
+   * `numPlanes = 0` opts into AUTO-SIZING: the band width is set to
+   * ~log₂(n/8) — random-collision bucket occupancy stays near a constant
+   * ~8 as the corpus grows, so the candidate term is LINEAR in n instead
+   * of the fixed default's n²/2^16 (the residual 0.85 log-log slope
+   * measured at sf10). The auto width is clamped to [8, 64/bands]; with
+   * the default `bands = 4` the upper clamp IS the default 16, and since
+   * per-band recall `(1-θ/π)^numPlanes` only grows as numPlanes shrinks,
+   * auto recall is ≥ the default's at every corpus size. The flip side is
+   * measured and deliberate: below the clamp crossover (n ≲ 5·10⁵) the
+   * narrower bands ADMIT more random candidates than the default's
+   * near-empty buckets, so auto trades some candidate volume for the
+   * recall headroom — pick it when recall matters, keep the default for
+   * small-corpus speed; at n ≥ 8·2^(64/bands) the clamp makes auto
+   * IDENTICAL to the default (measured: sf10u 200k vectors, auto p=15,
+   * 16.0 s vs default 10.9 s, same 72 000 pairs found — the cost is
+   * candidate volume, never recall). Growing width past 16 planes at
+   * 4 bands needs a wider fused signature (two longs) — the documented
+   * extension point if a corpus crosses ~10⁶ vectors per LSH pass. It
+   * stays an OPT-IN because
+   * the chosen width (hence the exact candidate set) depends on n —
+   * defaults must not silently change recall under a user between runs.
+   * Costs one extra count() pass. */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 16, bands: Int = 4,
       seed: Long = 7L): DataFrame = {
-    require(numPlanes >= 1 && bands >= 1 && numPlanes * bands <= 64,
+    require(numPlanes >= 0 && bands >= 1 && numPlanes * bands <= 64,
       s"bands x numPlanes must fit one 64-bit signature: $bands x $numPlanes")
+    val resolvedPlanes = if (numPlanes > 0) numPlanes else {
+      val n = df.filter(col(vecCol).isNotNull).count()
+      val p0 = math.ceil(
+        math.log(math.max(n.toDouble / 8.0, 2.0)) / math.log(2.0)).toInt
+      math.max(1, math.min(64 / bands, math.max(8, p0)))
+    }
     // null embeddings never pair (null bucket rows drop out of the
     // candidate join) — the dim probe must not trip over one either, and
     // an all-null (or empty) input resolves to the natural empty pair set
@@ -314,7 +343,7 @@ object Ann {
     if (dimOpt.isEmpty)
       return df.limit(0).select(col(idCol).as("id_a"),
         col(idCol).as("id_b"), lit(0.0).as("cosine"))
-    val planes = hyperplanes(dimOpt.get, numPlanes * bands, seed)
+    val planes = hyperplanes(dimOpt.get, resolvedPlanes * bands, seed)
     // No cache (an operator-internal persist leaks storage past the query).
     // The candidate join is (size-conditionally, [[graft.core.CandidateJoin]])
     // forced to a shuffle join over NARROW (band, bucket, id) rows — both
@@ -328,10 +357,10 @@ object Ann {
     val sig = src.select(col("id"), lshBucket(col("v"), planes).as("sig"))
     // band i's key = bit-slice i of the fused signature (same chunking
     // pattern as simhashPairs)
-    val mask = if (numPlanes == 64) -1L else (1L << numPlanes) - 1
+    val mask = if (resolvedPlanes == 64) -1L else (1L << resolvedPlanes) - 1
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(i =>
-        shiftright(col("sig"), i * numPlanes).bitwiseAND(lit(mask))): _*)))
+        shiftright(col("sig"), i * resolvedPlanes).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val hint = graft.core.CandidateJoin.maybeShuffleHash(src) _
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))

@@ -378,9 +378,9 @@ class PipelineSpec extends AnyFunSuite {
     val noise = (0 until 500).map(i => ((i + 20000).toLong, randVec()))
     val rows = planted.flatMap(p => Seq((p._1, p._2), (p._3, p._4))) ++ noise
     val df = rows.toDF("vec_id", "embedding")
-    def found(bands: Int): Int = {
+    def found(bands: Int, numPlanes: Int = 16): Int = {
       val got = Ann.cosineDedupPairs(df, "vec_id", "embedding",
-        threshold = 0.97, numPlanes = 16, bands = bands)
+        threshold = 0.97, numPlanes = numPlanes, bands = bands)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       planted.count(p => got((p._1, p._3)))
     }
@@ -390,6 +390,13 @@ class PipelineSpec extends AnyFunSuite {
       s"banded recall too low: $banded/${planted.size}")
     assert(banded > single,
       s"banding must dominate the single bucket: $banded vs $single")
+    // numPlanes = 0 (auto): the width clamps at ≤ the default 16 for
+    // bands = 4 at every n, so auto recall is ≥ the default's — and at
+    // this corpus size (~1200 vectors) auto picks a NARROWER band, so the
+    // dominance is strict in expectation but pinned as ≥ (ties legal)
+    val auto = found(4, numPlanes = 0)
+    assert(auto >= banded,
+      s"auto-sized recall must dominate the default: $auto vs $banded")
     // exact duplicates share every band at ANY setting
     val dupDf = df.unionByName(
       df.filter(col("vec_id") < 10).withColumn("vec_id", col("vec_id") + 90000L))

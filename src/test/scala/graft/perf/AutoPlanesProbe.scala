@@ -1,0 +1,45 @@
+package graft.perf
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off probe for the BENCH_sf1 auto-sizing note: times
+ * `cosineDedupPairs` with the default fixed band width (16 planes x 4
+ * bands) against the `numPlanes = 0` auto opt-in on a scale corpus, and
+ * reports both pair counts (auto may only ever ADD candidates at corpora
+ * below the clamp size — its width is ≤ the default's, so its recall
+ * dominates while bucket occupancy stays near the 64-row target).
+ *
+ * Usage: Test/runMain graft.perf.AutoPlanesProbe <sfDir> [threshold]
+ */
+object AutoPlanesProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val threshold = if (args.length > 1) args(1).toDouble else 0.99
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def timed(tag: String, numPlanes: Int): (Double, Long) = {
+      // warmup + 3 timed, median
+      var pairs = 0L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        pairs = graft.ann.Ann.cosineDedupPairs(emb, "vec_id", "embedding",
+          threshold, numPlanes = numPlanes).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val ts = (1 to 3).map(_ => once()).sorted
+      (ts(1), pairs)
+    }
+    val (tDef, nDef) = timed("default", 16)
+    val (tAuto, nAuto) = timed("auto", 0)
+    println(f"PROBE sf=$sfDir default16x4=$tDef%.2fs pairs=$nDef " +
+      f"auto=$tAuto%.2fs pairs=$nAuto")
+    spark.stop()
+  }
+}

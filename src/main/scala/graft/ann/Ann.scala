@@ -280,8 +280,11 @@ object Ann {
    * same OR-of-ANDs S-curve, same reason: a single sign-bit bucket has no
    * recall knob independent of its precision knob).
    *
-   * One fused pass computes `bands x numPlanes` sign bits per vector (one
-   * 64-bit signature); band i's bucket key is bit-slice i. A pair is a
+   * One fused pass computes `bands x numPlanes` sign bits per vector
+   * ([[org.apache.spark.sql.graft.HyperplaneBandBuckets]], an
+   * `array<long>` of per-band words — bit-identical to the former single
+   * fused 64-bit signature's bit-slices, without its 64-plane total cap);
+   * band i's bucket key is element i. A pair is a
    * candidate iff it agrees on ALL planes of AT LEAST ONE band, so for
    * angle θ the recall is `1-(1-(1-θ/π)^numPlanes)^bands` while random
    * unrelated pairs collide at ~`bands·2^-numPlanes`. The defaults (16
@@ -305,35 +308,48 @@ object Ann {
    * `numPlanes = 0` opts into AUTO-SIZING: the band width is set to
    * ~log₂(n/8) — random-collision bucket occupancy stays near a constant
    * ~8 as the corpus grows, so the candidate term is LINEAR in n instead
-   * of the fixed default's n²/2^16 (the residual 0.85 log-log slope
-   * measured at sf10). The auto width is clamped to [8, 64/bands]; with
-   * the default `bands = 4` the upper clamp IS the default 16, and since
-   * per-band recall `(1-θ/π)^numPlanes` only grows as numPlanes shrinks,
-   * auto recall is ≥ the default's at every corpus size. The flip side is
-   * measured and deliberate: below the clamp crossover (n ≲ 5·10⁵) the
-   * narrower bands ADMIT more random candidates than the default's
-   * near-empty buckets, so auto trades some candidate volume for the
-   * recall headroom — pick it when recall matters, keep the default for
-   * small-corpus speed; at n ≥ 8·2^(64/bands) the clamp makes auto
-   * IDENTICAL to the default (measured: sf10u 200k vectors, auto p=15,
-   * 16.0 s vs default 10.9 s, same 72 000 pairs found — the cost is
-   * candidate volume, never recall). Growing width past 16 planes at
-   * 4 bands needs a wider fused signature (two longs) — the documented
-   * extension point if a corpus crosses ~10⁶ vectors per LSH pass. It
-   * stays an OPT-IN because
-   * the chosen width (hence the exact candidate set) depends on n —
-   * defaults must not silently change recall under a user between runs.
-   * Costs one extra count() pass. */
+   * of a fixed width's n²/2^numPlanes (the residual 0.85 log-log slope
+   * measured at sf10). Width is clamped to [8, 24]; whenever auto picks a
+   * width ABOVE the default 16, the band count grows too, sized from the
+   * S-curve `recall = 1-(1-(1-θ/π)^numPlanes)^bands` to keep recall at
+   * the caller's threshold ≥ what the default (16 × `bands`) would give
+   * (band count capped at 16 — thresholds below ~0.95 on 10⁸+ corpora
+   * can exhaust the cap, where the explicit knobs are the honest tool).
+   * Width ≤ 16 needs no growth: per-band recall only rises as width
+   * shrinks. So auto recall dominates the default's at every n, and the
+   * measured trade below the n ≈ 5·10⁵ crossover is candidate volume
+   * (sf10u, 200k vectors: auto p=15 16.0 s vs default 10.9 s, SAME 72 000
+   * pairs found), flipping decisively above it (2M vectors: auto p=18 b=5
+   * beats the default's saturated 2^16 buckets — see BENCH_sf1 addendum
+   * 10). It stays an OPT-IN because the chosen parameters (hence the
+   * exact candidate set) depend on n — defaults must not silently change
+   * recall under a user between runs. Costs one extra count() pass. */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 16, bands: Int = 4,
       seed: Long = 7L): DataFrame = {
-    require(numPlanes >= 0 && bands >= 1 && numPlanes * bands <= 64,
-      s"bands x numPlanes must fit one 64-bit signature: $bands x $numPlanes")
-    val resolvedPlanes = if (numPlanes > 0) numPlanes else {
+    require(numPlanes >= 0 && numPlanes <= 64 && bands >= 1 && bands <= 64,
+      s"need 0 <= numPlanes <= 64 (0 = auto) and 1 <= bands <= 64: " +
+        s"$numPlanes x $bands")
+    val (resolvedPlanes, resolvedBands) = if (numPlanes > 0) (numPlanes, bands)
+    else {
       val n = df.filter(col(vecCol).isNotNull).count()
       val p0 = math.ceil(
         math.log(math.max(n.toDouble / 8.0, 2.0)) / math.log(2.0)).toInt
-      math.max(1, math.min(64 / bands, math.max(8, p0)))
+      val p = math.max(8, math.min(24, p0))
+      // match probability of one plane at the threshold angle
+      val sMatch = 1.0 -
+        math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+      val b =
+        if (p <= 16 || sMatch >= 1.0 - 1e-12) bands
+        else {
+          // bands needed so the (p, b) S-curve meets the default (16,
+          // bands) setting's recall at this threshold
+          val r0 = 1.0 - math.pow(1.0 - math.pow(sMatch, 16.0), bands.toDouble)
+          val need = math.ceil(math.log1p(-r0) /
+            math.log1p(-math.pow(sMatch, p.toDouble))).toInt
+          math.max(bands, math.min(16, need))
+        }
+      (p, b)
     }
     // null embeddings never pair (null bucket rows drop out of the
     // candidate join) — the dim probe must not trip over one either, and
@@ -343,7 +359,7 @@ object Ann {
     if (dimOpt.isEmpty)
       return df.limit(0).select(col(idCol).as("id_a"),
         col(idCol).as("id_b"), lit(0.0).as("cosine"))
-    val planes = hyperplanes(dimOpt.get, resolvedPlanes * bands, seed)
+    val planes = hyperplanes(dimOpt.get, resolvedPlanes * resolvedBands, seed)
     // No cache (an operator-internal persist leaks storage past the query).
     // The candidate join is (size-conditionally, [[graft.core.CandidateJoin]])
     // forced to a shuffle join over NARROW (band, bucket, id) rows — both
@@ -354,13 +370,12 @@ object Ann {
     // broadcasts the pair set when small) to evaluate the exact cosine.
     val src = graft.core.Fanout(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sig = src.select(col("id"), lshBucket(col("v"), planes).as("sig"))
-    // band i's key = bit-slice i of the fused signature (same chunking
-    // pattern as simhashPairs)
-    val mask = if (resolvedPlanes == 64) -1L else (1L << resolvedPlanes) - 1
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map(i =>
-        shiftright(col("sig"), i * resolvedPlanes).bitwiseAND(lit(mask))): _*)))
+    // band i's key = element i of the per-band sign-bit array (ONE pass
+    // over the vector; bit-identical to the former fused-long bit-slices
+    // where bands x width <= 64, but with no cap on the total plane budget)
+    val banded = src.select(col("id"),
+      posexplode(org.apache.spark.sql.graft.HyperplaneBandBuckets(
+        col("v"), planes, resolvedPlanes)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val hint = graft.core.CandidateJoin.maybeShuffleHash(src) _
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))

@@ -221,3 +221,66 @@ object HyperplaneBucket {
   def apply(c: Column, planes: Array[Array[Double]]): Column =
     Exprs.column(new HyperplaneBucket(Exprs.expression(c), planes))
 }
+
+/**
+ * Per-BAND sign-bit buckets of a vector under `planes`: one pass over the
+ * vector computes every dot product, and band i's bucket is the little-
+ * endian sign-bit word of planes `[i·bandWidth, (i+1)·bandWidth)` — element
+ * i of the returned `array<long>`. For `bands × bandWidth ≤ 64` each
+ * element equals the bit-slice `(fusedSignature >> i·bandWidth) & mask` of
+ * [[HyperplaneBucket]]'s single long (same plane order, same bit order),
+ * but the TOTAL plane budget is no longer capped at 64: each band just
+ * needs `bandWidth ≤ 64`. This is what lets banded-LSH width keep growing
+ * ~log₂(n) past 16×4 on billion-vector corpora while band count grows to
+ * hold recall.
+ */
+case class HyperplaneBandBuckets(child: Expression,
+    planes: Array[Array[Double]], bandWidth: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bandWidth >= 1 && bandWidth <= 64,
+    s"band width must be 1..64 bits: $bandWidth")
+  require(planes.length % bandWidth == 0,
+    s"planes (${planes.length}) must be a whole number of $bandWidth-bit bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = VecRead.toDoubles(v.asInstanceOf[ArrayData], elemType)
+    val bands = planes.length / bandWidth
+    val out = new Array[Long](bands)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val d = math.min(vec.length, plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < d) { dot += vec(i) * plane(i); i += 1 }
+      if (dot >= 0) out(p / bandWidth) |= (1L << (p % bandWidth))
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case HyperplaneBandBuckets(c, p, w) =>
+      c == child && w == bandWidth && p.length == planes.length &&
+        p.zip(planes).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + bandWidth) +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBandBuckets =
+    copy(child = newChild)
+}
+
+object HyperplaneBandBuckets {
+  def apply(c: Column, planes: Array[Array[Double]], bandWidth: Int): Column =
+    Exprs.column(new HyperplaneBandBuckets(Exprs.expression(c), planes,
+      bandWidth))
+}

@@ -71,6 +71,47 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(mismatches === 0)
   }
 
+  test("HyperplaneBandBuckets equals the fused signature's bit-slices — and extends past 64") {
+    // within the 64-bit budget the per-band array must be BIT-IDENTICAL to
+    // the former single-long form's slices (same plane order, same bit
+    // order) — this is what keeps q28's default candidate set unchanged
+    // across the representation change
+    val p = 16; val b = 4
+    val planes = Ann.hyperplanes(queryVec.length, p * b, seed = 7L)
+    val mask = (1L << p) - 1
+    val viaFused = emb.select(col("vec_id"),
+      Ann.lshBucket(col("embedding"), planes).as("sig"))
+      .select(col("vec_id"),
+        array((0 until b).map(i =>
+          shiftright(col("sig"), i * p).bitwiseAND(lit(mask))): _*).as("slices"))
+    val viaBands = emb.select(col("vec_id"),
+      org.apache.spark.sql.graft.HyperplaneBandBuckets(
+        col("embedding"), planes, p).as("bands"))
+    val diff = viaFused.join(viaBands, "vec_id")
+      .filter(col("slices") =!= col("bands")).count()
+    assert(diff === 0, "band buckets must equal the fused bit-slices")
+    // beyond 64 total planes (the old cap): parity against the driver-side
+    // sign algebra, band by band
+    val p2 = 20; val b2 = 5 // 100 planes — impossible in one long
+    val planes2 = Ann.hyperplanes(queryVec.length, p2 * b2, seed = 11L)
+    val got = emb.select(col("vec_id"),
+      org.apache.spark.sql.graft.HyperplaneBandBuckets(
+        col("embedding"), planes2, p2).as("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val vecs2 = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    vecs2.foreach { case (id, v) =>
+      val want = (0 until b2).map { band =>
+        (0 until p2).map { j =>
+          val plane = planes2(band * p2 + j)
+          val dot = plane.zip(v).map { case (a, x) => a * x }.sum
+          if (dot >= 0) 1L << j else 0L
+        }.sum
+      }
+      assert(got(id) === want, s"vec $id")
+    }
+  }
+
   test("NearestCentroid matches driver-side argmin with low-index tie-break") {
     val centroids = emb.orderBy(col("vec_id")).limit(8)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)

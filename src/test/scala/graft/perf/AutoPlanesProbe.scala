@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
  * below the clamp size — its width is ≤ the default's, so its recall
  * dominates while bucket occupancy stays near the 64-row target).
  *
- * Usage: Test/runMain graft.perf.AutoPlanesProbe <sfDir> [threshold]
+ * Usage: Test/runMain graft.perf.AutoPlanesProbe <sfDir> [threshold] [passes]
+ * (passes = 1 skips the warmup too — multi-minute corpora are
+ * JIT-insensitive and a 4-pass default would run for an hour)
  */
 object AutoPlanesProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val threshold = if (args.length > 1) args(1).toDouble else 0.99
+    val passes = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
@@ -24,7 +27,7 @@ object AutoPlanesProbe {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     def timed(tag: String, numPlanes: Int): (Double, Long) = {
-      // warmup + 3 timed, median
+      // warmup + `passes` timed, median (passes = 1: single cold run)
       var pairs = 0L
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -32,14 +35,19 @@ object AutoPlanesProbe {
           threshold, numPlanes = numPlanes).count()
         (System.nanoTime() - t0) / 1e9
       }
-      once()
-      val ts = (1 to 3).map(_ => once()).sorted
-      (ts(1), pairs)
+      if (passes > 1) once()
+      val ts = (1 to passes).map(_ => once()).sorted
+      (ts(ts.size / 2), pairs)
     }
-    val (tDef, nDef) = timed("default", 16)
-    val (tAuto, nAuto) = timed("auto", 0)
-    println(f"PROBE sf=$sfDir default16x4=$tDef%.2fs pairs=$nDef " +
-      f"auto=$tAuto%.2fs pairs=$nAuto")
+    val mode = if (args.length > 3) args(3) else "both"
+    if (mode == "both" || mode == "default") {
+      val (tDef, nDef) = timed("default", 16)
+      println(f"PROBE sf=$sfDir default16x4=$tDef%.2fs pairs=$nDef")
+    }
+    if (mode == "both" || mode == "auto") {
+      val (tAuto, nAuto) = timed("auto", 0)
+      println(f"PROBE sf=$sfDir auto=$tAuto%.2fs pairs=$nAuto")
+    }
     spark.stop()
   }
 }

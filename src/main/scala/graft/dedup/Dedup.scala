@@ -149,11 +149,50 @@ object Dedup {
   /** SimHash fingerprint column (bigint). */
   def simhash(c: Column): Column = SimHash64(c)
 
-  /** SimHash near-dup pairs within `maxHamming` bits. Blocks on 4 16-bit
-   * chunks (pigeonhole: any pair within Hamming ≤ 3 shares at least one
-   * exact 16-bit chunk), so no O(n²) cross join. */
+  /** Blocking design for [[simhashPairs]]: split the 64-bit fingerprint
+   * into `k` blocks and key each candidate table on a `(k - d)`-subset of
+   * blocks (the block-permutation scheme of Manku, Jain & Das Sarma,
+   * "Detecting Near-Duplicates for Web Crawling", WWW 2007). Pigeonhole:
+   * a pair within Hamming ≤ d differs in ≤ d blocks, so at least one
+   * (k-d)-subset is bit-identical and the pair shares that table's key.
+   * Bigger k ⇒ more tables (C(k, k-d), linear blow-up) but WIDER keys
+   * (64·(k-d)/k bits ⇒ exponentially fewer random collisions) — the knob
+   * that killed q12's 1.32 scale slope: the old fixed 4×16-bit chunking is
+   * exactly the k=4 point of this scheme, whose 16-bit keys saturate past
+   * ~10⁵ docs (n²/2^16 candidates). Chosen points keep keys ≥ 32 bits for
+   * every supported d; d = 0 degenerates to ONE table keyed on the whole
+   * fingerprint (zero blocking noise — equal fingerprints only). */
+  private def simhashBlocking(maxHamming: Int): (Int, Seq[Seq[Int]]) = {
+    val k = maxHamming match {
+      case 0 => 1
+      case 1 => 2 // C(2,1) = 2 tables, 32-bit keys
+      case 2 => 4 // C(4,2) = 6 tables, 32-bit keys
+      case 3 => 6 // C(6,3) = 20 tables, 32-bit keys
+      case d => d + 1 // classic pigeonhole fallback: d+1 single-block tables
+    }
+    val keep = k - math.min(maxHamming, k - 1)
+    ((k, (0 until k).combinations(keep).map(_.toSeq).toSeq))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits of 64-bit Hamming
+   * distance. Candidate generation blocks on (k-d)-subsets of fingerprint
+   * blocks ([[simhashBlocking]] — Manku et al. 2007), so no O(n²) cross
+   * join and ≥32-bit block keys at every supported d; the exact
+   * `bit_count(xor)` verify decides membership, so the blocking design
+   * changes candidate volume only, never the output pair set. */
   def simhashPairs(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    val (k, tables) = simhashBlocking(maxHamming)
+    // block i = fingerprint bits [64i/k, 64(i+1)/k) (near-equal widths)
+    val bounds = (0 to k).map(i => i * 64 / k)
+    def blockCol(fpCol: Column, i: Int): Column = {
+      val lo = bounds(i)
+      val w = bounds(i + 1) - lo
+      val sh = if (lo == 0) fpCol else shiftright(fpCol, lo)
+      if (w >= 64) sh else sh.bitwiseAND(lit((1L << w) - 1))
+    }
     // the self-join consumes the fingerprints on both sides, and the 64-bit
     // weighted-token hash dominates the stage — rather than caching (which
     // would leak storage past the query), force a shuffle join (size-
@@ -162,9 +201,13 @@ object Dedup {
     // once in the shared shuffle map stage
     val fp = graft.core.Fanout(df)
       .select(col(idCol).as("id"), simhash(col(contentCol)).as("fp"))
+    // table ti's key = hash of its block subset's values (a hash collision
+    // can only ADD candidates — the exact hamming verify removes them)
+    val tableKeys = tables.zipWithIndex.map { case (t, ti) =>
+      xxhash64((lit(ti) +: t.map(i => blockCol(col("fp"), i))): _*)
+    }
     val chunked = fp.select(col("id"), col("fp"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array(tableKeys: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     val hint = graft.core.CandidateJoin.maybeShuffleHash(fp) _
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("fp").as("fp_a"))

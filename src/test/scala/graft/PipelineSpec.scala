@@ -72,6 +72,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(expected.subsetOf(found))
   }
 
+  test("simhashPairs equals brute-force hamming pairs at every supported maxHamming") {
+    // the Manku-style block-permutation blocking (k blocks, (k-d)-subset
+    // tables) is a pure candidate-generation change: the pigeonhole
+    // guarantees every pair within hamming <= d shares a table key, and
+    // the exact bit_count verify decides membership — so the output must
+    // EQUAL the O(n^2) brute force at every d, on a corpus dense enough
+    // that near-misses exist at each distance
+    import spark.implicits._
+    val corpus = docs.limit(120).select(col("doc_id"), col("text"))
+    val fps = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    for (d <- Seq(0, 1, 2, 3, 5)) {
+      val want = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps
+        if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= d
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = d)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"maxHamming=$d: blocking lost or invented pairs")
+    }
+  }
+
   test("ngram jaccard: identity 1, disjoint 0") {
     import spark.implicits._
     val df = Seq(("a b c d e", "a b c d e", "x y z w v")).toDF("a", "b", "c")

@@ -58,6 +58,12 @@ object BenchAdjudicate {
    * real regression. Promotion now requires every cleanliness signal:
    *  - not a subset run (`SPARK_GRAFT_BENCH_ONLY` would shrink the ref's
    *    query map and strip adjudication from the omitted queries);
+   *  - zero FAILED query executions: a crashing query "runs" in
+   *    milliseconds, and suspects only flag medians SLOWER than the
+   *    reference — so a failure-poisoned run would otherwise promote its
+   *    near-zero medians and then every healthy run reads 3x-suspect
+   *    against them, which (suspects block promotion) ratchets the bad
+   *    reference in permanently;
    *  - zero suspects (no query tripped the contention detector);
    *  - start loadavg at or under `maxLoad` (the END loadavg is useless
    *    here — the bench's own 32 threads push it past 3 on an idle box;
@@ -69,9 +75,9 @@ object BenchAdjudicate {
    * alone rather than freezing the reference forever. */
   def promote(load0: Double, suspects: Seq[String], runSf: String,
       refSf: Option[String], subset: Boolean,
-      maxLoad: Double = 1.5): Boolean =
-    !subset && suspects.isEmpty && (load0 < 0 || load0 <= maxLoad) &&
-      refSf.forall(_ == runSf)
+      maxLoad: Double = 1.5, failures: Int = 0): Boolean =
+    !subset && failures == 0 && suspects.isEmpty &&
+      (load0 < 0 || load0 <= maxLoad) && refSf.forall(_ == runSf)
 
   /** Ratio of this run's total to the reference's total over the SHARED
    * query set — the round-over-round drift number as a field instead of a
@@ -177,6 +183,10 @@ object Bench {
     def cachedRdds(): Int = sc.getPersistentRDDs.size
     val diag = new scala.collection.mutable.ArrayBuffer[String]
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    // failed executions make medians meaninglessly SMALL (a crash "runs"
+    // in ms), which the slower-than-ref suspect detector cannot see —
+    // count them so promotion can refuse the run (see [[BenchAdjudicate]])
+    var failures = 0
     val results = selected.map { case (name, fn) =>
       val times = new scala.collection.mutable.ArrayBuffer[Double]
       val gcs = new scala.collection.mutable.ArrayBuffer[Long]
@@ -185,6 +195,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
+            failures += 1
             System.err.println(s"BENCH QUERY FAILED $name: ${e.getMessage}")
         }
         // drain the async listener bus before stopping the clock's
@@ -236,6 +247,7 @@ object Bench {
           val t0 = System.nanoTime()
           try { byName(n)(spark, sfDir).count() } catch {
             case e: Throwable =>
+              failures += 1
               System.err.println(s"BENCH RERUN FAILED $n: ${e.getMessage}")
           }
           org.apache.spark.sql.graft.Plans.flushListenerBus(spark)
@@ -274,7 +286,8 @@ object Bench {
     val vsRef = BenchAdjudicate.vsRefTotal(finalResults, ref)
     val promoted = BenchAdjudicate.promote(load0, suspectNames, sfDir, refSf,
       subset = only.nonEmpty,
-      maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROMOTE_LOAD", "1.5").toDouble)
+      maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROMOTE_LOAD", "1.5").toDouble,
+      failures = failures)
     // the adjudication fields stay compact (suspects are normally empty)
     // so the one-line summary survives the driver's bounded tail capture
     val summary =
@@ -283,7 +296,8 @@ object Bench {
         s""""load_avg":[${r2(load0)},${r2(load1)}],""" +
         s""""ref_head_match":$refHeadMatch,""" +
         s""""vs_ref_total":${vsRef.fold("null")(v => r3(v).toString)},""" +
-        s""""promoted_ref":$promoted,"suspect":$suspectJson}"""
+        s""""failures":$failures,"promoted_ref":$promoted,""" +
+        s""""suspect":$suspectJson}"""
     def writeLine(path: String): Unit =
       try {
         java.nio.file.Files.write(

@@ -455,13 +455,25 @@ class GraftSession(val spark: SparkSession) {
    * does not survive a crash, so replay cannot double-count by
    * construction; the check still fences STOP→START replays in one JVM). */
   def appendToTopKForBatch(name: String, df: DataFrame, batchTimeMs: Long,
-      streamName: String, batchId: Long): Unit = {
+      streamName: String, batchId: Long): Unit =
+    appendToTopKForBatch(name, df, batchTimeMs, streamName, batchId, Nil)
+
+  /** [[appendToTopKForBatch]] with `legacyStreamNames`: prior fence-key
+   * spellings for the SAME logical stream (e.g. the pre-r12 checkpointed
+   * sink key). The fence honors the MAX watermark across current and
+   * legacy keys — a batch the structure applied under an old spelling must
+   * not re-apply after an upgrade changes the key — but only the current
+   * key's watermark advances. */
+  def appendToTopKForBatch(name: String, df: DataFrame, batchTimeMs: Long,
+      streamName: String, batchId: Long,
+      legacyStreamNames: Seq[String]): Unit = {
+    val keys = streamName +: legacyStreamNames
     state.topkPaths.get(name.toLowerCase) match {
       case Some(p) =>
         val partials = topkState(name).buildPartials(df)
         GraftSession.withPathLock(spark, p) {
           val st = attachTopKTable(name, p)
-          if (batchId > st.appliedStreamBatch(streamName)) {
+          if (batchId > keys.map(st.appliedStreamBatch).max) {
             st.mergePartialsAt(spark, partials, batchTimeMs)
             st.setAppliedStreamBatch(streamName, batchId)
             saveTopK(name, p)
@@ -469,7 +481,7 @@ class GraftSession(val spark: SparkSession) {
         }
       case None =>
         val st = topkState(name)
-        if (batchId > st.appliedStreamBatch(streamName)) {
+        if (batchId > keys.map(st.appliedStreamBatch).max) {
           st.append(df, batchTimeMs)
           st.setAppliedStreamBatch(streamName, batchId)
         }
@@ -498,7 +510,17 @@ class GraftSession(val spark: SparkSession) {
    * under [[GraftSession.withPathLock]] — pinned by
    * CrossJvmConcurrencySpec's reader-during-recovery case. */
   def appendToSampleForBatch(rawName: String, df: DataFrame,
-      streamName: String, batchId: Long, seed: Long = 43L): DataFrame = {
+      streamName: String, batchId: Long, seed: Long = 43L): DataFrame =
+    appendToSampleForBatch(rawName, df, streamName, batchId, seed, Nil)
+
+  /** [[appendToSampleForBatch]] with `legacyStreamNames` — prior fence-key
+   * spellings of the same logical stream, honored (max watermark) but
+   * never advanced; their old-format leftover files for this batch are
+   * cleaned too, so a publish that crashed BEFORE a key-format upgrade
+   * still converges to one copy. */
+  def appendToSampleForBatch(rawName: String, df: DataFrame,
+      streamName: String, batchId: Long, seed: Long,
+      legacyStreamNames: Seq[String]): DataFrame = {
     val name = state.resolveSample(rawName).getOrElse(
       throw new IllegalArgumentException(s"No sample table named $rawName"))
     val info = state.samples(name)
@@ -506,9 +528,12 @@ class GraftSession(val spark: SparkSession) {
       case Some(path) =>
         val conf = spark.sessionState.newHadoopConf()
         val wmKey = s"__streambatch.${streamName.toLowerCase}"
+        val wmKeys = wmKey +: legacyStreamNames.map(n =>
+          s"__streambatch.${n.toLowerCase}")
         GraftSession.withPathLock(spark, path) {
-          val applied = GraftSession.readSampleMetaProp(path, wmKey, conf)
-            .map(_.toLong).getOrElse(-1L)
+          val applied = wmKeys.flatMap(k =>
+            GraftSession.readSampleMetaProp(path, k, conf).map(_.toLong))
+            .foldLeft(-1L)(math.max)
           if (batchId > applied) {
             val sampled = StratifiedSampler.sample(df, info.qcs.map(expr),
               info.fraction, info.reservoirSize, seed, preFilter = true,
@@ -519,31 +544,31 @@ class GraftSession(val spark: SparkSession) {
             // 'a_b' both sanitize to a_b, and the leftover-deletion pass
             // for one stream's replayed batch would delete the other's
             // published files for the same batch id) — a hash of the RAW
-            // key disambiguates while the sanitized name keeps the files
-            // human-attributable. MurmurHash3 is deterministic across
-            // JVMs, which the crash-replay delete-by-prefix requires.
-            // the 'h' marker keeps the hash segment from ever reading as a
-            // legacy "-b<batchId>-" segment (hex has no 'h'), so the legacy
-            // leftover pass below can never match a new-format name
+            // key ([[GraftSession.keyHashSuffix]]) disambiguates while the
+            // sanitized name keeps the files human-attributable
             val raw = streamName.toLowerCase
-            val safe = raw.replaceAll("[^a-z0-9]", "_") + "-h" +
-              java.lang.Integer.toHexString(
-                scala.util.hashing.MurmurHash3.stringHash(raw))
+            val safe = raw.replaceAll("[^a-z0-9]", "_") + "-" +
+              GraftSession.keyHashSuffix(raw)
             val prefix = s"stream-$safe-b$batchId-"
             val staging = new org.apache.hadoop.fs.Path(dir,
               s".staging-$safe-b$batchId")
-            // pre-hash file name format, so a store carrying leftovers of
-            // a publish that crashed BEFORE this upgrade still converges
-            // (deleting it carries exactly the risk the old code had, on
-            // exactly the files the old code wrote — no new exposure)
-            val legacySafe = raw.replaceAll("[^a-z0-9]", "_")
-            val legacyPrefix = s"stream-$legacySafe-b$batchId-"
-            val legacyStaging = s".staging-$legacySafe-b$batchId"
+            // pre-hash file name formats, so a store carrying leftovers of
+            // a publish that crashed BEFORE an upgrade still converges
+            // (deleting them carries exactly the risk the old code had, on
+            // exactly the files the old code wrote — no new exposure):
+            // this stream's own pre-hash spelling, plus every legacy
+            // fence-key spelling the caller declared
+            val legacyRaws = raw +: legacyStreamNames.map(_.toLowerCase)
+            val legacyPrefixes = legacyRaws.map { r =>
+              val s = r.replaceAll("[^a-z0-9]", "_")
+              (s"stream-$s-b$batchId-", s".staging-$s-b$batchId")
+            }
             // leftovers of a crashed prior attempt at THIS batch
             if (fs.exists(dir)) fs.listStatus(dir).foreach { s0 =>
               val n = s0.getPath.getName
               if (n.startsWith(prefix) || n == staging.getName ||
-                  n.startsWith(legacyPrefix) || n == legacyStaging) {
+                  legacyPrefixes.exists { case (pf, st0) =>
+                    n.startsWith(pf) || n == st0 }) {
                 fs.delete(s0.getPath, true)
               }
             }
@@ -1051,6 +1076,17 @@ object GraftSession {
   /** Subdirectory (under a path-backed TopK's path) holding spilled
    * interval buckets as parquet. */
   val TopkSpillDir = "_graft_topk_spill"
+
+  /** Collision-free suffix for durable identities derived from free-form
+   * keys (sink fence keys, per-batch sample file prefixes): MurmurHash3 is
+   * deterministic across JVMs — crash-replay fencing and delete-by-prefix
+   * both require the SAME key to reproduce after a restart — and the 'h'
+   * marker keeps the hex from ever reading as a neighbouring name segment
+   * (hex has no 'h', so e.g. a legacy "-b<batchId>-" segment can never
+   * prefix-match a new-format name through an unlucky hash value). */
+  private[graft] def keyHashSuffix(raw: String): String =
+    "h" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(raw))
 
   /** Current published snapshot version of a path-backed TopK (None for a
    * fresh dir or a legacy two-file layout). */

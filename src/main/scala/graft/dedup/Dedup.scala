@@ -199,7 +199,14 @@ object Dedup {
     // conditionally, [[graft.core.CandidateJoin]]): identical (chunk, ckey)
     // exchanges on both sides are stage-reused, so the fingerprints compute
     // once in the shared shuffle map stage
+    // NULL content never participates: the old bit-slice keys were null for
+    // a null fingerprint (null join keys never match), but xxhash64 SKIPS
+    // null children — every null-fp row in table ti would share the
+    // identical non-null key xxhash64(ti) and m null docs would explode
+    // into m²/2 candidates per table before the verify drops them (the
+    // round-10 xxhash64 null-skip trap, same guard as jaccardPairs)
     val fp = graft.core.Fanout(df)
+      .filter(col(contentCol).isNotNull)
       .select(col(idCol).as("id"), simhash(col(contentCol)).as("fp"))
     // table ti's key = hash of its block subset's values (a hash collision
     // can only ADD candidates — the exact hamming verify removes them)

@@ -32,19 +32,34 @@ object StreamSinks {
    * feeding the SAME structure (two streams, one sample/TopK) each have
    * their own batch-id sequence, and a shared key would let stream A's
    * batch 3 fence out stream B's batch 3 — silent data loss. The
-   * checkpoint location is the one identity with both properties.
-   * Without a checkpoint a restart is a NEW query whose batch ids restart
-   * at 0 over a possibly different file grouping, so the key is unique per
-   * `start()` and restarts re-ingest (explicitly, not silently drop). */
+   * checkpoint location is the one identity with both properties; it is
+   * hashed in Hadoop-Path-normalized form so a respelled-but-equivalent
+   * location on restart (trailing slash, doubled separators) keeps the
+   * same fence identity. Without a checkpoint a restart is a NEW query
+   * whose batch ids restart at 0 over a possibly different file grouping,
+   * so the key is unique per `start()` and restarts re-ingest (explicitly,
+   * not silently drop). */
   private def sinkFenceKey(structName: String,
       checkpointLocation: Option[String]): String =
     checkpointLocation match {
-      case Some(c) => s"sink:$structName:h" +
-        java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(c))
+      case Some(c) =>
+        val canonical = new org.apache.hadoop.fs.Path(c).toString
+        s"sink:$structName:" + graft.GraftSession.keyHashSuffix(canonical)
       case None =>
         s"sink:$structName:${java.util.UUID.randomUUID().toString.take(8)}"
     }
+
+  /** Fence-key spellings PRIOR code used for the same logical sink, fed to
+   * the ForBatch appends' legacy fallback: a structure that applied batch N
+   * under the old key must not re-apply N after this upgrade changed the
+   * key format (the watermark lives in the structure's durable state, so
+   * the old spelling survives the restart even though no new code ever
+   * writes it). Pre-r12 checkpointed sinks keyed on the bare structure
+   * name; without a checkpoint the old keys were start()-unique and fence
+   * nothing durable. */
+  private def legacySinkKeys(structName: String,
+      checkpointLocation: Option[String]): Seq[String] =
+    if (checkpointLocation.isDefined) Seq(s"sink:$structName") else Nil
 
   /** Attach a TopK structure (created via `createTopK` or here) as a sink of
    * a streaming DataFrame. Each micro-batch runs the distributed sketch
@@ -67,6 +82,33 @@ object StreamSinks {
     val path = options.collectFirst {
       case (k, v) if k.equalsIgnoreCase("path") => v
     }
+    def buildState(): graft.topk.TopKState = {
+      val opts = graft.topk.TopKOptions.fromOptions(options,
+        graft.GraftSession.sessionZone(spark))
+      val keyField = stream.schema.find(_.name.equalsIgnoreCase(opts.key)).getOrElse(
+        throw new IllegalArgumentException(s"key column ${opts.key} missing from stream"))
+      val keyType = keyField.dataType match {
+        case org.apache.spark.sql.types.StringType => org.apache.spark.sql.types.StringType
+        case _ => org.apache.spark.sql.types.LongType
+      }
+      new graft.topk.TopKState(topkName, opts, keyType)
+    }
+    // CALLER HOLDS the path lock: publish this session's state as a fresh
+    // store at p, refusing an occupied path — the existence check and the
+    // publish must share ONE lock acquisition, or a store created by a
+    // concurrent session in the check-to-save window is silently clobbered
+    def publishFreshLocked(p: String,
+        conf: org.apache.hadoop.conf.Configuration): Unit = {
+      if (graft.GraftSession.topkMetaExists(p, conf)) {
+        throw new IllegalArgumentException(
+          s"TopK $topkName exists in-memory but $p already holds a " +
+            "persisted TopK store; attach it in a fresh name or drop " +
+            "one of the two — merging them implicitly would be lossy")
+      }
+      gs.topkState(topkName)
+        .setSpillBase(s"$p/${graft.GraftSession.TopkSpillDir}")
+      gs.saveTopK(topkName, p)
+    }
     if (gs.state.topks.contains(topkName.toLowerCase)) {
       // the structure already lives in this session (e.g. createTopK
       // without a path): a caller-supplied path must not be SILENTLY
@@ -83,52 +125,43 @@ object StreamSinks {
               s"cannot re-home it to $p via topkSink")
           case None =>
             val conf = spark.sessionState.newHadoopConf()
-            if (graft.GraftSession.topkMetaExists(p, conf)) {
-              throw new IllegalArgumentException(
-                s"TopK $topkName exists in-memory but $p already holds a " +
-                  "persisted TopK store; attach it in a fresh name or drop " +
-                  "one of the two — merging them implicitly would be lossy")
-            }
-            val st = gs.topkState(topkName)
-            st.setSpillBase(s"$p/${graft.GraftSession.TopkSpillDir}")
+            graft.GraftSession.withPathLock(spark, p)(publishFreshLocked(p, conf))
+            // registered only after the publish succeeded — a failed save
+            // must not leave the session pointing at a path with no store
             gs.state.topkPaths.put(topkName.toLowerCase, p)
-            graft.GraftSession.withPathLock(spark, p)(gs.saveTopK(topkName, p))
         }
       }
-    } else {
-      val conf = spark.sessionState.newHadoopConf()
-      if (path.exists(p => graft.GraftSession.topkMetaExists(p, conf))) {
-        // resume: re-attach the persisted snapshot (options drift is
-        // checked by the DDL path; the sink trusts the stored options)
-        gs.attachTopKTable(topkName, path.get)
-      } else {
-        val opts = graft.topk.TopKOptions.fromOptions(options,
-          graft.GraftSession.sessionZone(spark))
-        val keyField = stream.schema.find(_.name.equalsIgnoreCase(opts.key)).getOrElse(
-          throw new IllegalArgumentException(s"key column ${opts.key} missing from stream"))
-        val keyType = keyField.dataType match {
-          case org.apache.spark.sql.types.StringType => org.apache.spark.sql.types.StringType
-          case _ => org.apache.spark.sql.types.LongType
+    } else path match {
+      case Some(p) =>
+        // attach-vs-create decided and executed under ONE lock hold, like
+        // the DDL path (CreateTopKTableCommand) — a reader's existence
+        // check landing in a writer's meta-replace window must not
+        // re-create the table over the writer's state
+        val conf = spark.sessionState.newHadoopConf()
+        graft.GraftSession.withPathLock(spark, p) {
+          if (graft.GraftSession.topkMetaExists(p, conf)) {
+            // resume: re-attach the persisted snapshot (options drift is
+            // checked by the DDL path; the sink trusts the stored options;
+            // attach registers topkPaths itself)
+            gs.attachTopKTable(topkName, p)
+          } else {
+            gs.state.topks.put(topkName.toLowerCase, buildState())
+            publishFreshLocked(p, conf)
+          }
         }
-        val st = new graft.topk.TopKState(topkName, opts, keyType)
-        gs.state.topks.put(topkName.toLowerCase, st)
-        path.foreach { p =>
-          st.setSpillBase(s"$p/${graft.GraftSession.TopkSpillDir}")
-          gs.state.topkPaths.put(topkName.toLowerCase, p)
-          // publish the empty snapshot so later sessions (and the fenced
-          // appends' RELOAD) find registry metadata
-          graft.GraftSession.withPathLock(spark, p)(gs.saveTopK(topkName, p))
-        }
-      }
+        gs.state.topkPaths.put(topkName.toLowerCase, p)
+      case None =>
+        gs.state.topks.put(topkName.toLowerCase, buildState())
     }
     val streamKey = sinkFenceKey(topkName, checkpointLocation)
+    val legacyKeys = legacySinkKeys(topkName, checkpointLocation)
     val writer0 = stream.writeStream.outputMode("append").trigger(trigger)
     val writer = checkpointLocation
       .fold(writer0)(c => writer0.option("checkpointLocation", c))
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gs.appendToTopKForBatch(topkName, batch,
-          System.currentTimeMillis(), streamKey, batchId)
+          System.currentTimeMillis(), streamKey, batchId, legacyKeys)
       }
       .start()
   }
@@ -157,6 +190,7 @@ object StreamSinks {
       checkpointLocation: Option[String] = None): StreamingQuery = {
     val spark = gs.spark
     val streamKey = sinkFenceKey(sampleName, checkpointLocation)
+    val legacyKeys = legacySinkKeys(sampleName, checkpointLocation)
     val writer0 = stream.writeStream.outputMode("append").trigger(trigger)
     val writer = checkpointLocation
       .fold(writer0)(c => writer0.option("checkpointLocation", c))
@@ -202,9 +236,29 @@ object StreamSinks {
               // caller registered under baseName (batch view of the stream)
               spark.table(baseName).queryExecution.analyzed,
               existing, qcs, fraction, reservoirSize, Some(path)))
+          } else {
+            // the sample already lives in this session: the caller's path
+            // must agree with where it actually persists — appending would
+            // otherwise route on the REGISTERED state and silently send
+            // this sink's data elsewhere (or, for an in-memory sample,
+            // silently drop the durability the caller asked for). Same
+            // refuse-loudly contract as topkSink's re-home check; an
+            // in-memory sample isn't auto-persisted here because its
+            // existing rows were sampled under a design this sink's
+            // parameters may not match — drop it or use a fresh name.
+            gs.state.samples(sampleName).persistPath match {
+              case Some(existing) if existing == path => // durable here
+              case Some(existing) => throw new IllegalArgumentException(
+                s"sample $sampleName is already persisted at $existing; " +
+                  s"cannot re-home it to $path via sampleSink")
+              case None => throw new IllegalArgumentException(
+                s"sample $sampleName exists in-memory in this session; " +
+                  s"sampleSink(path=$path) would silently leave it " +
+                  "non-durable — drop the in-memory sample or use a fresh name")
+            }
           }
           gs.appendToSampleForBatch(sampleName, batch, streamKey, batchId,
-            seed = 42L + batchId)
+            seed = 42L + batchId, legacyStreamNames = legacyKeys)
         }
         ()
       }

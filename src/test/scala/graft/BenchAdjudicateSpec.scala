@@ -65,6 +65,14 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     // threshold is a parameter
     assert(BenchAdjudicate.promote(3.2, Seq.empty, sf, Some(sf), subset = false,
       maxLoad = 4.0))
+    // a run with ANY failed query execution never promotes: a crash "runs"
+    // in milliseconds, suspects only flag medians SLOWER than the ref, and
+    // a promoted near-zero reference would make every healthy run suspect
+    // (which blocks promotion) — a permanent ratchet
+    assert(!BenchAdjudicate.promote(0.1, Seq.empty, sf, Some(sf),
+      subset = false, failures = 1))
+    assert(BenchAdjudicate.promote(0.1, Seq.empty, sf, Some(sf),
+      subset = false, failures = 0))
   }
 
   test("vsRefTotal: ratio over the shared query set only") {

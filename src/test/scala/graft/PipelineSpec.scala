@@ -80,8 +80,15 @@ class PipelineSpec extends AnyFunSuite {
     // EQUAL the O(n^2) brute force at every d, on a corpus dense enough
     // that near-misses exist at each distance
     import spark.implicits._
+    // null-content rows ride along: they must never pair (the xxhash64
+    // table keys would otherwise give every null fingerprint in a table
+    // the same non-null key — the round-10 null-skip trap)
+    val nulls = Seq((900001L, null: String), (900002L, null: String),
+      (900003L, null: String)).toDF("doc_id", "text")
     val corpus = docs.limit(120).select(col("doc_id"), col("text"))
-    val fps = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .unionByName(nulls)
+    val fps = corpus.filter(col("text").isNotNull)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     for (d <- Seq(0, 1, 2, 3, 5)) {
       val want = (for {

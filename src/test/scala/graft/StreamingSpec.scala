@@ -83,21 +83,24 @@ class StreamingSpec extends AnyFunSuite {
       .createOrReplaceTempView("sink_eo_base")
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("grp", StringType)))
-    def start() = StreamSinks.sampleSink(gs,
+    def start(ckpt: String = s"$root/ckpt") = StreamSinks.sampleSink(gs,
       "sink_eo_sample", "sink_eo_base",
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$root/in"),
       qcs = Seq("grp"), fraction = 1.0, path = s"$root/sample",
-      checkpointLocation = Some(s"$root/ckpt"))
+      checkpointLocation = Some(ckpt))
     val q1 = start()
     q1.processAllAvailable(); q1.stop()
     assert(spark.read.parquet(s"$root/sample").count() === 40L)
     // resume from the checkpoint in a NEW query: committed batches are not
     // re-ingested (source offsets) and the fence key is stable, so only
-    // the two new files land — every input row exactly once
+    // the two new files land — every input row exactly once. The resume
+    // RESPELLS the checkpoint (trailing slash): Spark resolves it to the
+    // same query, and the fence key must too (it hashes the normalized
+    // path, not the raw string)
     (4 until 6).foreach(i => addFile(i, 100L + i * 10L, 10L))
     gs.state.samples.remove("sink_eo_sample") // fresh-session registration path
-    val q2 = start()
+    val q2 = start(s"$root/ckpt/")
     q2.processAllAvailable(); q2.stop()
     val rows = spark.read.parquet(s"$root/sample")
     assert(rows.count() === 60L, "resume must add only the new files' rows")
@@ -587,6 +590,43 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed in-memory sample batch must not double-append")
     gs.appendToSampleForBatch("fb_mem", batch, "fb_stream", 1L)
     assert(spark.table("fb_mem").count() === mem0 + 20)
+  }
+
+  test("legacy fence keys are honored but never advanced (key-format upgrade)") {
+    // a structure that applied batch N under a PRIOR fence-key spelling
+    // (pre-r12 checkpointed sinks keyed on the bare structure name) must
+    // not re-apply N when the resumed sink presents the new hashed key —
+    // the legacy spelling rides the structure's durable state across the
+    // upgrade even though no new code writes it
+    val gs = new GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_lf").toString
+    Seq("k1").toDF("event_type").createOrReplaceTempView("lf_base")
+    gs.sql("CREATE SAMPLE TABLE lf_sample ON lf_base OPTIONS(" +
+      s"qcs 'event_type', fraction '1.0', path '$root/sample')")
+    gs.sql("CREATE TOPK TABLE lf_topk ON lf_base OPTIONS(" +
+      "key 'event_type', streamSummary 'true', capacity '10000', " +
+      s"size '3', path '$root/topk')")
+    val batch = Seq.fill(10)("k1").toDF("event_type")
+    val legacy = "sink:lf"
+    val renamed = "sink:lf:hdeadbeef"
+    // the pre-upgrade code applied batch 0 under the legacy spelling
+    gs.appendToSampleForBatch("lf_sample", batch, legacy, 0L)
+    gs.appendToTopKForBatch("lf_topk", batch, 1000L, legacy, 0L)
+    val rows0 = spark.read.parquet(s"$root/sample").count()
+    val tk0 = gs.queryFrequency("lf_topk", "k1").map(_._2).get
+    // post-upgrade replay of batch 0 under the NEW key, legacy declared
+    gs.appendToSampleForBatch("lf_sample", batch, renamed, 0L, 42L, Seq(legacy))
+    gs.appendToTopKForBatch("lf_topk", batch, 1000L, renamed, 0L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0,
+      "legacy-applied batch must not re-apply under the new key")
+    assert(gs.queryFrequency("lf_topk", "k1").map(_._2) === Some(tk0))
+    // a genuinely new batch lands, and advances only the NEW key
+    gs.appendToSampleForBatch("lf_sample", batch, renamed, 1L, 42L, Seq(legacy))
+    gs.appendToTopKForBatch("lf_topk", batch, 2000L, renamed, 1L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0 + 10)
+    assert(gs.queryFrequency("lf_topk", "k1").map(_._2) === Some(tk0 + 10))
+    gs.sql("DROP SAMPLE TABLE lf_sample")
+    gs.sql("DROP TOPK TABLE lf_topk")
   }
 
   test("a pre-upgrade flat history migrates into __graft_batch=-1 on START") {

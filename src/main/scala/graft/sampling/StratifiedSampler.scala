@@ -319,6 +319,47 @@ object StratifiedSampler {
         val targets = broadcast(spark.createDataFrame(
           new java.util.ArrayList(scala.jdk.CollectionConverters
             .SeqHasAsJava(targetRows).asJava), targetsSchema))
+        // PUSH the prefilter BELOW the targets join: the thresholds are
+        // driver-known (they were just computed from the collected
+        // totals), so for a small stratum count the per-stratum cut can be
+        // a literal predicate sitting directly on the scan — measured at
+        // sf10u (60M rows, 3 strata), letting all 60M rows ride the
+        // broadcast join just to evaluate this filter cost ~6 s of a 17 s
+        // sample; the literal pre-cut drops the join input to
+        // ~cushion×target rows. The predicate reproduces the join-side
+        // filter EXACTLY (same thresholds, same keep-all branch), so the
+        // selected multiset is unchanged and the join-side filter stays on
+        // as a free re-check. Beyond `maxPredStrata` strata a giant
+        // OR-chain would bloat codegen for no win (many strata ⇒ the join
+        // pass is not the bottleneck) — fall back to join-then-filter; a
+        // key field type Literal.create can't carry falls back too.
+        val maxPredStrata = 64
+        val preCut: Option[Column] =
+          if (totals.length > maxPredStrata) None
+          else try {
+            val keyFields = keyed.schema(K).dataType match {
+              case s: org.apache.spark.sql.types.StructType => s.fields.toSeq
+              case _ => Seq.empty
+            }
+            val parts = targetRows.map { r =>
+              val tot = r.getLong(1)
+              val tgt = r.getLong(2)
+              val thr = r.getDouble(3)
+              val keyEq: Column =
+                if (keyFields.isEmpty) lit(true)
+                else {
+                  val kr = r.get(0).asInstanceOf[org.apache.spark.sql.Row]
+                  keyFields.zipWithIndex.map { case (f, i) =>
+                    col(K).getField(f.name) <=> org.apache.spark.sql.graft
+                      .Exprs.column(org.apache.spark.sql.catalyst.expressions
+                        .Literal.create(kr.get(i), f.dataType))
+                  }.reduce(_ && _)
+                }
+              if (tot <= tgt) keyEq
+              else keyEq && col(R1).cast("double") < lit(thr)
+            }
+            Some(parts.reduce(_ || _))
+          } catch { case _: Exception => None }
         // arithmetic shift of the signed hash: shard index is monotone in
         // the signed order the rank sorts by
         val shardCol = (shiftright(col(R1), shardBits) + lit(32)).cast("int")
@@ -326,7 +367,8 @@ object StratifiedSampler {
         // (~factor×target per stratum) are materialized so the offsets
         // branch and the rank pass read the same snapshot instead of
         // re-scanning and re-hashing the whole input
-        val survivors0 = keyed.withColumn(B, shardCol)
+        val preCutKeyed = preCut.fold(keyed)(keyed.filter)
+        val survivors0 = preCutKeyed.withColumn(B, shardCol)
           .join(targets, col(K) <=> col(K + "c"), "inner")
           .filter(col(TOT) <= col("__graft_target__") ||
             col(R1).cast("double") < col("__thr__"))
@@ -338,14 +380,15 @@ object StratifiedSampler {
         // the window) and broadcast back — these equal the full-count
         // offsets: a shard below the per-stratum threshold shard survives
         // whole, and a shard above it has no survivors
-        val offsets = broadcast(
-          survivors.groupBy(col(K).as(K + "o"), col(B).as(B + "o"))
-            .agg(count(lit(1)).as("__cnt__"))
-            .withColumn("__off__", coalesce(
-              sum(col("__cnt__")).over(Window.partitionBy(col(K + "o"))
-                .orderBy(col(B + "o"))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-            .select(col(K + "o"), col(B + "o"), col("__off__")))
+        val survCounts = survivors
+          .groupBy(col(K).as(K + "o"), col(B).as(B + "o"))
+          .agg(count(lit(1)).as("__cnt__"))
+        val offsets = broadcast(survCounts
+          .withColumn("__off__", coalesce(
+            sum(col("__cnt__")).over(Window.partitionBy(col(K + "o"))
+              .orderBy(col(B + "o"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col(K + "o"), col(B + "o"), col("__off__")))
         val ranked = survivors
           .join(offsets, col(K) <=> col(K + "o") && col(B) === col(B + "o"),
             "inner")
@@ -353,10 +396,20 @@ object StratifiedSampler {
             .over(Window.partitionBy(col(K), col(B)).orderBy(col(R1))) +
             col("__off__"))
           .filter(col("__graft_rn__") <= col("__graft_target__"))
-        // exact kept count (see the classic path's comment): a count-only
-        // window over ≤ target rows per stratum — no sort, tiny input
-        val kept = ranked.withColumn("__graft_kept__",
-          count(lit(1)).over(Window.partitionBy(col(K))))
+        // exact kept count WITHOUT a window over the ranked rows: the rank
+        // keeps exactly min(target, survivorsPerStratum) rows, and the
+        // per-stratum survivor totals are one tiny aggregation over the
+        // SAME ≤64-rows-per-stratum counts frame the offsets use — the
+        // count-only window this replaces shuffled every sampled row into
+        // one task per stratum (at 3 strata × 2M-row targets, 3 serial
+        // tasks over 6M rows for a number already known from ≤192 rows)
+        val keptPerK = broadcast(survCounts
+          .groupBy(col(K + "o").as(K + "k"))
+          .agg(sum(col("__cnt__")).as("__surv__")))
+        val kept = ranked
+          .join(keptPerK, col(K) <=> col(K + "k"), "inner")
+          .withColumn("__graft_kept__",
+            least(col("__graft_target__"), col("__surv__")))
         val keyHash = pmod(hash(col(K)), lit(256)).cast("int")
         val out = kept
           .withColumn(WeightColumn,

@@ -150,6 +150,40 @@ class SamplingSpec extends AnyFunSuite {
       s"sharded plan must partition the rank window by (stratum, shard):\n$plan")
   }
 
+  test("shard-ranked selection with NULL stratum keys matches the classic rank") {
+    // the literal per-stratum pre-cut compares each key field with
+    // Literal.create(value, type) under null-safe equality — a NULL
+    // stratum must select the identical multiset on both paths (and not
+    // vanish from, or flood, the pre-cut)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val base = (1 to 30000).map { i =>
+      val g = i % 4 match {
+        case 0 => null
+        case k => s"g$k"
+      }
+      (i.toLong, g, rnd.nextDouble())
+    }.toDF("id", "grp", "v")
+    def fingerprint(): Long = StratifiedSampler
+      .sample(base, Seq("grp"), fraction = 0.1, reservoirSize = 10)
+      .agg(sum(hash(col("id"), col("snappy_sampler_weightage"))
+        .cast("long"))).collect()(0).getLong(0)
+    spark.conf.set("spark.graft.sampler.shardRank", "off")
+    val classic =
+      try fingerprint()
+      finally spark.conf.set("spark.graft.sampler.shardRank", "on")
+    val sharded =
+      try fingerprint()
+      finally spark.conf.set("spark.graft.sampler.shardRank", "auto")
+    assert(sharded === classic,
+      "null-keyed strata must survive the literal pre-cut identically")
+    // and the null stratum is represented with its exact target
+    val nulls = StratifiedSampler
+      .sample(base, Seq("grp"), fraction = 0.1, reservoirSize = 10)
+      .filter(col("grp").isNull).count()
+    assert(nulls === 750L, s"null stratum kept $nulls of 7500 at 0.1")
+  }
+
   test("rankCols: pruned rank hash keeps counts exact, layout-independent, narrow scan") {
     import spark.implicits._
     // a synthetic frame with a genuine row key: id distinguishes rows

@@ -92,6 +92,20 @@ object BenchAdjudicate {
     else Some(shared.map(_._2).sum / refSum)
   }
 
+  /** Default adjudication-reference file for a scale-factor directory.
+   * One reference PER scale factor: `promote` refuses cross-sf promotion
+   * (correct — an sf1 run must not clobber the sf0.1 record the driver
+   * adjudicates against), so a single shared file meant scaled runs never
+   * self-adjudicated. The driver's operative sf0.1 dir keeps the
+   * historical `BENCH_ref.json`; every other dir gets
+   * `BENCH_ref_<basename>.json` (basename sanitized — an sf dir name is a
+   * path segment, not a trusted string). */
+  def refPathFor(sfDir: String): String = {
+    val base = new java.io.File(sfDir).getName
+      .toLowerCase.replaceAll("[^a-z0-9._-]", "_")
+    if (base == "sf0.1") "BENCH_ref.json" else s"BENCH_ref_$base.json"
+  }
+
   /** Current git HEAD, for labeling records and validating the reference
    * (a 3x delta against a DIFFERENT head may be a real plan change). */
   def gitHead(dir: String): Option[String] =
@@ -225,13 +239,21 @@ object Bench {
     // a settle, and label the summary so a contended run can never enter a
     // round record unmarked again
     // the reference is a SEPARATE, git-tracked file from the run record:
-    // BENCH_ref.json only ever changes by explicit promotion below, so a
-    // contended run can never poison the next round's adjudication
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_ref.json")
+    // it only ever changes by explicit promotion below, so a contended run
+    // can never poison the next round's adjudication. References are
+    // PER SCALE FACTOR (r12 verdict #4): promote refuses cross-sf
+    // promotion, so with one shared file sf1/sf10 runs could never
+    // self-adjudicate and scale curves relied on judge-side eyeballing —
+    // each sf dir now keys its own reference file. The driver's operative
+    // sf0.1 keeps the historical BENCH_ref.json name.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      BenchAdjudicate.refPathFor(sfDir))
     val (ref0, refHead, refSf) = BenchAdjudicate.readRef(refPath)
     // a reference recorded at a DIFFERENT scale factor cannot adjudicate
     // this run (a 10x-data run is legitimately >3x the sf0.1 record) —
-    // drop it rather than flag every scaled-up query suspect
+    // drop it rather than flag every scaled-up query suspect; reachable
+    // only via an explicit SPARK_GRAFT_BENCH_REF override now that the
+    // default path is sf-keyed
     val ref = if (refSf.forall(_ == sfDir)) ref0 else Map.empty[String, Double]
     val head = BenchAdjudicate.gitHead(".")
     val suspectNames = BenchAdjudicate.suspects(results, ref)

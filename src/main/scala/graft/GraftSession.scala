@@ -460,28 +460,39 @@ class GraftSession(val spark: SparkSession) {
 
   /** [[appendToTopKForBatch]] with `legacyStreamNames`: prior fence-key
    * spellings for the SAME logical stream (e.g. the pre-r12 checkpointed
-   * sink key). The fence honors the MAX watermark across current and
-   * legacy keys — a batch the structure applied under an old spelling must
-   * not re-apply after an upgrade changes the key — but only the current
-   * key's watermark advances. */
+   * sink key). Legacy watermarks are RETIRED on first consult
+   * ([[graft.topk.TopKState.fenceAndRetire]]): a resumed pre-upgrade
+   * query (batchId at or past the legacy watermark) migrates it into the
+   * current key and stays fenced; a brand-new query (batch ids restarted
+   * at 0) is NOT fenced by another query's stale watermark — pre-retire
+   * code fenced every future sink's batches 0..N on an upgraded store
+   * forever. Only the current key's watermark ever advances. */
   def appendToTopKForBatch(name: String, df: DataFrame, batchTimeMs: Long,
       streamName: String, batchId: Long,
       legacyStreamNames: Seq[String]): Unit = {
-    val keys = streamName +: legacyStreamNames
     state.topkPaths.get(name.toLowerCase) match {
       case Some(p) =>
         val partials = topkState(name).buildPartials(df)
         GraftSession.withPathLock(spark, p) {
           val st = attachTopKTable(name, p)
-          if (batchId > keys.map(st.appliedStreamBatch).max) {
+          val (fence, retired) =
+            st.fenceAndRetire(streamName, legacyStreamNames, batchId)
+          if (batchId > fence) {
             st.mergePartialsAt(spark, partials, batchTimeMs)
             st.setAppliedStreamBatch(streamName, batchId)
+            saveTopK(name, p)
+          } else if (retired) {
+            // fenced replay that retired legacy state: persist the
+            // retirement (and any migration) so a crash before the next
+            // applied batch cannot resurrect the stale legacy watermark
             saveTopK(name, p)
           }
         }
       case None =>
         val st = topkState(name)
-        if (batchId > keys.map(st.appliedStreamBatch).max) {
+        val (fence, _) =
+          st.fenceAndRetire(streamName, legacyStreamNames, batchId)
+        if (batchId > fence) {
           st.append(df, batchTimeMs)
           st.setAppliedStreamBatch(streamName, batchId)
         }
@@ -514,10 +525,17 @@ class GraftSession(val spark: SparkSession) {
     appendToSampleForBatch(rawName, df, streamName, batchId, seed, Nil)
 
   /** [[appendToSampleForBatch]] with `legacyStreamNames` — prior fence-key
-   * spellings of the same logical stream, honored (max watermark) but
-   * never advanced; their old-format leftover files for this batch are
-   * cleaned too, so a publish that crashed BEFORE a key-format upgrade
-   * still converges to one copy. */
+   * spellings of the same logical stream, RETIRED on first consult (same
+   * rule as [[graft.topk.TopKState.fenceAndRetire]]): a resumed
+   * pre-upgrade query — recognizable because its batch ids continue past
+   * the legacy watermark — migrates the watermark into the current key
+   * (and records a `__streammigrated.*` marker attributing the legacy
+   * FILE spellings to this stream); a brand-new query (batch ids
+   * restarted at 0) is not fenced by the stale watermark, which pre-retire
+   * code did forever. Legacy-spelling leftover FILES for this batch are
+   * cleaned only when the marker attributes them to this stream — a new
+   * query's batch ids overlap a previous stream's published batches, and
+   * deleting by the shared legacy spelling would destroy published data. */
   def appendToSampleForBatch(rawName: String, df: DataFrame,
       streamName: String, batchId: Long, seed: Long,
       legacyStreamNames: Seq[String]): DataFrame = {
@@ -528,12 +546,34 @@ class GraftSession(val spark: SparkSession) {
       case Some(path) =>
         val conf = spark.sessionState.newHadoopConf()
         val wmKey = s"__streambatch.${streamName.toLowerCase}"
-        val wmKeys = wmKey +: legacyStreamNames.map(n =>
+        val migratedKey = s"__streammigrated.${streamName.toLowerCase}"
+        val legacyWmKeys = legacyStreamNames.map(n =>
           s"__streambatch.${n.toLowerCase}")
         GraftSession.withPathLock(spark, path) {
-          val applied = wmKeys.flatMap(k =>
+          val cur = GraftSession.readSampleMetaProp(path, wmKey, conf)
+            .map(_.toLong)
+          val legacyVals = legacyWmKeys.flatMap(k =>
             GraftSession.readSampleMetaProp(path, k, conf).map(_.toLong))
-            .foldLeft(-1L)(math.max)
+          val migrating = cur.isEmpty && legacyVals.nonEmpty &&
+            batchId >= legacyVals.max
+          val applied = (cur, legacyVals) match {
+            case (Some(c), ls) => ls.foldLeft(c)(math.max) // defensive max
+            case (None, ls) if ls.nonEmpty && batchId >= ls.max => ls.max
+            case _ => -1L // brand-new stream: stale legacy must not fence
+          }
+          if (legacyVals.nonEmpty) {
+            // retire NOW, in one atomic meta republish — even when the
+            // batch below is fenced, so a crash cannot resurrect the
+            // stale watermark for the next brand-new sink
+            GraftSession.rewriteSampleMetaProps(path, legacyWmKeys,
+              if (migrating)
+                Map(wmKey -> legacyVals.max.toString, migratedKey -> "true")
+              else Map.empty, conf)
+          }
+          // legacy FILE spellings belong to this stream iff it migrated
+          // (now, or on an earlier consult that crashed before publishing)
+          val ownsLegacyFiles = migrating || GraftSession
+            .readSampleMetaProp(path, migratedKey, conf).isDefined
           if (batchId > applied) {
             val sampled = StratifiedSampler.sample(df, info.qcs.map(expr),
               info.fraction, info.reservoirSize, seed, preFilter = true,
@@ -553,12 +593,17 @@ class GraftSession(val spark: SparkSession) {
             val staging = new org.apache.hadoop.fs.Path(dir,
               s".staging-$safe-b$batchId")
             // pre-hash file name formats, so a store carrying leftovers of
-            // a publish that crashed BEFORE an upgrade still converges
-            // (deleting them carries exactly the risk the old code had, on
-            // exactly the files the old code wrote — no new exposure):
-            // this stream's own pre-hash spelling, plus every legacy
-            // fence-key spelling the caller declared
-            val legacyRaws = raw +: legacyStreamNames.map(_.toLowerCase)
+            // a publish that crashed BEFORE an upgrade still converges:
+            // this stream's own pre-hash spelling always (the raw key
+            // embeds the checkpoint hash, so it is stream-unique), plus
+            // the SHARED legacy fence-key spellings only when the
+            // migration marker attributes them to this stream — a
+            // brand-new query's batch ids overlap a previous stream's
+            // published batches under the shared spelling, and deleting
+            // by it would destroy that stream's published data
+            val legacyRaws = raw +:
+              (if (ownsLegacyFiles) legacyStreamNames.map(_.toLowerCase)
+               else Nil)
             val legacyPrefixes = legacyRaws.map { r =>
               val s = r.replaceAll("[^a-z0-9]", "_")
               (s"stream-$s-b$batchId-", s".staging-$s-b$batchId")
@@ -1366,6 +1411,31 @@ object GraftSession {
     val fs = p.getFileSystem(conf)
     val props = loadPropsTornFree(p, conf)
     props.setProperty(key, value)
+    val tmp = new org.apache.hadoop.fs.Path(path, MetaFile + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try props.store(out, "graft sample registry") finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(p).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Read-modify-write of SEVERAL registry-metadata properties in ONE
+   * atomic republish (remove then set) — the legacy fence-key retirement
+   * must delete the stale keys and land any migrated watermark together,
+   * or a crash between two single-prop updates leaves half-retired state.
+   * CALLER holds the path lock. No-op when there is nothing to change. */
+  private[graft] def rewriteSampleMetaProps(path: String,
+      remove: Seq[String], set: Map[String, String],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(conf)
+    val props = loadPropsTornFree(p, conf)
+    val changed = remove.count(k => props.remove(k) != null) > 0 ||
+      set.exists { case (k, v) => props.getProperty(k) != v }
+    if (!changed) return
+    set.foreach { case (k, v) => props.setProperty(k, v) }
     val tmp = new org.apache.hadoop.fs.Path(path, MetaFile + ".tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)

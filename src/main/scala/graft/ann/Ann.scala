@@ -287,9 +287,10 @@ object Ann {
    * band i's bucket key is element i. A pair is a
    * candidate iff it agrees on ALL planes of AT LEAST ONE band, so for
    * angle θ the recall is `1-(1-(1-θ/π)^numPlanes)^bands` while random
-   * unrelated pairs collide at ~`bands·2^-numPlanes`. The defaults (16
-   * planes x 4 bands) put the knee where dedup lives: cosine 0.999 →
-   * recall 0.999, 0.99 → 0.987, 0.95 → 0.55, with 4x LESS candidate noise
+   * unrelated pairs collide at ~`bands·2^-numPlanes`. The fixed form's
+   * reference point (16 planes x 4 bands) puts the knee where dedup
+   * lives: cosine 0.999 → recall 0.999, 0.99 → 0.987, 0.95 → 0.55, with
+   * 4x LESS candidate noise
    * than the previous single-band 12-plane form (6e-5 vs 2.4e-4 per random
    * pair) — whose 0.99-cosine recall was only 0.74. Exact duplicates share
    * every band at ANY setting (θ=0), and the exact-cosine verify decides
@@ -305,27 +306,34 @@ object Ann {
    * A pre-fetch representative collapse was measured and rejected; see the
    * note at the fetch join.
    *
-   * `numPlanes = 0` opts into AUTO-SIZING: the band width is set to
-   * ~log₂(n/8) — random-collision bucket occupancy stays near a constant
-   * ~8 as the corpus grows, so the candidate term is LINEAR in n instead
-   * of a fixed width's n²/2^numPlanes (the residual 0.85 log-log slope
-   * measured at sf10). Width is clamped to [8, 24]; whenever auto picks a
-   * width ABOVE the default 16, the band count grows too, sized from the
-   * S-curve `recall = 1-(1-(1-θ/π)^numPlanes)^bands` to keep recall at
-   * the caller's threshold ≥ what the default (16 × `bands`) would give
-   * (band count capped at 16 — thresholds below ~0.95 on 10⁸+ corpora
-   * can exhaust the cap, where the explicit knobs are the honest tool).
-   * Width ≤ 16 needs no growth: per-band recall only rises as width
-   * shrinks. So auto recall dominates the default's at every n, and the
-   * measured trade below the n ≈ 5·10⁵ crossover is candidate volume
-   * (sf10u, 200k vectors: auto p=15 16.0 s vs default 10.9 s, SAME 72 000
-   * pairs found), flipping decisively above it (2M vectors: auto p=18 b=5
-   * beats the default's saturated 2^16 buckets — see BENCH_sf1 addendum
-   * 10). It stays an OPT-IN because the chosen parameters (hence the
-   * exact candidate set) depend on n — defaults must not silently change
-   * recall under a user between runs. Costs one extra count() pass. */
+   * `numPlanes = 0` — THE DEFAULT — is AUTO-SIZING: the band width is set
+   * to ~log₂(n/8) — random-collision bucket occupancy stays near a
+   * constant ~8 as the corpus grows, so the candidate term is LINEAR in n
+   * instead of a fixed width's n²/2^numPlanes (the residual 0.85 log-log
+   * slope measured at sf10). Width is clamped to [8, 24]; whenever auto
+   * picks a width ABOVE the fixed-form 16, the band count grows too,
+   * sized from the S-curve `recall = 1-(1-(1-θ/π)^numPlanes)^bands` to
+   * keep recall at the caller's threshold ≥ what a fixed (16 × `bands`)
+   * setting would give (band count capped at 16, with a stderr warning
+   * when the cap BINDS — thresholds below ~0.95 on 10⁸+ corpora, where
+   * the explicit knobs are the honest tool). Width ≤ 16 needs no growth:
+   * per-band recall only rises as width shrinks. So auto recall dominates
+   * the fixed form's at every n (pinned by PipelineSpec's 100-planted-pair
+   * corpus), and the measured trade below the n ≈ 5·10⁵ crossover is
+   * candidate volume (sf10u, 200k vectors: auto p=15 16.0 s vs fixed
+   * 10.9 s, SAME 72 000 pairs found), flipping decisively above it: at 2M
+   * vectors the fixed 16-plane form's 2^16 buckets/band saturate (~30
+   * random rows each) and the candidate join DIES in 69 GB of shuffle
+   * spill, while auto (p=18, b=5) finishes in 123 s — see BENCH_sf1
+   * addendum 10. That measurement is why auto is the DEFAULT: a fixed
+   * width that provably dies at 2M vectors is the wrong default for an
+   * engine aimed at 10⁸-row corpora. Auto's chosen parameters (hence the
+   * exact candidate set) depend on n, so the candidate RECALL above the
+   * guarantee point may shift between runs as the corpus grows — callers
+   * needing a run-stable candidate set pass an explicit `numPlanes`.
+   * Costs one extra count() pass. */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 16, bands: Int = 4,
+      threshold: Double, numPlanes: Int = 0, bands: Int = 4,
       seed: Long = 7L): DataFrame = {
     require(numPlanes >= 0 && numPlanes <= 64 && bands >= 1 && bands <= 64,
       s"need 0 <= numPlanes <= 64 (0 = auto) and 1 <= bands <= 64: " +
@@ -347,6 +355,17 @@ object Ann {
           val r0 = 1.0 - math.pow(1.0 - math.pow(sMatch, 16.0), bands.toDouble)
           val need = math.ceil(math.log1p(-r0) /
             math.log1p(-math.pow(sMatch, p.toDouble))).toInt
+          if (need > 16) {
+            // the cap binds: auto cannot meet the fixed form's recall at
+            // this (threshold, n) and silently under-delivering would
+            // contradict the documented dominance — tell the caller the
+            // honest tool is the explicit knobs
+            System.err.println(s"cosineDedupPairs auto-sizing: band cap " +
+              s"binds (need $need > 16 bands at width $p for threshold " +
+              s"$threshold over n=$n rows) — recall falls below the fixed " +
+              s"16-plane form's; pass explicit numPlanes/bands for this " +
+              "corpus")
+          }
           math.max(bands, math.min(16, need))
         }
       (p, b)

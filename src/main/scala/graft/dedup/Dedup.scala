@@ -159,16 +159,27 @@ object Dedup {
    * (64·(k-d)/k bits ⇒ exponentially fewer random collisions) — the knob
    * that killed q12's 1.32 scale slope: the old fixed 4×16-bit chunking is
    * exactly the k=4 point of this scheme, whose 16-bit keys saturate past
-   * ~10⁵ docs (n²/2^16 candidates). Chosen points keep keys ≥ 32 bits for
-   * every supported d; d = 0 degenerates to ONE table keyed on the whole
-   * fingerprint (zero blocking noise — equal fingerprints only). */
+   * ~10⁵ docs (n²/2^16 candidates). Chosen points keep keys ≥ 32 bits at
+   * d ≤ 4 and 24 bits at d = 5 (the table-count/key-width trade: d = 4's
+   * C(8,4) = 70 tables cost a 70× linear row blow-up to cut random
+   * collisions 2^16× vs the old chunking — the right side of the trade
+   * from n ≈ 10⁵ up; d = 5 at C(8,3) = 56 tables holds 24-bit keys,
+   * n²/2^24 residual noise). d = 0 degenerates to ONE table keyed on the
+   * whole fingerprint (zero blocking noise — equal fingerprints only).
+   * d ≥ 6 has NO point in this table with keys wide enough to avoid the
+   * saturation disease (64/k-bit blocks shrink as k grows), so
+   * [[simhashPairs]] rejects it rather than silently reverting to
+   * narrow-key candidates that die at scale. */
   private def simhashBlocking(maxHamming: Int): (Int, Seq[Seq[Int]]) = {
     val k = maxHamming match {
       case 0 => 1
       case 1 => 2 // C(2,1) = 2 tables, 32-bit keys
       case 2 => 4 // C(4,2) = 6 tables, 32-bit keys
       case 3 => 6 // C(6,3) = 20 tables, 32-bit keys
-      case d => d + 1 // classic pigeonhole fallback: d+1 single-block tables
+      case 4 => 8 // C(8,4) = 70 tables, 32-bit keys
+      case 5 => 8 // C(8,3) = 56 tables, 24-bit keys
+      case d => throw new IllegalArgumentException(
+        s"simhash blocking supports maxHamming in [0, 5]: $d")
     }
     val keep = k - math.min(maxHamming, k - 1)
     ((k, (0 until k).combinations(keep).map(_.toSeq).toSeq))
@@ -177,13 +188,20 @@ object Dedup {
   /** SimHash near-dup pairs within `maxHamming` bits of 64-bit Hamming
    * distance. Candidate generation blocks on (k-d)-subsets of fingerprint
    * blocks ([[simhashBlocking]] — Manku et al. 2007), so no O(n²) cross
-   * join and ≥32-bit block keys at every supported d; the exact
+   * join and ≥32-bit block keys at d ≤ 4 (24 bits at d = 5); the exact
    * `bit_count(xor)` verify decides membership, so the blocking design
-   * changes candidate volume only, never the output pair set. */
+   * changes candidate volume only, never the output pair set.
+   * `maxHamming` is capped at 5: beyond it every block-permutation point
+   * leaves keys so narrow (64/k-bit blocks) that random collisions grow
+   * an n²/2^(small) term — the saturation disease the d ≤ 3 redesign
+   * cured — and a 64-bit fingerprint at Hamming > 5 is no longer a
+   * meaningful near-duplicate signal anyway (use MinHash banding with a
+   * lower threshold for looser similarity). */
   def simhashPairs(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 64): $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 5,
+      s"maxHamming must be in [0, 5] (wider radii saturate the blocking " +
+        s"keys — use minhash/jaccard for looser similarity): $maxHamming")
     val (k, tables) = simhashBlocking(maxHamming)
     // block i = fingerprint bits [64i/k, 64(i+1)/k) (near-equal widths)
     val bounds = (0 to k).map(i => i * 64 / k)

@@ -359,7 +359,18 @@ object StratifiedSampler {
               else keyEq && col(R1).cast("double") < lit(thr)
             }
             Some(parts.reduce(_ || _))
-          } catch { case _: Exception => None }
+          } catch {
+            // expected: Literal.create cannot carry a key field's type
+            // (its converter failures span exception classes, so the
+            // catch stays broad) — but the fallback must never be SILENT:
+            // a genuine bug (schema drift between keyed and targets)
+            // would otherwise just disable the measured ~6 s/pass
+            // optimization with no signal it stopped engaging
+            case scala.util.control.NonFatal(e) =>
+              System.err.println("StratifiedSampler: literal pre-cut " +
+                s"disabled, falling back to join-side filter only: $e")
+              None
+          }
         // arithmetic shift of the signed hash: shard index is monotone in
         // the signed order the rank sorts by
         val shardCol = (shiftright(col(R1), shardBits) + lit(32)).cast("int")

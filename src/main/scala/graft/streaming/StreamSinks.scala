@@ -50,13 +50,18 @@ object StreamSinks {
     }
 
   /** Fence-key spellings PRIOR code used for the same logical sink, fed to
-   * the ForBatch appends' legacy fallback: a structure that applied batch N
-   * under the old key must not re-apply N after this upgrade changed the
-   * key format (the watermark lives in the structure's durable state, so
-   * the old spelling survives the restart even though no new code ever
-   * writes it). Pre-r12 checkpointed sinks keyed on the bare structure
-   * name; without a checkpoint the old keys were start()-unique and fence
-   * nothing durable. */
+   * the ForBatch appends' retire-on-first-consult fallback: a structure
+   * that applied batch N under the old key must not re-apply N after this
+   * upgrade changed the key format (the watermark lives in the structure's
+   * durable state, so the old spelling survives the restart even though no
+   * new code ever writes it). The appends MIGRATE the old watermark into
+   * the new key when the consulting query's batch ids continue past it
+   * (the resumed pre-upgrade query) and DROP it when they restarted at 0
+   * (a brand-new query, which a stale watermark must not fence) — either
+   * way the legacy key is deleted, so upgraded stores don't carry the
+   * shared-key spelling forever. Pre-r12 checkpointed sinks keyed on the
+   * bare structure name; without a checkpoint the old keys were
+   * start()-unique and fence nothing durable. */
   private def legacySinkKeys(structName: String,
       checkpointLocation: Option[String]): Seq[String] =
     if (checkpointLocation.isDefined) Seq(s"sink:$structName") else Nil

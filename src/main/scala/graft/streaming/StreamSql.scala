@@ -160,17 +160,24 @@ object StreamSql {
     val dir = new org.apache.hadoop.fs.Path(historyPath)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return
-    val legacy = fs.listStatus(dir).filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith(".") && !n.startsWith("_")
-    }
-    if (legacy.nonEmpty) {
-      val dst = new org.apache.hadoop.fs.Path(dir, "__graft_batch=-1")
-      fs.mkdirs(dst)
-      legacy.foreach { s =>
-        require(fs.rename(s.getPath,
-          new org.apache.hadoop.fs.Path(dst, s.getPath.getName)),
-          s"could not migrate legacy history file ${s.getPath}")
+    // two sessions (or JVMs) issuing STREAMING START on the same stream
+    // table race this migration — serialize on the shared path lock, and
+    // tolerate a file that vanished because the winner already moved it
+    // (the list above ran before the lock was acquired in the loser)
+    graft.GraftSession.withPathLock(spark, historyPath) {
+      val legacy = fs.listStatus(dir).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }
+      if (legacy.nonEmpty) {
+        val dst = new org.apache.hadoop.fs.Path(dir, "__graft_batch=-1")
+        fs.mkdirs(dst)
+        legacy.foreach { s =>
+          val moved = fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(dst, s.getPath.getName))
+          require(moved || !fs.exists(s.getPath),
+            s"could not migrate legacy history file ${s.getPath}")
+        }
       }
     }
   }

@@ -305,6 +305,43 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     streamBatches.getOrElse(stream.toLowerCase, -1L)
   }
 
+  /** Fence consult with ONE-TIME retirement of legacy fence-key spellings
+   * (pre-upgrade keys like `sink:<name>` that prior code wrote for the
+   * same logical stream). Returns `(fence watermark for this consult,
+   * whether legacy state was retired — i.e. the map changed and a
+   * path-backed structure should persist)`.
+   *
+   * Retirement semantics: a legacy watermark must fence the RESUMED
+   * pre-upgrade query's replayed batches (its batch ids continue past the
+   * watermark, so its first post-upgrade consult arrives with
+   * `batchId >= legacy`) — that consult MIGRATES the watermark into the
+   * current key. A consult with `batchId < legacy` and no current-key
+   * history is a BRAND-NEW query whose batch ids restarted at 0; fencing
+   * it against another query's stale watermark silently drops its
+   * batches 0..N forever (the r12 shared-key data-loss bug, persisting
+   * indefinitely for upgraded stores), so the stale state is dropped
+   * instead. Either way the legacy keys are deleted — retired exactly
+   * once, never consulted again. */
+  def fenceAndRetire(current: String, legacyKeys: Seq[String],
+      batchId: Long): (Long, Boolean) = stateLock.synchronized {
+    val cur = current.toLowerCase
+    val c = streamBatches.get(cur)
+    val legacyLc = legacyKeys.map(_.toLowerCase)
+    val legacyVals = legacyLc.flatMap(streamBatches.get)
+    if (legacyVals.isEmpty) (c.getOrElse(-1L), false)
+    else {
+      val l = legacyVals.max
+      legacyLc.foreach(streamBatches.remove)
+      val fence = c match {
+        // defensive max — post-upgrade writes only ever land above l
+        case Some(v) => math.max(v, l)
+        case None if batchId >= l => streamBatches.put(cur, l); l
+        case None => -1L
+      }
+      (fence, true)
+    }
+  }
+
   def setAppliedStreamBatch(stream: String, batchId: Long): Unit =
     stateLock.synchronized {
       val k = stream.toLowerCase

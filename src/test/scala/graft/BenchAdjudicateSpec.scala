@@ -136,4 +136,27 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(!BenchAdjudicate.promote(0.0, flagged, "/x", Some("/x"),
       subset = false))
   }
+
+  test("reference files are keyed per scale factor") {
+    // promote refuses cross-sf promotion (an sf1 run must not clobber the
+    // operative sf0.1 record), so one shared ref file meant scaled runs
+    // never self-adjudicated — every sf dir resolves its OWN reference
+    assert(BenchAdjudicate.refPathFor("/root/testdata/sf0.1") ===
+      "BENCH_ref.json") // the driver's operative sf keeps the legacy name
+    assert(BenchAdjudicate.refPathFor("/tmp/sf1u") === "BENCH_ref_sf1u.json")
+    assert(BenchAdjudicate.refPathFor("/tmp/sf10u") ===
+      "BENCH_ref_sf10u.json")
+    // distinct sf dirs must never alias to one file, and shell-hostile
+    // characters in a dir name must not reach the file name
+    assert(BenchAdjudicate.refPathFor("/tmp/SF 1;x") === "BENCH_ref_sf_1_x.json")
+    assert(BenchAdjudicate.refPathFor("/a/sf1") !==
+      BenchAdjudicate.refPathFor("/a/sf10"))
+    // cross-sf refusal itself still holds (belt and braces: the per-sf
+    // path makes the mismatch unreachable by default, the rule keeps an
+    // explicit SPARK_GRAFT_BENCH_REF override honest)
+    assert(!BenchAdjudicate.promote(0.0, Nil, "/tmp/sf1u",
+      Some("/root/testdata/sf0.1"), subset = false))
+    assert(BenchAdjudicate.promote(0.0, Nil, "/tmp/sf1u",
+      Some("/tmp/sf1u"), subset = false))
+  }
 }

@@ -90,7 +90,7 @@ class PipelineSpec extends AnyFunSuite {
     val fps = corpus.filter(col("text").isNotNull)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
-    for (d <- Seq(0, 1, 2, 3, 5)) {
+    for (d <- Seq(0, 1, 2, 3, 4, 5)) {
       val want = (for {
         (ia, fa) <- fps; (ib, fb) <- fps
         if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= d
@@ -100,6 +100,12 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === want, s"maxHamming=$d: blocking lost or invented pairs")
     }
+    // d >= 6 has no blocking point with keys wide enough to avoid the
+    // n²/2^(small) saturation term — rejected loudly, never silently slow
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 6)
+    }
+    assert(e.getMessage.contains("[0, 5]"))
   }
 
   test("ngram jaccard: identity 1, disjoint 0") {

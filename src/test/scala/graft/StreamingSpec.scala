@@ -629,6 +629,90 @@ class StreamingSpec extends AnyFunSuite {
     gs.sql("DROP TOPK TABLE lf_topk")
   }
 
+  test("legacy watermarks are retired: stale state never fences a brand-new query") {
+    // the r12 upgrade path left the pre-upgrade `sink:<name>` watermark in
+    // the structure's durable state FOREVER, and honored it on every
+    // consult — so on an upgraded store every future brand-new
+    // checkpointed sink (fresh query, batch ids restarting at 0) had its
+    // batches 0..N silently fenced out by another query's stale watermark.
+    // Retirement rule: a consult whose batch ids CONTINUE past the legacy
+    // watermark is the resumed pre-upgrade query and migrates it; one
+    // whose ids restarted below it is a new query and drops it — either
+    // way the legacy key is deleted after the first consult.
+    val gs = new GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_lr").toString
+    Seq("k1").toDF("event_type").createOrReplaceTempView("lr_base")
+    gs.sql("CREATE SAMPLE TABLE lr_sample ON lr_base OPTIONS(" +
+      s"qcs 'event_type', fraction '1.0', path '$root/sample')")
+    gs.sql("CREATE TOPK TABLE lr_topk ON lr_base OPTIONS(" +
+      "key 'event_type', streamSummary 'true', capacity '10000', " +
+      s"size '3', path '$root/topk')")
+    val batch = Seq.fill(10)("k1").toDF("event_type")
+    val legacy = "sink:lr"
+    val created = spark.read.parquet(s"$root/sample").count()
+    // pre-upgrade sink applied batches 0..2 under the legacy spelling
+    (0L to 2L).foreach { b =>
+      gs.appendToSampleForBatch("lr_sample", batch, legacy, b)
+      gs.appendToTopKForBatch("lr_topk", batch, 1000L * (b + 1), legacy, b)
+    }
+    val rows0 = spark.read.parquet(s"$root/sample").count()
+    val tk0 = gs.queryFrequency("lr_topk", "k1").map(_._2).get
+    // brand-new checkpointed query A: fresh checkpoint, batch ids restart
+    // at 0 — the stale watermark (2) must NOT fence it
+    val keyA = "sink:lr:haaaa1111"
+    gs.appendToSampleForBatch("lr_sample", batch, keyA, 0L, 42L, Seq(legacy))
+    gs.appendToTopKForBatch("lr_topk", batch, 9000L, keyA, 0L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0 + 10,
+      "a brand-new query's batch 0 must apply despite the stale legacy watermark")
+    assert(gs.queryFrequency("lr_topk", "k1").map(_._2) === Some(tk0 + 10))
+    // ...and the legacy spelling's PUBLISHED files survive (retirement
+    // must not delete another stream's data by the shared spelling)
+    assert(rows0 === created + 30L,
+      "legacy-published batches must remain intact")
+    // A's own replay of batch 0 is still fenced by A's new-key watermark
+    gs.appendToSampleForBatch("lr_sample", batch, keyA, 0L, 42L, Seq(legacy))
+    gs.appendToTopKForBatch("lr_topk", batch, 9000L, keyA, 0L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0 + 10)
+    assert(gs.queryFrequency("lr_topk", "k1").map(_._2) === Some(tk0 + 10))
+    // the legacy watermark is GONE from the durable state (retired on
+    // first consult, not just out-voted) — a second new query B is clean
+    val conf = spark.sessionState.newHadoopConf()
+    assert(GraftSession.readSampleMetaProp(s"$root/sample",
+      s"__streambatch.$legacy", conf).isEmpty,
+      "sample legacy watermark must be deleted on first consult")
+    val keyB = "sink:lr:hbbbb2222"
+    gs.appendToSampleForBatch("lr_sample", batch, keyB, 0L, 42L, Seq(legacy))
+    gs.appendToTopKForBatch("lr_topk", batch, 9500L, keyB, 0L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0 + 20)
+    assert(gs.queryFrequency("lr_topk", "k1").map(_._2) === Some(tk0 + 20))
+    // migration variant persists durably: a RESUMED pre-upgrade query on a
+    // fresh structure (batch ids continuing past the watermark) stays
+    // fenced across a re-attach in a NEW session (crash/resume shape)
+    gs.sql("CREATE SAMPLE TABLE lm_sample ON lr_base OPTIONS(" +
+      s"qcs 'event_type', fraction '1.0', path '$root/m_sample')")
+    gs.appendToSampleForBatch("lm_sample", batch, "sink:lm", 5L)
+    val m0 = spark.read.parquet(s"$root/m_sample").count()
+    val keyM = "sink:lm:hcccc3333"
+    // replay of batch 5 under the new key: fenced AND migrated
+    gs.appendToSampleForBatch("lm_sample", batch, keyM, 5L, 42L, Seq("sink:lm"))
+    assert(spark.read.parquet(s"$root/m_sample").count() === m0)
+    assert(GraftSession.readSampleMetaProp(s"$root/m_sample",
+      s"__streambatch.sink:lm", conf).isEmpty, "migrated key must be retired")
+    assert(GraftSession.readSampleMetaProp(s"$root/m_sample",
+      s"__streambatch.$keyM", conf) === Some("5"),
+      "the watermark must move under the resumed query's new key")
+    // a fresh session over the same store still fences the replay
+    val gs2 = new GraftSession(spark)
+    gs2.attachSampleTable("lm_sample2", s"$root/m_sample")
+    gs2.appendToSampleForBatch("lm_sample2", batch, keyM, 5L, 42L,
+      Seq("sink:lm"))
+    assert(spark.read.parquet(s"$root/m_sample").count() === m0,
+      "migrated watermark must fence the replay after re-attach")
+    gs.sql("DROP SAMPLE TABLE lr_sample")
+    gs.sql("DROP SAMPLE TABLE lm_sample")
+    gs.sql("DROP TOPK TABLE lr_topk")
+  }
+
   test("a pre-upgrade flat history migrates into __graft_batch=-1 on START") {
     // the exactly-once layout stores history as per-batch partition dirs;
     // a history written by the old flat-append layout (reachable because

@@ -309,6 +309,76 @@ class GraftSession(val spark: SparkSession) {
     sampleDf
   }
 
+  /** Snapshot read of a sample table with READ-YOUR-WRITES consistency
+   * through crash-recovery republication — the strong-reader companion to
+   * the weaker plain-`spark.read.parquet` contract documented at
+   * [[appendToSampleForBatch]].
+   *
+   * The weaker contract's window: recovering a crashed batch runs
+   * delete-by-prefix → stage → rename under the path lock, and a plain
+   * reader that lists between the delete and the renames transiently
+   * MISSES the recovering batch's rows (or fails outright when a listed
+   * file vanishes mid-read). This reader closes the window by taking the
+   * SAME lock for the file LISTING only: every store mutation happens
+   * under that lock and every published file is renamed into place
+   * complete, so an under-lock listing is a consistent one-copy snapshot
+   * — mid-recovery states (after the delete, before the renames) are
+   * unobservable by construction. The Spark job then runs over that
+   * pinned file list WITHOUT the lock (holding a cross-JVM lock across a
+   * distributed job would stall writers): files of ACKNOWLEDGED batches
+   * are never deleted afterwards, and a pinned unacknowledged leftover
+   * that a concurrent recovery deletes before the job reads it surfaces
+   * as a read failure — retried with a fresh snapshot (bounded; each
+   * retry re-lists under the lock, so it only loops while recoveries are
+   * actively churning the same batch).
+   *
+   * In-memory samples return the registered DataFrame unchanged. */
+  def readSample(rawName: String, maxRetries: Int = 5): DataFrame = {
+    val name = state.resolveSample(rawName).getOrElse(
+      throw new IllegalArgumentException(s"No sample table named $rawName"))
+    val info = state.samples(name)
+    info.persistPath match {
+      case None => info.sampleDf
+      case Some(path) =>
+        val conf = spark.sessionState.newHadoopConf()
+        def snapshotFiles(): Seq[String] =
+          GraftSession.withPathLock(spark, path) {
+            val dir = new org.apache.hadoop.fs.Path(path)
+            val fs = dir.getFileSystem(conf)
+            if (!fs.exists(dir)) Seq.empty
+            else fs.listStatus(dir).toSeq.collect {
+              case s if s.isFile && s.getPath.getName.endsWith(".parquet") &&
+                !s.getPath.getName.startsWith(".") &&
+                !s.getPath.getName.startsWith("_") =>
+                s.getPath.toString
+            }
+          }
+        var attempt = 0
+        var out: Option[DataFrame] = None
+        while (out.isEmpty) {
+          attempt += 1
+          val files = snapshotFiles()
+          if (files.isEmpty) out = Some(info.sampleDf.limit(0))
+          else {
+            // the read's schema inference reads footers of the pinned
+            // files NOW — a file a concurrent recovery deleted since the
+            // snapshot surfaces here, where the loop can re-snapshot,
+            // rather than inside the caller's job. (Beyond this point a
+            // recovery republishes a churned batch under the SAME
+            // deterministic file names with the same replayed content, so
+            // the pinned names cannot silently lose rows — worst case is
+            // a task-level read failure for the caller to retry.)
+            try out = Some(spark.read.parquet(files: _*))
+            catch {
+              case scala.util.control.NonFatal(_) if attempt <= maxRetries =>
+                spark.catalog.refreshByPath(path)
+            }
+          }
+        }
+        out.get
+    }
+  }
+
   def dropSampleTable(name: String): Unit = {
     state.resolveSample(name).flatMap(state.samples.remove).foreach { info =>
       info.sampleDf.unpersist()
@@ -517,9 +587,10 @@ class GraftSession(val spark: SparkSession) {
    * mid-read. It can never observe duplicates or a torn batch (files are
    * only ever renamed complete, and the delete precedes the republish).
    * This window exists only while recovering a crash; steady-state appends
-   * only ever ADD files. Readers needing stronger guarantees should read
-   * under [[GraftSession.withPathLock]] — pinned by
-   * CrossJvmConcurrencySpec's reader-during-recovery case. */
+   * only ever ADD files. Readers needing read-your-writes through recovery
+   * use [[readSample]], which pins a lock-consistent file snapshot —
+   * both contracts pinned by CrossJvmConcurrencySpec's
+   * reader-during-recovery case. */
   def appendToSampleForBatch(rawName: String, df: DataFrame,
       streamName: String, batchId: Long, seed: Long = 43L): DataFrame =
     appendToSampleForBatch(rawName, df, streamName, batchId, seed, Nil)

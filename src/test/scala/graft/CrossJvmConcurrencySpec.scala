@@ -548,7 +548,24 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
         } catch { case _: Exception => () } // transient read failure: allowed
       }
     })
+    // the STRONG reader: readSample pins a lock-consistent file snapshot,
+    // so unlike the plain reader above it must NEVER observe the
+    // transient-miss state (count full-40) — read failures while the
+    // writer churns the same batch stay allowed (they surface loudly and
+    // the caller retries; silent row loss is the bug class under test)
+    var snapReads = 0L
+    val snapBad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val snapReader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val n = gs.readSample("rr_sample").count()
+          snapReads += 1
+          if (n != full) snapBad.add(s"snapshot reader saw $n (full $full)")
+        } catch { case _: Exception => () } // loud transient failure: allowed
+      }
+    })
     reader.start()
+    snapReader.start()
     try {
       // repeatedly re-enter the crash-recovery path for batch 0: roll the
       // watermark back (what a crash between the renames and the meta
@@ -562,8 +579,12 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
     } finally {
       stop.set(true)
       reader.join(30000)
+      snapReader.join(30000)
     }
     assert(bad.isEmpty, s"reader anomalies: ${bad.toArray.mkString("; ")}")
+    assert(snapBad.isEmpty,
+      s"snapshot-reader anomalies: ${snapBad.toArray.mkString("; ")}")
+    assert(snapReads > 0, "snapshot reader must complete reads under churn")
     // recovery converges: exactly one copy of every batch at quiescence
     spark.catalog.refreshByPath(s"$root/sample")
     import org.apache.spark.sql.functions.col

@@ -51,4 +51,59 @@ class GatePlanSweepSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"gates planning a CartesianProduct: ${offenders.mkString(", ")}")
   }
+
+  test("q17's dim join degrades to a shuffle join when the dim outgrows broadcast") {
+    // the 100 TB default is dims-stay-broadcastable, but a dimension CAN
+    // outgrow the broadcast threshold at scale (100x orders/customer) and
+    // the sample-routed join must then take the shuffle-join shape — not
+    // hit a plan cliff (a hardcoded broadcast hint OOMs the driver at
+    // scale; a lost equi-condition becomes a cartesian). Simulate the
+    // regime by disabling the broadcast thresholds, and pin that the
+    // result is IDENTICAL to the broadcast-regime run — the physical
+    // strategy flip must be invisible to query semantics.
+    val state = GraftState.of(spark)
+    val samplesBefore = state.samples.keySet.toSet
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    def run(): (Seq[String], String) = {
+      val df = SparkEntry.queries("q17_join_with_error")(spark, sf)
+      val rows = df.collect().map(_.toString).toSeq
+      (rows, df.queryExecution.executedPlan.toString)
+    }
+    try {
+      val (broadcastRows, broadcastPlan) = run()
+      assert(broadcastPlan.contains("BroadcastHashJoin"),
+        "fixture regime: the sf0.01 dim should broadcast by default")
+      keys.foreach(k => spark.conf.set(k, "-1"))
+      val (shuffleRows, shufflePlan) = run()
+      assert(!shufflePlan.contains("CartesianProduct"),
+        s"non-broadcast regime planned a cartesian:\n$shufflePlan")
+      // the ONLY broadcasts allowed with thresholds disabled are the
+      // sampler's explicitly-hinted per-stratum targets joins (bounded by
+      // stratum count — `__graft_key__` rows — not by data size); a
+      // broadcast of the DIM here means a hardcoded hint that would OOM
+      // the driver when the dim outgrows memory at scale
+      shufflePlan.linesIterator
+        .filter(_.contains("BroadcastHashJoin")).foreach { l =>
+          assert(l.contains("__graft_key__"),
+            s"unbounded broadcast survives disabled thresholds: $l")
+        }
+      assert(shufflePlan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          l.contains("o_orderkey")),
+        s"expected a shuffle join shape for the oversized dim:\n$shufflePlan")
+      assert(shuffleRows === broadcastRows,
+        "join strategy flip must not change query results")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      val gs = new GraftSession(spark)
+      (state.samples.keySet.toSet -- samplesBefore).foreach { n =>
+        try gs.dropSampleTable(n) catch { case _: Exception => }
+      }
+    }
+  }
 }

@@ -4,11 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** One-off probe for the BENCH_sf1 auto-sizing note: times
- * `cosineDedupPairs` with the default fixed band width (16 planes x 4
- * bands) against the `numPlanes = 0` auto opt-in on a scale corpus, and
- * reports both pair counts (auto may only ever ADD candidates at corpora
- * below the clamp size — its width is ≤ the default's, so its recall
- * dominates while bucket occupancy stays near the 64-row target).
+ * `cosineDedupPairs` with the fixed band width (16 planes x 4 bands, the
+ * pre-r13 default) against `numPlanes = 0` auto sizing (the r13 default)
+ * on a scale corpus, and reports both pair counts (auto may only ever ADD
+ * candidates at corpora below the clamp size — its width is ≤ the fixed
+ * form's, so its recall dominates while bucket occupancy stays near the
+ * target).
  *
  * Usage: Test/runMain graft.perf.AutoPlanesProbe <sfDir> [threshold] [passes]
  * (passes = 1 skips the warmup too — multi-minute corpora are

@@ -1013,6 +1013,32 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Reader-snapshot API end-to-end (§2.1 reader contract): a path-backed
+    // sample is populated by the fenced streaming append, then read through
+    // readSample — the lock-consistent snapshot reader that closes the
+    // crash-recovery transient-miss window plain parquet reads keep. Full
+    // fraction over both halves ⇒ the snapshot equals the whole base table.
+    "q63_sample_snapshot_read" -> ((s, dir) => {
+      val gs = GraftSession(s)
+      val docs = tbl(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .createOrReplaceTempView("documents_q63_half")
+      // fresh store per construction: the ForBatch append is idempotent
+      // per batch id within one store, and a drop+recreate must never
+      // re-attach a stale one
+      val path = java.nio.file.Files.createTempDirectory("graft_q63")
+        .toString + "/store"
+      gs.sql("DROP SAMPLE TABLE IF EXISTS q63_sample")
+      gs.sql("CREATE SAMPLE TABLE q63_sample ON documents_q63_half " +
+        s"OPTIONS(qcs 'lang', fraction '1.0', path '$path')")
+      gs.appendToSampleForBatch("q63_sample",
+        docs.filter(col("doc_id") % 2 =!= 0), "q63_stream", 0L)
+      gs.readSample("q63_sample")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- §3 subquery fencing: the scalar subquery's aggregate stays exact
     // on the base table while the outer aggregate rides the sample (full
     // fraction ⇒ exact with zero error) — reference SubQueryRoutingTestSuite.
@@ -1341,6 +1367,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q63_sample_snapshot_read" ->
+      """SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q01_weighted_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 4) AS sum_qty,

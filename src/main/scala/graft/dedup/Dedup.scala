@@ -163,8 +163,10 @@ object Dedup {
    * d ≤ 4 and 24 bits at d = 5 (the table-count/key-width trade: d = 4's
    * C(8,4) = 70 tables cost a 70× linear row blow-up to cut random
    * collisions 2^16× vs the old chunking — the right side of the trade
-   * from n ≈ 10⁵ up; d = 5 at C(8,3) = 56 tables holds 24-bit keys,
-   * n²/2^24 residual noise). d = 0 degenerates to ONE table keyed on the
+   * from n ≈ 10⁵ up; measured d = 4 over 5k/50k/500k docs:
+   * 1.5/4.6/16.5 s, log-log slopes 0.49/0.56. d = 5 at C(8,3) = 56
+   * tables holds 24-bit keys, n²/2^24 residual noise, 4.6 s at 50k
+   * docs). d = 0 degenerates to ONE table keyed on the
    * whole fingerprint (zero blocking noise — equal fingerprints only).
    * d ≥ 6 has NO point in this table with keys wide enough to avoid the
    * saturation disease (64/k-bit blocks shrink as k grows), so

@@ -307,8 +307,8 @@ object Ann {
    * note at the fetch join.
    *
    * `numPlanes = 0` — THE DEFAULT — is AUTO-SIZING: the band width is set
-   * to ~log₂(n/8) — random-collision bucket occupancy stays near a
-   * constant ~8 as the corpus grows, so the candidate term is LINEAR in n
+   * to ~log₂(n/4) — random-collision bucket occupancy stays near a
+   * constant ~4 as the corpus grows, so the candidate term is LINEAR in n
    * instead of a fixed width's n²/2^numPlanes (the residual 0.85 log-log
    * slope measured at sf10). Width is clamped to [8, 24]; whenever auto
    * picks a width ABOVE the fixed-form 16, the band count grows too,
@@ -319,13 +319,13 @@ object Ann {
    * the explicit knobs are the honest tool). Width ≤ 16 needs no growth:
    * per-band recall only rises as width shrinks. So auto recall dominates
    * the fixed form's at every n (pinned by PipelineSpec's 100-planted-pair
-   * corpus), and the measured trade below the n ≈ 5·10⁵ crossover is
-   * candidate volume (sf10u, 200k vectors: auto p=15 16.0 s vs fixed
-   * 10.9 s, SAME 72 000 pairs found), flipping decisively above it: at 2M
-   * vectors the fixed 16-plane form's 2^16 buckets/band saturate (~30
-   * random rows each) and the candidate join DIES in 69 GB of shuffle
-   * spill, while auto (p=18, b=5) finishes in 123 s — see BENCH_sf1
-   * addendum 10. That measurement is why auto is the DEFAULT: a fixed
+   * corpus). At the occupancy-4 target the sub-crossover penalty vanishes
+   * at the points measured: 200k vectors auto-picks p=16×4 — the fixed
+   * form's own shape and wall time — and at 2M vectors, where the fixed
+   * 16-plane form's 2^16 buckets/band saturate (~30 random rows each) and
+   * its candidate join DIES in 69 GB of shuffle spill, auto (p=19, b=5)
+   * finishes in 84.9 s — see BENCH_sf1 addenda 10/12. That measurement is
+   * why auto is the DEFAULT: a fixed
    * width that provably dies at 2M vectors is the wrong default for an
    * engine aimed at 10⁸-row corpora. Auto's chosen parameters (hence the
    * exact candidate set) depend on n, so the candidate RECALL above the
@@ -341,8 +341,15 @@ object Ann {
     val (resolvedPlanes, resolvedBands) = if (numPlanes > 0) (numPlanes, bands)
     else {
       val n = df.filter(col(vecCol).isNotNull).count()
+      // occupancy target ~4 random rows per band bucket (p = log2(n/4)):
+      // measured against the ~8 target it replaced, 4 dominates at every
+      // point — 200k vectors picks p=16 (the fixed form's own width and
+      // its 10.9 s, vs 16.0 s at occupancy 8) and 2M picks p=19 b=5
+      // (84.9 s vs 120.4 s at p=18) — halving bucket occupancy halves the
+      // random-candidate term for one extra hyperplane dot per band, and
+      // the S-curve band growth keeps the recall guarantee unchanged
       val p0 = math.ceil(
-        math.log(math.max(n.toDouble / 8.0, 2.0)) / math.log(2.0)).toInt
+        math.log(math.max(n.toDouble / 4.0, 2.0)) / math.log(2.0)).toInt
       val p = math.max(8, math.min(24, p0))
       // match probability of one plane at the threshold angle
       val sMatch = 1.0 -

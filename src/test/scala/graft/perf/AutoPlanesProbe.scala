@@ -41,13 +41,30 @@ object AutoPlanesProbe {
       (ts(ts.size / 2), pairs)
     }
     val mode = if (args.length > 3) args(3) else "both"
-    if (mode == "both" || mode == "default") {
-      val (tDef, nDef) = timed("default", 16)
-      println(f"PROBE sf=$sfDir default16x4=$tDef%.2fs pairs=$nDef")
-    }
-    if (mode == "both" || mode == "auto") {
-      val (tAuto, nAuto) = timed("auto", 0)
-      println(f"PROBE sf=$sfDir auto=$tAuto%.2fs pairs=$nAuto")
+    val explicitPb = "p(\\d+)b(\\d+)".r
+    mode match {
+      case explicitPb(p, b) =>
+        // arbitrary explicit shape, e.g. p19b5 — for occupancy-target
+        // experiments without touching the operator
+        var pairs = 0L
+        def onceX(): Double = {
+          val t0 = System.nanoTime()
+          pairs = graft.ann.Ann.cosineDedupPairs(emb, "vec_id", "embedding",
+            threshold, numPlanes = p.toInt, bands = b.toInt).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        if (passes > 1) onceX()
+        val ts = (1 to passes).map(_ => onceX()).sorted
+        println(f"PROBE sf=$sfDir ${p}x$b=${ts(ts.size / 2)}%.2fs pairs=$pairs")
+      case _ =>
+        if (mode == "both" || mode == "default") {
+          val (tDef, nDef) = timed("default", 16)
+          println(f"PROBE sf=$sfDir default16x4=$tDef%.2fs pairs=$nDef")
+        }
+        if (mode == "both" || mode == "auto") {
+          val (tAuto, nAuto) = timed("auto", 0)
+          println(f"PROBE sf=$sfDir auto=$tAuto%.2fs pairs=$nAuto")
+        }
     }
     spark.stop()
   }

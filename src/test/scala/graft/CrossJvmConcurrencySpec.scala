@@ -585,6 +585,30 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
     assert(snapBad.isEmpty,
       s"snapshot-reader anomalies: ${snapBad.toArray.mkString("; ")}")
     assert(snapReads > 0, "snapshot reader must complete reads under churn")
+    // CROSS-JVM leg of the same contract: a reader in a REAL separate
+    // process takes the lock FILE (lease path), not the same-JVM fast
+    // path the threads above share — its snapshot listing must serialize
+    // against this JVM's recovery republication through the file lease
+    // alone. The worker exits 5 on any count that is not the full store.
+    val (wp, wlog) = launch("read-sample-snapshot", root,
+      full.toString, "20000")
+    val deadline = System.currentTimeMillis() + 180000
+    while (wp.isAlive && System.currentTimeMillis() < deadline) {
+      GraftSession.updateSampleMetaProp(s"$root/sample",
+        "__streambatch.rr_stream", "-1", conf)
+      gs.appendToSampleForBatch("rr_sample", b0, "rr_stream", 0L)
+      // recovery in production is a one-shot event after a crash; pace the
+      // artificial churn so the reader gets windows where a count job can
+      // complete between two republications (unpaced, EVERY read races the
+      // next delete and the worker can never demonstrate a clean read)
+      Thread.sleep(400)
+    }
+    assert(wp.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+      "cross-JVM reader did not exit")
+    val wout = scala.io.Source.fromFile(wlog).mkString
+    assert(wp.exitValue() === 0,
+      s"cross-JVM snapshot reader anomaly (exit ${wp.exitValue()}): $wout")
+    assert(wout.contains("clean reads"), s"worker log malformed: $wout")
     // recovery converges: exactly one copy of every batch at quiescence
     spark.catalog.refreshByPath(s"$root/sample")
     import org.apache.spark.sql.functions.col

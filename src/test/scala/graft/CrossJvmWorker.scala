@@ -243,6 +243,54 @@ object CrossJvmWorker {
           sys.exit(3)
         }
 
+      case "read-sample-snapshot" =>
+        // CROSS-JVM strong reader: loop readSample().count() from a real
+        // separate process while the SPEC's JVM churns crash-recovery
+        // republication of one batch on the same store. Unlike the
+        // in-process race (same-JVM lock fast path), this exercises the
+        // cross-process lock-FILE lease for the snapshot listing. Every
+        // successful count must equal the expected full count — the
+        // transient-miss state (full - recoveringBatch) is the bug class;
+        // loud read failures while the writer churns the same batch are
+        // the documented allowed outcome (callers retry).
+        val expected = args(2).toLong
+        val durationMs = args(3).toLong
+        spark.conf.set("spark.graft.pathLock.leaseMs", "3000")
+        // the attach resolves the sample's BASE name from the store meta —
+        // register a stand-in view under whatever name the spec used
+        val baseName = graft.GraftSession.readSampleMeta(s"$dir/sample",
+          spark.sessionState.newHadoopConf()).map(_._1).getOrElse("rrx_base")
+        Seq("seed_r").toDF("event_type").createOrReplaceTempView(baseName)
+        // attach retries: plain read inside attach can race a recovery
+        var attached = false
+        var tries = 0
+        while (!attached) {
+          tries += 1
+          try { g.attachSampleTable("rrx_sample", s"$dir/sample"); attached = true }
+          catch { case e: Exception if tries < 50 => Thread.sleep(100) }
+        }
+        val deadline = System.currentTimeMillis() + durationMs
+        var reads = 0L
+        var failures = 0L
+        while (System.currentTimeMillis() < deadline) {
+          try {
+            val n = g.readSample("rrx_sample").count()
+            reads += 1
+            if (n != expected) {
+              System.err.println(
+                s"read-sample-snapshot: saw $n, expected $expected")
+              sys.exit(5)
+            }
+          } catch { case _: Exception => failures += 1 }
+        }
+        println(s"read-sample-snapshot: $reads clean reads, " +
+          s"$failures loud transient failures")
+        if (reads == 0) {
+          System.err.println("read-sample-snapshot: no read ever completed")
+          sys.exit(6)
+        }
+        spark.stop()
+
       case other =>
         System.err.println(s"unknown mode: $other")
         sys.exit(2)

@@ -591,16 +591,29 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
     // against this JVM's recovery republication through the file lease
     // alone. The worker exits 5 on any count that is not the full store.
     val (wp, wlog) = launch("read-sample-snapshot", root,
-      full.toString, "20000")
-    val deadline = System.currentTimeMillis() + 180000
-    while (wp.isAlive && System.currentTimeMillis() < deadline) {
+      full.toString, "25000")
+    // hold churn until the worker has attached (flag file): the contract
+    // under test is reads-during-recovery; attach happens during normal
+    // operation, and churning through the worker's slow cold start only
+    // starves its attach on a loaded box
+    val attachedFlag = new java.io.File(root, "attached.flag")
+    val attachWait = System.currentTimeMillis() + 120000
+    while (!attachedFlag.exists() && wp.isAlive &&
+        System.currentTimeMillis() < attachWait) Thread.sleep(200)
+    assert(attachedFlag.exists(), "cross-JVM reader never attached")
+    // churn recovery for the FIRST part of the worker's read window only:
+    // reads racing the churn must never return a wrong count (loud
+    // failures allowed — the caller-retries contract), and the quiescent
+    // tail guarantees at least one CLEAN read completes even on a loaded
+    // box, so the worker's zero-reads guard stays conclusive
+    val churnUntil = System.currentTimeMillis() + 15000
+    while (wp.isAlive && System.currentTimeMillis() < churnUntil) {
       GraftSession.updateSampleMetaProp(s"$root/sample",
         "__streambatch.rr_stream", "-1", conf)
       gs.appendToSampleForBatch("rr_sample", b0, "rr_stream", 0L)
       // recovery in production is a one-shot event after a crash; pace the
       // artificial churn so the reader gets windows where a count job can
-      // complete between two republications (unpaced, EVERY read races the
-      // next delete and the worker can never demonstrate a clean read)
+      // complete between two republications
       Thread.sleep(400)
     }
     assert(wp.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),

@@ -261,14 +261,27 @@ object CrossJvmWorker {
         val baseName = graft.GraftSession.readSampleMeta(s"$dir/sample",
           spark.sessionState.newHadoopConf()).map(_._1).getOrElse("rrx_base")
         Seq("seed_r").toDF("event_type").createOrReplaceTempView(baseName)
-        // attach retries: plain read inside attach can race a recovery
+        // attach retries with a generous deadline (the spec holds churn
+        // until the flag below appears, but a loaded box can still make
+        // individual attempts slow); plain read inside attach can race a
+        // straggling recovery
+        val attachDeadline = System.currentTimeMillis() + 60000
         var attached = false
-        var tries = 0
         while (!attached) {
-          tries += 1
           try { g.attachSampleTable("rrx_sample", s"$dir/sample"); attached = true }
-          catch { case e: Exception if tries < 50 => Thread.sleep(100) }
+          catch {
+            case e: Exception =>
+              if (System.currentTimeMillis() > attachDeadline) {
+                System.err.println(s"read-sample-snapshot: attach never succeeded: $e")
+                sys.exit(7)
+              }
+              Thread.sleep(200)
+          }
         }
+        // signal the spec to START churning: reads below race recovery,
+        // the attach above does not (a reader attaches during normal
+        // operation; the crash it must survive comes later)
+        new java.io.File(dir, "attached.flag").createNewFile()
         val deadline = System.currentTimeMillis() + durationMs
         var reads = 0L
         var failures = 0L

@@ -255,7 +255,13 @@ object CrossJvmWorker {
         // the documented allowed outcome (callers retry).
         val expected = args(2).toLong
         val durationMs = args(3).toLong
-        spark.conf.set("spark.graft.pathLock.leaseMs", "3000")
+        // keep the DEFAULT 120 s lease: nothing dies in this mode, and a
+        // short lease lets this reader LEASE-BREAK the spec JVM's live
+        // recovery when a loaded box stretches it past the lease — at
+        // which point the listing lands mid-delete and reads the exact
+        // transient-miss state the lock exists to prevent (observed: a
+        // 3 s lease under full-suite load). Lease-break-of-a-dead-holder
+        // has its own dedicated test.
         // the attach resolves the sample's BASE name from the store meta —
         // register a stand-in view under whatever name the spec used
         val baseName = graft.GraftSession.readSampleMeta(s"$dir/sample",

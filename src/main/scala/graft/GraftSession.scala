@@ -596,17 +596,26 @@ class GraftSession(val spark: SparkSession) {
     appendToSampleForBatch(rawName, df, streamName, batchId, seed, Nil)
 
   /** [[appendToSampleForBatch]] with `legacyStreamNames` — prior fence-key
-   * spellings of the same logical stream, RETIRED on first consult (same
+   * spellings of the same logical stream, retired on consult (same
    * rule as [[graft.topk.TopKState.fenceAndRetire]]): a resumed
    * pre-upgrade query — recognizable because its batch ids continue past
    * the legacy watermark — migrates the watermark into the current key
    * (and records a `__streammigrated.*` marker attributing the legacy
    * FILE spellings to this stream); a brand-new query (batch ids
    * restarted at 0) is not fenced by the stale watermark, which pre-retire
-   * code did forever. Legacy-spelling leftover FILES for this batch are
-   * cleaned only when the marker attributes them to this stream — a new
-   * query's batch ids overlap a previous stream's published batches, and
-   * deleting by the shared legacy spelling would destroy published data. */
+   * code did forever — but the watermark is QUARANTINED under
+   * `__streamretired.<legacy>` rather than deleted, so a pre-upgrade
+   * query that resumes AFTER the new query's consult still finds its
+   * fence (deleting it outright would re-apply the resumed query's
+   * replayed batches 0..N — duplicate rows, the dual of the data-loss
+   * bug). Boundary (`batchId == legacy`, incl. legacy == 0 vs a new
+   * query's batch 0): treated as the resumed query and fenced — see
+   * [[graft.topk.TopKState.fenceAndRetire]] for why the replay-safe side
+   * of the inherent ambiguity is the right trade. Legacy-spelling
+   * leftover FILES for this batch are cleaned only when the marker
+   * attributes them to this stream — a new query's batch ids overlap a
+   * previous stream's published batches, and deleting by the shared
+   * legacy spelling would destroy published data. */
   def appendToSampleForBatch(rawName: String, df: DataFrame,
       streamName: String, batchId: Long, seed: Long,
       legacyStreamNames: Seq[String]): DataFrame = {
@@ -620,26 +629,54 @@ class GraftSession(val spark: SparkSession) {
         val migratedKey = s"__streammigrated.${streamName.toLowerCase}"
         val legacyWmKeys = legacyStreamNames.map(n =>
           s"__streambatch.${n.toLowerCase}")
+        val retiredWmKeys = legacyStreamNames.map(n =>
+          s"__streamretired.${n.toLowerCase}")
         GraftSession.withPathLock(spark, path) {
           val cur = GraftSession.readSampleMetaProp(path, wmKey, conf)
             .map(_.toLong)
-          val legacyVals = legacyWmKeys.flatMap(k =>
+          val liveVals = legacyWmKeys.flatMap(k =>
             GraftSession.readSampleMetaProp(path, k, conf).map(_.toLong))
-          val migrating = cur.isEmpty && legacyVals.nonEmpty &&
-            batchId >= legacyVals.max
-          val applied = (cur, legacyVals) match {
-            case (Some(c), ls) => ls.foldLeft(c)(math.max) // defensive max
-            case (None, ls) if ls.nonEmpty && batchId >= ls.max => ls.max
-            case _ => -1L // brand-new stream: stale legacy must not fence
+          val retiredVals = retiredWmKeys.flatMap(k =>
+            GraftSession.readSampleMetaProp(path, k, conf).map(_.toLong))
+          val allLegacy = liveVals ++ retiredVals
+          val migrating = cur.isEmpty && allLegacy.nonEmpty &&
+            batchId >= allLegacy.max
+          val applied = cur match {
+            // quarantined values do NOT join the defensive max: a new
+            // query's own watermark legitimately sits below them
+            case Some(c) => liveVals.foldLeft(c)(math.max)
+            case None if migrating => allLegacy.max
+            case None => -1L // brand-new stream: stale legacy must not fence
           }
-          if (legacyVals.nonEmpty) {
+          if (allLegacy.nonEmpty) {
             // retire NOW, in one atomic meta republish — even when the
             // batch below is fenced, so a crash cannot resurrect the
-            // stale watermark for the next brand-new sink
-            GraftSession.rewriteSampleMetaProps(path, legacyWmKeys,
-              if (migrating)
-                Map(wmKey -> legacyVals.max.toString, migratedKey -> "true")
-              else Map.empty, conf)
+            // stale watermark for the next brand-new sink. Three shapes:
+            // migrating — watermark (live or quarantined) moves under the
+            // current key; current-key consult — live spellings are
+            // superseded, quarantine stays for the late-resuming
+            // pre-upgrade query; brand-new consult — live spellings move
+            // into quarantine (per-key max with any prior quarantine)
+            if (migrating) {
+              GraftSession.rewriteSampleMetaProps(path,
+                legacyWmKeys ++ retiredWmKeys,
+                Map(wmKey -> allLegacy.max.toString, migratedKey -> "true"),
+                conf)
+            } else if (cur.isDefined) {
+              GraftSession.rewriteSampleMetaProps(path, legacyWmKeys,
+                Map.empty, conf)
+            } else if (liveVals.nonEmpty) {
+              val quarantined = legacyStreamNames.flatMap { n =>
+                val live = GraftSession.readSampleMetaProp(path,
+                  s"__streambatch.${n.toLowerCase}", conf).map(_.toLong)
+                val prior = GraftSession.readSampleMetaProp(path,
+                  s"__streamretired.${n.toLowerCase}", conf).map(_.toLong)
+                live.map(v => s"__streamretired.${n.toLowerCase}" ->
+                  math.max(v, prior.getOrElse(-1L)).toString)
+              }.toMap
+              GraftSession.rewriteSampleMetaProps(path, legacyWmKeys,
+                quarantined, conf)
+            }
           }
           // legacy FILE spellings belong to this stream iff it migrated
           // (now, or on an earlier consult that crashed before publishing)

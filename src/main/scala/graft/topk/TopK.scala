@@ -305,11 +305,11 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
     streamBatches.getOrElse(stream.toLowerCase, -1L)
   }
 
-  /** Fence consult with ONE-TIME retirement of legacy fence-key spellings
+  /** Fence consult with retirement of legacy fence-key spellings
    * (pre-upgrade keys like `sink:<name>` that prior code wrote for the
    * same logical stream). Returns `(fence watermark for this consult,
-   * whether legacy state was retired — i.e. the map changed and a
-   * path-backed structure should persist)`.
+   * whether the map changed — i.e. a path-backed structure should
+   * persist)`.
    *
    * Retirement semantics: a legacy watermark must fence the RESUMED
    * pre-upgrade query's replayed batches (its batch ids continue past the
@@ -319,26 +319,64 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * history is a BRAND-NEW query whose batch ids restarted at 0; fencing
    * it against another query's stale watermark silently drops its
    * batches 0..N forever (the r12 shared-key data-loss bug, persisting
-   * indefinitely for upgraded stores), so the stale state is dropped
-   * instead. Either way the legacy keys are deleted — retired exactly
-   * once, never consulted again. */
+   * indefinitely for upgraded stores), so that consult is unfenced — but
+   * the legacy watermark is QUARANTINED under a `__streamretired.` pseudo
+   * key rather than deleted: a resumed pre-upgrade query may consult
+   * AFTER the new query did, and with the watermark gone its replayed
+   * batches 0..N would re-apply (duplicate rows / double-counted merges —
+   * the dual of the data-loss bug). A later no-history consult with
+   * `batchId >=` the quarantined value is that late-resuming query and
+   * migrates from quarantine; current-key consults ignore quarantined
+   * values entirely (the new query's own watermark may legitimately sit
+   * BELOW them, and maxing them in would re-fence it).
+   *
+   * Boundary: when the legacy watermark is exactly 0, a brand-new query's
+   * first consult (batchId = 0) satisfies `0 >= 0` and is treated as the
+   * resumed pre-upgrade query — its batch 0 stays fenced. The ambiguity
+   * at `batchId == legacy` is inherent (a strict `>` would instead
+   * re-apply the resumed query's replayed batch `legacy`, duplicating
+   * rows); we keep the replay-safe side: a fence can only suppress the
+   * one overlapping batch, a duplicate corrupts the store. Pinned in
+   * StreamingSpec ("legacy watermark 0 boundary"). */
   def fenceAndRetire(current: String, legacyKeys: Seq[String],
       batchId: Long): (Long, Boolean) = stateLock.synchronized {
     val cur = current.toLowerCase
     val c = streamBatches.get(cur)
     val legacyLc = legacyKeys.map(_.toLowerCase)
-    val legacyVals = legacyLc.flatMap(streamBatches.get)
-    if (legacyVals.isEmpty) (c.getOrElse(-1L), false)
+    val retiredLc = legacyLc.map(k => s"__streamretired.$k")
+    val liveVals = legacyLc.flatMap(streamBatches.get)
+    val retiredVals = retiredLc.flatMap(streamBatches.get)
+    if (liveVals.isEmpty && retiredVals.isEmpty) (c.getOrElse(-1L), false)
     else {
-      val l = legacyVals.max
-      legacyLc.foreach(streamBatches.remove)
-      val fence = c match {
-        // defensive max — post-upgrade writes only ever land above l
-        case Some(v) => math.max(v, l)
-        case None if batchId >= l => streamBatches.put(cur, l); l
-        case None => -1L
+      val l = (liveVals ++ retiredVals).max
+      c match {
+        // current key live: live legacy spellings are superseded (defensive
+        // max — post-upgrade writes only ever land above them); quarantined
+        // values stay for the late-resuming pre-upgrade query and do NOT
+        // join the max (they may exceed this query's own watermark)
+        case Some(v) =>
+          val changed = liveVals.nonEmpty
+          legacyLc.foreach(streamBatches.remove)
+          (liveVals.foldLeft(v)(math.max), changed)
+        case None if batchId >= l =>
+          // resumed pre-upgrade query (live spelling, or late-resuming via
+          // quarantine): migrate the watermark under its current key
+          legacyLc.foreach(streamBatches.remove)
+          retiredLc.foreach(streamBatches.remove)
+          streamBatches.put(cur, l)
+          (l, true)
+        case None =>
+          // brand-new query: unfenced; move live spellings into quarantine
+          var changed = false
+          legacyLc.foreach { k =>
+            streamBatches.remove(k).foreach { v =>
+              val rk = s"__streamretired.$k"
+              streamBatches.put(rk, math.max(v, streamBatches.getOrElse(rk, -1L)))
+              changed = true
+            }
+          }
+          (-1L, changed)
       }
-      (fence, true)
     }
   }
 

@@ -713,6 +713,106 @@ class StreamingSpec extends AnyFunSuite {
     gs.sql("DROP TOPK TABLE lr_topk")
   }
 
+  test("quarantined legacy watermark still fences a late-resuming pre-upgrade query") {
+    // the dual of the retirement data-loss bug: when a brand-new query
+    // consults FIRST, deleting the legacy watermark outright would let the
+    // pre-upgrade query — resuming later, replaying batches 0..N from its
+    // checkpoint — re-apply every one of them (duplicate rows / doubled
+    // TopK counts). Retirement must QUARANTINE the watermark
+    // (__streamretired.<legacy>) and honor it for the late consult.
+    val gs = new GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_lq").toString
+    Seq("k1").toDF("event_type").createOrReplaceTempView("lq_base")
+    gs.sql("CREATE SAMPLE TABLE lq_sample ON lq_base OPTIONS(" +
+      s"qcs 'event_type', fraction '1.0', path '$root/sample')")
+    gs.sql("CREATE TOPK TABLE lq_topk ON lq_base OPTIONS(" +
+      "key 'event_type', streamSummary 'true', capacity '10000', " +
+      s"size '3', path '$root/topk')")
+    val batch = Seq.fill(10)("k1").toDF("event_type")
+    val legacy = "sink:lq"
+    // pre-upgrade sink applied batches 0..2 under the legacy spelling
+    (0L to 2L).foreach { b =>
+      gs.appendToSampleForBatch("lq_sample", batch, legacy, b)
+      gs.appendToTopKForBatch("lq_topk", batch, 1000L * (b + 1), legacy, b)
+    }
+    val rows0 = spark.read.parquet(s"$root/sample").count()
+    val tk0 = gs.queryFrequency("lq_topk", "k1").map(_._2).get
+    // brand-new query A consults first: unfenced, and the legacy
+    // watermark moves into quarantine instead of vanishing
+    val keyA = "sink:lq:haaaa1111"
+    gs.appendToSampleForBatch("lq_sample", batch, keyA, 0L, 42L, Seq(legacy))
+    gs.appendToTopKForBatch("lq_topk", batch, 9000L, keyA, 0L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0 + 10)
+    val conf = spark.sessionState.newHadoopConf()
+    assert(GraftSession.readSampleMetaProp(s"$root/sample",
+      s"__streamretired.$legacy", conf) === Some("2"),
+      "the dropped legacy watermark must be quarantined, not deleted")
+    // A consults again (replay of its own batch 0): fenced by A's own
+    // watermark — the quarantined value (2) must NOT max into A's fence
+    // or A's batches 1..2 would be silently dropped
+    gs.appendToSampleForBatch("lq_sample", batch, keyA, 1L, 42L, Seq(legacy))
+    gs.appendToTopKForBatch("lq_topk", batch, 9100L, keyA, 1L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0 + 20,
+      "a quarantined watermark must not fence the new query's later batches")
+    assert(GraftSession.readSampleMetaProp(s"$root/sample",
+      s"__streamretired.$legacy", conf) === Some("2"),
+      "a current-key consult must leave the quarantine in place")
+    // NOW the pre-upgrade query resumes (new key spelling, batch ids
+    // continuing: replays its last batch 2) — must stay fenced
+    val keyR = "sink:lq:hrrrr2222"
+    gs.appendToSampleForBatch("lq_sample", batch, keyR, 2L, 42L, Seq(legacy))
+    gs.appendToTopKForBatch("lq_topk", batch, 3000L, keyR, 2L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0 + 20,
+      "the late-resuming pre-upgrade query's replayed batch must stay fenced")
+    assert(gs.queryFrequency("lq_topk", "k1").map(_._2) === Some(tk0 + 20),
+      "the replayed batch must not double-count TopK merges")
+    // ...and the quarantine migrated under the resumed query's key
+    assert(GraftSession.readSampleMetaProp(s"$root/sample",
+      s"__streamretired.$legacy", conf).isEmpty,
+      "migration must clear the quarantine")
+    assert(GraftSession.readSampleMetaProp(s"$root/sample",
+      s"__streambatch.$keyR", conf) === Some("2"))
+    // its NEXT batch (3) applies normally
+    gs.appendToSampleForBatch("lq_sample", batch, keyR, 3L, 42L, Seq(legacy))
+    gs.appendToTopKForBatch("lq_topk", batch, 4000L, keyR, 3L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0 + 30)
+    assert(gs.queryFrequency("lq_topk", "k1").map(_._2) === Some(tk0 + 30))
+    gs.sql("DROP SAMPLE TABLE lq_sample")
+    gs.sql("DROP TOPK TABLE lq_topk")
+  }
+
+  test("legacy watermark 0 boundary: batchId == legacy is the fenced side") {
+    // when the legacy watermark is exactly 0, a consult at batchId = 0 is
+    // ambiguous — the resumed pre-upgrade query replaying its batch 0, or
+    // a brand-new query's first batch. `batchId >= legacy` picks the
+    // replay-safe side: the consult is treated as the resumed query and
+    // FENCED (a wrong fence suppresses one batch; the other side would
+    // duplicate the resumed query's replayed rows). This pin records the
+    // chosen trade — see TopKState.fenceAndRetire.
+    val gs = new GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_lz").toString
+    Seq("k1").toDF("event_type").createOrReplaceTempView("lz_base")
+    gs.sql("CREATE SAMPLE TABLE lz_sample ON lz_base OPTIONS(" +
+      s"qcs 'event_type', fraction '1.0', path '$root/sample')")
+    val batch = Seq.fill(10)("k1").toDF("event_type")
+    val legacy = "sink:lz"
+    gs.appendToSampleForBatch("lz_sample", batch, legacy, 0L)
+    val rows0 = spark.read.parquet(s"$root/sample").count()
+    val keyN = "sink:lz:hnnnn1111"
+    gs.appendToSampleForBatch("lz_sample", batch, keyN, 0L, 42L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0,
+      "batchId 0 vs legacy watermark 0 is treated as the resumed " +
+        "pre-upgrade query's replay and fenced (the replay-safe side)")
+    val conf = spark.sessionState.newHadoopConf()
+    assert(GraftSession.readSampleMetaProp(s"$root/sample",
+      s"__streambatch.$keyN", conf) === Some("0"),
+      "the 0 watermark must migrate under the consulting key")
+    // batch 1 under the same key applies — the fence is one batch wide
+    gs.appendToSampleForBatch("lz_sample", batch, keyN, 1L, 42L, Seq(legacy))
+    assert(spark.read.parquet(s"$root/sample").count() === rows0 + 10)
+    gs.sql("DROP SAMPLE TABLE lz_sample")
+  }
+
   test("a pre-upgrade flat history migrates into __graft_batch=-1 on START") {
     // the exactly-once layout stores history as per-batch partition dirs;
     // a history written by the old flat-append layout (reachable because

@@ -1269,11 +1269,26 @@ object GraftSession {
    * `overwrite = false` — atomic on HDFS; on a LOCAL filesystem Hadoop's
    * create(false) is check-then-act, so acquisition goes through
    * `File.createNewFile` there, which is an atomic `open(O_CREAT|O_EXCL)`
-   * across processes on one host), with a LEASE — a lock older than
-   * `spark.graft.pathLock.leaseMs` (default 120 s) is presumed abandoned
-   * by a crashed writer and broken by the next acquirer. Writers must
-   * finish inside the lease or risk a concurrent entry; acquisition gives
-   * up after two leases.
+   * across processes on one host), with a HEARTBEAT LEASE: the holder
+   * refreshes the lock file's mtime every `leaseMs / 4` from a daemon
+   * thread, and a waiter may break the lock only when the heartbeat is
+   * STALE — mtime older than `spark.graft.pathLock.leaseMs` (default
+   * 120 s). Liveness, not wall time, gates breaking: a live holder may
+   * run arbitrarily long past the lease (recovery republication scales
+   * with store size; a fixed must-finish-inside-the-lease contract broke
+   * a live slow holder in practice), while a crashed holder stops
+   * heartbeating and is broken within one lease as before. Waiters give
+   * up loudly after `spark.graft.pathLock.acquireTimeoutMs` (default
+   * 2 × leaseMs) — the holder is then known live, just slow.
+   *
+   * Residual hazard (inherent to every lease scheme without fencing
+   * tokens at the store): a WHOLE-PROCESS stall longer than the lease —
+   * the daemon heartbeat thread itself frozen, e.g. a VM pause — lets a
+   * waiter break a lock whose holder later resumes. The holder detects
+   * the break on its next heartbeat (the lock file's token no longer
+   * matches), flags the loss, skips deleting the successor's lock on
+   * exit, and logs loudly; its in-flight writes may still have
+   * interleaved with the new holder's.
    */
   def withPathLock[A](spark: SparkSession, path: String)(body: => A): A = {
     val conf = spark.sessionState.newHadoopConf()
@@ -1286,6 +1301,10 @@ object GraftSession {
         case u if u.getScheme == "file" => Some(new java.io.File(u.getPath))
         case _ => None
       }
+    // unique per acquisition: lets the heartbeat (and the final release)
+    // verify the lock file is still OURS after a possible lease break
+    val token = java.util.UUID.randomUUID().toString
+    val tokenBytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def tryCreate(): Boolean = localFile match {
       case Some(f) =>
         // RawLocalFileSystem.create(overwrite=false) does exists()-then-
@@ -1295,18 +1314,44 @@ object GraftSession {
         if (!f.createNewFile()) false
         else {
           val out = new java.io.FileOutputStream(f)
-          try out.write(java.nio.ByteBuffer.allocate(8)
-            .putLong(System.currentTimeMillis()).array())
-          finally out.close()
+          try {
+            out.write(java.nio.ByteBuffer.allocate(8)
+              .putLong(System.currentTimeMillis()).array())
+            out.write(tokenBytes)
+          } finally out.close()
           true
         }
       case None =>
         val out = fs.create(lockPath, false)
-        try out.writeLong(System.currentTimeMillis()) finally out.close()
+        try {
+          out.writeLong(System.currentTimeMillis())
+          out.write(tokenBytes)
+        } finally out.close()
         true
     }
+    def readLockToken(): Option[String] = try {
+      localFile match {
+        case Some(f) =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          if (bytes.length <= 8) None
+          else Some(new String(bytes, 8, bytes.length - 8,
+            java.nio.charset.StandardCharsets.UTF_8))
+        case None =>
+          val in = fs.open(lockPath)
+          try {
+            in.readLong()
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](256)
+            var n = in.read(chunk)
+            while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            Some(buf.toString(java.nio.charset.StandardCharsets.UTF_8))
+          } finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
     val leaseMs = spark.conf.get("spark.graft.pathLock.leaseMs", "120000").toLong
-    val deadline = System.currentTimeMillis() + 2 * leaseMs
+    val acquireTimeoutMs = spark.conf.get(
+      "spark.graft.pathLock.acquireTimeoutMs", (2 * leaseMs).toString).toLong
+    val deadline = System.currentTimeMillis() + acquireTimeoutMs
     var acquired = false
     while (!acquired) {
       try {
@@ -1319,11 +1364,13 @@ object GraftSession {
               fs.getFileStatus(lockPath).getModificationTime
             catch { case _: java.io.FileNotFoundException => 0L }
           if (age > leaseMs) {
-            // break a dead writer's lease via atomic rename to a unique
-            // tombstone: of N waiters that all observed the stale lock, only
-            // the rename winner removes it. A plain delete races — waiter A
-            // deletes and re-creates, then waiter B's in-flight delete
-            // removes A's FRESH lock and two writers enter the section.
+            // the holder's heartbeat is STALE (a live holder refreshes
+            // every leaseMs/4) — presume it dead and break the lease via
+            // atomic rename to a unique tombstone: of N waiters that all
+            // observed the stale lock, only the rename winner removes it.
+            // A plain delete races — waiter A deletes and re-creates, then
+            // waiter B's in-flight delete removes A's FRESH lock and two
+            // writers enter the section.
             val tomb = new org.apache.hadoop.fs.Path(dir,
               s"_graft.lock.tomb-${java.util.UUID.randomUUID().toString.take(8)}")
             try {
@@ -1331,13 +1378,56 @@ object GraftSession {
             } catch { case _: java.io.IOException => /* another breaker won */ }
           } else if (System.currentTimeMillis() > deadline) {
             throw new IllegalStateException(
-              s"could not acquire $lockPath within ${2 * leaseMs} ms — " +
-                "another writer holds it (raise spark.graft.pathLock.leaseMs " +
-                "if long appends are expected, or remove a stale lock file)")
+              s"could not acquire $lockPath within $acquireTimeoutMs ms — " +
+                "a LIVE writer holds it (its heartbeat is fresh); raise " +
+                "spark.graft.pathLock.acquireTimeoutMs to wait longer")
           } else Thread.sleep(50)
       }
     }
-    try body finally fs.delete(lockPath, false)
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val period = math.max(100L, leaseMs / 4)
+    val hb = new Thread(() => {
+      try {
+        while (!stop.get && !lost.get) {
+          Thread.sleep(period)
+          if (!stop.get) {
+            if (readLockToken().contains(token)) {
+              val now = System.currentTimeMillis()
+              try {
+                localFile match {
+                  case Some(f) => f.setLastModified(now)
+                  case None => fs.setTimes(lockPath, now, -1)
+                }
+              } catch { case _: java.io.IOException => /* next check decides */ }
+            } else {
+              // broken by a waiter that saw a stale heartbeat (we were
+              // frozen past the lease) — stop refreshing what is now
+              // someone else's lock and flag the release to stand down
+              lost.set(true)
+              org.slf4j.LoggerFactory.getLogger(classOf[GraftSession])
+                .warn(s"path lock $lockPath was lease-broken while held " +
+                  "(heartbeat went stale — process stall > " +
+                  s"$leaseMs ms?); in-flight writes may have interleaved " +
+                  "with the new holder's")
+            }
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    })
+    hb.setDaemon(true)
+    hb.setName(s"graft-lock-heartbeat-${dir.getName}")
+    hb.start()
+    try body finally {
+      stop.set(true)
+      hb.interrupt()
+      hb.join(2000)
+      // release only OUR lock: after a detected (or heartbeat-unseen but
+      // token-visible) break, the file under this name is the successor's
+      if (!lost.get && readLockToken().contains(token)) {
+        fs.delete(lockPath, false)
+      }
+    }
   }
 
   /** The Spark session's local time zone, for wall-time string resolution

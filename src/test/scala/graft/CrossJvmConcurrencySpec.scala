@@ -105,6 +105,43 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
     assert((System.nanoTime() - t0) / 1e9 < 60.0, "no stale lock left behind")
   }
 
+  test("a stalled-but-alive holder in another JVM is NOT lease-broken") {
+    // the dual of the dead-holder leg: the holder is alive but slow (its
+    // critical section runs 6× the 1 s lease — recovery republication at
+    // scale does exactly this). Its daemon heartbeat keeps the lock's
+    // mtime fresh, so the contending parent may NOT break it: entry must
+    // come only after the holder's publish landed. Before heartbeat
+    // renewal this exact shape failed under load (r13, c62bdcd) and was
+    // worked around by raising the lease constant.
+    val dir = tmpDir("graft_xjvm_hb") + "/p"
+    new java.io.File(dir).mkdirs()
+    val acq = java.io.File.createTempFile("graft_hb_acq", ".flag")
+    val pub = java.io.File.createTempFile("graft_hb_pub", ".flag")
+    acq.delete(); pub.delete()
+    val (p, log) = launch("hold-lock-stall", dir, "6000",
+      acq.getAbsolutePath, pub.getAbsolutePath)
+    val waitDeadline = System.currentTimeMillis() + 120000
+    while (!acq.exists() && p.isAlive &&
+        System.currentTimeMillis() < waitDeadline) Thread.sleep(100)
+    assert(acq.exists(), s"holder never acquired the lock; log: $log")
+
+    val (sA, _) = freshSession()
+    sA.conf.set("spark.graft.pathLock.leaseMs", "1000")
+    sA.conf.set("spark.graft.pathLock.acquireTimeoutMs", "90000")
+    try {
+      GraftSession.withPathLock(sA, dir) {
+        assert(pub.exists(),
+          "parent entered before the live holder finished — the lease was " +
+            s"broken despite a fresh cross-process heartbeat; log: $log")
+      }
+    } finally {
+      sA.conf.unset("spark.graft.pathLock.leaseMs")
+      sA.conf.unset("spark.graft.pathLock.acquireTimeoutMs")
+    }
+    assert(p.waitFor(60, TimeUnit.SECONDS), s"holder did not exit; log: $log")
+    assert(p.exitValue() === 0, s"holder failed; log: $log")
+  }
+
   test("appends from two separate JVMs serialize; polling attaches are torn-free") {
     val dir = tmpDir("graft_xjvm_r") + "/tk"
     val (sA, gA) = freshSession()

@@ -67,6 +67,25 @@ object CrossJvmWorker {
           Runtime.getRuntime.halt(7)
         }
 
+      case "hold-lock-stall" =>
+        // a LIVE holder stalled well past the lease: acquire, signal,
+        // sleep `holdMs` (several multiples of the 1 s lease), then
+        // "publish" (write the marker) and release. The parent contends
+        // the whole time — with the pre-heartbeat fixed lease it broke
+        // this lock after ~1 s and entered before the publish (the r13
+        // cross-JVM failure, then worked around by raising the constant);
+        // with heartbeat renewal it must wait the stall out.
+        val holdMs = args(2).toLong
+        val acquiredFlag = new java.io.File(args(3))
+        val publishedFlag = new java.io.File(args(4))
+        spark.conf.set("spark.graft.pathLock.leaseMs", "1000")
+        GraftSession.withPathLock(spark, dir) {
+          acquiredFlag.createNewFile()
+          Thread.sleep(holdMs)
+          publishedFlag.createNewFile()
+        }
+        spark.stop()
+
       case "append-topk" =>
         val marker = args(2)
         val batches = args(3).toInt

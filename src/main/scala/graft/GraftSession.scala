@@ -360,16 +360,31 @@ class GraftSession(val spark: SparkSession) {
           val files = snapshotFiles()
           if (files.isEmpty) out = Some(info.sampleDf.limit(0))
           else {
-            // the read's schema inference reads footers of the pinned
-            // files NOW — a file a concurrent recovery deleted since the
-            // snapshot surfaces here, where the loop can re-snapshot,
-            // rather than inside the caller's job. (Beyond this point a
-            // recovery republishes a churned batch under the SAME
-            // deterministic file names with the same replayed content, so
-            // the pinned names cannot silently lose rows — worst case is
-            // a task-level read failure for the caller to retry.)
-            try out = Some(spark.read.parquet(files: _*))
-            catch {
+            // schema inference at read() touches only SOME footers, so a
+            // pinned file deleted by a concurrent recovery does not
+            // reliably surface here — verify every pinned name exists
+            // after the read() so churn is caught inside THIS retry
+            // budget, not as a task failure in the caller's job. The
+            // check-then-run gap stays (a delete can land after the
+            // check), but a recovery republishes a churned batch under
+            // the SAME deterministic file names with the same replayed
+            // content, so the pinned names cannot silently lose rows —
+            // the residual worst case is a LOUD task-level read failure
+            // for the caller to retry, exactly the documented contract.
+            try {
+              val df = spark.read.parquet(files: _*)
+              val fs = new org.apache.hadoop.fs.Path(path)
+                .getFileSystem(conf)
+              val vanished = files.filterNot(f =>
+                fs.exists(new org.apache.hadoop.fs.Path(f)))
+              if (vanished.isEmpty) out = Some(df)
+              else if (attempt > maxRetries) {
+                throw new IllegalStateException(
+                  s"readSample($rawName): pinned files kept vanishing " +
+                    s"under concurrent recovery after $maxRetries " +
+                    s"retries (last: ${vanished.head})")
+              } else spark.catalog.refreshByPath(path)
+            } catch {
               case scala.util.control.NonFatal(_) if attempt <= maxRetries =>
                 spark.catalog.refreshByPath(path)
             }

@@ -1025,9 +1025,14 @@ object SparkEntry {
         .createOrReplaceTempView("documents_q63_half")
       // fresh store per construction: the ForBatch append is idempotent
       // per batch id within one store, and a drop+recreate must never
-      // re-attach a stale one
-      val path = java.nio.file.Files.createTempDirectory("graft_q63")
-        .toString + "/store"
+      // re-attach a stale one. ONE deterministic root per sf dir, wiped
+      // up front — a createTempDirectory per invocation accumulated
+      // parquet stores across repeated bench passes (warmup + timed)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q63_" +
+        Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      rootP.getFileSystem(s.sessionState.newHadoopConf()).delete(rootP, true)
+      val path = s"$root/store"
       gs.sql("DROP SAMPLE TABLE IF EXISTS q63_sample")
       gs.sql("CREATE SAMPLE TABLE q63_sample ON documents_q63_half " +
         s"OPTIONS(qcs 'lang', fraction '1.0', path '$path')")

@@ -310,11 +310,14 @@ object Ann {
    * to ~log₂(n/4) — random-collision bucket occupancy stays near a
    * constant ~4 as the corpus grows, so the candidate term is LINEAR in n
    * instead of a fixed width's n²/2^numPlanes (the residual 0.85 log-log
-   * slope measured at sf10). Width is clamped to [8, 24]; whenever auto
-   * picks a width ABOVE the fixed-form 16, the band count grows too,
+   * slope measured at sf10). Width is clamped to [8, 30] — the upper
+   * clamp holds occupancy ≈ 4 to n ≈ 4·2³⁰ ≈ 4×10⁹ vectors and WARNS
+   * when it binds (beyond it the n²/2³⁰ random-candidate term re-enters;
+   * shard the corpus). Whenever auto picks a width ABOVE the fixed-form
+   * 16, the band count grows too,
    * sized from the S-curve `recall = 1-(1-(1-θ/π)^numPlanes)^bands` to
    * keep recall at the caller's threshold ≥ what a fixed (16 × `bands`)
-   * setting would give (band count capped at 16, with a stderr warning
+   * setting would give (band count capped at 16, with a logged warning
    * when the cap BINDS — thresholds below ~0.95 on 10⁸+ corpora, where
    * the explicit knobs are the honest tool). Width ≤ 16 needs no growth:
    * per-band recall only rises as width shrinks. So auto recall dominates
@@ -332,6 +335,65 @@ object Ann {
    * guarantee point may shift between runs as the corpus grows — callers
    * needing a run-stable candidate set pass an explicit `numPlanes`.
    * Costs one extra count() pass. */
+  /** Auto-sizing for [[cosineDedupPairs]] (`numPlanes = 0`): width and
+   * band count for a corpus of `n` non-null vectors. Pure — pinned
+   * directly by AnnAutoSizeSpec across decades, including the clamp
+   * regions no local corpus can reach.
+   *
+   * Occupancy target ~4 random rows per band bucket (p = log2(n/4)):
+   * measured against the ~8 target it replaced, 4 dominates at every
+   * point — 200k vectors picks p=16 (the fixed form's own width and
+   * its 10.9 s, vs 16.0 s at occupancy 8) and 2M picks p=19 b=5
+   * (84.9 s vs 120.4 s at p=18) — halving bucket occupancy halves the
+   * random-candidate term for one extra hyperplane dot per band, and
+   * the S-curve band growth keeps the recall guarantee unchanged. */
+  private[graft] def autoLshParams(n: Long, threshold: Double,
+      bands: Int): (Int, Int) = {
+    val p0 = math.ceil(
+      math.log(math.max(n.toDouble / 4.0, 2.0)) / math.log(2.0)).toInt
+    val p = math.max(8, math.min(30, p0))
+    if (p0 > 30) {
+      // the width clamp binds: occupancy grows ∝ n/2^30 and the random-
+      // candidate term turns quadratic again — the same death class auto
+      // sizing exists to remove. Symmetric honesty with the band-cap
+      // warning below: never let a silent clamp masquerade as scale
+      // safety.
+      org.slf4j.LoggerFactory.getLogger(Ann.getClass).warn(
+        s"cosineDedupPairs auto-sizing: width clamp binds (occupancy " +
+          s"target wants $p0 planes > 30 for n=$n rows) — bucket " +
+          s"occupancy grows ~${n / (4L << 30)}x past the ~4-row target " +
+          "and the random-candidate term is no longer linear; shard the " +
+          "corpus (dedup shards, then dedup the union of survivors) or " +
+          "pass explicit numPlanes")
+    }
+    // match probability of one plane at the threshold angle
+    val sMatch = 1.0 -
+      math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val b =
+      if (p <= 16 || sMatch >= 1.0 - 1e-12) bands
+      else {
+        // bands needed so the (p, b) S-curve meets the default (16,
+        // bands) setting's recall at this threshold
+        val r0 = 1.0 - math.pow(1.0 - math.pow(sMatch, 16.0), bands.toDouble)
+        val need = math.ceil(math.log1p(-r0) /
+          math.log1p(-math.pow(sMatch, p.toDouble))).toInt
+        if (need > 16) {
+          // the cap binds: auto cannot meet the fixed form's recall at
+          // this (threshold, n) and silently under-delivering would
+          // contradict the documented dominance — tell the caller the
+          // honest tool is the explicit knobs
+          org.slf4j.LoggerFactory.getLogger(Ann.getClass).warn(
+            s"cosineDedupPairs auto-sizing: band cap " +
+              s"binds (need $need > 16 bands at width $p for threshold " +
+              s"$threshold over n=$n rows) — recall falls below the fixed " +
+              s"16-plane form's; pass explicit numPlanes/bands for this " +
+              "corpus")
+        }
+        math.max(bands, math.min(16, need))
+      }
+    (p, b)
+  }
+
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 0, bands: Int = 4,
       seed: Long = 7L): DataFrame = {
@@ -339,44 +401,8 @@ object Ann {
       s"need 0 <= numPlanes <= 64 (0 = auto) and 1 <= bands <= 64: " +
         s"$numPlanes x $bands")
     val (resolvedPlanes, resolvedBands) = if (numPlanes > 0) (numPlanes, bands)
-    else {
-      val n = df.filter(col(vecCol).isNotNull).count()
-      // occupancy target ~4 random rows per band bucket (p = log2(n/4)):
-      // measured against the ~8 target it replaced, 4 dominates at every
-      // point — 200k vectors picks p=16 (the fixed form's own width and
-      // its 10.9 s, vs 16.0 s at occupancy 8) and 2M picks p=19 b=5
-      // (84.9 s vs 120.4 s at p=18) — halving bucket occupancy halves the
-      // random-candidate term for one extra hyperplane dot per band, and
-      // the S-curve band growth keeps the recall guarantee unchanged
-      val p0 = math.ceil(
-        math.log(math.max(n.toDouble / 4.0, 2.0)) / math.log(2.0)).toInt
-      val p = math.max(8, math.min(24, p0))
-      // match probability of one plane at the threshold angle
-      val sMatch = 1.0 -
-        math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-      val b =
-        if (p <= 16 || sMatch >= 1.0 - 1e-12) bands
-        else {
-          // bands needed so the (p, b) S-curve meets the default (16,
-          // bands) setting's recall at this threshold
-          val r0 = 1.0 - math.pow(1.0 - math.pow(sMatch, 16.0), bands.toDouble)
-          val need = math.ceil(math.log1p(-r0) /
-            math.log1p(-math.pow(sMatch, p.toDouble))).toInt
-          if (need > 16) {
-            // the cap binds: auto cannot meet the fixed form's recall at
-            // this (threshold, n) and silently under-delivering would
-            // contradict the documented dominance — tell the caller the
-            // honest tool is the explicit knobs
-            System.err.println(s"cosineDedupPairs auto-sizing: band cap " +
-              s"binds (need $need > 16 bands at width $p for threshold " +
-              s"$threshold over n=$n rows) — recall falls below the fixed " +
-              s"16-plane form's; pass explicit numPlanes/bands for this " +
-              "corpus")
-          }
-          math.max(bands, math.min(16, need))
-        }
-      (p, b)
-    }
+    else autoLshParams(df.filter(col(vecCol).isNotNull).count(),
+      threshold, bands)
     // null embeddings never pair (null bucket rows drop out of the
     // candidate join) — the dim probe must not trip over one either, and
     // an all-null (or empty) input resolves to the natural empty pair set

@@ -198,7 +198,13 @@ object Dedup {
    * an n²/2^(small) term — the saturation disease the d ≤ 3 redesign
    * cured — and a 64-bit fingerprint at Hamming > 5 is no longer a
    * meaningful near-duplicate signal anyway (use MinHash banding with a
-   * lower threshold for looser similarity). */
+   * lower threshold for looser similarity). d = 5 itself carries an
+   * implicit CORPUS ceiling its 24-bit keys impose: random collisions
+   * grow ∝ n²/2²⁴ per table (×56 tables), ~3×10⁸ spurious candidates at
+   * 10⁷ docs and unusable around 10⁸ — k = 8's block granularity offers
+   * no wider key at this radius, so past ~10⁷ docs the honest tool for a
+   * loose radius is [[lshCandidatePairs]], not d = 5 (measured points stop
+   * at 5×10⁵ docs; d ≤ 4's 32-bit keys push the same wall out 2⁸×). */
   def simhashPairs(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 5,

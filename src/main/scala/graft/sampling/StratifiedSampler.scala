@@ -367,8 +367,9 @@ object StratifiedSampler {
             // would otherwise just disable the measured ~6 s/pass
             // optimization with no signal it stopped engaging
             case scala.util.control.NonFatal(e) =>
-              System.err.println("StratifiedSampler: literal pre-cut " +
-                s"disabled, falling back to join-side filter only: $e")
+              org.slf4j.LoggerFactory.getLogger(StratifiedSampler.getClass)
+                .warn("StratifiedSampler: literal pre-cut disabled, " +
+                  s"falling back to join-side filter only: $e")
               None
           }
         // arithmetic shift of the signed hash: shard index is monotone in

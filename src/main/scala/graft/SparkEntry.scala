@@ -286,12 +286,10 @@ object SparkEntry {
         docs.orderBy(col("doc_id")).limit(20)
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
       val cands = graft.dedup.Dedup.lshCandidatePairIds(withCopies, "doc_id", "text")
-      val txt = withCopies.select(col("doc_id"), col("text"))
-      cands
-        .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
-        .join(txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
-        .filter(col("ta") === col("tb"))
-        .select(col("id_a"), col("id_b"))
+      // exact-equality verify via the 128-bit fingerprint fetch — the full
+      // text through these joins was ~half the gate's wall time at 500k docs
+      graft.dedup.Dedup.verifyEqualContent(
+          cands.select(col("id_a"), col("id_b")), withCopies, "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -304,12 +302,8 @@ object SparkEntry {
         docs.orderBy(col("doc_id")).limit(20)
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
       val pairs = graft.dedup.Dedup.simhashPairs(withCopies, "doc_id", "text", maxHamming = 0)
-      val txt = withCopies.select(col("doc_id"), col("text"))
-      pairs
-        .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
-        .join(txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
-        .filter(col("ta") === col("tb"))
-        .select(col("id_a"), col("id_b"))
+      graft.dedup.Dedup.verifyEqualContent(
+          pairs.select(col("id_a"), col("id_b")), withCopies, "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -730,12 +724,8 @@ object SparkEntry {
         docs.orderBy(col("doc_id")).limit(20)
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
       val cands = graft.dedup.Dedup.lshCandidatePairIds(withCopies, "doc_id", "text")
-      val txt = withCopies.select(col("doc_id"), col("text"))
-      val pairs = cands
-        .join(txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
-        .join(txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
-        .filter(col("ta") === col("tb"))
-        .select(col("id_a"), col("id_b"))
+      val pairs = graft.dedup.Dedup.verifyEqualContent(
+        cands.select(col("id_a"), col("id_b")), withCopies, "doc_id", "text")
       graft.dedup.Dedup.connectedComponents(
         pairs, withCopies.select(col("doc_id")), "doc_id")
         .orderBy(col("doc_id"))

@@ -27,6 +27,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") >= 1000000L).count() === 0)
   }
 
+  test("verifyEqualContent equals the raw text-equality filter (incl. NULLs)") {
+    // the fingerprint verify must be pair-for-pair identical to joining
+    // the content and filtering ta === tb — including the null semantics
+    // (null content matches NOTHING, never the xxhash64 null-skip bucket)
+    val s = spark
+    import s.implicits._
+    val base = withDups.select(col("doc_id"), col("text"))
+      .unionByName(Seq((5000001L, null.asInstanceOf[String]),
+        (5000002L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val ids = base.select(col("doc_id"))
+    // every planted duplicate pair + a thinned slice of non-pairs + the
+    // null-null pair
+    val planted = docs.orderBy("doc_id").limit(10)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+    val allPairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(pmod(col("id_a") + col("id_b"), lit(7)) === 0) // thin it out
+      .unionByName(planted)
+      .unionByName(Seq((5000001L, 5000002L)).toDF("id_a", "id_b"))
+    val got = Dedup.verifyEqualContent(allPairs, base, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val txt = base.select(col("doc_id"), col("text"))
+    val want = allPairs
+      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .filter(col("ta") === col("tb"))
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(!got.contains((5000001L, 5000002L)),
+      "two null-content docs must not verify as equal")
+    assert(got.nonEmpty, "planted duplicate pairs must survive the verify")
+  }
+
   test("minhash: identical texts share signatures; LSH finds planted dups") {
     val pairs = Dedup.lshCandidatePairs(withDups, "doc_id", "text")
       .filter(col("est_jaccard") === 1.0)

@@ -1,0 +1,58 @@
+package graft.perf
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builds a COMPLETE scaled bench dir (`/tmp/sf1u`, `/tmp/sf10u`, ...)
+ * runnable by `graft.Bench` via SPARK_GRAFT_SF_DIR — the full recipe the
+ * BENCH_sf1 addenda describe in prose, committed so a fresh box can
+ * regenerate the decade points instead of reconstructing them by hand:
+ *
+ *  - dimension tables (`region nation customer supplier part orders`)
+ *    copied 1x — replicating both join sides would square join output and
+ *    measure the NEXT decade's join work, not this one's;
+ *  - fact tables (`lineitem events`) replicated plain (no id semantics in
+ *    the gates that scan them);
+ *  - `documents` Caesar-rotated per replica (ScaleDocsGen — unique
+ *    character shingles across replicas, so dedup candidate growth
+ *    measures the operator, not corpus construction);
+ *  - `embeddings` circularly rolled + sign-flipped per replica
+ *    (ScaleEmbGen — cosine-preserving within a replica, decorrelated
+ *    across replicas).
+ *
+ * Usage: Test/runMain graft.perf.ScaleDirGen <out> [replicas] [srcDir]
+ * e.g. `/tmp/sf1u 10` or `/tmp/sf10u 100`.
+ */
+object ScaleDirGen {
+  private val dims = Seq("region", "nation", "customer", "supplier",
+    "part", "orders")
+  private val plainFacts = Seq("lineitem", "events")
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/sf1u")
+    val replicas = if (args.length > 1) args(1).toInt else 10
+    val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dims.foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"GEN $out/$t: 1x copy")
+    }
+    plainFacts.foreach { t =>
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      base.crossJoin(broadcast(spark.range(replicas))).drop("id")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"GEN $out/$t: " +
+        s"${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+    println(s"GEN $out/documents: " +
+      s"${ScaleDocsGen.generate(spark, out, replicas, src)} docs")
+    println(s"GEN $out/embeddings: " +
+      s"${ScaleEmbGen.generate(spark, out, replicas, src)} vectors")
+    spark.stop()
+  }
+}

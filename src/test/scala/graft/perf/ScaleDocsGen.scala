@@ -27,6 +27,15 @@ object ScaleDocsGen {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val n = generate(spark, out, replicas, src)
+    println(s"GEN $out: $n docs")
+    spark.stop()
+  }
+
+  /** Writes `$out/documents.parquet` (the Caesar-rotated unique-content
+   * corpus) and returns the row count. Shared with ScaleDirGen. */
+  def generate(spark: SparkSession, out: String, replicas: Int,
+      src: String): Long = {
     val base = spark.read.parquet(s"$src/documents.parquet")
     val caesar = udf { (k: Int, s: String) =>
       if (s == null) null
@@ -54,8 +63,6 @@ object ScaleDocsGen {
         col("lang"), col("source"), col("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println(s"GEN $out: " +
-      s"${spark.read.parquet(s"$out/documents.parquet").count()} docs")
-    spark.stop()
+    spark.read.parquet(s"$out/documents.parquet").count()
   }
 }

@@ -24,8 +24,20 @@ object ScaleEmbGen {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val n = generate(spark, out, replicas, src)
+    println(s"GEN $out: $n vectors")
+    spark.stop()
+  }
+
+  /** Writes `$out/embeddings.parquet` (roll + sign-flip decorrelated
+   * replicas) and returns the row count. Non-vector columns (e.g.
+   * `label`) are carried through plain so the output is a drop-in
+   * replacement for the source table in a full bench dir. Shared with
+   * ScaleDirGen. */
+  def generate(spark: SparkSession, out: String, replicas: Int,
+      src: String): Long = {
     val base = spark.read.parquet(s"$src/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+    val others = base.columns.filter(c => c != "vec_id" && c != "embedding")
     val transform = udf { (rep: Long, v: Seq[Float]) =>
       val dim = v.length
       val roll = (rep % dim).toInt
@@ -35,11 +47,12 @@ object ScaleEmbGen {
     }
     spark.range(replicas).select(col("id").as("rep"))
       .crossJoin(broadcast(base))
-      .select((col("rep") * lit(10000000L) + col("vec_id")).as("vec_id"),
-        transform(col("rep"), col("embedding")).as("embedding"))
+      .select(Seq(
+        (col("rep") * lit(10000000L) + col("vec_id")).as("vec_id"),
+        transform(col("rep"), col("embedding")).as("embedding")) ++
+        others.map(col): _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"GEN $out: ${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors")
-    spark.stop()
+    spark.read.parquet(s"$out/embeddings.parquet").count()
   }
 }

@@ -64,18 +64,28 @@ object Dedup {
    * the contract [[exact]] already documents. NULL content matches
    * nothing (the fingerprint side is filtered, so null-content ids drop
    * out of the inner joins — same semantics as a raw `ta === tb` filter,
-   * and never the hash-of-seed bucket xxhash64's null-skip would make). */
+   * and never the hash-of-seed bucket xxhash64's null-skip would make).
+   *
+   * The fetch sides take the candidate-join strategy policy
+   * ([[graft.core.CandidateJoin.maybeShuffleHash]]): at corpus scale the
+   * ~24 B/doc fingerprint side sits right AT the broadcast threshold
+   * (500k docs ≈ 12 MB) and AQE flips broadcast ↔ sort-merge run to run
+   * (observed: q11 sf10u 13.6 vs 20.3 s, same code); the hint pins the
+   * sortless shuffle-hash shape there, and the two fp exchanges
+   * canonicalize identically so the fingerprint scan computes once.
+   * Small corpora keep AQE's broadcast. */
   def verifyEqualContent(pairs: DataFrame, df: DataFrame, idCol: String,
       contentCol: String): DataFrame = {
     val outCols = pairs.columns.map(col).toIndexedSeq
     val fp = df.filter(col(contentCol).isNotNull).select(col(idCol),
       xxhash64(col(contentCol)).as("__h1__"),
       xxhash64(lit(0x9e3779b9L), col(contentCol)).as("__h2__"))
+    val hint = graft.core.CandidateJoin.maybeShuffleHash(df) _
     pairs
-      .join(fp.select(col(idCol).as("id_a"), col("__h1__").as("__h1a__"),
-        col("__h2__").as("__h2a__")), "id_a")
-      .join(fp.select(col(idCol).as("id_b"), col("__h1__").as("__h1b__"),
-        col("__h2__").as("__h2b__")), "id_b")
+      .join(hint(fp.select(col(idCol).as("id_a"), col("__h1__").as("__h1a__"),
+        col("__h2__").as("__h2a__"))), "id_a")
+      .join(hint(fp.select(col(idCol).as("id_b"), col("__h1__").as("__h1b__"),
+        col("__h2__").as("__h2b__"))), "id_b")
       .filter(col("__h1a__") === col("__h1b__") &&
         col("__h2a__") === col("__h2b__"))
       .select(outCols: _*)

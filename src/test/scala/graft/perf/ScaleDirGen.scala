@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
  *    measure the NEXT decade's join work, not this one's;
  *  - fact tables (`lineitem events`) replicated plain (no id semantics in
  *    the gates that scan them);
- *  - `documents` Caesar-rotated per replica (ScaleDocsGen — unique
+ *  - `documents` substitution-ciphered per replica (ScaleDocsGen — unique
  *    character shingles across replicas, so dedup candidate growth
  *    measures the operator, not corpus construction);
  *  - `embeddings` circularly rolled + sign-flipped per replica

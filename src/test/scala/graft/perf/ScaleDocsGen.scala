@@ -6,14 +6,25 @@ import org.apache.spark.sql.functions._
 /** Committed generator for the unique-content document scale corpora
  * (`/tmp/sf1u`..`/tmp/sf100u` decade points) — the recipe BENCH_sf1.md
  * documents, now executable instead of prose: per replica k, doc_ids
- * remapped (+k·10⁷) and text Caesar-rotated by k over letters AND digits,
- * so every CHARACTER shingle changes across replicas (corpus-hygiene
- * lesson: token PREFIXING was rejected — interior shingles survive inside
- * `r3xbatch` vs `r7xbatch` and cross-replica signature similarity stays
- * ~0.5, making candidate growth quadratic BY CORPUS CONSTRUCTION) while
- * within-replica structure stays byte-isomorphic to the source. Replica 0
- * is the UNROTATED original, so any planted structure in the source
- * survives verbatim.
+ * remapped (+k·10⁷) and text passed through a PER-REPLICA SEEDED
+ * SUBSTITUTION CIPHER (a Fisher–Yates permutation of a–z and of 0–9,
+ * seeded by k), so every CHARACTER shingle changes across replicas with
+ * ~26!-level certainty while within-replica structure stays
+ * byte-isomorphic to the source. Replica 0 is the IDENTITY, so any
+ * planted structure in the source survives verbatim.
+ *
+ * Corpus-hygiene lessons baked in, in order found:
+ *  - token PREFIXING rejected (r13) — interior shingles survive inside
+ *    `r3xbatch` vs `r7xbatch`, cross-replica signature similarity stays
+ *    ~0.5, and candidate growth turns quadratic BY CORPUS CONSTRUCTION;
+ *  - CAESAR rotation rejected (r14) — the bench corpus contains NO
+ *    digits, so rotation's effective period is 26: replicas k and k+26
+ *    produced byte-IDENTICAL text under remapped doc_ids. The 100-replica
+ *    sf10u corpus therefore carried ~3.85 exact copies of every document
+ *    (~650k constructed exact-dup pairs ≈ 10M of the 13.2M pre-distinct
+ *    candidates the r13 floor decomposition attributed to the operator),
+ *    and a 1000-replica corpus would have made candidate volume grow
+ *    quadratically in replicas. A seeded permutation has no period.
  *
  * Usage: Test/runMain graft.perf.ScaleDocsGen <out> [replicas] [srcDir]
  * e.g. `/tmp/sf100u 1000 /root/testdata/sf0.1` = 5M docs.
@@ -32,24 +43,50 @@ object ScaleDocsGen {
     spark.stop()
   }
 
-  /** Writes `$out/documents.parquet` (the Caesar-rotated unique-content
-   * corpus) and returns the row count. Shared with ScaleDirGen. */
+  /** Per-replica substitution alphabet: permutations of a–z and 0–9 from a
+   * replica-seeded Fisher–Yates shuffle (identity at k = 0). Distinct
+   * replicas share a letter permutation with probability ~n²/26! — no
+   * period at any replica count, unlike rotation. */
+  private val substCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Char], Array[Char])]()
+
+  private def substitution(k: Int): (Array[Char], Array[Char]) =
+    substCache.computeIfAbsent(k, buildSubstitution)
+
+  private def buildSubstitution(k: Int): (Array[Char], Array[Char]) = {
+    def perm(chars: Array[Char], seed: Long): Array[Char] = {
+      val a = chars.clone()
+      val rnd = new scala.util.Random(seed)
+      var i = a.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = a(i); a(i) = a(j); a(j) = t
+        i -= 1
+      }
+      a
+    }
+    val letters = ('a' to 'z').toArray
+    val digits = ('0' to '9').toArray
+    if (k == 0) (letters, digits)
+    else (perm(letters, 0x5EEDL ^ (k.toLong * 0x9E3779B97F4A7C15L)),
+      perm(digits, 0xD161L ^ (k.toLong * 0xBF58476D1CE4E5B9L)))
+  }
+
+  /** Writes `$out/documents.parquet` (the substitution-ciphered
+   * unique-content corpus) and returns the row count. Shared with
+   * ScaleDirGen. */
   def generate(spark: SparkSession, out: String, replicas: Int,
       src: String): Long = {
     val base = spark.read.parquet(s"$src/documents.parquet")
-    val caesar = udf { (k: Int, s: String) =>
+    val cipher = udf { (k: Int, s: String) =>
       if (s == null) null
       else {
-        val kl = ((k % 26) + 26) % 26
-        val kd = ((k % 10) + 10) % 10
+        val (letters, digits) = substitution(k)
         val b = new StringBuilder(s.length)
         s.foreach {
-          case c if c >= 'a' && c <= 'z' =>
-            b.append(('a' + (c - 'a' + kl) % 26).toChar)
-          case c if c >= 'A' && c <= 'Z' =>
-            b.append(('A' + (c - 'A' + kl) % 26).toChar)
-          case c if c >= '0' && c <= '9' =>
-            b.append(('0' + (c - '0' + kd) % 10).toChar)
+          case c if c >= 'a' && c <= 'z' => b.append(letters(c - 'a'))
+          case c if c >= 'A' && c <= 'Z' => b.append(letters(c - 'A').toUpper)
+          case c if c >= '0' && c <= '9' => b.append(digits(c - '0'))
           case c => b.append(c)
         }
         b.toString
@@ -59,7 +96,7 @@ object ScaleDocsGen {
       .crossJoin(broadcast(base))
       .select(
         (col("rep").cast("long") * lit(10000000L) + col("doc_id")).as("doc_id"),
-        caesar(col("rep"), col("text")).as("text"),
+        cipher(col("rep"), col("text")).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")

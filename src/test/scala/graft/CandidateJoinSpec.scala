@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.CandidateJoin
+
+/** Pins the candidate-join strategy policy's SIZE WINDOW: no hint below
+ * the broadcast threshold (AQE broadcasts), `shuffle_hash` inside the
+ * window, and NO hint above `shuffleHashMaxBytes` — the r14 third-decade
+ * lesson: a shuffled-hash build side cannot spill, and the pinned shape
+ * OOM'd at 5M docs ("not enough memory to build hash map") while
+ * sort-merge spills and finishes. */
+class CandidateJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.logical.collect { case h: UnresolvedHint => h.name }
+      .contains("shuffle_hash")
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  import spark.implicits._
+  private def frame() = (1 to 1000).map(i => (i.toLong, s"content-$i"))
+    .toDF("id", "text")
+
+  test("below the broadcast threshold: no hint (AQE broadcasts)") {
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> (10L << 20).toString) {
+      val df = frame()
+      assert(!hinted(CandidateJoin.maybeShuffleHash(df)(df)))
+    }
+  }
+
+  test("inside the window: shuffle_hash pinned") {
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "1024") {
+      val df = frame() // estimate is tens of KB: above 1 KB, below 64 MB
+      assert(hinted(CandidateJoin.maybeShuffleHash(df)(df)))
+    }
+  }
+
+  test("above shuffleHashMaxBytes: no hint (sort-merge spills; " +
+    "a shuffled-hash build side cannot)") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      "spark.graft.candidateJoin.shuffleHashMaxBytes" -> "2048") {
+      val df = frame()
+      assert(!hinted(CandidateJoin.maybeShuffleHash(df)(df)))
+    }
+  }
+
+  test("explicit on/off overrides ignore the window") {
+    withConfs(
+      "spark.graft.candidateJoin.shuffleHash" -> "on",
+      "spark.graft.candidateJoin.shuffleHashMaxBytes" -> "1") {
+      val df = frame()
+      assert(hinted(CandidateJoin.maybeShuffleHash(df)(df)))
+    }
+    withConfs("spark.graft.candidateJoin.shuffleHash" -> "off",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024") {
+      val df = frame()
+      assert(!hinted(CandidateJoin.maybeShuffleHash(df)(df)))
+    }
+  }
+}

@@ -43,6 +43,33 @@ object AutoPlanesProbe {
     val mode = if (args.length > 3) args(3) else "both"
     val explicitPb = "p(\\d+)b(\\d+)".r
     mode match {
+      case "pairsonly" =>
+        // candidate VOLUME at auto's chosen shape, without the vector
+        // fetch: at 20M vectors the full operator's exact-cosine fetch
+        // moves pairs x 2 x 256 B through one box's shuffle (> 67 GB
+        // spilled, exceeding this box's disk; at 1000 executors the same
+        // bytes are ~90 MB each, a non-event) — the structural claim worth
+        // pinning here is that the candidate TERM stays linear, which the
+        // distinct pair count measures without the fetch.
+        val n = emb.filter(col("embedding").isNotNull).count()
+        val (p, b) = graft.ann.Ann.autoLshParams(n, threshold, 4)
+        val planes = graft.ann.Ann.hyperplanes(
+          emb.select(size(col("embedding"))).head().getInt(0), p * b)
+        val banded = emb.select(col("vec_id").as("id"),
+          posexplode(org.apache.spark.sql.graft.HyperplaneBandBuckets(
+            col("embedding"), planes, p)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        val hint = graft.core.CandidateJoin.maybeShuffleHash(emb) _
+        val t0 = System.nanoTime()
+        val pairs = hint(banded.select(col("band"), col("bucket"),
+            col("id").as("id_a")))
+          .join(hint(banded.select(col("band"), col("bucket"),
+            col("id").as("id_b"))), Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct().count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE sf=$sfDir pairsonly n=$n p=$p b=$b " +
+          f"pairs=$pairs wall=$wall%.2f s pairsPerVec=${pairs.toDouble / n}%.2f")
       case explicitPb(p, b) =>
         // arbitrary explicit shape, e.g. p19b5 — for occupancy-target
         // experiments without touching the operator

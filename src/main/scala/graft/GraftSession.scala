@@ -623,7 +623,10 @@ class GraftSession(val spark: SparkSession) {
    * query that resumes AFTER the new query's consult still finds its
    * fence (deleting it outright would re-apply the resumed query's
    * replayed batches 0..N — duplicate rows, the dual of the data-loss
-   * bug). Boundary (`batchId == legacy`, incl. legacy == 0 vs a new
+   * bug). A quarantined key whose pre-upgrade query never resumes stays
+   * FOREVER by design — one small meta property per retired stream, and
+   * sweeping it on any schedule reopens that duplicate window for a
+   * query resuming after the sweep. Boundary (`batchId == legacy`, incl. legacy == 0 vs a new
    * query's batch 0): treated as the resumed query and fenced — see
    * [[graft.topk.TopKState.fenceAndRetire]] for why the replay-safe side
    * of the inherent ambiguity is the right trade. Legacy-spelling

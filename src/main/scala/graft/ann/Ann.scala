@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(Ann.getClass)
+
   /** Cosine similarity between an array<float/double> column and a literal
    * query vector, computed in double (fused-loop expression — same
    * accumulation order as the former zip_with/aggregate algebra). */
@@ -358,7 +360,7 @@ object Ann {
       // sizing exists to remove. Symmetric honesty with the band-cap
       // warning below: never let a silent clamp masquerade as scale
       // safety.
-      org.slf4j.LoggerFactory.getLogger(Ann.getClass).warn(
+      log.warn(
         s"cosineDedupPairs auto-sizing: width clamp binds (occupancy " +
           s"target wants $p0 planes > 30 for n=$n rows) — bucket " +
           s"occupancy grows ~${n / (4L << 30)}x past the ~4-row target " +
@@ -382,7 +384,7 @@ object Ann {
           // this (threshold, n) and silently under-delivering would
           // contradict the documented dominance — tell the caller the
           // honest tool is the explicit knobs
-          org.slf4j.LoggerFactory.getLogger(Ann.getClass).warn(
+          log.warn(
             s"cosineDedupPairs auto-sizing: band cap " +
               s"binds (need $need > 16 bands at width $p for threshold " +
               s"$threshold over n=$n rows) — recall falls below the fixed " +

@@ -337,7 +337,12 @@ final class TopKState(val name: String, val opts: TopKOptions, val keyType: Data
    * re-apply the resumed query's replayed batch `legacy`, duplicating
    * rows); we keep the replay-safe side: a fence can only suppress the
    * one overlapping batch, a duplicate corrupts the store. Pinned in
-   * StreamingSpec ("legacy watermark 0 boundary"). */
+   * StreamingSpec ("legacy watermark 0 boundary").
+   *
+   * Retention: a `__streamretired.*` key whose pre-upgrade query never
+   * resumes is kept FOREVER by design — one small meta property per
+   * retired stream key, and deleting it on any schedule reopens the
+   * duplicate-replay window for a query that resumes after the sweep. */
   def fenceAndRetire(current: String, legacyKeys: Seq[String],
       batchId: Long): (Long, Boolean) = stateLock.synchronized {
     val cur = current.toLowerCase

@@ -55,6 +55,41 @@ class CandidateJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("geometry-derived cap: 2/5 of the per-task execution share") {
+    // this box's bench geometry resolves to the r14 measured constant
+    assert(CandidateJoin.derivedShuffleHashMaxBytes(
+      8L << 30, 0.6, 32) === 64424509L) // ~61 MiB ≈ the r14 64 MB window
+    // a 4 GB x 8-core executor has 2x this box's per-task share…
+    assert(CandidateJoin.derivedShuffleHashMaxBytes(
+      4L << 30, 0.6, 8) === 128849018L)
+    // …and a 16 GB x 4-core one is ~16x this box's per-task share (exact
+    // up to the per-call double rounding)
+    assert(CandidateJoin.derivedShuffleHashMaxBytes(
+      16L << 30, 0.6, 4) === 1030792151L)
+    // degenerate cores never divide by zero
+    assert(CandidateJoin.derivedShuffleHashMaxBytes(1L << 30, 0.6, 0) > 0)
+  }
+
+  test("no-stats sentinel: never treated as a real measurement") {
+    // an RDD-backed plan has no file-scan stats — its estimate is
+    // spark.sql.defaultSizeInBytes (Long.MaxValue), which must read as
+    // "unknown" (sort-merge, spill-safe), not as "huge input"
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "1024") {
+      val rows = (1 to 100).map(i =>
+        org.apache.spark.sql.Row(i.toLong, s"content-$i"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val rddDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      assert(rddDf.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(spark.sessionState.conf.defaultSizeInBytes))
+      assert(!hinted(CandidateJoin.maybeShuffleHash(rddDf)(rddDf)))
+    }
+  }
+
   test("explicit on/off overrides ignore the window") {
     withConfs(
       "spark.graft.candidateJoin.shuffleHash" -> "on",

@@ -53,8 +53,16 @@ object ScaleDirGen {
       // files keep the source's encoding locality
       spark.read.parquet(Seq.fill(replicas)(s"$src/$t.parquet"): _*)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"GEN $out/$t: " +
-        s"${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+      // duplicate paths surviving read.parquet(path, path, ...) is
+      // UNDOCUMENTED Spark behavior — if an upgrade ever dedups the list,
+      // a silently 1x corpus would poison every decade measurement, so
+      // the row count is asserted, not just printed
+      val base = spark.read.parquet(s"$src/$t.parquet").count()
+      val written = spark.read.parquet(s"$out/$t.parquet").count()
+      require(written == base * replicas,
+        s"$out/$t: wrote $written rows, expected $base x $replicas — " +
+          "did read.parquet stop honoring duplicate paths?")
+      println(s"GEN $out/$t: $written rows")
     }
     println(s"GEN $out/documents: " +
       s"${ScaleDocsGen.generate(spark, out, replicas, src)} docs")

@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
  * documents, now executable instead of prose: per replica k, doc_ids
  * remapped (+k·10⁷) and text passed through a PER-REPLICA SEEDED
  * SUBSTITUTION CIPHER (a Fisher–Yates permutation of a–z and of 0–9,
- * seeded by k), so every CHARACTER shingle changes across replicas with
- * ~26!-level certainty while within-replica structure stays
- * byte-isomorphic to the source. Replica 0 is the IDENTITY, so any
- * planted structure in the source survives verbatim.
+ * seeded by k), so with overwhelming probability every character shingle
+ * of width >= 2 changes across replicas, while within-replica structure
+ * stays byte-isomorphic to the source. (Not a derangement guarantee: a
+ * Fisher–Yates permutation has ~1 expected fixed point and two replicas'
+ * permutations agree on ~1 letter in expectation, so a rare SINGLE-char
+ * shingle can survive identically — the dedup gates shingle at width 5,
+ * where survival needs 5 simultaneous agreements, ~(1/26)⁵ per position.)
+ * Replica 0 is the IDENTITY, so any planted structure in the source
+ * survives verbatim.
  *
  * Corpus-hygiene lessons baked in, in order found:
  *  - token PREFIXING rejected (r13) — interior shingles survive inside
@@ -21,8 +26,11 @@ import org.apache.spark.sql.functions._
  *    digits, so rotation's effective period is 26: replicas k and k+26
  *    produced byte-IDENTICAL text under remapped doc_ids. The 100-replica
  *    sf10u corpus therefore carried ~3.85 exact copies of every document
- *    (~650k constructed exact-dup pairs ≈ 10M of the 13.2M pre-distinct
- *    candidates the r13 floor decomposition attributed to the operator),
+ *    (22 rotation classes of 4 + 4 of 3 → 144 constructed exact-dup
+ *    PAIRS per source doc ≈ 720k distinct pairs over 5k source docs, the
+ *    BENCH_sf1 addendum-13 derivation — which the 16-band LSH emitted
+ *    once per agreeing band as ~10M of the 13.2M PRE-distinct candidates
+ *    the r13 floor decomposition attributed to the operator),
  *    and a 1000-replica corpus would have made candidate volume grow
  *    quadratically in replicas. A seeded permutation has no period.
  *

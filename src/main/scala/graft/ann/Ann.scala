@@ -308,6 +308,17 @@ object Ann {
    * A pre-fetch representative collapse was measured and rejected; see the
    * note at the fetch join.
    *
+   * VERIFY is two-stage at corpus scale (`spark.graft.cosineDedup
+   * .adcVerify` auto, on measured estimate > 256 MB): candidate pairs
+   * first fetch ~32 B PQ stats structs and keep only those whose RIGOROUS
+   * per-pair cosine upper bound ([[org.apache.spark.sql.graft
+   * .PqCosineUpperBound]]) can reach the threshold; only that residue
+   * fetches full vectors for the exact cosine. Output is IDENTICAL to the
+   * single-stage verify by the bound's direction (AdcVerifySpec). At 20M
+   * vectors the single-stage fetch moves ~345 GB of vector bytes through
+   * the pair joins (BENCH_sf1 addendum 13) — the two-stage form is what
+   * makes the full operator runnable there.
+   *
    * `numPlanes = 0` — THE DEFAULT — is AUTO-SIZING: the band width is set
    * to ~log₂(n/4) — random-collision bucket occupancy stays near a
    * constant ~4 as the corpus grows, so the candidate term is LINEAR in n
@@ -396,6 +407,41 @@ object Ann {
     (p, b)
   }
 
+  /** Largest divisor of `dim` that is ≤ `target` — PQ subspace count for
+   * arbitrary dimensions (pqTrain requires dim % m == 0). */
+  private[graft] def chooseM(dim: Int, target: Int): Int =
+    (math.min(dim, math.max(1, target)) to 1 by -1).find(dim % _ == 0).get
+
+  /** Per-subspace centroid gram tables for the SDC inner product:
+   * `gram(j)(x*k + y) = ⟨cent_{j,x}, cent_{j,y}⟩`, flattened at a uniform
+   * `k = max centroids per subspace` (short codebooks zero-pad; codes
+   * never index the padding). m·k² doubles — ~0.5 MB at m=16, k=64. */
+  private[graft] def sdcGram(cb: PqCodebooks): (Array[Array[Double]], Int) = {
+    val k = cb.centroids.map(_.length).max
+    val gram = cb.centroids.map { cents =>
+      val t = new Array[Double](k * k)
+      var x = 0
+      while (x < cents.length) {
+        var y = 0
+        while (y < cents.length) {
+          var s = 0.0; var i = 0
+          while (i < cb.dsub) { s += cents(x)(i) * cents(y)(i); i += 1 }
+          t(x * k + y) = s
+          y += 1
+        }
+        x += 1
+      }
+      t
+    }
+    (gram, k)
+  }
+
+  /** Floating-point slack for the ADC pre-filter threshold: the bound
+   * arithmetic is exact over the stored values up to double rounding
+   * across ~m·dsub-term sums — 1e-9 dwarfs it and only ever ADDS
+   * residue pairs (recall-safe by direction). */
+  private[graft] val AdcFpEps = 1e-9
+
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 0, bands: Int = 4,
       seed: Long = 7L): DataFrame = {
@@ -438,6 +484,67 @@ object Ann {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // ---- two-stage verify (the r14 q11 fingerprint-fetch lesson applied
+    // to the operator that cannot use equality): at corpus scale the
+    // exact-cosine verify fetch dominates everything — 653M candidate
+    // pairs × ~530 B of vector bytes ≈ 345 GB of shuffle at 20M vectors
+    // (BENCH_sf1 addendum 13), a single-box disk wall and a real cost at
+    // any scale. Stage 1 fetches ~32 B/row PqEncodeStats structs instead
+    // and keeps only pairs whose RIGOROUS cosine upper bound
+    // ([[org.apache.spark.sql.graft.PqCosineUpperBound]]) can still reach
+    // the threshold; stage 2 fetches full vectors for that residue alone.
+    // The bound is per-pair exact over stored values, so the output is
+    // IDENTICAL to the single-stage verify (AdcVerifySpec pins parity).
+    // `spark.graft.cosineDedup.adcVerify` on/off/auto (default auto:
+    // engage above `adcVerifyMinBytes` — default 256 MB — of estimated
+    // input, the same planner-stats signal as the candidate-join policy;
+    // small corpora skip the extra train/encode passes, and an input
+    // with NO stats stays single-stage with a warning).
+    val adcPairIds = {
+      val spark = df.sparkSession
+      val useAdc = spark.conf.get(
+          "spark.graft.cosineDedup.adcVerify", "auto") match {
+        case "on" => true
+        case "off" => false
+        case _ =>
+          val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          val minBytes = BigInt(spark.conf.get(
+            "spark.graft.cosineDedup.adcVerifyMinBytes",
+            (256L << 20).toString).toLong)
+          if (bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
+            log.warn("cosineDedupPairs: input has no size statistics — " +
+              "staying single-stage; set " +
+              "spark.graft.cosineDedup.adcVerify=on for the two-stage " +
+              "verify on corpus-scale inputs")
+            false
+          } else bytes > minBytes
+      }
+      if (!useAdc) pairIds
+      else {
+        val mTarget = spark.conf.get(
+          "spark.graft.cosineDedup.adcM", "16").toInt
+        val kTarget = spark.conf.get(
+          "spark.graft.cosineDedup.adcK", "64").toInt
+        val cb = pqTrain(src.filter(col("v").isNotNull), "v",
+          chooseM(dimOpt.get, mTarget), math.min(256, kTarget),
+          iterations = 10, seed = seed)
+        val (gram, k) = sdcGram(cb)
+        val stats = src.filter(col("v").isNotNull).select(col("id"),
+          org.apache.spark.sql.graft.PqEncodeStats(col("v"), cb.centroids)
+            .as("s"))
+        log.info(s"cosineDedupPairs: ADC two-stage verify engaged " +
+          s"(m=${cb.m}, k=$k) — exact-cosine fetch runs on the " +
+          "bound-surviving residue only")
+        pairIds
+          .join(hint(stats.select(col("id").as("id_a"), col("s").as("sa"))),
+            "id_a")
+          .join(hint(stats.select(col("id").as("id_b"), col("s").as("sb"))),
+            "id_b")
+          .filter(org.apache.spark.sql.graft.PqCosineUpperBound(
+            col("sa"), col("sb"), gram, k) >= threshold - AdcFpEps)
+          .select(col("id_a"), col("id_b"))
+      }
+    }
     val va = src.select(col("id").as("id_a"), col("v").as("v_a"))
     val vb = src.select(col("id").as("id_b"), col("v").as("v_b"))
     // the trailing distinct is the OUTPUT contract only (one row per pair
@@ -450,7 +557,7 @@ object Ann {
     // 1.0 s on the illegal duplicated-id one (5.3 -> 4.2 s) — key
     // uniqueness is the documented input contract, exact-dedup first if a
     // corpus may violate it.
-    pairIds.join(va, "id_a").join(vb, "id_b")
+    adcPairIds.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()

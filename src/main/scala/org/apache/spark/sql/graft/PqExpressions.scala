@@ -104,6 +104,164 @@ object PqAdcDot {
     Exprs.column(new PqAdcDot(Exprs.expression(c), luts))
 }
 
+/** `pq_encode_stats(vec)`: one fused pass emitting everything the
+ * two-stage cosine verify needs per vector — `struct<code: binary,
+ * norm: double, err: double>` where `code` is the m-byte PQ code,
+ * `norm = ‖v‖` (true vector norm) and `err = ‖v − v̂‖` (exact
+ * quantization residual, √Σ_j bestD_j from the same nearest-centroid
+ * search that picks the code bytes). Storing the residual per vector is
+ * what makes the pair bound in [[PqCosineUpperBound]] RIGOROUS instead
+ * of a global "certified margin": no distribution assumption, no
+ * training-set generalization gap. ~32 B per row instead of the fp32
+ * vector — the q11 fingerprint-fetch lesson for the operator that
+ * cannot use equality. */
+case class PqEncodeStats(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.length <= 256),
+    "PQ codebooks must have at most 256 centroids per subspace (byte codes)")
+  override def dataType: DataType = StructType(Seq(
+    StructField("code", BinaryType, nullable = false),
+    StructField("norm", DoubleType, nullable = false),
+    StructField("err", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  private lazy val isFloat = PqExpressions.isFloatArray(child.dataType)
+  private val m = codebooks.length
+  private val dsub = codebooks(0)(0).length
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Byte](m)
+    var err2 = 0.0
+    var norm2 = 0.0
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val base = j * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = PqExpressions.elemAt(arr, base + i, isFloat) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      err2 += bestD
+      var i = 0
+      while (i < dsub) {
+        val x = PqExpressions.elemAt(arr, base + i, isFloat)
+        norm2 += x * x
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      out, math.sqrt(norm2), math.sqrt(err2))
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case PqEncodeStats(c, cbs) =>
+      c == child && cbs.length == codebooks.length &&
+        cbs.zip(codebooks).forall { case (a, b) =>
+          a.length == b.length && a.zip(b).forall { case (x, y) =>
+            java.util.Arrays.equals(x, y) } }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.deepHashCode(
+      codebooks.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeStats = copy(child = newChild)
+}
+
+object PqEncodeStats {
+  def apply(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Exprs.column(new PqEncodeStats(Exprs.expression(c), codebooks))
+}
+
+/** `pq_cosine_upper(sa, sb)`: a RIGOROUS upper bound on the exact cosine
+ * of the two original vectors, computed from their
+ * [[PqEncodeStats]] structs alone — no vector bytes move. With
+ * a = â + da (‖da‖ = err_a exact, stored) and b = b̂ + db:
+ *
+ *   ⟨a,b⟩ = ⟨â,b̂⟩ + ⟨â,db⟩ + ⟨da,b̂⟩ + ⟨da,db⟩
+ *         ≤ sdc + ‖â‖·err_b + err_a·‖b̂‖ + err_a·err_b
+ *
+ * where `sdc = Σ_j T_j(code_a(j), code_b(j))` is the symmetric-distance
+ * inner product from the precomputed per-subspace centroid gram table
+ * `T_j(x,y) = ⟨cent_{j,x}, cent_{j,y}⟩` (m·k² doubles riding inside the
+ * expression — ~0.5 MB at m=16,k=64) and ‖â‖² = Σ_j T_j(c_j,c_j) comes
+ * from the table diagonal. Dividing by the stored TRUE norms gives the
+ * cosine bound; zero norms return 1.0 (always-keep — the exact stage
+ * decides, matching the raw operator's semantics on degenerate vectors).
+ * Every inequality is exact over the stored values, so a pre-filter
+ * keeping `upper ≥ threshold − fpEps` can only ever pass EXTRA pairs to
+ * the exact verify — never drop a true one (recall parity by
+ * construction, pinned in AdcVerifySpec). */
+case class PqCosineUpperBound(left: Expression, right: Expression,
+    gram: Array[Array[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  require(gram.nonEmpty && gram.forall(_.length == k * k),
+    s"gram table must hold m flattened k x k blocks (k=$k)")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private val m = gram.length
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val ra = l.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val rb = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val ca = ra.getBinary(0); val na = ra.getDouble(1); val ea = ra.getDouble(2)
+    val cb = rb.getBinary(0); val nb = rb.getDouble(1); val eb = rb.getDouble(2)
+    if (na == 0.0 || nb == 0.0) return 1.0
+    var sdc = 0.0
+    var ahat2 = 0.0
+    var bhat2 = 0.0
+    var j = 0
+    while (j < m) {
+      val t = gram(j)
+      val x = ca(j) & 0xff
+      val y = cb(j) & 0xff
+      sdc += t(x * k + y)
+      ahat2 += t(x * k + x)
+      bhat2 += t(y * k + y)
+      j += 1
+    }
+    val ub = sdc + math.sqrt(ahat2) * eb + ea * math.sqrt(bhat2) + ea * eb
+    ub / (na * nb)
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case PqCosineUpperBound(a, b, g, kk) =>
+      a == left && b == right && kk == k && g.length == gram.length &&
+        g.zip(gram).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode() + right.hashCode()) +
+      java.util.Arrays.deepHashCode(gram.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCosineUpperBound =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqCosineUpperBound {
+  def apply(a: Column, b: Column, gram: Array[Array[Double]],
+      k: Int): Column =
+    Exprs.column(new PqCosineUpperBound(Exprs.expression(a),
+      Exprs.expression(b), gram, k))
+}
+
 /** `vec_norm(vec)`: √(Σ x²) in one fused pass. */
 case class VecNorm(child: Expression)
     extends UnaryExpression with CodegenFallback {

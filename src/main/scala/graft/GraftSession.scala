@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions.expr
 
 import graft.sampling.StratifiedSampler
 
+/** Thrown at a publish commit point when the store's fence
+ * (`_graft.fence`) has moved past the holder's acquisition epoch — the
+ * path lock was lease-broken while this process was stalled, and landing
+ * the write would interleave with the successor's. The publish is
+ * abandoned; any artifacts the zombie landed before detection carry its
+ * stale epoch and are quarantined by readers
+ * ([[GraftSession.readSample]]). */
+class FencedLockException(msg: String) extends IllegalStateException(msg)
+
 /** Metadata + materialized plan of one registered sample table
  * (reference `sql/sampling/ColumnFormatSamplingRelation.scala:50-168`). */
 final case class SampleInfo(
@@ -276,6 +285,7 @@ class GraftSession(val spark: SparkSession) {
         // (no lost update); the lock keeps the two Spark commit protocols
         // from racing in one staging directory
         GraftSession.withPathLock(spark, path) {
+          GraftSession.assertStoreFence(spark, path)
           sampled.write.mode("append").parquet(path)
         }
         spark.catalog.refreshByPath(path)
@@ -341,16 +351,54 @@ class GraftSession(val spark: SparkSession) {
       case None => info.sampleDf
       case Some(path) =>
         val conf = spark.sessionState.newHadoopConf()
+        // `stream-<key>-b<id>-<k>[.e<epoch>].parquet`: the fence epoch a
+        // streaming batch publish was stamped with (absent = pre-fence, 0)
+        val streamFilePat = "^(stream-.+-b[0-9]+-)[0-9]+(?:\\.e([0-9]+))?\\.parquet$".r
         def snapshotFiles(): Seq[String] =
           GraftSession.withPathLock(spark, path) {
             val dir = new org.apache.hadoop.fs.Path(path)
             val fs = dir.getFileSystem(conf)
             if (!fs.exists(dir)) Seq.empty
-            else fs.listStatus(dir).toSeq.collect {
-              case s if s.isFile && s.getPath.getName.endsWith(".parquet") &&
-                !s.getPath.getName.startsWith(".") &&
-                !s.getPath.getName.startsWith("_") =>
-                s.getPath.toString
+            else {
+              val listed = fs.listStatus(dir).toSeq.collect {
+                case s if s.isFile &&
+                  s.getPath.getName.endsWith(".parquet") &&
+                  !s.getPath.getName.startsWith(".") &&
+                  !s.getPath.getName.startsWith("_") => s.getPath
+              }
+              // store-level fencing, reader side: a batch published twice
+              // under DIFFERENT fence epochs means a lease-broken zombie
+              // landed files past the commit-point checks (the successor's
+              // recovery republished the same batch under a newer epoch).
+              // Only the newest epoch's files are the batch; older ones are
+              // quarantined under a dot prefix — invisible to this snapshot
+              // AND to plain spark.read.parquet(path) readers — never
+              // deleted (they are the forensic record; the next publish of
+              // that batch sweeps them with its other leftovers).
+              val epochOf = listed.flatMap { p =>
+                p.getName match {
+                  case streamFilePat(pf, e) =>
+                    Some(p -> (pf, if (e == null) 0L else e.toLong))
+                  case _ => None
+                }
+              }.toMap
+              val maxEpoch = epochOf.values.groupBy(_._1)
+                .map { case (pf, vs) => pf -> vs.map(_._2).max }
+              listed.filter { p =>
+                epochOf.get(p) match {
+                  case Some((pf, e)) if e < maxEpoch(pf) =>
+                    val q = new org.apache.hadoop.fs.Path(dir,
+                      s".fenced-${p.getName}")
+                    org.slf4j.LoggerFactory.getLogger(classOf[GraftSession])
+                      .warn(s"readSample: quarantining $p — published " +
+                        s"under superseded fence epoch $e (batch's " +
+                        s"current epoch: ${maxEpoch(pf)}); a lease-broken " +
+                        "holder's zombie write")
+                    fs.rename(p, q)
+                    false
+                  case _ => true
+                }
+              }.map(_.toString)
             }
           }
         var attempt = 0
@@ -701,6 +749,12 @@ class GraftSession(val spark: SparkSession) {
           val ownsLegacyFiles = migrating || GraftSession
             .readSampleMetaProp(path, migratedKey, conf).isDefined
           if (batchId > applied) {
+            // store-level fence: validated before every mutation below,
+            // and stamped into the published file names so readSample can
+            // quarantine anything a zombie lands past the checks
+            GraftSession.assertStoreFence(spark, path)
+            val fenceTag = GraftSession.heldFence(spark, path)
+              .map(f => s".e${f.epoch}").getOrElse("")
             val sampled = StratifiedSampler.sample(df, info.qcs.map(expr),
               info.fraction, info.reservoirSize, seed, preFilter = true,
               preFilterFactor = 2.0, rankCols = Nil)
@@ -734,29 +788,35 @@ class GraftSession(val spark: SparkSession) {
               val s = r.replaceAll("[^a-z0-9]", "_")
               (s"stream-$s-b$batchId-", s".staging-$s-b$batchId")
             }
-            // leftovers of a crashed prior attempt at THIS batch
+            // leftovers of a crashed prior attempt at THIS batch —
+            // including readSample-quarantined `.fenced-` spellings of it
             if (fs.exists(dir)) fs.listStatus(dir).foreach { s0 =>
               val n = s0.getPath.getName
-              if (n.startsWith(prefix) || n == staging.getName ||
+              val bare = if (n.startsWith(".fenced-")) n.drop(8) else n
+              if (bare.startsWith(prefix) || n == staging.getName ||
                   legacyPrefixes.exists { case (pf, st0) =>
-                    n.startsWith(pf) || n == st0 }) {
+                    bare.startsWith(pf) || n == st0 }) {
                 fs.delete(s0.getPath, true)
               }
             }
             // stage (dot-prefixed: hidden from parquet readers), then move
-            // each complete part file into place under the batch prefix
+            // each complete part file into place under the batch prefix;
+            // re-validate the fence after the distributed staging write —
+            // the longest stretch a frozen process could sleep through
             sampled.write.mode("overwrite").parquet(staging.toString)
+            GraftSession.assertStoreFence(spark, path)
             var k = 0
             fs.listStatus(staging).foreach { s0 =>
               if (s0.getPath.getName.endsWith(".parquet")) {
                 val dst = new org.apache.hadoop.fs.Path(dir,
-                  s"$prefix$k.parquet")
+                  s"$prefix$k$fenceTag.parquet")
                 require(fs.rename(s0.getPath, dst),
                   s"could not publish sample batch file $dst")
                 k += 1
               }
             }
             fs.delete(staging, true)
+            GraftSession.assertStoreFence(spark, path)
             GraftSession.updateSampleMetaProp(path, wmKey,
               batchId.toString, conf)
           }
@@ -797,10 +857,18 @@ class GraftSession(val spark: SparkSession) {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    // store-level fence (validated again at both commit points below);
+    // the held epoch rides in the snapshot FILE NAME, so a zombie's
+    // same-version publish can never clobber the successor's snapshot —
+    // distinct epochs are distinct files, and the meta pointer names
+    // exactly one of them
+    GraftSession.assertStoreFence(spark, path)
+    val fence = GraftSession.heldFence(spark, path)
+    val fenceSuffix = fence.map(f => s".f${f.epoch}").getOrElse("")
     val version = GraftSession.readTopkSnapVersion(path, conf).getOrElse(0L) + 1
     // --- snapshot body: spill view + bucket bytes, one immutable file ---
     val snapPath = new org.apache.hadoop.fs.Path(dir,
-      s"${GraftSession.TopkSnapPrefix}$version")
+      s"${GraftSession.TopkSnapPrefix}$version$fenceSuffix")
     val tmpPath = new org.apache.hadoop.fs.Path(dir,
       s"${GraftSession.TopkSnapPrefix}$version.tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
@@ -830,6 +898,7 @@ class GraftSession(val spark: SparkSession) {
       out.writeInt(bin.length)
       out.write(bin)
     } finally out.close()
+    GraftSession.assertStoreFence(spark, path)
     if (fs.exists(snapPath)) fs.delete(snapPath, false) // crashed same-version writer
     require(fs.rename(tmpPath, snapPath),
       s"could not publish TopK snapshot $snapPath")
@@ -870,6 +939,7 @@ class GraftSession(val spark: SparkSession) {
     props.setProperty("__base",
       state.topkBases.getOrElse(name.toLowerCase, ""))
     props.setProperty("__snapversion", version.toString)
+    fence.foreach(f => props.setProperty("__snapfence", f.epoch.toString))
     // stamp this publish's retirees and PERSIST the survivors: the next
     // append re-attaches a fresh state, so an in-memory-only list would be
     // forgotten and compacted-away batch dirs would leak forever. Deletion
@@ -893,6 +963,7 @@ class GraftSession(val spark: SparkSession) {
         java.util.UUID.randomUUID().toString.take(8))
     val metaOut = fs.create(metaTmp, true)
     try props.store(metaOut, "graft topk registry") finally metaOut.close()
+    GraftSession.assertStoreFence(spark, path)
     // ATOMIC replace: FileContext.rename(OVERWRITE) swaps the meta in one
     // operation on local and HDFS filesystems. The previous delete→rename
     // pair exposed a no-meta window — a concurrent reader (or a reloading
@@ -908,8 +979,12 @@ class GraftSession(val spark: SparkSession) {
     fs.listStatus(dir).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith(GraftSession.TopkSnapPrefix) && !n.contains(".tmp-")) {
-        val v = n.stripPrefix(GraftSession.TopkSnapPrefix)
-        if (v.forall(_.isDigit) && v.toLong < version - 1) {
+        // `<v>` or fence-stamped `<v>.f<epoch>`
+        val core = n.stripPrefix(GraftSession.TopkSnapPrefix)
+        val v = core.takeWhile(_.isDigit)
+        val rest = core.drop(v.length)
+        if (v.nonEmpty && (rest.isEmpty || rest.matches("\\.f[0-9]+")) &&
+            v.toLong < version - 1) {
           fs.delete(s.getPath, false)
         }
       }
@@ -975,8 +1050,14 @@ class GraftSession(val spark: SparkSession) {
     val spillDir = new org.apache.hadoop.fs.Path(dir, GraftSession.TopkSpillDir)
     Option(props.getProperty("__snapversion")).map(_.toLong) match {
       case Some(v) =>
+        // fence-stamped publishes name their snapshot `<v>.f<epoch>`; the
+        // meta pointer carries the epoch so readers open EXACTLY the file
+        // the publishing holder renamed — a zombie's same-version file is
+        // a different name and simply never read
+        val fenceSuffix = Option(props.getProperty("__snapfence"))
+          .map(e => s".f$e").getOrElse("")
         val snapPath = new org.apache.hadoop.fs.Path(dir,
-          s"${GraftSession.TopkSnapPrefix}$v")
+          s"${GraftSession.TopkSnapPrefix}$v$fenceSuffix")
         // may throw FileNotFoundException when a concurrent writer advanced
         // past v and GC'd it — the caller retries with the fresh meta
         val snapIn = new java.io.DataInputStream(fs.open(snapPath))
@@ -1299,14 +1380,23 @@ object GraftSession {
    * up loudly after `spark.graft.pathLock.acquireTimeoutMs` (default
    * 2 × leaseMs) — the holder is then known live, just slow.
    *
-   * Residual hazard (inherent to every lease scheme without fencing
-   * tokens at the store): a WHOLE-PROCESS stall longer than the lease —
-   * the daemon heartbeat thread itself frozen, e.g. a VM pause — lets a
-   * waiter break a lock whose holder later resumes. The holder detects
-   * the break on its next heartbeat (the lock file's token no longer
-   * matches), flags the loss, skips deleting the successor's lock on
-   * exit, and logs loudly; its in-flight writes may still have
-   * interleaved with the new holder's.
+   * Residual hazard of the lease alone: a WHOLE-PROCESS stall longer
+   * than the lease — the daemon heartbeat thread itself frozen, e.g. a
+   * VM pause — lets a waiter break a lock whose holder later resumes.
+   * The holder detects the break on its next heartbeat (the lock file's
+   * token no longer matches), flags the loss, skips deleting the
+   * successor's lock on exit, and logs loudly — but its in-flight writes
+   * could interleave with the new holder's for up to one heartbeat
+   * period. STORE-LEVEL FENCING closes that window (classic
+   * fencing-token design): every acquisition bumps a monotonic epoch in
+   * `_graft.fence` (readable by all sessions), the held epoch is exposed
+   * to the critical section via [[GraftSession.heldFence]], publishes
+   * stamp their artifacts with it, every commit point re-validates it
+   * ([[GraftSession.assertStoreFence]], throwing
+   * [[FencedLockException]] for a broken holder), and [[readSample]]
+   * quarantines same-batch files from a superseded epoch — so a zombie
+   * publish that slips past the ms-scale validation window is IGNORED by
+   * readers rather than served.
    */
   def withPathLock[A](spark: SparkSession, path: String)(body: => A): A = {
     val conf = spark.sessionState.newHadoopConf()
@@ -1403,13 +1493,29 @@ object GraftSession {
       }
     }
     val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // store-level fencing: bump the monotonic epoch under the
+    // just-acquired exclusivity and expose it to the critical section —
+    // a later zombie resume never rewrites the fence, so the file always
+    // names the LATEST legitimate holder
+    val fenceEpoch = {
+      val prev = readFenceFile(dir, conf).map(_._1).getOrElse(0L)
+      writeFenceFile(dir, prev + 1, token, conf)
+      prev + 1
+    }
+    val fenceKey = fs.makeQualified(dir).toString
+    val outerHolds = fenceHolds.get()
+    fenceHolds.set(outerHolds.updated(fenceKey,
+      FenceHold(fenceEpoch, token, lost)))
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val period = math.max(100L, leaseMs / 4)
     val hb = new Thread(() => {
       try {
         while (!stop.get && !lost.get) {
           Thread.sleep(period)
-          if (!stop.get) {
+          if (heartbeatFreezeHook(lockPath.toString, token)) {
+            // test hook simulating a WHOLE-PROCESS freeze: no refresh and
+            // no loss detection, exactly what a VM pause looks like
+          } else if (!stop.get) {
             if (readLockToken().contains(token)) {
               val now = System.currentTimeMillis()
               try {
@@ -1437,6 +1543,7 @@ object GraftSession {
     hb.setName(s"graft-lock-heartbeat-${dir.getName}")
     hb.start()
     try body finally {
+      fenceHolds.set(outerHolds)
       stop.set(true)
       hb.interrupt()
       hb.join(2000)
@@ -1444,6 +1551,93 @@ object GraftSession {
       // token-visible) break, the file under this name is the successor's
       if (!lost.get && readLockToken().contains(token)) {
         fs.delete(lockPath, false)
+      }
+    }
+  }
+
+  /** The store-level fencing identity of a held path lock: the monotonic
+   * acquisition epoch (from `_graft.fence`), the lock token, and the
+   * heartbeat's lease-break flag. */
+  private[graft] final case class FenceHold(epoch: Long, token: String,
+      lost: java.util.concurrent.atomic.AtomicBoolean)
+
+  private val fenceHolds = new ThreadLocal[Map[String, FenceHold]] {
+    override def initialValue(): Map[String, FenceHold] = Map.empty
+  }
+
+  /** Test hook: a heartbeat whose (lock path, token) this predicate
+   * matches behaves as a FROZEN process — neither refreshing the lease
+   * nor detecting its break — so specs can reproduce the VM-pause zombie
+   * scenario deterministically. */
+  @volatile private[graft] var heartbeatFreezeHook: (String, String) => Boolean =
+    (_, _) => false
+
+  /** The fence held BY THIS THREAD for `dir` (qualified), if any — what a
+   * publisher stamps its artifacts with. */
+  private[graft] def heldFence(spark: SparkSession, path: String): Option[FenceHold] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    fenceHolds.get().get(fs.makeQualified(dir).toString)
+  }
+
+  private val FenceFile = "_graft.fence"
+
+  private[graft] def readFenceFile(dir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, FenceFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val props = loadPropsTornFree(p, conf)
+    for {
+      e <- Option(props.getProperty("epoch"))
+      t <- Option(props.getProperty("token"))
+    } yield (e.toLong, t)
+  }
+
+  private def writeFenceFile(dir: org.apache.hadoop.fs.Path, epoch: Long,
+      token: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, FenceFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, FenceFile + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val fs = p.getFileSystem(conf)
+    val props = new java.util.Properties()
+    props.setProperty("epoch", epoch.toString)
+    props.setProperty("token", token)
+    val out = fs.create(tmp, true)
+    try props.store(out, "graft path-lock fence") finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(p).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Commit-point validation for a publisher holding the path lock: the
+   * held fence must still be the store's CURRENT one. A broken holder —
+   * its heartbeat flagged the loss, or `_graft.fence` moved past its
+   * epoch while it was frozen — gets a [[FencedLockException]] BEFORE the
+   * mutation lands, shrinking the zombie-write window from a heartbeat
+   * period to the check→rename microseconds (and [[readSample]]'s
+   * epoch-stamped file quarantine covers even that residue for sample
+   * batches). A caller holding NO fence (no path lock on this thread) is
+   * let through unchanged — fencing guards the cross-session protocol,
+   * not single-owner direct calls. */
+  private[graft] def assertStoreFence(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    fenceHolds.get().get(fs.makeQualified(dir).toString).foreach { h =>
+      def boom(cause: String): Nothing =
+        throw new FencedLockException(
+          s"store fence for $path moved past this holder (epoch " +
+            s"${h.epoch}): $cause — the lease was broken while this " +
+            "process was stalled; standing down instead of interleaving " +
+            "with the successor's writes")
+      if (h.lost.get()) boom("heartbeat flagged the lease break")
+      readFenceFile(dir, conf) match {
+        case Some((e, t)) if e == h.epoch && t == h.token => ()
+        case Some((e, _)) => boom(s"current fence epoch is $e")
+        case None => boom("fence file missing")
       }
     }
   }

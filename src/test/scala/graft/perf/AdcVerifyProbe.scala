@@ -1,0 +1,128 @@
+package graft.perf
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Probe for the two-stage (ADC-prefiltered) cosineDedupPairs verify:
+ *
+ *  - `parity`: runs the FULL operator with the ADC stage forced on and
+ *    forced off and asserts the outputs are set-identical (the at-scale
+ *    companion to AdcVerifySpec's parity leg — same pairs, same cosines,
+ *    on a real scale corpus);
+ *  - `time`: median wall of the full operator in one forced mode;
+ *  - `decomp`: one pass of the two-stage pipeline with the residue
+ *    persisted between stages, reporting candidate→residue→final counts
+ *    and per-stage walls (the addendum decomposition for the 20M run —
+ *    runs the candidate join ONCE, not once per count).
+ *
+ * Usage: Test/runMain graft.perf.AdcVerifyProbe <sfDir> <mode> [threshold]
+ *        [passes] — mode = parity | time-on | time-off | decomp
+ */
+object AdcVerifyProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf10u")
+    val mode = if (args.length > 1) args(1) else "parity"
+    val threshold = if (args.length > 2) args(2).toDouble else 0.99
+    val passes = if (args.length > 3) args(3).toInt else 1
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // plant 500 exact copies (re-keyed) so the FINAL pair set is non-empty
+    // at dedup thresholds — the scale corpora's replicas are decorrelated
+    // by construction, so without planting, parity would compare two empty
+    // sets (q28's own gate shape, scaled)
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val emb = raw.unionByName(raw.orderBy(col("vec_id")).limit(500)
+      .withColumn("vec_id", col("vec_id") + lit(100000000000L)))
+
+    def full(adc: String) = {
+      spark.conf.set("spark.graft.cosineDedup.adcVerify", adc)
+      graft.ann.Ann.cosineDedupPairs(emb, "vec_id", "embedding", threshold)
+    }
+
+    mode match {
+      case "parity" =>
+        val on = full("on")
+        val nOn = on.count()
+        val off = full("off")
+        val nOff = off.count()
+        val onlyOn = on.exceptAll(off).count()
+        val onlyOff = off.exceptAll(on).count()
+        println(f"PROBE adc-parity sf=$sfDir t=$threshold on=$nOn " +
+          f"off=$nOff onlyOn=$onlyOn onlyOff=$onlyOff " +
+          (if (nOn == nOff && onlyOn == 0 && onlyOff == 0) "MATCH"
+           else "MISMATCH"))
+      case m if m.startsWith("time") =>
+        val adc = if (m == "time-on") "on" else "off"
+        var pairs = 0L
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          pairs = full(adc).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        if (passes > 1) once()
+        val ts = (1 to passes).map(_ => once()).sorted
+        println(f"PROBE adc-$adc sf=$sfDir t=$threshold " +
+          f"wall=${ts(ts.size / 2)}%.2fs pairs=$pairs")
+      case "decomp" =>
+        // replicate the operator's internals with the residue persisted
+        // between the two stages so the candidate join runs once
+        spark.conf.set("spark.graft.cosineDedup.adcVerify", "on")
+        import graft.ann.Ann
+        val src = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+        val n = src.filter(col("v").isNotNull).count()
+        val (p, b) = Ann.autoLshParams(n, threshold, 4)
+        val dim = src.select(size(col("v"))).head().getInt(0)
+        val planes = Ann.hyperplanes(dim, p * b)
+        val banded = src.select(col("id"),
+          posexplode(org.apache.spark.sql.graft.HyperplaneBandBuckets(
+            col("v"), planes, p)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        val hint = graft.core.CandidateJoin.maybeShuffleHash(src) _
+        val pairIds = hint(banded.select(col("band"), col("bucket"),
+            col("id").as("id_a")))
+          .join(hint(banded.select(col("band"), col("bucket"),
+            col("id").as("id_b"))), Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        var t0 = System.nanoTime()
+        val cb = Ann.pqTrain(src.filter(col("v").isNotNull), "v",
+          Ann.chooseM(dim, 16), 64, iterations = 10)
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val (gram, k) = Ann.sdcGram(cb)
+        val stats = src.filter(col("v").isNotNull).select(col("id"),
+          org.apache.spark.sql.graft.PqEncodeStats(col("v"), cb.centroids)
+            .as("s"))
+        val residue = pairIds
+          .join(hint(stats.select(col("id").as("id_a"), col("s").as("sa"))),
+            "id_a")
+          .join(hint(stats.select(col("id").as("id_b"), col("s").as("sb"))),
+            "id_b")
+          .filter(org.apache.spark.sql.graft.PqCosineUpperBound(
+            col("sa"), col("sb"), gram, k) >= threshold - Ann.AdcFpEps)
+          .select(col("id_a"), col("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        t0 = System.nanoTime()
+        val nResidue = residue.count()
+        val tStage1 = (System.nanoTime() - t0) / 1e9
+        val va = src.select(col("id").as("id_a"), col("v").as("v_a"))
+        val vb = src.select(col("id").as("id_b"), col("v").as("v_b"))
+        t0 = System.nanoTime()
+        val nFinal = residue.join(va, "id_a").join(vb, "id_b")
+          .select(col("id_a"), col("id_b"),
+            Ann.cosine(col("v_a"), col("v_b")).as("cosine"))
+          .filter(col("cosine") >= threshold).distinct().count()
+        val tStage2 = (System.nanoTime() - t0) / 1e9
+        residue.unpersist()
+        println(f"PROBE adc-decomp sf=$sfDir t=$threshold n=$n p=$p b=$b " +
+          f"m=${cb.m} train=$tTrain%.1fs stage1(cand+bound)=$tStage1%.1fs " +
+          f"residue=$nResidue stage2(exact)=$tStage2%.1fs final=$nFinal")
+      case other =>
+        sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

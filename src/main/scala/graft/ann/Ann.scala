@@ -309,15 +309,15 @@ object Ann {
    * note at the fetch join.
    *
    * VERIFY is two-stage at corpus scale (`spark.graft.cosineDedup
-   * .adcVerify` auto, on measured estimate > 256 MB): candidate pairs
-   * first fetch ~32 B PQ stats structs and keep only those whose RIGOROUS
-   * per-pair cosine upper bound ([[org.apache.spark.sql.graft
-   * .PqCosineUpperBound]]) can reach the threshold; only that residue
-   * fetches full vectors for the exact cosine. Output is IDENTICAL to the
-   * single-stage verify by the bound's direction (AdcVerifySpec). At 20M
-   * vectors the single-stage fetch moves ~345 GB of vector bytes through
-   * the pair joins (BENCH_sf1 addendum 13) — the two-stage form is what
-   * makes the full operator runnable there.
+   * .adcVerify` auto, on measured estimate > 256 MB): ~56 B PQ stats
+   * structs ride the banding shuffle (cost linear in n·bands, not in
+   * candidate pairs) and only pairs whose RIGOROUS per-pair cosine upper
+   * bound ([[org.apache.spark.sql.graft.PqCosineUpperBound]]) can reach
+   * the threshold survive to the full-vector exact verify. Output is
+   * IDENTICAL to the single-stage verify by the bound's direction
+   * (AdcVerifySpec). At 20M vectors the single-stage fetch moves ~345 GB
+   * of vector bytes through the pair joins (BENCH_sf1 addendum 13) — the
+   * two-stage form is what makes the full operator runnable there.
    *
    * `numPlanes = 0` — THE DEFAULT — is AUTO-SIZING: the band width is set
    * to ~log₂(n/4) — random-collision bucket occupancy stays near a
@@ -470,80 +470,93 @@ object Ann {
     // broadcasts the pair set when small) to evaluate the exact cosine.
     val src = graft.core.Fanout(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-    // band i's key = element i of the per-band sign-bit array (ONE pass
-    // over the vector; bit-identical to the former fused-long bit-slices
-    // where bands x width <= 64, but with no cap on the total plane budget)
-    val banded = src.select(col("id"),
-      posexplode(org.apache.spark.sql.graft.HyperplaneBandBuckets(
-        col("v"), planes, resolvedPlanes)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val hint = graft.core.CandidateJoin.maybeShuffleHash(src) _
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairIds = hint(a).join(hint(b), Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
     // ---- two-stage verify (the r14 q11 fingerprint-fetch lesson applied
     // to the operator that cannot use equality): at corpus scale the
     // exact-cosine verify fetch dominates everything — 653M candidate
     // pairs × ~530 B of vector bytes ≈ 345 GB of shuffle at 20M vectors
     // (BENCH_sf1 addendum 13), a single-box disk wall and a real cost at
-    // any scale. Stage 1 fetches ~32 B/row PqEncodeStats structs instead
-    // and keeps only pairs whose RIGOROUS cosine upper bound
-    // ([[org.apache.spark.sql.graft.PqCosineUpperBound]]) can still reach
-    // the threshold; stage 2 fetches full vectors for that residue alone.
-    // The bound is per-pair exact over stored values, so the output is
-    // IDENTICAL to the single-stage verify (AdcVerifySpec pins parity).
-    // `spark.graft.cosineDedup.adcVerify` on/off/auto (default auto:
-    // engage above `adcVerifyMinBytes` — default 256 MB — of estimated
-    // input, the same planner-stats signal as the candidate-join policy;
-    // small corpora skip the extra train/encode passes, and an input
-    // with NO stats stays single-stage with a warning).
-    val adcPairIds = {
-      val spark = df.sparkSession
-      val useAdc = spark.conf.get(
-          "spark.graft.cosineDedup.adcVerify", "auto") match {
-        case "on" => true
-        case "off" => false
-        case _ =>
-          val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-          val minBytes = BigInt(spark.conf.get(
-            "spark.graft.cosineDedup.adcVerifyMinBytes",
-            (256L << 20).toString).toLong)
-          if (bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
-            log.warn("cosineDedupPairs: input has no size statistics — " +
-              "staying single-stage; set " +
-              "spark.graft.cosineDedup.adcVerify=on for the two-stage " +
-              "verify on corpus-scale inputs")
-            false
-          } else bytes > minBytes
-      }
-      if (!useAdc) pairIds
-      else {
-        val mTarget = spark.conf.get(
-          "spark.graft.cosineDedup.adcM", "16").toInt
-        val kTarget = spark.conf.get(
-          "spark.graft.cosineDedup.adcK", "64").toInt
-        val cb = pqTrain(src.filter(col("v").isNotNull), "v",
-          chooseM(dimOpt.get, mTarget), math.min(256, kTarget),
-          iterations = 10, seed = seed)
-        val (gram, k) = sdcGram(cb)
-        val stats = src.filter(col("v").isNotNull).select(col("id"),
+    // any scale. When engaged, ~56 B/row PqEncodeStats structs (m-byte
+    // code, true norm, exact quantization residual) RIDE THE BANDING
+    // SHUFFLE — per-row cost linear in n·bands, NOT in candidate pairs
+    // (at 20M vectors: 140M banded rows vs 2×653M fetch-join rows — the
+    // fetch-join form was built first and rejected on that arithmetic) —
+    // and the candidate join's output is bound-filtered BEFORE the
+    // distinct, so the big pair set is never materialized: only pairs
+    // whose RIGOROUS per-pair cosine upper bound
+    // ([[org.apache.spark.sql.graft.PqCosineUpperBound]]) can still
+    // reach the threshold survive to the full-vector exact verify. The
+    // bound is exact over stored values, so output is IDENTICAL to the
+    // single-stage verify (AdcVerifySpec pins parity). Measured at 2M
+    // vectors (47.8M candidates, t=0.99): residue 1,000 pairs at the
+    // default m=32 (38M at m=16 — 2-dim subspaces are what make the
+    // bound bite; 500 at m=64, not worth the wider rows), exact stage
+    // 74 s → 3.1 s. `spark.graft.cosineDedup.adcVerify` on/off/auto
+    // (default auto: engage above `adcVerifyMinBytes` — default 256 MB —
+    // of estimated input, the same planner-stats signal as the
+    // candidate-join policy; small corpora skip the train/encode passes,
+    // and an input with NO stats stays single-stage with a warning).
+    val spark = df.sparkSession
+    val useAdc = spark.conf.get(
+        "spark.graft.cosineDedup.adcVerify", "auto") match {
+      case "on" => true
+      case "off" => false
+      case _ =>
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val minBytes = BigInt(spark.conf.get(
+          "spark.graft.cosineDedup.adcVerifyMinBytes",
+          (256L << 20).toString).toLong)
+        if (bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
+          log.warn("cosineDedupPairs: input has no size statistics — " +
+            "staying single-stage; set " +
+            "spark.graft.cosineDedup.adcVerify=on for the two-stage " +
+            "verify on corpus-scale inputs")
+          false
+        } else bytes > minBytes
+    }
+    // band i's key = element i of the per-band sign-bit array (ONE pass
+    // over the vector; bit-identical to the former fused-long bit-slices
+    // where bands x width <= 64, but with no cap on the total plane
+    // budget). posexplode of the null-vector rows' null band array drops
+    // them from both shapes.
+    val bandCols = Seq(
+      posexplode(org.apache.spark.sql.graft.HyperplaneBandBuckets(
+        col("v"), planes, resolvedPlanes)))
+    val verifiedPairIds = if (!useAdc) {
+      val banded = src.select(col("id") +: bandCols: _*)
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+      hint(a).join(hint(b), Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+    } else {
+      val mTarget = spark.conf.get(
+        "spark.graft.cosineDedup.adcM", "32").toInt
+      val kTarget = spark.conf.get(
+        "spark.graft.cosineDedup.adcK", "64").toInt
+      val cb = pqTrain(src.filter(col("v").isNotNull), "v",
+        chooseM(dimOpt.get, mTarget), math.min(256, kTarget),
+        iterations = 10, seed = seed)
+      val (gram, k) = sdcGram(cb)
+      log.info(s"cosineDedupPairs: ADC two-stage verify engaged " +
+        s"(m=${cb.m}, k=$k) — codes ride the banding shuffle and the " +
+        "exact-cosine fetch runs on the bound-surviving residue only")
+      val banded = src.select(col("id") +:
           org.apache.spark.sql.graft.PqEncodeStats(col("v"), cb.centroids)
-            .as("s"))
-        log.info(s"cosineDedupPairs: ADC two-stage verify engaged " +
-          s"(m=${cb.m}, k=$k) — exact-cosine fetch runs on the " +
-          "bound-surviving residue only")
-        pairIds
-          .join(hint(stats.select(col("id").as("id_a"), col("s").as("sa"))),
-            "id_a")
-          .join(hint(stats.select(col("id").as("id_b"), col("s").as("sb"))),
-            "id_b")
-          .filter(org.apache.spark.sql.graft.PqCosineUpperBound(
-            col("sa"), col("sb"), gram, k) >= threshold - AdcFpEps)
-          .select(col("id_a"), col("id_b"))
-      }
+            .as("s") +: bandCols: _*)
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val a = banded.select(col("band"), col("bucket"),
+        col("id").as("id_a"), col("s").as("sa"))
+      val b = banded.select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("s").as("sb"))
+      hint(a).join(hint(b), Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(org.apache.spark.sql.graft.PqCosineUpperBound(
+          col("sa"), col("sb"), gram, k) >= threshold - AdcFpEps)
+        .select(col("id_a"), col("id_b"))
+        .distinct()
     }
     val va = src.select(col("id").as("id_a"), col("v").as("v_a"))
     val vb = src.select(col("id").as("id_b"), col("v").as("v_b"))
@@ -557,7 +570,7 @@ object Ann {
     // 1.0 s on the illegal duplicated-id one (5.3 -> 4.2 s) — key
     // uniqueness is the documented input contract, exact-dedup first if a
     // corpus may violate it.
-    adcPairIds.join(va, "id_a").join(vb, "id_b")
+    verifiedPairIds.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
  *    runs the candidate join ONCE, not once per count).
  *
  * Usage: Test/runMain graft.perf.AdcVerifyProbe <sfDir> <mode> [threshold]
- *        [passes] — mode = parity | time-on | time-off | decomp
+ *        [passes] [m] [k] — mode = parity | time-on | time-off | decomp
  */
 object AdcVerifyProbe {
   def main(args: Array[String]): Unit = {
@@ -24,6 +24,8 @@ object AdcVerifyProbe {
     val mode = if (args.length > 1) args(1) else "parity"
     val threshold = if (args.length > 2) args(2).toDouble else 0.99
     val passes = if (args.length > 3) args(3).toInt else 1
+    val mArg = if (args.length > 4) args(4).toInt else 32
+    val kArg = if (args.length > 5) args(5).toInt else 64
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
@@ -40,6 +42,8 @@ object AdcVerifyProbe {
 
     def full(adc: String) = {
       spark.conf.set("spark.graft.cosineDedup.adcVerify", adc)
+      spark.conf.set("spark.graft.cosineDedup.adcM", mArg.toString)
+      spark.conf.set("spark.graft.cosineDedup.adcK", kArg.toString)
       graft.ann.Ann.cosineDedupPairs(emb, "vec_id", "embedding", threshold)
     }
 
@@ -68,7 +72,8 @@ object AdcVerifyProbe {
         println(f"PROBE adc-$adc sf=$sfDir t=$threshold " +
           f"wall=${ts(ts.size / 2)}%.2fs pairs=$pairs")
       case "decomp" =>
-        // replicate the operator's internals with the residue persisted
+        // replicate the operator's internals (codes RIDE the banding
+        // shuffle — the operator's own shape) with the residue persisted
         // between the two stages so the candidate join runs once
         spark.conf.set("spark.graft.cosineDedup.adcVerify", "on")
         import graft.ann.Ann
@@ -77,33 +82,26 @@ object AdcVerifyProbe {
         val (p, b) = Ann.autoLshParams(n, threshold, 4)
         val dim = src.select(size(col("v"))).head().getInt(0)
         val planes = Ann.hyperplanes(dim, p * b)
+        val hint = graft.core.CandidateJoin.maybeShuffleHash(src) _
+        var t0 = System.nanoTime()
+        val cb = Ann.pqTrain(src.filter(col("v").isNotNull), "v",
+          Ann.chooseM(dim, mArg), kArg, iterations = 10)
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val (gram, k) = Ann.sdcGram(cb)
         val banded = src.select(col("id"),
+          org.apache.spark.sql.graft.PqEncodeStats(col("v"), cb.centroids)
+            .as("s"),
           posexplode(org.apache.spark.sql.graft.HyperplaneBandBuckets(
             col("v"), planes, p)))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-        val hint = graft.core.CandidateJoin.maybeShuffleHash(src) _
-        val pairIds = hint(banded.select(col("band"), col("bucket"),
-            col("id").as("id_a")))
+        val residue = hint(banded.select(col("band"), col("bucket"),
+            col("id").as("id_a"), col("s").as("sa")))
           .join(hint(banded.select(col("band"), col("bucket"),
-            col("id").as("id_b"))), Seq("band", "bucket"))
+            col("id").as("id_b"), col("s").as("sb"))), Seq("band", "bucket"))
           .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
-        var t0 = System.nanoTime()
-        val cb = Ann.pqTrain(src.filter(col("v").isNotNull), "v",
-          Ann.chooseM(dim, 16), 64, iterations = 10)
-        val tTrain = (System.nanoTime() - t0) / 1e9
-        val (gram, k) = Ann.sdcGram(cb)
-        val stats = src.filter(col("v").isNotNull).select(col("id"),
-          org.apache.spark.sql.graft.PqEncodeStats(col("v"), cb.centroids)
-            .as("s"))
-        val residue = pairIds
-          .join(hint(stats.select(col("id").as("id_a"), col("s").as("sa"))),
-            "id_a")
-          .join(hint(stats.select(col("id").as("id_b"), col("s").as("sb"))),
-            "id_b")
           .filter(org.apache.spark.sql.graft.PqCosineUpperBound(
             col("sa"), col("sb"), gram, k) >= threshold - Ann.AdcFpEps)
-          .select(col("id_a"), col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         t0 = System.nanoTime()
         val nResidue = residue.count()

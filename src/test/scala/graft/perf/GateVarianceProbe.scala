@@ -21,6 +21,11 @@ import scala.jdk.CollectionConverters._
  *  - signatures equal, slow runs track read_bytes → page cache / disk.
  *
  * Usage: Test/runMain graft.perf.GateVarianceProbe <gate> [sfDir] [runs]
+ *        [shufflePartitions] — the last one matters at decade points:
+ *        32 partitions over 800M banded rows (50M docs) is 25M rows per
+ *        task and breaches the per-task memory envelope that a real
+ *        cluster would never see; scale it with the data like a cluster
+ *        would.
  */
 object GateVarianceProbe {
   private def procIoReadBytes: Long = try {
@@ -33,8 +38,9 @@ object GateVarianceProbe {
     val gate = args.headOption.getOrElse("q33_dedup_clusters")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 10
+    val parts = if (args.length > 3) args(3) else "32"
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -142,6 +142,57 @@ class CrossJvmConcurrencySpec extends AnyFunSuite {
     assert(p.exitValue() === 0, s"holder failed; log: $log")
   }
 
+  test("a frozen holder in another JVM is fenced; its slipped write is quarantined") {
+    // the store-level-fencing dual of the stalled-but-alive leg: the
+    // holder's WHOLE PROCESS freezes (heartbeat included), so the parent
+    // correctly breaks the lease and republishes — and the zombie's late
+    // writes must then (a) be fenced at its commit points and (b) be
+    // quarantined by readers when one slipped through first. Cross-JVM
+    // because the fence protocol is all shared-filesystem state.
+    val root = tmpDir("graft_xjvm_fence")
+    val (s, gs) = freshSession()
+    import s.implicits._
+    Seq("seed").toDF("event_type").createOrReplaceTempView("xf_base")
+    gs.sql("CREATE SAMPLE TABLE xf_sample ON xf_base OPTIONS(" +
+      s"qcs 'event_type', fraction '1.0', path '$root/sample')")
+    gs.appendToSampleForBatch("xf_sample",
+      Seq.fill(30)("xb0").toDF("event_type"), "xf_stream", 0L)
+    val acq = java.io.File.createTempFile("graft_zf_acq", ".flag")
+    val proceed = java.io.File.createTempFile("graft_zf_go", ".flag")
+    acq.delete(); proceed.delete()
+    val (p, log) = launch("hold-lock-frozen", s"$root/sample",
+      acq.getAbsolutePath, proceed.getAbsolutePath)
+    val waitDeadline = System.currentTimeMillis() + 120000
+    while (!acq.exists() && p.isAlive &&
+      System.currentTimeMillis() < waitDeadline) Thread.sleep(100)
+    assert(acq.exists(), s"frozen holder never acquired; log: $log")
+    // successor: break the stale heartbeat (frozen process never
+    // refreshes) and publish batch 1 under a NEWER fence epoch
+    s.conf.set("spark.graft.pathLock.leaseMs", "800")
+    s.conf.set("spark.graft.pathLock.acquireTimeoutMs", "60000")
+    try {
+      gs.appendToSampleForBatch("xf_sample",
+        Seq.fill(20)("xb1").toDF("event_type"), "xf_stream", 1L)
+      val expected = gs.readSample("xf_sample").count()
+      proceed.createNewFile()
+      assert(p.waitFor(120, TimeUnit.SECONDS), s"zombie did not exit; log: $log")
+      val out = new String(java.nio.file.Files.readAllBytes(log.toPath))
+      assert(out.contains("ZOMBIE-WROTE"), s"zombie never landed its file; log: $log")
+      assert(out.contains("FENCED"), s"zombie commit was not fenced; log: $log")
+      assert(!out.contains("ZOMBIE-PUBLISH-ALLOWED"), s"fence let a zombie through; log: $log")
+      // the slipped file is ignored and quarantined by the strong reader
+      assert(gs.readSample("xf_sample").count() === expected,
+        "readSample served a superseded epoch's rows")
+      val quarantined = new java.io.File(s"$root/sample").listFiles()
+        .filter(_.getName.startsWith(".fenced-stream-"))
+      assert(quarantined.nonEmpty, "the zombie file was not quarantined")
+      assert(s.read.parquet(s"$root/sample").count() === expected)
+    } finally {
+      s.conf.unset("spark.graft.pathLock.leaseMs")
+      s.conf.unset("spark.graft.pathLock.acquireTimeoutMs")
+    }
+  }
+
   test("appends from two separate JVMs serialize; polling attaches are torn-free") {
     val dir = tmpDir("graft_xjvm_r") + "/tk"
     val (sA, gA) = freshSession()

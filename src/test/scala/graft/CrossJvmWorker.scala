@@ -86,6 +86,40 @@ object CrossJvmWorker {
         }
         spark.stop()
 
+      case "hold-lock-frozen" =>
+        // a WHOLE-PROCESS freeze (VM pause) in a real separate JVM: the
+        // heartbeat neither refreshes nor detects, the parent breaks the
+        // stale lease and republishes, and this zombie then (a) lands one
+        // slipped batch file stamped with its SUPERSEDED fence epoch —
+        // the write that beat the commit-point check — and (b) has its
+        // guarded commit fenced. The parent asserts readSample
+        // quarantines (a) and the log records (b).
+        val acquiredFlag = new java.io.File(args(2))
+        val proceedFlag = new java.io.File(args(3))
+        spark.conf.set("spark.graft.pathLock.leaseMs", "800")
+        GraftSession.heartbeatFreezeHook = (_, _) => true
+        GraftSession.withPathLock(spark, dir) {
+          val epoch = GraftSession.heldFence(spark, dir).get.epoch
+          acquiredFlag.createNewFile()
+          val deadline = System.currentTimeMillis() + 120000
+          while (!proceedFlag.exists() &&
+            System.currentTimeMillis() < deadline) Thread.sleep(100)
+          // the slipped write: a batch-1 file byte-copied under OUR stale
+          // epoch (the parent's batch-1 publish carries a newer one)
+          val d = new java.io.File(dir)
+          val pub = d.listFiles().filter(f =>
+            f.getName.startsWith("stream-") && f.getName.contains("-b1-")).head
+          val zombie = new java.io.File(d, pub.getName.replaceAll(
+            "-([0-9]+)\\.e[0-9]+\\.parquet$", s"-9.e$epoch.parquet"))
+          java.nio.file.Files.copy(pub.toPath, zombie.toPath)
+          println(s"ZOMBIE-WROTE ${zombie.getName}")
+          try {
+            GraftSession.assertStoreFence(spark, dir)
+            println("ZOMBIE-PUBLISH-ALLOWED")
+          } catch { case _: FencedLockException => println("FENCED") }
+        }
+        spark.stop()
+
       case "append-topk" =>
         val marker = args(2)
         val batches = args(3).toInt

@@ -698,6 +698,11 @@ class GraftSession(val spark: SparkSession) {
         val retiredWmKeys = legacyStreamNames.map(n =>
           s"__streamretired.${n.toLowerCase}")
         GraftSession.withPathLock(spark, path) {
+          // fence BEFORE the retirement meta rewrites below, not just the
+          // batch publish — a zombie's stale-props meta replace could
+          // clobber the successor's watermark (lost update → replayed
+          // batches re-apply as duplicates)
+          GraftSession.assertStoreFence(spark, path)
           val cur = GraftSession.readSampleMetaProp(path, wmKey, conf)
             .map(_.toLong)
           val liveVals = legacyWmKeys.flatMap(k =>
@@ -1622,7 +1627,7 @@ object GraftSession {
    * batches). A caller holding NO fence (no path lock on this thread) is
    * let through unchanged — fencing guards the cross-session protocol,
    * not single-owner direct calls. */
-  private[graft] def assertStoreFence(spark: SparkSession, path: String): Unit = {
+  def assertStoreFence(spark: SparkSession, path: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)

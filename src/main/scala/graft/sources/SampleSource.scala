@@ -156,6 +156,7 @@ class SampleSource extends CreatableRelationProvider with RelationProvider
       val writeMode = if (appending) "append" else "overwrite"
       if (appending) {
         graft.GraftSession.withPathLock(spark, path) {
+          graft.GraftSession.assertStoreFence(spark, path)
           sampled.write.mode(writeMode).parquet(path)
         }
       } else sampled.write.mode(writeMode).parquet(path)

@@ -216,6 +216,7 @@ object StreamSinks {
               val conf = spark.sessionState.newHadoopConf()
               graft.GraftSession.readSampleMeta(path, conf) match {
                 case None =>
+                  graft.GraftSession.assertStoreFence(spark, path)
                   graft.GraftSession.writeSampleMeta(path, baseName, qcs,
                     fraction, reservoirSize, conf)
                 case Some((_, storedQcs, storedFrac, storedRes)) =>

@@ -165,6 +165,7 @@ object StreamSql {
     // tolerate a file that vanished because the winner already moved it
     // (the list above ran before the lock was acquired in the loser)
     graft.GraftSession.withPathLock(spark, historyPath) {
+      graft.GraftSession.assertStoreFence(spark, historyPath)
       val legacy = fs.listStatus(dir).filter { s =>
         val n = s.getPath.getName
         s.isFile && !n.startsWith(".") && !n.startsWith("_")

@@ -606,6 +606,7 @@ case class DropTopkTableNode(name: String, ifExists: Boolean)
         // the lock an in-flight reload-merge-publish could re-create the
         // meta right after this delete and resurrect the dropped table
         graft.GraftSession.withPathLock(spark, p) {
+          graft.GraftSession.assertStoreFence(spark, p)
           val dir = new org.apache.hadoop.fs.Path(p)
           val fs = dir.getFileSystem(conf)
           Seq(graft.GraftSession.TopkMetaFile, graft.GraftSession.TopkBinFile)

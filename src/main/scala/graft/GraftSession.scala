@@ -394,7 +394,12 @@ class GraftSession(val spark: SparkSession) {
                         s"under superseded fence epoch $e (batch's " +
                         s"current epoch: ${maxEpoch(pf)}); a lease-broken " +
                         "holder's zombie write")
-                    fs.rename(p, q)
+                    // best-effort: EXCLUDING the file is the correctness
+                    // half; the rename only extends the protection to
+                    // plain readers, and a store this session cannot
+                    // write to must still be readable
+                    try fs.rename(p, q)
+                    catch { case _: java.io.IOException => () }
                     false
                   case _ => true
                 }

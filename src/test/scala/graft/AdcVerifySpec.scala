@@ -121,7 +121,10 @@ class AdcVerifySpec extends AnyFunSuite {
         val src = Array.fill(32)(rnd.nextGaussian().toFloat)
         Seq((10000L + 2 * g, src),
           (10001L + 2 * g, src.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)))
-      }
+      } ++
+      // null embeddings must drop out of BOTH verify shapes (pqTrain is
+      // null-filtered; banding's posexplode drops null band arrays)
+      Seq((20000L, null: Array[Float]), (20001L, null: Array[Float]))
     val df = data.toDF("id", "v")
     def run(): Set[(Long, Long, Double)] =
       Ann.cosineDedupPairs(df, "id", "v", threshold = 0.95,

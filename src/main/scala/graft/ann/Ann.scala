@@ -309,7 +309,7 @@ object Ann {
    * note at the fetch join.
    *
    * VERIFY is two-stage at corpus scale (`spark.graft.cosineDedup
-   * .adcVerify` auto, on measured estimate > 256 MB): ~56 B PQ stats
+   * .adcVerify` auto, on measured estimate > 48 MB): ~56 B PQ stats
    * structs ride the banding shuffle (cost linear in n·bands, not in
    * candidate pairs) and only pairs whose RIGOROUS per-pair cosine upper
    * bound ([[org.apache.spark.sql.graft.PqCosineUpperBound]]) can reach
@@ -492,7 +492,7 @@ object Ann {
     // default m=32 (38M at m=16 — 2-dim subspaces are what make the
     // bound bite; 500 at m=64, not worth the wider rows), exact stage
     // 74 s → 3.1 s. `spark.graft.cosineDedup.adcVerify` on/off/auto
-    // (default auto: engage above `adcVerifyMinBytes` — default 256 MB —
+    // (default auto: engage above `adcVerifyMinBytes` — default 48 MB —
     // of estimated input, the same planner-stats signal as the
     // candidate-join policy; small corpora skip the train/encode passes,
     // and an input with NO stats stays single-stage with a warning).
@@ -503,9 +503,15 @@ object Ann {
       case "off" => false
       case _ =>
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        // 48 MB ≈ 180k of these 64-dim fp32 rows: measured ON-win 1.7×
+        // already at a 52.6 MB input (6.6 vs 11.1 s at 200k vectors) and
+        // the wash point sits near ~30–40 MB (fixed train+encode ≈ 3.5 s
+        // vs a win growing with candidate pairs ∝ rows at the auto
+        // sizer's constant bucket occupancy) — 48 keeps margin above the
+        // wash while the sf-gate corpora stay 60× below it
         val minBytes = BigInt(spark.conf.get(
           "spark.graft.cosineDedup.adcVerifyMinBytes",
-          (256L << 20).toString).toLong)
+          (48L << 20).toString).toLong)
         if (bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
           log.warn("cosineDedupPairs: input has no size statistics — " +
             "staying single-stage; set " +

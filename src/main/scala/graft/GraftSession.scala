@@ -281,12 +281,13 @@ class GraftSession(val spark: SparkSession) {
     val merged = info.persistPath match {
       case Some(path) =>
         // concurrent appends from two sessions serialize on the path lock —
-        // parquet appends only add files, so serialized appends all land
-        // (no lost update); the lock keeps the two Spark commit protocols
-        // from racing in one staging directory
+        // appends only add files, so serialized appends all land (no lost
+        // update); the staged publish re-validates the fence AFTER the
+        // distributed write, closing the job-duration window a frozen
+        // appender could sleep through (see [[GraftSession.publishAppend]])
         GraftSession.withPathLock(spark, path) {
           GraftSession.assertStoreFence(spark, path)
-          sampled.write.mode("append").parquet(path)
+          GraftSession.publishAppend(spark, path, sampled)
         }
         spark.catalog.refreshByPath(path)
         spark.read.parquet(path)
@@ -389,7 +390,7 @@ class GraftSession(val spark: SparkSession) {
                   case Some((pf, e)) if e < maxEpoch(pf) =>
                     val q = new org.apache.hadoop.fs.Path(dir,
                       s".fenced-${p.getName}")
-                    org.slf4j.LoggerFactory.getLogger(classOf[GraftSession])
+                    GraftSession.log
                       .warn(s"readSample: quarantining $p — published " +
                         s"under superseded fence epoch $e (batch's " +
                         s"current epoch: ${maxEpoch(pf)}); a lease-broken " +
@@ -1226,6 +1227,8 @@ class GraftSession(val spark: SparkSession) {
 }
 
 object GraftSession {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftSession])
+
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
 
   /** Split a comma-separated expression list at paren depth 0 only, so
@@ -1406,7 +1409,17 @@ object GraftSession {
    * [[FencedLockException]] for a broken holder), and [[readSample]]
    * quarantines same-batch files from a superseded epoch — so a zombie
    * publish that slips past the ms-scale validation window is IGNORED by
-   * readers rather than served.
+   * readers rather than served. Long-running distributed writes
+   * (streaming batch publishes, ad-hoc appends via
+   * [[GraftSession.publishAppend]]) stage dot-prefixed and re-validate
+   * AFTER the job, so a whole-job freeze cannot land files either. The
+   * epoch bump itself is verified after its write (lock still ours,
+   * fence carries our token) before the critical section is entered — a
+   * holder frozen between the lock create and the bump stands down on
+   * resume instead of publishing under a duplicate epoch, and the one
+   * thing such a pre-verify zombie CAN do (clobber the fence file with
+   * the live holder's own epoch under a foreign token) is detected and
+   * repaired by the live holder's next commit-point check.
    */
   def withPathLock[A](spark: SparkSession, path: String)(body: => A): A = {
     val conf = spark.sessionState.newHadoopConf()
@@ -1447,25 +1460,7 @@ object GraftSession {
         } finally out.close()
         true
     }
-    def readLockToken(): Option[String] = try {
-      localFile match {
-        case Some(f) =>
-          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-          if (bytes.length <= 8) None
-          else Some(new String(bytes, 8, bytes.length - 8,
-            java.nio.charset.StandardCharsets.UTF_8))
-        case None =>
-          val in = fs.open(lockPath)
-          try {
-            in.readLong()
-            val buf = new java.io.ByteArrayOutputStream()
-            val chunk = new Array[Byte](256)
-            var n = in.read(chunk)
-            while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-            Some(buf.toString(java.nio.charset.StandardCharsets.UTF_8))
-          } finally in.close()
-      }
-    } catch { case _: java.io.IOException => None }
+    def readLockToken(): Option[String] = readLockTokenAt(dir, conf)
     val leaseMs = spark.conf.get("spark.graft.pathLock.leaseMs", "120000").toLong
     val acquireTimeoutMs = spark.conf.get(
       "spark.graft.pathLock.acquireTimeoutMs", (2 * leaseMs).toString).toLong
@@ -1504,13 +1499,46 @@ object GraftSession {
     }
     val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     // store-level fencing: bump the monotonic epoch under the
-    // just-acquired exclusivity and expose it to the critical section —
-    // a later zombie resume never rewrites the fence, so the file always
-    // names the LATEST legitimate holder
+    // just-acquired exclusivity and expose it to the critical section.
+    // The bump is NOT atomic with the lock create, so the write alone is
+    // not proof of tenure: a process frozen between the two can resume
+    // after a successor broke its lease and clobber `_graft.fence` with
+    // a DUPLICATE epoch under its own token — the live successor would
+    // then fail assertStoreFence while the zombie passed, and duplicate
+    // epochs would defeat readSample's quarantine. So the acquisition is
+    // complete only after a post-write VERIFY of both files: (a) the
+    // lock must still be ours — if not, WE are that zombie and stand
+    // down before the critical section ever runs (so a published epoch
+    // is unique by construction: no holder reaches `body` without having
+    // seen fence==lock==its token after its write); (b) the fence must
+    // carry our token — if a racing zombie clobbered US, re-bump from
+    // ITS value (monotonic either way) and re-verify. Each zombie writes
+    // at most once before standing down, so the loop terminates. The
+    // seed on a MISSING fence file comes from the max epoch stamped into
+    // existing artifact names, not 1 — restarting below live artifact
+    // stamps would turn readSample's max-epoch rule against a
+    // legitimate fresh republish ([[maxArtifactEpoch]]).
     val fenceEpoch = {
-      val prev = readFenceFile(dir, conf).map(_._1).getOrElse(0L)
-      writeFenceFile(dir, prev + 1, token, conf)
-      prev + 1
+      var epoch = 0L
+      var verified = false
+      while (!verified) {
+        val prev = readFenceFile(dir, conf).map(_._1)
+          .getOrElse(maxArtifactEpoch(dir, conf))
+        writeFenceFile(dir, prev + 1, token, conf)
+        postFenceWriteHook()
+        if (!readLockTokenAt(dir, conf).contains(token)) {
+          throw new FencedLockException(
+            s"lost $lockPath between acquiring it and publishing the " +
+              "fence epoch (process stall past the lease?) — a successor " +
+              "holds the store now; standing down before the critical " +
+              "section")
+        }
+        readFenceFile(dir, conf) match {
+          case Some((e, t)) if t == token => epoch = e; verified = true
+          case _ => () // a zombie's stale write clobbered ours: re-bump
+        }
+      }
+      epoch
     }
     val fenceKey = fs.makeQualified(dir).toString
     val outerHolds = fenceHolds.get()
@@ -1539,8 +1567,7 @@ object GraftSession {
               // frozen past the lease) — stop refreshing what is now
               // someone else's lock and flag the release to stand down
               lost.set(true)
-              org.slf4j.LoggerFactory.getLogger(classOf[GraftSession])
-                .warn(s"path lock $lockPath was lease-broken while held " +
+              log.warn(s"path lock $lockPath was lease-broken while held " +
                   "(heartbeat went stale — process stall > " +
                   s"$leaseMs ms?); in-flight writes may have interleaved " +
                   "with the new holder's")
@@ -1582,6 +1609,18 @@ object GraftSession {
   @volatile private[graft] var heartbeatFreezeHook: (String, String) => Boolean =
     (_, _) => false
 
+  /** Test hook: runs between the acquire-time fence write and its
+   * verification — specs inject a successor's full takeover (or a
+   * zombie's clobber) into the exact window the non-atomic
+   * create→bump sequence leaves open. */
+  @volatile private[graft] var postFenceWriteHook: () => Unit = () => ()
+
+  /** Test hook: runs after [[publishAppend]]'s distributed staging write,
+   * before its commit-point fence re-validation — specs inject a
+   * successor takeover into the job-duration window a frozen appender
+   * could sleep through. */
+  @volatile private[graft] var appendStagingHook: () => Unit = () => ()
+
   /** The fence held BY THIS THREAD for `dir` (qualified), if any — what a
    * publisher stamps its artifacts with. */
   private[graft] def heldFence(spark: SparkSession, path: String): Option[FenceHold] = {
@@ -1592,6 +1631,55 @@ object GraftSession {
   }
 
   private val FenceFile = "_graft.fence"
+
+  /** Read the token of the CURRENT `_graft.lock` holder under `dir` —
+   * the lock-ownership half of the acquire-time fence verification and
+   * of [[assertStoreFence]]'s clobber-repair path. `None`: no lock file
+   * (or unreadable — both read as "not ours"). */
+  private[graft] def readLockTokenAt(dir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = try {
+    val lockPath = new org.apache.hadoop.fs.Path(dir, "_graft.lock")
+    val fs = lockPath.getFileSystem(conf)
+    fs.makeQualified(lockPath).toUri match {
+      case u if u.getScheme == "file" =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          new java.io.File(u.getPath).toPath)
+        if (bytes.length <= 8) None
+        else Some(new String(bytes, 8, bytes.length - 8,
+          java.nio.charset.StandardCharsets.UTF_8))
+      case _ =>
+        val in = fs.open(lockPath)
+        try {
+          in.readLong()
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](256)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          Some(buf.toString(java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+    }
+  } catch { case _: java.io.IOException => None }
+
+  /** Highest fence epoch stamped into any published artifact name under
+   * `dir` (`….e<N>.parquet` sample-batch/append stamps, `….f<N>` TopK
+   * snapshot stamps, including `.fenced-`-quarantined spellings) — the
+   * recovery seed when `_graft.fence` itself is lost (store copied, or a
+   * cleanup swept the underscore file): restarting epochs at 1 while
+   * artifacts retain higher stamps would make [[readSample]]'s max-epoch
+   * rule quarantine a legitimate fresh republish in favor of stale
+   * files. 0 when no stamped artifact exists (a genuinely fresh store). */
+  private[graft] def maxArtifactEpoch(dir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return 0L
+    val pat = "\\.(?:e|f)([0-9]+)(?:\\.parquet)?$".r
+    fs.listStatus(dir).foldLeft(0L) { (acc, s) =>
+      pat.findFirstMatchIn(s.getPath.getName) match {
+        case Some(m) => math.max(acc, m.group(1).toLong)
+        case None => acc
+      }
+    }
+  }
 
   private[graft] def readFenceFile(dir: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration): Option[(Long, String)] = {
@@ -1605,7 +1693,7 @@ object GraftSession {
     } yield (e.toLong, t)
   }
 
-  private def writeFenceFile(dir: org.apache.hadoop.fs.Path, epoch: Long,
+  private[graft] def writeFenceFile(dir: org.apache.hadoop.fs.Path, epoch: Long,
       token: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, FenceFile)
     val tmp = new org.apache.hadoop.fs.Path(dir, FenceFile + ".tmp-" +
@@ -1646,10 +1734,80 @@ object GraftSession {
       if (h.lost.get()) boom("heartbeat flagged the lease break")
       readFenceFile(dir, conf) match {
         case Some((e, t)) if e == h.epoch && t == h.token => ()
+        case Some((e, t)) if e == h.epoch &&
+            readLockTokenAt(dir, conf).contains(h.token) =>
+          // our epoch, a FOREIGN token, and the lock is still OURS: a
+          // pre-verify zombie (frozen between its lock create and fence
+          // bump, resumed after we took over) clobbered the fence with
+          // its duplicate-epoch write and then stood down at its own
+          // verify — it never entered its critical section, so no data
+          // moved. WE are the legitimate holder; repair the fence and
+          // pass rather than spuriously fencing the live writer. (A real
+          // successor can never collide on the epoch: it bumps past
+          // whatever the fence held, and on a lost fence file it seeds
+          // from the artifact stamps — both strictly above ours.)
+          log.warn(s"store fence for $path carried our epoch ${h.epoch} " +
+            s"under a foreign token ($t) while we still hold the lock — " +
+            "repairing a pre-verify zombie's clobber")
+          writeFenceFile(dir, h.epoch, h.token, conf)
         case Some((e, _)) => boom(s"current fence epoch is $e")
         case None => boom("fence file missing")
       }
     }
+  }
+
+  /** Publish an ad-hoc (non-streaming) sample append under the held path
+   * lock: stage the distributed write into a dot-prefixed directory
+   * (invisible to parquet readers), re-validate the store fence AFTER
+   * the write — the job-duration stretch is the longest window a frozen
+   * appender could sleep through, and the single pre-write check left
+   * all of it open — then rename the complete part files into place
+   * stamped with the held fence epoch. A holder fenced mid-job gets a
+   * [[FencedLockException]] at the commit point and lands NOTHING; the
+   * residual window is the check→rename microseconds (same class as the
+   * streaming publish's). Unlike a stream batch an append is never
+   * republished, so readers have no same-batch epoch pair to quarantine
+   * — the post-write check IS the guarantee here, and the epoch stamp in
+   * the name is the forensic record. Staging leftovers (a crashed or
+   * fenced appender's) are swept here: legitimate appends serialize on
+   * the path lock, so any `.staging-append-*` observed under it is
+   * residue — or a zombie's in-flight write, whose deletion is exactly
+   * the point. */
+  private[graft] def publishAppend(spark: SparkSession, path: String,
+      sampled: DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+      if (s.getPath.getName.startsWith(".staging-append-")) {
+        fs.delete(s.getPath, true)
+      }
+    }
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(dir, s".staging-append-$id")
+    sampled.write.mode("overwrite").parquet(staging.toString)
+    try {
+      appendStagingHook()
+      assertStoreFence(spark, path)
+    } catch {
+      case e: FencedLockException =>
+        try fs.delete(staging, true)
+        catch { case _: java.io.IOException => () /* next append sweeps */ }
+        throw e
+    }
+    val fenceTag = heldFence(spark, path).map(f => s".e${f.epoch}")
+      .getOrElse("")
+    var k = 0
+    fs.listStatus(staging).foreach { s =>
+      if (s.getPath.getName.endsWith(".parquet")) {
+        val dst = new org.apache.hadoop.fs.Path(dir,
+          s"append-$id-$k$fenceTag.parquet")
+        require(fs.rename(s.getPath, dst),
+          s"could not publish append file $dst")
+        k += 1
+      }
+    }
+    fs.delete(staging, true)
   }
 
   /** The Spark session's local time zone, for wall-time string resolution

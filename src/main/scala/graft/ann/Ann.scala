@@ -444,13 +444,18 @@ object Ann {
 
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 0, bands: Int = 4,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, codebooks: Option[PqCodebooks] = None): DataFrame = {
     require(numPlanes >= 0 && numPlanes <= 64 && bands >= 1 && bands <= 64,
       s"need 0 <= numPlanes <= 64 (0 = auto) and 1 <= bands <= 64: " +
         s"$numPlanes x $bands")
+    // the non-null count feeds both the auto sizer and (stats-less inputs
+    // only) the ADC auto signal — computed at most once either way
+    var nCache: Option[Long] = None
+    def nonNullCount(): Long = nCache.getOrElse {
+      val c = df.filter(col(vecCol).isNotNull).count(); nCache = Some(c); c
+    }
     val (resolvedPlanes, resolvedBands) = if (numPlanes > 0) (numPlanes, bands)
-    else autoLshParams(df.filter(col(vecCol).isNotNull).count(),
-      threshold, bands)
+    else autoLshParams(nonNullCount(), threshold, bands)
     // null embeddings never pair (null bucket rows drop out of the
     // candidate join) — the dim probe must not trip over one either, and
     // an all-null (or empty) input resolves to the natural empty pair set
@@ -502,7 +507,7 @@ object Ann {
       case "on" => true
       case "off" => false
       case _ =>
-        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
         // 48 MB ≈ 180k of these 64-dim fp32 rows: measured ON-win 1.7×
         // already at a 52.6 MB input (6.6 vs 11.1 s at 200k vectors) and
         // the wash point sits near ~30–40 MB (fixed train+encode ≈ 3.5 s
@@ -512,13 +517,23 @@ object Ann {
         val minBytes = BigInt(spark.conf.get(
           "spark.graft.cosineDedup.adcVerifyMinBytes",
           (48L << 20).toString).toLong)
-        if (bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
-          log.warn("cosineDedupPairs: input has no size statistics — " +
-            "staying single-stage; set " +
-            "spark.graft.cosineDedup.adcVerify=on for the two-stage " +
-            "verify on corpus-scale inputs")
-          false
-        } else bytes > minBytes
+        val bytes =
+          if (stats < BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
+            stats
+          } else {
+            // the planner has NO stats (its estimate is the sentinel —
+            // e.g. an RDD-backed plan), but THIS operator knows better
+            // than any planner: n is in hand (the auto sizer counts it;
+            // explicit-planes callers pay the one count only on this
+            // stats-less path) and dim came from the probe above.
+            // n·(4·dim + 20) tracks the parquet-scan estimate on the
+            // measured corpora (200k 64-dim rows → 52.6 MB ≈ 276 B/row)
+            // — without this, an RDD-backed 20M-vector input would
+            // silently pay the single-stage fetch wall (~345 GB of pair
+            // shuffle) the two-stage verify exists to remove
+            BigInt(nonNullCount()) * (4L * dimOpt.get + 20L)
+          }
+        bytes > minBytes
     }
     // band i's key = element i of the per-band sign-bit array (ONE pass
     // over the vector; bit-identical to the former fused-long bit-slices
@@ -538,13 +553,27 @@ object Ann {
         .select(col("id_a"), col("id_b"))
         .distinct()
     } else {
-      val mTarget = spark.conf.get(
-        "spark.graft.cosineDedup.adcM", "32").toInt
-      val kTarget = spark.conf.get(
-        "spark.graft.cosineDedup.adcK", "64").toInt
-      val cb = pqTrain(src.filter(col("v").isNotNull), "v",
-        chooseM(dimOpt.get, mTarget), math.min(256, kTarget),
-        iterations = 10, seed = seed)
+      // a caller-supplied codebook skips the k-means training pass — the
+      // threshold-sweep / corpus-slice loop trains ONCE (pqTrain is
+      // public) and reuses it; the bound stays rigorous under ANY
+      // codebook (the stored per-vector residual is exact against
+      // whatever centroids produced it), so reuse trades only residue
+      // volume, never correctness (AdcVerifySpec parity leg)
+      val cb = codebooks match {
+        case Some(c) =>
+          require(c.m * c.dsub == dimOpt.get,
+            s"cosineDedupPairs: supplied codebooks cover dimension " +
+              s"${c.m * c.dsub}, corpus vectors have ${dimOpt.get}")
+          c
+        case None =>
+          val mTarget = spark.conf.get(
+            "spark.graft.cosineDedup.adcM", "32").toInt
+          val kTarget = spark.conf.get(
+            "spark.graft.cosineDedup.adcK", "64").toInt
+          pqTrain(src.filter(col("v").isNotNull), "v",
+            chooseM(dimOpt.get, mTarget), math.min(256, kTarget),
+            iterations = 10, seed = seed)
+      }
       val (gram, k) = sdcGram(cb)
       log.info(s"cosineDedupPairs: ADC two-stage verify engaged " +
         s"(m=${cb.m}, k=$k) — codes ride the banding shuffle and the " +

@@ -69,18 +69,50 @@ object CandidateJoin {
       memoryFraction: Double, concurrentTasks: Int): Long =
     (heapBytes * memoryFraction / math.max(1, concurrentTasks) * 0.4).toLong
 
+  /** The no-derivation fallback: this box's own derived value (8 GB ×
+   * 0.6 ÷ 32 × 2/5 ≈ 64 MB), kept as a fixed conservative cap when the
+   * executor geometry cannot be read — safe on any executor with
+   * ≥ ~0.5 GB of execution memory per concurrent task. */
+  private[graft] val FallbackShuffleHashMaxBytes: Long = 64L << 20
+
+  /** Cluster-mode cap: derive from `spark.executor.memory` ×
+   * `spark.memory.fraction` ÷ `spark.executor.cores` — but ONLY when the
+   * cores conf is explicitly set. In standalone/Mesos coarse-grained
+   * deployments `spark.executor.cores` is legitimately UNSET while each
+   * executor runs worker-core-many concurrent tasks; defaulting it to 1
+   * would inflate the derived cap ~cores×, pinning shuffle-hash joins at
+   * sizes where the non-spillable build maps OOM — the exact failure the
+   * cap exists to prevent. With no trustworthy concurrency signal the
+   * policy refuses to derive and keeps the fixed conservative fallback.
+   * Pure — pinned by CandidateJoinSpec. */
+  private[graft] def clusterShuffleHashMaxBytes(heapBytes: Long,
+      memoryFraction: Double, coresConf: Option[Int]): Long =
+    coresConf match {
+      case Some(c) => derivedShuffleHashMaxBytes(heapBytes, memoryFraction, c)
+      case None =>
+        log.info("candidate join: spark.executor.cores is unset (executors " +
+          "may run worker-core-many concurrent tasks) — refusing to derive " +
+          "the shuffle-hash cap from geometry; keeping the conservative " +
+          s"$FallbackShuffleHashMaxBytes B fallback (override with " +
+          "spark.graft.candidateJoin.shuffleHashMaxBytes)")
+        FallbackShuffleHashMaxBytes
+    }
+
   /** Resolve the geometry this session's tasks actually run under: local
    * mode executes in the driver JVM with `local[k]` concurrent tasks (the
    * runtime heap is the truth there — `spark.executor.memory` is unread);
-   * cluster mode reads `spark.executor.memory`/`spark.executor.cores`. */
+   * cluster mode reads `spark.executor.memory`/`spark.executor.cores`,
+   * refusing to derive when the cores conf is absent (see
+   * [[clusterShuffleHashMaxBytes]]). */
   private[graft] def sessionShuffleHashMaxBytes(spark: SparkSession): Long = {
     val sc = spark.sparkContext
-    val (heap, tasks) =
-      if (sc.isLocal) (Runtime.getRuntime.maxMemory, sc.defaultParallelism)
-      else (sc.getConf.getSizeAsBytes("spark.executor.memory", "1g"),
-        sc.getConf.getInt("spark.executor.cores", 1))
     val fraction = sc.getConf.getDouble("spark.memory.fraction", 0.6)
-    derivedShuffleHashMaxBytes(heap, fraction, tasks)
+    if (sc.isLocal)
+      derivedShuffleHashMaxBytes(Runtime.getRuntime.maxMemory, fraction,
+        sc.defaultParallelism)
+    else clusterShuffleHashMaxBytes(
+      sc.getConf.getSizeAsBytes("spark.executor.memory", "1g"), fraction,
+      sc.getConf.getOption("spark.executor.cores").map(_.toInt))
   }
 
   def maybeShuffleHash(input: DataFrame)(side: DataFrame): DataFrame = {

@@ -155,9 +155,11 @@ class SampleSource extends CreatableRelationProvider with RelationProvider
         graft.GraftSession.sampleByOptions(data, effective)
       val writeMode = if (appending) "append" else "overwrite"
       if (appending) {
+        // staged publish: fence re-validated AFTER the distributed write,
+        // part files land epoch-stamped ([[graft.GraftSession.publishAppend]])
         graft.GraftSession.withPathLock(spark, path) {
           graft.GraftSession.assertStoreFence(spark, path)
-          sampled.write.mode(writeMode).parquet(path)
+          graft.GraftSession.publishAppend(spark, path, sampled)
         }
       } else sampled.write.mode(writeMode).parquet(path)
       // persist the declared options of the GOVERNING scheme (original on

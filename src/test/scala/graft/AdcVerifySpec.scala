@@ -150,6 +150,78 @@ class AdcVerifySpec extends AnyFunSuite {
     assert(onL.size > on.size)
   }
 
+  test("a caller-supplied codebook skips training and preserves parity") {
+    val data = randomCorpus(120, 32, seed = 77L) ++
+      (0 until 10).flatMap { g =>
+        val rnd = new scala.util.Random(2000L + g)
+        val src = Array.fill(32)(rnd.nextGaussian().toFloat)
+        Seq((30000L + 2 * g, src),
+          (30001L + 2 * g, src.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)))
+      }
+    val df = data.toDF("id", "v")
+    // the sweep scenario: train ONCE (pqTrain is public), reuse across
+    // thresholds — output parity is by the bound's rigor under ANY
+    // codebook (the stored residual is exact against whatever centroids
+    // produced the code), reuse only shifts residue volume
+    val cb = Ann.pqTrain(df, "v", m = 8, k = 16, iterations = 4, seed = 5L)
+    def run(cbs: Option[Ann.PqCodebooks], t: Double): Set[(Long, Long, Double)] =
+      Ann.cosineDedupPairs(df, "id", "v", threshold = t,
+        numPlanes = 12, bands = 4, codebooks = cbs)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9) / 1e9)).toSet
+    withConf("spark.graft.cosineDedup.adcVerify", "on") {
+      for (t <- Seq(0.95, 0.5)) {
+        val reused = run(Some(cb), t)
+        val trained = run(None, t)
+        assert(reused === trained, s"codebook-reuse parity broke at t=$t")
+        assert(reused.nonEmpty)
+      }
+      // a codebook covering the wrong dimensionality must fail loudly
+      val bad = Ann.pqTrain(randomCorpus(30, 16, 3L).toDF("id", "v"), "v",
+        m = 4, k = 8, iterations = 2)
+      val e = intercept[IllegalArgumentException] {
+        run(Some(bad), 0.9)
+      }
+      assert(e.getMessage.contains("dimension"))
+    }
+  }
+
+  test("auto engages two-stage on a stats-less input via the operator's own n*dim estimate") {
+    // an RDD-backed plan carries the planner's no-stats sentinel — the
+    // r15 behavior warned and stayed single-stage, which at 20M vectors
+    // silently pays the ~345 GB pair-fetch wall the two-stage verify
+    // exists to remove. The operator knows n and dim itself; with the
+    // threshold scaled under the estimate, auto must engage.
+    val rows = randomCorpus(60, 16, seed = 21L)
+      .map { case (id, v) => org.apache.spark.sql.Row(id, v) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val rddDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    assert(rddDf.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      "precondition: the input must carry the no-stats sentinel")
+    def hasAdc(t: Double): Boolean =
+      Ann.cosineDedupPairs(rddDf, "id", "v", threshold = t,
+        numPlanes = 8, bands = 2).queryExecution.analyzed.collect { case p =>
+        p.expressions.exists(_.exists {
+          case _: org.apache.spark.sql.graft.PqCosineUpperBound => true
+          case _ => false
+        })
+      }.exists(identity)
+    // 64 rows x (4*16+20) B = 5376 B: above a 1 KB threshold -> engage
+    withConf("spark.graft.cosineDedup.adcVerifyMinBytes", "1024") {
+      assert(hasAdc(0.9), "auto must engage two-stage from n*dim alone")
+    }
+    // and at the default 48 MB threshold the same input stays
+    // single-stage — the estimate is a real measurement, not always-on
+    assert(!hasAdc(0.9))
+  }
+
   test("auto mode stays single-stage on small inputs") {
     // gate-sized corpora sit far below adcVerifyMinBytes: the plan must
     // not contain the PqEncodeStats projection (no train/encode passes)

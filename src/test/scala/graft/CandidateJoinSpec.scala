@@ -70,6 +70,18 @@ class CandidateJoinSpec extends AnyFunSuite {
     assert(CandidateJoin.derivedShuffleHashMaxBytes(1L << 30, 0.6, 0) > 0)
   }
 
+  test("cluster cap refuses to derive when spark.executor.cores is unset") {
+    // standalone/Mesos coarse-grained: cores legitimately unset while
+    // executors run worker-core-many concurrent tasks — defaulting cores
+    // to 1 inflated the cap ~cores×, pinning shuffle-hash at sizes where
+    // the unspillable build maps OOM. Unset must fall back, not derive.
+    assert(CandidateJoin.clusterShuffleHashMaxBytes(
+      64L << 30, 0.6, None) === CandidateJoin.FallbackShuffleHashMaxBytes)
+    // with cores set the derivation applies unchanged
+    assert(CandidateJoin.clusterShuffleHashMaxBytes(8L << 30, 0.6, Some(32))
+      === CandidateJoin.derivedShuffleHashMaxBytes(8L << 30, 0.6, 32))
+  }
+
   test("no-stats sentinel: never treated as a real measurement") {
     // an RDD-backed plan has no file-scan stats — its estimate is
     // spark.sql.defaultSizeInBytes (Long.MaxValue), which must read as

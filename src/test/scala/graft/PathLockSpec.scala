@@ -250,6 +250,164 @@ class PathLockSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.graft.pathLock.leaseMs")
   }
 
+  // ---------------------------------------------------------------------
+  // Acquire-time fence verification: the epoch bump is NOT atomic with
+  // the lock create. A holder frozen between the two can resume after a
+  // successor's takeover — it must stand down at its own verify, a
+  // clobber it lands against the live holder must be repaired, and fence
+  // state must survive loss of the fence file itself.
+  // ---------------------------------------------------------------------
+
+  private def hadoopDir(s: org.apache.spark.sql.SparkSession, dir: String) =
+    (new org.apache.hadoop.fs.Path(dir), s.sessionState.newHadoopConf())
+
+  test("a holder frozen between lock create and fence bump stands down") {
+    val s = spark.newSession()
+    val dir = tmp()
+    val (hd, conf) = hadoopDir(s, dir)
+    // the hook fires in the exact window the non-atomic create→bump
+    // leaves open; it simulates the successor's FULL takeover while the
+    // first acquirer was frozen there: lease-break (lock re-created
+    // under a new token) + fence bump past the zombie's write
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    GraftSession.postFenceWriteHook = () => {
+      if (fired.compareAndSet(false, true)) {
+        val lock = new java.io.File(dir, "_graft.lock")
+        assert(lock.delete())
+        val out = new java.io.FileOutputStream(lock)
+        try {
+          out.write(java.nio.ByteBuffer.allocate(8)
+            .putLong(System.currentTimeMillis()).array())
+          out.write("successor-token".getBytes("UTF-8"))
+        } finally out.close()
+        val cur = GraftSession.readFenceFile(hd, conf).get._1
+        GraftSession.writeFenceFile(hd, cur + 1, "successor-token", conf)
+      }
+    }
+    try {
+      val e = intercept[FencedLockException] {
+        GraftSession.withPathLock(s, dir) {
+          fail("a superseded acquirer must never enter the critical section")
+        }
+      }
+      assert(e.getMessage.contains("standing down"))
+      // the successor's state is untouched: its fence survives
+      assert(GraftSession.readFenceFile(hd, conf)
+        .exists(_._2 == "successor-token"))
+    } finally GraftSession.postFenceWriteHook = () => ()
+  }
+
+  test("a racing clobber between bump and verify re-bumps monotonically") {
+    val s = spark.newSession()
+    val dir = tmp()
+    val (hd, conf) = hadoopDir(s, dir)
+    GraftSession.withPathLock(s, dir) { () } // epoch 1
+    // zombie clobber: same epoch as OUR in-flight bump, foreign token,
+    // but the lock stays ours — acquisition must retry past it, not
+    // stand down and not keep the clobbered value
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    GraftSession.postFenceWriteHook = () => {
+      if (fired.compareAndSet(false, true)) {
+        val cur = GraftSession.readFenceFile(hd, conf).get._1
+        GraftSession.writeFenceFile(hd, cur, "zombie-token", conf)
+      }
+    }
+    try {
+      var heldEpoch = -1L
+      GraftSession.withPathLock(s, dir) {
+        heldEpoch = GraftSession.heldFence(s, dir).get.epoch
+        GraftSession.assertStoreFence(s, dir) // and the held fence is live
+      }
+      // first bump wrote 2, the zombie clobbered 2, the re-bump landed 3
+      assert(heldEpoch === 3L)
+      assert(GraftSession.readFenceFile(hd, conf).exists(_._1 == 3L))
+    } finally GraftSession.postFenceWriteHook = () => ()
+  }
+
+  test("the live holder repairs a duplicate-epoch clobber at its commit") {
+    val s = spark.newSession()
+    val dir = tmp()
+    val (hd, conf) = hadoopDir(s, dir)
+    GraftSession.withPathLock(s, dir) {
+      val h = GraftSession.heldFence(s, dir).get
+      // a pre-verify zombie's one possible write: OUR epoch, its token
+      GraftSession.writeFenceFile(hd, h.epoch, "zombie-token", conf)
+      // the live holder must not be spuriously fenced — repair and pass
+      GraftSession.assertStoreFence(s, dir)
+      assert(GraftSession.readFenceFile(hd, conf)
+        .contains((h.epoch, h.token)), "the repair must restore our fence")
+      // and a REAL takeover (higher epoch) still fences us
+      GraftSession.writeFenceFile(hd, h.epoch + 1, "successor-token", conf)
+      intercept[FencedLockException] { GraftSession.assertStoreFence(s, dir) }
+    }
+  }
+
+  test("fence epochs survive fence-file loss: seeded from artifact stamps") {
+    val s = spark.newSession()
+    val dir = tmp()
+    val (hd, conf) = hadoopDir(s, dir)
+    // a store whose fence file was lost (copied store, swept underscore
+    // files) while published artifacts retain epoch stamps — restarting
+    // at 1 would let readSample's max-epoch rule quarantine a legitimate
+    // fresh republish in favor of these stale files
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir,
+      "stream-x-abcd1234-b0-0.e7.parquet"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir,
+      ".fenced-stream-x-abcd1234-b0-1.e4.parquet"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir,
+      "_topk.snap.3.f9"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir,
+      "part-00000-plain.c000.parquet")) // unstamped: contributes nothing
+    var heldEpoch = -1L
+    GraftSession.withPathLock(s, dir) {
+      heldEpoch = GraftSession.heldFence(s, dir).get.epoch
+    }
+    assert(heldEpoch === 10L,
+      s"epoch must seed past the max artifact stamp (9), got $heldEpoch")
+  }
+
+  test("an append fenced mid-job lands nothing; a live append publishes epoch-stamped files") {
+    val s = spark.newSession()
+    val g = new GraftSession(s)
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fence_append").toString
+    Seq("a", "b").toDF("event_type").createOrReplaceTempView("zz_ap_base")
+    g.sql("CREATE SAMPLE TABLE zz_ap ON zz_ap_base OPTIONS(" +
+      s"qcs 'event_type', fraction '1.0', path '$root/sample')")
+    val sampleDir = new java.io.File(s"$root/sample")
+    val (hd, conf) = hadoopDir(s, s"$root/sample")
+    val before = g.readSample("zz_ap").count()
+    // takeover lands DURING the staging job (the window the single
+    // pre-write check left open): the commit-point re-validation must
+    // fence the append before anything reaches the store
+    GraftSession.appendStagingHook = () => {
+      val cur = GraftSession.readFenceFile(hd, conf).get._1
+      GraftSession.writeFenceFile(hd, cur + 1, "successor-token", conf)
+    }
+    try {
+      intercept[FencedLockException] {
+        g.appendToSample("zz_ap", Seq.fill(25)("c").toDF("event_type"))
+      }
+    } finally GraftSession.appendStagingHook = () => ()
+    assert(g.readSample("zz_ap").count() === before,
+      "a fenced append must land nothing")
+    assert(!sampleDir.listFiles().exists(_.getName.startsWith("append-")),
+      "no fenced part files may reach the store")
+    assert(!sampleDir.listFiles().exists(
+      _.getName.startsWith(".staging-append-")),
+      "the fenced append must clean its staging residue")
+    // the live path: files land renamed-complete and epoch-stamped
+    g.appendToSample("zz_ap", Seq.fill(25)("c").toDF("event_type"))
+    val landed = sampleDir.listFiles().filter(_.getName.startsWith("append-"))
+    assert(landed.nonEmpty)
+    assert(landed.forall(_.getName.matches("append-[0-9a-f]{8}-[0-9]+\\.e[0-9]+\\.parquet")),
+      s"append publishes must be epoch-stamped: ${landed.map(_.getName).mkString(",")}")
+    assert(g.readSample("zz_ap").count() === before + 25)
+    assert(s.read.parquet(s"$root/sample").count() === before + 25)
+    g.dropSampleTable("zz_ap")
+  }
+
   test("the heartbeat keeps the lock's mtime fresh while the holder runs") {
     val s = spark.newSession()
     val dir = tmp()

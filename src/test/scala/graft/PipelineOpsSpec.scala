@@ -246,6 +246,24 @@ class PipelineOpsSpec extends AnyFunSuite {
         col("lang_code"), col("sid"), intTargets)
     }
     assert(err.getMessage.contains("must be numeric"))
+    // a high-cardinality strata column (the id itself) must fail loudly
+    // instead of materializing the per-stratum count table on the driver
+    val prev = spark.conf.getOption("spark.graft.resampleToMix.maxStrata")
+    spark.conf.set("spark.graft.resampleToMix.maxStrata", "100")
+    try {
+      val card = intercept[IllegalArgumentException] {
+        Pipeline.resampleToMix(intDf, col("id"), col("id"),
+          Map("1" -> 1.0))
+      }
+      assert(card.getMessage.contains("distinct strata"))
+      // at-the-limit cardinality still works (the guard is max+1-then-check)
+      spark.conf.set("spark.graft.resampleToMix.maxStrata", "4")
+      assert(Pipeline.resampleToMix(intDf, col("lang_code"), col("id"),
+        intTargets).count() > 0)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.graft.resampleToMix.maxStrata", p)
+      case None => spark.conf.unset("spark.graft.resampleToMix.maxStrata")
+    }
   }
 
   test("sequence packing: contiguous offsets, in-bounds placement") {

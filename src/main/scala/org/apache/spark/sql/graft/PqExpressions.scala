@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -12,8 +12,14 @@ import org.apache.spark.sql.types._
  * for ANN: a d-dim float vector becomes m bytes, so a 100 TB embedding
  * corpus scans as ~1.5 TB of codes. All kernels are fused single-pass
  * expressions over the array column (no UDFs, no per-dimension lambda
- * algebra). The reference engine has no vector ops; this follows the
- * published algorithm.
+ * algebra) with hand-written `doGenCode` — these are the hot loops of the
+ * two-stage cosine-dedup verify (PqEncodeStats per banded row,
+ * PqCosineUpperBound per candidate pair: 140M + 653M evaluations at 20M
+ * vectors), and the interpreted CodegenFallback path paid per-row boxing
+ * and virtual-dispatch on exactly those counts. Generated arithmetic is
+ * ORDER-IDENTICAL to the interpreted loops (AdcVerifySpec pins both
+ * against a driver recompute). The reference engine has no vector ops;
+ * this follows the published algorithm.
  */
 private[graft] object PqExpressions {
   def elemAt(arr: ArrayData, i: Int, isFloat: Boolean): Double =
@@ -23,12 +29,17 @@ private[graft] object PqExpressions {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** Generated-Java read of element `i` of an array term — the codegen
+   * twin of [[elemAt]], branch resolved at compile time. */
+  def genElemAt(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
 }
 
 /** `pq_encode(vec)`: nearest centroid id per subspace → m-byte code.
  * `codebooks(j)(c)` is the c-th centroid of subspace j (dsub doubles). */
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(codebooks.nonEmpty && codebooks.forall(_.length <= 256),
     "PQ codebooks must have at most 256 centroids per subspace (byte codes)")
   override def dataType: DataType = BinaryType
@@ -39,6 +50,13 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    // copy once, then tight primitive loops — the per-element accessor in
+    // the innermost (m·k·dsub) loop was the measured 12× interpreter tax
+    val vec = new Array[Double](m * dsub)
+    var vi = 0
+    while (vi < vec.length) {
+      vec(vi) = PqExpressions.elemAt(arr, vi, isFloat); vi += 1
+    }
     val out = new Array[Byte](m)
     var j = 0
     while (j < m) {
@@ -52,7 +70,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
         var d = 0.0
         var i = 0
         while (i < dsub) {
-          val diff = PqExpressions.elemAt(arr, base + i, isFloat) - cent(i)
+          val diff = vec(base + i) - cent(i)
           d += diff * diff
           i += 1
         }
@@ -64,6 +82,37 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     }
     out
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cbs = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      s"""
+         |{
+         |  double[] vec = new double[${m * dsub}];
+         |  for (int i = 0; i < ${m * dsub}; i++) {
+         |    vec[i] = ${PqExpressions.genElemAt(arr, "i", isFloat)};
+         |  }
+         |  byte[] out = new byte[$m];
+         |  for (int j = 0; j < $m; j++) {
+         |    double[][] cb = $cbs[j];
+         |    int base = j * $dsub;
+         |    int best = 0;
+         |    double bestD = Double.MAX_VALUE;
+         |    for (int c = 0; c < cb.length; c++) {
+         |      double[] cent = cb[c];
+         |      double d = 0.0;
+         |      for (int i = 0; i < $dsub; i++) {
+         |        double diff = vec[base + i] - cent[i];
+         |        d += diff * diff;
+         |      }
+         |      if (d < bestD) { bestD = d; best = c; }
+         |    }
+         |    out[j] = (byte) best;
+         |  }
+         |  ${ev.value} = out;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
@@ -79,7 +128,7 @@ object PqEncode {
  * with the reconstructed vector (asymmetric distance computation). One
  * table lookup per code byte; never touches the original vector. */
 case class PqAdcDot(child: Expression, luts: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   private val m = luts.length
@@ -94,6 +143,20 @@ case class PqAdcDot(child: Expression, luts: Array[Array[Double]])
     }
     s
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, code => {
+      val lutsRef = ctx.addReferenceObj("luts", luts, "double[][]")
+      s"""
+         |{
+         |  double s = 0.0;
+         |  for (int j = 0; j < $m; j++) {
+         |    s += $lutsRef[j][$code[j] & 0xff];
+         |  }
+         |  ${ev.value} = s;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): PqAdcDot =
     copy(child = newChild)
@@ -117,7 +180,7 @@ object PqAdcDot {
  * cannot use equality. */
 case class PqEncodeStats(child: Expression,
     codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(codebooks.nonEmpty && codebooks.forall(_.length <= 256),
     "PQ codebooks must have at most 256 centroids per subspace (byte codes)")
   override def dataType: DataType = StructType(Seq(
@@ -131,6 +194,12 @@ case class PqEncodeStats(child: Expression,
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    // copy once, then tight primitive loops (see PqEncode.nullSafeEval)
+    val vec = new Array[Double](m * dsub)
+    var vi = 0
+    while (vi < vec.length) {
+      vec(vi) = PqExpressions.elemAt(arr, vi, isFloat); vi += 1
+    }
     val out = new Array[Byte](m)
     var err2 = 0.0
     var norm2 = 0.0
@@ -146,7 +215,7 @@ case class PqEncodeStats(child: Expression,
         var d = 0.0
         var i = 0
         while (i < dsub) {
-          val diff = PqExpressions.elemAt(arr, base + i, isFloat) - cent(i)
+          val diff = vec(base + i) - cent(i)
           d += diff * diff
           i += 1
         }
@@ -157,7 +226,7 @@ case class PqEncodeStats(child: Expression,
       err2 += bestD
       var i = 0
       while (i < dsub) {
-        val x = PqExpressions.elemAt(arr, base + i, isFloat)
+        val x = vec(base + i)
         norm2 += x * x
         i += 1
       }
@@ -166,6 +235,47 @@ case class PqEncodeStats(child: Expression,
     org.apache.spark.sql.catalyst.InternalRow(
       out, math.sqrt(norm2), math.sqrt(err2))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cbs = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      s"""
+         |{
+         |  double[] vec = new double[${m * dsub}];
+         |  for (int i = 0; i < ${m * dsub}; i++) {
+         |    vec[i] = ${PqExpressions.genElemAt(arr, "i", isFloat)};
+         |  }
+         |  byte[] out = new byte[$m];
+         |  double err2 = 0.0;
+         |  double norm2 = 0.0;
+         |  for (int j = 0; j < $m; j++) {
+         |    double[][] cb = $cbs[j];
+         |    int base = j * $dsub;
+         |    int best = 0;
+         |    double bestD = Double.MAX_VALUE;
+         |    for (int c = 0; c < cb.length; c++) {
+         |      double[] cent = cb[c];
+         |      double d = 0.0;
+         |      for (int i = 0; i < $dsub; i++) {
+         |        double diff = vec[base + i] - cent[i];
+         |        d += diff * diff;
+         |      }
+         |      if (d < bestD) { bestD = d; best = c; }
+         |    }
+         |    out[j] = (byte) best;
+         |    err2 += bestD;
+         |    for (int i = 0; i < $dsub; i++) {
+         |      double x = vec[base + i];
+         |      norm2 += x * x;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |    .GenericInternalRow(new Object[] {
+         |      out, Double.valueOf(Math.sqrt(norm2)),
+         |      Double.valueOf(Math.sqrt(err2)) });
+         |}
+       """.stripMargin
+    })
 
   override def equals(other: Any): Boolean = other match {
     case PqEncodeStats(c, cbs) =>
@@ -209,8 +319,7 @@ object PqEncodeStats {
  * construction, pinned in AdcVerifySpec). */
 case class PqCosineUpperBound(left: Expression, right: Expression,
     gram: Array[Array[Double]], k: Int)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   require(gram.nonEmpty && gram.forall(_.length == k * k),
     s"gram table must hold m flattened k x k blocks (k=$k)")
   override def dataType: DataType = DoubleType
@@ -240,6 +349,38 @@ case class PqCosineUpperBound(left: Expression, right: Expression,
     ub / (na * nb)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ra, rb) => {
+      val gramRef = ctx.addReferenceObj("gram", gram, "double[][]")
+      s"""
+         |{
+         |  byte[] ca = $ra.getBinary(0);
+         |  double na = $ra.getDouble(1);
+         |  double ea = $ra.getDouble(2);
+         |  byte[] cb = $rb.getBinary(0);
+         |  double nb = $rb.getDouble(1);
+         |  double eb = $rb.getDouble(2);
+         |  if (na == 0.0 || nb == 0.0) {
+         |    ${ev.value} = 1.0;
+         |  } else {
+         |    double sdc = 0.0;
+         |    double ahat2 = 0.0;
+         |    double bhat2 = 0.0;
+         |    for (int j = 0; j < $m; j++) {
+         |      double[] t = $gramRef[j];
+         |      int x = ca[j] & 0xff;
+         |      int y = cb[j] & 0xff;
+         |      sdc += t[x * $k + y];
+         |      ahat2 += t[x * $k + x];
+         |      bhat2 += t[y * $k + y];
+         |    }
+         |    ${ev.value} = (sdc + Math.sqrt(ahat2) * eb + ea * Math.sqrt(bhat2)
+         |      + ea * eb) / (na * nb);
+         |  }
+         |}
+       """.stripMargin
+    })
+
   override def equals(other: Any): Boolean = other match {
     case PqCosineUpperBound(a, b, g, kk) =>
       a == left && b == right && kk == k && g.length == gram.length &&
@@ -264,7 +405,7 @@ object PqCosineUpperBound {
 
 /** `vec_norm(vec)`: √(Σ x²) in one fused pass. */
 case class VecNorm(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   private lazy val isFloat = PqExpressions.isFloatArray(child.dataType)
@@ -281,6 +422,20 @@ case class VecNorm(child: Expression)
     }
     math.sqrt(s)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""
+         |{
+         |  double s = 0.0;
+         |  int n = $arr.numElements();
+         |  for (int i = 0; i < n; i++) {
+         |    double x = ${PqExpressions.genElemAt(arr, "i", isFloat)};
+         |    s += x * x;
+         |  }
+         |  ${ev.value} = Math.sqrt(s);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)

@@ -236,7 +236,7 @@ object HyperplaneBucket {
  */
 case class HyperplaneBandBuckets(child: Expression,
     planes: Array[Array[Double]], bandWidth: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bandWidth >= 1 && bandWidth <= 64,
     s"band width must be 1..64 bits: $bandWidth")
   require(planes.length % bandWidth == 0,
@@ -263,6 +263,38 @@ case class HyperplaneBandBuckets(child: Expression,
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
+
+  // hand-written codegen: the banding pass evaluates planes·dim multiplies
+  // per vector (~10k at the 20M-corpus auto sizing) across every row of
+  // every dedup candidate shuffle — the single hottest per-vector loop in
+  // the repo. Arithmetic is order-identical to nullSafeEval (which copies
+  // to a double[] first via VecRead.toDoubles, exactly as generated here).
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst
+      .expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val read = if (elemType == FloatType) s"(double) $arr.getFloat(i)"
+        else s"$arr.getDouble(i)"
+      s"""
+         |{
+         |  int n = $arr.numElements();
+         |  double[] vec = new double[n];
+         |  for (int i = 0; i < n; i++) { vec[i] = $read; }
+         |  long[] out = new long[${planes.length / bandWidth}];
+         |  for (int p = 0; p < ${planes.length}; p++) {
+         |    double[] plane = $planesRef[p];
+         |    int d = Math.min(n, plane.length);
+         |    double dot = 0.0;
+         |    for (int i = 0; i < d; i++) { dot += vec[i] * plane[i]; }
+         |    if (dot >= 0) { out[p / $bandWidth] |= (1L << (p % $bandWidth)); }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray(out);
+         |}
+       """.stripMargin
+    })
 
   override def equals(other: Any): Boolean = other match {
     case HyperplaneBandBuckets(c, p, w) =>

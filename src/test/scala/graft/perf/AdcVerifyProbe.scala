@@ -118,6 +118,61 @@ object AdcVerifyProbe {
         println(f"PROBE adc-decomp sf=$sfDir t=$threshold n=$n p=$p b=$b " +
           f"m=${cb.m} train=$tTrain%.1fs stage1(cand+bound)=$tStage1%.1fs " +
           f"residue=$nResidue stage2(exact)=$tStage2%.1fs final=$nFinal")
+      case "kernels" =>
+        // split the candidates+bound stage into its four cost terms:
+        // per-vector banding eval, per-vector PQ-stats eval, the
+        // sort-merge join/shuffle itself, and per-pair bound eval.
+        // toRdd.count() keeps the projection unpruned (a plain count()
+        // would drop the very expressions under measurement), and the
+        // first pass of each term is discarded (the GateVarianceProbe
+        // JIT policy).
+        import graft.ann.Ann
+        val src = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+        val n = src.filter(col("v").isNotNull).count()
+        val (p, b) = Ann.autoLshParams(n, threshold, 4)
+        val dim = src.select(size(col("v"))).head().getInt(0)
+        val planes = Ann.hyperplanes(dim, p * b)
+        val cb = Ann.pqTrain(src.filter(col("v").isNotNull), "v",
+          Ann.chooseM(dim, mArg), kArg, iterations = 10)
+        val (gram, k) = Ann.sdcGram(cb)
+        val hint = graft.core.CandidateJoin.maybeShuffleHash(src) _
+        def timed(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+          var rows = 0L
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            rows = df.queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once() // discard: JIT/compile pass
+          val ts = (1 to math.max(1, passes)).map(_ => once()).sorted
+          (ts(ts.size / 2), rows)
+        }
+        val bandCol = posexplode(org.apache.spark.sql.graft
+          .HyperplaneBandBuckets(col("v"), planes, p))
+        val (tBand, nBanded) = timed(src.select(col("id"), bandCol))
+        val (tBandStats, _) = timed(src.select(col("id"),
+          org.apache.spark.sql.graft.PqEncodeStats(col("v"), cb.centroids)
+            .as("s"), bandCol))
+        val banded = src.select(col("id") +:
+            org.apache.spark.sql.graft.PqEncodeStats(col("v"), cb.centroids)
+              .as("s") +: Seq(bandCol): _*)
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        val a = banded.select(col("band"), col("bucket"),
+          col("id").as("id_a"), col("s").as("sa"))
+        val bb = banded.select(col("band"), col("bucket"),
+          col("id").as("id_b"), col("s").as("sb"))
+        val joined = hint(a).join(hint(bb), Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+        val (tJoin, nCand) = timed(joined)
+        val (tJoinBound, nPass) = timed(joined.filter(
+          org.apache.spark.sql.graft.PqCosineUpperBound(
+            col("sa"), col("sb"), gram, k) >= threshold - Ann.AdcFpEps))
+        println(f"PROBE adc-kernels sf=$sfDir t=$threshold n=$n p=$p b=$b " +
+          f"m=${cb.m} banded=$nBanded cand=$nCand pass=$nPass " +
+          f"tBand=$tBand%.1fs tBandStats=$tBandStats%.1fs " +
+          f"(statsEval=${tBandStats - tBand}%.1fs) tJoin=$tJoin%.1fs " +
+          f"tJoinBound=$tJoinBound%.1fs " +
+          f"(boundEval=${tJoinBound - tJoin}%.1fs)")
       case other =>
         sys.error(s"unknown mode $other")
     }

@@ -34,6 +34,31 @@ private[graft] object PqExpressions {
    * twin of [[elemAt]], branch resolved at compile time. */
   def genElemAt(arr: String, i: String, isFloat: Boolean): String =
     if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  val ArrayDataT = "org.apache.spark.sql.catalyst.util.ArrayData"
+  val InternalRowT = "org.apache.spark.sql.catalyst.InternalRow"
+
+  /** Registers a generated kernel as its OWN private method
+   * (`ctx.addNewFunction`) and returns the callee name. Inlining the loop
+   * bodies at the call site is how round 16's first codegen attempt
+   * failed: Java forbids a block-local declaration that SHADOWS any
+   * in-scope local of the enclosing generated method (janino:
+   * "Redefinition of local variable"), and the surrounding whole-stage /
+   * projection code owns names like `i` at many insertion points — the
+   * fallback was silent outside the logs. A method body is its own scope
+   * — collision-proof by construction — and the hot kernels stay small
+   * standalone methods the JIT compiles independently. */
+  def kernel(ctx: CodegenContext, name: String, returnType: String,
+      params: Seq[(String, String)], body: String): String = {
+    val fn = ctx.freshName(name)
+    val sig = params.map { case (t, p) => s"$t $p" }.mkString(", ")
+    ctx.addNewFunction(fn,
+      s"""
+         |private $returnType $fn($sig) {
+         |$body
+         |}
+       """.stripMargin)
+  }
 }
 
 /** `pq_encode(vec)`: nearest centroid id per subspace → m-byte code.
@@ -86,32 +111,33 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val cbs = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
-      s"""
-         |{
-         |  double[] vec = new double[${m * dsub}];
-         |  for (int i = 0; i < ${m * dsub}; i++) {
-         |    vec[i] = ${PqExpressions.genElemAt(arr, "i", isFloat)};
-         |  }
-         |  byte[] out = new byte[$m];
-         |  for (int j = 0; j < $m; j++) {
-         |    double[][] cb = $cbs[j];
-         |    int base = j * $dsub;
-         |    int best = 0;
-         |    double bestD = Double.MAX_VALUE;
-         |    for (int c = 0; c < cb.length; c++) {
-         |      double[] cent = cb[c];
-         |      double d = 0.0;
-         |      for (int i = 0; i < $dsub; i++) {
-         |        double diff = vec[base + i] - cent[i];
-         |        d += diff * diff;
-         |      }
-         |      if (d < bestD) { bestD = d; best = c; }
-         |    }
-         |    out[j] = (byte) best;
-         |  }
-         |  ${ev.value} = out;
-         |}
-       """.stripMargin
+      val fn = PqExpressions.kernel(ctx, "graftPqEncode", "byte[]",
+        Seq(PqExpressions.ArrayDataT -> "arr"),
+        s"""
+           |double[] vec = new double[${m * dsub}];
+           |for (int i = 0; i < ${m * dsub}; i++) {
+           |  vec[i] = ${PqExpressions.genElemAt("arr", "i", isFloat)};
+           |}
+           |byte[] out = new byte[$m];
+           |for (int j = 0; j < $m; j++) {
+           |  double[][] cb = $cbs[j];
+           |  int base = j * $dsub;
+           |  int best = 0;
+           |  double bestD = Double.MAX_VALUE;
+           |  for (int c = 0; c < cb.length; c++) {
+           |    double[] cent = cb[c];
+           |    double d = 0.0;
+           |    for (int i = 0; i < $dsub; i++) {
+           |      double diff = vec[base + i] - cent[i];
+           |      d += diff * diff;
+           |    }
+           |    if (d < bestD) { bestD = d; best = c; }
+           |  }
+           |  out[j] = (byte) best;
+           |}
+           |return out;
+         """.stripMargin)
+      s"${ev.value} = $fn($arr);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
@@ -147,15 +173,16 @@ case class PqAdcDot(child: Expression, luts: Array[Array[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, code => {
       val lutsRef = ctx.addReferenceObj("luts", luts, "double[][]")
-      s"""
-         |{
-         |  double s = 0.0;
-         |  for (int j = 0; j < $m; j++) {
-         |    s += $lutsRef[j][$code[j] & 0xff];
-         |  }
-         |  ${ev.value} = s;
-         |}
-       """.stripMargin
+      val fn = PqExpressions.kernel(ctx, "graftPqAdcDot", "double",
+        Seq("byte[]" -> "code"),
+        s"""
+           |double s = 0.0;
+           |for (int j = 0; j < $m; j++) {
+           |  s += $lutsRef[j][code[j] & 0xff];
+           |}
+           |return s;
+         """.stripMargin)
+      s"${ev.value} = $fn($code);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): PqAdcDot =
@@ -239,42 +266,43 @@ case class PqEncodeStats(child: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val cbs = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
-      s"""
-         |{
-         |  double[] vec = new double[${m * dsub}];
-         |  for (int i = 0; i < ${m * dsub}; i++) {
-         |    vec[i] = ${PqExpressions.genElemAt(arr, "i", isFloat)};
-         |  }
-         |  byte[] out = new byte[$m];
-         |  double err2 = 0.0;
-         |  double norm2 = 0.0;
-         |  for (int j = 0; j < $m; j++) {
-         |    double[][] cb = $cbs[j];
-         |    int base = j * $dsub;
-         |    int best = 0;
-         |    double bestD = Double.MAX_VALUE;
-         |    for (int c = 0; c < cb.length; c++) {
-         |      double[] cent = cb[c];
-         |      double d = 0.0;
-         |      for (int i = 0; i < $dsub; i++) {
-         |        double diff = vec[base + i] - cent[i];
-         |        d += diff * diff;
-         |      }
-         |      if (d < bestD) { bestD = d; best = c; }
-         |    }
-         |    out[j] = (byte) best;
-         |    err2 += bestD;
-         |    for (int i = 0; i < $dsub; i++) {
-         |      double x = vec[base + i];
-         |      norm2 += x * x;
-         |    }
-         |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions
-         |    .GenericInternalRow(new Object[] {
-         |      out, Double.valueOf(Math.sqrt(norm2)),
-         |      Double.valueOf(Math.sqrt(err2)) });
-         |}
-       """.stripMargin
+      val fn = PqExpressions.kernel(ctx, "graftPqEncodeStats",
+        PqExpressions.InternalRowT, Seq(PqExpressions.ArrayDataT -> "arr"),
+        s"""
+           |double[] vec = new double[${m * dsub}];
+           |for (int i = 0; i < ${m * dsub}; i++) {
+           |  vec[i] = ${PqExpressions.genElemAt("arr", "i", isFloat)};
+           |}
+           |byte[] out = new byte[$m];
+           |double err2 = 0.0;
+           |double norm2 = 0.0;
+           |for (int j = 0; j < $m; j++) {
+           |  double[][] cb = $cbs[j];
+           |  int base = j * $dsub;
+           |  int best = 0;
+           |  double bestD = Double.MAX_VALUE;
+           |  for (int c = 0; c < cb.length; c++) {
+           |    double[] cent = cb[c];
+           |    double d = 0.0;
+           |    for (int i = 0; i < $dsub; i++) {
+           |      double diff = vec[base + i] - cent[i];
+           |      d += diff * diff;
+           |    }
+           |    if (d < bestD) { bestD = d; best = c; }
+           |  }
+           |  out[j] = (byte) best;
+           |  err2 += bestD;
+           |  for (int i = 0; i < $dsub; i++) {
+           |    double x = vec[base + i];
+           |    norm2 += x * x;
+           |  }
+           |}
+           |return new org.apache.spark.sql.catalyst.expressions
+           |  .GenericInternalRow(new Object[] {
+           |    out, Double.valueOf(Math.sqrt(norm2)),
+           |    Double.valueOf(Math.sqrt(err2)) });
+         """.stripMargin)
+      s"${ev.value} = $fn($arr);"
     })
 
   override def equals(other: Any): Boolean = other match {
@@ -352,33 +380,32 @@ case class PqCosineUpperBound(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (ra, rb) => {
       val gramRef = ctx.addReferenceObj("gram", gram, "double[][]")
-      s"""
-         |{
-         |  byte[] ca = $ra.getBinary(0);
-         |  double na = $ra.getDouble(1);
-         |  double ea = $ra.getDouble(2);
-         |  byte[] cb = $rb.getBinary(0);
-         |  double nb = $rb.getDouble(1);
-         |  double eb = $rb.getDouble(2);
-         |  if (na == 0.0 || nb == 0.0) {
-         |    ${ev.value} = 1.0;
-         |  } else {
-         |    double sdc = 0.0;
-         |    double ahat2 = 0.0;
-         |    double bhat2 = 0.0;
-         |    for (int j = 0; j < $m; j++) {
-         |      double[] t = $gramRef[j];
-         |      int x = ca[j] & 0xff;
-         |      int y = cb[j] & 0xff;
-         |      sdc += t[x * $k + y];
-         |      ahat2 += t[x * $k + x];
-         |      bhat2 += t[y * $k + y];
-         |    }
-         |    ${ev.value} = (sdc + Math.sqrt(ahat2) * eb + ea * Math.sqrt(bhat2)
-         |      + ea * eb) / (na * nb);
-         |  }
-         |}
-       """.stripMargin
+      val fn = PqExpressions.kernel(ctx, "graftPqCosUpper", "double",
+        Seq(PqExpressions.InternalRowT -> "ra",
+          PqExpressions.InternalRowT -> "rb"),
+        s"""
+           |byte[] ca = ra.getBinary(0);
+           |double na = ra.getDouble(1);
+           |double ea = ra.getDouble(2);
+           |byte[] cb = rb.getBinary(0);
+           |double nb = rb.getDouble(1);
+           |double eb = rb.getDouble(2);
+           |if (na == 0.0 || nb == 0.0) { return 1.0; }
+           |double sdc = 0.0;
+           |double ahat2 = 0.0;
+           |double bhat2 = 0.0;
+           |for (int j = 0; j < $m; j++) {
+           |  double[] t = $gramRef[j];
+           |  int x = ca[j] & 0xff;
+           |  int y = cb[j] & 0xff;
+           |  sdc += t[x * $k + y];
+           |  ahat2 += t[x * $k + x];
+           |  bhat2 += t[y * $k + y];
+           |}
+           |return (sdc + Math.sqrt(ahat2) * eb + ea * Math.sqrt(bhat2)
+           |  + ea * eb) / (na * nb);
+         """.stripMargin)
+      s"${ev.value} = $fn($ra, $rb);"
     })
 
   override def equals(other: Any): Boolean = other match {
@@ -424,18 +451,20 @@ case class VecNorm(child: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, arr =>
-      s"""
-         |{
-         |  double s = 0.0;
-         |  int n = $arr.numElements();
-         |  for (int i = 0; i < n; i++) {
-         |    double x = ${PqExpressions.genElemAt(arr, "i", isFloat)};
-         |    s += x * x;
-         |  }
-         |  ${ev.value} = Math.sqrt(s);
-         |}
-       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, arr => {
+      val fn = PqExpressions.kernel(ctx, "graftVecNorm", "double",
+        Seq(PqExpressions.ArrayDataT -> "arr"),
+        s"""
+           |double s = 0.0;
+           |int n = arr.numElements();
+           |for (int i = 0; i < n; i++) {
+           |  double x = ${PqExpressions.genElemAt("arr", "i", isFloat)};
+           |  s += x * x;
+           |}
+           |return Math.sqrt(s);
+         """.stripMargin)
+      s"${ev.value} = $fn($arr);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)

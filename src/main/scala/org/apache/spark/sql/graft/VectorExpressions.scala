@@ -1,10 +1,30 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+
+/** Shared generated-Java snippet: copy an array term into a local
+ * `double[]` (the codegen twin of [[VecRead.toDoubles]] — same values,
+ * same order). Emitted INSIDE a [[PqExpressions.kernel]] method body
+ * only (its locals live in the kernel's own scope); the loop variable is
+ * `\${out}_i` so two copies in one body (e.g. [[CosineSim]]) never
+ * redeclare. `\$arr` must be non-null at the insertion point. */
+private[graft] object VecReadGen {
+  def copyToDoubles(arr: String, out: String, elem: DataType): String = {
+    val read = if (elem == FloatType) s"(double) $arr.getFloat(${out}_i)"
+      else s"$arr.getDouble(${out}_i)"
+    s"""
+       |int ${out}_n = $arr.numElements();
+       |double[] $out = new double[${out}_n];
+       |for (int ${out}_i = 0; ${out}_i < ${out}_n; ${out}_i++) {
+       |  $out[${out}_i] = $read;
+       |}
+     """.stripMargin
+  }
+}
 
 /**
  * `nearest_centroid(vec)`: index of the closest centroid (squared L2) for an
@@ -19,7 +39,7 @@ import org.apache.spark.sql.types._
  * use a bucketed join instead; IVF coarse quantizers are far below that.)
  */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(centroids.nonEmpty, "need at least one centroid")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -48,6 +68,31 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     }
     best
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val elem = child.dataType.asInstanceOf[ArrayType].elementType
+      val fn = PqExpressions.kernel(ctx, "graftNearestCentroid", "int",
+        Seq(PqExpressions.ArrayDataT -> "arr"),
+        s"""
+           |${VecReadGen.copyToDoubles("arr", "vec", elem)}
+           |int best = 0;
+           |double bestDist = Double.MAX_VALUE;
+           |for (int c = 0; c < ${centroids.length}; c++) {
+           |  double[] cen = $cents[c];
+           |  int d = Math.min(vec_n, cen.length);
+           |  double dist = 0.0;
+           |  for (int j = 0; j < d; j++) {
+           |    double t = vec[j] - cen[j];
+           |    dist += t * t;
+           |  }
+           |  if (dist < bestDist) { bestDist = dist; best = c; }
+           |}
+           |return best;
+         """.stripMargin)
+      s"${ev.value} = $fn($arr);"
+    })
 
   // the centroid payload is identity-compared by default; make semantically
   // equal expressions (same data) compare equal for plan canonicalization
@@ -91,7 +136,7 @@ private[graft] object VecRead {
  * stays small enough to JIT.
  */
 case class CosineToQuery(child: Expression, query: Array[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -117,6 +162,29 @@ case class CosineToQuery(child: Expression, query: Array[Double])
     if (vNorm == 0.0 || qNorm == 0.0) 0.0 else dot / (vNorm * qNorm)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val q = ctx.addReferenceObj("query", query, "double[]")
+      // exact bit-level constant — immune to toString round-trips
+      val qn = "Double.longBitsToDouble(" +
+        s"${java.lang.Double.doubleToRawLongBits(qNorm)}L)"
+      val fn = PqExpressions.kernel(ctx, "graftCosineToQuery", "double",
+        Seq(PqExpressions.ArrayDataT -> "arr"),
+        s"""
+           |${VecReadGen.copyToDoubles("arr", "vec", elemType)}
+           |int d = Math.min(vec_n, ${query.length});
+           |double dot = 0.0;
+           |double nv = 0.0;
+           |for (int j = 0; j < d; j++) { dot += vec[j] * $q[j]; }
+           |for (int j = 0; j < vec_n; j++) { nv += vec[j] * vec[j]; }
+           |double vNorm = Math.sqrt(nv);
+           |double qNorm = $qn;
+           |return (vNorm == 0.0 || qNorm == 0.0)
+           |  ? 0.0 : dot / (vNorm * qNorm);
+         """.stripMargin)
+      s"${ev.value} = $fn($arr);"
+    })
+
   override def equals(other: Any): Boolean = other match {
     case CosineToQuery(c, q) => c == child && java.util.Arrays.equals(q, query)
     case _ => false
@@ -138,8 +206,7 @@ object CosineToQuery {
  * loop, same accumulation order as the column-algebra version.
  */
 case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -163,6 +230,27 @@ case class CosineSim(left: Expression, right: Expression)
     if (n1 == 0.0 || n2 == 0.0) 0.0 else dot / (n1 * n2)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (la, ra) => {
+      val fn = PqExpressions.kernel(ctx, "graftCosineSim", "double",
+        Seq(PqExpressions.ArrayDataT -> "la", PqExpressions.ArrayDataT -> "ra"),
+        s"""
+           |${VecReadGen.copyToDoubles("la", "va", leftElem)}
+           |${VecReadGen.copyToDoubles("ra", "vb", rightElem)}
+           |int d = Math.min(va_n, vb_n);
+           |double dot = 0.0;
+           |double na = 0.0;
+           |double nb = 0.0;
+           |for (int j = 0; j < d; j++) { dot += va[j] * vb[j]; }
+           |for (int j = 0; j < va_n; j++) { na += va[j] * va[j]; }
+           |for (int j = 0; j < vb_n; j++) { nb += vb[j] * vb[j]; }
+           |double n1 = Math.sqrt(na);
+           |double n2 = Math.sqrt(nb);
+           |return (n1 == 0.0 || n2 == 0.0) ? 0.0 : dot / (n1 * n2);
+         """.stripMargin)
+      s"${ev.value} = $fn($la, $ra);"
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
@@ -180,7 +268,7 @@ object CosineSim {
  * `aggregate(zip_with(...))` trees.
  */
 case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
@@ -202,6 +290,26 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     }
     bucket
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val fn = PqExpressions.kernel(ctx, "graftHyperplaneBucket", "long",
+        Seq(PqExpressions.ArrayDataT -> "arr"),
+        s"""
+           |${VecReadGen.copyToDoubles("arr", "vec", elemType)}
+           |long bucket = 0L;
+           |for (int p = 0; p < ${planes.length}; p++) {
+           |  double[] plane = $planesRef[p];
+           |  int d = Math.min(vec_n, plane.length);
+           |  double dot = 0.0;
+           |  for (int j = 0; j < d; j++) { dot += vec[j] * plane[j]; }
+           |  if (dot >= 0) { bucket |= (1L << p); }
+           |}
+           |return bucket;
+         """.stripMargin)
+      s"${ev.value} = $fn($arr);"
+    })
 
   override def equals(other: Any): Boolean = other match {
     case HyperplaneBucket(c, p) =>
@@ -275,25 +383,22 @@ case class HyperplaneBandBuckets(child: Expression,
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
-      val read = if (elemType == FloatType) s"(double) $arr.getFloat(i)"
-        else s"$arr.getDouble(i)"
-      s"""
-         |{
-         |  int n = $arr.numElements();
-         |  double[] vec = new double[n];
-         |  for (int i = 0; i < n; i++) { vec[i] = $read; }
-         |  long[] out = new long[${planes.length / bandWidth}];
-         |  for (int p = 0; p < ${planes.length}; p++) {
-         |    double[] plane = $planesRef[p];
-         |    int d = Math.min(n, plane.length);
-         |    double dot = 0.0;
-         |    for (int i = 0; i < d; i++) { dot += vec[i] * plane[i]; }
-         |    if (dot >= 0) { out[p / $bandWidth] |= (1L << (p % $bandWidth)); }
-         |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
-         |    .UnsafeArrayData.fromPrimitiveArray(out);
-         |}
-       """.stripMargin
+      val fn = PqExpressions.kernel(ctx, "graftBandBuckets",
+        PqExpressions.ArrayDataT, Seq(PqExpressions.ArrayDataT -> "arr"),
+        s"""
+           |${VecReadGen.copyToDoubles("arr", "vec", elemType)}
+           |long[] out = new long[${planes.length / bandWidth}];
+           |for (int p = 0; p < ${planes.length}; p++) {
+           |  double[] plane = $planesRef[p];
+           |  int d = Math.min(vec_n, plane.length);
+           |  double dot = 0.0;
+           |  for (int j = 0; j < d; j++) { dot += vec[j] * plane[j]; }
+           |  if (dot >= 0) { out[p / $bandWidth] |= (1L << (p % $bandWidth)); }
+           |}
+           |return org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray(out);
+         """.stripMargin)
+      s"${ev.value} = $fn($arr);"
     })
 
   override def equals(other: Any): Boolean = other match {

@@ -127,6 +127,58 @@ class ExpressionParitySpec extends AnyFunSuite {
     }
   }
 
+  test("every hand-codegen'd vector kernel COMPILES — forced codegen, no fallback") {
+    // Regression for the round-16 shadowing bug: the first doGenCode
+    // attempt inlined blocks whose fixed local names (`i`, `n`, `vec`)
+    // shadowed in-scope locals of the enclosing generated method — a
+    // Java error janino reports as "Redefinition of local variable" —
+    // and Spark FELL BACK TO INTERPRETED SILENTLY, so every parity test
+    // here kept passing while the codegen they exist to validate never
+    // ran. These confs turn a compile failure into a test failure;
+    // the kernels now live in their own addNewFunction methods
+    // ([[PqExpressions.kernel]]), where shadowing is impossible.
+    val prev = Seq("spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val cb = Ann.pqTrain(emb, "embedding", m = 8, k = 16,
+        iterations = 2, seed = 7L)
+      val (gram, k) = Ann.sdcGram(cb)
+      val planes = Ann.hyperplanes(queryVec.length, 16, seed = 7L)
+      import org.apache.spark.sql.graft.{PqEncodeStats, PqEncode, VecNorm, HyperplaneBandBuckets, NearestCentroid, PqCosineUpperBound, PqAdcDot}
+      val rows = emb.limit(64).select(
+        PqEncodeStats(col("embedding"), cb.centroids).as("s"),
+        length(PqEncode(col("embedding"), cb.centroids)).as("m"),
+        VecNorm(col("embedding")).as("nrm"),
+        Ann.cosineToQuery(col("embedding"), queryVec).as("cq"),
+        Ann.cosine(col("embedding"), col("embedding")).as("self"),
+        Ann.lshBucket(col("embedding"), planes).as("b"),
+        HyperplaneBandBuckets(col("embedding"), planes, 8).as("bands"),
+        NearestCentroid(col("embedding"),
+          cb.centroids(0)).as("nc"))
+        .withColumn("ub", PqCosineUpperBound(col("s"), col("s"), gram, k))
+        .withColumn("adc", PqAdcDot(col("s.code"),
+          Array.fill(cb.m)(Array.fill(k)(1.0))))
+        .collect()
+      assert(rows.length === 64)
+      rows.foreach { r =>
+        assert(math.abs(r.getAs[Double]("self") - 1.0) < 1e-12)
+        assert(r.getAs[Double]("ub") >= 1.0 - 1e-9,
+          "self upper bound must reach the true cosine 1.0")
+        assert(r.getAs[Double]("nrm") > 0.0)
+        assert(r.getAs[Int]("m") === cb.m)
+        assert(math.abs(r.getAs[Double]("adc") - cb.m) < 1e-12,
+          "all-ones LUT sums to m")
+        assert(r.getAs[Seq[Long]]("bands").length === 2)
+        assert(math.abs(r.getAs[Double]("cq")) <= 1.0 + 1e-12)
+      }
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
   test("WordNgramHashes: count parity with the string n-gram algebra") {
     // distinct-hash count == distinct-string count (no collisions expected on
     // real corpus), short docs produce exactly one gram

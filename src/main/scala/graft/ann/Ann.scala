@@ -500,7 +500,9 @@ object Ann {
     // (default auto: engage above `adcVerifyMinBytes` — default 48 MB —
     // of estimated input, the same planner-stats signal as the
     // candidate-join policy; small corpora skip the train/encode passes,
-    // and an input with NO stats stays single-stage with a warning).
+    // and an input with NO planner stats falls back to the operator's
+    // OWN n·dim estimate — never silently into the single-stage fetch
+    // wall).
     val spark = df.sparkSession
     val useAdc = spark.conf.get(
         "spark.graft.cosineDedup.adcVerify", "auto") match {
@@ -543,15 +545,31 @@ object Ann {
     val bandCols = Seq(
       posexplode(org.apache.spark.sql.graft.HyperplaneBandBuckets(
         col("v"), planes, resolvedPlanes)))
+    // hyperplane banding has the SAME hot-bucket pathology as MinHash
+    // banding (10⁵ identical embeddings — one boilerplate page's vector
+    // replicated across a crawl — share every band bucket, and the ADC
+    // bound cannot cut them: identical vectors pass it at cosine 1), so
+    // the same occupancy cap degrades over-cap buckets to id-neighbor
+    // chains; chain pairs still pass the bound filter (ADC) and the
+    // exact-cosine verify, so precision is untouched — the documented
+    // trade is pair recall INSIDE an over-cap bucket
+    val occCap = graft.core.HotBuckets.cap(src)
     val verifiedPairIds = if (!useAdc) {
       val banded = src.select(col("id") +: bandCols: _*)
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-      hint(a).join(hint(b), Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct()
+      def clique(rows: DataFrame): DataFrame = {
+        val a = rows.select(col("band"), col("bucket"), col("id").as("id_a"))
+        val b = rows.select(col("band"), col("bucket"), col("id").as("id_b"))
+        hint(a).join(hint(b), Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+      }
+      if (occCap <= 0) clique(banded).distinct()
+      else {
+        val (cold, hotPairs) = graft.core.HotBuckets.chainSplit(
+          banded, Seq("band", "bucket"), "id", Nil, occCap)
+        clique(cold).unionByName(hotPairs).distinct()
+      }
     } else {
       // a caller-supplied codebook skips the k-means training pass — the
       // threshold-sweep / corpus-slice loop trains ONCE (pqTrain is
@@ -582,16 +600,27 @@ object Ann {
           org.apache.spark.sql.graft.PqEncodeStats(col("v"), cb.centroids)
             .as("s") +: bandCols: _*)
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val a = banded.select(col("band"), col("bucket"),
-        col("id").as("id_a"), col("s").as("sa"))
-      val b = banded.select(col("band"), col("bucket"),
-        col("id").as("id_b"), col("s").as("sb"))
-      hint(a).join(hint(b), Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(org.apache.spark.sql.graft.PqCosineUpperBound(
-          col("sa"), col("sb"), gram, k) >= threshold - AdcFpEps)
-        .select(col("id_a"), col("id_b"))
-        .distinct()
+      def cliqueAdc(rows: DataFrame): DataFrame = {
+        val a = rows.select(col("band"), col("bucket"),
+          col("id").as("id_a"), col("s").as("sa"))
+        val b = rows.select(col("band"), col("bucket"),
+          col("id").as("id_b"), col("s").as("sb"))
+        hint(a).join(hint(b), Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(org.apache.spark.sql.graft.PqCosineUpperBound(
+            col("sa"), col("sb"), gram, k) >= threshold - AdcFpEps)
+          .select(col("id_a"), col("id_b"))
+      }
+      if (occCap <= 0) cliqueAdc(banded).distinct()
+      else {
+        val (cold, hotPairs) = graft.core.HotBuckets.chainSplit(
+          banded, Seq("band", "bucket"), "id", Seq("s"), occCap)
+        val hotSurvivors = hotPairs
+          .filter(org.apache.spark.sql.graft.PqCosineUpperBound(
+            col("s_a"), col("s_b"), gram, k) >= threshold - AdcFpEps)
+          .select(col("id_a"), col("id_b"))
+        cliqueAdc(cold).unionByName(hotSurvivors).distinct()
+      }
     }
     val va = src.select(col("id").as("id_a"), col("v").as("v_a"))
     val vb = src.select(col("id").as("id_b"), col("v").as("v_b"))

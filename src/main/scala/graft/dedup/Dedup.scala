@@ -167,7 +167,8 @@ object Dedup {
    * the signatures ONCE in the shared shuffle map stage, and the 128-long
    * signatures never ride the candidate shuffle (16 bands × 1 KB per doc
    * otherwise — at corpus scale the banding shuffle must move ids, not
-   * payloads). */
+   * payloads). Over-occupancy buckets optionally degrade to neighbor
+   * chains — see [[graft.core.HotBuckets]]. */
   private def bandedPairIds(sig: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     val rows = numHashes / bands
@@ -176,12 +177,20 @@ object Dedup {
         b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val hint = graft.core.CandidateJoin.maybeShuffleHash(sig) _
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    hint(a).join(hint(b), Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    def cliquePairs(rows: DataFrame): DataFrame = {
+      val a = rows.select(col("band"), col("bucket"), col("id").as("id_a"))
+      val b = rows.select(col("band"), col("bucket"), col("id").as("id_b"))
+      hint(a).join(hint(b), Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }
+    val occCap = graft.core.HotBuckets.cap(sig)
+    if (occCap <= 0) cliquePairs(banded).distinct()
+    else {
+      val (cold, hotPairs) = graft.core.HotBuckets.chainSplit(
+        banded, Seq("band", "bucket"), "id", Nil, occCap)
+      cliquePairs(cold).unionByName(hotPairs).distinct()
+    }
   }
 
   /** SimHash fingerprint column (bigint). */

@@ -398,6 +398,106 @@ class PipelineSpec extends AnyFunSuite {
     assert(Seq(100L, 101L, 102L).map(clusters).toSet === Set(100L, 101L, 102L))
   }
 
+  test("jaccardPairs: hot-bucket occupancy cap keeps clusters connected, cold buckets untouched") {
+    import spark.implicits._
+    // a boilerplate hot cluster (40 identical docs — every band bucket
+    // holds all 40) + a small 3-clique + singletons; occupancy cap 8:
+    // the hot bucket degrades to an id-neighbor chain, the 3-clique's
+    // buckets (occupancy 3 ≤ 8) keep the full clique
+    val boiler = "identical boilerplate body repeated across the crawl page"
+    val hot = (1L to 40L).map(i => (i, boiler))
+    val smallText = "three member cluster with its own shared content body"
+    val small = (200L to 202L).map(i => (i, smallText))
+    val single = Seq((300L, "first unrelated singleton document text"),
+      (301L, "second unrelated singleton document body"))
+    val df = (hot ++ small ++ single).toDF("doc_id", "text")
+    val prev = spark.conf.getOption("spark.graft.dedup.maxBucketOccupancy")
+    spark.conf.set("spark.graft.dedup.maxBucketOccupancy", "8")
+    try {
+      val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 0.999999,
+        n = 3, maxPairsPerId = 0)
+      val got = pairs.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // hot cluster: linear chain volume, not the 780-pair clique —
+      // every consecutive-id link present (the connectivity guarantee),
+      // bounded by links-per-member x members
+      val hotPairs = got.filter(_._1 <= 40L)
+      assert(hotPairs.size < 200, s"hot bucket must not emit the clique: ${hotPairs.size}")
+      (1L until 40L).foreach { i =>
+        assert(hotPairs.contains((i, i + 1)), s"chain link ($i,${i + 1}) missing")
+      }
+      // cold cluster: full clique survives exactly
+      assert(got.filter(_._1 >= 200L) ===
+        Set((200L, 201L), (200L, 202L), (201L, 202L)))
+      // and the clusters collapse as before
+      val cc = Dedup.connectedComponents(
+        Dedup.jaccardPairs(df, "doc_id", "text", 0.999999, n = 3,
+          maxPairsPerId = 0).select(col("id_a"), col("id_b")),
+        df, "doc_id")
+      val clusters = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 40L).map(clusters).toSet === Set(1L),
+        "hot cluster must still collapse to one component")
+      assert((200L to 202L).map(clusters).toSet === Set(200L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.graft.dedup.maxBucketOccupancy", p)
+      case None => spark.conf.unset("spark.graft.dedup.maxBucketOccupancy")
+    }
+    // knob off (the default): the hot clique is emitted in full
+    val unCapped = Dedup.jaccardPairs(df, "doc_id", "text", 0.999999,
+      n = 3, maxPairsPerId = 0).count()
+    assert(unCapped === 780L + 3L, s"default must stay the full clique: $unCapped")
+  }
+
+  test("cosineDedupPairs: hot-bucket occupancy cap — chain in over-cap buckets, ADC on/off parity") {
+    import spark.implicits._
+    // 40 IDENTICAL embeddings (the replicated-boilerplate pathology the
+    // ADC bound cannot cut — identical vectors pass it at cosine 1), an
+    // antipodal 3-clique (sign-flips every hyperplane dot, so it never
+    // shares a bucket with the hot cluster), and two singletons
+    val hotV = Array(1.0f, 0.5f, -0.25f, 2.0f, -1.5f, 0.75f, -0.5f, 1.25f)
+    val negV = hotV.map(x => -x)
+    val s1 = Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)
+    val s2 = Array(-1f, 1f, 1f, 1f, -1f, -1f, 1f, 1f)
+    val df = ((1L to 40L).map(i => (i, hotV.toSeq)) ++
+      (200L to 202L).map(i => (i, negV.toSeq)) ++
+      Seq((300L, s1.toSeq), (301L, s2.toSeq))).toDF("vec_id", "embedding")
+    def run(): Set[(Long, Long)] =
+      graft.ann.Ann.cosineDedupPairs(df, "vec_id", "embedding", 0.999,
+        numPlanes = 16, bands = 4)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prevCap = spark.conf.getOption("spark.graft.dedup.maxBucketOccupancy")
+    val prevAdc = spark.conf.getOption("spark.graft.cosineDedup.adcVerify")
+    try {
+      spark.conf.set("spark.graft.dedup.maxBucketOccupancy", "8")
+      spark.conf.set("spark.graft.cosineDedup.adcVerify", "off")
+      val capped = run()
+      // hot cluster: the 4-link id chain (36*4 + 3+2+1 = 150 pairs),
+      // every consecutive link present — the connectivity guarantee
+      val hotPairs = capped.filter(_._1 <= 40L)
+      assert(hotPairs.size === 150, s"chain volume: ${hotPairs.size}")
+      (1L until 40L).foreach { i =>
+        assert(hotPairs.contains((i, i + 1)), s"chain link ($i,${i + 1})")
+      }
+      // the under-cap antipodal clique survives in full
+      assert(capped.filter(_._1 >= 200L) ===
+        Set((200L, 201L), (200L, 202L), (201L, 202L)))
+      // ADC two-stage path under the same cap: identical output (chain
+      // pairs ride the bound filter — identical vectors pass it)
+      spark.conf.set("spark.graft.cosineDedup.adcVerify", "on")
+      assert(run() === capped, "ADC on/off must agree under the cap")
+      // knob off (the default): the full 780-pair hot clique
+      spark.conf.unset("spark.graft.dedup.maxBucketOccupancy")
+      assert(run().size === 780 + 3)
+    } finally {
+      Seq("spark.graft.dedup.maxBucketOccupancy" -> prevCap,
+        "spark.graft.cosineDedup.adcVerify" -> prevAdc).foreach {
+        case (key, Some(v)) => spark.conf.set(key, v)
+        case (key, None) => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("cosineDedupPairs: duplicate-id corpus collapses to distinct output pairs") {
     // output contract: ids are keys, and a key-duplicated corpus
     // (replicated crawl partition, identical vectors per key) must yield

@@ -291,6 +291,28 @@ class GraftSession(val spark: SparkSession) {
         }
         spark.catalog.refreshByPath(path)
         spark.read.parquet(path)
+      case None if info.fraction == 0.0 =>
+        // Pure-reservoir sample (bounded by construction: strata ×
+        // reservoir rows): materialize the merged sample AND cut its
+        // lineage. The lazy persist()-then-unpersist-predecessor form
+        // below drops the only evaluated copy of the chain BEFORE the new
+        // union is ever computed, so each append's consumers re-run every
+        // prior append's sampler from scratch, and the union's LOGICAL
+        // plan grows by a full sampler subtree per append (re-analysis +
+        // recompute) — measured on q51's 2-insert gate as a monotone
+        // per-repeat ramp, 1.0 → 2.2 s over 6 repeats, rising GC. An
+        // eager localCheckpoint pins the (tiny) rows and replaces the
+        // plan with a flat scan, so appends stay O(one sampler) no matter
+        // how many preceded: the same gate flattens to 0.55 s per repeat.
+        // The superseded checkpoint's storage is released by the
+        // ContextCleaner once the registry swap below drops the old
+        // frame. fraction > 0 samples scale with the base table — for
+        // them an eager per-append copy measured 3–5x worse (q38's
+        // full-fraction append: 0.33 → 0.89–1.16 s), so they keep the
+        // lazy-persist form.
+        val m = info.sampleDf.unionByName(sampled).localCheckpoint(true)
+        info.sampleDf.unpersist(blocking = false)
+        m
       case None =>
         val m = info.sampleDf.unionByName(sampled)
         m.persist()

@@ -454,13 +454,27 @@ object Ann {
     def nonNullCount(): Long = nCache.getOrElse {
       val c = df.filter(col(vecCol).isNotNull).count(); nCache = Some(c); c
     }
-    val (resolvedPlanes, resolvedBands) = if (numPlanes > 0) (numPlanes, bands)
-    else autoLshParams(nonNullCount(), threshold, bands)
     // null embeddings never pair (null bucket rows drop out of the
     // candidate join) — the dim probe must not trip over one either, and
-    // an all-null (or empty) input resolves to the natural empty pair set
-    val dimOpt = df.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
+    // an all-null (or empty) input resolves to the natural empty pair set.
+    // The auto sizer needs the exact n anyway (its (planes, bands) choice
+    // fixes the candidate set, so an estimate is not a substitute), and
+    // that count is a FULL pass over the corpus — fold the dim probe into
+    // the same job (`any_value(size(v))`) instead of paying a second
+    // subtree execution for take(1). Explicit-planes callers keep the
+    // cheap take(1)-only probe: they scan just enough partitions to find
+    // one row, and charging them a full count would be a regression.
+    val dimOpt: Option[Int] = if (numPlanes > 0) {
+      df.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
+    } else {
+      val row = df.filter(col(vecCol).isNotNull)
+        .agg(count(lit(1)), first(size(col(vecCol)))).head()
+      nCache = Some(row.getLong(0))
+      if (row.isNullAt(1)) None else Some(row.getInt(1))
+    }
+    val (resolvedPlanes, resolvedBands) = if (numPlanes > 0) (numPlanes, bands)
+    else autoLshParams(nonNullCount(), threshold, bands)
     if (dimOpt.isEmpty)
       return df.limit(0).select(col(idCol).as("id_a"),
         col(idCol).as("id_b"), lit(0.0).as("cosine"))

@@ -225,6 +225,41 @@ object StratifiedSampler {
       .withColumn(K, key)
       .withColumn(R1, xxhash64(struct(hashInput: _*), lit(seed)))
 
+    // ONE-PASS pure-reservoir mode (fraction == 0): the classic plan below
+    // pays a per-stratum totals scan PLUS a full-width scan feeding the
+    // prefilter + rank window. The selection criterion ("the reservoirSize
+    // rows with the smallest content hash per stratum") and the weight
+    // inputs (kept = min(reservoir, total), total) are both computable in
+    // a single map-side-combined aggregate whose partial buffers hold at
+    // most `reservoirSize` rows per stratum per task
+    // ([[org.apache.spark.sql.graft.BoundedReservoirRows]]), so ONE scan
+    // replaces two and the rank-window shuffle disappears — measured at
+    // sf0.1 lineitem (ReservoirPhaseProbe): totals pass 0.34 s + hash scan
+    // 0.31 s + join/window 0.18 s → one 0.35 s-class pass. The retained
+    // multiset is IDENTICAL: ties on the full-width hash are identical
+    // rows (or 2⁻⁶⁴ collisions), the same determinism class the rank
+    // window documents above. Knob mirrors the candidate-join policy
+    // (on/off; default on — off restores the classic two-pass plan).
+    if (fraction == 0.0 && df.sparkSession.conf
+        .get("spark.graft.sampler.onePassReservoir", "on") != "off") {
+      import org.apache.spark.sql.graft.{BoundedReservoirRows, Exprs}
+      val res = Exprs.column(BoundedReservoirRows(
+        Exprs.expression(col(R1)),
+        Exprs.expression(struct(dataCols: _*)),
+        reservoirSize).toAggregateExpression())
+      val keyHash = pmod(hash(col(K)), lit(256)).cast("int")
+      val perStratum = keyed.groupBy(col(K)).agg(res.as("__graft_res__"))
+      return perStratum
+        .select(col(K), col("__graft_res__.total").as(TOT),
+          explode(col("__graft_res__.rows")).as("__graft_row__"))
+        .withColumn(WeightColumn,
+          PackWeightage(least(lit(reservoirSize.toLong), col(TOT)), col(TOT),
+            keyHash))
+        .select(df.columns.toSeq.map(name =>
+          col("__graft_row__").getField(name).as(name)) :+
+          col(WeightColumn): _*)
+    }
+
     def targetOf(total: Column): Column =
       if (fraction > 0.0) {
         least(greatest(lit(reservoirSize.toLong), ceil(total * lit(fraction))), total)

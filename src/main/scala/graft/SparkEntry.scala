@@ -327,15 +327,23 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
         .collect()(0).getSeq[Float](0).toArray
-      val lsh = graft.ann.Ann.lshKnn(emb, "vec_id", "embedding", q, 10,
+      // both result sets are k-bounded (10 / 100 rows) — collect each ONCE
+      // and intersect on the driver instead of re-running the LSH scan for
+      // every joined count (the former lsh.count + two join-counts executed
+      // the bucketed corpus scan three times). brute10 is the first 10 rows
+      // of brute100's collect: bruteForceKnn's (cosine DESC, vec_id) order
+      // is total, so the 100-limit's prefix IS the 10-limit's result — one
+      // exact scan instead of two.
+      val lshIds = graft.ann.Ann.lshKnn(emb, "vec_id", "embedding", q, 10,
         numPlanes = 5, probeRadius = 2).select(col("vec_id"))
-      val brute10 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
-        .select(col("vec_id"))
-      val brute100 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 100)
-        .select(col("vec_id"))
-      val nLsh = lsh.count()
-      val recall10 = lsh.join(brute10, "vec_id").count()
-      val inTop100 = lsh.join(brute100, "vec_id").count()
+        .collect().map(_.getLong(0))
+      val b100 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 100)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+      val b10 = b100.take(10).toSet
+      val b100Set = b100.toSet
+      val nLsh = lshIds.length.toLong
+      val recall10 = lshIds.count(b10).toLong
+      val inTop100 = lshIds.count(b100Set).toLong
       Seq((nLsh, recall10 >= 5L, inTop100 == nLsh))
         .toDF("n_lsh", "recall_ok", "subset_of_top100")
     }),
@@ -354,18 +362,21 @@ object SparkEntry {
       // persist: the ADC scan, the exact re-rank, and the code-width audit
       // each read the encoded frame — don't PQ-encode the corpus per action
       val enc = graft.ann.Ann.pqEncode(emb, "embedding", cb).persist()
-      val pq = graft.ann.Ann.pqKnn(enc, cb, "vec_id", "embedding", q, 10)
-        .select(col("vec_id")).persist()
-      val brute10 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
-        .select(col("vec_id"))
-      val brute100 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 100)
-        .select(col("vec_id"))
-      val nPq = pq.count()
-      val recall10 = pq.join(brute10, "vec_id").count()
-      val inTop100 = pq.join(brute100, "vec_id").count()
+      // k-bounded result sets collected ONCE and intersected on the driver
+      // (same rewrite as q14): the former per-count joins re-ran the ADC
+      // scan and paid a separate exact scan for brute10 that is just the
+      // prefix of brute100's total (cosine DESC, vec_id) order
+      val pqIds = graft.ann.Ann.pqKnn(enc, cb, "vec_id", "embedding", q, 10)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+      val b100 = graft.ann.Ann.bruteForceKnn(emb, "vec_id", "embedding", q, 100)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+      val b10 = b100.take(10).toSet
+      val b100Set = b100.toSet
+      val nPq = pqIds.length.toLong
+      val recall10 = pqIds.count(b10).toLong
+      val inTop100 = pqIds.count(b100Set).toLong
       val codeBytesOk = enc.filter(length(col("__graft_pq__")) =!= 8).count() == 0L
       enc.unpersist(blocking = false)
-      pq.unpersist(blocking = false)
       Seq((nPq, recall10 >= 5L, inTop100 == nPq, codeBytesOk))
         .toDF("n_pq", "recall_ok", "subset_of_top100", "code_bytes_ok")
     }),

@@ -59,15 +59,24 @@ object Pipeline {
       .filter(col(H).cast("double") < threshold)
       .withColumn("__graft_rn__",
         row_number().over(Window.partitionBy(col(K)).orderBy(col(H))))
-    val hb = ranked.filter(col("__graft_rn__") === col("__graft_t__"))
-      .select(col(K).as(K + "b"), col(H).as("__graft_hb__"))
-    // how many boundary-hash rows rank ≤ t: t − |{h < hb}| — computed from
-    // the same small ranked subset (min rank among the hb copies)
-    val boundaries = ranked.join(broadcast(hb), col(K) <=> col(K + "b"))
-      .filter(col(H) === col("__graft_hb__"))
-      .groupBy(col(K + "b"), col("__graft_hb__"))
-      .agg((first(col("__graft_t__")) - (min(col("__graft_rn__")) - lit(1)))
-        .as("__graft_dups__"))
+    // boundary hash + admitted-copy count in ONE aggregation chain over
+    // the top-t set: hb = max h among the t smallest (counting
+    // duplicates) = the t-th smallest h; dups = how many copies of hb sit
+    // within the top t. The former formulation joined the ranked subtree
+    // against its own rn==t row (a second window evaluation, a second
+    // full-width hash scan and an extra chained broadcast round — the
+    // r16 split profile put the whole split at 1.9 s over a CACHED 107k
+    // input, latency-dominated by exactly these chained rounds); the
+    // (K, h)-count → max_by rewrite states the same two numbers with no
+    // self-join. Labels are unchanged: same hb, same dups, same below/
+    // at-boundary logic.
+    val boundaries = ranked
+      .filter(col("__graft_rn__") <= col("__graft_t__"))
+      .groupBy(col(K).as(K + "b"), col(H))
+      .agg(count(lit(1)).as("__graft_c__"))
+      .groupBy(col(K + "b"))
+      .agg(max(col(H)).as("__graft_hb__"),
+        max_by(col("__graft_c__"), col(H)).as("__graft_dups__"))
 
     val labeled = keyed.join(broadcast(boundaries), col(K) <=> col(K + "b"), "left")
     val below = labeled

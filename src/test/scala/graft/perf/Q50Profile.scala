@@ -29,13 +29,21 @@ object Q50Profile {
         .persist()
       t("materialize filter") { filtered.count() }
       val deduped = graft.dedup.Dedup.exact(filtered, "text", "doc_id")
+        .persist()  // mirror the gate: the split reads the dedup cache
       t("dedup count") { deduped.count() }
       val split = graft.pipeline.Pipeline.stratifiedSplit(deduped, Seq(col("source")), 0.2)
+      t("one hash scan") {
+        val dataCols = deduped.columns.map(col).toSeq
+        deduped.withColumn("__h__", xxhash64(struct(dataCols: _*), lit(42L)))
+          .filter(col("__h__") % 1000 === 0)
+          .write.format("noop").mode("overwrite").save()
+      }
       t("split+agg collect") {
         split.groupBy(col("source"), col("split")).agg(count(lit(1)).as("n"))
           .orderBy(col("source"), col("split")).collect()
       }
       filtered.unpersist(blocking = true)
+      deduped.unpersist(blocking = true)
     }
     spark.stop()
   }

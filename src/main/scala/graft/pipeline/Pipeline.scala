@@ -65,7 +65,7 @@ object Pipeline {
     // within the top t. The former formulation joined the ranked subtree
     // against its own rn==t row (a second window evaluation, a second
     // full-width hash scan and an extra chained broadcast round — the
-    // r16 split profile put the whole split at 1.9 s over a CACHED 107k
+    // r16 split profile put the whole split at 1.9 s over a CACHED 5k-doc
     // input, latency-dominated by exactly these chained rounds); the
     // (K, h)-count → max_by rewrite states the same two numbers with no
     // self-join. Labels are unchanged: same hb, same dups, same below/

@@ -367,6 +367,68 @@ object Dedup {
     // carry each round's count forward — recounting the already-materialized
     // previous frame would spend an extra job per round
     var edgesCount = edges.count()
+    // SIZE-GATED driver union-find (r16): each alternating-star round costs
+    // 2–3 jobs (materialize, count, and the left-anti check at the fixed
+    // point), so a tiny duplicate graph — the common case after content
+    // verification — pays ~10 scheduler round-trips to contract 20 edges.
+    // When the deduplicated edge set is driver-bounded (≤ ccMaxDriverEdges,
+    // default 64k ≈ 1 MB of longs; 0 disables) and long-keyed, collect it
+    // once, contract with union-find + per-component minimum, and emit the
+    // SAME star forest the distributed fixed point produces ({(node, min):
+    // node ≠ min}) as a broadcast-joined local relation. Larger graphs (or
+    // non-long ids) take the distributed loop unchanged — the same
+    // size-conditional policy class as the candidate join and the sampler
+    // shard-rank. Output is identical by construction; CcDriverParitySpec
+    // pins it against the forced-distributed path on random graphs.
+    val ccMaxDriverEdges = spark.conf
+      .get("spark.graft.dedup.ccMaxDriverEdges", "65536").toLong
+    val idIsLong = edges.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (edgesCount > 0 && edgesCount <= ccMaxDriverEdges && idIsLong) {
+      val collected = edges.collect()
+      edgesRdd.unpersist(blocking = false)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // path compression
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      collected.foreach { row =>
+        val a = find(row.getLong(0)); val b = find(row.getLong(1))
+        if (a != b) parent.put(math.max(a, b), math.min(a, b))
+      }
+      // second pass: min id per component root (find() already returns the
+      // smallest id in each tree because unions always root at the min)
+      val starRows = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row]()
+      val seen = new java.util.HashSet[Long]()
+      collected.foreach { row =>
+        Seq(row.getLong(0), row.getLong(1)).foreach { n =>
+          if (seen.add(n)) {
+            val m = find(n)
+            if (m != n) starRows +=
+              org.apache.spark.sql.Row(n, m)
+          }
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType)))
+      val stars = spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(starRows.toSeq).asJava), schema)
+      return ids.select(col(idCol))
+        .join(broadcast(stars), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    }
     var converged = edgesCount == 0
     var iter = 0
     while (!converged && iter < maxIterations) {

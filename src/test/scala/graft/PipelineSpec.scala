@@ -776,10 +776,19 @@ class PipelineSpec extends AnyFunSuite {
       val truth = (0 until n).map { i =>
         i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong
       }.toMap
+      // both execution paths must match the oracle: the default driver
+      // union-find gate (small graph) AND the forced-distributed loop
       val got = graft.dedup.Dedup.connectedComponents(
         edges.toDF("id_a", "id_b"), (0L until n.toLong).toDF("doc_id"), "doc_id")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === truth)
+      spark.conf.set("spark.graft.dedup.ccMaxDriverEdges", "0")
+      try {
+        val gotDist = graft.dedup.Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), (0L until n.toLong).toDF("doc_id"), "doc_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotDist === truth)
+      } finally spark.conf.unset("spark.graft.dedup.ccMaxDriverEdges")
     }
   }
 
@@ -794,10 +803,16 @@ class PipelineSpec extends AnyFunSuite {
     // a cap below the diameter must refuse rather than silently return
     // split labels (ADVICE: unconverged labels assign one component several
     // cluster_ids with no warning)
-    val ex = intercept[IllegalStateException] {
-      graft.dedup.Dedup.connectedComponents(pairs, ids, "doc_id", maxIterations = 3)
-        .collect()
-    }
-    assert(ex.getMessage.contains("did not converge"))
+    // the refuse contract belongs to the DISTRIBUTED loop — the r16
+    // driver union-find gate would contract this tiny graph exactly in
+    // one collect, so force the distributed path for this leg
+    spark.conf.set("spark.graft.dedup.ccMaxDriverEdges", "0")
+    try {
+      val ex = intercept[IllegalStateException] {
+        graft.dedup.Dedup.connectedComponents(pairs, ids, "doc_id", maxIterations = 3)
+          .collect()
+      }
+      assert(ex.getMessage.contains("did not converge"))
+    } finally spark.conf.unset("spark.graft.dedup.ccMaxDriverEdges")
   }
 }

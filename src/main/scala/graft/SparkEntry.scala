@@ -482,9 +482,14 @@ object SparkEntry {
         .select((col("doc_id") - 1000000L).as("oid"), col("fp").as("fp_c"))
       val nFpMatch = fpCopy.join(fpOrig, "oid")
         .filter(col("fp_c") === col("fp_o")).count()
-      val nDocs = base.count()
-      val nQualityOk = enriched
-        .filter(col("q") >= 0.0 && col("q") <= 1.0).count()
+      // one cache-read aggregate for both scalar audits: the base-doc
+      // count is the < 1000000 rows of the enriched cache (no separate
+      // parquet-count job) and the quality audit rides the same pass
+      val statsRow = enriched.agg(
+        count(when(col("doc_id") < lit(1000000L), 1)).as("nd"),
+        count(when(col("q") >= 0.0 && col("q") <= 1.0, 1)).as("nq")).head()
+      val nDocs = statsRow.getLong(0)
+      val nQualityOk = statsRow.getLong(1)
       enriched.unpersist(blocking = false)
       val planted = Seq(
         (1L, "the cat and the dog are in the house and they have food from the market"),

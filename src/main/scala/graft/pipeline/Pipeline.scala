@@ -189,6 +189,25 @@ object Pipeline {
     val K = "__graft_pk__"
     val B = "__graft_pb__"
     val V = "__graft_pv__"
+    // scale-adaptive bucket count (guide §2: derive partitioning from input
+    // size, not a constant): the caller's `buckets` is a CEILING; the
+    // resolved count targets `spark.graft.prefixSum.bucketBytes` (default
+    // 8 MB) of estimated input per bucket, so a few-MB frame skips the
+    // approxQuantile boundary job entirely (resolved = 1 ⇒ no boundary
+    // probs, single-partition window — exact by construction: buckets only
+    // refine the order, the sums are identical at ANY bucket count) while
+    // a table-sized input keeps the full fan-out. No planner stats (the
+    // sentinel) ⇒ the caller's ceiling stands.
+    val resolvedBuckets = {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) buckets
+      else {
+        val target = spark.conf
+          .get("spark.graft.prefixSum.bucketBytes", (8L << 20).toString).toLong
+        val want = ((bytes + target - 1) / target).toLong
+        math.max(1L, math.min(buckets.toLong, want)).toInt
+      }
+    }
     val keyed0 = df
       .withColumn(K, order.head.cast("double"))
       .withColumn(V, coalesce(value.cast("long"), lit(0L)))
@@ -198,7 +217,7 @@ object Pipeline {
           .materializeWithRdd(spark, keyed0)
         (m, Some(r))
       } else (keyed0, None)
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val probs = (1 until resolvedBuckets).map(_.toDouble / resolvedBuckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
       else keyed.stat.approxQuantile(K, probs, 0.01).distinct.sorted

@@ -317,9 +317,15 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // hash-partitioned on the bucket column, not collapsed to one task the
     // way Window.orderBy-without-partitionBy plans are
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val ps = graft.pipeline.Pipeline.prefixSum(
+    // r16: the bucket count is size-adaptive (small inputs legitimately
+    // collapse to ONE bucket and skip the boundary job — asserted below);
+    // the SCALE contract this test pins needs the multi-bucket path, so
+    // force it by shrinking the per-bucket byte target
+    spark.conf.set("spark.graft.prefixSum.bucketBytes", "1")
+    val ps = try graft.pipeline.Pipeline.prefixSum(
       docs.select(col("doc_id"), col("n_chars")),
       Seq(col("doc_id")), col("n_chars"), "cum", buckets = 8)
+    finally spark.conf.unset("spark.graft.prefixSum.bucketBytes")
     val physical = ps.queryExecution.executedPlan.toString
     val windowLines = physical.split("\n").filter(_.contains("Window"))
     assert(windowLines.nonEmpty, "no Window in the prefixSum plan")
@@ -341,6 +347,30 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(physical.contains("BroadcastHashJoin") ||
       physical.contains("BroadcastNestedLoopJoin"),
       s"bucket offsets must broadcast:\n$physical")
+  }
+
+  test("prefixSum resolves ONE bucket on a small input: no boundary machinery") {
+    // the r16 size-adaptive side of the contract above: a few-MB input
+    // must not pay the approxQuantile boundary job or the offset
+    // broadcast — the plan collapses to a single global-order window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ps = graft.pipeline.Pipeline.prefixSum(
+      docs.select(col("doc_id"), col("n_chars")),
+      Seq(col("doc_id")), col("n_chars"), "cum", buckets = 8)
+    val physical = ps.queryExecution.executedPlan.toString
+    assert(physical.split("\n").exists(_.contains("Window")),
+      "no Window in the prefixSum plan")
+    assert(!physical.contains("hashpartitioning(__graft_pb__"),
+      s"small input must resolve to one bucket:\n$physical")
+    // identical sums either way (buckets only refine the order)
+    spark.conf.set("spark.graft.prefixSum.bucketBytes", "1")
+    val forced = try graft.pipeline.Pipeline.prefixSum(
+      docs.select(col("doc_id"), col("n_chars")),
+      Seq(col("doc_id")), col("n_chars"), "cum", buckets = 8)
+    finally spark.conf.unset("spark.graft.prefixSum.bucketBytes")
+    val a = ps.orderBy("doc_id").collect().map(_.toSeq)
+    val b = forced.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
   }
 
   test("candidate-pair joins shuffle narrow rows (no signature/vector payloads)") {

@@ -378,8 +378,8 @@ object Dedup {
     // node ≠ min}) as a broadcast-joined local relation. Larger graphs (or
     // non-long ids) take the distributed loop unchanged — the same
     // size-conditional policy class as the candidate join and the sampler
-    // shard-rank. Output is identical by construction; CcDriverParitySpec
-    // pins it against the forced-distributed path on random graphs.
+    // shard-rank. Output is identical by construction; PipelineSpec's
+    // union-find-oracle test pins BOTH paths on random graphs.
     val ccMaxDriverEdges = spark.conf
       .get("spark.graft.dedup.ccMaxDriverEdges", "65536").toLong
     val idIsLong = edges.schema("src").dataType ==

@@ -112,19 +112,38 @@ class BenchAdjudicateSpec extends AnyFunSuite {
       t(2)
     }
     spin() // JIT warm
-    val refT = median5()
-    assert(refT > 0.01, s"workload too small to measure: $refT")
     val cores = Runtime.getRuntime.availableProcessors()
-    // 6 spin processes per core: the worker's fair share drops to ~1/7,
-    // comfortably past the 3x suspect factor even under scheduler noise
-    val hogs = (1 to cores * 6).map { _ =>
-      new ProcessBuilder("sh", "-c", "while : ; do : ; done").start()
+    def attempt(): (Double, Double) = {
+      val refT = median5()
+      assert(refT > 0.01, s"workload too small to measure: $refT")
+      // 6 spin processes per core: the worker's fair share drops to ~1/7,
+      // comfortably past the 3x suspect factor even under scheduler noise
+      val hogs = (1 to cores * 6).map { _ =>
+        new ProcessBuilder("sh", "-c", "while : ; do : ; done").start()
+      }
+      val hotT =
+        try {
+          Thread.sleep(300) // let the scheduler absorb the hogs
+          median5()
+        } finally hogs.foreach(_.destroyForcibly())
+      (refT, hotT)
     }
-    val hotT =
-      try {
-        Thread.sleep(300) // let the scheduler absorb the hogs
-        median5()
-      } finally hogs.foreach(_.destroyForcibly())
+    var (refT, hotT) = attempt()
+    if (hotT <= 3 * refT) {
+      // contention A/Bs are racy when sibling suites share the box —
+      // one retry before judging
+      val again = attempt(); refT = again._1; hotT = again._2
+    }
+    if (hotT <= 3 * refT && BenchAdjudicate.loadAvg() > cores / 4.0) {
+      // a box ALREADY saturated from outside (e.g. a parallel full-suite
+      // run) cannot show a 3x hog delta: the "uncontended" baseline is
+      // itself contended, so the hogs' marginal share is small. That is
+      // an environment precondition failure, not a suspects() bug —
+      // cancel instead of flaking (observed once in an r16 full-suite
+      // run: 0.85 s baseline vs 0.93 s hogged at box load > 8).
+      cancel(s"box already contended (load ${BenchAdjudicate.loadAvg()}) " +
+        s"- hog delta unmeasurable: uncontended $refT s, hogged $hotT s")
+    }
     val ref = Map("spin" -> refT)
     val flagged = BenchAdjudicate.suspects(Seq("spin" -> hotT), ref,
       factor = 3.0, floor = math.min(0.3, refT))

@@ -286,15 +286,33 @@ object Bench {
     val finalResults = results.map { case (n, m) =>
       n -> rerun.get(n).fold(m)(math.min(m, _))
     }
-    val suspectJson = suspectNames.map { n =>
+    val suspectDetailJson = suspectNames.map { n =>
       "\"" + n + "\":{\"median\":" + r3(results.toMap.apply(n)) +
         ",\"rerun\":" + r3(rerun(n)) + ",\"ref\":" + r3(ref(n)) + "}"
     }.mkString("{", ",", "}")
+    // r17 (r16 verdict #2): the one-line summary must survive the driver's
+    // bounded tail capture at ANY suspect count — r15's line outgrew the
+    // window and the driver recorded prev_bench_ok:false, silencing the
+    // whole round-over-round PERF table. The summary keeps each suspect as
+    // name → contended median only (same object shape as before, ~1/4 the
+    // bytes); the full median/rerun/ref detail moves to its own stderr
+    // line (below), same place as the per-pass diag.
+    val suspectJson = suspectNames.map { n =>
+      "\"" + n + "\":" + r3(results.toMap.apply(n))
+    }.mkString("{", ",", "}")
     val refHeadMatch = (head, refHead) match {
-      case (Some(a), Some(b)) => (a == b).toString
+      // prefix compare: summaries record a 12-char head (r17 line diet),
+      // older refs carry the full sha — either prefix relation matches
+      case (Some(a), Some(b)) =>
+        (a.startsWith(b) || b.startsWith(a)).toString
       case _ => "null"
     }
-    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // per-query medians at 2 decimals on the wire (the r16 verdict's
+    // suggested trim — session noise on sub-second gates is ±20%, far
+    // above the 0.005 s quantization); the r3 values stay visible in the
+    // stderr diag's per-pass arrays
+    def r2q(d: Double): Double = math.rint(d * 100) / 100
+    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + r2q(v) }
       .mkString("{", ",", "}")
     val total = r3(finalResults.map(_._2).sum)
     val diagJson = diag.mkString("{", ",", "}")
@@ -303,6 +321,8 @@ object Bench {
     // r7's single fat line (medians + diag) overflowed that window and
     // truncated its own head, so BENCH_r07 recorded parsed:null
     System.err.println(s"""{"bench_diag":$diagJson}""")
+    if (suspectNames.nonEmpty)
+      System.err.println(s"""{"bench_suspects":$suspectDetailJson}""")
     val load1 = BenchAdjudicate.loadAvg()
     def r2(d: Double): Double = math.rint(d * 100) / 100
     val vsRef = BenchAdjudicate.vsRefTotal(finalResults, ref)
@@ -314,7 +334,7 @@ object Bench {
     // so the one-line summary survives the driver's bounded tail capture
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","head":${head.fold("null")("\"" + _ + "\"")},""" +
+        s""""sf":"$sfDir","head":${head.fold("null")(h => "\"" + h.take(12) + "\"")},""" +
         s""""load_avg":[${r2(load0)},${r2(load1)}],""" +
         s""""ref_head_match":$refHeadMatch,""" +
         s""""vs_ref_total":${vsRef.fold("null")(v => r3(v).toString)},""" +

@@ -310,9 +310,29 @@ class GraftSession(val spark: SparkSession) {
         // them an eager per-append copy measured 3–5x worse (q38's
         // full-fraction append: 0.33 → 0.89–1.16 s), so they keep the
         // lazy-persist form.
-        val m = info.sampleDf.unionByName(sampled).localCheckpoint(true)
-        info.sampleDf.unpersist(blocking = false)
-        m
+        //
+        // DURABILITY GATE (r16 advice): localCheckpoint stores blocks on
+        // executors ONLY and severs lineage — in cluster mode an executor
+        // loss (or a dynamic-allocation decommission) would make the
+        // in-memory sample table permanently unreadable, where the
+        // persist() form recomputed from lineage. Local masters run
+        // blocks in the driver JVM (nothing to lose short of the whole
+        // app), so the lineage cut is safe exactly there; non-local
+        // sessions keep the recomputable persist-with-lineage form and
+        // pay the plan-growth cost the checkpoint exists to remove
+        // (bounded: reservoir samples are tiny, and cluster deployments
+        // normally use path-backed samples, the branch above).
+        if (spark.sparkContext.isLocal) {
+          val m = info.sampleDf.unionByName(sampled).localCheckpoint(true)
+          info.sampleDf.unpersist(blocking = false)
+          m
+        } else {
+          val m = info.sampleDf.unionByName(sampled)
+          m.persist()
+          m.count() // materialize BEFORE dropping the predecessor's copy
+          info.sampleDf.unpersist(blocking = false)
+          m
+        }
       case None =>
         val m = info.sampleDf.unionByName(sampled)
         m.persist()

@@ -23,6 +23,95 @@ object Ann {
 
   private val log = org.slf4j.LoggerFactory.getLogger(Ann.getClass)
 
+  /** Row shapes for the grouped pair-emit walk (Product encoders — the
+   * names match the banded frame's columns so `groupBy(...).as[K, T]`
+   * binds by name, no row copies beyond the required object boundary). */
+  private[graft] final case class BandedIdRow(band: Int, bucket: Long,
+      id: Long)
+  private[graft] final case class BandedStatsRow(band: Int, bucket: Long,
+      id: Long, code: Array[Byte], norm: Double, err: Double)
+  private[graft] final case class IdPair(id_a: Long, id_b: Long)
+
+  /** Lazy `i < j` pair enumeration over ids sorted ascending — strict
+   * `<` (equal ids never pair, matching the join form's `id_a < id_b`),
+   * lazy so an uncapped hot bucket's occ²/2 pairs stream instead of
+   * buffering (the join form streams them too). `accept(i, j)` is the
+   * per-pair filter hook (the ADC bound; always-true on the raw path). */
+  private def pairIterator[T](n: Int, idAt: Int => Long,
+      accept: (Int, Int) => Boolean): Iterator[IdPair] =
+    new scala.collection.AbstractIterator[IdPair] {
+      private var i = 0
+      private var j = 1
+      private var ready: IdPair = _
+      private var has = false
+      private def advance(): Unit = {
+        has = false
+        while (!has && i < n - 1) {
+          if (j < n) {
+            if (idAt(i) < idAt(j) && accept(i, j)) {
+              ready = IdPair(idAt(i), idAt(j)); has = true
+            }
+            j += 1
+          } else { i += 1; j = i + 1 }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = has
+      override def next(): IdPair = { val r = ready; advance(); r }
+    }
+
+  /** Grouped pair-emit, raw form: one exchange + one per-group walk in
+   * place of the bucket self-join (see the policy note in
+   * [[cosineDedupPairs]]). `banded` must carry (band, bucket, id: long). */
+  private def groupedIdPairs(banded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ds = banded.filter(col("id").isNotNull)
+      .select(col("band"), col("bucket"), col("id"))
+      .as[BandedIdRow](Encoders.product[BandedIdRow])
+    ds.groupBy(col("band"), col("bucket"))
+      .as[(Int, Long), BandedIdRow](
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong),
+        Encoders.product[BandedIdRow])
+      .flatMapGroups { (_: (Int, Long), it: Iterator[BandedIdRow]) =>
+        val ids = it.map(_.id).toArray
+        java.util.Arrays.sort(ids)
+        pairIterator(ids.length, ids(_), (_, _) => true)
+      }(Encoders.product[IdPair])
+      .toDF()
+  }
+
+  /** Grouped pair-emit, ADC form: the per-pair cosine upper bound runs
+   * INSIDE the group walk — each member's stats struct is decoded once
+   * per group instead of riding every candidate pair row through a join
+   * filter. Arithmetic is [[org.apache.spark.sql.graft.PqCosineUpperBound
+   * .boundValue]] itself, so the kept pair set is identical to the join
+   * form's by construction. */
+  private def groupedAdcPairs(banded: DataFrame, gram: Array[Array[Double]],
+      k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val thr = threshold - AdcFpEps
+    val ds = banded.filter(col("id").isNotNull)
+      .select(col("band"), col("bucket"), col("id"),
+        col("s.code").as("code"), col("s.norm").as("norm"),
+        col("s.err").as("err"))
+      .as[BandedStatsRow](Encoders.product[BandedStatsRow])
+    ds.groupBy(col("band"), col("bucket"))
+      .as[(Int, Long), BandedStatsRow](
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong),
+        Encoders.product[BandedStatsRow])
+      .flatMapGroups { (_: (Int, Long), it: Iterator[BandedStatsRow]) =>
+        val members = it.toArray
+        java.util.Arrays.sort(members,
+          Ordering.by((r: BandedStatsRow) => r.id))
+        pairIterator(members.length, members(_).id, (i, j) => {
+          val a = members(i); val b = members(j)
+          org.apache.spark.sql.graft.PqCosineUpperBound.boundValue(
+            a.code, a.norm, a.err, b.code, b.norm, b.err, gram, k) >= thr
+        })
+      }(Encoders.product[IdPair])
+      .toDF()
+  }
+
   /** Cosine similarity between an array<float/double> column and a literal
    * query vector, computed in double (fused-loop expression — same
    * accumulation order as the former zip_with/aggregate algebra). */
@@ -551,6 +640,54 @@ object Ann {
           }
         bytes > minBytes
     }
+    // ---- pair-emit strategy (the r16 verdict's headline residual): at
+    // corpus scale the bucket self-join pays the banding exchange's
+    // shuffle READ twice (both sides consume the shared exchange), two
+    // 140M-row sorts (SMJ above the shuffle-hash cap), and a per-pair
+    // join-row materialization that copies both stats structs through
+    // the bound filter — measured ~125 s of the 150.9 s candidates+bound
+    // stage at 20M vectors (BENCH_sf1 addendum 15). The GROUPED emit
+    // restates the same computation as ONE exchange + one per-partition
+    // group walk: hash-partition the banded rows by (band, bucket), walk
+    // each group's members once (flatMapGroups — sort-based, streams one
+    // group at a time, spills like SMJ), and emit the `id_a < id_b`
+    // survivors directly with the ADC bound evaluated inside the walk
+    // (one struct decode per MEMBER, not two per candidate pair). Output
+    // pairs are identical by construction (same members, same strict-<
+    // canonicalization, same bound arithmetic via the shared
+    // PqCosineUpperBound.boundValue).
+    //
+    // `spark.graft.cosineDedup.pairEmit` = auto|grouped|join. Auto takes
+    // grouped exactly where the join form would SHUFFLE (input estimate —
+    // planner stats, or the operator's own n·dim when the planner has
+    // none — above autoBroadcastJoinThreshold): below that AQE broadcasts
+    // the self-join and no exchange exists to halve, so the classic join
+    // keeps the broadcast plan. Grouped needs long ids (the walk's output
+    // encoder is typed); non-long ids keep the join path.
+    val idIsLong =
+      src.schema("id").dataType == org.apache.spark.sql.types.LongType
+    val useGrouped = spark.conf.get(
+        "spark.graft.cosineDedup.pairEmit", "auto") match {
+      case "grouped" | "on" =>
+        if (!idIsLong) {
+          log.warn("cosineDedupPairs: pairEmit=grouped needs a long id " +
+            s"column (got ${src.schema("id").dataType}) — keeping the " +
+            "join path")
+          false
+        } else true
+      case "join" | "off" => false
+      case _ =>
+        idIsLong && {
+          val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          val est: Option[BigInt] =
+            if (stats < BigInt(spark.sessionState.conf.defaultSizeInBytes))
+              Some(stats)
+            else dimOpt.flatMap(d =>
+              nCache.map(n => BigInt(n) * (4L * d + 20L)))
+          val bThresh = spark.sessionState.conf.autoBroadcastJoinThreshold
+          est.exists(b => bThresh <= 0 || b > BigInt(bThresh))
+        }
+    }
     // band i's key = element i of the per-band sign-bit array (ONE pass
     // over the vector; bit-identical to the former fused-long bit-slices
     // where bands x width <= 64, but with no cap on the total plane
@@ -571,13 +708,15 @@ object Ann {
     val verifiedPairIds = if (!useAdc) {
       val banded = src.select(col("id") +: bandCols: _*)
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      def clique(rows: DataFrame): DataFrame = {
-        val a = rows.select(col("band"), col("bucket"), col("id").as("id_a"))
-        val b = rows.select(col("band"), col("bucket"), col("id").as("id_b"))
-        hint(a).join(hint(b), Seq("band", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"))
-      }
+      def clique(rows: DataFrame): DataFrame =
+        if (useGrouped) groupedIdPairs(rows)
+        else {
+          val a = rows.select(col("band"), col("bucket"), col("id").as("id_a"))
+          val b = rows.select(col("band"), col("bucket"), col("id").as("id_b"))
+          hint(a).join(hint(b), Seq("band", "bucket"))
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"))
+        }
       if (occCap <= 0) clique(banded).distinct()
       else {
         val (cold, hotPairs) = graft.core.HotBuckets.chainSplit(
@@ -614,17 +753,19 @@ object Ann {
           org.apache.spark.sql.graft.PqEncodeStats(col("v"), cb.centroids)
             .as("s") +: bandCols: _*)
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      def cliqueAdc(rows: DataFrame): DataFrame = {
-        val a = rows.select(col("band"), col("bucket"),
-          col("id").as("id_a"), col("s").as("sa"))
-        val b = rows.select(col("band"), col("bucket"),
-          col("id").as("id_b"), col("s").as("sb"))
-        hint(a).join(hint(b), Seq("band", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .filter(org.apache.spark.sql.graft.PqCosineUpperBound(
-            col("sa"), col("sb"), gram, k) >= threshold - AdcFpEps)
-          .select(col("id_a"), col("id_b"))
-      }
+      def cliqueAdc(rows: DataFrame): DataFrame =
+        if (useGrouped) groupedAdcPairs(rows, gram, k, threshold)
+        else {
+          val a = rows.select(col("band"), col("bucket"),
+            col("id").as("id_a"), col("s").as("sa"))
+          val b = rows.select(col("band"), col("bucket"),
+            col("id").as("id_b"), col("s").as("sb"))
+          hint(a).join(hint(b), Seq("band", "bucket"))
+            .filter(col("id_a") < col("id_b"))
+            .filter(org.apache.spark.sql.graft.PqCosineUpperBound(
+              col("sa"), col("sb"), gram, k) >= threshold - AdcFpEps)
+            .select(col("id_a"), col("id_b"))
+        }
       if (occCap <= 0) cliqueAdc(banded).distinct()
       else {
         val (cold, hotPairs) = graft.core.HotBuckets.chainSplit(

@@ -199,12 +199,24 @@ object Pipeline {
     // a table-sized input keeps the full fan-out. No planner stats (the
     // sentinel) ⇒ the caller's ceiling stands.
     val resolvedBuckets = {
-      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val plan = df.queryExecution.optimizedPlan
+      val bytes = plan.stats.sizeInBytes
       if (bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) buckets
       else {
         val target = spark.conf
           .get("spark.graft.prefixSum.bucketBytes", (8L << 20).toString).toLong
-        val want = ((bytes + target - 1) / target).toLong
+        def wantOf(b: BigInt): Long =
+          ((b + target - 1) / target).min(BigInt(buckets)).toLong
+        // floor by the LEAF scans' bytes (r16 advice): an intermediate
+        // node's size estimate is an optimizer guess that can understate a
+        // large input and silently collapse the window to one task — the
+        // scan leaves' sizes are measurements (file-index bytes), so never
+        // resolve below what they alone demand. Sums are bucket-count-
+        // invariant, so the floor only ever costs a boundary job the
+        // estimate wanted to skip, never correctness.
+        val leafBytes = plan.collectLeaves().map(_.stats.sizeInBytes)
+          .foldLeft(BigInt(0))(_ + _)
+        val want = math.max(wantOf(bytes), wantOf(leafBytes))
         math.max(1L, math.min(buckets.toLong, want)).toInt
       }
     }

@@ -197,13 +197,33 @@ object StratifiedSampler {
     val dataCols = df.columns.map(col).toSeq
     val key = if (qcs.isEmpty) lit(0) else struct(qcs: _*)
 
-    // fraction == 1.0 keeps every row with weight total/total — no ranking
-    // needed, just per-stratum totals (tiny map-side-combined agg,
-    // broadcast back); the window-sort path below would be pure overhead
+    // fraction == 1.0 keeps every row with weight total/total = 1 — and
+    // EVERY consumer of the packed weight depends on (kept, total) only
+    // through quantities that are invariant when kept == total: the
+    // decoded Horvitz–Thompson ratio total/kept (MapColumnToWeight,
+    // BootstrapAggregate: x/x = 1.0 exactly in IEEE for any x > 0) and
+    // the closed-form FPC factor R·(R−L)/(L−1) (ClosedFormAggregate:
+    // exactly 0 for L == R ≥ 2; L == R == 1 skips as NaN — the same 0
+    // contribution). So the per-stratum totals pass the old form paid —
+    // one FULL extra scan of the base plus an aggregate pair and a
+    // broadcast round PER QUERY, at 100 TB a second read of the fact
+    // table — computed values whose every use cancels (guide §1.2:
+    // don't compute things you throw away). The sentinel pack(1, 1,
+    // keyHash) preserves every consumer's arithmetic (estimates, bounds,
+    // errors, sample_count — see FullFractionWeightSpec) while making
+    // the full-fraction "sample" a pure zero-job projection.
+    // `spark.graft.sampler.fullFractionSentinel=off` restores the classic
+    // totals-join plan for A/B.
     if (fraction >= 1.0) {
       val keyed = df.withColumn(K, key)
-      val counts = keyed.groupBy(col(K)).agg(count(lit(1)).as(TOT))
       val keyHash = pmod(hash(col(K)), lit(256)).cast("int")
+      if (df.sparkSession.conf
+          .get("spark.graft.sampler.fullFractionSentinel", "on") != "off") {
+        return keyed
+          .withColumn(WeightColumn, PackWeightage(lit(1L), lit(1L), keyHash))
+          .select(dataCols :+ col(WeightColumn): _*)
+      }
+      val counts = keyed.groupBy(col(K)).agg(count(lit(1)).as(TOT))
       return keyed
         .join(broadcast(counts.withColumnRenamed(K, K + "c")),
           col(K) <=> col(K + "c"), "inner")

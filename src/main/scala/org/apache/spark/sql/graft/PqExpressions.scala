@@ -357,24 +357,9 @@ case class PqCosineUpperBound(left: Expression, right: Expression,
   override def nullSafeEval(l: Any, r: Any): Any = {
     val ra = l.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
     val rb = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
-    val ca = ra.getBinary(0); val na = ra.getDouble(1); val ea = ra.getDouble(2)
-    val cb = rb.getBinary(0); val nb = rb.getDouble(1); val eb = rb.getDouble(2)
-    if (na == 0.0 || nb == 0.0) return 1.0
-    var sdc = 0.0
-    var ahat2 = 0.0
-    var bhat2 = 0.0
-    var j = 0
-    while (j < m) {
-      val t = gram(j)
-      val x = ca(j) & 0xff
-      val y = cb(j) & 0xff
-      sdc += t(x * k + y)
-      ahat2 += t(x * k + x)
-      bhat2 += t(y * k + y)
-      j += 1
-    }
-    val ub = sdc + math.sqrt(ahat2) * eb + ea * math.sqrt(bhat2) + ea * eb
-    ub / (na * nb)
+    PqCosineUpperBound.boundValue(
+      ra.getBinary(0), ra.getDouble(1), ra.getDouble(2),
+      rb.getBinary(0), rb.getDouble(1), rb.getDouble(2), gram, k)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -428,6 +413,33 @@ object PqCosineUpperBound {
       k: Int): Column =
     Exprs.column(new PqCosineUpperBound(Exprs.expression(a),
       Exprs.expression(b), gram, k))
+
+  /** The bound arithmetic itself, shared VERBATIM by the expression's
+   * interpreted eval and the grouped pair-emit walk in
+   * [[graft.ann.Ann.cosineDedupPairs]] — one implementation, so the two
+   * execution shapes cannot drift (same accumulation order as the
+   * generated kernel). */
+  def boundValue(ca: Array[Byte], na: Double, ea: Double,
+      cb: Array[Byte], nb: Double, eb: Double,
+      gram: Array[Array[Double]], k: Int): Double = {
+    if (na == 0.0 || nb == 0.0) return 1.0
+    var sdc = 0.0
+    var ahat2 = 0.0
+    var bhat2 = 0.0
+    var j = 0
+    val m = gram.length
+    while (j < m) {
+      val t = gram(j)
+      val x = ca(j) & 0xff
+      val y = cb(j) & 0xff
+      sdc += t(x * k + y)
+      ahat2 += t(x * k + x)
+      bhat2 += t(y * k + y)
+      j += 1
+    }
+    val ub = sdc + math.sqrt(ahat2) * eb + ea * math.sqrt(bhat2) + ea * eb
+    ub / (na * nb)
+  }
 }
 
 /** `vec_norm(vec)`: √(Σ x²) in one fused pass. */

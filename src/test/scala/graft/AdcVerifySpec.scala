@@ -150,6 +150,82 @@ class AdcVerifySpec extends AnyFunSuite {
     assert(onL.size > on.size)
   }
 
+  test("grouped pair-emit parity: grouped == join in all verify modes") {
+    val data = randomCorpus(200, 32, seed = 421L) ++
+      (0 until 20).flatMap { g =>
+        val rnd = new scala.util.Random(4000L + g)
+        val src = Array.fill(32)(rnd.nextGaussian().toFloat)
+        Seq((10000L + 2 * g, src),
+          (10001L + 2 * g, src.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)))
+      } ++
+      Seq((20000L, null: Array[Float])) ++
+      // a duplicated id carrying identical vectors: both emit shapes must
+      // collapse it in the output and never emit a self-pair
+      Seq((50000L, data0dup), (50000L, data0dup.clone()))
+    val df = data.toDF("id", "v")
+    def run(threshold: Double, planes: Int): Set[(Long, Long, Double)] =
+      Ann.cosineDedupPairs(df, "id", "v", threshold = threshold,
+        numPlanes = planes, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9) / 1e9)).toSet
+    for (adc <- Seq("on", "off"); (t, p) <- Seq((0.95, 12), (0.2, 6))) {
+      var grouped: Set[(Long, Long, Double)] = null
+      var joined: Set[(Long, Long, Double)] = null
+      withConf("spark.graft.cosineDedup.adcVerify", adc) {
+        withConf("spark.graft.cosineDedup.pairEmit", "grouped") {
+          grouped = run(t, p)
+        }
+        withConf("spark.graft.cosineDedup.pairEmit", "join") {
+          joined = run(t, p)
+        }
+      }
+      assert(grouped === joined, s"adc=$adc t=$t planes=$p")
+      assert(grouped.nonEmpty, s"adc=$adc t=$t planes=$p found nothing")
+    }
+  }
+  // a vector shared by the duplicate-id rows above (declared outside the
+  // test body so the corpus builder can reference it)
+  private lazy val data0dup: Array[Float] = {
+    val rnd = new scala.util.Random(99L)
+    Array.fill(32)(rnd.nextGaussian().toFloat)
+  }
+
+  test("grouped pair-emit respects the hot-bucket occupancy cap split") {
+    // one vector replicated hot times: over-cap buckets degrade to chains
+    // on BOTH emit shapes, and the outputs agree
+    val rnd = new scala.util.Random(5L)
+    val hotVec = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val data = randomCorpus(150, 32, seed = 500L) ++
+      (0 until 60).map(i => (40000L + i, hotVec.clone()))
+    val df = data.toDF("id", "v")
+    def run(): Set[(Long, Long)] =
+      Ann.cosineDedupPairs(df, "id", "v", threshold = 0.99,
+        numPlanes = 12, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withConf(graft.core.HotBuckets.ConfKey, "20") {
+      var grouped: Set[(Long, Long)] = null
+      var joined: Set[(Long, Long)] = null
+      withConf("spark.graft.cosineDedup.pairEmit", "grouped") { grouped = run() }
+      withConf("spark.graft.cosineDedup.pairEmit", "join") { joined = run() }
+      assert(grouped === joined)
+      assert(grouped.nonEmpty)
+    }
+  }
+
+  test("grouped pair-emit falls back to the join path for non-long ids") {
+    val rnd = new scala.util.Random(7L)
+    val src = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val data = Seq(("a", src), ("b", src.clone()),
+      ("c", Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = data.toDF("id", "v")
+    withConf("spark.graft.cosineDedup.pairEmit", "grouped") {
+      val out = Ann.cosineDedupPairs(df, "id", "v", threshold = 0.99,
+        numPlanes = 8, bands = 2).collect()
+      assert(out.map(r => (r.getString(0), r.getString(1))).toSet
+        === Set(("a", "b")))
+    }
+  }
+
   test("a caller-supplied codebook skips training and preserves parity") {
     val data = randomCorpus(120, 32, seed = 77L) ++
       (0 until 10).flatMap { g =>

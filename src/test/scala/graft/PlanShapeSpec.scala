@@ -65,20 +65,32 @@ class PlanShapeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "every gate query needs an oracle (and no orphan oracles)")
   }
 
-  test("full-fraction weight attach broadcasts the stratum counts") {
-    gs.sql("CREATE SAMPLE TABLE li_ps_bc ON li_ps " +
-      "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
-    try {
-      val plan = gs.sql(
+  test("full-fraction weight attach: sentinel is join-free, classic broadcasts") {
+    // r17: the sentinel weight (pack(1,1,keyHash) — ratio and FPC invariant
+    // at kept == total) removes the totals scan AND the attach join outright;
+    // the classic fallback plan must still broadcast, never shuffle the fact
+    // table (the r15 pin, kept for the off switch)
+    def planFor(): String = {
+      gs.sql("CREATE SAMPLE TABLE li_ps_bc ON li_ps " +
+        "OPTIONS(qcs 'l_returnflag', fraction '1.0')")
+      try gs.sql(
         """SELECT l_returnflag, sum(l_quantity) AS s, absolute_error(s) AS e
           |FROM li_ps GROUP BY l_returnflag WITH ERROR 0.9""".stripMargin)
         .queryExecution.executedPlan.toString
-      // the per-stratum count join (bytes per stratum) must broadcast — a
-      // shuffle join here would re-shuffle the full table at 100 TB
-      assert(plan.contains("BroadcastHashJoin"), plan.take(400))
-      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      finally gs.dropSampleTable("li_ps_bc")
+    }
+    val sentinel = planFor()
+    assert(!sentinel.contains("Join"),
+      s"sentinel full-fraction weight attach must not join:\n${sentinel.take(600)}")
+    assert(sentinel.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "sentinel plan must scan the base exactly once")
+    spark.conf.set("spark.graft.sampler.fullFractionSentinel", "off")
+    try {
+      val classic = planFor()
+      assert(classic.contains("BroadcastHashJoin"), classic.take(400))
+      assert(!classic.contains("SortMergeJoin") && !classic.contains("CartesianProduct"),
         "weight attach must not shuffle the fact table")
-    } finally gs.dropSampleTable("li_ps_bc")
+    } finally spark.conf.unset("spark.graft.sampler.fullFractionSentinel")
   }
 
   test("estimator 'auto' picks bootstrap only for avg-with-where (reference analysis-type rule)") {

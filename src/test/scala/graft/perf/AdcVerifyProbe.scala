@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
  *    runs the candidate join ONCE, not once per count).
  *
  * Usage: Test/runMain graft.perf.AdcVerifyProbe <sfDir> <mode> [threshold]
- *        [passes] [m] [k] — mode = parity | time-on | time-off | decomp
+ *        [passes] [m] [k] [pairEmit] — mode = parity | time-on | time-off
+ *        | decomp; pairEmit = auto | grouped | join (r17 A/B knob)
  */
 object AdcVerifyProbe {
   def main(args: Array[String]): Unit = {
@@ -26,6 +27,7 @@ object AdcVerifyProbe {
     val passes = if (args.length > 3) args(3).toInt else 1
     val mArg = if (args.length > 4) args(4).toInt else 32
     val kArg = if (args.length > 5) args(5).toInt else 64
+    val pairEmit = if (args.length > 6) args(6) else "auto"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
@@ -44,6 +46,7 @@ object AdcVerifyProbe {
       spark.conf.set("spark.graft.cosineDedup.adcVerify", adc)
       spark.conf.set("spark.graft.cosineDedup.adcM", mArg.toString)
       spark.conf.set("spark.graft.cosineDedup.adcK", kArg.toString)
+      spark.conf.set("spark.graft.cosineDedup.pairEmit", pairEmit)
       graft.ann.Ann.cosineDedupPairs(emb, "vec_id", "embedding", threshold)
     }
 
